@@ -10,7 +10,7 @@ interfaces (flink-table/flink-table-common/.../connector/source/abilities/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -28,8 +28,22 @@ TABLES = (
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Plain ``spark.read.parquet``: Catalyst handles
-    predicate pushdown + column pruning, so callers filter/select freely."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    predicate pushdown + column pruning, so callers filter/select freely.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a raw INT64 that we
+    convert to a microsecond timestamp (lossless for this data; DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast truncates identically). The conversion is a
+    cheap projection that stays inside whole-stage codegen.
+    """
+    # Runtime-settable; ensures any caller-provided session (e.g. the driver's)
+    # can read the NANOS-typed events file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

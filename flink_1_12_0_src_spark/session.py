@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as raw INT64 and
+        # catalog.table() converts to micros (DuckDB truncates NS → µs identically).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
