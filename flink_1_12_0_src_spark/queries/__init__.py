@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         tpch,
         relational,
         window_agg,
+        scalar_fns,
         pipelineq,
         streamingq,
     )
