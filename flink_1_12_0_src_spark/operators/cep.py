@@ -1,0 +1,211 @@
+"""CEP / MATCH_RECOGNIZE subset (SURVEY.md §2.9) — NFA pattern matching over
+keyed, time-ordered rows.
+
+Reference: flink-libraries/flink-cep — Pattern builder surface
+(…/cep/pattern/Pattern.java:129-529: begin/next/followedBy/where/oneOrMore/
+times/optional/consecutive/within), runtime …/cep/operator/CepOperator.java:83
+over …/cep/nfa/NFA.java; SQL front-end StreamExecMatch.scala:68.
+
+Spark-first design: the NFA runs inside ``applyInPandas`` — per-key groups
+arrive as Arrow batches, predicates evaluate **vectorized** (one boolean mask
+per pattern variable over the whole group), and the scan itself is a tight
+index loop. Keys process independently across executors, so this scales with
+key cardinality exactly like Flink's keyed CepOperator; per-key history must
+fit in one task (same bound as Flink's keyed state).
+
+Semantics implemented (the MatchRecognizeITCase subset):
+- quantifiers: exactly-one, ``times(n)``, ``one_or_more`` (greedy, consecutive),
+  ``optional``;
+- contiguity: strict (``next`` / MATCH_RECOGNIZE default) and relaxed
+  (``followed_by``);
+- ``within(seconds)``: max first→last event-time span;
+- after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class _Step:
+    name: str
+    predicate: Callable[[pd.DataFrame], pd.Series] | None = None
+    quantifier: str = "1"  # "1" | "+" | "?" | "n:<k>"
+    contiguity: str = "strict"  # "strict" | "relaxed"
+
+
+@dataclass
+class Pattern:
+    """Fluent pattern builder mirroring Flink's Pattern API (Pattern.java:129)."""
+
+    steps: list[_Step] = field(default_factory=list)
+    within_seconds: float | None = None
+
+    @staticmethod
+    def begin(name: str) -> "Pattern":
+        p = Pattern()
+        p.steps.append(_Step(name))
+        return p
+
+    def where(self, predicate: Callable[[pd.DataFrame], pd.Series]) -> "Pattern":
+        """Vectorized predicate: pdf → boolean Series (evaluated once per group)."""
+        self.steps[-1].predicate = predicate
+        return self
+
+    def next(self, name: str) -> "Pattern":
+        self.steps.append(_Step(name, contiguity="strict"))
+        return self
+
+    def followed_by(self, name: str) -> "Pattern":
+        self.steps.append(_Step(name, contiguity="relaxed"))
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        self.steps[-1].quantifier = "+"
+        return self
+
+    def times(self, n: int) -> "Pattern":
+        self.steps[-1].quantifier = f"n:{n}"
+        return self
+
+    def optional(self) -> "Pattern":
+        self.steps[-1].quantifier = "?"
+        return self
+
+    def within(self, seconds: float) -> "Pattern":
+        self.within_seconds = seconds
+        return self
+
+
+# measure aggregations over the rows bound to one variable
+_AGGS = {
+    "first": lambda s: s.iloc[0],
+    "last": lambda s: s.iloc[-1],
+    "count": lambda s: len(s),
+    "sum": lambda s: s.sum(),
+    "min": lambda s: s.min(),
+    "max": lambda s: s.max(),
+}
+
+
+def _scan_group(
+    pdf: pd.DataFrame,
+    pattern: Pattern,
+    order_by: list[str],
+    time_col: str | None,
+    measures: dict[str, tuple[str, str, str]],
+    partition_by: list[str],
+) -> pd.DataFrame:
+    pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    masks = [
+        (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
+        for s in pattern.steps
+    ]
+    ts = pdf[time_col].astype("int64").to_numpy() / 1e9 if time_col else None
+
+    def try_at(start: int):
+        """Return (bindings, end_idx) for a match whose first row is `start`."""
+
+        def rec(si: int, pos: int, bindings: dict[str, list[int]], first_pos: int | None):
+            if si == len(pattern.steps):
+                return bindings, pos - 1
+            step, mask = pattern.steps[si], masks[si]
+            # candidate start positions for this step
+            if step.contiguity == "strict" or first_pos is None:
+                candidates = [pos] if pos < n else []
+            else:
+                candidates = [p for p in range(pos, n) if mask[p]][:64]
+            if step.quantifier == "?":
+                for p in candidates:
+                    if p < n and mask[p] and _within_ok(first_pos, p):
+                        r = rec(si + 1, p + 1, {**bindings, step.name: [p]}, first_pos if first_pos is not None else p)
+                        if r:
+                            return r
+                return rec(si + 1, pos, bindings, first_pos)  # skip optional step
+            for p in candidates:
+                if p >= n or not mask[p]:
+                    if step.contiguity == "strict":
+                        return None
+                    continue
+                fp = first_pos if first_pos is not None else p
+                if not _within_ok(fp, p):
+                    break
+                if step.quantifier == "1":
+                    r = rec(si + 1, p + 1, {**bindings, step.name: [p]}, fp)
+                    if r:
+                        return r
+                elif step.quantifier.startswith("n:"):
+                    k = int(step.quantifier[2:])
+                    if p + k <= n and all(masks[si][p : p + k]) and _within_ok(fp, p + k - 1):
+                        r = rec(si + 1, p + k, {**bindings, step.name: list(range(p, p + k))}, fp)
+                        if r:
+                            return r
+                elif step.quantifier == "+":
+                    q = p
+                    while q + 1 < n and mask[q + 1] and _within_ok(fp, q + 1):
+                        q += 1
+                    while q >= p:  # greedy, backtrack on suffix failure
+                        r = rec(si + 1, q + 1, {**bindings, step.name: list(range(p, q + 1))}, fp)
+                        if r:
+                            return r
+                        q -= 1
+                if step.contiguity == "strict":
+                    return None
+            return None
+
+        def _within_ok(first_pos: int | None, p: int) -> bool:
+            if pattern.within_seconds is None or first_pos is None or ts is None:
+                return True
+            return (ts[p] - ts[first_pos]) <= pattern.within_seconds
+
+        return rec(0, start, {}, None)
+
+    out_rows = []
+    i, seq = 0, 0
+    while i < n:
+        hit = try_at(i) if masks[0][i] else None
+        if hit:
+            bindings, end = hit
+            row: dict = {c: pdf[c].iloc[0] for c in partition_by}
+            row["match_seq"] = seq
+            for out_col, (var, agg, col) in measures.items():
+                idxs = bindings.get(var, [])
+                if idxs:
+                    row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])
+                else:
+                    row[out_col] = 0 if agg == "count" else None
+            out_rows.append(row)
+            seq += 1
+            i = end + 1  # AFTER MATCH SKIP PAST LAST ROW
+        else:
+            i += 1
+    cols = partition_by + ["match_seq"] + list(measures)
+    return pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(columns=cols)
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: Pattern,
+    measures: dict[str, tuple[str, str, str]],
+    output_schema: str,
+    time_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a batch DataFrame.
+
+    measures: out_col → (variable, agg∈{first,last,count,sum,min,max}, source_col).
+    output_schema: Spark DDL for partition_by + match_seq + measure columns.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _scan_group(pdf, pattern, order_by, time_col, measures, partition_by)
+
+    return df.groupBy(*partition_by).applyInPandas(fn, schema=output_schema)

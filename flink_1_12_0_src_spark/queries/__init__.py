@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         relational,
         window_agg,
         scalar_fns,
+        custom_ops,
         pipelineq,
         streamingq,
     )

@@ -1,0 +1,171 @@
+"""Queries exercising the custom gap operators (as-of join, CEP, max_by dedup)
+against independent DuckDB oracle formulations (ASOF JOIN, window/islands SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.operators import Pattern, asof_join, deduplicate, match_recognize
+from flink_1_12_0_src_spark.queries import register
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+       v.event_id AS view_id, CAST(v.value AS DOUBLE) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY purchase_id
+""",
+    tags=("batch", "join", "asof", "custom_op"),
+    doc="Temporal/as-of join (Flink StreamExecTemporalJoin — "
+    "TemporalRowTimeJoinOperator.java): each purchase joins the latest prior view "
+    "per user. Ours: union + one window pass (operators/joins.py); oracle: DuckDB "
+    "native ASOF JOIN — independent implementations agreeing.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").cast("double").alias("view_value")
+    )
+    return (
+        asof_join(purchases, views, on=["user_id"], left_time="p_ts", right_time="ts")
+        .select("purchase_id", "user_id", "p_ts", "view_id", "view_value")
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "cep_funnel",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+         lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2,
+         lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS match_seq,
+       event_id AS view_id, id1 AS click_id, id2 AS purchase_id
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 <= ts + INTERVAL 1 HOUR
+ORDER BY user_id, match_seq
+""",
+    tags=("batch", "cep", "custom_op"),
+    doc="MATCH_RECOGNIZE strict funnel: PATTERN (V C P) WITHIN 1h, AFTER MATCH "
+    "SKIP PAST LAST ROW (Flink StreamExecMatch.scala:68 → CepOperator). Ours: NFA "
+    "in applyInPandas (operators/cep.py); oracle: lead()-window SQL (equivalent for "
+    "non-overlapping 3-step strict patterns).",
+)
+def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("v")
+        .where(lambda pdf: pdf["event_type"] == "view")
+        .next("c")
+        .where(lambda pdf: pdf["event_type"] == "click")
+        .next("p")
+        .where(lambda pdf: pdf["event_type"] == "purchase")
+        .within(3600.0)
+    )
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={
+            "view_id": ("v", "last", "event_id"),
+            "click_id": ("c", "last", "event_id"),
+            "purchase_id": ("p", "last", "event_id"),
+        },
+        output_schema="user_id bigint, match_seq int, view_id bigint, click_id bigint, purchase_id bigint",
+        time_col="ts",
+    )
+    return out.orderBy("user_id", "match_seq")
+
+
+@register(
+    "cep_error_burst",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+  FROM o
+), islands AS (
+  SELECT user_id, event_type, grp, MAX(rn) AS ern, COUNT(*) AS run_len
+  FROM runs GROUP BY user_id, event_type, grp
+)
+SELECT p.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.rn) - 1 AS INTEGER) AS match_seq,
+       CAST(e.run_len AS INTEGER) AS n_errors,
+       p.event_id AS purchase_id
+FROM o p JOIN islands e
+  ON e.user_id = p.user_id AND e.event_type = 'error' AND e.ern = p.rn - 1
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, match_seq
+""",
+    tags=("batch", "cep", "custom_op"),
+    doc="MATCH_RECOGNIZE with greedy oneOrMore: PATTERN (E+ P) — maximal error "
+    "burst immediately followed by a purchase (Flink Pattern.oneOrMore().consecutive(), "
+    "Pattern.java:378). Oracle: gaps-and-islands SQL.",
+)
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("e")
+        .where(lambda pdf: pdf["event_type"] == "error")
+        .one_or_more()
+        .next("p")
+        .where(lambda pdf: pdf["event_type"] == "purchase")
+    )
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={
+            "n_errors": ("e", "count", "event_id"),
+            "purchase_id": ("p", "last", "event_id"),
+        },
+        output_schema="user_id bigint, match_seq int, n_errors int, purchase_id bigint",
+    )
+    return out.orderBy("user_id", "match_seq")
+
+
+@register(
+    "dedup_maxby_keep_last",
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("batch", "dedup", "custom_op"),
+    doc="Keep-last dedup via max_by(struct) aggregation (operators/dedup.py) — "
+    "no window sort, two-phase hash agg; the streaming ChangelogNormalize "
+    "primitive (StreamExecChangelogNormalize.scala:46). Oracle: row_number DESC.",
+)
+def dedup_maxby_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts")
+    return (
+        deduplicate(ev, ["user_id", "event_type"], "ts", keep="last", tiebreak="event_id")
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )

@@ -154,7 +154,7 @@ SELECT q,
        sqrt(q) AS sq,
        CAST(q AS INTEGER) % 7 AS mod7,
        power(q, 2) AS squared,
-       sign(q - 25.0) AS sgn,
+       CAST(sign(q - 25.0) AS DOUBLE) AS sgn,
        round(exp(q / 50.0), 6) AS e_x,
        round(ln(q), 6) AS ln_q,
        round(log10(q), 6) AS log10_q,

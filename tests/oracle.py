@@ -64,7 +64,9 @@ def compare_to_oracle(spark, sf_dir: str, spark_fn, oracle: str, float_tol: floa
     _, o_norm = normalize(orows, ocols)
     mism = []
     for i, (a, b) in enumerate(zip(s_norm, o_norm)):
-        if a == b:
+        # type-strict: 1 (int) must not silently equal 1.0 (float) — the
+        # driver's value hash distinguishes them
+        if a == b and all(type(x) is type(y) for x, y in zip(a, b)):
             continue
         if float_tol and len(a) == len(b) and all(
             (x == y)

@@ -1,0 +1,176 @@
+"""Unit tests for custom operators on crafted fixtures — the reference's
+operator-harness style (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_12_0_src_spark.operators import (
+    Pattern,
+    asof_join,
+    changelog_normalize,
+    deduplicate,
+    match_recognize,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:05"), 100.0),
+            (1, ts("2024-01-01 10:00:10"), 101.0),
+            (2, ts("2024-01-01 10:00:03"), 50.0),
+            (3, ts("2024-01-01 10:00:01"), 7.0),  # no quote for key 3
+        ],
+        "k int, t_ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 99.5),
+            (1, ts("2024-01-01 10:00:05"), 100.5),  # exact-match tie with trade 1
+            (1, ts("2024-01-01 10:00:09"), 100.9),
+            (2, ts("2024-01-01 10:00:04"), 49.5),  # only AFTER the key-2 trade
+        ],
+        "k int, q_ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["k"], left_time="t_ts", right_time="q_ts")
+    rows = {(r["k"], r["price"]): (r["quote"], r["q_ts"]) for r in out.collect()}
+    assert rows[(1, 100.0)][0] == 100.5  # exact match allowed (<=)
+    assert rows[(1, 101.0)][0] == 100.9
+    assert rows[(2, 50.0)][0] is None  # quote only after trade
+    assert rows[(3, 7.0)][0] is None  # no quotes at all
+    assert out.count() == 4  # left-outer: every trade survives
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["k"], left_time="t_ts", right_time="q_ts", direction="forward"
+    )
+    rows = {(r["k"], r["price"]): r["quote"] for r in out.collect()}
+    assert rows[(1, 100.0)] == 100.5  # earliest quote >= trade
+    assert rows[(1, 101.0)] is None
+    assert rows[(2, 50.0)] == 49.5
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["k"], left_time="t_ts", right_time="q_ts", tolerance_seconds=2.0
+    )
+    rows = {(r["k"], r["price"]): r["quote"] for r in out.collect()}
+    assert rows[(1, 100.0)] == 100.5  # 0s gap
+    assert rows[(1, 101.0)] == 100.9  # 1s gap
+    assert rows[(3, 7.0)] is None
+
+
+def _events_df(spark, seq: list[str]):
+    rows = [
+        (1, i, ts("2024-01-01 10:00:00") + dt.timedelta(seconds=i), t)
+        for i, t in enumerate(seq)
+    ]
+    return spark.createDataFrame(rows, "k int, i long, ts timestamp, typ string")
+
+
+def _matches(spark, seq, pattern, measures, schema):
+    df = _events_df(spark, seq)
+    out = match_recognize(
+        df, ["k"], ["ts", "i"], pattern, measures, schema, time_col="ts"
+    )
+    return [tuple(r) for r in out.orderBy("match_seq").collect()]
+
+
+def test_cep_times_quantifier(spark):
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "x").times(2)
+        .next("b").where(lambda p: p["typ"] == "y")
+    )
+    got = _matches(
+        spark,
+        ["x", "x", "y", "x", "y", "x", "x", "y"],
+        pat,
+        {"a_first": ("a", "first", "i"), "b_i": ("b", "last", "i")},
+        "k int, match_seq int, a_first long, b_i long",
+    )
+    # matches at rows (0,1,2) and (5,6,7); (3,4) has only one x
+    assert got == [(1, 0, 0, 2), (1, 1, 5, 7)]
+
+
+def test_cep_optional_and_skip_past_last(spark):
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "x")
+        .next("b").where(lambda p: p["typ"] == "y").optional()
+        .next("c").where(lambda p: p["typ"] == "z")
+    )
+    got = _matches(
+        spark,
+        ["x", "y", "z", "x", "z", "x", "q"],
+        pat,
+        {"a_i": ("a", "first", "i"), "b_n": ("b", "count", "i"), "c_i": ("c", "last", "i")},
+        "k int, match_seq int, a_i long, b_n int, c_i long",
+    )
+    assert got == [(1, 0, 0, 1, 2), (1, 1, 3, 0, 4)]  # with-optional then without
+
+
+def test_cep_followed_by_relaxed(spark):
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "x")
+        .followed_by("b").where(lambda p: p["typ"] == "z")
+    )
+    got = _matches(
+        spark,
+        ["x", "q", "q", "z", "x", "q"],
+        pat,
+        {"a_i": ("a", "first", "i"), "b_i": ("b", "last", "i")},
+        "k int, match_seq int, a_i long, b_i long",
+    )
+    assert got == [(1, 0, 0, 3)]  # skips the q's; second x never completes
+
+
+def test_cep_within_excludes_slow_match(spark):
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "x")
+        .followed_by("b").where(lambda p: p["typ"] == "z")
+        .within(2.0)
+    )
+    got = _matches(
+        spark,
+        ["x", "q", "q", "z"],  # z is 3s after x → outside within
+        pat,
+        {"a_i": ("a", "first", "i"), "b_i": ("b", "last", "i")},
+        "k int, match_seq int, a_i long, b_i long",
+    )
+    assert got == []
+
+
+def test_deduplicate_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:02"), "late"), (1, ts("2024-01-01 10:00:01"), "early"),
+         (2, ts("2024-01-01 10:00:00"), "only")],
+        "k int, t timestamp, v string",
+    )
+    out = {r["k"]: r["v"] for r in deduplicate(df, ["k"], "t", keep="first").collect()}
+    assert out == {1: "early", 2: "only"}
+
+
+def test_changelog_normalize_drops_deleted(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a", False), (1, 2, "b", False), (2, 1, "x", False), (2, 2, None, True)],
+        "pk int, version int, payload string, deleted boolean",
+    )
+    out = changelog_normalize(df, ["pk"], "version", delete_col="deleted")
+    rows = {r["pk"]: r["payload"] for r in out.collect()}
+    assert rows == {1: "b"}  # pk 2's latest record is a delete
