@@ -1,0 +1,53 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7 Phase 5 / BASELINE.json
+north star): dedup families, similarity search, text analysis, multimodal
+column plumbing — all DataFrame transforms designed for 100 TB:
+
+- no driver-side collects; everything is scan → (explode) → hash-agg → join;
+- pair-generation is always LSH/blocking-bounded, never a naive cross join;
+- text hashing uses engine-portable md5 so results are verifiable against an
+  independent SQL engine (swap to xxhash64 for ~3× throughput when
+  cross-engine verification isn't needed — same topology).
+"""
+
+from flink_1_12_0_src_spark.pipeline.text import (
+    language_id,
+    quality_score,
+    shingles,
+    token_stats,
+    tokens,
+)
+from flink_1_12_0_src_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    winnow_fingerprint,
+)
+from flink_1_12_0_src_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_fit,
+    ivf_topk,
+)
+from flink_1_12_0_src_spark.pipeline.multimodal import attach_blob, extract_blob_features
+
+__all__ = [
+    "attach_blob",
+    "cosine_topk",
+    "exact_dedup",
+    "extract_blob_features",
+    "ivf_assign",
+    "ivf_fit",
+    "ivf_topk",
+    "language_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "shingles",
+    "simhash_signatures",
+    "token_stats",
+    "tokens",
+    "winnow_fingerprint",
+]

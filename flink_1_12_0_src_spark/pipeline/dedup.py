@@ -1,0 +1,198 @@
+"""Document deduplication family: exact hash, MinHash+LSH, SimHash, n-gram
+Jaccard, winnowing fingerprints.
+
+Scale design (100 TB):
+- Exact: one hash-groupBy — partial aggregation map-side, no sort.
+- MinHash+LSH: shingle explosion is linear; the signature groupBy is the only
+  wide shuffle; candidate pairs come from the *band-bucket self-join* (never a
+  cross join) — the classic shingle→minhash→band→bucket-join topology. Hot
+  buckets (boilerplate docs) are the skew risk: AQE skew-join handles moderate
+  cases, and a bucket-size cap (drop buckets > N ids) is the production guard.
+- SimHash: per-token bit votes aggregate in one groupBy; signature is a 64-char
+  bitstring (engine-portable).
+- n-gram Jaccard: pairs bounded by a blocking key (lang here) — at real scale
+  the blocking key is an LSH band, making this the verify stage after LSH.
+
+Hashes are md5-derived hex (portable, verifiable in any SQL engine); swap
+HASH_EXPR to xxhash64 for throughput when cross-engine checkability is not
+required — topology unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_1_12_0_src_spark.pipeline.text import shingles, tokens
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def _h(seed: int, col) -> any:
+    """Portable 64-bit-ish hash as a 16-hex-char string: substr(md5(seed|x),1,16).
+    Lexicographic min over these == numeric min over the implied uint64."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 16)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: groups by content hash, keeps the lowest
+    id as canonical, reports group size."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signature: one column h0..h{n-1} per hash seed (min over the
+    document's shingle set). One explode + one groupBy."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh")).distinct()
+    return sh.groupBy(id_col).agg(
+        *[F.min(_h(s, F.col("sh"))).alias(f"h{s}") for s in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH + estimated Jaccard
+    (fraction of agreeing signature components). Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    n_bands = num_hashes // band_rows
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[f"h{b * band_rows + j}" for j in range(band_rows)])
+                        ).alias("bk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "x.band", "x.bk")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)])
+    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)])
+    eq = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"))
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct word tokens, emitted as a 64-char bitstring.
+
+    Bit source: the 16 hex digits of md5(token); each digit contributes its 4
+    bits. Vote = sum over tokens of (2*bit - 1); signature bit = vote >= 0.
+    Pure expressions → portable to any SQL engine for verification.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).distinct()
+    digits = toks.select(
+        id_col,
+        *[
+            (F.instr(F.lit(HEX_DIGITS), F.substring(F.md5("tok"), p + 1, 1)) - 1).alias(f"d{p}")
+            for p in range(16)
+        ],
+    )
+    votes = digits.groupBy(id_col).agg(
+        *[
+            F.sum(
+                2 * (F.floor(F.col(f"d{s // 4}") / F.lit(2 ** (s % 4))).cast("int") % 2) - 1
+            ).alias(f"v{s}")
+            for s in range(64)
+        ]
+    )
+    bits = [F.when(F.col(f"v{s}") >= 0, "1").otherwise("0") for s in range(64)]
+    return votes.select(id_col, F.concat(*bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+
+    |A∩B| from a shingle self-join within the block, |A∪B| = |A|+|B|-|A∩B|.
+    The blocking key bounds the pair space; in production the block is an LSH
+    band and this is the verification stage.
+    """
+    grams = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.explode(shingles(text_col, shingle_k)).alias("sh")
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac > threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, gram_chars: int = 5, num_mins: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): min-k over hashed
+    character n-grams of the normalized text, concatenated to one string."""
+    normed = df.select(
+        F.col(id_col), F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("norm")
+    )
+    grams = normed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("norm") - (gram_chars - 1), F.lit(1))),
+                lambda i: F.substring(F.col("norm"), i, F.lit(gram_chars)),
+            )
+        ).alias("g"),
+    )
+    mins = grams.groupBy(id_col).agg(
+        *[F.min(_h(s, F.col("g"))).alias(f"m{s}") for s in range(num_mins)]
+    )
+    return mins.select(
+        id_col, F.concat_ws("|", *[f"m{s}" for s in range(num_mins)]).alias("fingerprint")
+    )

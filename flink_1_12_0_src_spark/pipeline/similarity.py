@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force baseline — broadcast the query set, scan the
+  corpus once, per-query top-k via window. Exact; at 100 TB the corpus never
+  shuffles (queries broadcast), so cost is one scan × |Q| dot products.
+- ``ivf_fit`` / ``ivf_topk``: the scale path — Lloyd's k-means (few rounds,
+  centroids broadcast each round; only aggregates shuffle), then search probes
+  the ``nprobe`` nearest inverted lists, cutting dot products by
+  ~nlist/nprobe. Approximate; recall tested against the brute-force baseline.
+
+Dot products run as F.aggregate/zip_with folds — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine), self-matches
+    excluded. Ranking uses the rounded cosine + id tiebreak so results are
+    reproducible bit-for-bit across engines."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), round_digits)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: init = the n_lists lowest-id vectors,
+    then `iters` assign/recompute rounds. Returns (cluster_id, centroid).
+
+    Each round: centroids broadcast → assignment is a map-side argmin (no
+    shuffle of the corpus) → new means via posexplode + two-level agg.
+    """
+    vecs = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    w_init = W.orderBy("vid")
+    centroids = (
+        vecs.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= n_lists)
+        .select((F.col("rn") - 1).alias("cluster_id"), F.col("v").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        centroids = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+    return centroids
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame, n_best: int = 1) -> DataFrame:
+    """Nearest-centroid assignment (or n_best nearest for probing)."""
+    j = vecs.crossJoin(F.broadcast(centroids))
+    d = _dot(F.col("v"), F.col("centroid")) / (_norm(F.col("v")) * _norm(F.col("centroid")))
+    w = W.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cluster_id"))
+    out = (
+        j.select("vid", "v", "cluster_id", d.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_best)
+        .drop("rn", "sim")
+    )
+    return out
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every corpus vector to its inverted list."""
+    vecs = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    return _assign(vecs, centroids)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the nprobe nearest lists per query."""
+    lists = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "cluster_id"
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    q_probes = _assign(
+        qv.select(F.col("query_id").alias("vid"), F.col("qv").alias("v")), centroids, n_best=nprobe
+    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cluster_id")
+
+    j = lists.join(q_probes, "cluster_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

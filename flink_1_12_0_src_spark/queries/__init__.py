@@ -54,7 +54,7 @@ def load_all() -> dict[str, Query]:
         window_agg,
         scalar_fns,
         custom_ops,
-        pipelineq,
+        pipelineq,  # noqa: F401  (registers pipeline queries)
         streamingq,
     )
 

@@ -1,3 +1,338 @@
-"""LLM-data-pipeline queries (dedup / similarity / text / multimodal). Filled in incrementally."""
+"""LLM-data-pipeline queries (dedup / similarity / text analysis / multimodal)
+over the documents + embeddings tables, each verified against a DuckDB oracle
+built from the SAME algorithm constants (hash seeds, shingle sizes, band
+layout) — two independent implementations of one spec.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.pipeline import (
+    attach_blob,
+    cosine_topk,
+    exact_dedup,
+    extract_blob_features,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+    token_stats,
+    winnow_fingerprint,
+)
+from flink_1_12_0_src_spark.pipeline.text import BPE_ISH_RE, LANG_MARKERS
+from flink_1_12_0_src_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# shared algorithm constants (Spark impl + oracle read these)
+# ---------------------------------------------------------------------------
+MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS = 12, 3, 4
+NJ_SHINGLE_K, NJ_THRESHOLD = 2, 0.3
+FP_GRAM_CHARS, FP_NUM_MINS = 5, 4
+ANN_K, ANN_QUERY_MAX = 5, 20
+
+
+def _minhash_oracle() -> str:
+    nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+    bands = nh // rows
+    hcols = ", ".join(f"MIN(substr(md5('{s}|' || sh), 1, 16)) AS h{s}" for s in range(nh))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    eqs = " + ".join(f"(CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END)" for s in range(nh))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-{k}),
+                               g -> array_to_string(w[g+1:g+{k}], ' '))) AS sh
+  FROM toks WHERE len(w) >= {k}
+),
+sigs AS (SELECT doc_id, {hcols} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(({eqs}) / {nh}.0, 6) AS est_jaccard
+FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("pipeline", "dedup", "bench"),
+    doc="Near-dup detection: shingle→MinHash→band→bucket-join LSH "
+    f"({MH_NUM_HASHES} hashes, {MH_SHINGLE_K}-shingles, {MH_BAND_ROWS}-row bands) "
+    "+ estimated Jaccard. Candidate pairs come only from band buckets — no cross "
+    "join at any scale.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+    ).withColumnsRenamed({"doc_id": "doc_id"}).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+SELECT content_hash, canonical_id, n_copies FROM (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+         MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+) ORDER BY canonical_id
+""",
+    tags=("pipeline", "dedup"),
+    doc="Exact dedup: hash-groupBy on normalized text, lowest id canonical. "
+    "One two-phase hash aggregation.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "canonical_id"
+    )
+
+
+def _simhash_oracle() -> str:
+    digit = (
+        lambda p: f"(position(substr(md5(tok), {p + 1}, 1) IN '0123456789abcdef') - 1)"
+    )
+    votes = ", ".join(
+        f"SUM(2 * (CAST(floor({digit(s // 4)} / {2 ** (s % 4)}) AS INTEGER) % 2) - 1) AS v{s}"
+        for s in range(64)
+    )
+    bits = " || ".join(f"(CASE WHEN v{s} >= 0 THEN '1' ELSE '0' END)" for s in range(64))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("pipeline", "dedup"),
+    doc="64-bit SimHash signatures from md5-digit bit votes over distinct tokens, "
+    "emitted as a portable bitstring; near-dups = small Hamming distance "
+    "(pair scan tested in tests/test_pipeline.py).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(generate_series(0, len(w)-{NJ_SHINGLE_K}),
+                               g -> array_to_string(w[g+1:g+{NJ_SHINGLE_K}], ' '))) AS sh
+  FROM toks WHERE len(w) >= {NJ_SHINGLE_K}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) > {NJ_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+    tags=("pipeline", "dedup"),
+    doc=f"Exact {NJ_SHINGLE_K}-gram Jaccard pairs above {NJ_THRESHOLD}, blocked by "
+    "lang (at scale the block is an LSH band; this is the verify stage).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+def _fingerprint_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(substr(md5('{s}|' || g), 1, 16)) AS m{s}" for s in range(FP_NUM_MINS)
+    )
+    cat = " || '|' || ".join(f"m{s}" for s in range(FP_NUM_MINS))
+    return f"""
+WITH normed AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(norm)-{FP_GRAM_CHARS - 1}, 1)),
+                               i -> substr(norm, i, {FP_GRAM_CHARS}))) AS g
+  FROM normed
+),
+mins AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id)
+SELECT doc_id, {cat} AS fingerprint FROM mins ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_fingerprint",
+    oracle=_fingerprint_oracle(),
+    tags=("pipeline", "text"),
+    doc=f"Winnowing-style fingerprint: min-{FP_NUM_MINS} hashed char "
+    f"{FP_GRAM_CHARS}-grams of normalized text.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id", "text", FP_GRAM_CHARS, FP_NUM_MINS
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {ANN_QUERY_MAX})
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.v, e.v), 6) AS cosine
+FROM q JOIN e ON e.vec_id <> q.vec_id
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) <= {ANN_K}
+ORDER BY query_id, cosine DESC, neighbor_id
+""",
+    tags=("pipeline", "similarity", "bench"),
+    doc=f"Brute-force cosine top-{ANN_K} for {ANN_QUERY_MAX} query vectors: "
+    "broadcast queries × one corpus scan, JVM fold dot products, rounded-cosine "
+    "ranking for cross-engine determinism. The IVF scale path is knn_ivf_topk.",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return cosine_topk(emb, q, "vec_id", "embedding", ANN_K).orderBy(
+        "query_id", F.desc("cosine"), "neighbor_id"
+    )
+
+
+@register(
+    "knn_ivf_topk",
+    oracle=None,  # approximate by design — recall vs brute force asserted in tests
+    tags=("pipeline", "similarity"),
+    doc="IVF approximate top-k: deterministic Lloyd k-means (8 lists, 3 rounds, "
+    "centroids broadcast) + nprobe=2 probing. Rows-only driver check; recall@5 "
+    "vs the brute-force baseline asserted in tests/test_pipeline.py.",
+)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline import ivf_fit, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_fit(emb, n_lists=8, iters=3)
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return ivf_topk(emb, q, cents, k=ANN_K, nprobe=2).orderBy(
+        "query_id", F.desc("cosine"), "neighbor_id"
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lg: f"len(list_intersect(w, {LANG_MARKERS[lg]!r}))".replace("'", "'")
+        for lg in langs
+    }
+    hit_cols = ", ".join(f"{hits[lg]} AS hits_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'unknown' " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+hits AS (SELECT doc_id, {hit_cols} FROM toks)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {pred} AS predicted_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+@register(
+    "text_language_id",
+    oracle=_langid_oracle(),
+    tags=("pipeline", "text"),
+    doc="Marker-lexicon language ID (n-gram-heuristic family): distinct stopword "
+    "hits per language, deterministic argmax.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+_EN = LANG_MARKERS["en"]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w,
+         length(text) AS n_chars, len(string_split(lower(text), ' ')) AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]')) AS punct,
+         len(list_intersect(w, {_EN!r})) AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round((n_chars - n_words + 1) / n_words, 6) AS mean_word_len,
+       round(punct / n_chars, 6) AS punct_ratio,
+       round(stop / n_words, 6) AS stopword_ratio,
+       round(least(n_words / 50.0, 1.0) * 0.4
+             + (1 - least(round(punct / n_chars, 6) * 5, 1.0)) * 0.3
+             + least(round(stop / n_words, 6) * 10, 1.0) * 0.3, 6) AS quality
+FROM t ORDER BY doc_id
+""",
+    tags=("pipeline", "text", "bench"),
+    doc="Heuristic quality scoring (C4/Gopher-rule shape): length, punctuation "
+    "ratio, stopword ratio, mean word length → [0,1] score.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                  regexp_extract_all(text, '{BPE_ISH_RE}') AS bpe
+           FROM documents)
+SELECT doc_id, len(w) AS ws_tokens, len(bpe) AS bpe_tokens,
+       len(list_distinct(w)) AS distinct_tokens,
+       round(len(list_distinct(w)) / len(w), 6) AS distinct_ratio
+FROM t ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+    doc="Token counting: whitespace tokens + BPE-ish pre-tokenizer regex + "
+    "distinct-token ratio.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(octet_length(encode(text)) % 7 AS INTEGER) AS bucket,
+       'text/plain' AS mime
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Multimodal plumbing: binary blob column + metadata struct through a "
+    "mapInPandas Arrow feature extractor (decode stubbed — no codecs in image; "
+    "schema/batching/binary round-trip are real).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return extract_blob_features(attach_blob(docs, "doc_id", "text")).orderBy("doc_id")

@@ -1,0 +1,57 @@
+"""Pipeline-operator quality tests: IVF recall vs brute force, SimHash hamming
+on known near-dups, multimodal stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.pipeline import (
+    cosine_topk,
+    ivf_fit,
+    ivf_topk,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from flink_1_12_0_src_spark.pipeline.multimodal import decode_image
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(emb, q, k=5)
+    cents = ivf_fit(emb, n_lists=8, iters=3)
+    approx = ivf_topk(emb, q, cents, k=5, nprobe=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # labeled clusters are well separated; nprobe=2 of 8 lists should recover most
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_simhash_close_for_minhash_neardups(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").filter(F.col("est_jaccard") >= 0.9)
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    checked = 0
+    for r in pairs.collect():
+        h = sum(c1 != c2 for c1, c2 in zip(sigs[r["id_a"]], sigs[r["id_b"]]))
+        assert h <= 16, f"near-dup pair ({r['id_a']},{r['id_b']}) hamming={h}"
+        checked += 1
+    assert checked > 0, "expected some high-jaccard pairs in the fixture"
+
+
+def test_minhash_estimates_match_exact_jaccard_direction(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    assert len(pairs) > 0
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in pairs)
+    assert any(r["est_jaccard"] == 1.0 for r in pairs), "planted exact near-dups exist"
+
+
+def test_multimodal_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
