@@ -1,3 +1,321 @@
-"""Structured Streaming queries driven to completion (SURVEY.md §2.8). Filled in incrementally."""
+"""Structured Streaming queries driven to completion (SURVEY.md §2.8, §7
+Phases 2–3) and oracle-checked against batch SQL over the same rows.
+
+Pattern (the reference's ITCase strategy, SURVEY §5.2): the events table is
+replayed as a 4-micro-batch file stream in event-time order
+(``streaming.source.events_stream``), the streaming plan runs to completion
+with Trigger.AvailableNow into a memory sink, and the final result must equal
+the batch answer — which DuckDB computes independently.
+
+Mode discipline:
+- complete mode → final-state snapshot (unbounded aggs, session windows,
+  keep-first/last dedup): deterministic regardless of micro-batch boundaries.
+- append mode → exact emission set (stream-stream interval join, watermark-
+  evicted session windows, applyInPandasWithState operators).
+
+Reference operators exercised: StreamExecGroupWindowAggregate (tumble/hop/
+session — WindowOperator.java:98 + assigners), StreamExecGroupAggregate
+(GroupAggFunction.java:141), StreamExecIntervalJoin (TimeIntervalJoin.java:49),
+StreamExecDeduplicate (keep-first/keep-last), StreamExecOverAggregate,
+StreamExecRank (streaming Top-N), CountTumblingWindowAssigner.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flink_1_12_0_src_spark.operators import deduplicate
+from flink_1_12_0_src_spark.queries import register
+from flink_1_12_0_src_spark.queries._util import dec, dsum
+from flink_1_12_0_src_spark.streaming import events_stream, run_to_batch
+from flink_1_12_0_src_spark.streaming.stateful import (
+    streaming_count_tumble,
+    streaming_over_running_sum,
+    streaming_topn,
+)
+
+_SQL_TOTAL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+@register(
+    "stream_tumble_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "window_agg"),
+    doc="Tumbling event-time window aggregate (StreamExecGroupWindowAggregate, "
+    "TumblingWindowAssigner.java): 1-day windows × event_type, complete-mode "
+    "final state ≡ batch GROUP BY time_bucket. Watermark declared as in "
+    "production append-mode use; partial aggregation is map-side automatic.",
+)
+def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "total"
+    )
+    return run_to_batch(out, "complete")
+
+
+@register(
+    "stream_hop_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '12 hours', ts) - k.k * INTERVAL '12 hours' AS window_start,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+""",
+    tags=("streaming", "window_agg"),
+    doc="Sliding/hopping window aggregate (SlidingWindowAssigner.java): 1-day "
+    "windows every 12h — each event lands in 2 windows; oracle replicates rows "
+    "per slide offset (the same Expand Spark plans internally).",
+)
+def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 day", "12 hours")).agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    out = agg.select(F.col("window.start").alias("window_start"), "cnt", "total")
+    return run_to_batch(out, "complete")
+
+
+_SQL_SESSIONS = """
+WITH brk AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS cnt, {total} AS total
+FROM sid GROUP BY user_id, s
+""".format(total=_SQL_TOTAL)
+
+
+@register(
+    "stream_session_agg",
+    oracle=_SQL_SESSIONS,
+    tags=("streaming", "window_agg", "session"),
+    doc="Session window aggregate (SessionWindowAssigner.java, 30-min gap): "
+    "Spark session_window() with mergeable state; oracle = gaps-and-islands "
+    "SQL. Complete mode = all sessions, including still-open ones.",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+        "total",
+    )
+    return run_to_batch(out, "complete")
+
+
+@register(
+    "stream_session_agg_append",
+    oracle=_SQL_SESSIONS
+    + "HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)",
+    tags=("streaming", "window_agg", "session", "watermark"),
+    doc="Session windows under real watermark semantics: append mode emits a "
+    "session only once the watermark (here: max event time, 0s delay) passes "
+    "its end — sessions still open at end-of-stream stay in state, exactly "
+    "Flink's WindowOperator+cleanup-timer behavior. Oracle applies the same "
+    "closure predicate.",
+)
+def stream_session_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = s.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+        "total",
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_global_agg",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "agg"),
+    doc="Unbounded keyed streaming aggregate (StreamExecGroupAggregate, "
+    "GroupAggFunction.java:141): running per-key accumulators, complete-mode "
+    "snapshot after the last micro-batch ≡ batch GROUP BY.",
+)
+def stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    return run_to_batch(agg, "complete")
+
+
+@register(
+    "stream_dedup_keep_first",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+""",
+    tags=("streaming", "dedup"),
+    doc="Streaming keep-first dedup (StreamExecDeduplicate, "
+    "ProcTimeDeduplicateKeepFirstRowFunction): min_by(payload, (ts, event_id)) "
+    "running aggregate — state is one row per key, same as Flink's ValueState.",
+)
+def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    out = deduplicate(s, keys=["user_id"], order_col="ts", keep="first", tiebreak="event_id")
+    return run_to_batch(out, "complete")
+
+
+@register(
+    "stream_dedup_keep_last",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("streaming", "dedup", "changelog"),
+    doc="Streaming keep-last dedup / ChangelogNormalize "
+    "(StreamExecChangelogNormalize.scala:46 — the upsert-kafka source's "
+    "collapse-to-latest): max_by(payload, (ts, event_id)) update-per-key state.",
+)
+def stream_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    out = deduplicate(s, keys=["user_id"], order_col="ts", keep="last", tiebreak="event_id")
+    return run_to_batch(out, "complete")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+       v.event_id AS view_id, v.ts AS v_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+""",
+    tags=("streaming", "join", "interval_join"),
+    doc="Stream-stream interval join (StreamExecIntervalJoin, "
+    "TimeIntervalJoin.java:49): purchases ⋈ views of the same user within the "
+    "preceding hour. Watermarks on both sides bound the join state — Spark "
+    "derives eviction from the time-range condition exactly as Flink's "
+    "relative-window cleanup does; append mode emits each match once.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    p = ev().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev().filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "p_ts", "view_id", "v_ts")
+    return run_to_batch(joined, "append")
+
+
+@register(
+    "stream_over_running_sum",
+    oracle="""
+SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("streaming", "over", "stateful", "custom_op"),
+    doc="Streaming OVER aggregate, ROWS UNBOUNDED PRECEDING "
+    "(StreamExecOverAggregate.scala:52): per-row running count+sum via "
+    "applyInPandasWithState with O(1) scalars per key — the Flink "
+    "KeyedProcessFunction/ValueState pattern on Spark.",
+)
+def stream_over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = streaming_over_running_sum(s, key="user_id", order_cols=["ts", "event_id"], value_col="value")
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_topn",
+    oracle="""
+SELECT event_type, CAST(rnk AS INTEGER) AS rank, event_id, CAST(value AS DOUBLE) AS value
+FROM (SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+WHERE rnk <= 3
+""",
+    tags=("streaming", "rank", "stateful", "custom_op"),
+    doc="Streaming Top-N (StreamExecRank.scala:52, AppendOnlyTopNFunction): "
+    "per event_type keep the top-3 by value in state, re-emit the snapshot on "
+    "change; the final snapshot (max seq per key) must equal the batch Top-N.",
+)
+def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select("event_type", "event_id", "value")
+    emitted = run_to_batch(
+        streaming_topn(s, key="event_type", id_col="event_id", value_col="value", n=3),
+        "append",
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        emitted.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+@register(
+    "stream_count_tumble",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn
+  FROM events
+)
+SELECT user_id, rn // 5 AS win_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS win_sum
+FROM o GROUP BY user_id, rn // 5
+HAVING COUNT(*) = 5
+""",
+    tags=("streaming", "window_agg", "stateful", "custom_op"),
+    doc="Count-based tumbling window (CountTumblingWindowAssigner — no Spark "
+    "primitive): every 5 events per user in event order form a window; only "
+    "complete windows emit, the trailing partial stays in state. "
+    "applyInPandasWithState with O(1) state per key.",
+)
+def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = streaming_count_tumble(s, key="user_id", order_cols=["ts", "event_id"], value_col="value", size=5)
+    return run_to_batch(out, "append")

@@ -1,0 +1,53 @@
+"""Streaming source: replay the events table as a chronological file stream.
+
+Flink equivalent: FileSource with continuous monitoring
+(flink-connectors/flink-connector-files/.../FileSource.java) feeding event-time
+operators. Here the driver's events.parquet is split once per (sf_dir,
+n_files) into range-partitioned files; readStream + maxFilesPerTrigger=1
+yields one micro-batch per time slice, in order (FileStreamSource processes
+by modification time then path; ranges are written in ascending part order).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_0_src_spark.catalog import table
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams")
+
+
+def _split_dir(sf_dir: str, n_files: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_CACHE_ROOT, f"{tag}_events_{n_files}")
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Return a streaming DataFrame replaying events in ~n_files micro-batches."""
+    path = _split_dir(sf_dir, n_files)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        # FileStreamSource orders new files by modification time; make that
+        # order the ts-range order explicitly (part-00000 = lowest range).
+        parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+        base = os.path.getmtime(os.path.join(path, parts[-1]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(path, f), (base + i, base + i))
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

@@ -1,0 +1,200 @@
+"""Custom stateful streaming operators — the Flink capabilities Structured
+Streaming lacks as primitives, built on ``applyInPandasWithState`` (the Spark
+analog of a Flink KeyedProcessFunction with keyed ValueState).
+
+Reference semantics reproduced here:
+
+- streaming OVER aggregate (unbounded preceding running agg):
+  StreamExecOverAggregate.scala:52, RowTimeRangeBoundedPrecedingFunction.java:61
+- streaming Top-N: StreamExecRank.scala:52, AppendOnlyTopNFunction.java
+- count tumbling window: CountTumblingWindowAssigner.java
+  (flink-table-runtime-blink .../operators/window/assigners/)
+
+Scale notes (100 TB): state per key is O(1) scalars (running agg, count
+window) or O(n) for top-n — never the full history. Input arrives hash-
+partitioned by key (Spark shuffles before applyInPandasWithState), identical
+to Flink's keyBy; Arrow moves batches to Python columnar, not per-row.
+Determinism contract: micro-batches must arrive in event-time order per key
+(see ``source.events_stream``) and rows are sorted within each batch; money
+arithmetic is integer cents, so results are exactly reproducible and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _cents(series: pd.Series) -> np.ndarray:
+    """Exact integer-cents view of a 2-decimal money column."""
+    return np.rint(series.to_numpy(dtype="float64") * 100.0).astype("int64")
+
+
+def streaming_over_running_sum(
+    stream: DataFrame, key: str, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING): per-row running count + running sum.
+
+    State per key: (row_count, running_cents) — two scalars, independent of
+    history length. Each output row carries ``rn`` and ``run_sum``.
+    """
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [in_fields[key]]
+        + [in_fields[c] for c in order_cols]
+        + [StructField(value_col, DoubleType())]
+        + [StructField("rn", LongType()), StructField("run_sum", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("cents", LongType())]
+    )
+
+    def fn(_key, pdf_iter, state):
+        cnt, cents = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        v = _cents(pdf[value_col])
+        cum = cents + np.cumsum(v)
+        rn = cnt + np.arange(1, len(pdf) + 1, dtype="int64")
+        out = pdf[[key] + order_cols].copy()
+        out[value_col] = v / 100.0
+        out["rn"] = rn
+        out["run_sum"] = cum / 100.0
+        state.update((int(rn[-1]), int(cum[-1])))
+        yield out
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_topn(
+    stream: DataFrame, key: str, id_col: str, value_col: str, n: int
+) -> DataFrame:
+    """Streaming Top-N per key by (value DESC, id ASC): each micro-batch
+    merges new rows into the retained top-n and re-emits the snapshot tagged
+    with a per-key update sequence (``seq``). Downstream keeps the rows with
+    the max seq per key — the changelog-to-latest-snapshot reading of Flink's
+    AppendOnlyTopNFunction's +I/-D stream.
+
+    State per key: the n retained (id, value) pairs + a counter — O(n).
+    """
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField(value_col, DoubleType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("cents", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        seq, ids, cents = state.get if state.exists else (0, [], [])
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        all_ids = np.concatenate([np.asarray(ids, dtype="int64"), pdf[id_col].to_numpy("int64")])
+        all_cents = np.concatenate([np.asarray(cents, dtype="int64"), _cents(pdf[value_col])])
+        order = np.lexsort((all_ids, -all_cents))[:n]
+        top_ids, top_cents = all_ids[order], all_cents[order]
+        seq += 1
+        state.update((int(seq), [int(x) for x in top_ids], [int(x) for x in top_cents]))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(top_ids),
+                "rank": np.arange(1, len(top_ids) + 1, dtype="int32"),
+                id_col: top_ids,
+                value_col: top_cents / 100.0,
+                "seq": np.full(len(top_ids), seq, dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_count_tumble(
+    stream: DataFrame, key: str, order_cols: list[str], value_col: str, size: int
+) -> DataFrame:
+    """Count-based tumbling window (no Spark primitive): per key, every
+    ``size`` rows in event order form one window; only complete windows are
+    emitted (Flink CountTumblingWindowAssigner + purging trigger semantics —
+    a trailing partial window stays in state, unemitted).
+
+    State per key: (next_window_id, partial_count, partial_cents) — O(1).
+    """
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("win_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("win_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("win", LongType()),
+            StructField("pcnt", LongType()),
+            StructField("pcents", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        win, pcnt, pcents = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        v = _cents(pdf[value_col])
+        total = pcnt + len(v)
+        k = total // size  # complete windows this batch
+        if k > 0:
+            consumed = k * size - pcnt  # new rows absorbed into complete windows
+            # window starts within the new rows: the first window already holds
+            # pcnt rows from state, so it only takes (size - pcnt) new ones
+            bounds = np.concatenate(
+                [[0], np.arange(size - pcnt, consumed, size)]
+            ).astype("int64")
+            sums = np.add.reduceat(v[:consumed], bounds)
+            sums[0] += pcents
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * k,
+                    "win_id": win + np.arange(k, dtype="int64"),
+                    "cnt": np.full(k, size, dtype="int64"),
+                    "win_sum": sums / 100.0,
+                }
+            )
+            win += k
+            pcnt, pcents = total % size, int(v[consumed:].sum())
+        else:
+            pcnt, pcents = total, pcents + int(v.sum())
+        state.update((int(win), int(pcnt), int(pcents)))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
