@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         custom_ops,
         pipelineq,  # noqa: F401  (registers pipeline queries)
         streamingq,
+        dialectq,
     )
 
     return REGISTRY

@@ -1,0 +1,279 @@
+"""Flink-SQL dialect + connector-DDL queries (SURVEY.md §2.11, §3.1, §2.1),
+oracle-checked: each query enters through ``TableEnvironment`` exactly as a
+Flink user would write it — group-window SQL, CREATE TABLE … WITH (connector)
+DDL over csv/json files, partitioned filesystem sinks via INSERT — and must
+produce the same rows DuckDB computes from the original parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.queries import register
+from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+_SQL_TOTAL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+_CACHE = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_files")
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_")
+
+
+def _env_with_events(spark: SparkSession, sf_dir: str) -> TableEnvironment:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return TableEnvironment(spark)
+
+
+@register(
+    "flinksql_tumble",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY 1, 2
+""",
+    tags=("dialect", "window_agg"),
+    doc="Flink 1.12 group-window SQL (TUMBLE + TUMBLE_START, "
+    "FlinkSqlOperatorTable group-window functions) lowered by the dialect "
+    "layer to Spark window(); the user-facing string is pure Flink SQL.",
+)
+def flinksql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _env_with_events(spark, sf_dir)
+    return env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS window_start, event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type
+    """)
+
+
+@register(
+    "flinksql_hop",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '12 hours', ts) - k.k * INTERVAL '12 hours' AS window_start,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+""",
+    tags=("dialect", "window_agg"),
+    doc="Flink HOP(time, slide, size) — note the arg-order swap to Spark "
+    "window(time, size, slide) the translator performs.",
+)
+def flinksql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _env_with_events(spark, sf_dir)
+    return env.sql_query("""
+        SELECT HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS window_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)
+    """)
+
+
+@register(
+    "flinksql_session",
+    oracle="""
+WITH brk AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+FROM sid GROUP BY user_id, s
+""",
+    tags=("dialect", "window_agg", "session"),
+    doc="Flink SESSION(time, gap) group window → Spark session_window(); "
+    "SESSION_START maps to the session_window.start struct field.",
+)
+def flinksql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _env_with_events(spark, sf_dir)
+    return env.sql_query("""
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '30' MINUTE) AS session_start,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+    """)
+
+
+@register(
+    "flinkddl_csv_source",
+    oracle="""
+SELECT r.r_name, COUNT(*) AS n_nations, SUM(n.n_nationkey) AS key_sum
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("dialect", "ddl", "source", "csv"),
+    doc="Flink filesystem+csv connector DDL (FileSystemTableFactory.java, "
+    "CsvFormatFactory.java:121 — field-delimiter option): nation is staged as "
+    "'|'-delimited CSV, registered via CREATE TABLE … WITH, joined to the "
+    "parquet region table. Exercises schema-on-read + option translation.",
+)
+def flinkddl_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_nation_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "sep", "|"
+        ).csv(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nation_csv (
+            n_nationkey BIGINT,
+            n_name STRING,
+            n_regionkey BIGINT,
+            n_comment STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'csv',
+            'csv.field-delimiter' = '|'
+        )
+    """)
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return env.sql_query("""
+        SELECT r.r_name, COUNT(*) AS n_nations, SUM(n.n_nationkey) AS key_sum
+        FROM nation_csv n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
+
+
+@register(
+    "flinkddl_json_source",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+    tags=("dialect", "ddl", "source", "json"),
+    doc="Flink filesystem+json connector DDL (flink-formats/flink-json): "
+    "events staged as JSON lines (timestamps serialized at microsecond "
+    "precision), read back through CREATE TABLE with a TIMESTAMP(3) column, "
+    "aggregated — proves the json format + type mapping round-trips.",
+)
+def flinkddl_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            .write.mode("overwrite")
+            .json(path)
+        )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_json (
+            event_id BIGINT,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            event_type STRING,
+            `value` DOUBLE,
+            props STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'json'
+        )
+    """)
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events_json GROUP BY event_type
+    """)
+
+
+@register(
+    "flinkddl_partitioned_sink",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY event_type
+""",
+    tags=("dialect", "ddl", "sink", "partitioning"),
+    doc="Partitioned filesystem sink (FileSystemTableSink.java, "
+    "SupportsPartitioning): INSERT OVERWRITE into a parquet table "
+    "PARTITIONED BY (event_type) — directory layout gives partition pruning "
+    "on read-back; the re-read aggregate must match the source of truth.",
+)
+def flinkddl_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_sink")
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_sink (
+            event_id BIGINT,
+            user_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) PARTITIONED BY (event_type) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    env.execute_sql(
+        "INSERT OVERWRITE events_sink SELECT event_id, user_id, value AS `value`, event_type FROM events"
+    )
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_sink GROUP BY event_type
+    """)
+
+
+@register(
+    "flinksql_stream_tumble",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY 1
+""",
+    tags=("dialect", "ddl", "streaming", "watermark"),
+    doc="End-to-end Flink streaming SQL path: CREATE TABLE with a WATERMARK "
+    "clause (StreamExecWatermarkAssigner.scala:45) over a file stream, then a "
+    "Flink TUMBLE query on the streaming view — DDL watermark becomes "
+    "withWatermark, the group window becomes a streaming window aggregate.",
+)
+def flinksql_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming import events_stream, run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import _split_dir
+
+    events_stream(spark, sf_dir)  # ensure the split files exist
+    path = _split_dir(sf_dir, 4)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_wm (
+            event_id BIGINT,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            event_type STRING,
+            `value` DOUBLE,
+            props STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '1' HOUR
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    env.stream_table("events_wm", {"maxFilesPerTrigger": "1"}).createOrReplaceTempView(
+        "events_wm_stream"
+    )
+    out = env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS window_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_wm_stream
+        GROUP BY TUMBLE(ts, INTERVAL '1' DAY)
+    """)
+    return run_to_batch(out, "complete")

@@ -1,0 +1,136 @@
+"""Connector option translation: Flink WITH-options → Spark reader/writer.
+
+Reference connector factories (SURVEY.md §2.1):
+- filesystem: FileSystemTableFactory.java (flink-table-runtime-blink
+  .../table/filesystem/) with formats csv/json/parquet/orc/avro
+  (flink-formats/flink-{csv,json,parquet,orc,avro}; e.g.
+  CsvFormatFactory.java:121 for the csv.* option keys);
+- kafka / upsert-kafka: KafkaDynamicTableFactory.java:96,
+  UpsertKafkaDynamicTableFactory.java:72;
+- datagen / print / blackhole test connectors.
+
+Spark side: every format here is a built-in DSv2 source, so filter/projection/
+partition pushdown and vectorized parquet/orc reads come for free. Kafka
+needs the spark-sql-kafka package on the classpath — the option mapping is
+implemented and unit-tested; reads are gated on availability. The avro
+*format* likewise requires spark-avro (not bundled in this environment).
+
+At 100 TB the interesting knobs are files.maxPartitionBytes (split sizing)
+and partitioned layout (PARTITIONED BY → directory partitioning → partition
+pruning); both flow straight through this mapping.
+"""
+
+from __future__ import annotations
+
+SUPPORTED_CONNECTORS = (
+    "filesystem",
+    "kafka",
+    "upsert-kafka",
+    "datagen",
+    "print",
+    "blackhole",
+)
+
+_FORMATS = {"csv": "csv", "json": "json", "parquet": "parquet", "orc": "orc", "avro": "avro"}
+
+# Flink csv.* / json.* option keys → Spark reader option keys
+_CSV_OPTS = {
+    "csv.field-delimiter": "sep",
+    "csv.ignore-parse-errors": "mode",  # true → PERMISSIVE (Spark default), false → FAILFAST
+    "csv.null-literal": "nullValue",
+    "csv.quote-character": "quote",
+    "csv.escape-character": "escape",
+    "csv.allow-comments": "comment",
+}
+_JSON_OPTS = {
+    "json.ignore-parse-errors": "mode",
+    "json.timestamp-format.standard": None,  # ISO-8601 is Spark's default
+}
+
+
+def _format_options(fmt: str, opts: dict[str, str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    table = _CSV_OPTS if fmt == "csv" else _JSON_OPTS if fmt == "json" else {}
+    for k, v in opts.items():
+        if k in table:
+            spark_key = table[k]
+            if spark_key is None:
+                continue
+            if k.endswith("ignore-parse-errors"):
+                out["mode"] = "PERMISSIVE" if v.lower() == "true" else "FAILFAST"
+            else:
+                out[spark_key] = v
+    if fmt == "csv":
+        # Flink csv format has no header; first line is data
+        out.setdefault("header", "false")
+    return out
+
+
+def reader_config(options: dict[str, str]) -> dict:
+    """Translate WITH-options into {format, path, options, streaming_capable}.
+
+    Raises on unknown connectors — mirroring Flink's factory discovery error.
+    """
+    conn = options.get("connector")
+    if conn == "filesystem":
+        fmt = _FORMATS.get(options.get("format", "parquet"))
+        if fmt is None:
+            raise ValueError(f"unsupported filesystem format: {options.get('format')}")
+        return {
+            "format": fmt,
+            "path": options["path"],
+            "options": _format_options(fmt, options),
+            "streaming_capable": True,
+        }
+    if conn in ("kafka", "upsert-kafka"):
+        kafka_opts = {
+            "kafka.bootstrap.servers": options.get("properties.bootstrap.servers", ""),
+            "subscribe": options.get("topic", ""),
+            "startingOffsets": {
+                "earliest-offset": "earliest",
+                "latest-offset": "latest",
+            }.get(options.get("scan.startup.mode", "latest-offset"), "latest"),
+        }
+        return {
+            "format": "kafka",
+            "path": None,
+            "options": kafka_opts,
+            "streaming_capable": True,
+            # upsert-kafka is a keyed changelog: reads must be followed by
+            # changelog_normalize(pk, offset) — see operators/dedup.py
+            "changelog_by_key": conn == "upsert-kafka",
+        }
+    if conn == "datagen":
+        return {
+            "format": "rate",
+            "path": None,
+            "options": {"rowsPerSecond": options.get("rows-per-second", "10")},
+            "streaming_capable": True,
+        }
+    raise ValueError(f"unknown connector: {conn!r} (supported: {SUPPORTED_CONNECTORS})")
+
+
+def writer_config(options: dict[str, str]) -> dict:
+    """Translate WITH-options into a sink config {format, path, options}."""
+    conn = options.get("connector")
+    if conn == "filesystem":
+        fmt = _FORMATS.get(options.get("format", "parquet"))
+        return {
+            "format": fmt,
+            "path": options["path"],
+            "options": _format_options(fmt, options),
+        }
+    if conn == "print":
+        return {"format": "console", "path": None, "options": {}}
+    if conn == "blackhole":
+        return {"format": "noop", "path": None, "options": {}}
+    if conn in ("kafka", "upsert-kafka"):
+        return {
+            "format": "kafka",
+            "path": None,
+            "options": {
+                "kafka.bootstrap.servers": options.get("properties.bootstrap.servers", ""),
+                "topic": options.get("topic", ""),
+            },
+        }
+    raise ValueError(f"unknown sink connector: {conn!r}")

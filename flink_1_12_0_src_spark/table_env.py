@@ -1,0 +1,146 @@
+"""TableEnvironment façade: the reference's SQL entry point on Spark.
+
+Mirrors TableEnvironmentImpl.executeSql / sqlQuery (flink-table-api-java
+.../internal/TableEnvironmentImpl.java:658,638) and the §3.1 lifecycle:
+parse → convert → plan, with Catalyst as the planner. Statement routing:
+
+- ``CREATE TABLE … WITH (connector…)`` → parse DDL (plans/dialect.py),
+  translate connector options (sources/connectors.py), register the scan as
+  a temp view (batch) + remember streaming/watermark metadata;
+- ``INSERT INTO sink SELECT …`` → run the translated query, write via the
+  sink table's writer config;
+- anything else → Flink-dialect query translation → ``spark.sql``.
+
+The catalog role is GenericInMemoryCatalog.java:52; watermark DDL becomes
+``withWatermark`` on the streaming scan (StreamExecWatermarkAssigner.scala:45).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_0_src_spark.plans.dialect import parse_create_table, translate_query
+from flink_1_12_0_src_spark.sources.connectors import reader_config, writer_config
+
+
+@dataclass
+class CatalogTable:
+    name: str
+    schema_ddl: str
+    options: dict
+    partition_by: list[str]
+    watermark: tuple[str, str] | None  # (column, delay-string)
+
+
+class TableEnvironment:
+    """Minimal TableEnvironment: in-memory catalog + Flink-dialect SQL."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, CatalogTable] = {}
+
+    # -- DDL / DML entry point (executeSql analog) -------------------------
+    def execute_sql(self, stmt: str) -> DataFrame | None:
+        s = stmt.strip().rstrip(";")
+        head = s.split(None, 2)[0].upper() if s else ""
+        if head == "CREATE" and "WITH" in s.upper() and "TABLE" in s.upper():
+            return self._create_table(s)
+        if head == "INSERT":
+            return self._insert_into(s)
+        if head == "DROP":
+            name = s.split()[-1]
+            self._tables.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return None
+        return self.sql_query(s)
+
+    # -- query entry point (sqlQuery analog) -------------------------------
+    def sql_query(self, query: str) -> DataFrame:
+        return self.spark.sql(translate_query(query))
+
+    # -- streaming scan with the DDL's watermark applied -------------------
+    def stream_table(self, name: str, extra_options: dict | None = None) -> DataFrame:
+        """readStream over a registered filesystem table; applies the
+        WATERMARK-clause delay from the DDL (rowtime attribute, §1.2)."""
+        tbl = self._tables[name]
+        cfg = reader_config(tbl.options)
+        if not cfg["streaming_capable"]:
+            raise ValueError(f"table {name} is not streaming-capable")
+        reader = self.spark.readStream.format(cfg["format"])
+        if tbl.schema_ddl:
+            reader = reader.schema(tbl.schema_ddl)
+        for k, v in {**cfg["options"], **(extra_options or {})}.items():
+            reader = reader.option(k, v)
+        df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
+        if tbl.watermark:
+            col, delay = tbl.watermark
+            df = df.withWatermark(col, delay)
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------------ ---
+    def _create_table(self, ddl: str) -> None:
+        meta = parse_create_table(ddl)
+        tbl = CatalogTable(
+            name=meta["name"],
+            schema_ddl=meta["schema_ddl"],
+            options=meta["options"],
+            partition_by=meta["partition_by"],
+            watermark=meta["watermark"],
+        )
+        self._tables[tbl.name] = tbl
+        cfg = reader_config(tbl.options)
+        if cfg["format"] == "rate":
+            return None  # datagen is streaming-only; use stream_table()
+        if cfg["format"] == "kafka":
+            return None  # needs a broker; use stream_table() when available
+        import os
+
+        if cfg["path"] and not os.path.exists(cfg["path"].removeprefix("file:")):
+            # sink-only table so far: the view is registered after the first
+            # INSERT materializes the path (_create_table_view_refresh)
+            return None
+        self._create_table_view_refresh(tbl)
+        return None
+
+    def _insert_into(self, stmt: str) -> None:
+        import re
+
+        m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.*)", stmt, re.I | re.S)
+        if not m:
+            raise ValueError(f"unparseable INSERT: {stmt[:120]}")
+        mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+        sink_name, query = m.group(2), m.group(3)
+        df = self.sql_query(query)
+        tbl = self._tables.get(sink_name)
+        if tbl is None:
+            raise ValueError(f"unknown sink table: {sink_name}")
+        cfg = writer_config(tbl.options)
+        if cfg["format"] == "console":
+            df.show(truncate=False)  # print connector (DataStream.print():974)
+            return None
+        if cfg["format"] == "noop":
+            df.write.format("noop").mode("overwrite").save()
+            return None
+        writer = df.write.format(cfg["format"]).mode(mode)
+        for k, v in cfg["options"].items():
+            writer = writer.option(k, v)
+        if tbl.partition_by:
+            writer = writer.partitionBy(*tbl.partition_by)
+        writer.save(cfg["path"])
+        # refresh the readable view over the sink path
+        self._create_table_view_refresh(tbl)
+        return None
+
+    def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
+        cfg = reader_config(tbl.options)
+        reader = self.spark.read.format(cfg["format"])
+        if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
+            reader = reader.schema(tbl.schema_ddl)
+        for k, v in cfg["options"].items():
+            reader = reader.option(k, v)
+        reader.load(cfg["path"]).createOrReplaceTempView(tbl.name)
