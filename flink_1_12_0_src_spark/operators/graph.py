@@ -1,0 +1,109 @@
+"""Graph library operators (SURVEY.md §2.12 — Gelly parity).
+
+Reference: flink-libraries/flink-gelly — Graph.java (vertex/edge DataSets),
+library algorithms ConnectedComponents / PageRank
+(flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/library/).
+Gelly runs them as Flink delta/bulk iterations (DataSet.iterateDelta,
+flink-java/.../DataSet.java:1206); Spark has no engine loops, so these are
+driver-side iterative DataFrame programs in the aggregateMessages style —
+each step is a shuffle-on-key join + partial-aggregated groupBy that AQE
+sizes at runtime.
+
+Scale notes (100 TB):
+- the per-iteration plan is join(edges, labels on src) → groupBy(dst) —
+  both hash-partitioned on vertex id; co-partitioning is reused across the
+  join and the agg, and the messages aggregate map-side before shuffling;
+- ``localCheckpoint`` truncates lineage each iteration (otherwise the plan
+  doubles per step and the driver, not the data, becomes the bottleneck);
+- convergence check piggybacks on the same pass (one count per iteration).
+
+Determinism: connected components converges to the exact min-reachable-id
+labeling; PageRank uses pure BIGINT arithmetic (rank scaled by 1e12,
+floor division) so every engine computes bit-identical ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1.0 == 1e12)
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct symmetric edge set (Gelly Graph.getUndirected)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Label propagation to fixpoint: every vertex ends with the minimum
+    vertex id reachable from it (Gelly ConnectedComponents semantics,
+    …/graph/library/ConnectedComponents.java). Returns (v, component).
+    """
+    ud = _undirected(edges, src, dst).persist()
+    labels = ud.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    for _ in range(max_iter):
+        msgs = (
+            ud.join(labels, ud.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "v", "left")
+            .select("v", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    ud.unpersist()
+    return labels.select("v", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected graph in exact BIGINT
+    fixed-point arithmetic (Gelly …/graph/library/PageRank.java semantics;
+    damping 0.85, uniform init 1.0).
+
+    rank' = (100-d)% · SCALE  +  d% · Σ_in (rank(u) div outdeg(u)), all in
+    integer floor division — bit-reproducible on any engine, which is what
+    makes the result oracle-checkable (float PR never is across engines).
+    Vertices are edge endpoints, so outdeg ≥ 1 and there are no danglers.
+    """
+    ud = _undirected(edges, src, dst).persist()
+    deg = ud.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = ud.select(F.col("src").alias("v")).distinct().withColumn(
+        "rank", F.lit(PR_SCALE).cast("long")
+    )
+    base = (100 - damping_pct) * PR_SCALE // 100
+    for _ in range(iterations):
+        contribs = (
+            ud.join(ranks, ud.src == ranks.v)
+            .join(deg, "src")
+            .select(F.col("dst").alias("v"), F.expr("rank DIV outdeg").alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "v",
+                (F.lit(base) + F.expr(f"({damping_pct} * s) DIV 100")).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ud.unpersist()
+    return ranks.select("v", F.col("rank").alias("pagerank"))

@@ -57,6 +57,8 @@ def load_all() -> dict[str, Query]:
         pipelineq,  # noqa: F401  (registers pipeline queries)
         streamingq,
         dialectq,
+        cdcq,
+        graphq,
     )
 
     return REGISTRY

@@ -1,0 +1,141 @@
+"""CDC-format queries: debezium-json / canal-json decode → changelog
+normalize → current state, oracle-checked (SURVEY.md §2.1 formats, §1.1
+changelog model).
+
+The changelog is synthesized deterministically from the orders table (so the
+oracle can state the expected final image in pure SQL): every order key gets
+an INSERT; keys ≡0 mod 5 get a later UPDATE bumping o_totalprice by +1.0;
+keys ≡0 mod 7 get a final DELETE. The Spark side really serializes the
+envelopes to JSON strings and decodes them with the production parsers —
+the oracle only reasons about the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.operators import changelog_normalize
+from flink_1_12_0_src_spark.queries import register
+from flink_1_12_0_src_spark.sources.cdc import parse_canal, parse_debezium
+
+_PAYLOAD_DDL = "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double"
+_PAYLOAD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _orders_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(*_PAYLOAD_COLS)
+
+
+def _payload_struct(*, bump: float | None = None):
+    cols = [F.col(c) for c in _PAYLOAD_COLS[:-1]]
+    price = F.col("o_totalprice") + bump if bump is not None else F.col("o_totalprice")
+    return F.struct(*cols, price.alias("o_totalprice"))
+
+
+_ORACLE_FINAL_STATE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + {bump} ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register(
+    "cdc_debezium_normalize",
+    oracle=_ORACLE_FINAL_STATE.format(bump="1.0"),
+    tags=("cdc", "format", "changelog"),
+    doc="debezium-json decode (DebeziumJsonDeserializationSchema, "
+    "flink-formats/flink-json): envelopes {before, after, op c/u/d, ts_ms} "
+    "are serialized to real JSON, parsed back with from_json, mapped to "
+    "rowkind +I/+U/-D, and collapsed to current state by changelog_normalize "
+    "(latest ts_ms per key, deletes dropped).",
+)
+def cdc_debezium_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders_payload(spark, sf_dir)
+    ins = o.select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast(f"struct<{_PAYLOAD_DDL}>").alias("before"),
+                _payload_struct().alias("after"),
+                F.lit("c").alias("op"),
+                (F.col("o_orderkey") * 10).alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload_struct().alias("before"),
+                _payload_struct(bump=1.0).alias("after"),
+                F.lit("u").alias("op"),
+                (F.col("o_orderkey") * 10 + 1).alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    dele = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload_struct(bump=1.0).alias("before"),
+                F.lit(None).cast(f"struct<{_PAYLOAD_DDL}>").alias("after"),
+                F.lit("d").alias("op"),
+                (F.col("o_orderkey") * 10 + 2).alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    raw = ins.union(upd).union(dele)
+    changelog = parse_debezium(raw, "value", _PAYLOAD_DDL)
+    current = changelog_normalize(
+        changelog.drop("rowkind"), primary_key=["o_orderkey"], version_col="ts_ms", delete_col="is_delete"
+    )
+    return current.select(*_PAYLOAD_COLS)
+
+
+@register(
+    "cdc_canal_normalize",
+    oracle=_ORACLE_FINAL_STATE.format(bump="2.0"),
+    tags=("cdc", "format", "changelog"),
+    doc="canal-json decode (CanalJsonDeserializationSchema): envelopes "
+    "{data:[rows...], type INSERT/UPDATE/DELETE, es} with multi-row data "
+    "arrays (inserts batched in pairs) — explode + rowkind mapping + "
+    "changelog_normalize to current state.",
+)
+def cdc_canal_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders_payload(spark, sf_dir)
+    # inserts: batch two rows per canal message (exercises the data[] explode)
+    ins = (
+        o.groupBy(F.expr("o_orderkey DIV 2").alias("pair"))
+        .agg(F.sort_array(F.collect_list(_payload_struct())).alias("data"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("data"),
+                    F.lit("INSERT").alias("type"),
+                    (F.col("pair") * 10).alias("es"),
+                )
+            ).alias("value")
+        )
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.to_json(
+            F.struct(
+                F.array(_payload_struct(bump=2.0)).alias("data"),
+                F.lit("UPDATE").alias("type"),
+                (F.col("o_orderkey") * 10 + 1).alias("es"),
+            )
+        ).alias("value")
+    )
+    dele = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                F.array(_payload_struct(bump=2.0)).alias("data"),
+                F.lit("DELETE").alias("type"),
+                (F.col("o_orderkey") * 10 + 2).alias("es"),
+            )
+        ).alias("value")
+    )
+    raw = ins.union(upd).union(dele)
+    changelog = parse_canal(raw, "value", _PAYLOAD_DDL)
+    current = changelog_normalize(
+        changelog.drop("rowkind"), primary_key=["o_orderkey"], version_col="ts_ms", delete_col="is_delete"
+    )
+    return current.select(*_PAYLOAD_COLS)

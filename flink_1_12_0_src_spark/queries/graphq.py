@@ -1,0 +1,98 @@
+"""Graph library queries (SURVEY.md §2.12 — Gelly parity), oracle-checked.
+
+The graph is the part–supplier bipartite graph from lineitem: an undirected
+edge for every distinct (l_partkey, l_suppkey) pair; supplier vertex ids are
+mapped to -(s+1) to keep the two id spaces disjoint. DuckDB oracles: a
+recursive-CTE transitive closure for connected components, and an unrolled
+5-step integer-arithmetic iteration for PageRank — independent formulations
+of the same fixpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_1_12_0_src_spark.catalog import table
+from flink_1_12_0_src_spark.operators.graph import PR_SCALE, connected_components, pagerank
+from flink_1_12_0_src_spark.queries import register
+
+_EDGES_SQL = "SELECT DISTINCT l_partkey AS src, -(l_suppkey + 1) AS dst FROM lineitem"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("src"), (-(F.col("l_suppkey") + 1)).alias("dst")
+    ).distinct()
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+verts AS (SELECT DISTINCT src AS v FROM ud),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, ud.dst FROM reach JOIN ud ON ud.src = reach.r
+)
+SELECT v, MIN(r) AS component FROM reach GROUP BY v
+""",
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly ConnectedComponents (flink-libraries/flink-gelly .../library/"
+    "ConnectedComponents.java; delta iteration DataSet.iterateDelta:1206): "
+    "min-label propagation to fixpoint as a driver-side aggregateMessages "
+    "loop. Oracle: recursive-CTE transitive closure min-reachable-id.",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iterations: int = 5, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * PR_SCALE // 100
+    sql = f"""
+WITH e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM ud GROUP BY src),
+pr0 AS (SELECT DISTINCT src AS v, CAST({PR_SCALE} AS BIGINT) AS rank FROM ud)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+pr{i} AS (
+  SELECT ud.dst AS v,
+         CAST({base} + ({damping_pct} * SUM(p.rank // deg.outdeg)) // 100 AS BIGINT) AS rank
+  FROM pr{i - 1} p JOIN ud ON ud.src = p.v JOIN deg ON deg.src = p.v
+  GROUP BY ud.dst
+)"""
+    sql += f"\nSELECT v, rank AS pagerank FROM pr{iterations}"
+    return sql
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly PageRank (…/library/PageRank.java; damping 0.85, 5 bulk "
+    "iterations) in exact BIGINT fixed-point (rank×1e12, floor division) so "
+    "Spark and DuckDB produce bit-identical ranks — float PageRank is never "
+    "cross-engine comparable. Oracle: the same recurrence unrolled as CTEs.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(_edges(spark, sf_dir), iterations=5)
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+SELECT src AS v, COUNT(*) AS degree FROM ud GROUP BY src
+""",
+    tags=("graph", "gelly"),
+    doc="Gelly degree metrics (Graph.java inDegrees/outDegrees/getDegrees): "
+    "undirected vertex degree of the part–supplier graph.",
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    ud = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))

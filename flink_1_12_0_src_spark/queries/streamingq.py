@@ -297,6 +297,90 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_lookup_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    tags=("streaming", "join", "lookup_join"),
+    doc="Lookup join (StreamExecLookupJoin.scala:38, LookupJoinRunner.java:36 "
+    "— per-row lookup FOR SYSTEM_TIME AS OF proctime): Spark's stream-static "
+    "join re-reads the dimension per micro-batch, giving the same "
+    "latest-version-at-processing-time semantics without a cache layer.",
+)
+def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = s.join(dim, s.user_id == dim.c_custkey, "inner").select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_broadcast_dim_agg",
+    oracle=f"""
+SELECT n.n_name, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("streaming", "join", "broadcast"),
+    doc="Broadcast state pattern (DataStream.broadcast:433, "
+    "BroadcastConnectedStream): small dims are broadcast-joined inside each "
+    "micro-batch (explicit broadcast() hint → BroadcastHashJoin, no shuffle "
+    "of the stream side), then aggregated in complete mode.",
+)
+def stream_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+
+    s = events_stream(spark, sf_dir)
+    cust = F.broadcast(table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nat = F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = s.join(cust, s.user_id == cust.c_custkey).join(
+        nat, cust.c_nationkey == nat.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
+    )
+    return run_to_batch(agg, "complete")
+
+
+@register(
+    "stream_side_outputs",
+    oracle="""
+SELECT event_id, user_id, 'errors' AS channel, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, user_id, 'big_purchases' AS channel, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_type = 'purchase' AND value > 100
+""",
+    tags=("streaming", "side_output"),
+    doc="Side outputs (OutputTag, SingleOutputStreamOperator.getSideOutput): "
+    "one source plan split into two filtered, tagged branches and unioned — "
+    "Spark reuses the scan across branches; at scale each branch keeps "
+    "filter pushdown.",
+)
+def stream_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    errors = s.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("errors").alias("channel"),
+        F.col("value").cast("double").alias("value"),
+    )
+    big = s.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "event_id", "user_id", F.lit("big_purchases").alias("channel"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return run_to_batch(errors.union(big), "append")
+
+
+@register(
     "stream_count_tumble",
     oracle="""
 WITH o AS (
