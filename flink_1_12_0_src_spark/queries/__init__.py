@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY) and return it."""
     from flink_1_12_0_src_spark.queries import (  # noqa: F401
         tpch,
+        tpch2,
         relational,
         window_agg,
         scalar_fns,
