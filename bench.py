@@ -33,11 +33,28 @@ def main() -> None:
     bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}
 
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
-    # warm up the JVM/session so the first timed query doesn't pay startup cost
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm up the JVM + whole-stage-codegen paths the headline queries use
+    # (agg, shuffle, window, join, explode+hash) on tiny synthetic data, so the
+    # first timed query measures steady-state throughput, not JIT compilation.
+    warm = spark.range(100_000).selectExpr(
+        "id", "id % 97 AS k", "md5(concat('x', id)) AS s"
+    )
+    warm.groupBy("k").count().count()
+    warm.selectExpr(
+        "k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn"
+    ).where("rn <= 3").count()
+    warm.alias("a").join(warm.alias("b"), "k").count()
+    warm.selectExpr("explode(split(s, '')) AS c").groupBy("c").count().count()
 
+    # Per query: one untimed warm-up run (pays plan-shape-specific codegen/JIT,
+    # which at bench SF can exceed the actual work), then one timed run — i.e.
+    # steady-state throughput, the regime a long-lived 100 TB job operates in.
     timings: dict[str, float] = {}
     for name, q in bench_qs.items():
+        q.spark(spark, sf_dir).count()
+        # drop any DataFrames the warm-up persisted so the timed run does its
+        # own full compute (JIT stays warm; data caches do not carry over)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
         n = df.count()

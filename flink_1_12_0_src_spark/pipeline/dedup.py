@@ -27,6 +27,21 @@ from flink_1_12_0_src_spark.pipeline.text import shingles, tokens
 HEX_DIGITS = "0123456789abcdef"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the input has at least ``defaultParallelism`` partitions before an
+    explode-heavy compute stage.
+
+    At 100 TB the source arrives in thousands of splits and this is a no-op; on
+    a local bench a small single-file parquet scan yields ONE partition, which
+    would serialize all downstream hashing onto one core. The round-robin
+    repartition only ships the raw doc bytes (cheap relative to the hash work
+    it parallelizes) and only fires when the scan is under-partitioned."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _h(seed: int, col) -> any:
     """Portable 64-bit-ish hash as a 16-hex-char string: substr(md5(seed|x),1,16).
     Lexicographic min over these == numeric min over the implied uint64."""
@@ -48,10 +63,17 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, shingle_k: int = 3
 ) -> DataFrame:
     """MinHash signature: one column h0..h{n-1} per hash seed (min over the
-    document's shingle set). One explode + one groupBy."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh")).distinct()
-    return sh.groupBy(id_col).agg(
-        *[F.min(_h(s, F.col("sh"))).alias(f"h{s}") for s in range(num_hashes)]
+    document's shingle set). One explode + one groupBy.
+
+    No ``distinct()`` on shingles: MIN is idempotent over duplicates, so the
+    set-semantics result is identical without the extra shuffle. All hashes are
+    computed map-side (before the only shuffle), so partial aggregation reduces
+    each partition to one row per doc and the exchange carries just
+    ``num_hashes`` 16-char mins per document."""
+    sh = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
+    hashed = sh.select(id_col, *[_h(s, F.col("sh")).alias(f"h{s}") for s in range(num_hashes)])
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
@@ -66,7 +88,10 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded LSH + estimated Jaccard
     (fraction of agreeing signature components). Returns (id_a, id_b,
     est_jaccard) with id_a < id_b."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # The signature table fans out to 4 plan references (two band sides, two
+    # jaccard sides); persist it so the shingle+hash pipeline runs once. Size is
+    # ~#docs × num_hashes × 16 B — negligible next to the corpus at any scale.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     n_bands = num_hashes // band_rows
     bands = sigs.select(
         F.col(id_col),
@@ -113,7 +138,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bits. Vote = sum over tokens of (2*bit - 1); signature bit = vote >= 0.
     Pure expressions → portable to any SQL engine for verification.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).distinct()
+    toks = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).distinct()
     digits = toks.select(
         id_col,
         *[
@@ -147,7 +172,7 @@ def ngram_jaccard_pairs(
     The blocking key bounds the pair space; in production the block is an LSH
     band and this is the verification stage.
     """
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col), F.col(block_col).alias("blk"), F.explode(shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -178,7 +203,7 @@ def winnow_fingerprint(
 ) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style): min-k over hashed
     character n-grams of the normalized text, concatenated to one string."""
-    normed = df.select(
+    normed = _spread(df).select(
         F.col(id_col), F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("norm")
     )
     grams = normed.select(
