@@ -68,6 +68,65 @@ def connected_components(
     return labels.select("v", F.col("label").alias("component"))
 
 
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts (Gelly TriangleEnumerator,
+    …/graph/library/TriangleEnumerator.java, + clustering triangle metrics).
+
+    Canonicalizes edges to p1 < p2 and enumerates each triangle exactly once
+    via the two-path + closing-edge join. All three joins hash-partition on a
+    vertex id; at scale the standard ordered-degree orientation (direct edges
+    low-degree → high-degree) bounds the two-path fan-out — with id-ordering
+    here so the DuckDB oracle can mirror the exact same enumeration."""
+    pe = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("p1"),
+            F.greatest(F.col(src), F.col(dst)).alias("p2"),
+        )
+        .filter(F.col("p1") != F.col("p2"))
+        .distinct()
+        .persist()  # three plan references below; edge set ≪ triangle fan-out
+    )
+    e1, e2, e3 = pe.alias("e1"), pe.alias("e2"), pe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+        .select(F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c"))
+    )
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return verts.groupBy("v").agg(F.count("*").alias("n_triangles"))
+
+
+def sssp(
+    edges: DataFrame, source: int, src: str = "src", dst: str = "dst", max_hops: int = 6
+) -> DataFrame:
+    """Single-source shortest paths, unit weights (Gelly SSSP,
+    …/graph/library/SingleSourceShortestPaths.java — scatter-gather iteration).
+
+    Bellman-Ford over the undirected graph: ``max_hops`` relaxation rounds,
+    each one join (frontier × edges) + min-aggregate — the aggregateMessages
+    shape; returns (v, dist) for vertices within max_hops. localCheckpoint
+    truncates lineage per round (driver-side iteration, §2.12 scale notes)."""
+    spark = edges.sparkSession
+    ud = _undirected(edges, src, dst).persist()
+    dist = spark.createDataFrame([(source, 0)], "v long, d int")
+    for _ in range(max_hops):
+        msgs = ud.join(dist, ud.src == dist.v).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(msgs)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    ud.unpersist()
+    return dist.select("v", F.col("d").cast("bigint").alias("dist"))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -198,6 +198,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The block bounds the pair space (here a label/cluster id; in production the
+    block is an IVF list id from ``similarity.ivf_assign``, making this the
+    verify stage after coarse quantization — same topology as LSH→Jaccard).
+    Cosines are rounded before the threshold test so both engines make
+    identical keep/drop decisions."""
+    from flink_1_12_0_src_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a = e.select(F.col("vid").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = e.select(F.col("vid").alias("id_b"), "blk", F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        round_digits,
+    )
+    return (
+        a.join(b, (a.blk == b.blk) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame, id_col: str, text_col: str, gram_chars: int = 5, num_mins: int = 4
 ) -> DataFrame:

@@ -81,6 +81,54 @@ def quality_score(df: DataFrame, id_col: str, text_col: str, lang_col: str | Non
     return df.select(*out)
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Split documents into overlapping token windows — the training-data
+    chunking primitive (stride = chunk_tokens - overlap). One explode, linear
+    output expansion (≈ 1/stride rows per token) — safe at any corpus scale;
+    no shuffle at all (chunking is embarrassingly parallel per document)."""
+    stride = chunk_tokens - overlap
+    w = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), w.alias("w"), F.explode(starts).alias("s"))
+        .select(
+            id_col,
+            (F.col("s") / stride).cast("bigint").alias("chunk_id"),
+            F.array_join(F.slice(F.col("w"), F.col("s") + 1, chunk_tokens), " ").alias("chunk"),
+            F.size(F.slice(F.col("w"), F.col("s") + 1, chunk_tokens)).alias("n_tokens"),
+        )
+    )
+
+
+# PII patterns kept RE2-compatible so any engine can verify the masking.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails / long digit runs
+    (phone-like) / SSN-shaped ids, and report per-document match counts.
+    Pure JVM regex — no UDFs; masking order (email → ssn → phone) keeps the
+    narrower patterns from being eaten by the broader digit-run rule."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_SSN_RE), 0)).alias("n_ssns"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+    ]
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_SSN_RE, "<ID>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(F.col(id_col), masked.alias("masked_text"), *counts)
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: count distinct lexicon hits per language, take
     the argmax (ties → lexicographic language order; all-zero → 'unknown')."""

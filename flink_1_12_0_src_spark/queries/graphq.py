@@ -81,6 +81,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges(spark, sf_dir), iterations=5)
 
 
+_COORDER_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH pe AS ({_COORDER_EDGES_SQL}),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pe e1 JOIN pe e2 ON e1.p2 = e2.p1
+             JOIN pe e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT v, COUNT(*) AS n_triangles
+FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY v
+""",
+    tags=("graph", "gelly", "self_join"),
+    doc="Gelly TriangleEnumerator (…/graph/library/TriangleEnumerator.java) as "
+    "per-vertex triangle counts over the part co-order graph (parts sharing an "
+    "order). Canonical p1<p2 orientation + two-path/closing-edge join — each "
+    "triangle enumerated exactly once on both engines.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(pe)
+
+
+@register(
+    "graph_sssp",
+    oracle=f"""
+WITH RECURSIVE e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(v, d) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT ud.dst, reach.d + 1 FROM reach JOIN ud ON ud.src = reach.v WHERE reach.d < 6
+)
+SELECT v, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY v
+""",
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly SingleSourceShortestPaths (…/graph/library/"
+    "SingleSourceShortestPaths.java; scatter-gather iteration) from part 1 over "
+    "the part–supplier graph, unit weights, 6 Bellman-Ford rounds ≡ the "
+    "oracle's depth-bounded recursive closure (graph diameter ≈ 3).",
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import sssp
+
+    return sssp(_edges(spark, sf_dir), source=1, max_hops=6)
+
+
 @register(
     "graph_degrees",
     oracle=f"""

@@ -336,3 +336,82 @@ FROM documents ORDER BY doc_id
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return extract_blob_features(attach_blob(docs, "doc_id", "text")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunking / PII masking / embedding near-dup
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS, CHUNK_OVERLAP = 50, 10
+ND_THRESHOLD = 0.3  # calibrated to the synthetic embeddings (max in-block cosine ≈ 0.47)
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+      FROM t)
+SELECT doc_id, CAST(s / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,
+       array_to_string(w[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk,
+       CAST(len(w[s + 1 : s + {CHUNK_TOKENS}]) AS INTEGER) AS n_tokens
+FROM s ORDER BY doc_id, chunk_id
+""",
+    tags=("pipeline", "text", "chunking"),
+    doc=f"Training-data chunking: overlapping {CHUNK_TOKENS}-token windows "
+    f"(stride {CHUNK_TOKENS - CHUNK_OVERLAP}) via one explode — no shuffle, "
+    "embarrassingly parallel per document at any corpus scale.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "text_pii_mask",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+         '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS masked_text,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INTEGER) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9 -]{7,}[0-9]')) AS INTEGER) AS n_phones
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "text", "pii"),
+    doc="PII scrubbing: email / SSN-shaped / long-digit-run masking + match "
+    "counts, pure JVM regex (RE2-compatible patterns so any engine verifies).",
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import pii_mask
+
+    return pii_mask(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {ND_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+    tags=("pipeline", "dedup", "similarity"),
+    doc="Embedding-cosine near-dup pairs within a blocking key (label here; an "
+    "IVF list id in production — the verify stage after coarse quantization, "
+    "same topology as LSH→Jaccard). Rounded cosine ⇒ identical keep/drop "
+    "decisions across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", ND_THRESHOLD
+    ).orderBy("id_a", "id_b")
