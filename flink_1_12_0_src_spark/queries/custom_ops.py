@@ -169,3 +169,56 @@ def dedup_maxby_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "async_lookup_enrich",
+    oracle="""
+SELECT DISTINCT user_id, substr(md5('svc|' || user_id), 1, 8) AS svc_tag
+FROM events
+ORDER BY user_id
+""",
+    tags=("custom_op", "async_io", "lookup_join"),
+    doc="Async I/O enrichment (Flink AsyncDataStream / AsyncWaitOperator — "
+    "…/api/operators/async/AsyncWaitOperator.java:372; AsyncTableFunction "
+    "lookup): mapInPandas with an asyncio client, all unique keys of each "
+    "Arrow batch in flight concurrently, ORDERED-mode output. Deterministic "
+    "md5-tag service so the enrichment is oracle-checkable.",
+)
+def async_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.async_io import async_enrich
+
+    ev = table(spark, sf_dir, "events").select("user_id").distinct()
+    return async_enrich(ev, "user_id", "svc_tag").orderBy("user_id")
+
+
+@register(
+    "tableagg_top2_emit",
+    oracle="""
+SELECT user_id, CAST(value AS DOUBLE) AS value, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+)
+WHERE rn <= 2
+ORDER BY user_id, rank
+""",
+    tags=("custom_op", "agg", "table_agg"),
+    doc="TableAggregateFunction (Flink …/functions/TableAggregateFunction.java"
+    ":162, StreamExecGroupTableAggregate.scala:46; the documented Top2 "
+    "example): multi-row-per-group emit via applyInPandas, with a per-partition "
+    "partial top-k (local/global shape) bounding every group before the "
+    "shuffle. Oracle: the equivalent rank-window SQL.",
+)
+def tableagg_top2_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.table_agg import top_n_table_agg
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("value").cast("double").alias("value"), "event_id")
+    )
+    return top_n_table_agg(ev, ["user_id"], "value", "event_id", n=2).orderBy(
+        "user_id", "rank"
+    )

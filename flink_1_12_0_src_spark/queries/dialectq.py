@@ -277,3 +277,43 @@ def flinksql_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY TUMBLE(ts, INTERVAL '1' DAY)
     """)
     return run_to_batch(out, "complete")
+
+
+@register(
+    "flinkddl_orc_source",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("dialect", "ddl", "source", "orc"),
+    doc="Flink filesystem+orc connector DDL (flink-formats/flink-orc, "
+    "OrcFileFormatFactory): orders staged as ORC, registered via CREATE TABLE "
+    "… WITH ('format'='orc'), aggregated. Spark's vectorized ORC reader serves "
+    "the scan; avro remains gated (spark-avro not bundled — sources/"
+    "connectors.py documents the seam).",
+)
+def flinkddl_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_orders_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE orders_orc (
+            o_orderkey BIGINT,
+            o_custkey BIGINT,
+            o_orderstatus STRING,
+            o_totalprice DOUBLE,
+            o_orderdate TIMESTAMP(3),
+            o_orderpriority STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'orc'
+        )
+    """)
+    return env.sql_query("""
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders_orc GROUP BY o_orderpriority
+    """)
