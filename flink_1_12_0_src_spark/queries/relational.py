@@ -84,7 +84,7 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """,
-    tags=("batch", "agg", "grouping_sets"),
+    tags=("batch", "agg", "grouping_sets", "bench"),
     doc="GROUPING SETS → Expand + agg (Flink DecomposeGroupingSetsRule — "
     "…/rules/logical/DecomposeGroupingSetsRule.scala:205, StreamExecExpand). "
     "Spark: built-in Expand node.",

@@ -44,7 +44,7 @@ SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
        COUNT(*) AS cnt, {_SQL_TOTAL} AS total
 FROM events GROUP BY 1, 2
 """,
-    tags=("streaming", "window_agg"),
+    tags=("streaming", "window_agg", "bench"),
     doc="Tumbling event-time window aggregate (StreamExecGroupWindowAggregate, "
     "TumblingWindowAssigner.java): 1-day windows × event_type, complete-mode "
     "final state ≡ batch GROUP BY time_bucket. Watermark declared as in "

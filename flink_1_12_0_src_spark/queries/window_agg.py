@@ -37,7 +37,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
-    tags=("batch", "over"),
+    tags=("batch", "over", "bench"),
     doc="ROWS UNBOUNDED PRECEDING running agg (Flink BatchExecOverAggregate — "
     "…/batch/BatchExecOverAggregate.scala:59, RowUnboundedPrecedingOverFrame.java; "
     "streaming twin: RowTimeRowsUnboundedPrecedingFunction).",
