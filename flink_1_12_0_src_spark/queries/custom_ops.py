@@ -222,3 +222,37 @@ def tableagg_top2_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_table_agg(ev, ["user_id"], "value", "event_id", n=2).orderBy(
         "user_id", "rank"
     )
+
+
+@register(
+    "udtf_lateral_tokens",
+    oracle="""
+SELECT doc_id, CAST(g AS INTEGER) AS pos, w[g] AS token
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 50) t,
+     LATERAL unnest(generate_series(1, least(len(w), 10))) AS s(g)
+ORDER BY doc_id, pos
+""",
+    tags=("custom_op", "udtf", "correlate"),
+    doc="TableFunction / UDTF lateral join (Flink …/functions/TableFunction.java"
+    ":137, StreamExecCorrelate.scala:36; PyFlink UDTFs run via Beam — native in "
+    "PySpark): a Python UDTF emitting (pos, token) rows per document, applied "
+    "as a LATERAL table function. Arrow-batched; the lateral is a per-row "
+    "flatMap — no shuffle.",
+)
+def udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class PosTokens:
+        def eval(self, text: str, n: int):
+            for i, tok in enumerate(text.lower().split(" ")[:n]):
+                yield i + 1, tok
+
+    spark.udtf.register("pos_tokens", PosTokens)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, pos, token FROM udtf_docs, LATERAL pos_tokens(text, 10) "
+        "ORDER BY doc_id, pos"
+    )

@@ -403,3 +403,40 @@ def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     out = streaming_count_tumble(s, key="user_id", order_cols=["ts", "event_id"], value_col="value", size=5)
     return run_to_batch(out, "append")
+
+
+@register(
+    "stream_cumulate_agg",
+    oracle="""
+WITH steps AS (
+  SELECT e.*, time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS day_start,
+         k.k * INTERVAL 6 HOUR AS ext
+  FROM events e CROSS JOIN (VALUES (1),(2),(3),(4)) AS k(k)
+)
+SELECT day_start AS window_start, day_start + ext AS window_end,
+       COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM steps
+WHERE CAST(ts AS TIMESTAMP) < day_start + ext
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window_agg", "cumulate"),
+    doc="Streaming CUMULATE window (Flink CumulativeWindowAssigner.java — day "
+    "window growing in 6h steps): the assigner's replication expressed as "
+    "explode over step ends before the streaming groupBy, complete-mode final "
+    "state ≡ the batch cumulate. Same topology as window_cumulate, but through "
+    "the micro-batch engine with state across triggers.",
+)
+def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    steps = s.select(
+        "ts",
+        "value",
+        F.date_trunc("day", "ts").alias("window_start"),
+        F.explode(F.expr("array(1,2,3,4)")).alias("k"),
+    ).withColumn("window_end", F.expr("window_start + make_interval(0,0,0,0, 6*k, 0, 0)"))
+    agg = (
+        steps.filter(F.col("ts") < F.col("window_end"))
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("cnt"), dsum(dec("value")).alias("total"))
+    )
+    return run_to_batch(agg, output_mode="complete")
