@@ -18,8 +18,11 @@ Semantics implemented (the MatchRecognizeITCase subset):
   ``optional``;
 - contiguity: strict (``next`` / MATCH_RECOGNIZE default) and relaxed
   (``followed_by``);
+- negative patterns: ``not_next`` / ``not_followed_by`` (Pattern.java:169,198;
+  trailing ``not_followed_by`` requires ``within``, as in Flink);
 - ``within(seconds)``: max first→last event-time span;
-- after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default).
+- after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default) and
+  SKIP TO NEXT ROW (AfterMatchSkipStrategy).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ class _Step:
     predicate: Callable[[pd.DataFrame], pd.Series] | None = None
     quantifier: str = "1"  # "1" | "+" | "?" | "n:<k>"
     contiguity: str = "strict"  # "strict" | "relaxed"
+    negated: bool = False  # notNext / notFollowedBy (Pattern.java:169,198)
 
 
 @dataclass
@@ -64,6 +68,17 @@ class Pattern:
 
     def followed_by(self, name: str) -> "Pattern":
         self.steps.append(_Step(name, contiguity="relaxed"))
+        return self
+
+    def not_next(self, name: str) -> "Pattern":
+        """The immediately-following event must NOT match (Pattern.notNext)."""
+        self.steps.append(_Step(name, contiguity="strict", negated=True))
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """No matching event may occur before the next pattern step matches
+        (Pattern.notFollowedBy); as the final step it requires within()."""
+        self.steps.append(_Step(name, contiguity="relaxed", negated=True))
         return self
 
     def one_or_more(self) -> "Pattern":
@@ -101,6 +116,7 @@ def _scan_group(
     time_col: str | None,
     measures: dict[str, tuple[str, str, str]],
     partition_by: list[str],
+    after_match: str = "past_last",
 ) -> pd.DataFrame:
     pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
@@ -113,15 +129,44 @@ def _scan_group(
     def try_at(start: int):
         """Return (bindings, end_idx) for a match whose first row is `start`."""
 
-        def rec(si: int, pos: int, bindings: dict[str, list[int]], first_pos: int | None):
+        def rec(
+            si: int,
+            pos: int,
+            bindings: dict[str, list[int]],
+            first_pos: int | None,
+            neg_limit: int | None = None,
+        ):
             if si == len(pattern.steps):
                 return bindings, pos - 1
             step, mask = pattern.steps[si], masks[si]
+            if step.negated:
+                if si == len(pattern.steps) - 1:
+                    # trailing notFollowedBy: only valid with within() (as in
+                    # Flink); no matching event may appear inside the window
+                    if pattern.within_seconds is None or ts is None:
+                        raise ValueError("trailing not_followed_by requires within()")
+                    bound = ts[first_pos] + pattern.within_seconds
+                    for q in range(pos, n):
+                        if ts[q] > bound:
+                            break
+                        if mask[q]:
+                            return None
+                    return bindings, pos - 1
+                if step.contiguity == "strict":  # notNext: check the one row
+                    if pos < n and mask[pos]:
+                        return None
+                    return rec(si + 1, pos, bindings, first_pos)
+                # notFollowedBy: the next positive step must match at or before
+                # the first negative hit (no neg row strictly between)
+                first_neg = next((q for q in range(pos, n) if mask[q]), n)
+                return rec(si + 1, pos, bindings, first_pos, neg_limit=first_neg)
             # candidate start positions for this step
             if step.contiguity == "strict" or first_pos is None:
                 candidates = [pos] if pos < n else []
             else:
                 candidates = [p for p in range(pos, n) if mask[p]][:64]
+            if neg_limit is not None:
+                candidates = [p for p in candidates if p <= neg_limit]
             if step.quantifier == "?":
                 for p in candidates:
                     if p < n and mask[p] and _within_ok(first_pos, p):
@@ -183,7 +228,8 @@ def _scan_group(
                     row[out_col] = 0 if agg == "count" else None
             out_rows.append(row)
             seq += 1
-            i = end + 1  # AFTER MATCH SKIP PAST LAST ROW
+            # after-match skip strategy (Flink AfterMatchSkipStrategy)
+            i = end + 1 if after_match == "past_last" else i + 1
         else:
             i += 1
     cols = partition_by + ["match_seq"] + list(measures)
@@ -198,14 +244,21 @@ def match_recognize(
     measures: dict[str, tuple[str, str, str]],
     output_schema: str,
     time_col: str | None = None,
+    after_match: str = "past_last",
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a batch DataFrame.
 
     measures: out_col → (variable, agg∈{first,last,count,sum,min,max}, source_col).
     output_schema: Spark DDL for partition_by + match_seq + measure columns.
+    after_match: "past_last" (SKIP PAST LAST ROW, the default) or "next_row"
+    (SKIP TO NEXT ROW) — Flink AfterMatchSkipStrategy.
     """
+    if pattern.steps and pattern.steps[0].negated:
+        raise ValueError("pattern cannot start with a negative step")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _scan_group(pdf, pattern, order_by, time_col, measures, partition_by)
+        return _scan_group(
+            pdf, pattern, order_by, time_col, measures, partition_by, after_match
+        )
 
     return df.groupBy(*partition_by).applyInPandas(fn, schema=output_schema)

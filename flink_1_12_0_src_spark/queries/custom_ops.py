@@ -256,3 +256,53 @@ def udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, pos, token FROM udtf_docs, LATERAL pos_tokens(text, 10) "
         "ORDER BY doc_id, pos"
     )
+
+
+@register(
+    "cep_view_purchase_no_error",
+    oracle="""
+WITH vw AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT user_id, vt,
+    (SELECT MIN(p.ts) FROM events p WHERE p.event_type = 'purchase'
+       AND p.user_id = vw.user_id AND p.ts > vw.vt
+       AND p.ts <= vw.vt + INTERVAL 1 DAY) AS p_ts,
+    (SELECT MIN(c.ts) FROM events c WHERE c.event_type = 'error'
+       AND c.user_id = vw.user_id AND c.ts > vw.vt) AS e_ts
+  FROM vw
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vt) - 1 AS INTEGER) AS match_seq,
+       vt AS view_ts, p_ts AS purchase_ts
+FROM m
+WHERE p_ts IS NOT NULL AND (e_ts IS NULL OR e_ts > p_ts)
+ORDER BY user_id, view_ts
+""",
+    tags=("custom_op", "cep", "batch"),
+    doc="CEP negative pattern + skip strategy (Pattern.notFollowedBy — "
+    "…/cep/pattern/Pattern.java:198; AfterMatchSkipStrategy SKIP TO NEXT ROW): "
+    "view NOT followed by error, then purchase, within 1 day. Oracle: "
+    "first-purchase/first-error scalar subqueries — the NFA's candidate rule "
+    "(first purchase wins iff it precedes the first error) in closed form.",
+)
+def cep_view_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    pat = (
+        Pattern.begin("v")
+        .where(lambda pdf: pdf.event_type == "view")
+        .not_followed_by("e")
+        .where(lambda pdf: pdf.event_type == "error")
+        .followed_by("p")
+        .where(lambda pdf: pdf.event_type == "purchase")
+        .within(86400)
+    )
+    return match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={"view_ts": ("v", "first", "ts"), "purchase_ts": ("p", "first", "ts")},
+        output_schema="user_id bigint, match_seq int, view_ts timestamp, purchase_ts timestamp",
+        time_col="ts",
+        after_match="next_row",
+    ).orderBy("user_id", "view_ts")
