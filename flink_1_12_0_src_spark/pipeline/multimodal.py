@@ -45,6 +45,50 @@ def decode_image(blob: bytes) -> object:
     )
 
 
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 100, stride: int = 2
+) -> DataFrame:
+    """Frame sampling over binary media blobs via mapInPandas.
+
+    Treats the blob as a fixed-size-frame container (a real decoder would read
+    the container index instead — stubbed, no ffmpeg here): frame k covers
+    bytes [k*frame_bytes, (k+1)*frame_bytes); every ``stride``-th frame is
+    sampled and summarized (offset, length, checksum). One input row → many
+    frame rows, emitted from the same Arrow batch — the explode happens inside
+    the Python worker, so huge blobs never round-trip through a JVM explode.
+
+    Scale: output is |blob|/(frame_bytes·stride) rows per doc — linear, no
+    shuffle; downstream per-frame featurization chains as another mapInPandas.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, offs, lens, cksum = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf["blob"]):
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, stride):
+                    chunk = blob[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(i)
+                    fidx.append(k)
+                    offs.append(k * frame_bytes)
+                    lens.append(len(chunk))
+                    cksum.append(sum(chunk) % 997)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "checksum": pd.Series(cksum, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        _sample,
+        schema=f"{id_col} bigint, frame_idx int, byte_offset bigint, frame_len int, checksum int",
+    )
+
+
 def extract_blob_features(df: DataFrame) -> DataFrame:
     """Feature extraction over binary blobs via mapInPandas (Arrow batches).
 

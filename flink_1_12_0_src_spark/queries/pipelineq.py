@@ -415,3 +415,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", ND_THRESHOLD
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+f AS (SELECT doc_id, text, n,
+             unnest(generate_series(0, CAST(ceil(n / 100.0) AS INT) - 1, 2)) AS k
+      FROM t)
+SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, CAST(k * 100 AS BIGINT) AS byte_offset,
+       CAST(least(n - k * 100, 100) AS INTEGER) AS frame_len,
+       CAST(list_sum([ascii(text[p]) FOR p IN generate_series(k * 100 + 1, least(n, (k + 1) * 100))]) % 997 AS INTEGER) AS checksum
+FROM f ORDER BY doc_id, frame_idx
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Frame sampling over binary media blobs (decode stubbed — no ffmpeg in "
+    "env): every 2nd 100-byte frame summarized (offset/len/checksum) inside "
+    "mapInPandas, so the one-row→many-frames explode happens Arrow-side. "
+    "Oracle: byte arithmetic over the ASCII text the blob was encoded from.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(attach_blob(docs, "doc_id", "text"), "doc_id", 100, 2).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1,0 +1,64 @@
+"""Property-based aggregate-function parity (the reference's per-function test
+strategy, SURVEY.md §5.5: …/planner/functions/aggfunctions/*Test.java drive
+each aggregate over generated accumulate/retract tables).
+
+Here: hypothesis generates random (key, value-with-nulls) tables; every
+aggregate must agree exactly between Spark and DuckDB on the same pandas
+input. Exactness discipline: integer domains (sums/products exact), avg as
+one double division of two exact values, variance via exact sum-of-squares,
+ordered listagg — so no float tolerance is needed, mirroring the oracle gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(-100, 100))),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(data=ROWS)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_agg_function_parity(spark, data):
+    pdf = pd.DataFrame(data, columns=["k", "v"]).astype({"k": "int64", "v": "Int64"})
+    sdf = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None), "k bigint, v bigint")
+    got = {
+        tuple(r[:1]): tuple(r[1:])
+        for r in sdf.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("nv"),
+            F.count_distinct("v").alias("nd"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            (F.sum("v").cast("double") / F.count("v")).alias("avg"),
+            F.sum(F.col("v") * F.col("v")).alias("ssq"),
+            F.array_join(F.sort_array(F.collect_list(F.col("v").cast("string"))), ",").alias("lst"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        tuple(r[:1]): tuple(r[1:])
+        for r in con.execute(
+            """
+            SELECT k, COUNT(*), COUNT(v), COUNT(DISTINCT v),
+                   CAST(SUM(v) AS BIGINT), MIN(v), MAX(v),
+                   CAST(SUM(v) AS DOUBLE) / COUNT(v),
+                   CAST(SUM(v * v) AS BIGINT),
+                   COALESCE(string_agg(CAST(v AS VARCHAR), ',' ORDER BY CAST(v AS VARCHAR)), '')
+            FROM t GROUP BY k
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
