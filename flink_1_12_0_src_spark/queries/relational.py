@@ -776,3 +776,94 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 48).select(F.col("l_returnflag").alias("f"))
     b = li.filter(F.col("l_quantity") > 49).select(F.col("l_returnflag").alias("f"))
     return a.exceptAll(b).orderBy("f")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT n_name, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("batch", "join", "skew", "salting"),
+    doc="Skew-salted join (SURVEY §4 scale techniques; Flink splits skewed aggs "
+    "via SplitAggregateRule): the big side's keys spread over 8 salted shuffle "
+    "partitions, the supplier side replicated per salt — row-identical to the "
+    "plain join (deterministic salt), which the oracle proves. The manual tool "
+    "for hot keys AQE's size-based skew split can't fix.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("suppkey"), "n_name")
+    )
+    j = salted_join(li, supp, key="suppkey", salt_src="l_orderkey", n_salts=8)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_bucketed_coloc",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("batch", "join", "bucketing"),
+    doc="Bucketed co-located join (the Spark analog of Flink's co-partitioned "
+    "exchange reuse): both fact tables written bucketBy(8) on the join key, so "
+    "the sort-merge join consumes pre-bucketed scans with NO shuffle exchange "
+    "on either input — the pattern that turns the biggest repeated join at "
+    "100 TB into a scan-local operation. Plan asserted in tests/test_plans.py.",
+)
+def join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, src, key in ((li_t, "lineitem", "l_orderkey"), (o_t, "orders", "o_orderkey")):
+        if spark.catalog.tableExists(name):
+            continue
+        # bucketing metadata lives in the (per-session) metastore; a stale
+        # location from a previous session must be cleared before re-staging
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            table(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li, orders = spark.table(li_t), spark.table(o_t)
+    return (
+        orders.hint("merge")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -70,6 +70,15 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_bucketed_coloc")
+    tree = plan.split("\n\n")[0].splitlines()
+    assert plan.count("Bucketed: true") == 2
+    smj_at = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    # co-located join: nothing below the SMJ (its two scan inputs) shuffles
+    assert not any("Exchange" in l for l in tree[smj_at:])
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_cosine_topk")
     # the query side broadcasts; the corpus never shuffles pre-join
