@@ -68,6 +68,38 @@ def connected_components(
     return labels.select("v", F.col("label").alias("component"))
 
 
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Gelly …/graph/library/LabelPropagation.java,
+    CommunityDetection.java): labels start as vertex ids; each round every
+    vertex adopts the most frequent label among its neighbors, ties broken by
+    the minimum label — which makes the fixed-iteration result deterministic
+    and therefore oracle-checkable (Gelly's hash-based tie-break is not).
+
+    Per round: one join (edges × labels on src) + count-groupBy + top-1 window
+    — all hash-partitioned on vertex id; localCheckpoint flattens lineage."""
+    from pyspark.sql import Window as W
+
+    ud = _undirected(edges, src, dst).persist()
+    labels = ud.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    for _ in range(iterations):
+        cnt = (
+            ud.join(labels, ud.dst == labels.v)
+            .groupBy(F.col("src").alias("nv"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("nv").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nv").alias("v"), "label")
+            .localCheckpoint(eager=True)
+        )
+    ud.unpersist()
+    return labels
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle participation counts (Gelly TriangleEnumerator,
     …/graph/library/TriangleEnumerator.java, + clustering triangle metrics).

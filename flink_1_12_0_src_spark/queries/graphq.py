@@ -163,3 +163,35 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     ud = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     return ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))
+
+
+def _lp_oracle(iterations: int = 3) -> str:
+    sql = f"""
+WITH e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+lp0 AS (SELECT DISTINCT src AS v, src AS label FROM ud)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+cnt{i} AS (SELECT ud.src AS nv, l.label, COUNT(*) AS c
+           FROM ud JOIN lp{i - 1} l ON ud.dst = l.v GROUP BY 1, 2),
+lp{i} AS (SELECT nv AS v, label FROM (
+            SELECT nv, label, ROW_NUMBER() OVER (PARTITION BY nv ORDER BY c DESC, label) AS rn
+            FROM cnt{i}) WHERE rn = 1)"""
+    sql += f"\nSELECT v, label FROM lp{iterations}"
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly LabelPropagation / CommunityDetection (…/graph/library/"
+    "LabelPropagation.java): synchronous most-frequent-neighbor-label rounds "
+    "with deterministic min-label tie-break (Gelly's hash tie-break is not "
+    "cross-engine reproducible), 3 iterations. Oracle: the same recurrence "
+    "unrolled as CTEs.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iterations=3)

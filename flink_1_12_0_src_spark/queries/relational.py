@@ -867,3 +867,26 @@ def join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_two_stage_salted",
+    oracle="""
+SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+""",
+    tags=("batch", "agg", "skew", "salting"),
+    doc="Explicit two-stage salted aggregation (the SplitAggregateRule shape, "
+    "SURVEY §2.4/§4.1): salt → partial sum → final sum, so even the reduce "
+    "side of one pathologically hot key fans out over 16 partitions. "
+    "Decomposable aggregates only; result provably equals the plain groupBy.",
+)
+def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.skew import two_stage_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        two_stage_agg(li, "l_suppkey", F.col("l_quantity").cast("decimal(12,2)"), "qty_dec")
+        .select("l_suppkey", F.col("qty_dec").cast("double").alias("qty"))
+        .orderBy("l_suppkey")
+    )
