@@ -139,3 +139,67 @@ def cdc_canal_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         changelog.drop("rowkind"), primary_key=["o_orderkey"], version_col="ts_ms", delete_col="is_delete"
     )
     return current.select(*_PAYLOAD_COLS)
+
+
+@register(
+    "cdc_foreachbatch_upsert",
+    oracle=_ORACLE_FINAL_STATE.format(bump="1.0") + " ORDER BY o_orderkey",
+    tags=("cdc", "changelog", "streaming", "upsert"),
+    doc="Changelog CONSUMPTION — the documented Spark mapping for Flink's "
+    "retract-aware aggregation input (SURVEY §2.4 GAP → 'foreachBatch merge'; "
+    "upsert-kafka sink semantics, UpsertKafkaDynamicTableFactory.java:72): a "
+    "3-phase +I/+U/-D changelog replayed as an ordered file stream, each "
+    "micro-batch MERGEd into a versioned-snapshot maintained table "
+    "(streaming/upsert.py). Final snapshot ≡ the oracle's closed-form state.",
+)
+def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_files")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(cache, f"{tag}_cdc_upsert_stream")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = _orders_payload(spark, sf_dir)
+        ins = o.select(*_PAYLOAD_COLS).withColumns(
+            {"rowkind": F.lit("+I"), "version": F.lit(0).cast("bigint")}
+        )
+        upd = (
+            o.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+            .withColumns({"rowkind": F.lit("+U"), "version": F.lit(1).cast("bigint")})
+        )
+        dele = o.filter(F.col("o_orderkey") % 7 == 0).withColumns(
+            {"rowkind": F.lit("-D"), "version": F.lit(2).cast("bigint")}
+        )
+        os.makedirs(path, exist_ok=True)
+        for i, phase in enumerate((ins, upd, dele)):
+            phase.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"phase{i}"))
+        # one file per phase at the top level, mtime-ordered for the stream
+        import glob
+        import shutil
+
+        for i in range(3):
+            src = glob.glob(os.path.join(path, f"phase{i}", "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(path, f"{i:05d}.parquet"))
+            shutil.rmtree(os.path.join(path, f"phase{i}"))
+        base = os.path.getmtime(os.path.join(path, "00002.parquet"))
+        for i in range(3):
+            os.utime(os.path.join(path, f"{i:05d}.parquet"), (base + i, base + i))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    from flink_1_12_0_src_spark.streaming.upsert import run_changelog_upsert
+
+    schema = spark.read.parquet(os.path.join(path, "00000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    snap = run_changelog_upsert(
+        stream,
+        base_dir=tempfile.mkdtemp(prefix="upsert_tbl_"),
+        key_cols=["o_orderkey"],
+        version_col="version",
+    )
+    return snap.drop("version").orderBy("o_orderkey")

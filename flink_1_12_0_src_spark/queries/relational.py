@@ -840,7 +840,11 @@ def join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from urllib.parse import urlparse
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # session-scoped names: the warehouse dir is shared across Spark sessions
+    # (the per-session metastore is not), so concurrent sessions must never
+    # re-stage each other's locations out from under a cached file listing
+    sid = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_") + "_" + sid
     li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name, src, key in ((li_t, "lineitem", "l_orderkey"), (o_t, "orders", "o_orderkey")):

@@ -1,0 +1,90 @@
+"""foreachBatch changelog MERGE — retraction *consumption* (SURVEY.md §2.4:
+Flink's StreamExecGroupAggregate consumes -U/+U/-D rows from CDC sources;
+Spark has no retraction-consuming operator, and the documented mapping is
+"materialize per micro-batch via foreachBatch + MERGE". This module is that
+mapping, concretely.)
+
+Per micro-batch of changelog rows (+I / +U / -D with a version column):
+  1. collapse the batch itself to one final row per key (last by version);
+  2. MERGE into the maintained table: upsert +I/+U, drop -D keys;
+  3. write the merged image as a NEW versioned snapshot directory and advance
+     the pointer — never rewrite in place, so a reader always sees a complete
+     snapshot and a failed batch leaves the previous version intact (the
+     commit-log idea behind table formats, minus the format dependency; with
+     Delta/Iceberg available, step 2-3 become a real MERGE INTO).
+
+Scale: the merge joins the batch (small) against the maintained table on the
+key — a broadcast join per trigger; the snapshot rewrite is the cost of not
+having a table format, bounded by maintained-table size, not history size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class UpsertSink:
+    """foreachBatch target maintaining current state under ``base_dir/v{n}``."""
+
+    def __init__(self, base_dir: str, key_cols: list[str], version_col: str, rowkind_col: str):
+        self.base_dir = base_dir
+        self.key_cols = key_cols
+        self.version_col = version_col
+        self.rowkind_col = rowkind_col
+        self.version = 0
+
+    def _current(self, spark: SparkSession, schema) -> DataFrame:
+        path = os.path.join(self.base_dir, f"v{self.version}")
+        if self.version == 0 or not os.path.exists(path):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(path)
+
+    def process_batch(self, batch: DataFrame, _batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        # 1. collapse the batch: last row per key by version
+        last = batch.groupBy(*self.key_cols).agg(
+            F.max_by(
+                F.struct(*[c for c in batch.columns if c not in self.key_cols]),
+                F.col(self.version_col),
+            ).alias("_r")
+        )
+        last = last.select(*self.key_cols, "_r.*")
+        cur = self._current(spark, batch.drop(self.rowkind_col).schema)
+        # 2. MERGE: current rows whose key is untouched + surviving batch rows
+        untouched = cur.join(last.select(*self.key_cols), self.key_cols, "left_anti")
+        survivors = last.filter(F.col(self.rowkind_col) != "-D").drop(self.rowkind_col)
+        merged = untouched.unionByName(survivors)
+        # 3. new snapshot version, then advance the pointer
+        nxt = self.version + 1
+        merged.write.mode("overwrite").parquet(os.path.join(self.base_dir, f"v{nxt}"))
+        self.version = nxt
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_dir, f"v{self.version}"))
+
+
+def run_changelog_upsert(
+    stream_df: DataFrame,
+    base_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    rowkind_col: str = "rowkind",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drive a changelog stream through the foreachBatch MERGE to completion
+    and return the final maintained-table snapshot."""
+    import tempfile
+
+    sink = UpsertSink(base_dir, key_cols, version_col, rowkind_col)
+    q = (
+        stream_df.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return sink.snapshot(stream_df.sparkSession)
