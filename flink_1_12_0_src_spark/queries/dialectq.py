@@ -317,3 +317,35 @@ def flinkddl_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders_orc GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "partition_pruned_read",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events WHERE event_type = 'click'
+GROUP BY user_id ORDER BY user_id
+""",
+    tags=("dialect", "source", "partitioning", "pruning"),
+    doc="Partition pruning on read (SupportsPartitionPushDown — "
+    "…/connector/source/abilities/; PushPartitionIntoTableSourceScanRule): a "
+    "hive-layout partitioned table filtered on the partition column scans ONE "
+    "directory, not the table — PartitionFilters asserted in "
+    "tests/test_plans.py. The access-path primitive that makes 100 TB "
+    "time-series scans proportional to the slice read.",
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_partitioned")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("user_id")
+    )

@@ -174,3 +174,21 @@ def test_changelog_normalize_drops_deleted(spark):
     out = changelog_normalize(df, ["pk"], "version", delete_col="deleted")
     rows = {r["pk"]: r["payload"] for r in out.collect()}
     assert rows == {1: "b"}  # pk 2's latest record is a delete
+
+
+def test_upsert_sink_delete_then_reinsert(spark, tmp_path):
+    """foreachBatch MERGE semantics across batches: update wins by version,
+    delete removes, a later re-insert resurrects the key (streaming/upsert.py)."""
+    from flink_1_12_0_src_spark.streaming.upsert import UpsertSink
+
+    sink = UpsertSink(str(tmp_path), key_cols=["k"], version_col="v", rowkind_col="rowkind")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, val string, rowkind string, v bigint")  # noqa: E731
+    sink.process_batch(mk([(1, "a", "+I", 0), (2, "b", "+I", 0), (3, "c", "+I", 0)]), 0)
+    sink.process_batch(mk([(2, "b2", "+U", 1), (3, None, "-D", 1)]), 1)
+    sink.process_batch(mk([(3, "c3", "+I", 2), (3, "c4", "+U", 3)]), 2)  # within-batch collapse
+    got = {r.k: r.val for r in sink.snapshot(spark).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c4"}
+    # empty batch is a no-op, snapshot version unchanged
+    v = sink.version
+    sink.process_batch(mk([]), 3)
+    assert sink.version == v

@@ -83,3 +83,9 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_cosine_topk")
     # the query side broadcasts; the corpus never shuffles pre-join
     assert "BroadcastExchange" in plan
+
+
+def test_partition_pruned_read(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "partition_pruned_read")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0] and "click" in pf[0]
