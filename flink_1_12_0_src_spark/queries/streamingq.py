@@ -440,3 +440,75 @@ def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dsum(dec("value")).alias("total"))
     )
     return run_to_batch(agg, output_mode="complete")
+
+
+@register(
+    "stream_over_time_range",
+    oracle="""
+SELECT user_id, ts, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_range,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_range
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    tags=("streaming", "over", "time_range", "stateful", "custom_op"),
+    doc="Streaming OVER, RANGE 1-hour PRECEDING "
+    "(RowTimeRangeBoundedPrecedingFunction.java:61 — the rowtime/range variant "
+    "of StreamExecOverAggregate): trailing-window count+sum per row with "
+    "time-evicted state (buffer bounded by the window span, not history).",
+)
+def stream_over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_over_time_range
+
+    s = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = streaming_over_time_range(
+        s, key="user_id", time_col="ts", value_col="value", range_seconds=3600
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_interval_join_left",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS v_user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view')
+SELECT purchase_id, user_id, p_ts, view_id, v_ts
+FROM p LEFT JOIN v
+  ON user_id = v_user_id
+ AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts
+WHERE p_ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+""",
+    tags=("streaming", "join", "interval_join", "outer_join"),
+    doc="LEFT OUTER stream-stream interval join (StreamExecIntervalJoin with "
+    "outer emission — TimeIntervalJoin.java pads unmatched rows on cleanup): "
+    "null-padded purchases emit when the watermark proves no view can still "
+    "match. Both engines post-filter to p_ts < max_ts − 2h — strictly inside "
+    "the flushed region, so the emission set is closed-form.",
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table as _table
+
+    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    p = ev().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev().filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "p_ts", "view_id", "v_ts")
+    out = run_to_batch(joined, "append")
+    cutoff = (
+        _table(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    import datetime
+
+    return out.filter(F.col("p_ts") < F.lit(cutoff - datetime.timedelta(hours=2)))

@@ -83,6 +83,69 @@ def streaming_over_running_sum(
     )
 
 
+def streaming_over_time_range(
+    stream: DataFrame, key: str, time_col: str, value_col: str, range_seconds: int
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN
+    range_seconds PRECEDING AND CURRENT ROW): per-row count + sum over the
+    trailing time window (Flink RowTimeRangeBoundedPrecedingFunction.java:61).
+
+    State per key: the (ts, cents) pairs inside the trailing window span —
+    bounded by data rate × range, NOT history length; rows older than
+    last_ts − range are evicted each batch, exactly the reference's state
+    cleanup timer. Lookups are vectorized searchsorted over the merged
+    buffer."""
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[key],
+            in_fields[time_col],
+            StructField(value_col, DoubleType()),
+            StructField("cnt_range", LongType()),
+            StructField("sum_range", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("cents", ArrayType(LongType())),
+        ]
+    )
+    range_us = range_seconds * 1_000_000
+
+    def fn(key_tuple, pdf_iter, state):
+        buf_ts, buf_cents = state.get if state.exists else ([], [])
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(time_col, ignore_index=True)
+        new_ts = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns → µs
+        new_cents = _cents(pdf[value_col])
+        all_ts = np.concatenate([np.asarray(buf_ts, dtype="int64"), new_ts])
+        all_cents = np.concatenate([np.asarray(buf_cents, dtype="int64"), new_cents])
+        cum = np.cumsum(all_cents)
+        k = len(buf_ts)
+        g = np.arange(k, k + len(new_ts))
+        lo = np.searchsorted(all_ts, new_ts - range_us, side="left")
+        sums = cum[g] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        out = pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(new_ts),
+                time_col: pdf[time_col],
+                value_col: new_cents / 100.0,
+                "cnt_range": (g - lo + 1).astype("int64"),
+                "sum_range": sums / 100.0,
+            }
+        )
+        keep = all_ts >= all_ts[-1] - range_us  # still reachable by future rows
+        state.update(([int(x) for x in all_ts[keep]], [int(x) for x in all_cents[keep]]))
+        yield out
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_topn(
     stream: DataFrame, key: str, id_col: str, value_col: str, n: int
 ) -> DataFrame:
