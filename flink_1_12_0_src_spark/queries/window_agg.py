@@ -436,3 +436,47 @@ def over_time_range_preceding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cnt_last_hour"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_last_hour"),
     ).orderBy("event_id")
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS val,
+                  CASE WHEN event_type = 'error' THEN 1800000000 ELSE 3600000000 END AS gap_us,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+m AS (SELECT *, MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS brk FROM m),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess FROM b)
+SELECT user_id, MIN(ts) AS session_start, make_timestamp(MAX(us + gap_us)) AS session_end,
+       COUNT(*) AS cnt, CAST(SUM(val) AS DOUBLE) AS total
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
+""",
+    tags=("batch", "window", "session", "dynamic_gap"),
+    doc="Session window with DYNAMIC gap (Flink SessionWindowTimeGapExtractor — "
+    "…/api/windowing/assigners/DynamicEventTimeSessionWindows.java): error "
+    "events extend the session only 30 min, others 60 min. Spark: "
+    "session_window with a per-row gap expression. Oracle: islands SQL with a "
+    "running max of (ts+gap) in exact microseconds.",
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "30 minutes").otherwise("60 minutes")
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "cnt",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
