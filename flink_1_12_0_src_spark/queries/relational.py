@@ -894,3 +894,33 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.col("qty_dec").cast("double").alias("qty"))
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "agg_single_value",
+    oracle="""
+SELECT n_nationkey, n_name, r_name AS region
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+""",
+    tags=("batch", "agg", "single_value"),
+    doc="SINGLE_VALUE aggregate (Flink …/functions/aggfunctions/"
+    "SingleValueAggFunction.java — errors when a group holds more than one "
+    "row; how the planner enforces scalar subqueries): max guarded by a "
+    "count==1 check that raises otherwise, evaluated lazily per group.",
+)
+def agg_single_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    g = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.max("r_name").alias("_v"), F.count("*").alias("_c"))
+    )
+    single = F.when(F.col("_c") == 1, F.col("_v")).otherwise(
+        F.raise_error(F.lit("SINGLE_VALUE: group has more than one row"))
+    )
+    return (
+        g.select("n_nationkey", "n_name", single.alias("region"))
+        .orderBy("n_nationkey")
+    )
