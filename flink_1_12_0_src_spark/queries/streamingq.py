@@ -512,3 +512,39 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
     return out.filter(F.col("p_ts") < F.lit(cutoff - datetime.timedelta(hours=2)))
+
+
+@register(
+    "stream_temporal_join",
+    oracle="""
+WITH f AS (SELECT user_id, ts AS fact_ts,
+                  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount
+           FROM events WHERE event_type = 'purchase'),
+d AS (SELECT user_id, ts AS dim_ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS setting
+      FROM events WHERE event_type = 'click')
+SELECT f.user_id, f.fact_ts, f.amount, d.dim_ts, d.setting
+FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND d.dim_ts <= f.fact_ts
+""",
+    tags=("streaming", "join", "temporal", "stateful", "custom_op"),
+    doc="Streaming temporal rowtime join (StreamExecTemporalJoin.scala:56, "
+    "TemporalRowTimeJoinOperator.java — FOR SYSTEM_TIME AS OF fact.rowtime): "
+    "purchases join the click-version current at their event time. Both sides "
+    "ride one tagged union stream (connect-streams encoding); version state is "
+    "O(1) per key. Oracle: DuckDB native ASOF LEFT JOIN.",
+)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_temporal_join
+
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "click", "D").otherwise("F").alias("side"),
+            "value",
+        )
+    )
+    out = streaming_temporal_join(s, key="user_id", time_col="ts", side_col="side", value_col="value")
+    return run_to_batch(out, "append")

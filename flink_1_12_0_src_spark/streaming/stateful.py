@@ -200,6 +200,86 @@ def streaming_topn(
     )
 
 
+def streaming_temporal_join(
+    stream: DataFrame,
+    key: str,
+    time_col: str,
+    side_col: str,
+    value_col: str,
+    dim_tag: str = "D",
+) -> DataFrame:
+    """Streaming temporal (rowtime as-of) join — Flink StreamExecTemporalJoin /
+    TemporalRowTimeJoinOperator.java: each fact row joins the dim version that
+    was current at the fact's event time (version_ts ≤ fact_ts, latest wins).
+
+    Spark has no two-input stateful operator, so both sides arrive as ONE
+    tagged union stream keyed by the join key (the classic connect-streams
+    encoding). Per batch (event-time ordered, the harness contract): rows
+    sort by time, dim rows advance the version sequence, fact rows look up
+    via searchsorted. State per key is a single (version_ts, value) pair —
+    any older version is unreachable by future facts once the batch's max
+    timestamp has passed it, which is exactly the reference's watermark-driven
+    version cleanup.
+    """
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[key],
+            StructField("fact_ts", in_fields[time_col].dataType),
+            StructField("amount", DoubleType()),
+            StructField("dim_ts", in_fields[time_col].dataType),
+            StructField("setting", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("vts", LongType()), StructField("vcents", LongType())]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        vts, vcents = state.get if state.exists else (-1, 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(time_col, ignore_index=True)
+        ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
+        cents = _cents(pdf[value_col])
+        is_dim = (pdf[side_col] == dim_tag).to_numpy()
+        d_ts = np.concatenate([[vts], ts_us[is_dim]]) if vts >= 0 else ts_us[is_dim]
+        d_cents = np.concatenate([[vcents], cents[is_dim]]) if vts >= 0 else cents[is_dim]
+        f_ts, f_cents = ts_us[~is_dim], cents[~is_dim]
+        if len(f_ts):
+            if len(d_ts):
+                idx = np.searchsorted(d_ts, f_ts, side="right") - 1
+                hit = idx >= 0
+                m_ts = d_ts[np.maximum(idx, 0)]
+                m_cents = d_cents[np.maximum(idx, 0)]
+            else:  # no version visible yet for this key
+                hit = np.zeros(len(f_ts), dtype=bool)
+                m_ts = np.zeros(len(f_ts), dtype="int64")
+                m_cents = np.zeros(len(f_ts), dtype="int64")
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(f_ts),
+                    "fact_ts": pd.to_datetime(f_ts, unit="us"),
+                    "amount": f_cents / 100.0,
+                    "dim_ts": pd.Series(
+                        [pd.to_datetime(t, unit="us") if h else pd.NaT for t, h in zip(m_ts, hit)]
+                    ),
+                    "setting": pd.Series(
+                        [c / 100.0 if h else None for c, h in zip(m_cents, hit)], dtype="float64"
+                    ),
+                }
+            )
+        if len(d_ts):
+            state.update((int(d_ts[-1]), int(d_cents[-1])))
+        elif vts >= 0:
+            state.update((int(vts), int(vcents)))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_count_tumble(
     stream: DataFrame, key: str, order_cols: list[str], value_col: str, size: int
 ) -> DataFrame:
