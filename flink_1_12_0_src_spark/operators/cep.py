@@ -85,8 +85,15 @@ class Pattern:
         self.steps[-1].quantifier = "+"
         return self
 
-    def times(self, n: int) -> "Pattern":
-        self.steps[-1].quantifier = f"n:{n}"
+    def times(self, n: int, to: int | None = None) -> "Pattern":
+        """times(n) = exactly n; times(n, m) = n..m consecutive, greedy
+        (Pattern.java:344,365)."""
+        self.steps[-1].quantifier = f"n:{n}" if to is None else f"r:{n}:{to}"
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least n consecutive, greedy (Pattern.timesOrMore:392)."""
+        self.steps[-1].quantifier = f"r:{n}:{1 << 30}"
         return self
 
     def optional(self) -> "Pattern":
@@ -109,15 +116,21 @@ _AGGS = {
 }
 
 
-def _scan_group(
+def _scan_matches(
     pdf: pd.DataFrame,
     pattern: Pattern,
     order_by: list[str],
     time_col: str | None,
-    measures: dict[str, tuple[str, str, str]],
-    partition_by: list[str],
     after_match: str = "past_last",
-) -> pd.DataFrame:
+) -> tuple[pd.DataFrame, list[tuple[dict[str, list[int]], int, int]]]:
+    """Sort one key's rows and run the NFA scan.
+
+    Returns (sorted pdf, matches) where each match is
+    (bindings: var → row indices, start_idx, end_idx). Shared by the batch
+    ``match_recognize`` and the streaming operator
+    (streaming/cep.py — StreamExecMatch analog), which re-scans a
+    watermark-finalized prefix per micro-batch.
+    """
     pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     masks = [
@@ -192,6 +205,21 @@ def _scan_group(
                         r = rec(si + 1, p + k, {**bindings, step.name: list(range(p, p + k))}, fp)
                         if r:
                             return r
+                elif step.quantifier.startswith("r:"):
+                    lo_q, hi_q = (int(x) for x in step.quantifier[2:].split(":"))
+                    q = p
+                    while (
+                        q + 1 < n
+                        and q + 1 - p < hi_q
+                        and mask[q + 1]
+                        and _within_ok(fp, q + 1)
+                    ):
+                        q += 1
+                    while q - p + 1 >= lo_q:  # greedy, back off on suffix failure
+                        r = rec(si + 1, q + 1, {**bindings, step.name: list(range(p, q + 1))}, fp)
+                        if r:
+                            return r
+                        q -= 1
                 elif step.quantifier == "+":
                     q = p
                     while q + 1 < n and mask[q + 1] and _within_ok(fp, q + 1):
@@ -212,26 +240,51 @@ def _scan_group(
 
         return rec(0, start, {}, None)
 
-    out_rows = []
-    i, seq = 0, 0
+    matches: list[tuple[dict[str, list[int]], int, int]] = []
+    i = 0
     while i < n:
         hit = try_at(i) if masks[0][i] else None
         if hit:
             bindings, end = hit
-            row: dict = {c: pdf[c].iloc[0] for c in partition_by}
-            row["match_seq"] = seq
-            for out_col, (var, agg, col) in measures.items():
-                idxs = bindings.get(var, [])
-                if idxs:
-                    row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])
-                else:
-                    row[out_col] = 0 if agg == "count" else None
-            out_rows.append(row)
-            seq += 1
+            matches.append((bindings, i, end))
             # after-match skip strategy (Flink AfterMatchSkipStrategy)
             i = end + 1 if after_match == "past_last" else i + 1
         else:
             i += 1
+    return pdf, matches
+
+
+def _measure_row(
+    pdf: pd.DataFrame,
+    bindings: dict[str, list[int]],
+    measures: dict[str, tuple[str, str, str]],
+) -> dict:
+    row: dict = {}
+    for out_col, (var, agg, col) in measures.items():
+        idxs = bindings.get(var, [])
+        if idxs:
+            row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])
+        else:
+            row[out_col] = 0 if agg == "count" else None
+    return row
+
+
+def _scan_group(
+    pdf: pd.DataFrame,
+    pattern: Pattern,
+    order_by: list[str],
+    time_col: str | None,
+    measures: dict[str, tuple[str, str, str]],
+    partition_by: list[str],
+    after_match: str = "past_last",
+) -> pd.DataFrame:
+    pdf, matches = _scan_matches(pdf, pattern, order_by, time_col, after_match)
+    out_rows = []
+    for seq, (bindings, _start, _end) in enumerate(matches):
+        row: dict = {c: pdf[c].iloc[0] for c in partition_by}
+        row["match_seq"] = seq
+        row.update(_measure_row(pdf, bindings, measures))
+        out_rows.append(row)
     cols = partition_by + ["match_seq"] + list(measures)
     return pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(columns=cols)
 

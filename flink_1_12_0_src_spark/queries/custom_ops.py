@@ -306,3 +306,44 @@ def cep_view_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         after_match="next_row",
     ).orderBy("user_id", "view_ts")
+
+
+@register(
+    "cep_times_range_burst",
+    oracle="""
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+e AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM o WHERE event_type = 'error'),
+isl AS (SELECT user_id, grp, COUNT(*) AS k, MIN(rn) AS start_rn FROM e GROUP BY user_id, grp),
+chunks AS (
+  SELECT user_id, start_rn, k,
+         unnest(generate_series(1, CAST(k // 4 + CASE WHEN k % 4 >= 2 THEN 1 ELSE 0 END AS BIGINT))) AS ci
+  FROM isl WHERE k >= 2
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_rn, ci) - 1 AS INTEGER) AS match_seq,
+       CAST(CASE WHEN ci <= k // 4 THEN 4 ELSE k % 4 END AS BIGINT) AS n_errors
+FROM chunks
+ORDER BY user_id, match_seq
+""",
+    tags=("custom_op", "cep", "batch", "quantifier"),
+    doc="CEP range quantifier times(2,4) (Pattern.times(from,to) — "
+    "Pattern.java:365; timesOrMore shares the machinery): greedy consecutive "
+    "error bursts of 2–4 events, SKIP PAST LAST ROW, so a maximal run of k "
+    "errors chunks into ⌊k/4⌋ fours plus a k%4 remainder when ≥2. Oracle: "
+    "islands SQL computing exactly that chunking in closed form.",
+)
+def cep_times_range_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    pat = Pattern.begin("e").where(lambda pdf: pdf.event_type == "error").times(2, 4)
+    return match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={"n_errors": ("e", "count", "event_id")},
+        output_schema="user_id bigint, match_seq int, n_errors bigint",
+        time_col="ts",
+    ).orderBy("user_id", "match_seq")
