@@ -548,3 +548,59 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_temporal_join(s, key="user_id", time_col="ts", side_col="side", value_col="value")
     return run_to_batch(out, "append")
+
+
+@register(
+    "stream_match_recognize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS t1, lead(event_id) OVER w AS id1,
+         lead(ts) OVER w AS ts1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS match_seq,
+       event_id AS view_id, id1 AS click_id
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND ts1 <= ts + INTERVAL 1 HOUR
+  AND ts <= make_timestamp(CAST(floor(epoch_us((SELECT MAX(ts) FROM events)) / 1000) * 1000 AS BIGINT)) - INTERVAL 2 HOUR
+ORDER BY user_id, match_seq
+""",
+    tags=("streaming", "cep", "stateful", "custom_op"),
+    doc="Streaming MATCH_RECOGNIZE (StreamExecMatch.scala:68 → CepOperator."
+    "java:83): PATTERN (V C) strict, WITHIN 1h, over the watermarked event "
+    "stream — the NFA state holds only the undecided suffix per key, and a "
+    "match emits exactly when the watermark passes start+within (provably "
+    "final; streaming/cep.py). Oracle: lead()-pair SQL bounded to matches the "
+    "final watermark (ms-truncated max ts − 1h delay) finalized, i.e. "
+    "start ≤ max − 2h.",
+)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.cep import Pattern
+    from flink_1_12_0_src_spark.streaming.cep import streaming_match_recognize
+
+    pat = (
+        Pattern.begin("v")
+        .where(lambda pdf: pdf.event_type == "view")
+        .next("c")
+        .where(lambda pdf: pdf.event_type == "click")
+        .within(3600.0)
+    )
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    out = streaming_match_recognize(
+        s,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={"view_id": ("v", "last", "event_id"), "click_id": ("c", "last", "event_id")},
+        measure_types={"view_id": "long", "click_id": "long"},
+        time_col="ts",
+        buffer_cols={"ts": "ts", "event_id": "long", "event_type": "string"},
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "match_seq")
