@@ -39,9 +39,10 @@ from pyspark.sql import DataFrame
 class _Step:
     name: str
     predicate: Callable[[pd.DataFrame], pd.Series] | None = None
-    quantifier: str = "1"  # "1" | "+" | "?" | "n:<k>"
+    quantifier: str = "1"  # "1" | "+" | "*+" (relaxed loop) | "?" | "n:<k>" | "r:<lo>:<hi>"
     contiguity: str = "strict"  # "strict" | "relaxed"
     negated: bool = False  # notNext / notFollowedBy (Pattern.java:169,198)
+    until_predicate: Callable[[pd.DataFrame], pd.Series] | None = None  # Pattern.until
 
 
 @dataclass
@@ -81,8 +82,20 @@ class Pattern:
         self.steps.append(_Step(name, contiguity="relaxed", negated=True))
         return self
 
-    def one_or_more(self) -> "Pattern":
-        self.steps[-1].quantifier = "+"
+    def one_or_more(self, consecutive: bool = True) -> "Pattern":
+        """Loop quantifier (Pattern.oneOrMore:300). consecutive=True is the
+        MATCH_RECOGNIZE ``A+`` reading (strict internal contiguity —
+        Pattern.consecutive:480); consecutive=False is the Pattern-API default
+        relaxed reading: non-matching rows between loop elements are skipped,
+        and the loop is bounded by ``until()`` / ``within()``."""
+        self.steps[-1].quantifier = "+" if consecutive else "*+"
+        return self
+
+    def until(self, predicate: Callable[[pd.DataFrame], pd.Series]) -> "Pattern":
+        """Stop condition for a loop step (Pattern.until:451): the loop stops
+        absorbing rows at the first row matching ``predicate`` (that row is
+        not part of the loop binding)."""
+        self.steps[-1].until_predicate = predicate
         return self
 
     def times(self, n: int, to: int | None = None) -> "Pattern":
@@ -135,6 +148,10 @@ def _scan_matches(
     n = len(pdf)
     masks = [
         (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
+        for s in pattern.steps
+    ]
+    umasks = [
+        (s.until_predicate(pdf).to_numpy() if s.until_predicate is not None else None)
         for s in pattern.steps
     ]
     ts = pdf[time_col].astype("int64").to_numpy() / 1e9 if time_col else None
@@ -205,13 +222,38 @@ def _scan_matches(
                         r = rec(si + 1, p + k, {**bindings, step.name: list(range(p, p + k))}, fp)
                         if r:
                             return r
+                elif step.quantifier == "*+":
+                    # relaxed-contiguity loop (Pattern-API oneOrMore default):
+                    # absorb every matching row, skipping non-matching ones,
+                    # until the stop condition / within bound; greedy with
+                    # tail back-off on suffix failure
+                    u_mask = umasks[si]
+                    stop = n
+                    if u_mask is not None:
+                        stop = next(
+                            (s_ for s_ in range(p + 1, n) if u_mask[s_]), n
+                        )
+                    elems = [
+                        q for q in range(p, stop) if mask[q] and _within_ok(fp, q)
+                    ]
+                    for k in range(len(elems), 0, -1):
+                        r = rec(
+                            si + 1,
+                            elems[k - 1] + 1,
+                            {**bindings, step.name: elems[:k]},
+                            fp,
+                        )
+                        if r:
+                            return r
                 elif step.quantifier.startswith("r:"):
                     lo_q, hi_q = (int(x) for x in step.quantifier[2:].split(":"))
+                    u_mask = umasks[si]
                     q = p
                     while (
                         q + 1 < n
                         and q + 1 - p < hi_q
                         and mask[q + 1]
+                        and not (u_mask is not None and u_mask[q + 1])
                         and _within_ok(fp, q + 1)
                     ):
                         q += 1
@@ -221,8 +263,14 @@ def _scan_matches(
                             return r
                         q -= 1
                 elif step.quantifier == "+":
+                    u_mask = umasks[si]
                     q = p
-                    while q + 1 < n and mask[q + 1] and _within_ok(fp, q + 1):
+                    while (
+                        q + 1 < n
+                        and mask[q + 1]
+                        and not (u_mask is not None and u_mask[q + 1])
+                        and _within_ok(fp, q + 1)
+                    ):
                         q += 1
                     while q >= p:  # greedy, backtrack on suffix failure
                         r = rec(si + 1, q + 1, {**bindings, step.name: list(range(p, q + 1))}, fp)

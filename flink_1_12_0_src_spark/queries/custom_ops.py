@@ -347,3 +347,58 @@ def cep_times_range_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="user_id bigint, match_seq int, n_errors bigint",
         time_col="ts",
     ).orderBy("user_id", "match_seq")
+
+
+@register(
+    "cep_until_errors_before_purchase",
+    oracle="""
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id, rn AS prn, event_id AS purchase_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS pseq
+      FROM o WHERE event_type = 'purchase'),
+seg AS (
+  SELECT e.user_id, e.rn, e.event_id,
+         (SELECT MIN(p.pseq) FROM p WHERE p.user_id = e.user_id AND p.prn > e.rn) AS pseq
+  FROM o e WHERE e.event_type = 'error'
+),
+g AS (SELECT user_id, pseq, COUNT(*) AS n_errors,
+             arg_min(event_id, rn) AS first_error_id
+      FROM seg WHERE pseq IS NOT NULL GROUP BY user_id, pseq)
+SELECT g.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY g.user_id ORDER BY g.pseq) - 1 AS INTEGER) AS match_seq,
+       CAST(g.n_errors AS BIGINT) AS n_errors, g.first_error_id, p.purchase_id
+FROM g JOIN p ON p.user_id = g.user_id AND p.pseq = g.pseq
+ORDER BY g.user_id, match_seq
+""",
+    tags=("custom_op", "cep", "batch", "until"),
+    doc="CEP relaxed-contiguity loop with stop condition (Pattern.oneOrMore "
+    "relaxed default + Pattern.until:451): all errors before each purchase — "
+    "ERROR+ (relaxed, until PURCHASE) followedBy PURCHASE, SKIP PAST LAST ROW, "
+    "so matches tile the per-user stream into purchase-terminated segments. "
+    "Oracle: islands SQL grouping errors by their next purchase.",
+)
+def cep_until_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    pat = (
+        Pattern.begin("e")
+        .where(lambda pdf: pdf.event_type == "error")
+        .one_or_more(consecutive=False)
+        .until(lambda pdf: pdf.event_type == "purchase")
+        .followed_by("p")
+        .where(lambda pdf: pdf.event_type == "purchase")
+    )
+    return match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={
+            "n_errors": ("e", "count", "event_id"),
+            "first_error_id": ("e", "first", "event_id"),
+            "purchase_id": ("p", "last", "event_id"),
+        },
+        output_schema="user_id bigint, match_seq int, n_errors bigint, first_error_id bigint, purchase_id bigint",
+        time_col="ts",
+    ).orderBy("user_id", "match_seq")
