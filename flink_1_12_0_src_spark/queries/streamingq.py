@@ -604,3 +604,64 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         buffer_cols={"ts": "ts", "event_id": "long", "event_type": "string"},
     )
     return run_to_batch(out, "append").orderBy("user_id", "match_seq")
+
+
+@register(
+    "stream_dedup_ttl",
+    oracle="""
+SELECT user_id, event_type, ts FROM (
+  SELECT user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 1 DAY
+ORDER BY user_id, event_type, ts
+""",
+    tags=("streaming", "dedup", "stateful", "ttl", "custom_op"),
+    doc="Keep-first dedup with idle-state TTL (StateTtlConfig / idle-state "
+    "retention, GroupAggFunction.java:124-134): per (user, event_type), a row "
+    "re-emits once the key has been silent >= 1 day; dedup state is ONE "
+    "timestamp per key, physically removed by an event-time cleanup timer. "
+    "Oracle: lag() gap test (every row refreshes the TTL = OnReadAndWrite).",
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_dedup_ttl
+
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    out = streaming_dedup_ttl(s, ["user_id", "event_type"], "ts", 86400)
+    return run_to_batch(out, "append").orderBy("user_id", "event_type", "ts")
+
+
+@register(
+    "stream_count_slide",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS DOUBLE) AS wsum
+  FROM events
+)
+SELECT user_id, rn // 3 AS win_id, CAST(8 AS BIGINT) AS cnt, wsum AS win_sum
+FROM o
+WHERE rn % 3 = 0 AND rn + 8 <= n
+ORDER BY user_id, win_id
+""",
+    tags=("streaming", "window_agg", "stateful", "custom_op"),
+    doc="Sliding count window (CountSlidingWindowAssigner): per user, windows "
+    "of 8 events every 3 events in event order; only complete windows emit. "
+    "applyInPandasWithState keeps the trailing size+slide cents — O(size) "
+    "state per key. Oracle: forward-frame window SUM at each slide boundary.",
+)
+def stream_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_count_slide
+
+    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = streaming_count_slide(s, "user_id", ["ts", "event_id"], "value", size=8, slide=3)
+    return run_to_batch(out, "append").orderBy("user_id", "win_id")

@@ -341,3 +341,115 @@ def streaming_count_tumble(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_dedup_ttl(
+    stream: DataFrame, keys: list[str], time_col: str, ttl_seconds: int
+) -> DataFrame:
+    """Keep-first dedup with idle-state TTL — Flink StateTtlConfig /
+    table.exec.state.ttl as used by deduplication and group-agg state
+    (GroupAggFunction.java:124-134, StateTtlConfig OnReadAndWrite): a key's
+    dedup state expires after ``ttl_seconds`` without traffic, so the next
+    occurrence is treated as brand new and emitted again.
+
+    Semantics are event-time deterministic: a row emits iff it is the first
+    ever for its key or arrives >= ttl after the previous row of that key
+    (every row refreshes the TTL, matching OnReadAndWrite update type).
+    State per key is ONE timestamp, and it is physically removed by an
+    event-time timer once the watermark passes last_seen + ttl — the same
+    cleanup-timer mechanism as the reference's incremental state TTL.
+    """
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType([in_fields[k] for k in keys] + [in_fields[time_col]])
+    state_schema = StructType([StructField("last_ns", LongType())])
+    ttl_ns = ttl_seconds * 1_000_000_000
+
+    def fn(key_tuple, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()  # physical TTL cleanup (no traffic since last+ttl)
+            return
+        (last_ns,) = state.get if state.exists else (-1,)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(time_col, ignore_index=True)
+        ts = pdf[time_col].astype("int64").to_numpy()
+        prev = np.concatenate([[last_ns], ts[:-1]])
+        emit = (prev < 0) | (ts - prev >= ttl_ns)
+        out = pd.DataFrame({k: [key_tuple[i]] * int(emit.sum()) for i, k in enumerate(keys)})
+        out[time_col] = pdf.loc[emit, time_col].to_numpy()
+        state.update((int(ts[-1]),))
+        # cleanup timer at last_seen + ttl (clamped above the watermark —
+        # Spark rejects timers that would fire in the past)
+        state.setTimeoutTimestamp(
+            max(
+                int(ts[-1]) // 1_000_000 + ttl_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        yield out
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def streaming_count_slide(
+    stream: DataFrame, key: str, order_cols: list[str], value_col: str, size: int, slide: int
+) -> DataFrame:
+    """Sliding count window (CountSlidingWindowAssigner — flink-table-runtime
+    .../operators/window/assigners/): per key, window k covers event-ordered
+    rows [k*slide, k*slide + size); only complete windows emit.
+
+    State per key: total row count + the trailing ``size + slide`` (ts-ordered)
+    cent values still reachable by an open window — O(size), not history.
+    """
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("win_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("win_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("total", LongType()), StructField("tail", ArrayType(LongType()))]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        total, tail = state.get if state.exists else (0, [])
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        v = np.concatenate([np.asarray(tail, dtype="int64"), _cents(pdf[value_col])])
+        base = total - len(tail)  # absolute row index of v[0]
+        new_total = total + len(pdf)
+        # windows are complete when their last row index < new_total
+        first_k = (total - size) // slide + 1 if total >= size else 0
+        ks = []
+        k = max(first_k, 0)
+        while k * slide + size <= new_total:
+            ks.append(k)
+            k += 1
+        if ks:
+            cum = np.concatenate([[0], np.cumsum(v)])
+            lo = np.array([k * slide - base for k in ks])
+            hi = lo + size
+            sums = cum[hi] - cum[lo]
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(ks),
+                    "win_id": np.asarray(ks, dtype="int64"),
+                    "cnt": np.full(len(ks), size, dtype="int64"),
+                    "win_sum": sums / 100.0,
+                }
+            )
+        # keep rows from the earliest still-open window onward
+        next_k = ks[-1] + 1 if ks else max(first_k, 0)
+        keep_from = max(next_k * slide - base, 0)
+        state.update((int(new_total), [int(x) for x in v[keep_from:]]))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
