@@ -198,3 +198,70 @@ def pagerank(
         )
     ud.unpersist()
     return ranks.select("v", F.col("rank").alias("pagerank"))
+
+
+def summarize(
+    edges: DataFrame,
+    src_groups: DataFrame,
+    dst_groups: DataFrame,
+) -> DataFrame:
+    """Graph summarization (Gelly …/graph/library/Summarization.java): merge
+    vertices that share a group value into super-vertices and aggregate the
+    edges between groups into super-edges carrying edge/endpoint counts.
+
+    src_groups / dst_groups: (v, grp) DataFrames mapping vertex id → group.
+    Scale: the group tables are dimension-sized — broadcast both sides, so
+    the only shuffle is the final (src_group, dst_group) aggregation, whose
+    cardinality is |groups|², tiny regardless of edge count.
+    """
+    sg = F.broadcast(src_groups.select(F.col("v").alias("_sv"), F.col("grp").alias("src_group")))
+    dg = F.broadcast(dst_groups.select(F.col("v").alias("_dv"), F.col("grp").alias("dst_group")))
+    return (
+        edges.join(sg, edges.src == F.col("_sv"))
+        .join(dg, edges.dst == F.col("_dv"))
+        .groupBy("src_group", "dst_group")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("src").alias("n_src"),
+            F.countDistinct("dst").alias("n_dst"),
+        )
+    )
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Gelly …/graph/library/linkanalysis/HITS.java)
+    over the directed edge set, run for a fixed number of alternating steps in
+    EXACT integer arithmetic (hub init 1, no normalization): authority(v) =
+    Σ hub(u) over in-edges, then hub(u) = Σ authority(v) over out-edges.
+    Skipping the float normalization keeps every engine bit-identical, which
+    is what makes a cross-engine oracle possible; ranking order is unchanged
+    (normalization is a positive scalar per step).
+
+    Returns (v, role 'hub'|'auth', score) for the final iteration's scores.
+    Scale: each step is one shuffle-agg over edges joined to a score table
+    keyed by vertex — the aggregateMessages pattern; no driver-side data.
+    """
+    auth = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count("*").cast("long").alias("score")
+    )
+    hub = None
+    for _ in range(iterations - 1):
+        hub = (
+            edges.join(auth, edges.dst == auth.v)
+            .groupBy(F.col("src").alias("v2"))
+            .agg(F.sum("score").alias("score"))
+            .select(F.col("v2").alias("v"), "score")
+        )
+        auth = (
+            edges.join(hub, edges.src == hub.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.sum("score").alias("score"))
+            .select(F.col("v2").alias("v"), "score")
+        )
+    if hub is None:  # iterations == 1: hubs are all-ones
+        hub = edges.select(F.col("src").alias("v")).distinct().withColumn(
+            "score", F.lit(1).cast("long")
+        )
+    return hub.withColumn("role", F.lit("hub")).unionByName(
+        auth.withColumn("role", F.lit("auth"))
+    ).select("v", "role", "score")

@@ -195,3 +195,61 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import label_propagation
 
     return label_propagation(_edges(spark, sf_dir), iterations=3)
+
+
+@register(
+    "graph_summarization",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+pg AS (SELECT p_partkey AS v, p_brand AS grp FROM part),
+sg AS (SELECT -(s_suppkey + 1) AS v, 'N' || CAST(s_nationkey AS VARCHAR) AS grp FROM supplier)
+SELECT pg.grp AS src_group, sg.grp AS dst_group, COUNT(*) AS n_edges,
+       COUNT(DISTINCT e.src) AS n_src, COUNT(DISTINCT e.dst) AS n_dst
+FROM e JOIN pg ON pg.v = e.src JOIN sg ON sg.v = e.dst
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("graph", "gelly"),
+    doc="Gelly Summarization (…/graph/library/Summarization.java): vertices "
+    "merge into super-vertices by group (parts by brand, suppliers by nation) "
+    "and edges aggregate into super-edges with edge/endpoint counts. "
+    "Broadcast group maps; the only shuffle is the |groups|² aggregation.",
+)
+def graph_summarization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import summarize
+
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("grp")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        (-(F.col("s_suppkey") + 1)).alias("v"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("grp"),
+    )
+    return summarize(_edges(spark, sf_dir), p, s).orderBy("src_group", "dst_group")
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+a1 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS score FROM e GROUP BY dst),
+h1 AS (SELECT e.src AS v, CAST(SUM(a1.score) AS BIGINT) AS score
+       FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS v, CAST(SUM(h1.score) AS BIGINT) AS score
+       FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst)
+SELECT v, 'hub' AS role, score FROM h1
+UNION ALL
+SELECT v, 'auth' AS role, score FROM a2
+ORDER BY role, v
+""",
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly HITS (…/graph/library/linkanalysis/HITS.java): two alternating "
+    "hub/authority steps over the part→supplier graph in exact integer "
+    "arithmetic (init hub=1, no normalization — order-preserving and "
+    "bit-reproducible cross-engine). aggregateMessages-style shuffle-agg per "
+    "step. Oracle: the unrolled joins.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import hits
+
+    return hits(_edges(spark, sf_dir), iterations=2).orderBy("role", "v")
