@@ -349,3 +349,55 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "flinksql_match_recognize",
+    oracle="""
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+e AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM o WHERE event_type = 'error'),
+isl AS (SELECT user_id, grp, COUNT(*) AS k, MIN(rn) AS start_rn FROM e GROUP BY user_id, grp),
+chunks AS (
+  SELECT user_id, start_rn, k,
+         unnest(generate_series(1, CAST(k // 4 + CASE WHEN k % 4 >= 2 THEN 1 ELSE 0 END AS BIGINT))) AS ci
+  FROM isl WHERE k >= 2
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_rn, ci) - 1 AS INTEGER) AS match_seq,
+       CAST(CASE WHEN ci <= k // 4 THEN 4 ELSE k % 4 END AS BIGINT) AS n_errors
+FROM chunks
+ORDER BY user_id, match_seq
+""",
+    tags=("dialect", "cep", "sql"),
+    doc="MATCH_RECOGNIZE SQL front-end (FlinkSqlOperatorTable MATCH_RECOGNIZE "
+    "operators → StreamExecMatch.scala:68): the clause text — PARTITION BY / "
+    "ORDER BY / MEASURES / PATTERN (E{2,4}) / DEFINE — is parsed by "
+    "plans/matchrec.py and compiled onto the CEP NFA. Same semantics and "
+    "oracle as cep_times_range_burst, reached through the SQL surface.",
+)
+def flinksql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.cep import match_recognize
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(E.event_id) AS n_errors
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (E{2,4})
+          DEFINE E AS E.event_type = 'error'
+        )
+        """
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    return match_recognize(
+        ev,
+        output_schema="user_id bigint, match_seq int, n_errors bigint",
+        time_col="ts",
+        **kwargs,
+    ).orderBy("user_id", "match_seq")

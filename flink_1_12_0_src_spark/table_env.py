@@ -17,6 +17,7 @@ The catalog role is GenericInMemoryCatalog.java:52; watermark DDL becomes
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,39 @@ class TableEnvironment:
             name = s.split()[-1]
             self._tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            return None
+        if head == "SHOW" and s.upper().endswith("TABLES"):
+            # SqlShowTables → one row per catalog entry (TableEnvironmentImpl)
+            names = sorted(
+                set(self._tables) | {t.name for t in self.spark.catalog.listTables()}
+            )
+            return self.spark.createDataFrame([(n,) for n in names], "table_name string")
+        if head in ("DESCRIBE", "DESC"):
+            # SqlRichDescribeTable → name/type/nullable rows
+            name = s.split()[-1]
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in self.spark.table(name).schema.fields
+                ],
+                "col_name string, data_type string, nullable boolean",
+            )
+        if head == "EXPLAIN":
+            # SqlExplain → the planned query's physical plan text
+            df = self.sql_query(s.split(None, 1)[1])
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return self.spark.createDataFrame([(plan,)], "plan string")
+        if head == "CREATE" and re.search(r"^CREATE\s+(TEMPORARY\s+)?VIEW", s, re.I):
+            m = re.match(
+                r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.*)", s, re.I | re.S
+            )
+            if not m:
+                raise ValueError(f"unparseable CREATE VIEW: {s[:120]}")
+            self.sql_query(m.group(2)).createOrReplaceTempView(m.group(1))
             return None
         return self.sql_query(s)
 

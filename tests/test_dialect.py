@@ -100,3 +100,55 @@ def test_writer_config_print_blackhole():
 def test_unknown_connector_raises():
     with pytest.raises(ValueError, match="unknown connector"):
         reader_config({"connector": "martian"})
+
+
+def test_match_recognize_parser():
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(V.event_id) AS view_id, SUM(C.value) AS total
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (V C+ P?)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS V.event_type = 'view',
+                 C AS C.event_type = 'click' AND C.value > 10,
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )
+    assert kwargs["partition_by"] == ["user_id"]
+    assert kwargs["order_by"] == ["ts", "event_id"]
+    assert kwargs["measures"] == {
+        "view_id": ("V", "first", "event_id"),
+        "total": ("C", "sum", "value"),
+    }
+    assert kwargs["after_match"] == "next_row"
+    pat = kwargs["pattern"]
+    assert [s.name for s in pat.steps] == ["V", "C", "P"]
+    assert [s.quantifier for s in pat.steps] == ["1", "+", "?"]
+    assert pat.within_seconds == 1800
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"event_type": ["click", "click", "view"], "value": [5, 20, 99]})
+    assert list(pat.steps[1].predicate(pdf)) == [False, True, False]
+
+
+def test_table_env_catalog_statements(spark, sf_dir):
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    te = TableEnvironment(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("te_nation")
+    te.execute_sql("CREATE VIEW te_big_nations AS SELECT * FROM te_nation WHERE n_regionkey = 1")
+    names = [r.table_name for r in te.execute_sql("SHOW TABLES").collect()]
+    assert "te_nation" in names and "te_big_nations" in names
+    desc = {r.col_name: r.data_type for r in te.execute_sql("DESCRIBE te_nation").collect()}
+    assert desc["n_nationkey"] in ("int", "bigint")
+    plan = te.execute_sql("EXPLAIN SELECT COUNT(*) FROM te_big_nations").collect()[0].plan
+    assert "HashAggregate" in plan
+    assert te.sql_query("SELECT COUNT(*) AS c FROM te_big_nations").collect()[0].c == 5
+    te.execute_sql("DROP VIEW te_big_nations")
