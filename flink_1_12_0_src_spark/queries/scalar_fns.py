@@ -380,3 +380,44 @@ def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "struct_field"
         ),
     ).orderBy("n_nationkey")
+
+
+_DECIMAL_EXPRS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(a + b AS DECIMAL(14,2))       AS dec_add,
+       CAST(a - b AS DECIMAL(14,2))       AS dec_sub,
+       CAST(a * d AS DECIMAL(26,4))       AS dec_mul,
+       CAST(a / 8 AS DECIMAL(18,5))       AS dec_div8,
+       CAST(round(a, 1)  AS DECIMAL(12,1)) AS dec_round1,
+       CAST(round(a, 0)  AS DECIMAL(12,0)) AS dec_round0,
+       CAST(round(a, -1) AS DECIMAL(12,0)) AS dec_round_neg1,
+       CAST(ceil(a)  AS BIGINT)           AS dec_ceil,
+       CAST(floor(a) AS BIGINT)           AS dec_floor,
+       CAST(abs(a - b) AS DECIMAL(14,2))  AS dec_abs,
+       CAST(sign(a - 1000) AS INT)        AS dec_sign,
+       CAST(CAST(floor(a) AS BIGINT) % 7 AS INT) AS dec_mod7
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS a,
+         CAST(l_quantity      AS DECIMAL(12,2)) AS b,
+         CAST(l_discount      AS DECIMAL(12,2)) AS d
+  FROM lineitem WHERE l_orderkey < 300
+) t
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "fn_decimal_suite",
+    oracle=_DECIMAL_EXPRS,
+    tags=("batch", "functions", "decimal"),
+    doc="DECIMAL(p,s) arithmetic parity (DecimalType — …/types/logical/"
+    "DecimalType.java; planner DecimalITCase): +,-,* with exact scale growth, "
+    "exact division (scale-bounded divisor), ROUND at positive/zero/negative "
+    "digits on decimals, CEIL/FLOOR/ABS/SIGN/MOD — every result CAST to an "
+    "explicit DECIMAL(p,s) so Spark and DuckDB must agree digit-for-digit "
+    "(SURVEY §1.2 type-mapping row).",
+)
+def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_dec")
+    return spark.sql(_DECIMAL_EXPRS.replace("FROM lineitem", "FROM lineitem_dec"))
