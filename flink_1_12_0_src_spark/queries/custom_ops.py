@@ -402,3 +402,44 @@ def cep_until_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         output_schema="user_id bigint, match_seq int, n_errors bigint, first_error_id bigint, purchase_id bigint",
         time_col="ts",
     ).orderBy("user_id", "match_seq")
+
+
+@register(
+    "udaf_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+             / SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("custom_op", "udaf", "agg"),
+    doc="User-defined aggregate (Flink AggregateFunction — …/functions/"
+    "AggregateFunction.java:194, the documented WeightedAvg example): a "
+    "pandas_udf GROUPED_AGG computing weighted average in exact integer "
+    "cents, Arrow-batched (PyFlink would cross the Beam boundary; native "
+    "here). Partial aggregation does not apply to pandas UDAFs, so at scale "
+    "pre-shuffle reduction comes from the groupBy hash partitioning alone — "
+    "acceptable because group count ≪ row count; the exactness contract is "
+    "what a built-in SUM/SUM pair cannot express when the accumulator is "
+    "user-defined. Oracle: DECIMAL ratio rounded to 4dp.",
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        import numpy as np
+
+        cents = np.rint(price.to_numpy("float64") * 100).astype("int64")
+        q = np.rint(qty.to_numpy("float64")).astype("int64")
+        return round(float((cents * q).sum()) / 100.0 / float(q.sum()), 4)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )

@@ -421,3 +421,46 @@ ORDER BY l_orderkey, l_linenumber
 def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_dec")
     return spark.sql(_DECIMAL_EXPRS.replace("FROM lineitem", "FROM lineitem_dec"))
+
+
+@register(
+    "fn_time_misc_suite",
+    oracle="""
+SELECT event_id,
+       CAST((epoch_us(ts) % 86400000000) // 1000 AS INTEGER) AS time_of_day_ms,
+       ts + INTERVAL 2 MONTH AS plus_2mo,
+       ts + INTERVAL 90 MINUTE AS plus_90min,
+       CAST(date_diff('minute', date_trunc('minute', TIMESTAMP '2024-01-10 00:00:00'),
+                      date_trunc('minute', ts)) AS BIGINT) AS min_since_jan10,
+       (ts < TIMESTAMP '2024-01-16 00:00:00'
+        AND TIMESTAMP '2024-01-15 00:00:00' < ts + INTERVAL 1 HOUR) AS overlaps_jan15
+FROM events WHERE event_id < 500 ORDER BY event_id
+""",
+    tags=("batch", "functions", "temporal"),
+    doc="TIME-attribute and interval-function shims (SURVEY §1.2 TIME(p) → "
+    "millis-of-day INT; FlinkSqlOperatorTable TIMESTAMPADD/TIMESTAMPDIFF/"
+    "OVERLAPS): time-of-day extraction, calendar-aware month add, minute "
+    "add/diff on minute-aligned stamps, and the OVERLAPS period predicate "
+    "(functions/scalar.py overlaps()).",
+)
+def fn_time_misc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.functions import overlaps
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    jan15 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    jan16 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        F.expr("CAST((unix_micros(ts) % 86400000000) DIV 1000 AS INT)").alias(
+            "time_of_day_ms"
+        ),
+        F.timestamp_add("MONTH", F.lit(2), ts).alias("plus_2mo"),
+        F.timestamp_add("MINUTE", F.lit(90), ts).alias("plus_90min"),
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP '2024-01-10 00:00:00', date_trunc('minute', ts))"
+        ).cast("long").alias("min_since_jan10"),
+        overlaps(ts, ts + F.expr("INTERVAL 1 HOUR"), jan15, jan16).alias(
+            "overlaps_jan15"
+        ),
+    ).orderBy("event_id")
