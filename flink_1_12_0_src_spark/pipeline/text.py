@@ -147,3 +147,36 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[hit_cols[lg].alias(f"hits_{lg}") for lg in langs],
         pred.alias("predicted_lang"),
     )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf · ln(N/df)), the classic
+    training-corpus keyword/feature extraction step.
+
+    Shape at 100 TB: ONE corpus scan — explode+agg for term frequencies
+    (shuffle keyed by (doc, term)); document frequency is then a window count
+    over the tf result partitioned by term (tf already has exactly one row
+    per doc-term), so no second scan and no self-join; finally a per-doc
+    top-k window (WindowGroupLimit-pushed). Scores are rounded to 6dp before
+    ranking (term ASC tiebreak) so the ordering is reproducible cross-engine.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()  # one scalar to the driver; a literal in the plan
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, F.col("rk").cast("int").alias("rk"), "term", "score")
+    )

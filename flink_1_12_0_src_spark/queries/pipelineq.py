@@ -442,3 +442,98 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_blob(docs, "doc_id", "text"), "doc_id", 100, 2).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "dedup_cluster_docs",
+    oracle=f"""
+WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(generate_series(0, len(w)-{NJ_SHINGLE_K}),
+                               g -> array_to_string(w[g+1:g+{NJ_SHINGLE_K}], ' '))) AS sh
+  FROM toks WHERE len(w) >= {NJ_SHINGLE_K}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) / ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+                     + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) > {NJ_THRESHOLD}
+),
+ud AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT src AS v FROM ud),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT reach.v, ud.dst FROM reach JOIN ud ON ud.src = reach.r
+),
+cc AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("pipeline", "dedup", "graph"),
+    doc="Near-duplicate CLUSTERING — the full pipeline dedup step: n-gram "
+    "Jaccard pairs (> threshold, lang-blocked) become an undirected graph, "
+    "connected components assign one cluster id per duplicate group "
+    "(min doc_id = canonical survivor), singletons keep their own id. "
+    "Composes pipeline.ngram_jaccard_pairs with operators.graph."
+    "connected_components; at 100 TB the pair graph is tiny relative to the "
+    "corpus, so the CC loop converges on a DataFrame orders of magnitude "
+    "smaller than the input. Oracle: pair SQL + recursive-CTE closure.",
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.v, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    tags=("pipeline", "text"),
+    doc="TF-IDF top-3 terms per document (pipeline.text.tfidf_topk): "
+    "explode→tf agg→df agg→score→per-doc top-k window; scores rounded to 6dp "
+    "before ranking with term tiebreak for cross-engine determinism.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import tfidf_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", 3).orderBy("doc_id", "rk")

@@ -89,3 +89,29 @@ def test_partition_pruned_read(spark, sf_dir):
     plan = _plan(spark, sf_dir, "partition_pruned_read")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0] and "click" in pf[0]
+
+
+def test_graph_summarization_broadcasts_group_maps(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_summarization")
+    # both vertex-group dimension maps must broadcast — the only shuffle
+    # left is the |groups|^2 aggregation
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tfidf_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    # tf agg is two-phase and df reuses tf via a window — exactly ONE
+    # corpus scan in the whole plan (each scan prints twice in formatted
+    # mode: tree line + node detail)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("HashAggregate") >= 2
+    # per-doc top-k gets the rank-predicate pushdown
+    assert "WindowGroupLimit" in plan
+
+
+def test_dedup_cluster_pair_join_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_cluster_docs")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # the documents scans feeding the shingle join never read the blob-ish
+    # columns they don't use
+    assert reads and all("embedding" not in l for l in reads)
