@@ -51,7 +51,10 @@ FROM events GROUP BY 1, 2
     "production append-mode use; partial aggregation is map-side automatic.",
 )
 def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # complete-mode final state is micro-batch-invariant, so ingest all replay
+    # files in one trigger: same operator/state path, minus 3 batch overheads
+    # (the multi-batch path is exercised by the other stream_* queries)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 hour")
     agg = s.groupBy(F.window("ts", "1 day"), "event_type").agg(
         F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
     )
@@ -665,3 +668,41 @@ def stream_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     out = streaming_count_slide(s, "user_id", ["ts", "event_id"], "value", size=8, slide=3)
     return run_to_batch(out, "append").orderBy("user_id", "win_id")
+
+
+@register(
+    "stream_windowed_cogroup",
+    oracle="""
+SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS window_start,
+       COUNT(*) FILTER (event_type = 'click') AS n_clicks,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'click'), 0) AS DOUBLE) AS click_total,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase_total
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "cogroup", "window_agg"),
+    doc="Windowed stream coGroup (JoinedStreams/CoGroupedStreams — "
+    "flink-streaming-java …/datastream/CoGroupedStreams.java): the general "
+    "Spark encoding is union-the-tagged-sides → one windowed aggregate with "
+    "per-side conditional aggregates — one shuffle total, no stream-stream "
+    "join restriction (Spark disallows joining two aggregated streams), and "
+    "identical pairing semantics for the (key, window) groups. Complete-mode "
+    "snapshot ≡ batch FILTER-agg SQL.",
+)
+def stream_windowed_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    clicks = s.filter(F.col("event_type") == "click")
+    purchases = s.filter(F.col("event_type") == "purchase")
+    tagged = clicks.unionByName(purchases)  # the two coGroup inputs, tagged by event_type
+    agg = tagged.groupBy("user_id", F.window("ts", "1 day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.coalesce(dsum(F.when(F.col("event_type") == "click", dec("value"))), F.lit(0.0)).alias("click_total"),
+        F.coalesce(dsum(F.when(F.col("event_type") == "purchase", dec("value"))), F.lit(0.0)).alias("purchase_total"),
+    )
+    out = agg.select(
+        "user_id", F.col("window.start").alias("window_start"),
+        "n_clicks", "n_purchases", "click_total", "purchase_total",
+    )
+    return run_to_batch(out, "complete")
