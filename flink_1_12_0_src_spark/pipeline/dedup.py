@@ -69,9 +69,24 @@ def minhash_signatures(
     set-semantics result is identical without the extra shuffle. All hashes are
     computed map-side (before the only shuffle), so partial aggregation reduces
     each partition to one row per doc and the exchange carries just
-    ``num_hashes`` 16-char mins per document."""
+    ``num_hashes`` 8-char mins per document.
+
+    Hash budget: md5 dominates the stage, so each md5 call is split into four
+    independent 32-bit components (8 hex chars each) — ``ceil(n/4)`` digests
+    per shingle instead of ``n``. 32-bit mins are ample for corpus-scale
+    shingle cardinalities; lexicographic min over fixed-width hex == numeric
+    min over the implied uint32."""
     sh = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
-    hashed = sh.select(id_col, *[_h(s, F.col("sh")).alias(f"h{s}") for s in range(num_hashes)])
+    digests = [
+        F.md5(F.concat(F.lit(f"{g}|"), F.col("sh"))) for g in range((num_hashes + 3) // 4)
+    ]
+    hashed = sh.select(
+        id_col,
+        *[
+            F.substring(digests[s // 4], 1 + (s % 4) * 8, 8).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
     )

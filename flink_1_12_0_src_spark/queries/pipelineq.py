@@ -37,7 +37,11 @@ ANN_K, ANN_QUERY_MAX = 5, 20
 def _minhash_oracle() -> str:
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
-    hcols = ", ".join(f"MIN(substr(md5('{s}|' || sh), 1, 16)) AS h{s}" for s in range(nh))
+    # mirrors minhash_signatures' digest splitting: 4 × 32-bit components per md5
+    hcols = ", ".join(
+        f"MIN(substr(md5('{s // 4}|' || sh), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(nh)
+    )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
             b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
@@ -537,3 +541,36 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return tfidf_topk(docs, "doc_id", "text", 3).orderBy("doc_id", "rk")
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4)
+SELECT e.vec_id, CAST(c.cid AS BIGINT) AS cluster,
+       round(list_cosine_similarity(e.v, c.cv), 6) AS cosine
+FROM e CROSS JOIN c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) = 1
+ORDER BY e.vec_id
+""",
+    tags=("pipeline", "similarity", "clustering"),
+    doc="K-means assignment step (the per-round kernel of pipeline.similarity."
+    "ivf_fit's deterministic Lloyd iteration, here oracle-checked end-to-end): "
+    "4 fixed centroids (lowest-id vectors) broadcast against the corpus, "
+    "argmax of rounded cosine with centroid-id tiebreak — a map-side argmin, "
+    "no corpus shuffle. Oracle: cross join + QUALIFY top-1.",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    offset = 1 << 40  # keep centroid ids disjoint from vector ids
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    assign = cosine_topk(cents, emb, k=1)
+    return assign.select(
+        F.col("query_id").alias("vec_id"),
+        (F.col("neighbor_id") - offset).alias("cluster"),
+        "cosine",
+    ).orderBy("vec_id")
