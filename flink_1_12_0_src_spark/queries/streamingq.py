@@ -706,3 +706,65 @@ def stream_windowed_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clicks", "n_purchases", "click_total", "purchase_total",
     )
     return run_to_batch(out, "complete")
+
+
+@register(
+    "stream_late_side_output",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+ORDER BY event_id
+""",
+    tags=("streaming", "lateness", "side_output", "custom_op"),
+    doc="Late-data side output (WindowedStream.sideOutputLateData — "
+    "…/datastream/WindowedStream.java:128; OutputTag): the out-of-order "
+    "replay delivers week2 after week3, so the running watermark (0s delay) "
+    "classifies every week2 row late; the side channel captures exactly "
+    "those rows, executor-side (streaming/run.py run_split_late). Oracle: "
+    "the week2 slice.",
+)
+def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_split_late
+    from flink_1_12_0_src_spark.streaming.source import events_stream_late
+
+    s = events_stream_late(spark, sf_dir)
+    late, _ontime = run_split_late(s, "ts")
+    return late.select(
+        "user_id", "event_id", "ts", "event_type", F.col("value").cast("double").alias("value")
+    ).orderBy("event_id")
+
+
+@register(
+    "stream_late_dropped_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, COUNT(*) AS cnt
+FROM events
+WHERE NOT (ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15')
+GROUP BY 1
+HAVING time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
+ORDER BY window_start
+""",
+    tags=("streaming", "lateness", "window_agg", "watermark", "custom_op"),
+    doc="The main branch under late data — Flink WindowOperator allowed-"
+    "lateness=0 DROP path: week2 arrives after the watermark closed its "
+    "windows, so those rows are dropped and the append output holds exactly "
+    "the closed windows of weeks 1/3/4. The drop is OUR operator "
+    "(run_split_late): measured on Spark 4.1, the built-in windowed agg "
+    "would instead resurrect and re-emit the late windows "
+    "(numRowsDroppedByWatermark=0) — a documented semantic difference. "
+    "Oracle applies the same exclusion and closure predicates.",
+)
+def stream_late_dropped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_split_late
+    from flink_1_12_0_src_spark.streaming.source import events_stream_late
+
+    s = events_stream_late(spark, sf_dir)
+    _late, ontime = run_split_late(s, "ts")
+    final_wm = ontime.agg(F.max("ts")).collect()[0][0]
+    agg = ontime.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
+    return (
+        agg.select(F.col("window.start").alias("window_start"), "cnt")
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 DAY") <= F.lit(final_wm))
+        .orderBy("window_start")
+    )

@@ -41,3 +41,59 @@ def run_to_batch(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def run_split_late(
+    stream_df: DataFrame, time_col: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Late-data side channel (the SURVEY §2.8 mapping for Flink's
+    ``sideOutputLateData`` / OutputTag): per micro-batch, rows whose event
+    time is behind the running watermark (previous batches' max event time,
+    i.e. a 0-second delay) divert to a side sink; everything else is the
+    on-time branch (discarded here — the main branch is a separate query).
+
+    Returns (late_df, ontime_df). The on-time branch is also how we realize
+    Flink's allowed-lateness=0 DROP semantics: measured on Spark 4.1, the
+    built-in windowed aggregate does NOT drop rows behind the watermark in
+    this replay (numRowsDroppedByWatermark stays 0 and an already-emitted
+    window would be resurrected and re-emitted in append mode) — a real
+    semantic difference from Flink's WindowOperator, so the drop lives in
+    our layer.
+
+    Scale shape: the split is a ``filter`` executed on the executors and the
+    branches stream straight to file sinks — the driver only ever sees the
+    per-batch max-timestamp scalar it needs to advance the watermark.
+    """
+    spark: SparkSession = stream_df.sparkSession
+    from pyspark.sql import functions as F
+
+    side_dir = tempfile.mkdtemp(prefix="late_side_")
+    ontime_dir = tempfile.mkdtemp(prefix="late_ontime_")
+    state: dict = {"wm": None}
+
+    def fb(bdf: DataFrame, _epoch: int) -> None:
+        wm = state["wm"]
+        late = bdf.filter(F.col(time_col) < F.lit(wm)) if wm is not None else bdf.limit(0)
+        ontime = bdf.filter(F.col(time_col) >= F.lit(wm)) if wm is not None else bdf
+        late.write.mode("append").parquet(side_dir)
+        ontime.write.mode("append").parquet(ontime_dir)
+        mx = bdf.agg(F.max(time_col)).collect()[0][0]
+        if mx is not None and (wm is None or mx > wm):
+            state["wm"] = mx
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    schema = stream_df.schema
+    return (
+        spark.read.schema(schema).parquet(side_dir),
+        spark.read.schema(schema).parquet(ontime_dir),
+    )

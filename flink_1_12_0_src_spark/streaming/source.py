@@ -51,3 +51,46 @@ def events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with REAL late data: calendar-week slices delivered out of
+    order — week1, week3, week2, week4 (of the 2024-01 events range). After
+    the week3 batch the watermark (0s delay = running max event time) sits at
+    max(week3), so every week2 row arrives late — the fixture for the
+    allowed-lateness / side-output mapping (WindowedStream.sideOutputLateData,
+    …/datastream/WindowedStream.java:128).
+
+    Fixed date boundaries (not quantiles) keep the late set SQL-expressible:
+    late rows == rows with ts in [Jan 8, Jan 15).
+    """
+    path = os.path.join(_CACHE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_events_late")
+    marker = os.path.join(path, "_SUCCESS")
+    weeks = [
+        ("1", "2024-01-01", "2024-01-08"),
+        ("3", "2024-01-15", "2024-01-22"),
+        ("2", "2024-01-08", "2024-01-15"),
+        ("4", "2024-01-22", "2024-02-01"),
+    ]
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        os.makedirs(path, exist_ok=True)
+        for w, lo, hi in weeks:
+            (
+                ev.filter((ev.ts >= lo) & (ev.ts < hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"week{w}"))
+            )
+        open(marker, "w").close()
+        files = [os.path.join(path, f"week{w}") for w, _, _ in weeks]
+        base = os.path.getmtime(marker)
+        for i, d in enumerate(files):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(os.path.join(path, "week1")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/week*")
+    )
