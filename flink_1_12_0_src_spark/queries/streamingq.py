@@ -768,3 +768,60 @@ def stream_late_dropped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("window_start") + F.expr("INTERVAL 1 DAY") <= F.lit(final_wm))
         .orderBy("window_start")
     )
+
+
+@register(
+    "stream_unbounded_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+       c.event_id AS c_id, c.ts AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c USING (user_id)
+ORDER BY user_id, p_id, c_id
+""",
+    tags=("streaming", "join", "stateful", "custom_op"),
+    doc="UNBOUNDED stream-stream inner join with NO time bound — the SURVEY "
+    "§2.3 GAP (StreamExecJoin/StreamingJoinOperator keeps both sides in "
+    "state forever; Spark's built-in requires a watermark range and rejects "
+    "this query). Ours: incremental view maintenance per micro-batch "
+    "(ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — streaming/run.py run_incremental_join), "
+    "append-only and batch-boundary invariant. Oracle: the batch join.",
+)
+def stream_unbounded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_join
+
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    out = run_incremental_join(
+        s,
+        side_col="event_type",
+        left_tag="purchase",
+        join_keys=["user_id"],
+        left_cols={"event_id": "p_id", "ts": "p_ts"},
+        right_cols={"event_id": "c_id", "ts": "c_ts"},
+    )
+    return out.select("user_id", "p_id", "p_ts", "c_id", "c_ts").orderBy(
+        "user_id", "p_id", "c_id"
+    )
+
+
+@register(
+    "stream_tumble_early_fire",
+    oracle=None,  # emission trace spans micro-batch boundaries — rows-only check
+    tags=("streaming", "window_agg", "early_fire"),
+    doc="Early-fire approximation (Flink WindowEmitStrategy early-fire / "
+    "table.exec.emit.early-fire — WindowEmitStrategy.scala:32): update-mode "
+    "windowed aggregation re-emits a window's refined result every "
+    "micro-batch it changes in; the memory sink accumulates the full "
+    "emission trace (≥1 row per window, refined counts). The trigger "
+    "interval plays the early-fire delay role — documented approximation, "
+    "SURVEY §2.4/§2.8.",
+)
+def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
+    out = agg.select(F.col("window.start").alias("window_start"), "cnt")
+    return run_to_batch(out, "update").orderBy("window_start", "cnt")

@@ -97,3 +97,78 @@ def run_split_late(
         spark.read.schema(schema).parquet(side_dir),
         spark.read.schema(schema).parquet(ontime_dir),
     )
+
+
+def run_incremental_join(
+    stream_df: DataFrame,
+    side_col: str,
+    left_tag: str,
+    join_keys: list[str],
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Unbounded NON-time-bounded stream-stream INNER join — the SURVEY §2.3
+    GAP row (StreamExecJoin / StreamingJoinOperator.java:38 keeps both inputs
+    in keyed state forever; Spark's built-in stream-stream join demands a
+    watermark time bound and refuses this query).
+
+    Classic incremental view maintenance over micro-batches: with accumulated
+    sides L, R and batch deltas ΔL, ΔR,
+
+        ΔJ = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    emits every joined pair exactly once for append-only inputs (Flink's
+    append-only +I case). Both sides arrive as ONE tagged union stream (the
+    connect-streams encoding used by streaming_temporal_join). State = the
+    accumulated sides as parquet — executor-side storage and joins; the
+    driver never touches row data. Output is append-only, batch-boundary
+    invariant, hence oracle-checkable against the batch join.
+    """
+    spark: SparkSession = stream_df.sparkSession
+    from pyspark.sql import functions as F
+
+    import glob as globmod
+    import os
+
+    l_dir = tempfile.mkdtemp(prefix="ij_left_")
+    r_dir = tempfile.mkdtemp(prefix="ij_right_")
+    out_dir = tempfile.mkdtemp(prefix="ij_out_")
+
+    def side(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+        return df.select(*join_keys, *[F.col(c).alias(a) for c, a in cols.items()])
+
+    def prev(files: list[str], schema) -> DataFrame | None:
+        return spark.read.schema(schema).parquet(*files) if files else None
+
+    def fb(bdf: DataFrame, _epoch: int) -> None:
+        dl = side(bdf.filter(F.col(side_col) == left_tag), left_cols)
+        dr = side(bdf.filter(F.col(side_col) != left_tag), right_cols)
+        # snapshot the accumulated sides BEFORE appending this batch's deltas
+        l_files = globmod.glob(os.path.join(l_dir, "*.parquet"))
+        r_files = globmod.glob(os.path.join(r_dir, "*.parquet"))
+        dl.write.mode("append").parquet(l_dir)
+        dr.write.mode("append").parquet(r_dir)
+        l_prev, r_prev = prev(l_files, dl.schema), prev(r_files, dr.schema)
+        parts = [dl.join(dr, join_keys)]
+        if r_prev is not None:
+            parts.append(dl.join(r_prev, join_keys))
+        if l_prev is not None:
+            parts.append(l_prev.join(dr, join_keys))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
