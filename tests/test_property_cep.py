@@ -1,0 +1,97 @@
+"""Property-based CEP NFA verification (hypothesis): for strict-contiguity
+patterns without time bounds, MATCH_RECOGNIZE over a symbol sequence is
+exactly regular-expression matching over the concatenated symbol string —
+greedy quantifiers with backtracking, and AFTER MATCH SKIP PAST LAST ROW is
+``re.finditer``'s non-overlapping leftmost scan. Two independent engines
+(our NFA vs CPython's sre) must agree on every match span.
+
+This is the reference's agg-function-table test style (SURVEY §5.5) applied
+to the hardest operator family (§2.9).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from flink_1_12_0_src_spark.operators.cep import Pattern, _scan_matches
+
+# pattern library: (name, Pattern builder, equivalent regex)
+def _pat_abc():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .next("y").where(lambda p: p.t == "b")
+        .next("z").where(lambda p: p.t == "c")
+    ), "abc"
+
+
+def _pat_ab_plus():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .next("y").where(lambda p: p.t == "b").one_or_more()
+    ), "ab+"
+
+
+def _pat_a_plus_c():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a").one_or_more()
+        .next("z").where(lambda p: p.t == "c")
+    ), "a+c"
+
+
+def _pat_ab_opt_c():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .next("y").where(lambda p: p.t == "b").optional()
+        .next("z").where(lambda p: p.t == "c")
+    ), "ab?c"
+
+
+def _pat_a_range_b():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a").times(2, 4)
+        .next("y").where(lambda p: p.t == "b")
+    ), "a{2,4}b"
+
+
+def _pat_a_exact():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a").times(3)
+    ), "a{3}"
+
+
+PATTERNS = [_pat_abc, _pat_ab_plus, _pat_a_plus_c, _pat_ab_opt_c, _pat_a_range_b, _pat_a_exact]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    seq=st.text(alphabet="abc", min_size=0, max_size=24),
+    pat_idx=st.integers(min_value=0, max_value=len(PATTERNS) - 1),
+)
+def test_nfa_matches_regex_spans(seq: str, pat_idx: int):
+    pattern, rx = PATTERNS[pat_idx]()
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches(pdf, pattern, order_by=["pos"], time_col=None)
+    nfa_spans = [(start, end + 1) for _b, start, end in matches]
+    re_spans = [m.span() for m in re.finditer(rx, seq)]
+    assert nfa_spans == re_spans, f"seq={seq!r} rx={rx}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(seq=st.text(alphabet="ab", min_size=0, max_size=20))
+def test_nfa_skip_to_next_row_is_overlapping_regex(seq: str):
+    # SKIP TO NEXT ROW = all matches starting at distinct positions =
+    # lookahead-captured overlapping regex matches
+    pattern, rx = _pat_ab_plus()
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches(
+        pdf, pattern, order_by=["pos"], time_col=None, after_match="next_row"
+    )
+    nfa_spans = [(start, end + 1) for _b, start, end in matches]
+    re_spans = [
+        (m.start(), m.start() + len(m.group(1)))
+        for m in re.finditer(f"(?=({rx}))", seq)
+    ]
+    assert nfa_spans == re_spans, f"seq={seq!r}"
