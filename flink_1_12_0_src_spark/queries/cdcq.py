@@ -203,3 +203,54 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         version_col="version",
     )
     return snap.drop("version").orderBy("o_orderkey")
+
+
+@register(
+    "cdc_retract_stream_output",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                   WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                   WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+                   ELSE 3 END AS INTEGER) AS epoch
+  FROM events
+),
+cum AS (
+  SELECT user_id, epoch, COUNT(*) AS delta FROM wk GROUP BY 1, 2
+),
+c1 AS (
+  SELECT user_id, epoch,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS cnt
+  FROM cum
+),
+c2 AS (
+  SELECT user_id, epoch, cnt,
+         LAG(cnt) OVER (PARTITION BY user_id ORDER BY epoch) AS prev
+  FROM c1
+)
+SELECT user_id, epoch, '+I' AS kind, cnt FROM c2 WHERE prev IS NULL
+UNION ALL
+SELECT user_id, epoch, '-U' AS kind, prev AS cnt FROM c2 WHERE prev IS NOT NULL
+UNION ALL
+SELECT user_id, epoch, '+U' AS kind, cnt FROM c2 WHERE prev IS NOT NULL
+ORDER BY user_id, epoch, kind
+""",
+    tags=("streaming", "cdc", "changelog", "custom_op"),
+    doc="Retraction-stream OUTPUT (Table.toRetractStream; RowKind.java:35-58 "
+    "+I/-U/+U as emitted by StreamExecGroupAggregate/GroupAggFunction.java"
+    ":141-209): an unbounded per-user COUNT over the calendar-week replay, "
+    "every refinement materialized as retract-old/emit-new changelog rows by "
+    "snapshot-diffing inside foreachBatch (streaming/upsert.py "
+    "run_changelog_count). Oracle: weekly cumulative counts exploded into "
+    "the same +I/-U/+U rows.",
+)
+def cdc_retract_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.source import events_stream_weeks
+    from flink_1_12_0_src_spark.streaming.upsert import run_changelog_count
+
+    s = events_stream_weeks(spark, sf_dir)
+    out = run_changelog_count(s, "user_id")
+    return out.select("user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "cnt").orderBy(
+        "user_id", "epoch", "kind"
+    )

@@ -94,3 +94,45 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path + "/week*")
     )
+
+
+def events_stream_weeks(
+    spark: SparkSession, sf_dir: str, order: tuple[str, ...] = ("1", "2", "3", "4")
+) -> DataFrame:
+    """Replay staged by CALENDAR WEEK of the 2024-01 events range, one week
+    per micro-batch, delivered in ``order``. Fixed date boundaries make the
+    per-batch contents SQL-expressible — the fixture for changelog-emission
+    oracles (batch k ≡ week order[k]).
+    """
+    bounds = {
+        "1": ("2024-01-01", "2024-01-08"),
+        "2": ("2024-01-08", "2024-01-15"),
+        "3": ("2024-01-15", "2024-01-22"),
+        "4": ("2024-01-22", "2024-02-01"),
+    }
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, f"{tag}_events_weeks_{'_'.join(order)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        os.makedirs(path, exist_ok=True)
+        for w in order:
+            lo, hi = bounds[w]
+            (
+                ev.filter((ev.ts >= lo) & (ev.ts < hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"week{w}"))
+            )
+        open(marker, "w").close()
+        base = os.path.getmtime(marker)
+        for i, w in enumerate(order):
+            d = os.path.join(path, f"week{w}")
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(os.path.join(path, f"week{order[0]}")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/week*")
+    )

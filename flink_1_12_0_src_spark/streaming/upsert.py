@@ -88,3 +88,78 @@ def run_changelog_upsert(
     )
     q.awaitTermination(timeout_sec)
     return sink.snapshot(stream_df.sparkSession)
+
+
+def run_changelog_count(
+    stream_df, key: str, timeout_sec: int = 300
+):
+    """Retraction-stream OUTPUT — Flink Table.toRetractStream / the changelog
+    a StreamExecGroupAggregate emits (RowKind.java:35-58, GroupAggFunction
+    .java:141-209): an unbounded per-key COUNT whose every refinement is
+    materialized as +I (first value) or -U/+U (retract old, emit new) rows.
+
+    Spark exposes no retraction rows, so the changelog is derived per
+    micro-batch by diffing consecutive aggregate snapshots inside
+    ``foreachBatch``: keys touched in the batch emit their old and new
+    counts. All joins/diffs run executor-side; versioned snapshot dirs keep
+    the state bounded to one (key, count) row per key, exactly the
+    accumulator state of the reference operator.
+
+    Returns (key, epoch, kind, cnt) — epoch is the micro-batch index.
+    """
+    import glob as globmod
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    root = tempfile.mkdtemp(prefix="chlog_")
+    out_dir = os.path.join(root, "out")
+    state = {"prev": None, "epoch": 0}
+
+    def fb(bdf, _eid) -> None:
+        epoch = state["epoch"]
+        delta = bdf.groupBy(key).agg(F.count("*").alias("d"))
+        if state["prev"] is not None:
+            prev = spark.read.parquet(state["prev"])
+        else:
+            prev = delta.limit(0).select(F.col(key), F.col("d").alias("cnt")).limit(0)
+        merged = (
+            prev.join(delta, key, "full_outer")
+            .select(
+                key,
+                F.coalesce("cnt", F.lit(0)).alias("old_cnt"),
+                (F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("cnt"),
+                F.col("d").isNotNull().alias("touched"),
+            )
+        )
+        touched = merged.filter("touched")
+        ins = touched.filter("old_cnt = 0").select(
+            key, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"), F.col("cnt")
+        )
+        ub = touched.filter("old_cnt > 0").select(
+            key, F.lit(epoch).alias("epoch"), F.lit("-U").alias("kind"),
+            F.col("old_cnt").alias("cnt"),
+        )
+        ua = touched.filter("old_cnt > 0").select(
+            key, F.lit(epoch).alias("epoch"), F.lit("+U").alias("kind"), F.col("cnt")
+        )
+        ins.unionByName(ub).unionByName(ua).write.mode("append").parquet(out_dir)
+        new_prev = os.path.join(root, f"snap_{epoch}")
+        merged.select(key, "cnt").write.mode("overwrite").parquet(new_prev)
+        state["prev"] = new_prev
+        state["epoch"] = epoch + 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
