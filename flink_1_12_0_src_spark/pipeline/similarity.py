@@ -141,3 +141,65 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k on the Arrow/numpy fast path: the (small)
+    query set ships to every task inside the ``mapInPandas`` closure and each
+    corpus batch computes ALL query similarities as ONE float64 matmul, then
+    emits only its per-batch top-k per query (global top-k ⊆ union of
+    per-batch top-k), so the shuffle carries ≤ batches·|Q|·k rows no matter
+    the corpus size. Ranking uses the same rounded-cosine + id tiebreak as
+    ``cosine_topk`` — the two paths are result-identical and share oracles.
+
+    Use this when |Q| is driver-collectable (top-k serving, dedup probes);
+    ``cosine_topk`` stays the pure-expression path for huge query sides.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()  # |Q| is small by contract
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy("int64")
+            m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = np.round(m @ qm.T, round_digits)  # (n, |Q|)
+            for j in range(len(q_ids)):
+                c = cos[:, j].copy()
+                c[ids == q_ids[j]] = -np.inf  # exclude self
+                order = np.lexsort((ids, -c))[: min(k, len(ids))]
+                order = order[np.isfinite(c[order])]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), q_ids[j], dtype="int64"),
+                        "neighbor_id": ids[order],
+                        "cosine": c[order],
+                    }
+                )
+
+    from flink_1_12_0_src_spark.pipeline.dedup import _spread
+
+    part = _spread(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -55,3 +55,19 @@ def test_minhash_estimates_match_exact_jaccard_direction(spark, sf_dir):
 def test_multimodal_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_cosine_topk_np_equals_expression_path(spark, sf_dir):
+    """The numpy/mapInPandas brute-force path (large-corpus variant) must be
+    result-identical to the pure-expression path — same rounding, same
+    tiebreak, per-batch partial top-k provably lossless."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.similarity import cosine_topk, cosine_topk_np
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
+    b = sorted(tuple(r) for r in cosine_topk_np(emb, q, k=5).collect())
+    assert a == b
