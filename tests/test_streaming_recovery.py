@@ -1,0 +1,87 @@
+"""Exactly-once recovery and state-backend coverage (SURVEY §2.8):
+
+- checkpoint/restart: a stateful streaming aggregation is stopped mid-replay
+  and restarted from the SAME checkpointLocation; the WAL + state store must
+  resume without loss or double-counting, so the final complete-mode snapshot
+  equals the batch answer (CheckpointCoordinator.java:93 / 2PC sink parity —
+  Spark's commit-log equivalent).
+- RocksDB state backend: the same query runs with
+  RocksDBStateStoreProvider (the reference's RocksDBKeyedStateBackend
+  .java:108 analog) — config, not code, as SURVEY §2.8 maps it.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_src_spark.streaming.source import events_stream
+
+
+def _agg(stream):
+    return stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.sum(F.col("value").cast("double")).alias("total")
+    )
+
+
+def _expected(spark, sf_dir):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return {
+        r.event_type: r.cnt
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_recovery_")
+    name = "recovery_out"
+
+    # phase 1: start, let at least one micro-batch commit, then stop mid-way
+    s1 = _agg(events_stream(spark, sf_dir))
+    q1 = (
+        s1.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not q1.recentProgress:
+        time.sleep(0.5)
+    assert q1.recentProgress, "no micro-batch committed before stop"
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # phase 2: restart from the SAME checkpoint; availableNow drains the rest
+    s2 = _agg(events_stream(spark, sf_dir))
+    q2 = (
+        s2.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+
+    got = {r.event_type: r.cnt for r in spark.table(name).collect()}
+    assert got == _expected(spark, sf_dir)  # no loss, no double-count
+
+
+def test_rocksdb_state_backend(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = _agg(events_stream(spark, sf_dir))
+        q = (
+            s.writeStream.format("memory").queryName("rocksdb_out")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rocks_"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r.event_type: r.cnt for r in spark.table("rocksdb_out").collect()}
+        assert got == _expected(spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
