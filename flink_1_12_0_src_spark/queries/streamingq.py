@@ -825,3 +825,45 @@ def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
     out = agg.select(F.col("window.start").alias("window_start"), "cnt")
     return run_to_batch(out, "update").orderBy("window_start", "cnt")
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS val,
+                  CASE WHEN event_type = 'error' THEN 1800000000 ELSE 3600000000 END AS gap_us,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+m AS (SELECT *, MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS brk FROM m),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess FROM b)
+SELECT user_id, MIN(ts) AS session_start, make_timestamp(MAX(us + gap_us)) AS session_end,
+       COUNT(*) AS cnt, CAST(SUM(val) AS DOUBLE) AS total
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "window_agg", "session", "dynamic_gap"),
+    doc="STREAMING session windows with DYNAMIC per-row gap "
+    "(DynamicEventTimeSessionWindows / SessionWindowTimeGapExtractor): error "
+    "events extend their session only 30 min, others 60 — Spark's "
+    "session_window takes the gap as an expression and merges mergeable "
+    "session state across micro-batches; complete-mode snapshot ≡ the batch "
+    "islands oracle.",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", "30 minutes").otherwise("60 minutes")
+    agg = s.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+        "total",
+    )
+    return run_to_batch(out, "complete").orderBy("user_id", "session_start")
