@@ -867,3 +867,63 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
     return run_to_batch(out, "complete").orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_interval_join_full",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT purchase_id, p_user, p_ts, view_id, v_user, v_ts
+  FROM p FULL JOIN v
+    ON p_user = v_user
+   AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts
+)
+SELECT purchase_id, COALESCE(p_user, v_user) AS user_id, p_ts, view_id, v_ts
+FROM j
+WHERE COALESCE(p_ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events), TRUE)
+  AND COALESCE(v_ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events), TRUE)
+""",
+    tags=("streaming", "join", "interval_join", "outer_join"),
+    doc="FULL OUTER stream-stream interval join (StreamExecIntervalJoin, both-"
+    "side null padding on state cleanup — TimeIntervalJoin.java): unmatched "
+    "purchases AND unmatched views emit once the watermark proves no partner "
+    "can arrive. Both engines post-filter each side to ts < max − 2h — "
+    "strictly inside the flushed region, closed-form emission set.",
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table as _table
+
+    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    p = ev().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    v = ev().filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user", "v_user").alias("user_id"),
+        "p_ts",
+        "view_id",
+        "v_ts",
+    )
+    out = run_to_batch(joined, "append")
+    cutoff = (
+        _table(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    import datetime
+
+    c = F.lit(cutoff - datetime.timedelta(hours=2))
+    return out.filter(
+        F.coalesce(F.col("p_ts") < c, F.lit(True)) & F.coalesce(F.col("v_ts") < c, F.lit(True))
+    )
