@@ -464,3 +464,43 @@ def fn_time_misc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlaps_jan15"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_url_map_suite",
+    oracle="""
+SELECT p_partkey,
+       'example.com' AS host,
+       '/catalog/' || CAST(p_partkey AS VARCHAR) AS path,
+       replace(p_brand, '#', '') AS q_brand,
+       CAST(p_size AS VARCHAR) AS q_size,
+       replace(p_brand, '#', '') AS brand_key
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+""",
+    tags=("batch", "functions", "string"),
+    doc="PARSE_URL and STR_TO_MAP (FlinkSqlOperatorTable string family; "
+    "runtime SqlFunctionUtils.java): a synthetic URL per part row is parsed "
+    "back into HOST/PATH/QUERY components and the query string is exploded "
+    "via str_to_map — the oracle reconstructs every component in closed form "
+    "from the source columns.",
+)
+def fn_url_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    brand_key = F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))
+    url = F.concat(
+        F.lit("https://example.com/catalog/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?brand="),
+        brand_key,
+        F.lit("&size="),
+        F.col("p_size").cast("string"),
+    )
+    qmap = F.str_to_map(F.parse_url(url, F.lit("QUERY")), F.lit("&"), F.lit("="))
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        qmap.getItem("brand").alias("q_brand"),
+        qmap.getItem("size").alias("q_size"),
+        brand_key.alias("brand_key"),
+    ).orderBy("p_partkey")
