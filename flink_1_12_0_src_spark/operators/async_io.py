@@ -59,7 +59,9 @@ def async_enrich(
 
         for pdf in batches:
             keys = pdf[key_col].drop_duplicates().tolist()
-            vals = asyncio.new_event_loop().run_until_complete(fetch_all(keys))
+            # asyncio.run creates AND closes the loop — long-lived Python
+            # workers must not leak a loop (+ selector fd) per Arrow batch
+            vals = asyncio.run(fetch_all(keys))
             pdf = pdf.copy()
             pdf[out_col] = pdf[key_col].map(dict(zip(keys, vals)))
             yield pdf

@@ -203,7 +203,10 @@ def _scan_matches(
                         r = rec(si + 1, p + 1, {**bindings, step.name: [p]}, first_pos if first_pos is not None else p)
                         if r:
                             return r
-                return rec(si + 1, pos, bindings, first_pos)  # skip optional step
+                # skip optional step: a pending notFollowedBy bound transfers
+                # to the NEXT positive step (the constraint holds until the
+                # next actually-matched event), so neg_limit must survive
+                return rec(si + 1, pos, bindings, first_pos, neg_limit=neg_limit)
             for p in candidates:
                 if p >= n or not mask[p]:
                     if step.contiguity == "strict":

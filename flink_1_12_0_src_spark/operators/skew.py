@@ -28,12 +28,22 @@ def salted_join(
     """Equi-join with the big side's hot keys spread over ``n_salts`` shuffle
     partitions: big rows get salt = pmod(hash(salt_src), n), the small side is
     replicated once per salt value via explode, and the join key becomes
-    (key, salt). Row-for-row identical to ``big.join(small, key, how)`` —
-    the salt adds no semantics, only placement.
+    (key, salt). Row-for-row identical to ``big.join(small, key, how)`` for
+    ``how`` in (inner, left): the salt adds no semantics, only placement.
+
+    ``how`` is restricted to inner/left — for right/full outer joins an
+    unmatched small-side row would surface once per salt replica (n_salts
+    null-padded rows instead of one), so those shapes are rejected rather
+    than silently wrong.
 
     Cost model: small side × n_salts replication vs. one task owning the
     whole hot key. Use when the small side is modest but above the broadcast
     threshold (below it, broadcast already avoids the skew entirely)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how=inner/left only (got {how!r}): replicated "
+            "small-side rows would duplicate unmatched right/full outer output"
+        )
     bs = big.withColumn("_salt", F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts)))
     ss = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = bs.join(ss, [key, "_salt"], how)

@@ -87,12 +87,17 @@ def chunk_documents(
     """Split documents into overlapping token windows — the training-data
     chunking primitive (stride = chunk_tokens - overlap). One explode, linear
     output expansion (≈ 1/stride rows per token) — safe at any corpus scale;
-    no shuffle at all (chunking is embarrassingly parallel per document)."""
+    no shuffle at all (chunking is embarrassingly parallel per document).
+
+    Tokenization is a single-space split (mirrors DuckDB ``string_split(t,' ')``
+    token-for-token, including empty tokens on whitespace runs), and empty
+    documents emit NO chunks."""
     stride = chunk_tokens - overlap
-    w = tokens(text_col)
-    starts = F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride))
+    w = F.split(F.lower(F.col(text_col)), " ", -1)
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(stride))
     return (
-        df.select(F.col(id_col), w.alias("w"), F.explode(starts).alias("s"))
+        df.where(F.length(text_col) > 0)
+        .select(F.col(id_col), w.alias("w"), F.explode(starts).alias("s"))
         .select(
             id_col,
             (F.col("s") / stride).cast("bigint").alias("chunk_id"),

@@ -352,7 +352,8 @@ ND_THRESHOLD = 0.3  # calibrated to the synthetic embeddings (max in-block cosin
 @register(
     "doc_chunking",
     oracle=f"""
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+           WHERE len(text) > 0),
 s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
       FROM t)
 SELECT doc_id, CAST(s / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,

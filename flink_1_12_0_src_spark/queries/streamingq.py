@@ -266,7 +266,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
     "KeyedProcessFunction/ValueState pattern on Spark.",
 )
 def stream_over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
     out = streaming_over_running_sum(s, key="user_id", order_cols=["ts", "event_id"], value_col="value")
     return run_to_batch(out, "append")
 
@@ -286,7 +290,11 @@ WHERE rnk <= 3
     "change; the final snapshot (max seq per key) must equal the batch Top-N.",
 )
 def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select("event_type", "event_id", "value")
+    s = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
     emitted = run_to_batch(
         streaming_topn(s, key="event_type", id_col="event_id", value_col="value", n=3),
         "append",
@@ -403,7 +411,11 @@ HAVING COUNT(*) = 5
     "applyInPandasWithState with O(1) state per key.",
 )
 def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
     out = streaming_count_tumble(s, key="user_id", order_cols=["ts", "event_id"], value_col="value", size=5)
     return run_to_batch(out, "append")
 
@@ -464,7 +476,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
 def stream_over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_over_time_range
 
-    s = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+    )
     out = streaming_over_time_range(
         s, key="user_id", time_col="ts", value_col="value", range_seconds=3600
     )
@@ -548,6 +564,7 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", "D").otherwise("F").alias("side"),
             "value",
         )
+        .withWatermark("ts", "0 seconds")
     )
     out = streaming_temporal_join(s, key="user_id", time_col="ts", side_col="side", value_col="value")
     return run_to_batch(out, "append")
@@ -665,7 +682,11 @@ ORDER BY user_id, win_id
 def stream_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_count_slide
 
-    s = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
     out = streaming_count_slide(s, "user_id", ["ts", "event_id"], "value", size=8, slide=3)
     return run_to_batch(out, "append").orderBy("user_id", "win_id")
 
@@ -927,3 +948,220 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.coalesce(F.col("p_ts") < c, F.lit(True)) & F.coalesce(F.col("v_ts") < c, F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order (within-watermark) replays — the hold-until-watermark proof.
+#
+# The events table replays as calendar weeks delivered 1, 3, 2, 4 with a
+# 15-day watermark delay, so week 2 arrives OUT OF EVENT-TIME ORDER but
+# strictly inside the watermark slack (never "late"). A delivery-order-
+# dependent operator would interleave week 2 after week 3; the stateful
+# operators must instead produce rows identical to the batch answer over the
+# finalized region floor_ms(ts) <= floor_ms(max_ts) - 15 days (rows above the
+# final watermark stay buffered, exactly Flink's undecided state). Reference:
+# TemporalRowTimeJoinOperator.java / RowTimeRangeBoundedPrecedingFunction.java
+# buffer rows per rowtime and process on watermark for precisely this reason.
+# ---------------------------------------------------------------------------
+
+_OOO_CUT = "(SELECT date_trunc('millisecond', max(ts)) - INTERVAL 15 DAY FROM events)"
+_OOO_WHERE = f"date_trunc('millisecond', ts) <= {_OOO_CUT}"
+
+
+def _ooo_stream(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.source import events_stream_late
+
+    return (
+        events_stream_late(spark, sf_dir).select(*cols).withWatermark("ts", "15 days")
+    )
+
+
+@register(
+    "stream_ooo_over_running_sum",
+    oracle=f"""
+WITH f AS (SELECT * FROM events WHERE {_OOO_WHERE})
+SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_sum
+FROM f
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("streaming", "over", "stateful", "custom_op", "out_of_order"),
+    doc="Streaming OVER running sum under out-of-order delivery: week 2 "
+    "arrives after week 3 (within the 15-day watermark), yet rn/run_sum are "
+    "assigned in global event-time order — rows buffer in keyed state until "
+    "the watermark finalizes them (StreamExecOverAggregate rowtime sorting).",
+)
+def stream_ooo_over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = streaming_over_running_sum(
+        s, key="user_id", order_cols=["ts", "event_id"], value_col="value"
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_ooo_over_time_range",
+    oracle=f"""
+WITH f AS (SELECT * FROM events WHERE {_OOO_WHERE})
+SELECT user_id, ts, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_range,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_range
+FROM f
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    tags=("streaming", "over", "time_range", "stateful", "custom_op", "out_of_order"),
+    doc="Streaming OVER RANGE 1h PRECEDING under out-of-order delivery "
+    "(RowTimeRangeBoundedPrecedingFunction buffers per-rowtime rows until "
+    "the watermark): trailing frames are computed over event-time order, "
+    "peer-inclusive, independent of micro-batch arrival order.",
+)
+def stream_ooo_over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_over_time_range
+
+    s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "value"])
+    out = streaming_over_time_range(
+        s, key="user_id", time_col="ts", value_col="value", range_seconds=3600
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_ooo_topn",
+    oracle=f"""
+WITH f AS (SELECT * FROM events WHERE {_OOO_WHERE})
+SELECT event_type, CAST(rnk AS INTEGER) AS rank, event_id, CAST(value AS DOUBLE) AS value
+FROM (SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM f)
+WHERE rnk <= 3
+""",
+    tags=("streaming", "rank", "stateful", "custom_op", "out_of_order"),
+    doc="Streaming Top-N under out-of-order delivery: the final snapshot "
+    "(max seq per key) equals the batch Top-3 over the watermark-finalized "
+    "region — delivery order only affects intermediate snapshots, never the "
+    "converged state (AppendOnlyTopNFunction semantics).",
+)
+def stream_ooo_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _ooo_stream(spark, sf_dir, ["event_type", "ts", "event_id", "value"])
+    emitted = run_to_batch(
+        streaming_topn(s, key="event_type", id_col="event_id", value_col="value", n=3),
+        "append",
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        emitted.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+@register(
+    "stream_ooo_temporal_join",
+    oracle=f"""
+WITH fin AS (SELECT * FROM events WHERE {_OOO_WHERE}),
+f AS (SELECT user_id, ts AS fact_ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount
+      FROM fin WHERE event_type = 'purchase'),
+d AS (SELECT user_id, ts AS dim_ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS setting
+      FROM fin WHERE event_type = 'click')
+SELECT f.user_id, f.fact_ts, f.amount, d.dim_ts, d.setting
+FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND d.dim_ts <= f.fact_ts
+""",
+    tags=("streaming", "join", "temporal", "stateful", "custom_op", "out_of_order"),
+    doc="Streaming temporal rowtime join under out-of-order delivery — the "
+    "TemporalRowTimeJoinOperator acid test: week-2 facts arrive AFTER week-3 "
+    "dim versions; a fact must still join the version current at ITS event "
+    "time, never a newer one. Facts buffer until the watermark proves the "
+    "dim side complete up to fact_ts.",
+)
+def stream_ooo_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_temporal_join
+
+    s = (
+        events_stream_late_tagged(spark, sf_dir)
+        .withWatermark("ts", "15 days")
+    )
+    return run_to_batch(
+        streaming_temporal_join(
+            s, key="user_id", time_col="ts", side_col="side", value_col="value"
+        ),
+        "append",
+    )
+
+
+def events_stream_late_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.source import events_stream_late
+
+    return (
+        events_stream_late(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "click", "D").otherwise("F").alias("side"),
+            "value",
+        )
+    )
+
+
+@register(
+    "stream_ooo_count_tumble",
+    oracle=f"""
+WITH fin AS (SELECT * FROM events WHERE {_OOO_WHERE}),
+o AS (
+  SELECT user_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn
+  FROM fin
+)
+SELECT user_id, rn // 5 AS win_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS win_sum
+FROM o GROUP BY user_id, rn // 5
+HAVING COUNT(*) = 5
+""",
+    tags=("streaming", "window_agg", "stateful", "custom_op", "out_of_order"),
+    doc="Count tumbling window under out-of-order delivery: 'every 5 events "
+    "in event order' must mean EVENT order, not arrival order — rows enter "
+    "windows only once the watermark finalizes them "
+    "(CountTumblingWindowAssigner + rowtime sorting).",
+)
+def stream_ooo_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = streaming_count_tumble(
+        s, key="user_id", order_cols=["ts", "event_id"], value_col="value", size=5
+    )
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_ooo_count_slide",
+    oracle=f"""
+WITH fin AS (SELECT * FROM events WHERE {_OOO_WHERE}),
+o AS (
+  SELECT user_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS DOUBLE) AS wsum
+  FROM fin
+)
+SELECT user_id, rn // 3 AS win_id, CAST(8 AS BIGINT) AS cnt, wsum AS win_sum
+FROM o
+WHERE rn % 3 = 0 AND rn + 8 <= n
+ORDER BY user_id, win_id
+""",
+    tags=("streaming", "window_agg", "stateful", "custom_op", "out_of_order"),
+    doc="Sliding count window under out-of-order delivery "
+    "(CountSlidingWindowAssigner): window membership is decided by global "
+    "event order after watermark finalization, not by arrival order.",
+)
+def stream_ooo_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_count_slide
+
+    s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = streaming_count_slide(s, "user_id", ["ts", "event_id"], "value", size=8, slide=3)
+    return run_to_batch(out, "append").orderBy("user_id", "win_id")

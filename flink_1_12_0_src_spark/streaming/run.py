@@ -107,6 +107,8 @@ def run_incremental_join(
     left_cols: dict[str, str],
     right_cols: dict[str, str],
     timeout_sec: int = 300,
+    n_buckets: int = 16,
+    io_stats: dict | None = None,
 ) -> DataFrame:
     """Unbounded NON-time-bounded stream-stream INNER join — the SURVEY §2.3
     GAP row (StreamExecJoin / StreamingJoinOperator.java:38 keeps both inputs
@@ -120,10 +122,21 @@ def run_incremental_join(
 
     emits every joined pair exactly once for append-only inputs (Flink's
     append-only +I case). Both sides arrive as ONE tagged union stream (the
-    connect-streams encoding used by streaming_temporal_join). State = the
-    accumulated sides as parquet — executor-side storage and joins; the
-    driver never touches row data. Output is append-only, batch-boundary
-    invariant, hence oracle-checkable against the batch join.
+    connect-streams encoding used by streaming_temporal_join).
+
+    State layout (the 100 TB shape): each accumulated side is parquet
+    **hash-bucketed by join key** (``_b = pmod(hash(keys), n_buckets)`` via
+    ``partitionBy``), the file-level analog of StreamingJoinOperator's keyed
+    state. Per micro-batch, the history side is read ONLY for the buckets the
+    opposite delta actually touches — O(|Δ|/n_buckets-selectivity) I/O per
+    trigger instead of O(history). A batch whose delta hits 3 of 16 buckets
+    scans 3/16ths of the accumulated state; the previous implementation
+    re-read ALL history every trigger (O(n²) over the stream's life).
+    Bucket ids come from the delta's own hash column — tiny distinct set,
+    never row data — so the driver still touches no rows.
+
+    ``io_stats``, when provided, accumulates {"files_read", "files_total"}
+    so tests can assert the pruning actually happened.
     """
     spark: SparkSession = stream_df.sparkSession
     from pyspark.sql import functions as F
@@ -134,31 +147,62 @@ def run_incremental_join(
     l_dir = tempfile.mkdtemp(prefix="ij_left_")
     r_dir = tempfile.mkdtemp(prefix="ij_right_")
     out_dir = tempfile.mkdtemp(prefix="ij_out_")
+    stats = io_stats if io_stats is not None else {}
+    stats.setdefault("files_read", 0)
+    stats.setdefault("files_total", 0)
 
     def side(df: DataFrame, cols: dict[str, str]) -> DataFrame:
-        return df.select(*join_keys, *[F.col(c).alias(a) for c, a in cols.items()])
+        return df.select(
+            *join_keys, *[F.col(c).alias(a) for c, a in cols.items()]
+        ).withColumn("_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)))
 
-    def prev(files: list[str], schema) -> DataFrame | None:
-        return spark.read.schema(schema).parquet(*files) if files else None
+    def bucket_files(root: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for f in globmod.glob(os.path.join(root, "_b=*", "*.parquet")):
+            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            out.setdefault(b, []).append(f)
+        return out
+
+    def prev_for(by_bucket: dict[int, list[str]], touched: list[int], schema) -> DataFrame | None:
+        files = [f for b in touched for f in by_bucket.get(b, [])]
+        stats["files_read"] += len(files)
+        if not files:
+            return None
+        # data files carry only (keys, cols); _b is path-encoded and not needed
+        return spark.read.schema(schema).parquet(*files)
 
     def fb(bdf: DataFrame, _epoch: int) -> None:
-        dl = side(bdf.filter(F.col(side_col) == left_tag), left_cols)
-        dr = side(bdf.filter(F.col(side_col) != left_tag), right_cols)
+        bdf = bdf.persist()
+        dl = side(bdf.filter(F.col(side_col) == left_tag), left_cols).persist()
+        dr = side(bdf.filter(F.col(side_col) != left_tag), right_cols).persist()
         # snapshot the accumulated sides BEFORE appending this batch's deltas
-        l_files = globmod.glob(os.path.join(l_dir, "*.parquet"))
-        r_files = globmod.glob(os.path.join(r_dir, "*.parquet"))
-        dl.write.mode("append").parquet(l_dir)
-        dr.write.mode("append").parquet(r_dir)
-        l_prev, r_prev = prev(l_files, dl.schema), prev(r_files, dr.schema)
-        parts = [dl.join(dr, join_keys)]
+        l_prev_files = bucket_files(l_dir)
+        r_prev_files = bucket_files(r_dir)
+        stats["files_total"] += sum(len(v) for v in l_prev_files.values()) + sum(
+            len(v) for v in r_prev_files.values()
+        )
+        dl.write.partitionBy("_b").mode("append").parquet(l_dir)
+        dr.write.partitionBy("_b").mode("append").parquet(r_dir)
+        # buckets each delta touches — a <=n_buckets-element id list, not rows
+        dl_buckets = [r["_b"] for r in dl.select("_b").distinct().collect()]
+        dr_buckets = [r["_b"] for r in dr.select("_b").distinct().collect()]
+        data_schema = dl.drop("_b").schema
+        dlp, drp = dl.drop("_b"), dr.drop("_b")
+        r_schema = dr.drop("_b").schema
+        l_prev = prev_for(l_prev_files, dr_buckets, data_schema)
+        r_prev = prev_for(r_prev_files, dl_buckets, r_schema)
+        parts = [dlp.join(drp, join_keys)]
         if r_prev is not None:
-            parts.append(dl.join(r_prev, join_keys))
+            parts.append(dlp.join(r_prev, join_keys))
         if l_prev is not None:
-            parts.append(l_prev.join(dr, join_keys))
+            parts.append(l_prev.join(drp, join_keys))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("append").parquet(out_dir)
+        dl.unpersist()
+        dr.unpersist()
+        bdf.unpersist()
 
     q = (
         stream_df.writeStream.foreachBatch(fb)

@@ -1,26 +1,42 @@
 """Custom stateful streaming operators — the Flink capabilities Structured
 Streaming lacks as primitives, built on ``applyInPandasWithState`` (the Spark
-analog of a Flink KeyedProcessFunction with keyed ValueState).
+analog of a Flink KeyedProcessFunction with keyed ValueState + event-time
+timers).
 
 Reference semantics reproduced here:
 
 - streaming OVER aggregate (unbounded preceding running agg):
-  StreamExecOverAggregate.scala:52, RowTimeRangeBoundedPrecedingFunction.java:61
+  StreamExecOverAggregate.scala:52, RowTimeRowsUnboundedPrecedingFunction
+- streaming OVER time-range: RowTimeRangeBoundedPrecedingFunction.java:61
+  (buffers rows per timestamp, processes them on watermark, aggregates all
+  ORDER-BY peers of a rowtime together)
 - streaming Top-N: StreamExecRank.scala:52, AppendOnlyTopNFunction.java
-- count tumbling window: CountTumblingWindowAssigner.java
-  (flink-table-runtime-blink .../operators/window/assigners/)
+- temporal rowtime join: TemporalRowTimeJoinOperator.java (facts buffer until
+  the watermark proves the dim side complete up to their timestamp)
+- count windows: CountTumblingWindowAssigner / CountSlidingWindowAssigner
 
-Scale notes (100 TB): state per key is O(1) scalars (running agg, count
-window) or O(n) for top-n — never the full history. Input arrives hash-
-partitioned by key (Spark shuffles before applyInPandasWithState), identical
-to Flink's keyBy; Arrow moves batches to Python columnar, not per-row.
-Determinism contract: micro-batches must arrive in event-time order per key
-(see ``source.events_stream``) and rows are sorted within each batch; money
-arithmetic is integer cents, so results are exactly reproducible and
-oracle-comparable.
+Watermark correctness (NOT a replay-order contract): every operator here
+buffers incoming rows in keyed state and processes a row only once the
+watermark proves it final (ts <= wm — nothing earlier can still arrive).
+Finalized rows are consumed in global event-time order regardless of the
+order micro-batches delivered them, exactly Flink's register-timer-per-
+rowtime pattern. An event-time timer re-arms at wm+1 whenever rows are
+still buffered, so the trailing no-data micro-batch (Spark runs one when
+the watermark advances) flushes the remainder — AvailableNow replays are
+deterministic and oracle-checkable.
+
+Scale notes (100 TB): state per key is the out-of-order slack (rows above
+the watermark — bounded by the watermark delay × rate) plus O(1) carry
+scalars (running agg, count window, dim version) or O(n) for top-n — never
+full history. Input arrives hash-partitioned by key (Spark shuffles before
+applyInPandasWithState), identical to Flink's keyBy; Arrow moves batches to
+Python columnar, not per-row. Money arithmetic is integer cents, so results
+are exactly reproducible and oracle-comparable.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -32,14 +48,111 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
+
+_ENC_TYPES = {
+    "ts": LongType(),  # datetime64[ns] stored as int64 nanos
+    "long": LongType(),
+    "double": DoubleType(),
+    "string": StringType(),
+}
 
 
 def _cents(series: pd.Series) -> np.ndarray:
     """Exact integer-cents view of a 2-decimal money column."""
     return np.rint(series.to_numpy(dtype="float64") * 100.0).astype("int64")
+
+
+def _py(v):
+    """numpy scalar → Python native (GroupState rejects numpy types)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+def _wm_buffered(
+    stream: DataFrame,
+    group_keys: list[str],
+    order_cols: list[str],
+    buffer_cols: dict[str, str],
+    carry_fields: list[StructField],
+    init_carry: tuple,
+    kernel: Callable,
+    out_schema: StructType,
+) -> DataFrame:
+    """Hold-until-watermark harness shared by the stateful operators.
+
+    Rows buffer in keyed state; each invocation merges buffer + input, sorts
+    by ``order_cols`` (order_cols[0] must be the event-time column), splits at
+    the current watermark, and hands the finalized prefix — in provably-final
+    global event-time order — to ``kernel(key_tuple, fin_pdf, carry) ->
+    (out_pdf | None, carry)``. Pending rows (ts > wm) stay buffered; a timer
+    at wm+1 guarantees a flush invocation when the watermark advances without
+    new data for the key. The input stream MUST declare ``withWatermark`` on
+    ``order_cols[0]``.
+
+    This is the same finalize-at-watermark discipline as streaming/cep.py
+    (and Flink's CepOperator/TemporalRowTimeJoinOperator state buffers):
+    results depend only on event content + watermark, never on micro-batch
+    boundaries or delivery order within the watermark slack.
+    """
+    cols = list(buffer_cols)
+    time_col = order_cols[0]
+    n_carry = len(carry_fields)
+    state_schema = StructType(
+        list(carry_fields)
+        + [StructField(f"_b_{c}", ArrayType(_ENC_TYPES[t])) for c, t in buffer_cols.items()]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        stored = state.get if state.exists else None
+        carry = tuple(stored[:n_carry]) if stored else init_carry
+        parts = []
+        if stored:
+            parts.append(
+                pd.DataFrame({c: list(v) for c, v in zip(cols, stored[n_carry:])})
+            )
+        for pdf in pdf_iter:
+            if len(pdf):
+                enc = {}
+                for c, t in buffer_cols.items():
+                    enc[c] = pdf[c].astype("int64") if t == "ts" else pdf[c]
+                parts.append(pd.DataFrame(enc))
+        buf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        )
+        if len(buf):
+            buf = buf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        # ms-floored comparison: Spark's watermark (like Flink's) is
+        # ms-precision, so a row is final iff floor_ms(ts) <= wm_ms — without
+        # the flooring, a sub-ms event-time tail above the watermark would
+        # never finalize (e.g. the global max row on the trailing flush batch)
+        fin_below_ns = (state.getCurrentWatermarkMs() + 1) * 1_000_000
+        ts_arr = buf[time_col].to_numpy(dtype="int64") if len(buf) else np.array([], "int64")
+        n_fin = int(np.searchsorted(ts_arr, fin_below_ns, side="left"))
+        if n_fin:
+            fin = buf.iloc[:n_fin].reset_index(drop=True).copy()
+            for c, t in buffer_cols.items():
+                if t == "ts":
+                    fin[c] = pd.to_datetime(fin[c])
+            out, carry = kernel(key_tuple, fin, carry)
+            if out is not None and len(out):
+                yield out
+        pending = buf.iloc[n_fin:]
+        state.update(
+            tuple(_py(v) for v in carry)
+            + tuple(pending[c].tolist() for c in cols)
+        )
+        if len(pending):
+            # flush when the watermark next advances, even with no new data
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+    return stream.groupBy(*group_keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
 
 
 def streaming_over_running_sum(
@@ -48,38 +161,39 @@ def streaming_over_running_sum(
     """Streaming OVER (PARTITION BY key ORDER BY order_cols
     ROWS UNBOUNDED PRECEDING): per-row running count + running sum.
 
-    State per key: (row_count, running_cents) — two scalars, independent of
-    history length. Each output row carries ``rn`` and ``run_sum``.
+    Carry per key: (row_count, running_cents) — two scalars, independent of
+    history length; plus the watermark buffer of not-yet-final rows.
     """
     in_fields = {f.name: f for f in stream.schema.fields}
+    time_col = order_cols[0]
     out_schema = StructType(
         [in_fields[key]]
         + [in_fields[c] for c in order_cols]
         + [StructField(value_col, DoubleType())]
         + [StructField("rn", LongType()), StructField("run_sum", DoubleType())]
     )
-    state_schema = StructType(
-        [StructField("cnt", LongType()), StructField("cents", LongType())]
-    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+    buffer_cols[value_col] = "double"
 
-    def fn(_key, pdf_iter, state):
-        cnt, cents = state.get if state.exists else (0, 0)
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.sort_values(order_cols, ignore_index=True)
-        v = _cents(pdf[value_col])
+    def kernel(key_tuple, fin, carry):
+        cnt, cents = carry
+        v = _cents(fin[value_col])
         cum = cents + np.cumsum(v)
-        rn = cnt + np.arange(1, len(pdf) + 1, dtype="int64")
-        out = pdf[[key] + order_cols].copy()
+        rn = cnt + np.arange(1, len(fin) + 1, dtype="int64")
+        out = pd.DataFrame({key: [key_tuple[0]] * len(fin)})
+        for c in order_cols:
+            out[c] = fin[c]
         out[value_col] = v / 100.0
         out["rn"] = rn
         out["run_sum"] = cum / 100.0
-        state.update((int(rn[-1]), int(cum[-1])))
-        yield out
+        return out, (int(rn[-1]), int(cum[-1]))
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [StructField("cnt", LongType()), StructField("cents", LongType())],
+        (0, 0), kernel, out_schema,
     )
 
 
@@ -90,11 +204,14 @@ def streaming_over_time_range(
     range_seconds PRECEDING AND CURRENT ROW): per-row count + sum over the
     trailing time window (Flink RowTimeRangeBoundedPrecedingFunction.java:61).
 
-    State per key: the (ts, cents) pairs inside the trailing window span —
-    bounded by data rate × range, NOT history length; rows older than
-    last_ts − range are evicted each batch, exactly the reference's state
-    cleanup timer. Lookups are vectorized searchsorted over the merged
-    buffer."""
+    Carry per key: the already-emitted (ts, cents) pairs still inside the
+    trailing window span of any future row — bounded by data rate × range,
+    NOT history length. RANGE frames are peer-inclusive: because a row is
+    only processed once the watermark passes its timestamp, every ORDER-BY
+    peer (equal ts) is in the same finalized batch, so cnt_range/sum_range
+    cover the whole peer group — matching the reference, which aggregates all
+    rows of one rowtime together.
+    """
     in_fields = {f.name: f for f in stream.schema.fields}
     out_schema = StructType(
         [
@@ -105,58 +222,56 @@ def streaming_over_time_range(
             StructField("sum_range", DoubleType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("ts", ArrayType(LongType())),
-            StructField("cents", ArrayType(LongType())),
-        ]
-    )
-    range_us = range_seconds * 1_000_000
+    range_ns = range_seconds * 1_000_000_000
 
-    def fn(key_tuple, pdf_iter, state):
-        buf_ts, buf_cents = state.get if state.exists else ([], [])
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.sort_values(time_col, ignore_index=True)
-        new_ts = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns → µs
-        new_cents = _cents(pdf[value_col])
-        all_ts = np.concatenate([np.asarray(buf_ts, dtype="int64"), new_ts])
-        all_cents = np.concatenate([np.asarray(buf_cents, dtype="int64"), new_cents])
+    def kernel(key_tuple, fin, carry):
+        trail_ts, trail_cents = carry
+        new_ts = fin[time_col].astype("int64").to_numpy()
+        new_cents = _cents(fin[value_col])
+        all_ts = np.concatenate([np.asarray(trail_ts, dtype="int64"), new_ts])
+        all_cents = np.concatenate([np.asarray(trail_cents, dtype="int64"), new_cents])
         cum = np.cumsum(all_cents)
-        k = len(buf_ts)
-        g = np.arange(k, k + len(new_ts))
-        lo = np.searchsorted(all_ts, new_ts - range_us, side="left")
-        sums = cum[g] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        lo = np.searchsorted(all_ts, new_ts - range_ns, side="left")
+        # frame end = last ORDER-BY peer (peer-inclusive RANGE frame)
+        hi = np.searchsorted(all_ts, new_ts, side="right") - 1
+        sums = cum[hi] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
         out = pd.DataFrame(
             {
-                key: [key_tuple[0]] * len(new_ts),
-                time_col: pdf[time_col],
+                key: [key_tuple[0]] * len(fin),
+                time_col: fin[time_col],
                 value_col: new_cents / 100.0,
-                "cnt_range": (g - lo + 1).astype("int64"),
+                "cnt_range": (hi - lo + 1).astype("int64"),
                 "sum_range": sums / 100.0,
             }
         )
-        keep = all_ts >= all_ts[-1] - range_us  # still reachable by future rows
-        state.update(([int(x) for x in all_ts[keep]], [int(x) for x in all_cents[keep]]))
-        yield out
+        keep = all_ts >= all_ts[-1] - range_ns  # still reachable by future rows
+        return out, (all_ts[keep].tolist(), all_cents[keep].tolist())
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _wm_buffered(
+        stream, [key], [time_col], {time_col: "ts", value_col: "double"},
+        [
+            StructField("trail_ts", ArrayType(LongType())),
+            StructField("trail_cents", ArrayType(LongType())),
+        ],
+        ([], []), kernel, out_schema,
     )
 
 
 def streaming_topn(
     stream: DataFrame, key: str, id_col: str, value_col: str, n: int
 ) -> DataFrame:
-    """Streaming Top-N per key by (value DESC, id ASC): each micro-batch
-    merges new rows into the retained top-n and re-emits the snapshot tagged
-    with a per-key update sequence (``seq``). Downstream keeps the rows with
-    the max seq per key — the changelog-to-latest-snapshot reading of Flink's
-    AppendOnlyTopNFunction's +I/-D stream.
+    """Streaming Top-N per key by (value DESC, id ASC): each watermark advance
+    merges newly-finalized rows into the retained top-n and re-emits the
+    snapshot tagged with a per-key update sequence (``seq``). Downstream keeps
+    the rows with the max seq per key — the changelog-to-latest-snapshot
+    reading of Flink's AppendOnlyTopNFunction's +I/-D stream.
 
-    State per key: the n retained (id, value) pairs + a counter — O(n).
+    Carry per key: the n retained (id, value) pairs + a counter — O(n).
+    Order-insensitive by construction (top-n is a set), but rows still pass
+    through the watermark buffer so the emitted snapshot sequence is
+    deterministic per watermark position, not per delivery order.
     """
+    time_col = "ts"
     out_schema = StructType(
         [
             StructField(key, stream.schema[key].dataType),
@@ -166,26 +281,17 @@ def streaming_topn(
             StructField("seq", LongType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("seq", LongType()),
-            StructField("ids", ArrayType(LongType())),
-            StructField("cents", ArrayType(LongType())),
-        ]
-    )
 
-    def fn(key_tuple, pdf_iter, state):
-        seq, ids, cents = state.get if state.exists else (0, [], [])
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        all_ids = np.concatenate([np.asarray(ids, dtype="int64"), pdf[id_col].to_numpy("int64")])
-        all_cents = np.concatenate([np.asarray(cents, dtype="int64"), _cents(pdf[value_col])])
+    def kernel(key_tuple, fin, carry):
+        seq, ids, cents = carry
+        all_ids = np.concatenate(
+            [np.asarray(ids, dtype="int64"), fin[id_col].to_numpy("int64")]
+        )
+        all_cents = np.concatenate([np.asarray(cents, dtype="int64"), _cents(fin[value_col])])
         order = np.lexsort((all_ids, -all_cents))[:n]
         top_ids, top_cents = all_ids[order], all_cents[order]
         seq += 1
-        state.update((int(seq), [int(x) for x in top_ids], [int(x) for x in top_cents]))
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
                 key: [key_tuple[0]] * len(top_ids),
                 "rank": np.arange(1, len(top_ids) + 1, dtype="int32"),
@@ -194,9 +300,17 @@ def streaming_topn(
                 "seq": np.full(len(top_ids), seq, dtype="int64"),
             }
         )
+        return out, (int(seq), top_ids.tolist(), top_cents.tolist())
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _wm_buffered(
+        stream, [key], [time_col, id_col],
+        {time_col: "ts", id_col: "long", value_col: "double"},
+        [
+            StructField("seq", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("cents", ArrayType(LongType())),
+        ],
+        (0, [], []), kernel, out_schema,
     )
 
 
@@ -210,16 +324,16 @@ def streaming_temporal_join(
 ) -> DataFrame:
     """Streaming temporal (rowtime as-of) join — Flink StreamExecTemporalJoin /
     TemporalRowTimeJoinOperator.java: each fact row joins the dim version that
-    was current at the fact's event time (version_ts ≤ fact_ts, latest wins).
+    was current at the fact's event time (version_ts <= fact_ts, latest wins).
 
     Spark has no two-input stateful operator, so both sides arrive as ONE
     tagged union stream keyed by the join key (the classic connect-streams
-    encoding). Per batch (event-time ordered, the harness contract): rows
-    sort by time, dim rows advance the version sequence, fact rows look up
-    via searchsorted. State per key is a single (version_ts, value) pair —
-    any older version is unreachable by future facts once the batch's max
-    timestamp has passed it, which is exactly the reference's watermark-driven
-    version cleanup.
+    encoding). Facts buffer in keyed state until the watermark passes their
+    timestamp — only then is the dim side provably complete up to fact_ts, so
+    a late-but-in-watermark dim version can never be missed (the reference
+    buffers facts in ``leftState`` and joins on watermark for exactly this
+    reason). Carry per key: the latest finalized (version_ts, value) — any
+    older version is unreachable by future facts.
     """
     in_fields = {f.name: f for f in stream.schema.fields}
     out_schema = StructType(
@@ -231,22 +345,18 @@ def streaming_temporal_join(
             StructField("setting", DoubleType()),
         ]
     )
-    state_schema = StructType(
-        [StructField("vts", LongType()), StructField("vcents", LongType())]
-    )
 
-    def fn(key_tuple, pdf_iter, state):
-        vts, vcents = state.get if state.exists else (-1, 0)
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.sort_values(time_col, ignore_index=True)
-        ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
-        cents = _cents(pdf[value_col])
-        is_dim = (pdf[side_col] == dim_tag).to_numpy()
-        d_ts = np.concatenate([[vts], ts_us[is_dim]]) if vts >= 0 else ts_us[is_dim]
-        d_cents = np.concatenate([[vcents], cents[is_dim]]) if vts >= 0 else cents[is_dim]
-        f_ts, f_cents = ts_us[~is_dim], cents[~is_dim]
+    def kernel(key_tuple, fin, carry):
+        vts, vcents = carry
+        ts_ns = fin[time_col].astype("int64").to_numpy()
+        cents = _cents(fin[value_col])
+        is_dim = (fin[side_col] == dim_tag).to_numpy()
+        d_ts = np.concatenate([[vts], ts_ns[is_dim]]) if vts >= 0 else ts_ns[is_dim]
+        d_cents = (
+            np.concatenate([[vcents], cents[is_dim]]) if vts >= 0 else cents[is_dim]
+        )
+        f_ts, f_cents = ts_ns[~is_dim], cents[~is_dim]
+        out = None
         if len(f_ts):
             if len(d_ts):
                 idx = np.searchsorted(d_ts, f_ts, side="right") - 1
@@ -257,26 +367,29 @@ def streaming_temporal_join(
                 hit = np.zeros(len(f_ts), dtype=bool)
                 m_ts = np.zeros(len(f_ts), dtype="int64")
                 m_cents = np.zeros(len(f_ts), dtype="int64")
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     key: [key_tuple[0]] * len(f_ts),
-                    "fact_ts": pd.to_datetime(f_ts, unit="us"),
+                    "fact_ts": pd.to_datetime(f_ts),
                     "amount": f_cents / 100.0,
                     "dim_ts": pd.Series(
-                        [pd.to_datetime(t, unit="us") if h else pd.NaT for t, h in zip(m_ts, hit)]
+                        [pd.to_datetime(t) if h else pd.NaT for t, h in zip(m_ts, hit)]
                     ),
                     "setting": pd.Series(
-                        [c / 100.0 if h else None for c, h in zip(m_cents, hit)], dtype="float64"
+                        [c / 100.0 if h else None for c, h in zip(m_cents, hit)],
+                        dtype="float64",
                     ),
                 }
             )
         if len(d_ts):
-            state.update((int(d_ts[-1]), int(d_cents[-1])))
-        elif vts >= 0:
-            state.update((int(vts), int(vcents)))
+            carry = (int(d_ts[-1]), int(d_cents[-1]))
+        return out, carry
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _wm_buffered(
+        stream, [key], [time_col],
+        {time_col: "ts", side_col: "string", value_col: "double"},
+        [StructField("vts", LongType()), StructField("vcents", LongType())],
+        (-1, 0), kernel, out_schema,
     )
 
 
@@ -288,8 +401,11 @@ def streaming_count_tumble(
     emitted (Flink CountTumblingWindowAssigner + purging trigger semantics —
     a trailing partial window stays in state, unemitted).
 
-    State per key: (next_window_id, partial_count, partial_cents) — O(1).
+    Carry per key: (next_window_id, partial_count, partial_cents) — O(1).
+    "Event order" is exact: rows enter windows only once the watermark
+    finalizes them, in global (ts, id) order, not delivery order.
     """
+    time_col = order_cols[0]
     out_schema = StructType(
         [
             StructField(key, stream.schema[key].dataType),
@@ -298,33 +414,27 @@ def streaming_count_tumble(
             StructField("win_sum", DoubleType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("win", LongType()),
-            StructField("pcnt", LongType()),
-            StructField("pcents", LongType()),
-        ]
-    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+    buffer_cols[value_col] = "double"
 
-    def fn(key_tuple, pdf_iter, state):
-        win, pcnt, pcents = state.get if state.exists else (0, 0, 0)
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.sort_values(order_cols, ignore_index=True)
-        v = _cents(pdf[value_col])
+    def kernel(key_tuple, fin, carry):
+        win, pcnt, pcents = carry
+        v = _cents(fin[value_col])
         total = pcnt + len(v)
-        k = total // size  # complete windows this batch
+        k = total // size  # complete windows this invocation
+        out = None
         if k > 0:
             consumed = k * size - pcnt  # new rows absorbed into complete windows
             # window starts within the new rows: the first window already holds
-            # pcnt rows from state, so it only takes (size - pcnt) new ones
-            bounds = np.concatenate(
-                [[0], np.arange(size - pcnt, consumed, size)]
-            ).astype("int64")
+            # pcnt rows from carry, so it only takes (size - pcnt) new ones
+            bounds = np.concatenate([[0], np.arange(size - pcnt, consumed, size)]).astype(
+                "int64"
+            )
             sums = np.add.reduceat(v[:consumed], bounds)
             sums[0] += pcents
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     key: [key_tuple[0]] * k,
                     "win_id": win + np.arange(k, dtype="int64"),
@@ -336,10 +446,79 @@ def streaming_count_tumble(
             pcnt, pcents = total % size, int(v[consumed:].sum())
         else:
             pcnt, pcents = total, pcents + int(v.sum())
-        state.update((int(win), int(pcnt), int(pcents)))
+        return out, (int(win), int(pcnt), int(pcents))
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [
+            StructField("win", LongType()),
+            StructField("pcnt", LongType()),
+            StructField("pcents", LongType()),
+        ],
+        (0, 0, 0), kernel, out_schema,
+    )
+
+
+def streaming_count_slide(
+    stream: DataFrame, key: str, order_cols: list[str], value_col: str, size: int, slide: int
+) -> DataFrame:
+    """Sliding count window (CountSlidingWindowAssigner — flink-table-runtime
+    .../operators/window/assigners/): per key, window k covers event-ordered
+    rows [k*slide, k*slide + size); only complete windows emit.
+
+    Carry per key: total row count + the trailing cent values still reachable
+    by an open window — O(size), not history. Event order is watermark-exact,
+    as in streaming_count_tumble.
+    """
+    time_col = order_cols[0]
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("win_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("win_sum", DoubleType()),
+        ]
+    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+    buffer_cols[value_col] = "double"
+
+    def kernel(key_tuple, fin, carry):
+        total, tail = carry
+        v = np.concatenate([np.asarray(tail, dtype="int64"), _cents(fin[value_col])])
+        base = total - len(tail)  # absolute row index of v[0]
+        new_total = total + len(fin)
+        # windows are complete when their last row index < new_total
+        first_k = (total - size) // slide + 1 if total >= size else 0
+        ks = []
+        k = max(first_k, 0)
+        while k * slide + size <= new_total:
+            ks.append(k)
+            k += 1
+        out = None
+        if ks:
+            cum = np.concatenate([[0], np.cumsum(v)])
+            lo = np.array([k * slide - base for k in ks])
+            hi = lo + size
+            sums = cum[hi] - cum[lo]
+            out = pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(ks),
+                    "win_id": np.asarray(ks, dtype="int64"),
+                    "cnt": np.full(len(ks), size, dtype="int64"),
+                    "win_sum": sums / 100.0,
+                }
+            )
+        # keep rows from the earliest still-open window onward
+        next_k = ks[-1] + 1 if ks else max(first_k, 0)
+        keep_from = max(next_k * slide - base, 0)
+        return out, (int(new_total), v[keep_from:].tolist())
+
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [StructField("total", LongType()), StructField("tail", ArrayType(LongType()))],
+        (0, []), kernel, out_schema,
     )
 
 
@@ -391,65 +570,4 @@ def streaming_dedup_ttl(
 
     return stream.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
-    )
-
-
-def streaming_count_slide(
-    stream: DataFrame, key: str, order_cols: list[str], value_col: str, size: int, slide: int
-) -> DataFrame:
-    """Sliding count window (CountSlidingWindowAssigner — flink-table-runtime
-    .../operators/window/assigners/): per key, window k covers event-ordered
-    rows [k*slide, k*slide + size); only complete windows emit.
-
-    State per key: total row count + the trailing ``size + slide`` (ts-ordered)
-    cent values still reachable by an open window — O(size), not history.
-    """
-    out_schema = StructType(
-        [
-            StructField(key, stream.schema[key].dataType),
-            StructField("win_id", LongType()),
-            StructField("cnt", LongType()),
-            StructField("win_sum", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [StructField("total", LongType()), StructField("tail", ArrayType(LongType()))]
-    )
-
-    def fn(key_tuple, pdf_iter, state):
-        total, tail = state.get if state.exists else (0, [])
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.sort_values(order_cols, ignore_index=True)
-        v = np.concatenate([np.asarray(tail, dtype="int64"), _cents(pdf[value_col])])
-        base = total - len(tail)  # absolute row index of v[0]
-        new_total = total + len(pdf)
-        # windows are complete when their last row index < new_total
-        first_k = (total - size) // slide + 1 if total >= size else 0
-        ks = []
-        k = max(first_k, 0)
-        while k * slide + size <= new_total:
-            ks.append(k)
-            k += 1
-        if ks:
-            cum = np.concatenate([[0], np.cumsum(v)])
-            lo = np.array([k * slide - base for k in ks])
-            hi = lo + size
-            sums = cum[hi] - cum[lo]
-            yield pd.DataFrame(
-                {
-                    key: [key_tuple[0]] * len(ks),
-                    "win_id": np.asarray(ks, dtype="int64"),
-                    "cnt": np.full(len(ks), size, dtype="int64"),
-                    "win_sum": sums / 100.0,
-                }
-            )
-        # keep rows from the earliest still-open window onward
-        next_k = ks[-1] + 1 if ks else max(first_k, 0)
-        keep_from = max(next_k * slide - base, 0)
-        state.update((int(new_total), [int(x) for x in v[keep_from:]]))
-
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -125,6 +125,43 @@ def test_cep_optional_and_skip_past_last(spark):
     assert got == [(1, 0, 0, 1, 2), (1, 1, 3, 0, 4)]  # with-optional then without
 
 
+def test_cep_not_followed_by_survives_optional_skip(spark):
+    # A ¬E B? C: when B is skipped, the "no E before the next match" bound
+    # must transfer to C (regression: neg_limit was dropped on the skip path)
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "x")
+        .not_followed_by("e").where(lambda p: p["typ"] == "e")
+        .followed_by("b").where(lambda p: p["typ"] == "y").optional()
+        .followed_by("c").where(lambda p: p["typ"] == "z")
+    )
+    # x e z → E precedes the (B-skipped) C match → no match
+    assert _matches(
+        spark, ["x", "e", "z"], pat,
+        {"a_i": ("a", "first", "i"), "c_i": ("c", "last", "i")},
+        "k int, match_seq int, a_i long, c_i long",
+    ) == []
+    # x y e z → B matched at 1 before E, C after: the bound was consumed by B
+    assert _matches(
+        spark, ["x", "y", "e", "z"], pat,
+        {"a_i": ("a", "first", "i"), "c_i": ("c", "last", "i")},
+        "k int, match_seq int, a_i long, c_i long",
+    ) == [(1, 0, 0, 3)]
+    # x z → no E at all, B skipped → match
+    assert _matches(
+        spark, ["x", "z"], pat,
+        {"a_i": ("a", "first", "i"), "c_i": ("c", "last", "i")},
+        "k int, match_seq int, a_i long, c_i long",
+    ) == [(1, 0, 0, 1)]
+
+
+def test_salted_join_rejects_outer(spark):
+    from flink_1_12_0_src_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", "k", how="full")
+
+
 def test_cep_followed_by_relaxed(spark):
     pat = (
         Pattern.begin("a").where(lambda p: p["typ"] == "x")

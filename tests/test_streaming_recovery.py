@@ -85,3 +85,54 @@ def test_rocksdb_state_backend(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_incremental_join_bucket_pruning(spark, tmp_path):
+    """run_incremental_join keeps its accumulated state hash-bucketed by join
+    key and, per micro-batch, reads ONLY the buckets the opposite delta
+    touches (StreamingJoinOperator keyed-state point-lookup analog). A
+    single-key delta must therefore scan a strict subset of the history
+    files, and the emitted pairs must still equal the batch join."""
+    import os
+
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_join
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(k, "L", float(k)) for k in range(8)] + [(k, "R", k * 10.0) for k in range(8)],
+        [(1, "L", 100.0)],  # touches exactly one bucket
+        [(2, "R", 200.0)],  # touches exactly one bucket
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k int, side string, val double")
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
+    )
+    stats: dict = {}
+    out = run_incremental_join(
+        stream,
+        side_col="side",
+        left_tag="L",
+        join_keys=["k"],
+        left_cols={"val": "lval"},
+        right_cols={"val": "rval"},
+        n_buckets=8,
+        io_stats=stats,
+    )
+    all_rows = [r for rows in batches for r in rows]
+    df = spark.createDataFrame(all_rows, "k int, side string, val double")
+    left = df.filter("side = 'L'").select("k", F.col("val").alias("lval"))
+    right = df.filter("side = 'R'").select("k", F.col("val").alias("rval"))
+    expected = sorted(tuple(r) for r in left.join(right, "k").collect())
+    got = sorted(tuple(r) for r in out.select("k", "lval", "rval").collect())
+    assert got == expected
+    # pruning: the single-key deltas must NOT have re-read the whole history
+    assert stats["files_total"] > 0
+    assert stats["files_read"] < stats["files_total"], stats
