@@ -111,7 +111,7 @@ def flinksql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "flinkddl_csv_source",
     oracle="""
-SELECT r.r_name, COUNT(*) AS n_nations, SUM(n.n_nationkey) AS key_sum
+SELECT r.r_name, COUNT(*) AS n_nations, CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """,
@@ -143,7 +143,7 @@ def flinkddl_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     table(spark, sf_dir, "region").createOrReplaceTempView("region")
     return env.sql_query("""
-        SELECT r.r_name, COUNT(*) AS n_nations, SUM(n.n_nationkey) AS key_sum
+        SELECT r.r_name, COUNT(*) AS n_nations, CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
         FROM nation_csv n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """)

@@ -384,16 +384,16 @@ def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECIMAL_EXPRS = """
 SELECT l_orderkey, l_linenumber,
-       CAST(a + b AS DECIMAL(14,2))       AS dec_add,
-       CAST(a - b AS DECIMAL(14,2))       AS dec_sub,
-       CAST(a * d AS DECIMAL(26,4))       AS dec_mul,
-       CAST(a / 8 AS DECIMAL(18,5))       AS dec_div8,
-       CAST(round(a, 1)  AS DECIMAL(12,1)) AS dec_round1,
-       CAST(round(a, 0)  AS DECIMAL(12,0)) AS dec_round0,
-       CAST(round(a, -1) AS DECIMAL(12,0)) AS dec_round_neg1,
+       CAST(CAST(a + b AS DECIMAL(14,2)) AS DOUBLE)        AS dec_add,
+       CAST(CAST(a - b AS DECIMAL(14,2)) AS DOUBLE)        AS dec_sub,
+       CAST(CAST(a * d AS DECIMAL(26,4)) AS DOUBLE)        AS dec_mul,
+       CAST(CAST(a / 8 AS DECIMAL(18,5)) AS DOUBLE)        AS dec_div8,
+       CAST(CAST(round(a, 1)  AS DECIMAL(12,1)) AS DOUBLE) AS dec_round1,
+       CAST(CAST(round(a, 0)  AS DECIMAL(12,0)) AS DOUBLE) AS dec_round0,
+       CAST(CAST(round(a, -1) AS DECIMAL(12,0)) AS DOUBLE) AS dec_round_neg1,
        CAST(ceil(a)  AS BIGINT)           AS dec_ceil,
        CAST(floor(a) AS BIGINT)           AS dec_floor,
-       CAST(abs(a - b) AS DECIMAL(14,2))  AS dec_abs,
+       CAST(CAST(abs(a - b) AS DECIMAL(14,2)) AS DOUBLE)   AS dec_abs,
        CAST(sign(a - 1000) AS INT)        AS dec_sign,
        CAST(CAST(floor(a) AS BIGINT) % 7 AS INT) AS dec_mod7
 FROM (
@@ -414,9 +414,10 @@ ORDER BY l_orderkey, l_linenumber
     doc="DECIMAL(p,s) arithmetic parity (DecimalType — …/types/logical/"
     "DecimalType.java; planner DecimalITCase): +,-,* with exact scale growth, "
     "exact division (scale-bounded divisor), ROUND at positive/zero/negative "
-    "digits on decimals, CEIL/FLOOR/ABS/SIGN/MOD — every result CAST to an "
-    "explicit DECIMAL(p,s) so Spark and DuckDB must agree digit-for-digit "
-    "(SURVEY §1.2 type-mapping row).",
+    "digits on decimals, CEIL/FLOOR/ABS/SIGN/MOD — arithmetic stays in an "
+    "explicit DECIMAL(p,s) so Spark and DuckDB must agree digit-for-digit, "
+    "then every output is CAST to DOUBLE for the gate's rendering-sensitive "
+    "value hash (SURVEY §1.2 type-mapping row).",
 )
 def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_dec")
