@@ -254,3 +254,145 @@ def cdc_retract_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "cnt").orderBy(
         "user_id", "epoch", "kind"
     )
+
+
+@register(
+    "cdc_retract_with_delete",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                   WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                   WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+                   ELSE 3 END AS INTEGER) AS epoch
+  FROM events
+),
+cum AS (
+  SELECT user_id, epoch, COUNT(*) AS delta FROM wk GROUP BY 1, 2
+),
+c1 AS (
+  SELECT user_id, epoch,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS cnt
+  FROM cum
+),
+c2 AS (
+  SELECT user_id, epoch, cnt,
+         LAG(cnt) OVER (PARTITION BY user_id ORDER BY epoch) AS prev
+  FROM c1
+)
+SELECT user_id, epoch, '+I' AS kind, cnt FROM c2 WHERE prev IS NULL AND cnt < 50
+UNION ALL
+SELECT user_id, epoch, '-U' AS kind, prev AS cnt FROM c2 WHERE prev IS NOT NULL AND prev < 50 AND cnt < 50
+UNION ALL
+SELECT user_id, epoch, '+U' AS kind, cnt FROM c2 WHERE prev IS NOT NULL AND prev < 50 AND cnt < 50
+UNION ALL
+SELECT user_id, epoch, '-D' AS kind, prev AS cnt FROM c2 WHERE prev IS NOT NULL AND prev < 50 AND cnt >= 50
+ORDER BY user_id, epoch, kind
+""",
+    tags=("streaming", "cdc", "changelog", "custom_op"),
+    doc="RowKind DELETE round trip, emit side (RowKind.java:55-58; retract "
+    "path GroupAggFunction.java:141-209 feeding a filtering Calc): the "
+    "per-user COUNT changelog under a HAVING cnt < 50 predicate. While a "
+    "count stays below 50 the stream carries +I then -U/+U refinements; the "
+    "update that crosses 50 becomes a single -D carrying the last published "
+    "count, and the key then falls silent. Weekly replay of events makes "
+    "every emission SQL-expressible (same fixture as "
+    "cdc_retract_stream_output).",
+)
+def cdc_retract_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.source import events_stream_weeks
+    from flink_1_12_0_src_spark.streaming.upsert import run_changelog_count
+
+    s = events_stream_weeks(spark, sf_dir)
+    out = run_changelog_count(s, "user_id", having_below=50)
+    return out.select("user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "cnt").orderBy(
+        "user_id", "epoch", "kind"
+    )
+
+
+@register(
+    "cdc_consume_changelog_agg",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("streaming", "cdc", "changelog", "custom_op"),
+    doc="RowKind DELETE round trip, consume side (GroupAggFunction.java:"
+    "141-209 retract() path): a full +I/-U/+U/-D changelog over orders "
+    "(insert all; retract-then-update prices for keys %5=0; delete keys "
+    "%7=0) feeds a downstream SUM/COUNT per o_orderstatus. Each micro-batch "
+    "reduces to signed per-group deltas map-side and merges into per-group "
+    "accumulator state (streaming/upsert.py run_changelog_sum_agg) — "
+    "retractions subtract, deletes decrement, history is never rescanned. "
+    "Final state ≡ one-shot aggregate over the post-changelog image.",
+)
+def cdc_consume_changelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from flink_1_12_0_src_spark.queries._util import dec
+    from flink_1_12_0_src_spark.streaming.upsert import run_changelog_sum_agg
+
+    cache = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_files")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(cache, f"{tag}_cdc_retract_changelog")
+    o = _orders_payload(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("amount")
+    )
+    amt_new = (dec("o_totalprice") + 1).cast("decimal(12,2)")
+    phases = [
+        o.withColumn("rowkind", F.lit("+I")),
+        _orders_payload(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.explode(
+                F.array(
+                    F.struct(dec("o_totalprice").alias("amount"), F.lit("-U").alias("rowkind")),
+                    F.struct(amt_new.alias("amount"), F.lit("+U").alias("rowkind")),
+                )
+            ).alias("e"),
+        )
+        .select("o_orderkey", "o_orderstatus", "e.amount", "e.rowkind"),
+        _orders_payload(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 5 == 0, amt_new)
+            .otherwise(dec("o_totalprice"))
+            .alias("amount"),
+            F.lit("-D").alias("rowkind"),
+        ),
+    ]
+    stream = _stage_ordered_file_stream(spark, phases, path)
+    snap = run_changelog_sum_agg(stream, "o_orderstatus", "amount")
+    return snap.orderBy("o_orderstatus")
+
+
+def _stage_ordered_file_stream(spark: SparkSession, phases: list[DataFrame], path: str) -> DataFrame:
+    """Write each phase as one parquet file with increasing mtimes and return
+    a one-file-per-trigger readStream over them (micro-batch k ≡ phase k)."""
+    import glob
+    import os
+    import shutil
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        for i, ph in enumerate(phases):
+            ph.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"phase{i}"))
+        for i in range(len(phases)):
+            src = glob.glob(os.path.join(path, f"phase{i}", "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(path, f"{i:05d}.parquet"))
+            shutil.rmtree(os.path.join(path, f"phase{i}"))
+        base = os.path.getmtime(os.path.join(path, f"{len(phases) - 1:05d}.parquet"))
+        for i in range(len(phases)):
+            os.utime(os.path.join(path, f"{i:05d}.parquet"), (base + i, base + i))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    schema = spark.read.parquet(os.path.join(path, "00000.parquet")).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)

@@ -91,7 +91,7 @@ def run_changelog_upsert(
 
 
 def run_changelog_count(
-    stream_df, key: str, timeout_sec: int = 300
+    stream_df, key: str, timeout_sec: int = 300, having_below: int | None = None
 ):
     """Retraction-stream OUTPUT — Flink Table.toRetractStream / the changelog
     a StreamExecGroupAggregate emits (RowKind.java:35-58, GroupAggFunction
@@ -104,6 +104,15 @@ def run_changelog_count(
     counts. All joins/diffs run executor-side; versioned snapshot dirs keep
     the state bounded to one (key, count) row per key, exactly the
     accumulator state of the reference operator.
+
+    ``having_below`` adds the RowKind DELETE leg: with a ``HAVING cnt < N``
+    filter downstream of the aggregate, Flink's filter Calc transforms the
+    changelog — an update whose old count passed the predicate but whose new
+    count fails it emits ``-D`` with the old row, and rows that never pass
+    emit nothing (RowKind.java:55-58 DELETE; the retract path of
+    GroupAggFunction.java:141-209 feeding a filtering Calc). Counts only
+    grow, so a key emits +I once, -U/+U while below N, one -D when it
+    crosses N, then silence.
 
     Returns (key, epoch, kind, cnt) — epoch is the micro-batch index.
     """
@@ -135,17 +144,30 @@ def run_changelog_count(
             )
         )
         touched = merged.filter("touched")
-        ins = touched.filter("old_cnt = 0").select(
+        if having_below is not None:
+            qual_old = (F.col("old_cnt") > 0) & (F.col("old_cnt") < having_below)
+            qual_new = F.col("cnt") < having_below
+        else:
+            qual_old = F.col("old_cnt") > 0
+            qual_new = F.lit(True)
+        ins = touched.filter((F.col("old_cnt") == 0) & qual_new).select(
             key, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"), F.col("cnt")
         )
-        ub = touched.filter("old_cnt > 0").select(
+        ub = touched.filter(qual_old & qual_new).select(
             key, F.lit(epoch).alias("epoch"), F.lit("-U").alias("kind"),
             F.col("old_cnt").alias("cnt"),
         )
-        ua = touched.filter("old_cnt > 0").select(
+        ua = touched.filter(qual_old & qual_new).select(
             key, F.lit(epoch).alias("epoch"), F.lit("+U").alias("kind"), F.col("cnt")
         )
-        ins.unionByName(ub).unionByName(ua).write.mode("append").parquet(out_dir)
+        out = ins.unionByName(ub).unionByName(ua)
+        if having_below is not None:
+            dels = touched.filter(qual_old & ~qual_new).select(
+                key, F.lit(epoch).alias("epoch"), F.lit("-D").alias("kind"),
+                F.col("old_cnt").alias("cnt"),
+            )
+            out = out.unionByName(dels)
+        out.write.mode("append").parquet(out_dir)
         new_prev = os.path.join(root, f"snap_{epoch}")
         merged.select(key, "cnt").write.mode("overwrite").parquet(new_prev)
         state["prev"] = new_prev
@@ -163,3 +185,84 @@ def run_changelog_count(
         if q.isActive:
             q.stop()
     return spark.read.parquet(out_dir)
+
+
+def run_changelog_sum_agg(
+    stream_df: DataFrame,
+    group_col: str,
+    amount_col: str,
+    rowkind_col: str = "rowkind",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Retraction-stream CONSUMPTION into a downstream aggregate — the
+    retract() path of Flink's GroupAggFunction (GroupAggFunction.java:141-209
+    calls ``function.retract(input)`` for -U/-D rows; RowKind.java:35-58):
+    a full +I/-U/+U/-D changelog feeds SUM/COUNT accumulators per group,
+    where accumulate applies +amount/+1 and retract applies -amount/-1.
+
+    Spark has no retraction-consuming operator, so each micro-batch is
+    reduced map-side to signed per-group deltas (one partial-aggregated
+    shuffle of at most |groups| rows) and merged into the maintained
+    accumulator state via a keyed full-outer join — never rescanning
+    history. Groups whose count reaches 0 are dropped, mirroring the
+    reference's state cleanup when ``recordCounter`` hits zero
+    (GroupAggFunction.java:178-196).
+
+    Amounts must be exact (DECIMAL) — incremental adds of decimals are
+    order-independent, so the final state is bit-equal to a one-shot
+    aggregate. Scale: state = one row per group; the per-trigger merge is a
+    broadcast join of the (small) delta against it.
+
+    Returns the final (group, cnt, total) snapshot with total as DOUBLE.
+    """
+    import tempfile
+
+    spark = stream_df.sparkSession
+    sign = F.when(F.col(rowkind_col).isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
+    state = {"snap": None}
+
+    def fb(bdf: DataFrame, _eid: int) -> None:
+        delta = bdf.groupBy(group_col).agg(
+            F.sum(sign * F.col(amount_col)).alias("d_total"),
+            F.sum(sign).alias("d_cnt"),
+        )
+        if state["snap"] is not None:
+            prev = spark.read.parquet(state["snap"])
+        else:
+            prev = delta.select(
+                F.col(group_col),
+                F.col("d_cnt").alias("cnt"),
+                F.col("d_total").alias("total"),
+            ).limit(0)
+        merged = (
+            prev.join(delta, group_col, "full_outer")
+            .select(
+                group_col,
+                (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("d_total"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("decimal(18,2)")  # pin scale so the snapshot schema is stable across triggers
+                .alias("total"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        nxt = tempfile.mkdtemp(prefix="aggstate_")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["snap"] = nxt
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_agg_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(state["snap"]).select(
+        group_col, F.col("cnt").cast("bigint").alias("cnt"), F.col("total").cast("double").alias("total")
+    )
