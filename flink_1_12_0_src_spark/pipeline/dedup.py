@@ -6,8 +6,11 @@ Scale design (100 TB):
 - MinHash+LSH: shingle explosion is linear; the signature groupBy is the only
   wide shuffle; candidate pairs come from the *band-bucket self-join* (never a
   cross join) — the classic shingle→minhash→band→bucket-join topology. Hot
-  buckets (boilerplate docs) are the skew risk: AQE skew-join handles moderate
-  cases, and a bucket-size cap (drop buckets > N ids) is the production guard.
+  buckets (boilerplate docs) are the skew risk: ``minhash_lsh_pairs`` drops
+  buckets larger than ``max_bucket`` ids before the self-join, bounding any
+  bucket's pair fan-out at max_bucket²/2 (a boilerplate bucket of B ids would
+  otherwise go B² quadratic); AQE skew-join still smooths the surviving
+  moderate skew.
 - SimHash: per-token bit votes aggregate in one groupBy; signature is a 64-char
   bitstring (engine-portable).
 - n-gram Jaccard: pairs bounded by a blocking key (lang here) — at real scale
@@ -99,10 +102,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     shingle_k: int = 3,
     band_rows: int = 4,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH + estimated Jaccard
     (fraction of agreeing signature components). Returns (id_a, id_b,
-    est_jaccard) with id_a < id_b."""
+    est_jaccard) with id_a < id_b.
+
+    ``max_bucket`` is the hot-bucket guard: band buckets holding more than
+    this many ids are dropped before the self-join. A bucket of B ids yields
+    B(B-1)/2 candidate pairs, so one boilerplate bucket (cookie banners,
+    license headers) would otherwise dominate the whole job quadratically;
+    capping bounds every bucket's fan-out at max_bucket²/2. True near-dup
+    pairs inside a dropped bucket still surface through their other
+    ``num_hashes/band_rows - 1`` bands unless those are equally hot — the
+    standard recall trade of production LSH dedup. ``None`` disables."""
     # The signature table fans out to 4 plan references (two band sides, two
     # jaccard sides); persist it so the shingle+hash pipeline runs once. Size is
     # ~#docs × num_hashes × 16 B — negligible next to the corpus at any scale.
@@ -124,6 +137,18 @@ def minhash_lsh_pairs(
             )
         ).alias("x"),
     ).select(id_col, "x.band", "x.bk")
+
+    if max_bucket is not None:
+        # Bucket-size census + semi join: one extra shuffle over the (band, bk)
+        # keys the self-join shuffles on anyway; kept-bucket list never leaves
+        # the co-partitioned exchange.
+        kept = (
+            bands.groupBy("band", "bk")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band", "bk")
+        )
+        bands = bands.join(kept, ["band", "bk"], "left_semi")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

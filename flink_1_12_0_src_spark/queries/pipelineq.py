@@ -29,6 +29,7 @@ from flink_1_12_0_src_spark.queries import register
 # shared algorithm constants (Spark impl + oracle read these)
 # ---------------------------------------------------------------------------
 MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS = 12, 3, 4
+MH_MAX_BUCKET = 256  # hot-bucket cap: drop band buckets with more ids than this
 NJ_SHINGLE_K, NJ_THRESHOLD = 2, 0.3
 FP_GRAM_CHARS, FP_NUM_MINS = 5, 4
 ANN_K, ANN_QUERY_MAX = 5, 20
@@ -58,7 +59,9 @@ shingles AS (
   FROM toks WHERE len(w) >= {k}
 ),
 sigs AS (SELECT doc_id, {hcols} FROM shingles GROUP BY doc_id),
-bands AS ({band_selects}),
+bands0 AS ({band_selects}),
+kept AS (SELECT band, bk FROM bands0 GROUP BY band, bk HAVING COUNT(*) <= {MH_MAX_BUCKET}),
+bands AS (SELECT bands0.* FROM bands0 JOIN kept USING (band, bk)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(({eqs}) / {nh}.0, 6) AS est_jaccard
@@ -72,14 +75,15 @@ ORDER BY id_a, id_b
     oracle=_minhash_oracle(),
     tags=("pipeline", "dedup", "bench"),
     doc="Near-dup detection: shingle→MinHash→band→bucket-join LSH "
-    f"({MH_NUM_HASHES} hashes, {MH_SHINGLE_K}-shingles, {MH_BAND_ROWS}-row bands) "
-    "+ estimated Jaccard. Candidate pairs come only from band buckets — no cross "
-    "join at any scale.",
+    f"({MH_NUM_HASHES} hashes, {MH_SHINGLE_K}-shingles, {MH_BAND_ROWS}-row bands, "
+    f"buckets > {MH_MAX_BUCKET} ids dropped) + estimated Jaccard. Candidate "
+    "pairs come only from capped band buckets — no cross join and no "
+    "quadratic boilerplate bucket at any scale.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
     ).withColumnsRenamed({"doc_id": "doc_id"}).orderBy("id_a", "id_b")
 
 

@@ -52,6 +52,32 @@ def test_minhash_estimates_match_exact_jaccard_direction(spark, sf_dir):
     assert any(r["est_jaccard"] == 1.0 for r in pairs), "planted exact near-dups exist"
 
 
+def test_lsh_hot_bucket_cap_bounds_candidate_pairs(spark):
+    """Boilerplate skew guard: a corpus where 60 docs share one identical
+    boilerplate text would produce 60·59/2 = 1770 candidate pairs per band
+    without the cap. With max_bucket below the clone count, every boilerplate
+    bucket is dropped, the clone pairs vanish, and the genuinely-near distinct
+    pairs (small buckets) survive."""
+    boiler = "terms of service apply to all content on this site please read carefully"
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100 + i, f"unique document number {i} about topic alpha beta gamma delta") for i in range(5)]
+    # one planted small near-dup group (2 ids → bucket size 2, under any sane cap)
+    rows += [(200, "the quick brown fox jumps over the lazy dog again and again"),
+             (201, "the quick brown fox jumps over the lazy dog again and again")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=None)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 1770, f"fixture should be quadratic uncapped, got {n_uncapped}"
+
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(not (a < 60 and b < 60) for a, b in got), "boilerplate bucket leaked pairs"
+    assert (200, 201) in got, "small-bucket near-dup pair must survive the cap"
+    # fan-out bound: every surviving bucket ≤ cap → pairs ≤ n_buckets·cap²/2
+    assert len(got) < n_uncapped / 10
+
+
 def test_multimodal_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
