@@ -831,18 +831,38 @@ def stream_unbounded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumble_early_fire",
-    oracle=None,  # emission trace spans micro-batch boundaries — rows-only check
+    oracle="""
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(event_id % 4 AS INTEGER) AS epoch
+  FROM events
+),
+cum AS (
+  SELECT window_start, epoch, COUNT(*) AS delta FROM e GROUP BY 1, 2
+),
+c1 AS (
+  SELECT window_start, epoch,
+         SUM(delta) OVER (PARTITION BY window_start ORDER BY epoch) AS cnt
+  FROM cum
+)
+SELECT window_start, cnt FROM c1 ORDER BY window_start, cnt
+""",
     tags=("streaming", "window_agg", "early_fire"),
-    doc="Early-fire approximation (Flink WindowEmitStrategy early-fire / "
-    "table.exec.emit.early-fire — WindowEmitStrategy.scala:32): update-mode "
-    "windowed aggregation re-emits a window's refined result every "
-    "micro-batch it changes in; the memory sink accumulates the full "
-    "emission trace (≥1 row per window, refined counts). The trigger "
-    "interval plays the early-fire delay role — documented approximation, "
-    "SURVEY §2.4/§2.8.",
+    doc="Early-fire EMISSION TRACE, exactly oracled (Flink WindowEmitStrategy "
+    "early-fire / table.exec.emit.early-fire — WindowEmitStrategy.scala:32,"
+    "154-204): update-mode windowed aggregation re-emits a window's refined "
+    "count every micro-batch that touches it; the memory sink accumulates "
+    "the full trace. Replay is staged by event_id % 4 (streaming.source."
+    "events_stream_mod) so every 1-day window is touched by every batch and "
+    "the k-th refinement equals the count over residues ≤ k — the trace is "
+    "closed-form in SQL. No watermark: state is never evicted, matching "
+    "early-fire-before-window-close semantics; the trigger interval plays "
+    "the early-fire delay role (documented approximation, SURVEY §2.8).",
 )
 def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    from flink_1_12_0_src_spark.streaming.source import events_stream_mod
+
+    s = events_stream_mod(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
     out = agg.select(F.col("window.start").alias("window_start"), "cnt")
     return run_to_batch(out, "update").orderBy("window_start", "cnt")

@@ -136,3 +136,37 @@ def events_stream_weeks(
         .option("maxFilesPerTrigger", 1)
         .parquet(path + "/week*")
     )
+
+
+def events_stream_mod(spark: SparkSession, sf_dir: str, parts: int = 4) -> DataFrame:
+    """Replay staged by ``event_id % parts``, one residue class per
+    micro-batch, in residue order. Every time window receives rows in EVERY
+    batch, so an update-mode windowed aggregate re-emits each window's
+    refined result per trigger — the deterministic fixture for early-fire
+    emission oracles (batch k ≡ rows with event_id % parts == k, so the
+    cumulative count after batch k is SQL-expressible)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, f"{tag}_events_mod{parts}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        os.makedirs(path, exist_ok=True)
+        for r in range(parts):
+            (
+                ev.filter(ev.event_id % parts == r)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"mod{r}"))
+            )
+        open(marker, "w").close()
+        base = os.path.getmtime(marker)
+        for r in range(parts):
+            d = os.path.join(path, f"mod{r}")
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + r, base + r))
+    schema = spark.read.parquet(os.path.join(path, "mod0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/mod*")
+    )

@@ -7,64 +7,111 @@ mapping, concretely.)
 Per micro-batch of changelog rows (+I / +U / -D with a version column):
   1. collapse the batch itself to one final row per key (last by version);
   2. MERGE into the maintained table: upsert +I/+U, drop -D keys;
-  3. write the merged image as a NEW versioned snapshot directory and advance
-     the pointer — never rewrite in place, so a reader always sees a complete
-     snapshot and a failed batch leaves the previous version intact (the
-     commit-log idea behind table formats, minus the format dependency; with
-     Delta/Iceberg available, step 2-3 become a real MERGE INTO).
+  3. rewrite ONLY the key-buckets the batch touched, as NEW versioned bucket
+     directories, then advance the per-bucket pointers — never rewrite in
+     place, so a reader always sees complete bucket snapshots and a failed
+     batch leaves every previous pointer intact (the commit-log idea behind
+     table formats, minus the format dependency; with Delta/Iceberg available
+     this becomes a real MERGE INTO).
 
-Scale: the merge joins the batch (small) against the maintained table on the
-key — a broadcast join per trigger; the snapshot rewrite is the cost of not
-having a table format, bounded by maintained-table size, not history size.
+Scale: the maintained table is hash-bucketed by key (``_b = pmod(hash(keys),
+n_buckets)`` — the same layout run_incremental_join uses for its join state).
+A trigger whose delta hits 3 of 16 buckets reads and rewrites 3/16ths of the
+table; write amplification per trigger is O(touched buckets), not O(table).
+The merge joins the batch (small) against only those buckets on the key.
 """
 
 from __future__ import annotations
 
+import glob as globmod
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class UpsertSink:
-    """foreachBatch target maintaining current state under ``base_dir/v{n}``."""
+    """foreachBatch target maintaining bucketed current state under
+    ``base_dir/v{n}/_b={k}``, with per-bucket version pointers."""
 
-    def __init__(self, base_dir: str, key_cols: list[str], version_col: str, rowkind_col: str):
+    def __init__(
+        self,
+        base_dir: str,
+        key_cols: list[str],
+        version_col: str,
+        rowkind_col: str,
+        n_buckets: int = 16,
+        io_stats: dict | None = None,
+    ):
         self.base_dir = base_dir
         self.key_cols = key_cols
         self.version_col = version_col
         self.rowkind_col = rowkind_col
+        self.n_buckets = n_buckets
         self.version = 0
+        self.ptr: dict[int, str] = {}  # bucket id → current bucket-snapshot dir
+        self.data_schema = None  # payload schema (no rowkind, no _b)
+        self.stats = io_stats if io_stats is not None else {}
+        self.stats.setdefault("files_read", 0)
+        self.stats.setdefault("files_total", 0)
 
-    def _current(self, spark: SparkSession, schema) -> DataFrame:
-        path = os.path.join(self.base_dir, f"v{self.version}")
-        if self.version == 0 or not os.path.exists(path):
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(path)
+    def _bucket_files(self) -> dict[int, list[str]]:
+        return {
+            b: globmod.glob(os.path.join(p, "*.parquet")) for b, p in self.ptr.items()
+        }
+
+    def _read_buckets(self, spark: SparkSession, files: dict[int, list[str]], buckets) -> DataFrame:
+        parts = [
+            spark.read.schema(self.data_schema).parquet(*files[b]).withColumn("_b", F.lit(b))
+            for b in buckets
+            if files.get(b)
+        ]
+        if not parts:
+            return spark.createDataFrame([], self.data_schema).withColumn(
+                "_b", F.lit(0).cast("int")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def process_batch(self, batch: DataFrame, _batch_id: int) -> None:
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        # 1. collapse the batch: last row per key by version
+        # 1. collapse the batch: last row per key by version, tag key-bucket
         last = batch.groupBy(*self.key_cols).agg(
             F.max_by(
                 F.struct(*[c for c in batch.columns if c not in self.key_cols]),
                 F.col(self.version_col),
             ).alias("_r")
         )
-        last = last.select(*self.key_cols, "_r.*")
-        cur = self._current(spark, batch.drop(self.rowkind_col).schema)
-        # 2. MERGE: current rows whose key is untouched + surviving batch rows
+        last = last.select(*self.key_cols, "_r.*").withColumn(
+            "_b", F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets)).cast("int")
+        )
+        last = last.persist()
+        if self.data_schema is None:
+            self.data_schema = last.drop(self.rowkind_col, "_b").schema
+        # bucket ids the delta touches — a <=n_buckets id list, never row data
+        touched = sorted(r["_b"] for r in last.select("_b").distinct().collect())
+        files = self._bucket_files()
+        self.stats["files_total"] += sum(len(v) for v in files.values())
+        self.stats["files_read"] += sum(len(files.get(b, [])) for b in touched)
+        # 2. MERGE within touched buckets only: untouched keys + survivors
+        cur = self._read_buckets(spark, files, touched)
         untouched = cur.join(last.select(*self.key_cols), self.key_cols, "left_anti")
         survivors = last.filter(F.col(self.rowkind_col) != "-D").drop(self.rowkind_col)
         merged = untouched.unionByName(survivors)
-        # 3. new snapshot version, then advance the pointer
+        # 3. new bucket snapshots for touched buckets, then advance pointers
         nxt = self.version + 1
-        merged.write.mode("overwrite").parquet(os.path.join(self.base_dir, f"v{nxt}"))
+        vdir = os.path.join(self.base_dir, f"v{nxt}")
+        merged.write.partitionBy("_b").mode("overwrite").parquet(vdir)
+        for b in touched:
+            self.ptr[b] = os.path.join(vdir, f"_b={b}")
         self.version = nxt
+        last.unpersist()
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base_dir, f"v{self.version}"))
+        return self._read_buckets(spark, self._bucket_files(), sorted(self.ptr)).drop("_b")
 
 
 def run_changelog_upsert(
@@ -74,12 +121,15 @@ def run_changelog_upsert(
     version_col: str,
     rowkind_col: str = "rowkind",
     timeout_sec: int = 300,
+    n_buckets: int = 16,
+    io_stats: dict | None = None,
 ) -> DataFrame:
     """Drive a changelog stream through the foreachBatch MERGE to completion
-    and return the final maintained-table snapshot."""
+    and return the final maintained-table snapshot. ``io_stats`` accumulates
+    {files_read, files_total} so tests can assert bucket-pruned rewrites."""
     import tempfile
 
-    sink = UpsertSink(base_dir, key_cols, version_col, rowkind_col)
+    sink = UpsertSink(base_dir, key_cols, version_col, rowkind_col, n_buckets, io_stats)
     q = (
         stream_df.writeStream.foreachBatch(sink.process_batch)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))

@@ -136,3 +136,47 @@ def test_incremental_join_bucket_pruning(spark, tmp_path):
     # pruning: the single-key deltas must NOT have re-read the whole history
     assert stats["files_total"] > 0
     assert stats["files_read"] < stats["files_total"], stats
+
+
+def test_upsert_sink_bucket_pruning(spark, tmp_path):
+    """UpsertSink keeps the maintained table hash-bucketed by key and, per
+    micro-batch, reads and REWRITES only the buckets the batch touched —
+    write amplification O(touched buckets) per trigger, not O(table). A
+    single-key update batch must scan a strict subset of the table files,
+    and the final snapshot must equal the closed-form merge."""
+    import os
+
+    from flink_1_12_0_src_spark.streaming.upsert import run_changelog_upsert
+
+    src = str(tmp_path / "chlog")
+    os.makedirs(src)
+    batches = [
+        [(k, float(k), "+I", 0) for k in range(64)],  # seed: all buckets
+        [(3, 300.0, "+U", 1)],                        # touches one bucket
+        [(5, 0.0, "-D", 2)],                          # touches one bucket
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k int, val double, rowkind string, version int")
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
+    )
+    stats: dict = {}
+    snap = run_changelog_upsert(
+        stream,
+        base_dir=str(tmp_path / "tbl"),
+        key_cols=["k"],
+        version_col="version",
+        n_buckets=8,
+        io_stats=stats,
+    )
+    got = sorted((r["k"], r["val"]) for r in snap.collect())
+    expected = sorted([(k, float(k)) for k in range(64) if k not in (3, 5)] + [(3, 300.0)])
+    assert got == expected
+    assert stats["files_total"] > 0
+    assert stats["files_read"] < stats["files_total"], stats
