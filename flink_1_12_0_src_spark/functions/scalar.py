@@ -143,3 +143,41 @@ def is_json_array(col: str | Column) -> Column:
 def is_json_scalar(col: str | Column) -> Column:
     c = _c(col)
     return is_json_value(c) & ~_lead_char_is(c, "{") & ~_lead_char_is(c, "[")
+
+
+# --- CREATE FUNCTION targets (SqlCreateFunction.java; ScalarFunction.java:94)
+
+
+def price_band(price):
+    """Python ScalarFunction analog for ``CREATE FUNCTION … AS '<this path>'``
+    (the PyFlink general-udf shape, flink-python/pyflink/table/udf.py:515):
+    a plain callable + ``returns`` DDL that TableEnvironment registers via
+    ``spark.udf.register``. Kept trivial — real pipelines should prefer the
+    SQL_FUNCTION form below, which never leaves the JVM."""
+    if price is None:
+        return None
+    if price < 50000.0:
+        return "low"
+    if price < 150000.0:
+        return "mid"
+    return "high"
+
+
+price_band.returns = "string"
+
+
+class _SqlFunctionSpec:
+    """Carrier for the JVM-side CREATE FUNCTION form: (params, returns, body)
+    become a Spark SQL scalar function (CREATE FUNCTION … RETURNS … RETURN
+    expr), fully codegen'd — the preferred mapping for expression-shaped
+    ScalarFunctions."""
+
+    def __init__(self, params: str, returns: str, body: str):
+        self.SQL_FUNCTION = (params, returns, body)
+
+
+# SPLIT_INDEX(str, sep, idx) — FlinkSqlOperatorTable SPLIT_INDEX,
+# SqlFunctionUtils.java splitIndex: 0-based element of the separator split.
+split_index_sql = _SqlFunctionSpec(
+    "s STRING, d STRING, i INT", "STRING", "element_at(split(s, d), i + 1)"
+)

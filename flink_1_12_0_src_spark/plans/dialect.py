@@ -143,11 +143,13 @@ def _map_type(flink_type: str) -> str:
 
 def parse_create_table(ddl: str) -> dict:
     """Parse Flink connector DDL into {name, schema_ddl, options, partition_by,
-    watermark: (col, delay)|None}.
+    watermark: (col, delay)|None, computed: [(name, expr), ...]}.
 
     Reference surface: SqlCreateTable.java (flink-sql-parser .../ddl/),
-    WATERMARK clause → StreamExecWatermarkAssigner.scala:45. Computed columns
-    and PRIMARY KEY constraints are out of scope (documented).
+    WATERMARK clause → StreamExecWatermarkAssigner.scala:45, computed columns
+    (``col AS expr`` — SqlCreateTable's computed-column list, evaluated at
+    read time exactly like Flink's generated columns). PRIMARY KEY
+    constraints are metadata-only (NOT ENFORCED in Flink too).
     """
     m = _CREATE_RE.search(ddl.strip())
     if not m:
@@ -170,6 +172,7 @@ def parse_create_table(ddl: str) -> dict:
             field += ch
     if field.strip():
         fields.append(field)
+    computed: list[tuple[str, str]] = []
     for f in fields:
         f = f.strip().rstrip(",").strip()
         if not f:
@@ -180,6 +183,10 @@ def parse_create_table(ddl: str) -> dict:
             continue
         if re.match(r"PRIMARY\s+KEY", f, re.I):
             continue  # NOT ENFORCED in Flink too — metadata only
+        parts = f.split(None, 2)
+        if len(parts) >= 3 and parts[1].upper() == "AS":
+            computed.append((parts[0], parts[2]))  # computed column: name AS expr
+            continue
         name_part, _, type_part = f.partition(" ")
         cols.append(f"{name_part} {_map_type(type_part)}")
     opts = dict(
@@ -192,4 +199,5 @@ def parse_create_table(ddl: str) -> dict:
         "options": opts,
         "partition_by": parts,
         "watermark": watermark,
+        "computed": computed,
     }

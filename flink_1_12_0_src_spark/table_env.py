@@ -33,6 +33,7 @@ class CatalogTable:
     options: dict
     partition_by: list[str]
     watermark: tuple[str, str] | None  # (column, delay-string)
+    computed: list[tuple[str, str]] = None  # computed columns: (name, expr)
 
 
 class TableEnvironment:
@@ -55,6 +56,10 @@ class TableEnvironment:
             self._tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return None
+        if head == "ALTER":
+            return self._alter_table(s)
+        if re.match(r"CREATE\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION", s, re.I):
+            return self._create_function(s)
         if head == "SHOW" and s.upper().endswith("TABLES"):
             # SqlShowTables → one row per catalog entry (TableEnvironmentImpl)
             names = sorted(
@@ -108,6 +113,7 @@ class TableEnvironment:
         for k, v in {**cfg["options"], **(extra_options or {})}.items():
             reader = reader.option(k, v)
         df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
+        df = self._apply_computed(df, tbl)  # before watermark: rowtime may be computed
         if tbl.watermark:
             col, delay = tbl.watermark
             df = df.withWatermark(col, delay)
@@ -117,6 +123,70 @@ class TableEnvironment:
         return self.spark.table(name)
 
     # ------------------------------------------------------------------ ---
+    def _alter_table(self, stmt: str) -> None:
+        """ALTER TABLE name RENAME TO new / ALTER TABLE name SET ('k'='v')
+        (SqlAlterTableRename / SqlAlterTableOptions —
+        flink-sql-parser/.../ddl/SqlAlterTable.java). Rename moves the
+        catalog entry and re-registers the view under the new name; SET
+        merges connector options and refreshes the scan."""
+        m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$", stmt, re.I)
+        if m:
+            old, new = m.group(1), m.group(2)
+            tbl = self._tables.pop(old, None)
+            if tbl is None:
+                raise ValueError(f"unknown table: {old}")
+            tbl.name = new
+            self._tables[new] = tbl
+            self.spark.catalog.dropTempView(old)
+            self._create_table_view_refresh(tbl)
+            return None
+        m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*$", stmt, re.I | re.S)
+        if m:
+            tbl = self._tables.get(m.group(1))
+            if tbl is None:
+                raise ValueError(f"unknown table: {m.group(1)}")
+            tbl.options.update(dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2))))
+            self._create_table_view_refresh(tbl)
+            return None
+        raise ValueError(f"unparseable ALTER TABLE: {stmt[:120]}")
+
+    def _create_function(self, stmt: str) -> None:
+        """CREATE [TEMPORARY] FUNCTION name AS 'target' (SqlCreateFunction —
+        flink-sql-parser/.../ddl/SqlCreateFunction.java; the target plays the
+        ScalarFunction-class role, ScalarFunction.java:94). The target is a
+        dotted Python path; the resolved object is registered for SQL use:
+
+        - a plain callable → ``spark.udf.register`` (result type from its
+          ``returns`` attribute, default ``string``) — the PyFlink
+          general-udf analog, Arrow-batched by Spark;
+        - an object with a ``SQL_FUNCTION`` attribute holding
+          ``(params_ddl, returns_ddl, body_expr)`` → a Spark SQL scalar
+          function (``CREATE FUNCTION … RETURNS … RETURN expr``), staying
+          fully JVM-side."""
+        m = re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unparseable CREATE FUNCTION: {stmt[:120]}")
+        name, path = m.group(1), m.group(2)
+        import importlib
+
+        mod_name, _, attr = path.rpartition(".")
+        obj = getattr(importlib.import_module(mod_name), attr)
+        spec = getattr(obj, "SQL_FUNCTION", None)
+        if spec is not None:
+            params, returns, body = spec
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+                f"RETURNS {returns} RETURN {body}"
+            )
+        else:
+            self.spark.udf.register(name, obj, getattr(obj, "returns", "string"))
+        return None
+
     def _create_table(self, ddl: str) -> None:
         meta = parse_create_table(ddl)
         tbl = CatalogTable(
@@ -125,6 +195,7 @@ class TableEnvironment:
             options=meta["options"],
             partition_by=meta["partition_by"],
             watermark=meta["watermark"],
+            computed=meta["computed"],
         )
         self._tables[tbl.name] = tbl
         cfg = reader_config(tbl.options)
@@ -177,4 +248,15 @@ class TableEnvironment:
             reader = reader.schema(tbl.schema_ddl)
         for k, v in cfg["options"].items():
             reader = reader.option(k, v)
-        reader.load(cfg["path"]).createOrReplaceTempView(tbl.name)
+        df = reader.load(cfg["path"])
+        df = self._apply_computed(df, tbl)
+        df.createOrReplaceTempView(tbl.name)
+
+    def _apply_computed(self, df: DataFrame, tbl: CatalogTable) -> DataFrame:
+        """Append the DDL's computed columns (generated at read time, like
+        Flink's computed-column projection ahead of the scan's consumers)."""
+        from pyspark.sql import functions as F
+
+        for cname, expr in tbl.computed or []:
+            df = df.withColumn(cname, F.expr(translate_query(expr)))
+        return df
