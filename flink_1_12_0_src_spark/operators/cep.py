@@ -22,7 +22,16 @@ Semantics implemented (the MatchRecognizeITCase subset):
   trailing ``not_followed_by`` requires ``within``, as in Flink);
 - ``within(seconds)``: max first→last event-time span;
 - after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default) and
-  SKIP TO NEXT ROW (AfterMatchSkipStrategy).
+  SKIP TO NEXT ROW (AfterMatchSkipStrategy);
+- non-deterministic alternatives: ``followed_by_any`` (Pattern.followedByAny:
+  214 — every later matching event opens its own alternative match) and
+  ``allow_combinations`` (Pattern.allowCombinations:471 — a loop binds every
+  order-preserving combination of matching rows, not just the greedy run).
+  Patterns containing either run through an enumerate-all scan that reports
+  every alternative (after-match skip does not prune across alternatives,
+  matching Flink's any/combinations reading); deterministic steps inside such
+  a pattern still bind at their first viable position. Negation + any-
+  semantics in one pattern is out of scope (raises).
 """
 
 from __future__ import annotations
@@ -69,6 +78,22 @@ class Pattern:
 
     def followed_by(self, name: str) -> "Pattern":
         self.steps.append(_Step(name, contiguity="relaxed"))
+        return self
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        """Relaxed contiguity with alternatives (Pattern.followedByAny:214):
+        EVERY later matching event yields its own match, not just the first —
+        'a c b1 b2' under A followedByAny B matches {a,b1} AND {a,b2}."""
+        self.steps.append(_Step(name, contiguity="any"))
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic loop binding (Pattern.allowCombinations:471):
+        the preceding oneOrMore binds every order-preserving combination of
+        matching rows that starts at the loop's first element — 'a1 a2 a3'
+        under A+ allowCombinations matches {a1}, {a1,a2}, {a1,a3}, {a1,a2,a3}
+        (and the starts at a2, a3 likewise)."""
+        self.steps[-1].quantifier = "+c"
         return self
 
     def not_next(self, name: str) -> "Pattern":
@@ -305,6 +330,122 @@ def _scan_matches(
     return pdf, matches
 
 
+def _has_any_semantics(pattern: Pattern) -> bool:
+    return any(s.contiguity == "any" or s.quantifier == "+c" for s in pattern.steps)
+
+
+def _scan_matches_all(
+    pdf: pd.DataFrame,
+    pattern: Pattern,
+    order_by: list[str],
+    time_col: str | None,
+) -> tuple[pd.DataFrame, list[tuple[dict[str, list[int]], int, int]]]:
+    """Enumerate-ALL scan for patterns with followedByAny / allowCombinations
+    (NFA.java's non-deterministic TAKE/PROCEED branching). Every alternative
+    binding is reported; deterministic steps still bind at their first viable
+    position (Flink's relaxed-vs-any distinction). Supported quantifier
+    subset: 1, ?, times(n), oneOrMore(consecutive), timesOrMore, +c."""
+    if any(s.negated for s in pattern.steps):
+        raise ValueError("negative steps with any-semantics are out of scope")
+    pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    masks = [
+        (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
+        for s in pattern.steps
+    ]
+    ts = pdf[time_col].astype("int64").to_numpy() / 1e9 if time_col else None
+
+    def within_ok(first_pos: int | None, p: int) -> bool:
+        if pattern.within_seconds is None or first_pos is None or ts is None:
+            return True
+        return (ts[p] - ts[first_pos]) <= pattern.within_seconds
+
+    def rec(si: int, pos: int, first_pos: int | None) -> list[tuple[dict, int]]:
+        if si == len(pattern.steps):
+            return [({}, pos - 1)]
+        step, mask = pattern.steps[si], masks[si]
+        q = step.quantifier
+        if q == "?":  # optional: alternatives = take-one ∪ skip
+            outs = []
+            take = [p for p in ([pos] if step.contiguity == "strict" else range(pos, n)) if p < n and mask[p]]
+            for p in take[: None if step.contiguity == "any" else 1]:
+                fp = first_pos if first_pos is not None else p
+                if not within_ok(fp, p):
+                    break
+                outs.extend(
+                    ({step.name: [p], **b}, e) for b, e in rec(si + 1, p + 1, fp)
+                )
+            outs.extend(rec(si + 1, pos, first_pos))
+            return outs
+        if step.contiguity == "strict":
+            candidates = [pos] if pos < n and mask[pos] else []
+        else:
+            candidates = [p for p in range(pos, n) if mask[p]][:64]
+        branching_pos = step.contiguity == "any"
+        outs: list[tuple[dict, int]] = []
+        for p in candidates:
+            fp = first_pos if first_pos is not None else p
+            if not within_ok(fp, p):
+                break
+            if q == "1":
+                elem_sets = [[p]]
+            elif q.startswith("n:"):
+                k = int(q[2:])
+                ok = p + k <= n and all(masks[si][p : p + k]) and within_ok(fp, p + k - 1)
+                elem_sets = [list(range(p, p + k))] if ok else []
+            elif q in ("+",) or q.startswith("r:"):
+                lo_q, hi_q = (1, 1 << 30) if q == "+" else (int(q[2:].split(":")[0]), int(q[2:].split(":")[1]))
+                end_q = p
+                while (
+                    end_q + 1 < n
+                    and end_q + 1 - p < hi_q
+                    and mask[end_q + 1]
+                    and within_ok(fp, end_q + 1)
+                ):
+                    end_q += 1
+                # greedy-first run lengths (all of them — downstream any-steps
+                # may only succeed from shorter runs)
+                elem_sets = [
+                    list(range(p, e + 1)) for e in range(end_q, p - 1, -1) if e - p + 1 >= lo_q
+                ]
+            elif q == "+c":
+                elems = [e for e in range(p, n) if mask[e] and within_ok(fp, e)][:12]
+                rest = [e for e in elems if e != p]
+                elem_sets = []
+                for bits in range(1 << len(rest)):
+                    combo = [p] + [e for j, e in enumerate(rest) if bits >> j & 1]
+                    elem_sets.append(sorted(combo))
+            else:  # pragma: no cover — builder can't produce others here
+                raise ValueError(f"unsupported quantifier with any-semantics: {q}")
+            took = False
+            for es in elem_sets:
+                subs = rec(si + 1, es[-1] + 1, fp)
+                outs.extend(({step.name: es, **b}, e) for b, e in subs)
+                took = took or bool(subs)
+                if took and q != "+c" and not branching_pos:
+                    # deterministic loop: greedy-longest successful run only
+                    break
+            if took and not branching_pos:
+                break  # deterministic step: first viable position only
+        return outs
+
+    seen: set[tuple] = set()
+    matches: list[tuple[dict[str, list[int]], int, int]] = []
+    for i in range(n):
+        if not masks[0][i]:
+            continue
+        for bindings, end in rec(0, i, None):
+            key = tuple(sorted((v, tuple(idx)) for v, idx in bindings.items()))
+            if key in seen:
+                continue
+            seen.add(key)
+            matches.append((bindings, i, end))
+    matches.sort(
+        key=lambda m: (m[1], m[2], tuple(sorted((v, tuple(i)) for v, i in m[0].items())))
+    )
+    return pdf, matches
+
+
 def _measure_row(
     pdf: pd.DataFrame,
     bindings: dict[str, list[int]],
@@ -329,7 +470,10 @@ def _scan_group(
     partition_by: list[str],
     after_match: str = "past_last",
 ) -> pd.DataFrame:
-    pdf, matches = _scan_matches(pdf, pattern, order_by, time_col, after_match)
+    if _has_any_semantics(pattern):
+        pdf, matches = _scan_matches_all(pdf, pattern, order_by, time_col)
+    else:
+        pdf, matches = _scan_matches(pdf, pattern, order_by, time_col, after_match)
     out_rows = []
     for seq, (bindings, _start, _end) in enumerate(matches):
         row: dict = {c: pdf[c].iloc[0] for c in partition_by}

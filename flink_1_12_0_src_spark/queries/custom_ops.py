@@ -443,3 +443,55 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "cep_followed_by_any",
+    oracle="""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.user_id, view_id, purchase_id, vts, pts
+  FROM v JOIN p ON v.user_id = p.user_id
+  WHERE (pts > vts OR (pts = vts AND purchase_id > view_id))
+    AND pts <= vts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY vts, view_id, pts, purchase_id) - 1
+            AS INTEGER) AS match_seq,
+       view_id, purchase_id
+FROM pairs ORDER BY user_id, match_seq
+""",
+    tags=("batch", "cep", "custom_op", "any_match"),
+    doc="CEP emit-all-alternatives (Pattern.followedByAny — …/cep/pattern/"
+    "Pattern.java:214): view followedByAny purchase within 1h yields EVERY "
+    "(view, later purchase) combination per user, overlapping matches "
+    "included — the non-deterministic TAKE/PROCEED branch of NFA.java the "
+    "deterministic followedBy prunes. Oracle: the closed-form pair join. "
+    "Engine path: operators/cep.py _scan_matches_all.",
+)
+def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("v")
+        .where(lambda pdf: pdf["event_type"] == "view")
+        .followed_by_any("p")
+        .where(lambda pdf: pdf["event_type"] == "purchase")
+        .within(3600.0)
+    )
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pat,
+        measures={
+            "view_id": ("v", "last", "event_id"),
+            "purchase_id": ("p", "last", "event_id"),
+        },
+        output_schema="user_id bigint, match_seq int, view_id bigint, purchase_id bigint",
+        time_col="ts",
+    )
+    return out.orderBy("user_id", "match_seq")

@@ -95,3 +95,55 @@ def test_nfa_skip_to_next_row_is_overlapping_regex(seq: str):
         for m in re.finditer(f"(?=({rx}))", seq)
     ]
     assert nfa_spans == re_spans, f"seq={seq!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(seq=st.text(alphabet="abc", min_size=0, max_size=16))
+def test_followed_by_any_enumerates_all_alternatives(seq: str):
+    """followedByAny (Pattern.followedByAny:214): A followedByAny B over a
+    symbol sequence must produce exactly every (a-position, later b-position)
+    pair — the closed-form alternative set, independently enumerable."""
+    from flink_1_12_0_src_spark.operators.cep import _scan_matches_all
+
+    pattern = (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .followed_by_any("y").where(lambda p: p.t == "b")
+    )
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches_all(pdf, pattern, order_by=["pos"], time_col=None)
+    got = sorted((b["x"][0], b["y"][0]) for b, _s, _e in matches)
+    expected = sorted(
+        (i, j)
+        for i, ci in enumerate(seq)
+        if ci == "a"
+        for j, cj in enumerate(seq)
+        if cj == "b" and j > i
+    )
+    assert got == expected, f"seq={seq!r}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(seq=st.text(alphabet="ab", min_size=0, max_size=10))
+def test_allow_combinations_enumerates_subsets(seq: str):
+    """allowCombinations (Pattern.allowCombinations:471): A+ allowCombinations
+    binds, for every start position p, every order-preserving combination of
+    later a-rows that includes p."""
+    from itertools import combinations
+
+    from flink_1_12_0_src_spark.operators.cep import _scan_matches_all
+
+    pattern = (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .one_or_more().allow_combinations()
+    )
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches_all(pdf, pattern, order_by=["pos"], time_col=None)
+    got = sorted(tuple(b["x"]) for b, _s, _e in matches)
+    a_pos = [i for i, c in enumerate(seq) if c == "a"]
+    expected = sorted(
+        (p, *combo)
+        for idx, p in enumerate(a_pos)
+        for r in range(len(a_pos) - idx)
+        for combo in combinations(a_pos[idx + 1 :], r)
+    )
+    assert got == expected, f"seq={seq!r}"
