@@ -265,3 +265,78 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     return hub.withColumn("role", F.lit("hub")).unionByName(
         auth.withColumn("role", F.lit("auth"))
     ).select("v", "role", "score")
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per vertex (Gelly …/graph/library/
+    clustering/undirected/LocalClusteringCoefficient.java): cc(v) =
+    2·triangles(v) / (deg(v)·(deg(v)−1)), 0 for degree < 2.
+
+    Pure composition of the two existing one-shuffle primitives — the
+    undirected degree count and the canonical triangle enumeration — joined
+    on the vertex id; no new shuffle shape, so it scales exactly as
+    triangle_counts does (ordered-degree orientation bounds the two-path
+    fan-out at 100 TB).
+    """
+    ud = _undirected(edges, src, dst)
+    deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            "v",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Jaccard vertex similarity (Gelly …/graph/library/similarity/
+    JaccardIndex.java): for every vertex pair sharing ≥1 neighbor,
+    J(u,w) = |N(u)∩N(w)| / |N(u)|+|N(w)|−|N(u)∩N(w)|, emitted for u < w.
+
+    Gelly's group-by-neighbor pair generation verbatim in DataFrame form:
+    the two-path self-join on the common neighbor produces each co-neighbor
+    pair once per shared neighbor, one groupBy counts the intersection, and
+    degrees close the union via inclusion-exclusion — no neighbor-set
+    materialization. Pair fan-out is Σ_n deg(n)², the same quadratic-in-hub
+    risk as LSH buckets; at 100 TB the mitigation is identical (cap or
+    sample hub neighbors; AQE skew-join smooths the rest).
+    """
+    ud = _undirected(edges, src, dst).persist()
+    deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    a, b = ud.alias("a"), ud.alias("b")
+    shared = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("w"))
+        .agg(F.count("*").alias("shared"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    jac = F.round(
+        F.col("shared").cast("double") / (F.col("du") + F.col("dw") - F.col("shared")), 6
+    )
+    return (
+        shared.join(du, "u")
+        .join(dw, "w")
+        .select("u", "w", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -279,3 +279,80 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import hits
 
     return hits(_edges(spark, sf_dir), iterations=2).orderBy("role", "v")
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH pe AS ({_COORDER_EDGES_SQL}),
+ud AS (SELECT p1 AS v, p2 AS n FROM pe UNION SELECT p2, p1 FROM pe),
+deg AS (SELECT v, COUNT(*) AS degree FROM ud GROUP BY v),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pe e1 JOIN pe e2 ON e1.p2 = e2.p1
+             JOIN pe e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+tcnt AS (
+  SELECT v, COUNT(*) AS n_triangles
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY v
+)
+SELECT d.v, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coefficient
+FROM deg d LEFT JOIN tcnt t USING (v)
+ORDER BY v
+""",
+    tags=("graph", "gelly", "self_join"),
+    doc="Gelly LocalClusteringCoefficient (…/graph/library/clustering/"
+    "undirected/LocalClusteringCoefficient.java): 2·tri(v)/(deg·(deg−1)) "
+    "over the part co-order graph — the degrees + TriangleEnumerator "
+    "composition COVERAGE.md promised, now written (round-1 ask #9). "
+    "Engine path: operators/graph.py clustering_coefficient.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import clustering_coefficient
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(pe).orderBy("v")
+
+
+@register(
+    "graph_jaccard_similarity",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM ud GROUP BY src),
+shared AS (
+  SELECT a.src AS u, b.src AS w, COUNT(*) AS s
+  FROM ud a JOIN ud b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, w, round(CAST(s AS DOUBLE) / (du.d + dw.d - s), 6) AS jaccard
+FROM shared JOIN deg du ON du.v = u JOIN deg dw ON dw.v = w
+WHERE round(CAST(s AS DOUBLE) / (du.d + dw.d - s), 6) >= 0.34
+ORDER BY u, w
+""",
+    tags=("graph", "gelly", "self_join"),
+    doc="Gelly JaccardIndex (…/graph/library/similarity/JaccardIndex.java): "
+    "co-neighbor pairs from the two-path self-join on the part–supplier "
+    "graph, intersection counted in one groupBy, union closed by "
+    "inclusion-exclusion over degrees; J ≥ 0.34 pairs emitted (round-1 ask "
+    "#9). Engine path: operators/graph.py jaccard_similarity.",
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import jaccard_similarity
+
+    return jaccard_similarity(_edges(spark, sf_dir), min_jaccard=0.34).orderBy("u", "w")
