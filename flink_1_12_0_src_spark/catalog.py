@@ -41,8 +41,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif kind == "timestamp_ntz":
+            # Newer parquet readers surface TIMESTAMP(NANOS) as NTZ directly
+            # (ignoring nanosAsLong). Normalize to TIMESTAMP: the session TZ
+            # is pinned UTC, so the wall-clock values are unchanged, and
+            # event-time ops (withWatermark) require the LTZ type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -139,16 +139,19 @@ def minhash_lsh_pairs(
     ).select(id_col, "x.band", "x.bk")
 
     if max_bucket is not None:
-        # Bucket-size census + semi join: one extra shuffle over the (band, bk)
-        # keys the self-join shuffles on anyway; kept-bucket list never leaves
-        # the co-partitioned exchange.
-        kept = (
-            bands.groupBy("band", "bk")
-            .agg(F.count("*").alias("_bsz"))
+        # Bucket-size guard as a window count over the exact keys the
+        # self-join partitions on — one shuffle, no extra join; rows in
+        # oversized buckets drop before any pairing.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bk")
+        bands = (
+            bands.withColumn("_bsz", F.count("*").over(w))
             .filter(F.col("_bsz") <= max_bucket)
-            .select("band", "bk")
+            .drop("_bsz")
         )
-        bands = bands.join(kept, ["band", "bk"], "left_semi")
+    # two self-join references below; band table is ~#docs × n_bands tiny rows
+    bands = bands.persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -119,7 +119,7 @@ FROM o p JOIN islands e
 WHERE p.event_type = 'purchase'
 ORDER BY p.user_id, match_seq
 """,
-    tags=("batch", "cep", "custom_op"),
+    tags=("batch", "cep", "custom_op", "bench"),
     doc="MATCH_RECOGNIZE with greedy oneOrMore: PATTERN (E+ P) — maximal error "
     "burst immediately followed by a purchase (Flink Pattern.oneOrMore().consecutive(), "
     "Pattern.java:378). Oracle: gaps-and-islands SQL.",

@@ -97,7 +97,7 @@ pr{i} AS (
 @register(
     "graph_pagerank",
     oracle=_pagerank_oracle(),
-    tags=("graph", "gelly", "iterative"),
+    tags=("graph", "gelly", "iterative", "bench"),
     doc="Gelly PageRank (…/library/PageRank.java; damping 0.85, 5 bulk "
     "iterations) in exact BIGINT fixed-point (rank×1e12, floor division) so "
     "Spark and DuckDB produce bit-identical ranks — float PageRank is never "

@@ -259,7 +259,7 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
-    tags=("streaming", "over", "stateful", "custom_op"),
+    tags=("streaming", "over", "stateful", "custom_op", "bench"),
     doc="Streaming OVER aggregate, ROWS UNBOUNDED PRECEDING "
     "(StreamExecOverAggregate.scala:52): per-row running count+sum via "
     "applyInPandasWithState with O(1) scalars per key — the Flink "

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_12_0_src_spark.catalog import table
 
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams")
+# v2: staged-cache format version — bumping forces re-staging so files always
+# carry the current session's timestamp semantics (LTZ micros); stale caches
+# written under different parquet-timestamp configs would otherwise surface
+# TIMESTAMP_NTZ columns that withWatermark rejects.
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams_v3")
 
 
 def _split_dir(sf_dir: str, n_files: int) -> str:

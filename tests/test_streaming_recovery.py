@@ -180,3 +180,57 @@ def test_upsert_sink_bucket_pruning(spark, tmp_path):
     assert got == expected
     assert stats["files_total"] > 0
     assert stats["files_read"] < stats["files_total"], stats
+
+
+def test_idle_source_watermark_divergence(spark, tmp_path):
+    """Idle-source watermark semantics pinned (WatermarksWithIdleness.java —
+    flink-core/.../eventtime/): Flink computes the global watermark as the
+    MIN across per-partition watermarks, so one idle partition stalls event
+    time forever unless withIdleness() marks it idle. Spark has no
+    per-partition watermarks: the global watermark is max-event-time-seen
+    minus delay, across ALL partitions — an idle source can never stall it.
+    Spark therefore behaves as if WatermarksWithIdleness were ALWAYS on
+    (with an instant idle timeout); the Flink-default stall is not
+    reproducible and is documented as a divergence, not emulated.
+
+    Fixture: source B goes idle after its first window while A keeps
+    producing. Under append mode the 10:00 window (containing B's only row)
+    must still finalize — i.e. the watermark advanced past B's last event on
+    A's data alone."""
+    import os
+
+    src = str(tmp_path / "twosrc")
+    os.makedirs(src)
+    batches = [
+        [("A", "2024-01-01 10:00:30", 1.0), ("B", "2024-01-01 10:00:40", 2.0)],
+        [("A", "2024-01-01 11:00:00", 3.0)],  # B idle; A advances event time
+    ]
+    for i, rows in enumerate(batches):
+        df = (
+            spark.createDataFrame(rows, "src string, ts_s string, val double")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
+    )
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes"), "src")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "src", "cnt")
+    )
+    out = run_to_batch(agg, "append")
+    got = {(str(r["ws"]), r["src"]) for r in out.collect()}
+    # the B-containing 10:00 window finalized although B produced nothing
+    # since — impossible under Flink's default min-of-partitions watermark
+    assert ("2024-01-01 10:00:00", "B") in got, got
+    assert ("2024-01-01 10:00:00", "A") in got, got
