@@ -99,6 +99,18 @@ _DRIVER_GREEN = _R01_DRIVER_GREEN | _R02_DRIVER_GREEN
 # they re-verify at the very front of the round-3 gate budget.
 _R03_FIXED_FIRST = ("fn_decimal_suite", "flinkddl_csv_source")
 
+# Queries first registered in round 3: real capabilities, but NOT part of the
+# round-2 registry's never-tested set that this round's 50 gate slots are
+# reserved for (2 fixes + 48 of the 66) — they queue at rank 2 for round 4.
+_R03_NEW = frozenset(
+    {
+        "cdc_retract_with_delete", "cdc_consume_changelog_agg",
+        "flinkddl_computed_col", "flinkddl_alter", "flinkddl_create_function",
+        "cep_followed_by_any", "graph_clustering_coeff",
+        "graph_jaccard_similarity",
+    }
+)
+
 
 def _gate_rank(name: str) -> int:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
@@ -113,6 +125,8 @@ def _gate_rank(name: str) -> int:
         return 0
     if name in _DRIVER_GREEN:
         return 3
+    if name in _R03_NEW:
+        return 2
     if name.startswith(("stream_", "graph_", "cdc_")) or name in (
         "flinksql_match_recognize",
         "partition_pruned_read",
