@@ -107,7 +107,8 @@ _R03_NEW = frozenset(
         "cdc_retract_with_delete", "cdc_consume_changelog_agg",
         "flinkddl_computed_col", "flinkddl_alter", "flinkddl_create_function",
         "cep_followed_by_any", "graph_clustering_coeff",
-        "graph_jaccard_similarity",
+        "graph_jaccard_similarity", "stream_evictor_count",
+        "stream_evictor_time", "stream_evictor_delta",
     }
 )
 

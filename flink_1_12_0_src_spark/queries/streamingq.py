@@ -1185,3 +1185,121 @@ def stream_ooo_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "event_id", "value"])
     out = streaming_count_slide(s, "user_id", ["ts", "event_id"], "value", size=8, slide=3)
     return run_to_batch(out, "append").orderBy("user_id", "win_id")
+
+
+_EVICTOR_CLOSED = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,2)) AS val,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start
+  FROM events
+),
+closed AS (
+  SELECT * FROM e
+  WHERE epoch_us(window_start) + 86400000000
+        <= ((epoch_us((SELECT MAX(ts) FROM events)) // 1000) + 1) * 1000
+)"""
+
+
+@register(
+    "stream_evictor_count",
+    oracle=_EVICTOR_CLOSED + """,
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM closed
+)
+SELECT user_id, window_start, COUNT(*) AS cnt_kept,
+       CAST(SUM(val) AS DOUBLE) AS total_kept
+FROM r WHERE rn <= 3
+GROUP BY user_id, window_start ORDER BY user_id, window_start
+""",
+    tags=("streaming", "window_agg", "evictor", "custom_op"),
+    doc="CountEvictor (…/api/windowing/evictors/CountEvictor.java — keep the "
+    "last n elements, evictBefore in WindowOperator): 1-day tumbling windows "
+    "per user aggregate only their last 3 rows. Spark has no evictor hook, "
+    "so the window fires from the watermark-aligned buffer "
+    "(streaming/stateful.py streaming_evicted_window); windows still open at "
+    "the final watermark stay in state, mirrored by the oracle's closure "
+    "predicate.",
+)
+def stream_evictor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
+
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_evicted_window(
+        s, "user_id", ["ts", "event_id"], "value", 86400.0, "count", n=3
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "window_start")
+
+
+@register(
+    "stream_evictor_time",
+    oracle=_EVICTOR_CLOSED + """,
+m AS (
+  SELECT *, MAX(ts) OVER (PARTITION BY user_id, window_start) AS mx
+  FROM closed
+)
+SELECT user_id, window_start, COUNT(*) AS cnt_kept,
+       CAST(SUM(val) AS DOUBLE) AS total_kept
+FROM m WHERE ts >= mx - INTERVAL 30 MINUTE
+GROUP BY user_id, window_start ORDER BY user_id, window_start
+""",
+    tags=("streaming", "window_agg", "evictor", "custom_op"),
+    doc="TimeEvictor (…/api/windowing/evictors/TimeEvictor.java — keep "
+    "elements within the trailing keep-interval of the window's max "
+    "timestamp): 1-day windows aggregate only their last 30 minutes of "
+    "rows. Same watermark-aligned fire-at-end harness as "
+    "stream_evictor_count.",
+)
+def stream_evictor_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
+
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_evicted_window(
+        s, "user_id", ["ts", "event_id"], "value", 86400.0, "time", keep_seconds=1800.0
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "window_start")
+
+
+@register(
+    "stream_evictor_delta",
+    oracle=_EVICTOR_CLOSED + """,
+l AS (
+  SELECT *, LAST_VALUE(val) OVER (PARTITION BY user_id, window_start
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS lastv
+  FROM closed
+)
+SELECT user_id, window_start, COUNT(*) AS cnt_kept,
+       CAST(SUM(val) AS DOUBLE) AS total_kept
+FROM l WHERE ABS(val - lastv) <= 200
+GROUP BY user_id, window_start ORDER BY user_id, window_start
+""",
+    tags=("streaming", "window_agg", "evictor", "custom_op"),
+    doc="DeltaEvictor (…/api/windowing/evictors/DeltaEvictor.java — evict "
+    "elements whose delta against the window's last element exceeds the "
+    "threshold): 1-day windows keep rows with |value − last value| ≤ 200, "
+    "compared in exact cents so both engines make identical keep/drop "
+    "decisions. Same fire-at-end harness.",
+)
+def stream_evictor_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
+
+    s = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_evicted_window(
+        s, "user_id", ["ts", "event_id"], "value", 86400.0, "delta", threshold=200.0
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "window_start")

@@ -80,8 +80,14 @@ def _wm_buffered(
     init_carry: tuple,
     kernel: Callable,
     out_schema: StructType,
+    align_seconds: float | None = None,
 ) -> DataFrame:
     """Hold-until-watermark harness shared by the stateful operators.
+
+    ``align_seconds``: when set, rows finalize only up to the last
+    ``align_seconds``-aligned epoch boundary ≤ watermark+1ms — so a kernel
+    sees whole tumbling windows only (the WindowOperator fire-at-end
+    contract); rows of the still-open window stay buffered.
 
     Rows buffer in keyed state; each invocation merges buffer + input, sorts
     by ``order_cols`` (order_cols[0] must be the event-time column), splits at
@@ -131,6 +137,9 @@ def _wm_buffered(
         # the flooring, a sub-ms event-time tail above the watermark would
         # never finalize (e.g. the global max row on the trailing flush batch)
         fin_below_ns = (state.getCurrentWatermarkMs() + 1) * 1_000_000
+        if align_seconds is not None:
+            win_ns = int(align_seconds * 1e9)
+            fin_below_ns = (fin_below_ns // win_ns) * win_ns
         ts_arr = buf[time_col].to_numpy(dtype="int64") if len(buf) else np.array([], "int64")
         n_fin = int(np.searchsorted(ts_arr, fin_below_ns, side="left"))
         if n_fin:
@@ -570,4 +579,88 @@ def streaming_dedup_ttl(
 
     return stream.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def streaming_evicted_window(
+    stream: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window_seconds: float,
+    evictor: str,
+    n: int | None = None,
+    keep_seconds: float | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Tumbling event-time window with an EVICTOR applied before the
+    aggregate fires (flink-streaming-java/.../api/windowing/evictors/:
+    CountEvictor, TimeEvictor, DeltaEvictor; invoked by WindowOperator
+    before the window function — evictBefore):
+
+    - ``evictor="count"``: keep only the LAST ``n`` rows of the window
+      (CountEvictor.of(n));
+    - ``evictor="time"``: keep rows within ``keep_seconds`` of the window's
+      max event time (TimeEvictor.of(Time.seconds(k)));
+    - ``evictor="delta"``: drop rows whose |value − last_row.value| >
+      ``threshold`` (DeltaEvictor.of(threshold, deltaFn) against the window's
+      last element).
+
+    Spark's windowed aggregation has no evictor hook, so the operator runs on
+    the watermark-buffered harness with window-ALIGNED finalization: a window
+    fires exactly once, when the watermark passes its end, seeing all and
+    only its rows in global event-time order (WindowOperator fire-at-end).
+    State is O(open-window rows per key); emitted windows leave state.
+
+    Emits (key, window_start, cnt_kept, total_kept) per closed window —
+    cnt/total computed over the evictor's survivors only.
+    """
+    time_col = order_cols[0]
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("window_start", stream.schema[time_col].dataType),
+            StructField("cnt_kept", LongType()),
+            StructField("total_kept", DoubleType()),
+        ]
+    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+    buffer_cols[value_col] = "double"
+    win_ns = int(window_seconds * 1e9)
+
+    def kernel(key_tuple, fin, carry):
+        ts = fin[time_col].astype("int64").to_numpy()
+        starts = (ts // win_ns) * win_ns
+        rows = []
+        for w in np.unique(starts):
+            sel = fin[starts == w]  # already in global (ts, tiebreak) order
+            if evictor == "count":
+                kept = sel.iloc[-n:]
+            elif evictor == "time":
+                lo = sel[time_col].astype("int64").max() - int(keep_seconds * 1e9)
+                kept = sel[sel[time_col].astype("int64") >= lo]
+            elif evictor == "delta":
+                cv = _cents(sel[value_col])  # exact cents: keep/drop decisions
+                kept = sel[np.abs(cv - cv[-1]) <= int(round(threshold * 100))]
+            else:  # pragma: no cover
+                raise ValueError(f"unknown evictor: {evictor}")
+            cents = _cents(kept[value_col]).sum()
+            rows.append(
+                {
+                    key: key_tuple[0],
+                    "window_start": pd.Timestamp(int(w)),
+                    "cnt_kept": len(kept),
+                    "total_kept": cents / 100.0,
+                }
+            )
+        out = pd.DataFrame(rows, columns=list(out_schema.fieldNames())) if rows else None
+        return out, carry
+
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [StructField("unused", LongType())],
+        (0,), kernel, out_schema,
+        align_seconds=window_seconds,
     )
