@@ -1303,3 +1303,52 @@ def stream_evictor_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, "user_id", ["ts", "event_id"], "value", 86400.0, "delta", threshold=200.0
     )
     return run_to_batch(out, "append").orderBy("user_id", "window_start")
+
+
+@register(
+    "stream_outer_join_changelog",
+    oracle="""
+WITH l AS (SELECT user_id, event_id AS l_id, CAST(event_id % 4 AS INTEGER) AS e_l
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, event_id AS r_id, CAST(event_id % 4 AS INTEGER) AS e_r
+      FROM events WHERE event_type = 'error'),
+pairs AS (SELECT l.user_id, l.l_id, r.r_id,
+                 CAST(GREATEST(e_l, e_r) AS INTEGER) AS epoch
+          FROM l JOIN r ON l.user_id = r.user_id),
+m AS (SELECT l.user_id, l.l_id, l.e_l, MIN(r.e_r) AS first_r
+      FROM l LEFT JOIN r ON l.user_id = r.user_id GROUP BY 1, 2, 3)
+SELECT user_id, epoch, '+I' AS kind, l_id, r_id FROM pairs
+UNION ALL
+SELECT user_id, e_l AS epoch, '+I' AS kind, l_id, NULL AS r_id
+FROM m WHERE first_r IS NULL OR first_r > e_l
+UNION ALL
+SELECT user_id, CAST(first_r AS INTEGER) AS epoch, '-D' AS kind, l_id, NULL AS r_id
+FROM m WHERE first_r IS NOT NULL AND first_r > e_l
+ORDER BY user_id, epoch, kind, l_id, r_id
+""",
+    tags=("streaming", "join", "changelog", "custom_op"),
+    doc="Retraction-EMITTING unbounded LEFT OUTER stream-stream join "
+    "(StreamingJoinOperator.java:38 outer path; RowKind.java:35-58): "
+    "purchases left-join errors on user with no time bound — an unmatched "
+    "purchase emits its null-padded row immediately, and the first later "
+    "error retracts it with -D while joined pairs flow as +I, each exactly "
+    "once at the later side's epoch. Replay staged by event_id % 4 "
+    "(events_stream_mod) makes the whole changelog closed-form. State: both "
+    "sides + the padded set hash-bucketed parquet, delta-touched buckets "
+    "only (streaming/run.py run_incremental_left_join_changelog). Closes "
+    "the §2.3 'retraction-emitting variants' gap.",
+)
+def stream_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_left_join_changelog
+    from flink_1_12_0_src_spark.streaming.source import events_stream_mod
+
+    s = events_stream_mod(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    out = run_incremental_left_join_changelog(
+        s, side_col="event_type", left_tag="purchase",
+        join_keys=["user_id"], left_id="event_id", right_id="event_id",
+    )
+    return out.select(
+        "user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "l_id", "r_id"
+    ).orderBy("user_id", "epoch", "kind", "l_id", "r_id")

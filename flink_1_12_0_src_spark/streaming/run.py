@@ -216,3 +216,161 @@ def run_incremental_join(
         if q.isActive:
             q.stop()
     return spark.read.parquet(out_dir)
+
+
+def run_incremental_left_join_changelog(
+    stream_df: DataFrame,
+    side_col: str,
+    left_tag: str,
+    join_keys: list[str],
+    left_id: str,
+    right_id: str,
+    timeout_sec: int = 300,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Unbounded LEFT OUTER stream-stream join with RETRACTION emission —
+    the changelog face of StreamExecJoin (StreamingJoinOperator.java:38
+    outer path: a left row with no match emits the null-padded row
+    immediately; the first matching right row RETRACTS the padded row and
+    the joined rows flow as inserts; RowKind.java:35-58).
+
+    Per micro-batch (epoch), with accumulated sides L, R and deltas ΔL, ΔR:
+
+      +I joined   : ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR   (each pair exactly once, at the
+                                             later side's epoch)
+      +I padded   : ΔL rows with NO match in R∪ΔR (null right side)
+      -D padded   : previously-padded left rows first matched by this ΔR
+
+    State: both sides and the padded-row set are parquet hash-bucketed by
+    join key (the run_incremental_join layout); each trigger reads only
+    delta-touched buckets and rewrites only the padded-set buckets ΔR
+    touched — O(|Δ|)-proportional I/O, never O(history).
+
+    Emits (join_keys…, epoch, kind, left_id, right_id) — right_id NULL on
+    padded rows. Append-only inputs ⇒ kinds are +I/-D only (no -U/+U),
+    matching Flink's changelog inference for this plan.
+    """
+    import glob as globmod
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark: SparkSession = stream_df.sparkSession
+    l_dir = tempfile.mkdtemp(prefix="oj_left_")
+    r_dir = tempfile.mkdtemp(prefix="oj_right_")
+    pad_root = tempfile.mkdtemp(prefix="oj_pad_")
+    out_dir = tempfile.mkdtemp(prefix="oj_out_")
+    state = {"epoch": 0, "pad_ptr": {}, "pad_ver": 0}
+
+    def bucketed(df: DataFrame, id_col: str, alias: str) -> DataFrame:
+        return df.select(
+            *join_keys, F.col(id_col).alias(alias)
+        ).withColumn("_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int"))
+
+    def bucket_files(root: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for f in globmod.glob(os.path.join(root, "_b=*", "*.parquet")):
+            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            out.setdefault(b, []).append(f)
+        return out
+
+    def read_buckets(files: dict[int, list[str]], buckets, schema) -> DataFrame | None:
+        sel = [f for b in buckets for f in files.get(b, [])]
+        if not sel:
+            return None
+        return spark.read.schema(schema).parquet(*sel)
+
+    def fb(bdf: DataFrame, _eid: int) -> None:
+        epoch = state["epoch"]
+        state["epoch"] = epoch + 1
+        bdf = bdf.persist()
+        dl = bucketed(bdf.filter(F.col(side_col) == left_tag), left_id, "l_id").persist()
+        dr = bucketed(bdf.filter(F.col(side_col) != left_tag), right_id, "r_id").persist()
+        l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
+        dl.write.partitionBy("_b").mode("append").parquet(l_dir)
+        dr.write.partitionBy("_b").mode("append").parquet(r_dir)
+        dl_b = [r["_b"] for r in dl.select("_b").distinct().collect()]
+        dr_b = [r["_b"] for r in dr.select("_b").distinct().collect()]
+        dlp, drp = dl.drop("_b"), dr.drop("_b")
+        l_schema, r_schema = dlp.schema, drp.schema
+        l_prev = read_buckets(l_files, dr_b, l_schema)
+        r_prev = read_buckets(r_files, dl_b, r_schema)
+        # 1. joined inserts: each pair exactly once, at the later epoch
+        parts = [dlp.join(drp, join_keys)]
+        if r_prev is not None:
+            parts.append(dlp.join(r_prev, join_keys))
+        if l_prev is not None:
+            parts.append(l_prev.join(drp, join_keys))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.unionByName(p)
+        out = joined.select(
+            *join_keys, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"),
+            "l_id", F.col("r_id").cast("long").alias("r_id"),
+        )
+        # 2. padded inserts: ΔL with no match in R∪ΔR
+        r_now = drp.select(*join_keys).distinct()
+        if r_prev is not None:
+            r_now = r_now.unionByName(r_prev.select(*join_keys).distinct()).distinct()
+        pads = dlp.join(r_now, join_keys, "left_anti")
+        out = out.unionByName(
+            pads.select(
+                *join_keys, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"),
+                "l_id", F.lit(None).cast("long").alias("r_id"),
+            )
+        )
+        # 3. padded retractions: stored pads first matched by this ΔR.
+        #    Rewrite only the buckets this batch touches (ΔR buckets — may
+        #    retract — plus new-pad buckets); other pad buckets keep their
+        #    current pointers untouched.
+        pads = pads.withColumn(
+            "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+        ).persist()
+        pad_b = [r["_b"] for r in pads.select("_b").distinct().collect()]
+        rewrite_b = sorted(set(dr_b) | set(pad_b))
+        pad_files = {
+            b: globmod.glob(os.path.join(p, "*.parquet"))
+            for b, p in state["pad_ptr"].items()
+        }
+        stored_pads = read_buckets(pad_files, rewrite_b, l_schema)
+        new_state = pads
+        if stored_pads is not None:
+            dr_keys = drp.select(*join_keys).distinct()
+            retracted = stored_pads.join(dr_keys, join_keys, "left_semi")
+            out = out.unionByName(
+                retracted.select(
+                    *join_keys, F.lit(epoch).alias("epoch"), F.lit("-D").alias("kind"),
+                    "l_id", F.lit(None).cast("long").alias("r_id"),
+                )
+            )
+            surviving = stored_pads.join(dr_keys, join_keys, "left_anti")
+            new_state = new_state.unionByName(
+                surviving.withColumn(
+                    "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+                )
+            )
+        if rewrite_b:
+            ver = state["pad_ver"] + 1
+            vdir = os.path.join(pad_root, f"v{ver}")
+            new_state.write.partitionBy("_b").mode("overwrite").parquet(vdir)
+            for b in rewrite_b:
+                state["pad_ptr"][b] = os.path.join(vdir, f"_b={b}")
+            state["pad_ver"] = ver
+        pads.unpersist()
+        out.write.mode("append").parquet(out_dir)
+        dl.unpersist()
+        dr.unpersist()
+        bdf.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_oj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
