@@ -52,6 +52,7 @@ class _Step:
     contiguity: str = "strict"  # "strict" | "relaxed"
     negated: bool = False  # notNext / notFollowedBy (Pattern.java:169,198)
     until_predicate: Callable[[pd.DataFrame], pd.Series] | None = None  # Pattern.until
+    reluctant: bool = False  # shortest-first loop binding (MATCH_RECOGNIZE +? / Flink non-greedy)
 
 
 @dataclass
@@ -136,6 +137,14 @@ class Pattern:
 
     def optional(self) -> "Pattern":
         self.steps[-1].quantifier = "?"
+        return self
+
+    def reluctant(self) -> "Pattern":
+        """Shortest-first (lazy) binding for the current quantifier — the
+        MATCH_RECOGNIZE ``+?``/``{n,m}?``/``??`` suffix and the inverse of
+        Pattern.greedy (Pattern.java:426): the loop absorbs as FEW rows as
+        let the remaining pattern match, instead of the greedy longest."""
+        self.steps[-1].reluctant = True
         return self
 
     def within(self, seconds: float) -> "Pattern":
@@ -223,11 +232,18 @@ def _scan_matches(
             if neg_limit is not None:
                 candidates = [p for p in candidates if p <= neg_limit]
             if step.quantifier == "?":
+                if step.reluctant:
+                    # lazy ??: prefer skipping the optional step
+                    r = rec(si + 1, pos, bindings, first_pos, neg_limit=neg_limit)
+                    if r:
+                        return r
                 for p in candidates:
                     if p < n and mask[p] and _within_ok(first_pos, p):
                         r = rec(si + 1, p + 1, {**bindings, step.name: [p]}, first_pos if first_pos is not None else p)
                         if r:
                             return r
+                if step.reluctant:
+                    return None
                 # skip optional step: a pending notFollowedBy bound transfers
                 # to the NEXT positive step (the constraint holds until the
                 # next actually-matched event), so neg_limit must survive
@@ -285,11 +301,12 @@ def _scan_matches(
                         and _within_ok(fp, q + 1)
                     ):
                         q += 1
-                    while q - p + 1 >= lo_q:  # greedy, back off on suffix failure
-                        r = rec(si + 1, q + 1, {**bindings, step.name: list(range(p, q + 1))}, fp)
+                    # greedy: longest run first; reluctant ({n,m}?): shortest
+                    ends = range(p + lo_q - 1, q + 1) if step.reluctant else range(q, p + lo_q - 2, -1)
+                    for e_ in ends:
+                        r = rec(si + 1, e_ + 1, {**bindings, step.name: list(range(p, e_ + 1))}, fp)
                         if r:
                             return r
-                        q -= 1
                 elif step.quantifier == "+":
                     u_mask = umasks[si]
                     q = p
@@ -300,11 +317,12 @@ def _scan_matches(
                         and _within_ok(fp, q + 1)
                     ):
                         q += 1
-                    while q >= p:  # greedy, backtrack on suffix failure
-                        r = rec(si + 1, q + 1, {**bindings, step.name: list(range(p, q + 1))}, fp)
+                    # greedy: longest run first; reluctant (+?): shortest
+                    ends = range(p, q + 1) if step.reluctant else range(q, p - 1, -1)
+                    for e_ in ends:
+                        r = rec(si + 1, e_ + 1, {**bindings, step.name: list(range(p, e_ + 1))}, fp)
                         if r:
                             return r
-                        q -= 1
                 if step.contiguity == "strict":
                     return None
             return None

@@ -57,7 +57,7 @@ _MEASURE_RE = re.compile(
     r"(FIRST|LAST|COUNT|SUM|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)", re.I
 )
 
-_STEP_RE = re.compile(r"(\w+)\s*(\+|\?|\{\s*\d+\s*(?:,\s*\d+\s*)?\})?")
+_STEP_RE = re.compile(r"(\w+)\s*(\+\??|\?\??|\{\s*\d+\s*(?:,\s*\d+\s*)?\}\??)?")
 
 _CMP_RE = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)"
@@ -121,13 +121,18 @@ def parse_match_recognize(clause: str) -> dict:
         pattern = Pattern.begin(var) if pattern is None else pattern.next(var)
         if var in defines:
             pattern.where(_make_predicate(defines[var]))
-        if quant == "+":
+        lazy = quant.endswith("?") and quant not in ("?",)  # +? / {n,m}? / ??
+        base = quant[:-1] if lazy else quant
+        if base == "+":
             pattern.one_or_more()
-        elif quant == "?":
+        elif base == "?":
             pattern.optional()
-        elif quant.startswith("{"):
-            nums = [int(x) for x in re.findall(r"\d+", quant)]
+        elif base.startswith("{"):
+            nums = [int(x) for x in re.findall(r"\d+", base)]
             pattern.times(*nums)
+        if lazy:
+            # reluctant quantifier suffix (SQL:2016 row-pattern lazy mode)
+            pattern.reluctant()
 
     if pattern is None:
         raise ValueError("empty PATTERN")

@@ -147,3 +147,46 @@ def test_allow_combinations_enumerates_subsets(seq: str):
         for combo in combinations(a_pos[idx + 1 :], r)
     )
     assert got == expected, f"seq={seq!r}"
+
+
+def _pat_ab_lazy_plus():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .next("y").where(lambda p: p.t == "b").one_or_more().reluctant()
+        .next("z").where(lambda p: p.t == "c")
+    ), "ab+?c"
+
+
+def _pat_a_lazy_range():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a").times(2, 4).reluctant()
+        .next("y").where(lambda p: p.t == "b")
+    ), "a{2,4}?b"
+
+
+def _pat_ab_lazy_opt():
+    return (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .next("y").where(lambda p: p.t == "b").optional().reluctant()
+        .next("z").where(lambda p: p.t == "b")
+    ), "ab??b"
+
+
+LAZY_PATTERNS = [_pat_ab_lazy_plus, _pat_a_lazy_range, _pat_ab_lazy_opt]
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    seq=st.text(alphabet="abc", min_size=0, max_size=24),
+    pat_idx=st.integers(min_value=0, max_value=len(LAZY_PATTERNS) - 1),
+)
+def test_nfa_reluctant_matches_lazy_regex(seq: str, pat_idx: int):
+    """Reluctant quantifiers (MATCH_RECOGNIZE +?/{n,m}?/?? — the inverse of
+    Pattern.greedy, Pattern.java:426) bind shortest-first, exactly regex
+    lazy quantifier semantics — pinned against CPython's sre."""
+    pattern, rx = LAZY_PATTERNS[pat_idx]()
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches(pdf, pattern, order_by=["pos"], time_col=None)
+    nfa_spans = [(start, end + 1) for _b, start, end in matches]
+    re_spans = [m.span() for m in re.finditer(rx, seq)]
+    assert nfa_spans == re_spans, f"seq={seq!r} rx={rx}"
