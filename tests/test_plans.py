@@ -115,3 +115,29 @@ def test_dedup_cluster_pair_join_prunes_columns(spark, sf_dir):
     # the documents scans feeding the shingle join never read the blob-ish
     # columns they don't use
     assert reads and all("embedding" not in l for l in reads)
+
+
+def test_clustering_coeff_no_cartesian_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_clustering_coeff")
+    # triangle enumeration is equi-join only — never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # degree + triangle counts are two-phase aggregates
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_jaccard_similarity_equi_joins_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_jaccard_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # intersection counted by one groupBy over the two-path join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_cap_single_band_shuffle(spark, sf_dir):
+    """The hot-bucket cap must not add a join: bucket sizes come from a
+    window count over the same (band, bk) keys the self-join uses."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "Window" in plan  # the census is a window count…
+    # …and the candidate generation stays a plain equi self-join
+    assert "CartesianProduct" not in plan
