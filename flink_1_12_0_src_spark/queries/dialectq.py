@@ -524,3 +524,61 @@ def flinkddl_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2
     """)
+
+
+@register(
+    "tableapi_fluent_agg",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(*) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 100000
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    tags=("dialect", "table_api"),
+    doc="Fluent Table API pipeline (SURVEY §3.2 — Table.java:129 filter/"
+    "join/groupBy/select with the expression DSL, e.g. 'price.sum AS "
+    "total'): the facade (table_api.py) assembles the same DataFrame plan a "
+    "QueryOperation tree would hand PlannerBase.translate; Catalyst is the "
+    "planner. Money sums run in DECIMAL and surface as DOUBLE per the repo "
+    "float discipline.",
+)
+def tableapi_fluent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    env = TableEnvironment(spark)
+    t = (
+        env.from_path("orders")
+        .filter("o_totalprice > 100000")
+        .add_columns("CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec")
+        .join(env.from_path("customer"), "o_custkey = c_custkey")
+        .group_by("c_mktsegment")
+        .select("c_mktsegment, price_dec.sum AS total, o_orderkey.count AS cnt")
+        .select("c_mktsegment, CAST(total AS DOUBLE) AS total, cnt")
+        .order_by("c_mktsegment")
+    )
+    return t.to_df()
+
+
+@register(
+    "tableapi_setops_projection",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey <= 1 OR n_regionkey >= 3
+ORDER BY n_nationkey LIMIT 20
+""",
+    tags=("dialect", "table_api", "setop"),
+    doc="Table API projection + set ops + ordering (Table.java select/"
+    "filter/unionAll/distinct/orderBy/fetch): two filtered projections of "
+    "nation unioned, deduplicated, ordered, limited — the DataSet-style "
+    "fluent surface on the same facade.",
+)
+def tableapi_setops_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    env = TableEnvironment(spark)
+    proj = "n_nationkey, n_name, n_regionkey"
+    a = env.from_path("nation").select(proj).filter("n_regionkey <= 1")
+    b = env.from_path("nation").select(proj).filter("n_regionkey >= 3")
+    t = a.union_all(b).distinct().order_by("n_nationkey").fetch(20)
+    return t.to_df()

@@ -122,6 +122,14 @@ class TableEnvironment:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def from_path(self, name: str):
+        """Fluent Table API entry point (TableEnvironment.from_ /
+        Table.java:129 — SURVEY §3.2): returns a :class:`table_api.Table`
+        over the named catalog view."""
+        from flink_1_12_0_src_spark.table_api import Table
+
+        return Table(self.spark.table(name))
+
     # ------------------------------------------------------------------ ---
     def _alter_table(self, stmt: str) -> None:
         """ALTER TABLE name RENAME TO new / ALTER TABLE name SET ('k'='v')
