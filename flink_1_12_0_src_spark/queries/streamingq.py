@@ -1229,8 +1229,10 @@ GROUP BY user_id, window_start ORDER BY user_id, window_start
 def stream_evictor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
 
+    # single-trigger ingest: emissions are watermark-determined (see
+    # stream_over_running_sum); multi-batch delivery is pinned elsewhere
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -1262,8 +1264,10 @@ GROUP BY user_id, window_start ORDER BY user_id, window_start
 def stream_evictor_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
 
+    # single-trigger ingest: emissions are watermark-determined (see
+    # stream_over_running_sum); multi-batch delivery is pinned elsewhere
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -1298,8 +1302,10 @@ GROUP BY user_id, window_start ORDER BY user_id, window_start
 def stream_evictor_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_evicted_window
 
+    # single-trigger ingest: emissions are watermark-determined (see
+    # stream_over_running_sum); multi-batch delivery is pinned elsewhere
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
