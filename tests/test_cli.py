@@ -1,0 +1,33 @@
+"""SQL client REPL end-to-end (SqlClient.java:62 parity): statements stream
+over stdin exactly as a user would type them — catalog query, CREATE
+FUNCTION, ALTER-able DDL, Flink-dialect group window — and the process must
+answer each and exit cleanly."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_cli_statements_end_to_end():
+    script = """SELECT COUNT(*) AS n_nations FROM nation;
+CREATE TEMPORARY FUNCTION price_band AS 'flink_1_12_0_src_spark.functions.scalar.price_band';
+SELECT price_band(o_totalprice) AS band, COUNT(*) AS cnt FROM orders GROUP BY band ORDER BY band;
+SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS d, COUNT(*) AS c
+FROM events GROUP BY TUMBLE(ts, INTERVAL '1' DAY) ORDER BY d LIMIT 3;
+quit;
+"""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flink_1_12_0_src_spark.cli",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2"],
+        input=script, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "n_nations" in out          # catalog table query answered
+    assert "OK" in out                 # CREATE FUNCTION acknowledged
+    assert "band" in out and ("low" in out or "mid" in out or "high" in out)
+    assert "ERROR" not in proc.stderr  # no statement failed
