@@ -582,3 +582,62 @@ def tableapi_setops_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = env.from_path("nation").select(proj).filter("n_regionkey >= 3")
     t = a.union_all(b).distinct().order_by("n_nationkey").fetch(20)
     return t.to_df()
+
+
+@register(
+    "flinkddl_stream_computed_watermark",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    tags=("dialect", "ddl", "streaming", "watermark", "computed_column"),
+    doc="Computed ROWTIME column on a streaming table (SqlCreateTable "
+    "computed columns + WATERMARK — the canonical Flink pattern for sources "
+    "that store epoch numbers): the staged files carry only ts_us BIGINT; "
+    "the DDL computes ts AS timestamp_micros(ts_us) and declares the "
+    "watermark ON THE COMPUTED column, which stream_table applies before "
+    "withWatermark. A Flink TUMBLE query then runs on the streaming view.",
+)
+def flinkddl_stream_computed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming import run_to_batch
+
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_us")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                "user_id",
+                "value",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_us (
+            event_id BIGINT,
+            ts_us BIGINT,
+            user_id BIGINT,
+            `value` DOUBLE,
+            ts AS timestamp_micros(ts_us),
+            WATERMARK FOR ts AS ts - INTERVAL '1' HOUR
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    env.stream_table("events_us", {"maxFilesPerTrigger": "1"}).createOrReplaceTempView(
+        "events_us_stream"
+    )
+    out = env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS window_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_us_stream
+        GROUP BY TUMBLE(ts, INTERVAL '1' DAY)
+    """)
+    return run_to_batch(out, "complete").orderBy("window_start")
