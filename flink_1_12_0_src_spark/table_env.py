@@ -66,6 +66,10 @@ class TableEnvironment:
                 set(self._tables) | {t.name for t in self.spark.catalog.listTables()}
             )
             return self.spark.createDataFrame([(n,) for n in names], "table_name string")
+        if head == "SHOW" and s.upper().endswith("FUNCTIONS"):
+            # SqlShowFunctions → registered function names (built-ins + UDFs)
+            rows = sorted({f.name for f in self.spark.catalog.listFunctions()})
+            return self.spark.createDataFrame([(n,) for n in rows], "function_name string")
         if head in ("DESCRIBE", "DESC"):
             # SqlRichDescribeTable → name/type/nullable rows
             name = s.split()[-1]

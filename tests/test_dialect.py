@@ -152,3 +152,10 @@ def test_table_env_catalog_statements(spark, sf_dir):
     assert "HashAggregate" in plan
     assert te.sql_query("SELECT COUNT(*) AS c FROM te_big_nations").collect()[0].c == 5
     te.execute_sql("DROP VIEW te_big_nations")
+    # SqlShowFunctions: registered UDFs appear alongside built-ins
+    te.execute_sql(
+        "CREATE TEMPORARY FUNCTION show_fn_probe AS "
+        "'flink_1_12_0_src_spark.functions.scalar.price_band'"
+    )
+    fns = {r.function_name for r in te.execute_sql("SHOW FUNCTIONS").collect()}
+    assert "show_fn_probe" in fns and len(fns) > 100
