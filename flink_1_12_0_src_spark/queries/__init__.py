@@ -109,7 +109,8 @@ _R03_NEW = frozenset(
         "cep_followed_by_any", "graph_clustering_coeff",
         "graph_jaccard_similarity", "stream_evictor_count",
         "stream_evictor_time", "stream_evictor_delta",
-        "stream_outer_join_changelog", "tableapi_fluent_agg",
+        "stream_outer_join_changelog", "stream_full_outer_join_changelog",
+        "tableapi_fluent_agg",
         "tableapi_setops_projection", "flinkddl_stream_computed_watermark",
     }
 )

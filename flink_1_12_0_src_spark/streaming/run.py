@@ -228,39 +228,69 @@ def run_incremental_left_join_changelog(
     timeout_sec: int = 300,
     n_buckets: int = 16,
 ) -> DataFrame:
-    """Unbounded LEFT OUTER stream-stream join with RETRACTION emission —
-    the changelog face of StreamExecJoin (StreamingJoinOperator.java:38
-    outer path: a left row with no match emits the null-padded row
-    immediately; the first matching right row RETRACTS the padded row and
-    the joined rows flow as inserts; RowKind.java:35-58).
+    """LEFT OUTER specialization of
+    :func:`run_incremental_outer_join_changelog` (kept as the named entry
+    point the left-join query and its docs cite)."""
+    return run_incremental_outer_join_changelog(
+        stream_df, side_col, left_tag, join_keys, left_id, right_id,
+        how="left", timeout_sec=timeout_sec, n_buckets=n_buckets,
+    )
+
+
+def run_incremental_outer_join_changelog(
+    stream_df: DataFrame,
+    side_col: str,
+    left_tag: str,
+    join_keys: list[str],
+    left_id: str,
+    right_id: str,
+    how: str = "left",
+    timeout_sec: int = 300,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Unbounded OUTER stream-stream join with RETRACTION emission — the
+    changelog face of StreamExecJoin (StreamingJoinOperator.java:38 outer
+    paths: a preserved-side row with no match emits its null-padded row
+    immediately; the first matching opposite row RETRACTS the padded row and
+    the joined rows flow as inserts; RowKind.java:35-58). ``how`` ∈
+    {"left", "right", "full"} selects which side(s) are preserved.
 
     Per micro-batch (epoch), with accumulated sides L, R and deltas ΔL, ΔR:
 
       +I joined   : ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR   (each pair exactly once, at the
                                              later side's epoch)
-      +I padded   : ΔL rows with NO match in R∪ΔR (null right side)
-      -D padded   : previously-padded left rows first matched by this ΔR
+      +I padded   : preserved-side delta rows with NO match in the opposite
+                    accumulated-plus-delta side (null opposite id)
+      -D padded   : previously-padded rows first matched by this batch's
+                    opposite delta
 
-    State: both sides and the padded-row set are parquet hash-bucketed by
+    State: both sides and each padded-row set are parquet hash-bucketed by
     join key (the run_incremental_join layout); each trigger reads only
-    delta-touched buckets and rewrites only the padded-set buckets ΔR
-    touched — O(|Δ|)-proportional I/O, never O(history).
+    delta-touched buckets and rewrites only the pad buckets the opposite
+    delta (or new pads) touched — O(|Δ|)-proportional I/O, never O(history).
 
-    Emits (join_keys…, epoch, kind, left_id, right_id) — right_id NULL on
-    padded rows. Append-only inputs ⇒ kinds are +I/-D only (no -U/+U),
-    matching Flink's changelog inference for this plan.
+    Emits (join_keys…, epoch, kind, left_id, right_id) — the opposite id is
+    NULL on padded rows. Append-only inputs ⇒ kinds are +I/-D only (no
+    -U/+U), matching Flink's changelog inference for this plan.
     """
     import glob as globmod
     import os
 
     from pyspark.sql import functions as F
 
+    if how not in ("left", "right", "full"):
+        raise ValueError(f"how must be left/right/full: {how}")
     spark: SparkSession = stream_df.sparkSession
     l_dir = tempfile.mkdtemp(prefix="oj_left_")
     r_dir = tempfile.mkdtemp(prefix="oj_right_")
-    pad_root = tempfile.mkdtemp(prefix="oj_pad_")
     out_dir = tempfile.mkdtemp(prefix="oj_out_")
-    state = {"epoch": 0, "pad_ptr": {}, "pad_ver": 0}
+    state = {
+        "epoch": 0,
+        "pads": {
+            side: {"ptr": {}, "ver": 0, "root": tempfile.mkdtemp(prefix=f"oj_pad_{side}_")}
+            for side in ("L", "R")
+        },
+    }
 
     def bucketed(df: DataFrame, id_col: str, alias: str) -> DataFrame:
         return df.select(
@@ -306,57 +336,68 @@ def run_incremental_left_join_changelog(
             joined = joined.unionByName(p)
         out = joined.select(
             *join_keys, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"),
-            "l_id", F.col("r_id").cast("long").alias("r_id"),
+            F.col("l_id").cast("long").alias("l_id"),
+            F.col("r_id").cast("long").alias("r_id"),
         )
-        # 2. padded inserts: ΔL with no match in R∪ΔR
-        r_now = drp.select(*join_keys).distinct()
-        if r_prev is not None:
-            r_now = r_now.unionByName(r_prev.select(*join_keys).distinct()).distinct()
-        pads = dlp.join(r_now, join_keys, "left_anti")
-        out = out.unionByName(
-            pads.select(
-                *join_keys, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"),
-                "l_id", F.lit(None).cast("long").alias("r_id"),
+
+        def pad_emit(df: DataFrame, kind: str, id_alias: str) -> DataFrame:
+            other = "r_id" if id_alias == "l_id" else "l_id"
+            cols = {
+                id_alias: F.col(id_alias).cast("long").alias(id_alias),
+                other: F.lit(None).cast("long").alias(other),
+            }
+            return df.select(
+                *join_keys, F.lit(epoch).alias("epoch"), F.lit(kind).alias("kind"),
+                cols["l_id"], cols["r_id"],
             )
-        )
-        # 3. padded retractions: stored pads first matched by this ΔR.
-        #    Rewrite only the buckets this batch touches (ΔR buckets — may
-        #    retract — plus new-pad buckets); other pad buckets keep their
-        #    current pointers untouched.
-        pads = pads.withColumn(
-            "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
-        ).persist()
-        pad_b = [r["_b"] for r in pads.select("_b").distinct().collect()]
-        rewrite_b = sorted(set(dr_b) | set(pad_b))
-        pad_files = {
-            b: globmod.glob(os.path.join(p, "*.parquet"))
-            for b, p in state["pad_ptr"].items()
-        }
-        stored_pads = read_buckets(pad_files, rewrite_b, l_schema)
-        new_state = pads
-        if stored_pads is not None:
-            dr_keys = drp.select(*join_keys).distinct()
-            retracted = stored_pads.join(dr_keys, join_keys, "left_semi")
-            out = out.unionByName(
-                retracted.select(
-                    *join_keys, F.lit(epoch).alias("epoch"), F.lit("-D").alias("kind"),
-                    "l_id", F.lit(None).cast("long").alias("r_id"),
+
+        def pad_leg(pres_delta, id_alias, opp_prev, opp_delta, opp_b, pad_state, pres_schema):
+            """Padded inserts + retractions for one preserved side; rewrites
+            only the pad buckets this batch's opposite delta or new pads
+            touch."""
+            nonlocal out
+            opp_now = opp_delta.select(*join_keys).distinct()
+            if opp_prev is not None:
+                opp_now = opp_now.unionByName(
+                    opp_prev.select(*join_keys).distinct()
+                ).distinct()
+            pads = pres_delta.join(opp_now, join_keys, "left_anti")
+            out = out.unionByName(pad_emit(pads, "+I", id_alias))
+            pads = pads.withColumn(
+                "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+            ).persist()
+            pad_b = [r["_b"] for r in pads.select("_b").distinct().collect()]
+            rewrite_b = sorted(set(opp_b) | set(pad_b))
+            pad_files = {
+                b: globmod.glob(os.path.join(p, "*.parquet"))
+                for b, p in pad_state["ptr"].items()
+            }
+            stored = read_buckets(pad_files, rewrite_b, pres_schema)
+            new_state = pads
+            if stored is not None:
+                opp_keys = opp_delta.select(*join_keys).distinct()
+                out = out.unionByName(
+                    pad_emit(stored.join(opp_keys, join_keys, "left_semi"), "-D", id_alias)
                 )
-            )
-            surviving = stored_pads.join(dr_keys, join_keys, "left_anti")
-            new_state = new_state.unionByName(
-                surviving.withColumn(
-                    "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+                surviving = stored.join(opp_keys, join_keys, "left_anti")
+                new_state = new_state.unionByName(
+                    surviving.withColumn(
+                        "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+                    )
                 )
-            )
-        if rewrite_b:
-            ver = state["pad_ver"] + 1
-            vdir = os.path.join(pad_root, f"v{ver}")
-            new_state.write.partitionBy("_b").mode("overwrite").parquet(vdir)
-            for b in rewrite_b:
-                state["pad_ptr"][b] = os.path.join(vdir, f"_b={b}")
-            state["pad_ver"] = ver
-        pads.unpersist()
+            if rewrite_b:
+                ver = pad_state["ver"] + 1
+                vdir = os.path.join(pad_state["root"], f"v{ver}")
+                new_state.write.partitionBy("_b").mode("overwrite").parquet(vdir)
+                for b in rewrite_b:
+                    pad_state["ptr"][b] = os.path.join(vdir, f"_b={b}")
+                pad_state["ver"] = ver
+            pads.unpersist()
+
+        if how in ("left", "full"):
+            pad_leg(dlp, "l_id", r_prev, drp, dr_b, state["pads"]["L"], l_schema)
+        if how in ("right", "full"):
+            pad_leg(drp, "r_id", l_prev, dlp, dl_b, state["pads"]["R"], r_schema)
         out.write.mode("append").parquet(out_dir)
         dl.unpersist()
         dr.unpersist()
