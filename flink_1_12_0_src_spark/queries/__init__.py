@@ -110,6 +110,7 @@ _R03_NEW = frozenset(
         "graph_jaccard_similarity", "stream_evictor_count",
         "stream_evictor_time", "stream_evictor_delta",
         "stream_outer_join_changelog", "stream_full_outer_join_changelog",
+        "stream_right_outer_join_changelog",
         "tableapi_fluent_agg",
         "tableapi_setops_projection", "flinkddl_stream_computed_watermark",
     }

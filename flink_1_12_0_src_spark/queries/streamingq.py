@@ -1416,3 +1416,48 @@ def stream_full_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(
         "user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "l_id", "r_id"
     ).orderBy("user_id", "epoch", "kind", "l_id", "r_id")
+
+
+@register(
+    "stream_right_outer_join_changelog",
+    oracle="""
+WITH l AS (SELECT user_id, event_id AS l_id, CAST(event_id % 4 AS INTEGER) AS e_l
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, event_id AS r_id, CAST(event_id % 4 AS INTEGER) AS e_r
+      FROM events WHERE event_type = 'error'),
+pairs AS (SELECT l.user_id, l.l_id, r.r_id,
+                 CAST(GREATEST(e_l, e_r) AS INTEGER) AS epoch
+          FROM l JOIN r ON l.user_id = r.user_id),
+mr AS (SELECT r.user_id, r.r_id, r.e_r, MIN(l.e_l) AS first_l
+       FROM r LEFT JOIN l ON l.user_id = r.user_id GROUP BY 1, 2, 3)
+SELECT user_id, epoch, '+I' AS kind, l_id, r_id FROM pairs
+UNION ALL
+SELECT user_id, e_r AS epoch, '+I' AS kind, NULL AS l_id, r_id
+FROM mr WHERE first_l IS NULL OR first_l > e_r
+UNION ALL
+SELECT user_id, CAST(first_l AS INTEGER) AS epoch, '-D' AS kind, NULL AS l_id, r_id
+FROM mr WHERE first_l IS NOT NULL AND first_l > e_r
+ORDER BY user_id, epoch, kind, l_id, r_id
+""",
+    tags=("streaming", "join", "changelog", "custom_op"),
+    doc="Retraction-emitting unbounded RIGHT OUTER stream-stream join "
+    "(StreamingJoinOperator.java:38, right-preserved path): errors pad "
+    "immediately when no purchase matched yet; the first later purchase "
+    "retracts the pad. Completes the inner/left/right/full mode set of "
+    "run_incremental_outer_join_changelog.",
+)
+def stream_right_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_outer_join_changelog
+    from flink_1_12_0_src_spark.streaming.source import events_stream_mod
+
+    s = events_stream_mod(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    out = run_incremental_outer_join_changelog(
+        s, side_col="event_type", left_tag="purchase",
+        join_keys=["user_id"], left_id="event_id", right_id="event_id",
+        how="right",
+    )
+    return out.select(
+        "user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "l_id", "r_id"
+    ).orderBy("user_id", "epoch", "kind", "l_id", "r_id")
