@@ -93,51 +93,57 @@ _R02_DRIVER_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R01_DRIVER_GREEN | _R02_DRIVER_GREEN
-
-# Round-2 driver-red rows — value-canonicalization fixes landed this round;
-# they re-verify at the very front of the round-3 gate budget.
-_R03_FIXED_FIRST = ("fn_decimal_suite", "flinkddl_csv_source")
-
-# Queries first registered in round 3: real capabilities, but NOT part of the
-# round-2 registry's never-tested set that this round's 50 gate slots are
-# reserved for (2 fixes + 48 of the 66) — they queue at rank 2 for round 4.
-_R03_NEW = frozenset(
+# Round-3 driver-green rows (CORRECTNESS_r03.json, hash_match=true).
+_R03_DRIVER_GREEN = frozenset(
     {
-        "cdc_retract_with_delete", "cdc_consume_changelog_agg",
-        "flinkddl_computed_col", "flinkddl_alter", "flinkddl_create_function",
-        "cep_followed_by_any", "graph_clustering_coeff",
-        "graph_jaccard_similarity", "stream_evictor_count",
-        "stream_evictor_time", "stream_evictor_delta",
-        "stream_outer_join_changelog", "stream_full_outer_join_changelog",
-        "stream_right_outer_join_changelog",
-        "tableapi_fluent_agg",
-        "tableapi_setops_projection", "flinkddl_stream_computed_watermark",
+        "cdc_canal_normalize", "cdc_debezium_normalize",
+        "cdc_foreachbatch_upsert", "flinkddl_csv_source",
+        "flinksql_match_recognize", "fn_decimal_suite",
+        "graph_connected_components", "graph_degrees", "graph_hits",
+        "graph_label_propagation", "graph_pagerank", "graph_sssp",
+        "graph_summarization", "graph_triangle_count",
+        "partition_pruned_read", "stream_broadcast_dim_agg",
+        "stream_count_slide", "stream_count_tumble", "stream_cumulate_agg",
+        "stream_dedup_keep_first", "stream_dedup_keep_last",
+        "stream_dedup_ttl", "stream_global_agg", "stream_hop_agg",
+        "stream_interval_join", "stream_interval_join_full",
+        "stream_interval_join_left", "stream_late_dropped_agg",
+        "stream_late_side_output", "stream_lookup_join",
+        "stream_match_recognize", "stream_ooo_count_slide",
+        "stream_ooo_count_tumble", "stream_ooo_over_running_sum",
+        "stream_ooo_over_time_range", "stream_ooo_temporal_join",
+        "stream_ooo_topn", "stream_over_running_sum",
+        "stream_over_time_range", "stream_session_agg",
+        "stream_session_agg_append", "stream_session_dynamic_gap",
+        "stream_side_outputs", "stream_temporal_join", "stream_topn",
+        "stream_tumble_agg", "stream_unbounded_join",
+        "stream_windowed_cogroup",
     }
 )
 
+_DRIVER_GREEN = _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
+
+# Round-3 driver-red rows (hash-only mismatch; emission-trace fixtures were
+# sensitive to micro-batch delivery order). Round 4 derives the epoch from a
+# data-borne ``stage`` column instead — these re-verify at the very front of
+# the round-4 gate budget.
+_R04_FIXED_FIRST = ("cdc_retract_stream_output", "stream_tumble_early_fire")
 
 def _gate_rank(name: str) -> int:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    0 = the two r02 hash-canonicalization fixes (must re-verify);
-    1 = never-driver-tested novel families (streaming/graph/CDC/
-        MATCH_RECOGNIZE/pushdown) — the round-2 judge's explicit ask;
-    2 = remaining never-tested (LLM-pipeline family + queries new this round);
-    3 = already driver-green in r01/r02 (re-verify only if budget remains).
+    0 = the two r03 emission-trace fixes (must re-verify);
+    1 = never driver-tested (all 18 LLM-pipeline queries, the round-3-new
+        set, and anything registered this round) — the round-3 judge's
+        explicit ask: give every one of these a hard CORRECTNESS row;
+    3 = already driver-green in r01/r02/r03 (re-verify only if budget
+        remains).
     """
-    if name in _R03_FIXED_FIRST:
+    if name in _R04_FIXED_FIRST:
         return 0
     if name in _DRIVER_GREEN:
         return 3
-    if name in _R03_NEW:
-        return 2
-    if name.startswith(("stream_", "graph_", "cdc_")) or name in (
-        "flinksql_match_recognize",
-        "partition_pruned_read",
-    ):
-        return 1
-    return 2
+    return 1
 
 
 def load_all() -> dict[str, Query]:
