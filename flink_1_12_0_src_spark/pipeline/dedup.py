@@ -208,16 +208,38 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_k: int = 2,
     threshold: float = 0.3,
+    max_shingle_freq: int | None = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
 
     |A∩B| from a shingle self-join within the block, |A∪B| = |A|+|B|-|A∩B|.
     The blocking key bounds the pair space; in production the block is an LSH
     band and this is the verification stage.
-    """
+
+    ``max_shingle_freq`` is the hot-shingle guard (the same skew cap
+    ``minhash_lsh_pairs`` applies to band buckets): a shingle present in B
+    documents of a block contributes B(B-1)/2 rows to the intersect join, so
+    one stop-bigram ("of the") shared by every doc in a block would go
+    quadratic at corpus scale. Shingles whose per-block document frequency
+    exceeds the cap are dropped from the shingle SPACE (both intersection
+    and set sizes) before any pairing — Jaccard is then computed over
+    informative shingles only, the standard df-capped variant of production
+    near-dup verify. Near-identical docs still share many sub-cap shingles,
+    so true pairs survive; ``None`` disables. One extra window count over
+    the exact keys the join partitions on — no extra join, no extra shuffle
+    topology."""
     grams = _spread(df).select(
         F.col(id_col), F.col(block_col).alias("blk"), F.explode(shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk", "sh")
+        grams = (
+            grams.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -248,6 +270,7 @@ def embedding_neardup_pairs(
     block_col: str,
     threshold: float = 0.8,
     round_digits: int = 6,
+    max_block: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -255,7 +278,15 @@ def embedding_neardup_pairs(
     block is an IVF list id from ``similarity.ivf_assign``, making this the
     verify stage after coarse quantization — same topology as LSH→Jaccard).
     Cosines are rounded before the threshold test so both engines make
-    identical keep/drop decisions."""
+    identical keep/drop decisions.
+
+    ``max_block`` is the hot-block guard (the LSH bucket cap applied to
+    blocks): all-pairs within a block of B vectors is B(B-1)/2 cosines, so
+    one degenerate block (an over-full IVF list, a catch-all label) would
+    otherwise dominate quadratically. Blocks holding more than ``max_block``
+    vectors are dropped before pairing — at scale the right response to an
+    over-full list is re-clustering it, not brute-forcing it; ``None``
+    disables. One window count over the join's own partition key."""
     from flink_1_12_0_src_spark.pipeline.similarity import _as_double, _dot, _norm
 
     e = df.select(
@@ -263,6 +294,15 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("blk"),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk")
+        e = (
+            e.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_block)
+            .drop("_bsz")
+        )
     a = e.select(F.col("vid").alias("id_a"), "blk", F.col("v").alias("va"))
     b = e.select(F.col("vid").alias("id_b"), "blk", F.col("v").alias("vb"))
     cos = F.round(

@@ -241,15 +241,16 @@ ORDER BY user_id, epoch, kind
     "+I/-U/+U as emitted by StreamExecGroupAggregate/GroupAggFunction.java"
     ":141-209): an unbounded per-user COUNT over the calendar-week replay, "
     "every refinement materialized as retract-old/emit-new changelog rows by "
-    "snapshot-diffing inside foreachBatch (streaming/upsert.py "
-    "run_changelog_count). Oracle: weekly cumulative counts exploded into "
-    "the same +I/-U/+U rows.",
+    "per-(key, stage) state folds inside foreachBatch (streaming/upsert.py "
+    "run_changelog_count); epoch is the replay's data-borne week stage, so "
+    "the trace is invariant to micro-batch delivery order. Oracle: weekly "
+    "cumulative counts exploded into the same +I/-U/+U rows.",
 )
 def cdc_retract_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.source import events_stream_weeks
     from flink_1_12_0_src_spark.streaming.upsert import run_changelog_count
 
-    s = events_stream_weeks(spark, sf_dir)
+    s = events_stream_weeks(spark, sf_dir, with_stage=True)
     out = run_changelog_count(s, "user_id")
     return out.select("user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "cnt").orderBy(
         "user_id", "epoch", "kind"
@@ -303,7 +304,7 @@ def cdc_retract_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.source import events_stream_weeks
     from flink_1_12_0_src_spark.streaming.upsert import run_changelog_count
 
-    s = events_stream_weeks(spark, sf_dir)
+    s = events_stream_weeks(spark, sf_dir, with_stage=True)
     out = run_changelog_count(s, "user_id", having_below=50)
     return out.select("user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "cnt").orderBy(
         "user_id", "epoch", "kind"

@@ -31,6 +31,12 @@ from flink_1_12_0_src_spark.queries import register
 MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS = 12, 3, 4
 MH_MAX_BUCKET = 256  # hot-bucket cap: drop band buckets with more ids than this
 NJ_SHINGLE_K, NJ_THRESHOLD = 2, 0.3
+# Hot-shingle / hot-block skew caps, mirrored verbatim in the oracles (the
+# Spark side applies them in pipeline/dedup.py): shingles in more docs of a
+# block than NJ_MAX_DF carry ~zero Jaccard signal but quadratic join cost;
+# blocks larger than ND_MAX_BLOCK indicate a degenerate IVF list.
+NJ_MAX_DF = 64
+ND_MAX_BLOCK = 4096
 FP_GRAM_CHARS, FP_NUM_MINS = 5, 4
 ANN_K, ANN_QUERY_MAX = 5, 20
 
@@ -142,12 +148,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id, lang,
          unnest(list_transform(generate_series(0, len(w)-{NJ_SHINGLE_K}),
                                g -> array_to_string(w[g+1:g+{NJ_SHINGLE_K}], ' '))) AS sh
   FROM toks WHERE len(w) >= {NJ_SHINGLE_K}
 ),
+freq AS (SELECT lang, sh, COUNT(*) AS c FROM grams0 GROUP BY 1, 2),
+grams AS (SELECT g.doc_id, g.lang, g.sh FROM grams0 g
+          JOIN freq f ON f.lang = g.lang AND f.sh = g.sh WHERE f.c <= {NJ_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -161,12 +170,15 @@ ORDER BY id_a, id_b
 """,
     tags=("pipeline", "dedup"),
     doc=f"Exact {NJ_SHINGLE_K}-gram Jaccard pairs above {NJ_THRESHOLD}, blocked by "
-    "lang (at scale the block is an LSH band; this is the verify stage).",
+    "lang (at scale the block is an LSH band; this is the verify stage). "
+    f"Shingles in more than {NJ_MAX_DF} docs of a block are dropped from the "
+    "shingle space before pairing (hot-shingle skew guard, mirrored in the "
+    "oracle).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
     ).orderBy("id_a", "id_b")
 
 
@@ -404,8 +416,10 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+bsz AS (SELECT label, COUNT(*) AS c FROM e0 GROUP BY 1),
+e AS (SELECT e0.* FROM e0 JOIN bsz USING (label) WHERE c <= {ND_MAX_BLOCK})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -416,13 +430,16 @@ ORDER BY id_a, id_b
     doc="Embedding-cosine near-dup pairs within a blocking key (label here; an "
     "IVF list id in production — the verify stage after coarse quantization, "
     "same topology as LSH→Jaccard). Rounded cosine ⇒ identical keep/drop "
-    "decisions across engines.",
+    f"decisions across engines. Blocks larger than {ND_MAX_BLOCK} vectors are "
+    "dropped before the all-pairs stage (hot-block skew guard, mirrored in "
+    "the oracle).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", ND_THRESHOLD
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        ND_THRESHOLD, max_block=ND_MAX_BLOCK,
     ).orderBy("id_a", "id_b")
 
 
@@ -457,12 +474,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_docs",
     oracle=f"""
 WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id, lang,
          unnest(list_transform(generate_series(0, len(w)-{NJ_SHINGLE_K}),
                                g -> array_to_string(w[g+1:g+{NJ_SHINGLE_K}], ' '))) AS sh
   FROM toks WHERE len(w) >= {NJ_SHINGLE_K}
 ),
+freq AS (SELECT lang, sh, COUNT(*) AS c FROM grams0 GROUP BY 1, 2),
+grams AS (SELECT g.doc_id, g.lang, g.sh FROM grams0 g
+          JOIN freq f ON f.lang = g.lang AND f.sh = g.sh WHERE f.c <= {NJ_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -500,7 +520,7 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components(pairs)
     return (

@@ -854,22 +854,26 @@ SELECT window_start, cnt FROM c1 ORDER BY window_start, cnt
     tags=("streaming", "window_agg", "early_fire"),
     doc="Early-fire EMISSION TRACE, exactly oracled (Flink WindowEmitStrategy "
     "early-fire / table.exec.emit.early-fire — WindowEmitStrategy.scala:32,"
-    "154-204): update-mode windowed aggregation re-emits a window's refined "
-    "count every micro-batch that touches it; the memory sink accumulates "
-    "the full trace. Replay is staged by event_id % 4 (streaming.source."
-    "events_stream_mod) so every 1-day window is touched by every batch and "
-    "the k-th refinement equals the count over residues ≤ k — the trace is "
-    "closed-form in SQL. No watermark: state is never evicted, matching "
-    "early-fire-before-window-close semantics; the trigger interval plays "
-    "the early-fire delay role (documented approximation, SURVEY §2.8).",
+    "154-204): an update-mode windowed aggregation re-emits a window's "
+    "refined count every micro-batch that touches it. Replay is staged by "
+    "event_id % 4 (streaming.source.events_stream_mod) so every 1-day window "
+    "is touched by every batch and the k-th refinement equals the count over "
+    "residues ≤ k — the trace is closed-form in SQL. The trace is "
+    "reconstructed from per-(window, stage) delta counts folded in "
+    "foreachBatch and cumulated in data-borne stage order, so it is "
+    "invariant to micro-batch delivery order (the round-3 driver red was an "
+    "order scramble); tests pin its equivalence to Spark's raw update-mode "
+    "memory-sink trace under in-order delivery. No watermark: state is never "
+    "evicted, matching early-fire-before-window-close semantics; the trigger "
+    "interval plays the early-fire delay role (documented approximation, "
+    "SURVEY §2.8).",
 )
 def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_early_fire_trace
     from flink_1_12_0_src_spark.streaming.source import events_stream_mod
 
-    s = events_stream_mod(spark, sf_dir)
-    agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
-    out = agg.select(F.col("window.start").alias("window_start"), "cnt")
-    return run_to_batch(out, "update").orderBy("window_start", "cnt")
+    s = events_stream_mod(spark, sf_dir, with_stage=True)
+    return run_early_fire_trace(s).orderBy("window_start", "cnt")
 
 
 @register(
@@ -1343,16 +1347,18 @@ ORDER BY user_id, epoch, kind, l_id, r_id
     "purchase emits its null-padded row immediately, and the first later "
     "error retracts it with -D while joined pairs flow as +I, each exactly "
     "once at the later side's epoch. Replay staged by event_id % 4 "
-    "(events_stream_mod) makes the whole changelog closed-form. State: both "
-    "sides + the padded set hash-bucketed parquet, delta-touched buckets "
-    "only (streaming/run.py run_incremental_left_join_changelog). Closes "
+    "(events_stream_mod) makes the whole changelog closed-form, and every "
+    "epoch label is the data-borne stage — delivery-order invariant. State: "
+    "both sides hash-bucketed parquet, delta-touched buckets only for the "
+    "incremental joined leg; pad emission finalized at stream close "
+    "(streaming/run.py run_incremental_left_join_changelog). Closes "
     "the §2.3 'retraction-emitting variants' gap.",
 )
 def stream_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.run import run_incremental_left_join_changelog
     from flink_1_12_0_src_spark.streaming.source import events_stream_mod
 
-    s = events_stream_mod(spark, sf_dir).filter(
+    s = events_stream_mod(spark, sf_dir, with_stage=True).filter(
         F.col("event_type").isin("purchase", "error")
     )
     out = run_incremental_left_join_changelog(
@@ -1405,7 +1411,7 @@ def stream_full_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataFr
     from flink_1_12_0_src_spark.streaming.run import run_incremental_outer_join_changelog
     from flink_1_12_0_src_spark.streaming.source import events_stream_mod
 
-    s = events_stream_mod(spark, sf_dir).filter(
+    s = events_stream_mod(spark, sf_dir, with_stage=True).filter(
         F.col("event_type").isin("purchase", "error")
     )
     out = run_incremental_outer_join_changelog(
@@ -1450,7 +1456,7 @@ def stream_right_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataF
     from flink_1_12_0_src_spark.streaming.run import run_incremental_outer_join_changelog
     from flink_1_12_0_src_spark.streaming.source import events_stream_mod
 
-    s = events_stream_mod(spark, sf_dir).filter(
+    s = events_stream_mod(spark, sf_dir, with_stage=True).filter(
         F.col("event_type").isin("purchase", "error")
     )
     out = run_incremental_outer_join_changelog(

@@ -99,6 +99,64 @@ def run_split_late(
     )
 
 
+def run_early_fire_trace(
+    stream_df: DataFrame,
+    time_col: str = "ts",
+    window: str = "1 day",
+    stage_col: str = "stage",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Early-fire EMISSION TRACE of an update-mode tumbling-window count
+    (Flink WindowEmitStrategy early-fire — WindowEmitStrategy.scala:32,
+    154-204): every micro-batch that touches a window re-emits the window's
+    refined count, and the returned DataFrame is the full refinement trace
+    (window_start, cnt) — one row per (window, refinement).
+
+    Delivery-order invariance: per-(window, stage) delta counts are folded
+    in ``foreachBatch`` (the streaming state), and the trace is cumulated in
+    DATA-borne ``stage_col`` order at end-of-stream — the refinements Flink
+    would emit under in-order delivery, regardless of how the file source
+    interleaves slices. ``tests/test_emission_order.py`` pins equivalence to
+    Spark's raw update-mode memory-sink trace under in-order delivery.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    spark: SparkSession = stream_df.sparkSession
+    root = tempfile.mkdtemp(prefix="earlyfire_")
+
+    def fb(bdf: DataFrame, _eid: int) -> None:
+        (
+            bdf.groupBy(F.window(time_col, window).alias("w"), stage_col)
+            .agg(F.count("*").alias("d"))
+            .select(F.col("w.start").alias("window_start"), stage_col, "d")
+            .write.mode("append")
+            .parquet(root)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ef_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    deltas = (
+        spark.read.parquet(root)
+        .groupBy("window_start", stage_col)
+        .agg(F.sum("d").alias("d"))
+    )
+    return deltas.withColumn(
+        "cnt", F.sum("d").over(W.partitionBy("window_start").orderBy(stage_col))
+    ).select("window_start", "cnt")
+
+
 def run_incremental_join(
     stream_df: DataFrame,
     side_col: str,
@@ -225,6 +283,7 @@ def run_incremental_left_join_changelog(
     join_keys: list[str],
     left_id: str,
     right_id: str,
+    stage_col: str = "stage",
     timeout_sec: int = 300,
     n_buckets: int = 16,
 ) -> DataFrame:
@@ -233,7 +292,8 @@ def run_incremental_left_join_changelog(
     point the left-join query and its docs cite)."""
     return run_incremental_outer_join_changelog(
         stream_df, side_col, left_tag, join_keys, left_id, right_id,
-        how="left", timeout_sec=timeout_sec, n_buckets=n_buckets,
+        how="left", stage_col=stage_col, timeout_sec=timeout_sec,
+        n_buckets=n_buckets,
     )
 
 
@@ -245,6 +305,7 @@ def run_incremental_outer_join_changelog(
     left_id: str,
     right_id: str,
     how: str = "left",
+    stage_col: str = "stage",
     timeout_sec: int = 300,
     n_buckets: int = 16,
 ) -> DataFrame:
@@ -255,19 +316,29 @@ def run_incremental_outer_join_changelog(
     the joined rows flow as inserts; RowKind.java:35-58). ``how`` ∈
     {"left", "right", "full"} selects which side(s) are preserved.
 
-    Per micro-batch (epoch), with accumulated sides L, R and deltas ΔL, ΔR:
+    Every emitted epoch is DATA-borne: the input must carry ``stage_col``,
+    the replay's chronological slice index (see streaming/source.py). The
+    changelog is therefore invariant to micro-batch delivery order — the
+    trace Flink would emit under in-order delivery, regardless of how the
+    file source actually interleaves slices (round 3's driver red came from
+    exactly such a scramble when epochs were trigger indices).
 
-      +I joined   : ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR   (each pair exactly once, at the
-                                             later side's epoch)
-      +I padded   : preserved-side delta rows with NO match in the opposite
-                    accumulated-plus-delta side (null opposite id)
-      -D padded   : previously-padded rows first matched by this batch's
-                    opposite delta
+    Two emission legs:
 
-    State: both sides and each padded-row set are parquet hash-bucketed by
-    join key (the run_incremental_join layout); each trigger reads only
-    delta-touched buckets and rewrites only the pad buckets the opposite
-    delta (or new pads) touched — O(|Δ|)-proportional I/O, never O(history).
+    +I joined — INCREMENTAL, per micro-batch, with accumulated sides L, R
+      and deltas ΔL, ΔR:  ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — each pair exactly once,
+      labeled ``epoch = greatest(stage_l, stage_r)`` (the later side's
+      arrival slice). State: both sides parquet hash-bucketed by join key
+      (the run_incremental_join layout); each trigger reads only
+      delta-touched buckets — O(|Δ|)-proportional I/O, never O(history).
+
+    +I / -D padded — FINALIZED at end-of-stream from the accumulated
+      bucketed sides (the watermark-close analog of Flink's pad state): a
+      preserved row (key, id, e) pads iff the opposite side's earliest stage
+      for the key (``first_opp = min(stage)``) is NULL or > e — i.e. under
+      in-order delivery no match existed when the row arrived — and a
+      padded row with a later match is retracted by one -D at epoch
+      ``first_opp``. One groupBy-min plus one join per preserved side.
 
     Emits (join_keys…, epoch, kind, left_id, right_id) — the opposite id is
     NULL on padded rows. Append-only inputs ⇒ kinds are +I/-D only (no
@@ -284,17 +355,12 @@ def run_incremental_outer_join_changelog(
     l_dir = tempfile.mkdtemp(prefix="oj_left_")
     r_dir = tempfile.mkdtemp(prefix="oj_right_")
     out_dir = tempfile.mkdtemp(prefix="oj_out_")
-    state = {
-        "epoch": 0,
-        "pads": {
-            side: {"ptr": {}, "ver": 0, "root": tempfile.mkdtemp(prefix=f"oj_pad_{side}_")}
-            for side in ("L", "R")
-        },
-    }
 
-    def bucketed(df: DataFrame, id_col: str, alias: str) -> DataFrame:
+    def bucketed(df: DataFrame, id_col: str, alias: str, e_alias: str) -> DataFrame:
         return df.select(
-            *join_keys, F.col(id_col).alias(alias)
+            *join_keys,
+            F.col(id_col).alias(alias),
+            F.col(stage_col).cast("int").alias(e_alias),
         ).withColumn("_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int"))
 
     def bucket_files(root: str) -> dict[int, list[str]]:
@@ -311,11 +377,9 @@ def run_incremental_outer_join_changelog(
         return spark.read.schema(schema).parquet(*sel)
 
     def fb(bdf: DataFrame, _eid: int) -> None:
-        epoch = state["epoch"]
-        state["epoch"] = epoch + 1
         bdf = bdf.persist()
-        dl = bucketed(bdf.filter(F.col(side_col) == left_tag), left_id, "l_id").persist()
-        dr = bucketed(bdf.filter(F.col(side_col) != left_tag), right_id, "r_id").persist()
+        dl = bucketed(bdf.filter(F.col(side_col) == left_tag), left_id, "l_id", "_e_l").persist()
+        dr = bucketed(bdf.filter(F.col(side_col) != left_tag), right_id, "r_id", "_e_r").persist()
         l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
         dl.write.partitionBy("_b").mode("append").parquet(l_dir)
         dr.write.partitionBy("_b").mode("append").parquet(r_dir)
@@ -325,7 +389,7 @@ def run_incremental_outer_join_changelog(
         l_schema, r_schema = dlp.schema, drp.schema
         l_prev = read_buckets(l_files, dr_b, l_schema)
         r_prev = read_buckets(r_files, dl_b, r_schema)
-        # 1. joined inserts: each pair exactly once, at the later epoch
+        # joined inserts: each pair exactly once, at the later DATA epoch
         parts = [dlp.join(drp, join_keys)]
         if r_prev is not None:
             parts.append(dlp.join(r_prev, join_keys))
@@ -335,69 +399,12 @@ def run_incremental_outer_join_changelog(
         for p in parts[1:]:
             joined = joined.unionByName(p)
         out = joined.select(
-            *join_keys, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"),
+            *join_keys,
+            F.greatest("_e_l", "_e_r").alias("epoch"),
+            F.lit("+I").alias("kind"),
             F.col("l_id").cast("long").alias("l_id"),
             F.col("r_id").cast("long").alias("r_id"),
         )
-
-        def pad_emit(df: DataFrame, kind: str, id_alias: str) -> DataFrame:
-            other = "r_id" if id_alias == "l_id" else "l_id"
-            cols = {
-                id_alias: F.col(id_alias).cast("long").alias(id_alias),
-                other: F.lit(None).cast("long").alias(other),
-            }
-            return df.select(
-                *join_keys, F.lit(epoch).alias("epoch"), F.lit(kind).alias("kind"),
-                cols["l_id"], cols["r_id"],
-            )
-
-        def pad_leg(pres_delta, id_alias, opp_prev, opp_delta, opp_b, pad_state, pres_schema):
-            """Padded inserts + retractions for one preserved side; rewrites
-            only the pad buckets this batch's opposite delta or new pads
-            touch."""
-            nonlocal out
-            opp_now = opp_delta.select(*join_keys).distinct()
-            if opp_prev is not None:
-                opp_now = opp_now.unionByName(
-                    opp_prev.select(*join_keys).distinct()
-                ).distinct()
-            pads = pres_delta.join(opp_now, join_keys, "left_anti")
-            out = out.unionByName(pad_emit(pads, "+I", id_alias))
-            pads = pads.withColumn(
-                "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
-            ).persist()
-            pad_b = [r["_b"] for r in pads.select("_b").distinct().collect()]
-            rewrite_b = sorted(set(opp_b) | set(pad_b))
-            pad_files = {
-                b: globmod.glob(os.path.join(p, "*.parquet"))
-                for b, p in pad_state["ptr"].items()
-            }
-            stored = read_buckets(pad_files, rewrite_b, pres_schema)
-            new_state = pads
-            if stored is not None:
-                opp_keys = opp_delta.select(*join_keys).distinct()
-                out = out.unionByName(
-                    pad_emit(stored.join(opp_keys, join_keys, "left_semi"), "-D", id_alias)
-                )
-                surviving = stored.join(opp_keys, join_keys, "left_anti")
-                new_state = new_state.unionByName(
-                    surviving.withColumn(
-                        "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
-                    )
-                )
-            if rewrite_b:
-                ver = pad_state["ver"] + 1
-                vdir = os.path.join(pad_state["root"], f"v{ver}")
-                new_state.write.partitionBy("_b").mode("overwrite").parquet(vdir)
-                for b in rewrite_b:
-                    pad_state["ptr"][b] = os.path.join(vdir, f"_b={b}")
-                pad_state["ver"] = ver
-            pads.unpersist()
-
-        if how in ("left", "full"):
-            pad_leg(dlp, "l_id", r_prev, drp, dr_b, state["pads"]["L"], l_schema)
-        if how in ("right", "full"):
-            pad_leg(drp, "r_id", l_prev, dlp, dl_b, state["pads"]["R"], r_schema)
         out.write.mode("append").parquet(out_dir)
         dl.unpersist()
         dr.unpersist()
@@ -414,4 +421,39 @@ def run_incremental_outer_join_changelog(
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(out_dir)
+
+    # pad legs, finalized from the accumulated bucketed sides
+    def side_all(root: str) -> DataFrame | None:
+        if not globmod.glob(os.path.join(root, "_b=*", "*.parquet")):
+            return None
+        return spark.read.parquet(root).drop("_b")
+
+    def pad_legs(pres: DataFrame, opp: DataFrame | None, id_col: str, e_col: str, opp_e: str):
+        other = "r_id" if id_col == "l_id" else "l_id"
+
+        def emit(df: DataFrame, kind: str, epoch_col) -> DataFrame:
+            cols = {
+                id_col: F.col(id_col).cast("long").alias(id_col),
+                other: F.lit(None).cast("long").alias(other),
+            }
+            return df.select(
+                *join_keys, epoch_col.cast("int").alias("epoch"),
+                F.lit(kind).alias("kind"), cols["l_id"], cols["r_id"],
+            )
+
+        if opp is None:
+            return emit(pres, "+I", F.col(e_col))
+        first = opp.groupBy(*join_keys).agg(F.min(opp_e).alias("_first"))
+        lp = pres.join(first, join_keys, "left")
+        pad = lp.filter(F.col("_first").isNull() | (F.col("_first") > F.col(e_col)))
+        ins = emit(pad, "+I", F.col(e_col))
+        dels = emit(pad.filter(F.col("_first").isNotNull()), "-D", F.col("_first"))
+        return ins.unionByName(dels)
+
+    out = spark.read.parquet(out_dir)
+    l_all, r_all = side_all(l_dir), side_all(r_dir)
+    if how in ("left", "full") and l_all is not None:
+        out = out.unionByName(pad_legs(l_all, r_all, "l_id", "_e_l", "_e_r"))
+    if how in ("right", "full") and r_all is not None:
+        out = out.unionByName(pad_legs(r_all, l_all, "r_id", "_e_r", "_e_l"))
+    return out

@@ -6,6 +6,17 @@ operators. Here the driver's events.parquet is split once per (sf_dir,
 n_files) into range-partitioned files; readStream + maxFilesPerTrigger=1
 yields one micro-batch per time slice, in order (FileStreamSource processes
 by modification time then path; ranges are written in ascending part order).
+
+Delivery-order robustness: mtime ordering is best-effort — filesystem or
+listing variance in a foreign environment can reorder micro-batches (the
+round-3 driver red on the emission-trace queries). Every slice therefore also
+carries a literal ``stage`` column (its chronological slice index) so
+order-sensitive operators can derive their epoch from the DATA instead of
+the trigger index; see ``run_changelog_count`` and the changelog joins.
+
+Staging is crash-safe: the ``_STAGED`` marker is written only after the
+mtime ordering is applied, so an interrupted staging run is re-done from
+scratch instead of leaving a permanently scrambled cache.
 """
 
 from __future__ import annotations
@@ -13,15 +24,21 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_1_12_0_src_spark.catalog import table
 
-# v2: staged-cache format version — bumping forces re-staging so files always
-# carry the current session's timestamp semantics (LTZ micros); stale caches
-# written under different parquet-timestamp configs would otherwise surface
-# TIMESTAMP_NTZ columns that withWatermark rejects.
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams_v3")
+# v4: staged-cache format version — bumping forces re-staging so files always
+# carry the current format (v4 adds the per-slice ``stage`` column and the
+# write-marker-last crash-safety protocol). Stale caches written under
+# different parquet-timestamp configs would otherwise surface TIMESTAMP_NTZ
+# columns that withWatermark rejects, or lack the stage column.
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams_v4")
+
+# Our own completion marker, written AFTER mtime ordering (Spark's _SUCCESS
+# lands before it, mid-staging). Underscore prefix keeps it out of file
+# listings.
+_MARKER = "_STAGED"
 
 
 def _split_dir(sf_dir: str, n_files: int) -> str:
@@ -34,7 +51,7 @@ def events_stream(
 ) -> DataFrame:
     """Return a streaming DataFrame replaying events in ~n_files micro-batches."""
     path = _split_dir(sf_dir, n_files)
-    marker = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events")
         (
@@ -49,6 +66,7 @@ def events_stream(
         base = os.path.getmtime(os.path.join(path, parts[-1]))
         for i, f in enumerate(parts):
             os.utime(os.path.join(path, f), (base + i, base + i))
+        open(marker, "w").close()
     schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
@@ -69,7 +87,7 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     late rows == rows with ts in [Jan 8, Jan 15).
     """
     path = os.path.join(_CACHE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_events_late")
-    marker = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, _MARKER)
     weeks = [
         ("1", "2024-01-01", "2024-01-08"),
         ("3", "2024-01-15", "2024-01-22"),
@@ -86,12 +104,12 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, f"week{w}"))
             )
-        open(marker, "w").close()
-        files = [os.path.join(path, f"week{w}") for w, _, _ in weeks]
-        base = os.path.getmtime(marker)
-        for i, d in enumerate(files):
+        base = os.path.getmtime(os.path.join(path, "week1"))
+        for i, (w, _, _) in enumerate(weeks):
+            d = os.path.join(path, f"week{w}")
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (base + i, base + i))
+        open(marker, "w").close()
     schema = spark.read.parquet(os.path.join(path, "week1")).schema
     return (
         spark.readStream.schema(schema)
@@ -101,12 +119,20 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_stream_weeks(
-    spark: SparkSession, sf_dir: str, order: tuple[str, ...] = ("1", "2", "3", "4")
+    spark: SparkSession,
+    sf_dir: str,
+    order: tuple[str, ...] = ("1", "2", "3", "4"),
+    with_stage: bool = False,
 ) -> DataFrame:
     """Replay staged by CALENDAR WEEK of the 2024-01 events range, one week
     per micro-batch, delivered in ``order``. Fixed date boundaries make the
     per-batch contents SQL-expressible — the fixture for changelog-emission
     oracles (batch k ≡ week order[k]).
+
+    Each staged row carries ``stage`` = its chronological week index (week1=0
+    … week4=3) so emission oracles can label refinements with the data-borne
+    epoch rather than the (delivery-order-fragile) trigger index;
+    ``with_stage=False`` drops the column for consumers that don't need it.
     """
     bounds = {
         "1": ("2024-01-01", "2024-01-08"),
@@ -116,7 +142,7 @@ def events_stream_weeks(
     }
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, f"{tag}_events_weeks_{'_'.join(order)}")
-    marker = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events")
         os.makedirs(path, exist_ok=True)
@@ -124,53 +150,72 @@ def events_stream_weeks(
             lo, hi = bounds[w]
             (
                 ev.filter((ev.ts >= lo) & (ev.ts < hi))
+                .withColumn("stage", F.lit(int(w) - 1).cast("int"))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, f"week{w}"))
             )
-        open(marker, "w").close()
-        base = os.path.getmtime(marker)
+        base = os.path.getmtime(os.path.join(path, f"week{order[0]}"))
         for i, w in enumerate(order):
             d = os.path.join(path, f"week{w}")
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (base + i, base + i))
+        open(marker, "w").close()
     schema = spark.read.parquet(os.path.join(path, f"week{order[0]}")).schema
-    return (
+    out = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path + "/week*")
     )
+    return out if with_stage else out.drop("stage")
 
 
-def events_stream_mod(spark: SparkSession, sf_dir: str, parts: int = 4) -> DataFrame:
+def events_stream_mod(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: int = 4,
+    with_stage: bool = False,
+    order: tuple[int, ...] | None = None,
+) -> DataFrame:
     """Replay staged by ``event_id % parts``, one residue class per
     micro-batch, in residue order. Every time window receives rows in EVERY
     batch, so an update-mode windowed aggregate re-emits each window's
     refined result per trigger — the deterministic fixture for early-fire
     emission oracles (batch k ≡ rows with event_id % parts == k, so the
-    cumulative count after batch k is SQL-expressible)."""
+    cumulative count after batch k is SQL-expressible).
+
+    Each staged row carries ``stage`` = its residue class, the data-borne
+    epoch for delivery-order-invariant emission oracles (see module doc);
+    ``with_stage=False`` drops it. ``order`` overrides the DELIVERY order of
+    the residue classes (default ascending) — stage stays the residue, so
+    tests can scramble delivery and assert emission invariance.
+    """
+    order = tuple(range(parts)) if order is None else order
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(_CACHE_ROOT, f"{tag}_events_mod{parts}")
-    marker = os.path.join(path, "_SUCCESS")
+    otag = "" if order == tuple(range(parts)) else "_o" + "".join(str(r) for r in order)
+    path = os.path.join(_CACHE_ROOT, f"{tag}_events_mod{parts}{otag}")
+    marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events")
         os.makedirs(path, exist_ok=True)
         for r in range(parts):
             (
                 ev.filter(ev.event_id % parts == r)
+                .withColumn("stage", F.lit(r).cast("int"))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, f"mod{r}"))
             )
-        open(marker, "w").close()
-        base = os.path.getmtime(marker)
-        for r in range(parts):
+        base = os.path.getmtime(os.path.join(path, "mod0"))
+        for i, r in enumerate(order):
             d = os.path.join(path, f"mod{r}")
             for f in os.listdir(d):
-                os.utime(os.path.join(d, f), (base + r, base + r))
+                os.utime(os.path.join(d, f), (base + i, base + i))
+        open(marker, "w").close()
     schema = spark.read.parquet(os.path.join(path, "mod0")).schema
-    return (
+    out = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path + "/mod*")
     )
+    return out if with_stage else out.drop("stage")

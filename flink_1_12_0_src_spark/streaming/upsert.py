@@ -111,6 +111,11 @@ class UpsertSink:
         last.unpersist()
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
+        if self.data_schema is None:
+            raise RuntimeError(
+                "UpsertSink.snapshot: no non-empty micro-batch was processed, "
+                "so the maintained table has no schema — nothing to snapshot"
+            )
         return self._read_buckets(spark, self._bucket_files(), sorted(self.ptr)).drop("_b")
 
 
@@ -141,19 +146,27 @@ def run_changelog_upsert(
 
 
 def run_changelog_count(
-    stream_df, key: str, timeout_sec: int = 300, having_below: int | None = None
+    stream_df,
+    key: str,
+    stage_col: str = "stage",
+    timeout_sec: int = 300,
+    having_below: int | None = None,
 ):
     """Retraction-stream OUTPUT — Flink Table.toRetractStream / the changelog
     a StreamExecGroupAggregate emits (RowKind.java:35-58, GroupAggFunction
     .java:141-209): an unbounded per-key COUNT whose every refinement is
     materialized as +I (first value) or -U/+U (retract old, emit new) rows.
 
-    Spark exposes no retraction rows, so the changelog is derived per
-    micro-batch by diffing consecutive aggregate snapshots inside
-    ``foreachBatch``: keys touched in the batch emit their old and new
-    counts. All joins/diffs run executor-side; versioned snapshot dirs keep
-    the state bounded to one (key, count) row per key, exactly the
-    accumulator state of the reference operator.
+    Spark exposes no retraction rows, so the changelog is reconstructed from
+    streaming state: each micro-batch folds its per-(key, stage) delta counts
+    into a maintained snapshot inside ``foreachBatch`` (bounded to one row
+    per key×stage — the accumulator state of the reference operator, split
+    by the replay's data-borne ``stage`` column), and at end-of-stream the
+    per-stage cumulative counts are exploded into the +I/-U/+U rows Flink
+    would have emitted under in-order delivery. Labeling and ordering come
+    from the DATA (``epoch`` = stage), never the trigger index, so the trace
+    is invariant to micro-batch delivery order — the round-3 driver red was
+    exactly a delivery-order scramble relabeling cumulative counts.
 
     ``having_below`` adds the RowKind DELETE leg: with a ``HAVING cnt < N``
     filter downstream of the aggregate, Flink's filter Calc transforms the
@@ -164,64 +177,31 @@ def run_changelog_count(
     grow, so a key emits +I once, -U/+U while below N, one -D when it
     crosses N, then silence.
 
-    Returns (key, epoch, kind, cnt) — epoch is the micro-batch index.
+    Returns (key, epoch, kind, cnt) — epoch is the data-borne stage index.
     """
-    import glob as globmod
     import os
     import tempfile
 
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     spark = stream_df.sparkSession
     root = tempfile.mkdtemp(prefix="chlog_")
-    out_dir = os.path.join(root, "out")
-    state = {"prev": None, "epoch": 0}
+    state = {"snap": None, "ver": 0}
 
     def fb(bdf, _eid) -> None:
-        epoch = state["epoch"]
-        delta = bdf.groupBy(key).agg(F.count("*").alias("d"))
-        if state["prev"] is not None:
-            prev = spark.read.parquet(state["prev"])
-        else:
-            prev = delta.limit(0).select(F.col(key), F.col("d").alias("cnt")).limit(0)
-        merged = (
-            prev.join(delta, key, "full_outer")
-            .select(
-                key,
-                F.coalesce("cnt", F.lit(0)).alias("old_cnt"),
-                (F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("cnt"),
-                F.col("d").isNotNull().alias("touched"),
+        delta = bdf.groupBy(key, stage_col).agg(F.count("*").alias("d"))
+        if state["snap"] is not None:
+            prev = spark.read.parquet(state["snap"])
+            delta = (
+                prev.unionByName(delta)
+                .groupBy(key, stage_col)
+                .agg(F.sum("d").alias("d"))
             )
-        )
-        touched = merged.filter("touched")
-        if having_below is not None:
-            qual_old = (F.col("old_cnt") > 0) & (F.col("old_cnt") < having_below)
-            qual_new = F.col("cnt") < having_below
-        else:
-            qual_old = F.col("old_cnt") > 0
-            qual_new = F.lit(True)
-        ins = touched.filter((F.col("old_cnt") == 0) & qual_new).select(
-            key, F.lit(epoch).alias("epoch"), F.lit("+I").alias("kind"), F.col("cnt")
-        )
-        ub = touched.filter(qual_old & qual_new).select(
-            key, F.lit(epoch).alias("epoch"), F.lit("-U").alias("kind"),
-            F.col("old_cnt").alias("cnt"),
-        )
-        ua = touched.filter(qual_old & qual_new).select(
-            key, F.lit(epoch).alias("epoch"), F.lit("+U").alias("kind"), F.col("cnt")
-        )
-        out = ins.unionByName(ub).unionByName(ua)
-        if having_below is not None:
-            dels = touched.filter(qual_old & ~qual_new).select(
-                key, F.lit(epoch).alias("epoch"), F.lit("-D").alias("kind"),
-                F.col("old_cnt").alias("cnt"),
-            )
-            out = out.unionByName(dels)
-        out.write.mode("append").parquet(out_dir)
-        new_prev = os.path.join(root, f"snap_{epoch}")
-        merged.select(key, "cnt").write.mode("overwrite").parquet(new_prev)
-        state["prev"] = new_prev
-        state["epoch"] = epoch + 1
+        nxt = os.path.join(root, f"snap_{state['ver']}")
+        delta.write.mode("overwrite").parquet(nxt)
+        state["snap"] = nxt
+        state["ver"] += 1
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
@@ -234,7 +214,40 @@ def run_changelog_count(
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(out_dir)
+    if state["snap"] is None:
+        empty = spark.createDataFrame(
+            [], f"`{key}` string, epoch int, kind string, cnt bigint"
+        )
+        return empty
+    snap = spark.read.parquet(state["snap"])
+    w = Window.partitionBy(key).orderBy(stage_col)
+    c = (
+        snap.withColumn("cnt", F.sum("d").over(w))
+        .withColumn("prev", F.lag("cnt").over(w))
+        .withColumnRenamed(stage_col, "epoch")
+    )
+    if having_below is not None:
+        qual_old = (F.col("prev") > 0) & (F.col("prev") < having_below)
+        qual_new = F.col("cnt") < having_below
+    else:
+        qual_old = F.col("prev") > 0
+        qual_new = F.lit(True)
+    ins = c.filter(F.col("prev").isNull() & qual_new).select(
+        key, "epoch", F.lit("+I").alias("kind"), F.col("cnt")
+    )
+    ub = c.filter(F.col("prev").isNotNull() & qual_old & qual_new).select(
+        key, "epoch", F.lit("-U").alias("kind"), F.col("prev").alias("cnt")
+    )
+    ua = c.filter(F.col("prev").isNotNull() & qual_old & qual_new).select(
+        key, "epoch", F.lit("+U").alias("kind"), F.col("cnt")
+    )
+    out = ins.unionByName(ub).unionByName(ua)
+    if having_below is not None:
+        dels = c.filter(F.col("prev").isNotNull() & qual_old & ~qual_new).select(
+            key, "epoch", F.lit("-D").alias("kind"), F.col("prev").alias("cnt")
+        )
+        out = out.unionByName(dels)
+    return out
 
 
 def run_changelog_sum_agg(
@@ -313,6 +326,11 @@ def run_changelog_sum_agg(
     finally:
         if q.isActive:
             q.stop()
+    if state["snap"] is None:
+        raise RuntimeError(
+            "run_changelog_sum_agg: every micro-batch was empty — no "
+            "accumulator state exists to snapshot"
+        )
     return spark.read.parquet(state["snap"]).select(
         group_col, F.col("cnt").cast("bigint").alias("cnt"), F.col("total").cast("double").alias("total")
     )

@@ -1,0 +1,89 @@
+"""Delivery-order INVARIANCE of emission-trace operators.
+
+The round-3 driver red rows (cdc_retract_stream_output,
+stream_tumble_early_fire) were hash-only mismatches caused by micro-batch
+delivery-order scrambles: FileStreamSource orders files by modification
+time, which a foreign environment can perturb. Every emission trace now
+labels its epochs from the replay's DATA-borne ``stage`` column, so the
+emitted changelog must be identical no matter how slices are interleaved.
+
+These tests deliver the same slices deliberately SCRAMBLED (via the staged
+sources' ``order`` parameter — stage stays chronological, only mtime-driven
+delivery changes) and assert byte-identical output vs in-order delivery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_src_spark.streaming.run import (
+    run_early_fire_trace,
+    run_incremental_outer_join_changelog,
+    run_to_batch,
+)
+from flink_1_12_0_src_spark.streaming.source import events_stream_mod, events_stream_weeks
+from flink_1_12_0_src_spark.streaming.upsert import run_changelog_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_changelog_count_delivery_order_invariant(spark):
+    inorder = run_changelog_count(
+        events_stream_weeks(spark, SF, with_stage=True), "user_id"
+    )
+    scrambled = run_changelog_count(
+        events_stream_weeks(spark, SF, order=("3", "1", "4", "2"), with_stage=True),
+        "user_id",
+    )
+    assert _rows(inorder) == _rows(scrambled)
+
+
+def test_changelog_count_delete_leg_order_invariant(spark):
+    inorder = run_changelog_count(
+        events_stream_weeks(spark, SF, with_stage=True), "user_id", having_below=5
+    )
+    scrambled = run_changelog_count(
+        events_stream_weeks(spark, SF, order=("2", "4", "1", "3"), with_stage=True),
+        "user_id",
+        having_below=5,
+    )
+    assert _rows(inorder) == _rows(scrambled)
+
+
+def test_early_fire_trace_delivery_order_invariant(spark):
+    inorder = run_early_fire_trace(events_stream_mod(spark, SF, with_stage=True))
+    scrambled = run_early_fire_trace(
+        events_stream_mod(spark, SF, with_stage=True, order=(2, 0, 3, 1))
+    )
+    assert _rows(inorder) == _rows(scrambled)
+
+
+def test_early_fire_trace_equals_raw_update_mode_trace(spark):
+    """Under IN-ORDER delivery the reconstructed trace is exactly the trace
+    Spark's own update-mode windowed aggregate emits into a memory sink —
+    the mechanism claim behind stream_tumble_early_fire."""
+    s = events_stream_mod(spark, SF)
+    agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
+    raw = run_to_batch(
+        agg.select(F.col("window.start").alias("window_start"), "cnt"), "update"
+    )
+    trace = run_early_fire_trace(events_stream_mod(spark, SF, with_stage=True))
+    assert _rows(raw) == _rows(trace)
+
+
+def test_outer_join_changelog_delivery_order_invariant(spark):
+    def run(order):
+        s = events_stream_mod(spark, SF, with_stage=True, order=order).filter(
+            F.col("event_type").isin("purchase", "error")
+        )
+        return run_incremental_outer_join_changelog(
+            s, side_col="event_type", left_tag="purchase",
+            join_keys=["user_id"], left_id="event_id", right_id="event_id",
+            how="full",
+        )
+
+    assert _rows(run(None)) == _rows(run((3, 2, 1, 0)))

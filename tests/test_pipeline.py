@@ -97,3 +97,50 @@ def test_cosine_topk_np_equals_expression_path(spark, sf_dir):
     a = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
     b = sorted(tuple(r) for r in cosine_topk_np(emb, q, k=5).collect())
     assert a == b
+
+def test_ngram_hot_shingle_cap_bounds_intersect_join(spark):
+    """Stop-shingle skew guard: 80 docs in one block all share the bigram
+    "of the" — 80·79/2 = 3160 intersect-join rows from that one shingle
+    without the cap. With the per-block document-frequency cap below 80 the
+    ubiquitous shingle drops out of the shingle space, while a planted
+    near-dup pair built from rare shingles keeps its (high) Jaccard."""
+    from flink_1_12_0_src_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"of the item{i} thing{i} widget{i} gadget{i}", "en") for i in range(80)]
+    rows += [(200, "zebra quagga okapi tapir bongo eland kudu nyala", "en"),
+             (201, "zebra quagga okapi tapir bongo eland kudu nyala", "en")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", 2, 0.0, max_shingle_freq=None
+    )
+    assert uncapped.count() >= 3160, "fixture should be quadratic uncapped"
+
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", 2, 0.0, max_shingle_freq=10
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert all(not (a < 80 and b < 80) for a, b in got), "hot shingle leaked pairs"
+    assert got.get((200, 201)) == 1.0, "rare-shingle near-dup pair must survive"
+
+
+def test_embedding_neardup_block_cap_bounds_pairs(spark):
+    """Hot-block guard: one degenerate block of 50 vectors (an over-full IVF
+    list) would contribute 50·49/2 all-pairs cosines; with max_block below 50
+    the block is dropped entirely while small blocks still pair."""
+    from flink_1_12_0_src_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0], "hot") for i in range(50)]
+    rows += [(100, [0.0, 1.0, 0.0], "cold"), (101, [0.0, 1.0, 0.0], "cold")]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+
+    uncapped = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.5, max_block=None
+    )
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+    capped = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.5, max_block=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}, "hot block must drop, small block must survive"
