@@ -21,8 +21,14 @@ Semantics implemented (the MatchRecognizeITCase subset):
 - negative patterns: ``not_next`` / ``not_followed_by`` (Pattern.java:169,198;
   trailing ``not_followed_by`` requires ``within``, as in Flink);
 - ``within(seconds)``: max first→last event-time span;
-- after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default) and
-  SKIP TO NEXT ROW (AfterMatchSkipStrategy);
+- after-match: SKIP PAST LAST ROW (the MATCH_RECOGNIZE default),
+  SKIP TO NEXT ROW, and SKIP TO FIRST/LAST <variable>
+  (AfterMatchSkipStrategy.java:38-60 — the TO_* modes resume AT the
+  first/last row the variable bound);
+- cross-variable DEFINE via ``where_binding`` (B AS B.x > LAST(A.x)) —
+  predicates over the current partial match, the MatchRecognizeITCase
+  PREV/LAST idiom (physical-offset PREV stays vectorized in the SQL
+  front-end, plans/matchrec.py);
 - non-deterministic alternatives: ``followed_by_any`` (Pattern.followedByAny:
   214 — every later matching event opens its own alternative match) and
   ``allow_combinations`` (Pattern.allowCombinations:471 — a loop binds every
@@ -36,12 +42,40 @@ Semantics implemented (the MatchRecognizeITCase subset):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+# Backtracking caps for the NFA scans. A relaxed/any-contiguity step
+# considers at most RELAXED_CANDIDATE_CAP later matching positions per scan
+# start, and an allowCombinations loop enumerates subsets of at most
+# COMBINATION_ELEMS_CAP loop elements (2^cap combinations). Both bound the
+# worst-case exponential scan on degenerate data (every row matching every
+# variable). When a cap actually truncates a candidate list the scan emits a
+# RuntimeWarning (visible in executor logs), so divergence from the
+# unbounded semantics is detectable instead of silent; raise the constants
+# (or pre-filter the input) if a workload legitimately needs denser
+# alternatives.
+RELAXED_CANDIDATE_CAP = 64
+COMBINATION_ELEMS_CAP = 12
+
+
+def _cap_candidates(cands: list[int], cap: int, what: str) -> list[int]:
+    if len(cands) > cap:
+        warnings.warn(
+            f"CEP {what} candidate list truncated ({len(cands)} > {cap}); "
+            "matches beyond the cap are dropped — raise the cap constant in "
+            "operators/cep.py if this workload needs denser alternatives",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return cands[:cap]
+    return cands
 
 
 @dataclass
@@ -53,6 +87,11 @@ class _Step:
     negated: bool = False  # notNext / notFollowedBy (Pattern.java:169,198)
     until_predicate: Callable[[pd.DataFrame], pd.Series] | None = None  # Pattern.until
     reluctant: bool = False  # shortest-first loop binding (MATCH_RECOGNIZE +? / Flink non-greedy)
+    # cross-variable predicate evaluated DURING the scan against the current
+    # partial match (MATCH_RECOGNIZE DEFINE referencing FIRST/LAST of an
+    # earlier pattern variable): (sorted pdf, bindings so far) → boolean
+    # Series over all rows. ANDed with the vectorized ``predicate``.
+    bind_predicate: Callable[[pd.DataFrame, dict[str, list[int]]], pd.Series] | None = None
 
 
 @dataclass
@@ -71,6 +110,23 @@ class Pattern:
     def where(self, predicate: Callable[[pd.DataFrame], pd.Series]) -> "Pattern":
         """Vectorized predicate: pdf → boolean Series (evaluated once per group)."""
         self.steps[-1].predicate = predicate
+        return self
+
+    def where_binding(
+        self, predicate: Callable[[pd.DataFrame, dict[str, list[int]]], pd.Series]
+    ) -> "Pattern":
+        """Cross-variable predicate over the CURRENT PARTIAL MATCH — the
+        MATCH_RECOGNIZE ``DEFINE B AS B.x > LAST(A.x)`` idiom
+        (MatchRecognizeITCase.scala:122-133; NFA.java evaluates DEFINE
+        against the partial match's computation state). ``predicate(pdf,
+        bindings)`` receives the key's sorted rows and the variable→row-index
+        bindings accumulated so far and returns a boolean Series; it is
+        re-evaluated at each step entry (vectorized over rows, so one pandas
+        op per backtrack branch) and ANDed with ``where``. Rows of variables
+        not yet bound make the reference unavailable — the predicate decides
+        (typically False). Not supported inside followedByAny /
+        allowCombinations scans."""
+        self.steps[-1].bind_predicate = predicate
         return self
 
     def next(self, name: str) -> "Pattern":
@@ -181,7 +237,11 @@ def _scan_matches(
     pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     masks = [
-        (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
+        (
+            s.predicate(pdf).to_numpy()
+            if s.predicate is not None
+            else np.ones(n, dtype=bool)
+        )
         for s in pattern.steps
     ]
     umasks = [
@@ -203,6 +263,10 @@ def _scan_matches(
             if si == len(pattern.steps):
                 return bindings, pos - 1
             step, mask = pattern.steps[si], masks[si]
+            if step.bind_predicate is not None:
+                # cross-variable DEFINE: narrow the vectorized mask by the
+                # partial-match predicate (re-evaluated per backtrack branch)
+                mask = mask & step.bind_predicate(pdf, bindings).to_numpy()
             if step.negated:
                 if si == len(pattern.steps) - 1:
                     # trailing notFollowedBy: only valid with within() (as in
@@ -228,7 +292,11 @@ def _scan_matches(
             if step.contiguity == "strict" or first_pos is None:
                 candidates = [pos] if pos < n else []
             else:
-                candidates = [p for p in range(pos, n) if mask[p]][:64]
+                candidates = _cap_candidates(
+                    [p for p in range(pos, n) if mask[p]],
+                    RELAXED_CANDIDATE_CAP,
+                    "relaxed-step",
+                )
             if neg_limit is not None:
                 candidates = [p for p in candidates if p <= neg_limit]
             if step.quantifier == "?":
@@ -262,7 +330,7 @@ def _scan_matches(
                         return r
                 elif step.quantifier.startswith("n:"):
                     k = int(step.quantifier[2:])
-                    if p + k <= n and all(masks[si][p : p + k]) and _within_ok(fp, p + k - 1):
+                    if p + k <= n and all(mask[p : p + k]) and _within_ok(fp, p + k - 1):
                         r = rec(si + 1, p + k, {**bindings, step.name: list(range(p, p + k))}, fp)
                         if r:
                             return r
@@ -341,8 +409,35 @@ def _scan_matches(
         if hit:
             bindings, end = hit
             matches.append((bindings, i, end))
-            # after-match skip strategy (Flink AfterMatchSkipStrategy)
-            i = end + 1 if after_match == "past_last" else i + 1
+            # after-match skip strategy (Flink AfterMatchSkipStrategy.java:
+            # 38-60 — PAST LAST ROW, TO NEXT ROW, TO FIRST <var>,
+            # TO LAST <var>; the TO_* modes resume AT the first/last row the
+            # variable bound, which may start the next match)
+            if after_match == "past_last":
+                i = end + 1
+            elif after_match == "next_row":
+                i = i + 1
+            elif after_match.startswith(("to_first:", "to_last:")):
+                mode, var = after_match.split(":", 1)
+                idxs = bindings.get(var)
+                if not idxs:
+                    # Flink's default throwExceptionOnMiss for an unbound
+                    # skip-to variable
+                    raise ValueError(
+                        f"AFTER MATCH SKIP {mode}: variable {var!r} bound no "
+                        "rows in the match"
+                    )
+                nxt = idxs[0] if mode == "to_first" else idxs[-1]
+                if nxt <= i:
+                    # resuming at (or before) the match start would rematch
+                    # forever — Flink raises the same way
+                    raise ValueError(
+                        f"AFTER MATCH SKIP {mode} {var}: resume point does "
+                        "not advance past the match start (infinite loop)"
+                    )
+                i = nxt
+            else:
+                raise ValueError(f"unknown after-match strategy: {after_match}")
         else:
             i += 1
     return pdf, matches
@@ -365,6 +460,8 @@ def _scan_matches_all(
     subset: 1, ?, times(n), oneOrMore(consecutive), timesOrMore, +c."""
     if any(s.negated for s in pattern.steps):
         raise ValueError("negative steps with any-semantics are out of scope")
+    if any(s.bind_predicate is not None for s in pattern.steps):
+        raise ValueError("cross-variable DEFINE with any-semantics is out of scope")
     pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     masks = [
@@ -386,6 +483,8 @@ def _scan_matches_all(
         if q == "?":  # optional: alternatives = take-one ∪ skip
             outs = []
             take = [p for p in ([pos] if step.contiguity == "strict" else range(pos, n)) if p < n and mask[p]]
+            if step.contiguity == "any":
+                take = _cap_candidates(take, RELAXED_CANDIDATE_CAP, "any-step optional")
             for p in take[: None if step.contiguity == "any" else 1]:
                 fp = first_pos if first_pos is not None else p
                 if not within_ok(fp, p):
@@ -398,7 +497,11 @@ def _scan_matches_all(
         if step.contiguity == "strict":
             candidates = [pos] if pos < n and mask[pos] else []
         else:
-            candidates = [p for p in range(pos, n) if mask[p]][:64]
+            candidates = _cap_candidates(
+                [p for p in range(pos, n) if mask[p]],
+                RELAXED_CANDIDATE_CAP,
+                "any-step",
+            )
         branching_pos = step.contiguity == "any"
         outs: list[tuple[dict, int]] = []
         for p in candidates:
@@ -427,7 +530,11 @@ def _scan_matches_all(
                     list(range(p, e + 1)) for e in range(end_q, p - 1, -1) if e - p + 1 >= lo_q
                 ]
             elif q == "+c":
-                elems = [e for e in range(p, n) if mask[e] and within_ok(fp, e)][:12]
+                elems = _cap_candidates(
+                    [e for e in range(p, n) if mask[e] and within_ok(fp, e)],
+                    COMBINATION_ELEMS_CAP,
+                    "allowCombinations",
+                )
                 rest = [e for e in elems if e != p]
                 elem_sets = []
                 for bits in range(1 << len(rest)):
@@ -516,8 +623,10 @@ def match_recognize(
 
     measures: out_col → (variable, agg∈{first,last,count,sum,min,max}, source_col).
     output_schema: Spark DDL for partition_by + match_seq + measure columns.
-    after_match: "past_last" (SKIP PAST LAST ROW, the default) or "next_row"
-    (SKIP TO NEXT ROW) — Flink AfterMatchSkipStrategy.
+    after_match: "past_last" (SKIP PAST LAST ROW, the default), "next_row"
+    (SKIP TO NEXT ROW), or "to_first:<VAR>" / "to_last:<VAR>" (SKIP TO
+    FIRST/LAST <var>, resuming AT that row) — Flink
+    AfterMatchSkipStrategy.java:38-60.
     """
     if pattern.steps and pattern.steps[0].negated:
         raise ValueError("pattern cannot start with a negative step")

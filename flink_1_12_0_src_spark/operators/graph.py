@@ -308,6 +308,7 @@ def jaccard_similarity(
     src: str = "src",
     dst: str = "dst",
     min_jaccard: float = 0.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Jaccard vertex similarity (Gelly …/graph/library/similarity/
     JaccardIndex.java): for every vertex pair sharing ≥1 neighbor,
@@ -321,22 +322,37 @@ def jaccard_similarity(
     risk as LSH buckets; at 100 TB the mitigation is identical (cap or
     sample hub neighbors; AQE skew-join smooths the rest).
     """
-    ud = _undirected(edges, src, dst).persist()
-    deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
-    a, b = ud.alias("a"), ud.alias("b")
-    shared = (
-        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
-        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("w"))
-        .agg(F.count("*").alias("shared"))
-    )
-    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
-    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
-    jac = F.round(
-        F.col("shared").cast("double") / (F.col("du") + F.col("dw") - F.col("shared")), 6
-    )
-    return (
-        shared.join(du, "u")
-        .join(dw, "w")
-        .select("u", "w", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    if not materialize:
+        # lazy variant (plan inspection / composition): no persist, so there
+        # is no cache to scope — Catalyst's ReuseExchange dedups the
+        # self-join shuffle instead
+        ud = _undirected(edges, src, dst)
+    else:
+        ud = _undirected(edges, src, dst).persist()
+    try:
+        deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        a, b = ud.alias("a"), ud.alias("b")
+        shared = (
+            a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+            .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("w"))
+            .agg(F.count("*").alias("shared"))
+        )
+        du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+        dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+        jac = F.round(
+            F.col("shared").cast("double") / (F.col("du") + F.col("dw") - F.col("shared")), 6
+        )
+        out = (
+            shared.join(du, "u")
+            .join(dw, "w")
+            .select("u", "w", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard)
+        )
+        if not materialize:
+            return out
+        # materialize before releasing the shared edge cache, so the persist
+        # is scoped to this call instead of leaking across a many-query run
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            ud.unpersist()

@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     band_rows: int = 4,
     max_bucket: int | None = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH + estimated Jaccard
     (fraction of agreeing signature components). Returns (id_a, id_b,
@@ -119,7 +120,11 @@ def minhash_lsh_pairs(
     # The signature table fans out to 4 plan references (two band sides, two
     # jaccard sides); persist it so the shingle+hash pipeline runs once. Size is
     # ~#docs × num_hashes × 16 B — negligible next to the corpus at any scale.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    # ``materialize=False`` returns the lazy plan with no persists (plan
+    # inspection / composition), trading recompute for zero cache residency.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    if materialize:
+        sigs = sigs.persist()
     n_bands = num_hashes // band_rows
     bands = sigs.select(
         F.col(id_col),
@@ -151,27 +156,39 @@ def minhash_lsh_pairs(
             .drop("_bsz")
         )
     # two self-join references below; band table is ~#docs × n_bands tiny rows
-    bands = bands.persist()
+    if materialize:
+        bands = bands.persist()
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    try:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)])
-    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)])
-    eq = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(num_hashes))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"))
-    )
+        sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)])
+        sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)])
+        eq = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(num_hashes))
+        out = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", F.round(eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"))
+        )
+        if not materialize:
+            return out
+        # materialize before releasing the signature/band caches, so the
+        # persists are scoped to this call instead of leaking across a
+        # many-query run
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            bands.unpersist()
+            sigs.unpersist()
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -9,16 +9,27 @@ Supported subset (the MatchRecognizeITCase shapes):
       PARTITION BY c1[, c2 …]
       ORDER BY c1[, c2 …]
       MEASURES FIRST|LAST|COUNT|SUM|MIN|MAX(VAR.col) AS alias, …
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST var | TO LAST var]
       PATTERN (A B+ C{2,4} D? …)
       [WITHIN INTERVAL 'n' UNIT]
       DEFINE A AS <comparison> [AND <comparison>], …
     )
 
-DEFINE comparisons are ``VAR.col <op> literal`` with op ∈ {=, <>, !=, <, <=,
->, >=}; a variable without a DEFINE entry matches any row (the standard's
-"always true"). PATTERN contiguity is strict (the MATCH_RECOGNIZE regex
-reading) — exactly our Pattern.next/one_or_more(consecutive=True).
+DEFINE comparisons are ``VAR.col <op> rhs`` with op ∈ {=, <>, !=, <, <=, >,
+>=} and rhs one of:
+
+- a literal (string/number);
+- ``PREV(VAR2.col [, k])`` — the PHYSICAL row k back in partition order
+  (SQL:2016 row-pattern PREV; k defaults to 1). Compiles to a vectorized
+  ``shift(k)`` comparison — the canonical price-goes-down idiom
+  ``DOWN AS DOWN.v < PREV(DOWN.v)`` (MatchRecognizeITCase.scala:122-133);
+- ``FIRST(VAR2.col)`` / ``LAST(VAR2.col)`` of an EARLIER pattern variable —
+  a cross-variable predicate over the current partial match, compiled to
+  ``Pattern.where_binding`` (unmatched reference ⇒ row rejected).
+
+A variable without a DEFINE entry matches any row (the standard's "always
+true"). PATTERN contiguity is strict (the MATCH_RECOGNIZE regex reading) —
+exactly our Pattern.next/one_or_more(consecutive=True).
 """
 
 from __future__ import annotations
@@ -46,7 +57,7 @@ _SECTION_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>[\w\s,]+?)\s*"
     r"ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s*"
     r"MEASURES\s+(?P<measures>.*?)\s*"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s*)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s*)?"
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wamount>\d+)'\s+(?P<wunit>SECOND|MINUTE|HOUR|DAY)S?\s*)?"
     r"DEFINE\s+(?P<define>.*?)\s*\)\s*$",
@@ -61,6 +72,12 @@ _STEP_RE = re.compile(r"(\w+)\s*(\+\??|\?\??|\{\s*\d+\s*(?:,\s*\d+\s*)?\}\??)?")
 
 _CMP_RE = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)"
+)
+
+# rhs forms referencing other rows: PREV(V.col[, k]) / FIRST|LAST(V.col)
+_NAV_RE = re.compile(
+    r"(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*(PREV|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.I,
 )
 
 _UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
@@ -82,6 +99,40 @@ def _make_predicate(conjuncts: list[tuple[str, str, object]]):
     return pred
 
 
+def _make_prev_predicate(conjuncts: list[tuple[str, str, str, int]]):
+    """PREV(V.col, k) comparisons — physical row offsets, vectorized as a
+    shift over the key's sorted rows; the partition's first k rows have no
+    PREV and compare False (NaN semantics), matching SQL row-pattern
+    navigation."""
+
+    def pred(pdf: pd.DataFrame) -> pd.Series:
+        m = pd.Series(True, index=pdf.index)
+        for col, op, ref_col, k in conjuncts:
+            m &= _OPS[op](pdf[col], pdf[ref_col].shift(k)).fillna(False)
+        return m
+
+    return pred
+
+
+def _make_bind_predicate(conjuncts: list[tuple[str, str, str, str, str]]):
+    """FIRST/LAST(V2.col) comparisons — evaluated against the current
+    partial match's bindings inside the NFA scan (operators/cep.py
+    where_binding); a reference to a not-yet-bound variable rejects the
+    row."""
+
+    def pred(pdf: pd.DataFrame, bindings: dict[str, list[int]]) -> pd.Series:
+        m = pd.Series(True, index=pdf.index)
+        for col, op, nav, var2, ref_col in conjuncts:
+            idxs = bindings.get(var2)
+            if not idxs:
+                return pd.Series(False, index=pdf.index)
+            ref = pdf[ref_col].iloc[idxs[0] if nav == "FIRST" else idxs[-1]]
+            m &= _OPS[op](pdf[col], ref)
+        return m
+
+    return pred
+
+
 def parse_match_recognize(clause: str) -> dict:
     """Parse the clause into the match_recognize() keyword arguments:
     {partition_by, order_by, pattern, measures, after_match}."""
@@ -97,21 +148,36 @@ def parse_match_recognize(clause: str) -> dict:
         measures[alias] = (var.upper(), agg.lower(), col)
 
     defines: dict[str, list[tuple[str, str, object]]] = {}
+    prev_defines: dict[str, list[tuple[str, str, str, int]]] = {}
+    bind_defines: dict[str, list[tuple[str, str, str, str, str]]] = {}
     for d in re.split(r",\s*(?=\w+\s+AS\s)", m.group("define"), flags=re.I):
         dm = re.match(r"(\w+)\s+AS\s+(.*)", d.strip(), re.I | re.S)
         if not dm:
             raise ValueError(f"unparseable DEFINE entry: {d[:80]}")
         var = dm.group(1).upper()
-        conjuncts = []
         for expr in re.split(r"\bAND\b", dm.group(2), flags=re.I):
+            nm = _NAV_RE.search(expr)
+            if nm:
+                cvar, col, op, nav, var2, ref_col, k = nm.groups()
+                if cvar.upper() != var:
+                    raise ValueError("DEFINE lhs may only reference its own variable")
+                nav = nav.upper()
+                if nav == "PREV":
+                    prev_defines.setdefault(var, []).append(
+                        (col, op, ref_col, int(k) if k else 1)
+                    )
+                else:
+                    bind_defines.setdefault(var, []).append(
+                        (col, op, nav, var2.upper(), ref_col)
+                    )
+                continue
             cm = _CMP_RE.search(expr)
             if not cm:
                 raise ValueError(f"unsupported DEFINE predicate: {expr.strip()[:80]}")
             cvar, col, op, lit = cm.groups()
             if cvar.upper() != var:
                 raise ValueError("DEFINE may only reference its own variable")
-            conjuncts.append((col, op, _literal(lit)))
-        defines[var] = conjuncts
+            defines.setdefault(var, []).append((col, op, _literal(lit)))
 
     pattern: Pattern | None = None
     for var, quant in _STEP_RE.findall(m.group("pattern")):
@@ -119,8 +185,16 @@ def parse_match_recognize(clause: str) -> dict:
             continue
         var = var.upper()
         pattern = Pattern.begin(var) if pattern is None else pattern.next(var)
-        if var in defines:
+        if var in defines and var in prev_defines:
+            p1 = _make_predicate(defines[var])
+            p2 = _make_prev_predicate(prev_defines[var])
+            pattern.where(lambda pdf, a=p1, b=p2: a(pdf) & b(pdf))
+        elif var in defines:
             pattern.where(_make_predicate(defines[var]))
+        elif var in prev_defines:
+            pattern.where(_make_prev_predicate(prev_defines[var]))
+        if var in bind_defines:
+            pattern.where_binding(_make_bind_predicate(bind_defines[var]))
         lazy = quant.endswith("?") and quant not in ("?",)  # +? / {n,m}? / ??
         base = quant[:-1] if lazy else quant
         if base == "+":
@@ -140,7 +214,13 @@ def parse_match_recognize(clause: str) -> dict:
         pattern.within(int(m.group("wamount")) * _UNIT_SECONDS[m.group("wunit").upper()])
 
     skip = (m.group("skip") or "PAST LAST ROW").upper()
-    after = "past_last" if "PAST" in skip else "next_row"
+    if "PAST" in skip:
+        after = "past_last"
+    elif "NEXT" in skip:
+        after = "next_row"
+    else:
+        nav, var = skip.split()[1], skip.split()[2]
+        after = f"to_{nav.lower()}:{var}"
     return {
         "partition_by": part,
         "order_by": order,

@@ -418,6 +418,118 @@ def flinksql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "match_seq")
 
 
+# Shared run-length CTE prefix for the V-shape MATCH_RECOGNIZE oracles:
+# dir ∈ {-1,0,1} vs the previous row, maximal descent/ascent runs, and the
+# adjacent (descent, ascent) pairs — the lag-window encoding of the NFA's
+# greedy DOWN+/UP+ bindings.
+_VSHAPE_RUNS_SQL = """
+WITH o AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+d AS (SELECT *, CASE WHEN v < lag(v) OVER (PARTITION BY user_id ORDER BY rn) THEN -1
+                     WHEN v > lag(v) OVER (PARTITION BY user_id ORDER BY rn) THEN 1
+                     ELSE 0 END AS dir
+      FROM o),
+r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY rn) AS rgrp FROM d),
+dr AS (SELECT user_id, rgrp, MIN(rn) AS ds, MAX(rn) AS de, COUNT(*) AS dk
+       FROM r WHERE dir = -1 GROUP BY 1, 2),
+ur AS (SELECT user_id, rgrp, MIN(rn) AS us, MAX(rn) AS ue, COUNT(*) AS uk
+       FROM r WHERE dir = 1 GROUP BY 1, 2),
+vpair AS (SELECT d.user_id, d.ds, d.de, d.dk, u.us, u.ue, u.uk
+          FROM dr d JOIN ur u ON u.user_id = d.user_id AND u.us = d.de + 1)
+"""
+
+_VSHAPE_CLAUSE = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(STRT.v) AS strt_v, COUNT(DOWN.v) AS down_cnt,
+                   LAST(DOWN.v) AS trough_v, COUNT(UP.v) AS up_cnt,
+                   LAST(UP.v) AS peak_v
+          AFTER MATCH SKIP {skip}
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS DOWN.v < PREV(DOWN.v), UP AS UP.v > PREV(UP.v)
+        )
+"""
+
+_VSHAPE_SCHEMA = (
+    "user_id bigint, match_seq int, strt_v double, down_cnt bigint, "
+    "trough_v double, up_cnt bigint, peak_v double"
+)
+
+
+def _vshape(spark: SparkSession, sf_dir: str, skip: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.cep import match_recognize
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(_VSHAPE_CLAUSE.format(skip=skip))
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    return match_recognize(
+        ev, output_schema=_VSHAPE_SCHEMA, time_col="ts", **kwargs
+    ).orderBy("user_id", "match_seq")
+
+
+@register(
+    "flinksql_match_prev_vshape",
+    oracle=_VSHAPE_RUNS_SQL
+    + """,
+starts AS (SELECT user_id, de, ue, uk, unnest(generate_series(ds - 1, de - 1)) AS s
+           FROM vpair)
+SELECT m.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.s) - 1 AS INTEGER) AS match_seq,
+       sv.v AS strt_v, CAST(m.de - m.s AS BIGINT) AS down_cnt, tv.v AS trough_v,
+       CAST(m.uk AS BIGINT) AS up_cnt, pv.v AS peak_v
+FROM starts m
+JOIN o sv ON sv.user_id = m.user_id AND sv.rn = m.s
+JOIN o tv ON tv.user_id = m.user_id AND tv.rn = m.de
+JOIN o pv ON pv.user_id = m.user_id AND pv.rn = m.ue
+ORDER BY m.user_id, match_seq
+""",
+    tags=("dialect", "cep", "sql", "prev_navigation"),
+    doc="MATCH_RECOGNIZE DEFINE with PREV navigation — the price-goes-down "
+    "idiom (MatchRecognizeITCase.scala:122-133; SQL:2016 row-pattern PREV): "
+    "PATTERN (STRT DOWN+ UP+) with DOWN.v < PREV(DOWN.v) / UP.v > "
+    "PREV(UP.v) finds every V-shape in each user's value series. PREV is a "
+    "physical row offset, so the predicate compiles to a vectorized shift "
+    "comparison (plans/matchrec.py). AFTER MATCH SKIP TO NEXT ROW ⇒ every "
+    "start position yields its own (suffix-descent) match — overlap "
+    "semantics the lag-window oracle reproduces with run-length encoding "
+    "plus a per-start unnest. Closes the round-3 'What's missing #1' gap.",
+)
+def flinksql_match_prev_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vshape(spark, sf_dir, "TO NEXT ROW")
+
+
+@register(
+    "flinksql_match_skip_to_last",
+    oracle=_VSHAPE_RUNS_SQL
+    + """
+SELECT p.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.ds) - 1 AS INTEGER) AS match_seq,
+       sv.v AS strt_v, CAST(p.dk AS BIGINT) AS down_cnt, tv.v AS trough_v,
+       CAST(p.uk AS BIGINT) AS up_cnt, pv.v AS peak_v
+FROM vpair p
+JOIN o sv ON sv.user_id = p.user_id AND sv.rn = p.ds - 1
+JOIN o tv ON tv.user_id = p.user_id AND tv.rn = p.de
+JOIN o pv ON pv.user_id = p.user_id AND pv.rn = p.ue
+ORDER BY p.user_id, match_seq
+""",
+    tags=("dialect", "cep", "sql", "after_match_skip"),
+    doc="AFTER MATCH SKIP TO LAST <var> (AfterMatchSkipStrategy.java:46,56): "
+    "the V-shape pattern resuming AT the last UP row, so consecutive Vs "
+    "chain through shared peaks — exactly one match per adjacent "
+    "(descent, ascent) run pair, each binding the FULL descent (unlike the "
+    "TO NEXT ROW variant's suffix matches). The oracle is the run-pair "
+    "encoding with no unnest; equivalence of the resume semantics is also "
+    "property-tested against a reference scan in tests/test_property_cep.py. "
+    "Closes the round-3 'What's missing #2' gap.",
+)
+def flinksql_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vshape(spark, sf_dir, "TO LAST UP")
+
+
 @register(
     "flinkddl_computed_col",
     oracle="""
@@ -524,6 +636,72 @@ def flinkddl_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2
     """)
+
+
+@register(
+    "flinkddl_show_functions",
+    oracle="""
+SELECT fn FROM (VALUES ('zz_price_band'), ('zz_split_idx')) AS t(fn) ORDER BY fn
+""",
+    tags=("dialect", "ddl", "introspection"),
+    doc="SHOW FUNCTIONS round trip (SqlShowFunctions → "
+    "TableEnvironmentImpl.listFunctions): CREATE FUNCTION makes the names "
+    "visible in the listing — asserted by filtering the listing to the "
+    "names this query registers (the full listing is Spark's "
+    "version-dependent builtin set, so only the registered names are "
+    "oracled).",
+)
+def flinkddl_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION zz_price_band AS "
+        "'flink_1_12_0_src_spark.functions.scalar.price_band'"
+    )
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION zz_split_idx AS "
+        "'flink_1_12_0_src_spark.functions.scalar.split_index_sql'"
+    )
+    fns = env.execute_sql("SHOW FUNCTIONS")
+    return (
+        fns.filter(F.col("function_name").startswith("zz_"))
+        .select(F.col("function_name").alias("fn"))
+        .orderBy("fn")
+    )
+
+
+@register(
+    "flinkddl_describe",
+    oracle="""
+SELECT * FROM (VALUES
+  ('n_nationkey', 'bigint', true),
+  ('n_name',      'string', true),
+  ('n_regionkey', 'bigint', true),
+  ('n_comment',   'string', true),
+  ('name_upper',  'string', true),
+  ('key_mix',     'bigint', true)
+) AS t(col_name, data_type, nullable)
+""",
+    tags=("dialect", "ddl", "introspection"),
+    doc="DESCRIBE round trip (SqlRichDescribeTable → "
+    "TableEnvironmentImpl.describe): a CREATE TABLE with computed columns "
+    "DESCRIBEs to its declared schema INCLUDING the generated columns — the "
+    "REPL's schema surface, previously exercised only by the CLI test.",
+)
+def flinkddl_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _nation_csv(spark, sf_dir)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nation_desc (
+            {_NATION_COLS_DDL},
+            name_upper AS UPPER(n_name),
+            key_mix AS n_nationkey * 2 + n_regionkey
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'csv'
+        )
+    """)
+    return env.execute_sql("DESCRIBE nation_desc")
 
 
 @register(

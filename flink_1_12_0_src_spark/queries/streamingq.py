@@ -30,7 +30,9 @@ from flink_1_12_0_src_spark.queries._util import dec, dsum
 from flink_1_12_0_src_spark.streaming import events_stream, run_to_batch
 from flink_1_12_0_src_spark.streaming.stateful import (
     streaming_count_tumble,
+    streaming_delta_trigger,
     streaming_over_running_sum,
+    streaming_temporal_sort,
     streaming_topn,
 )
 
@@ -277,6 +279,76 @@ def stream_over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_over_running_sum(s, key="user_id", order_cols=["ts", "event_id"], value_col="value")
     return run_to_batch(out, "append")
+
+
+@register(
+    "stream_temporal_sort",
+    oracle="""
+SELECT user_id, ts, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+""",
+    tags=("streaming", "sort", "stateful", "custom_op"),
+    doc="Streaming TEMPORAL SORT (StreamExecTemporalSort.scala:47 / "
+    "RowTimeSortOperator): rows buffer in keyed state and are released in "
+    "provably-final event-time order as the watermark passes them, each "
+    "stamped with its per-key emission sequence — the emitted (key, seq) "
+    "assignment is delivery-order invariant and equals the batch ROW_NUMBER. "
+    "Completes §2.6's 'streaming sort' row with a direct emission oracle "
+    "(previously verified only through composition).",
+)
+def stream_temporal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_temporal_sort(s, key="user_id", order_cols=["ts", "event_id"])
+    return run_to_batch(out, "append")
+
+
+@register(
+    "stream_delta_trigger",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, ts, event_id, CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+emit(user_id, rn, cents) AS (
+  SELECT user_id, rn, cents FROM o WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, nxt.rn, nxt.cents
+  FROM emit e
+  JOIN LATERAL (SELECT rn, cents FROM o
+                WHERE o.user_id = e.user_id AND o.rn > e.rn
+                  AND abs(o.cents - e.cents) >= 4000
+                ORDER BY rn LIMIT 1) nxt ON true
+)
+SELECT o.user_id, o.ts, o.event_id, CAST(o.cents / 100.0 AS DOUBLE) AS value
+FROM emit JOIN o ON o.user_id = emit.user_id AND o.rn = emit.rn
+ORDER BY o.user_id, o.ts, o.event_id
+""",
+    tags=("streaming", "trigger", "stateful", "custom_op"),
+    doc="Custom DELTA TRIGGER (DeltaTrigger.java:33 + DeltaFunction): fire "
+    "when |value − last_fired_value| ≥ 40.00, the fired row becoming the "
+    "new reference; a key's first row always fires (the null-state "
+    "initialization branch). O(1) carry per key under the watermark "
+    "buffer, so the emission set is delivery-order invariant. Oracle: the "
+    "same fire chain as a recursive jump CTE in exact cents. Upgrades "
+    "§2.8 'custom triggers' from partial (count/early-fire only) to "
+    "covered.",
+)
+def stream_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_delta_trigger(
+        s, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        delta_cents=4000,
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "ts", "event_id")
 
 
 @register(

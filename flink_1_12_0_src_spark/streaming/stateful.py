@@ -206,6 +206,104 @@ def streaming_over_running_sum(
     )
 
 
+def streaming_temporal_sort(
+    stream: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """Streaming TEMPORAL SORT (StreamExecTemporalSort.scala:47 /
+    RowTimeSortOperator: buffer rows in keyed state, emit them in event-time
+    order as the watermark passes them): per key, rows are released in
+    provably-final (ts, tiebreak…) order, each stamped with its per-key
+    emission sequence number.
+
+    Carry per key: one counter — the number of rows already emitted; plus
+    the watermark buffer of not-yet-final rows (bounded by data rate ×
+    watermark slack, not history). The emitted (key, seq) assignment is a
+    pure function of event content, so it is micro-batch- and
+    delivery-order-invariant and equals the batch ROW_NUMBER oracle.
+    """
+    in_fields = {f.name: f for f in stream.schema.fields}
+    time_col = order_cols[0]
+    out_schema = StructType(
+        [in_fields[key]]
+        + [in_fields[c] for c in order_cols]
+        + [StructField("seq", LongType())]
+    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+
+    def kernel(key_tuple, fin, carry):
+        (n0,) = carry
+        out = pd.DataFrame({key: [key_tuple[0]] * len(fin)})
+        for c in order_cols:
+            out[c] = fin[c]
+        out["seq"] = n0 + np.arange(1, len(fin) + 1, dtype="int64")
+        return out, (n0 + len(fin),)
+
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [StructField("n", LongType())], (0,), kernel, out_schema,
+    )
+
+
+def streaming_delta_trigger(
+    stream: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    delta_cents: int,
+) -> DataFrame:
+    """Flink DeltaTrigger (flink-streaming-java/.../windowing/triggers/
+    DeltaTrigger.java:33 + DeltaFunction): FIRE when the delta function
+    between the LAST-FIRED element and the current element exceeds the
+    threshold; the fired element becomes the new reference. Here the delta
+    function is |value − last_fired_value| in exact cents, and each fire
+    emits the triggering row (a key's first row always fires, initializing
+    the reference — DeltaTrigger.onElement's null-state branch).
+
+    Carry per key: (fired_yet, last_fired_cents) — two scalars, O(1) state
+    like the reference's ValueState<T> lastElement. Rows are processed in
+    provably-final event-time order via the watermark buffer, so the
+    emission set is delivery-order invariant. The per-row reference update
+    is inherently sequential (each decision depends on the previous fire) —
+    a tight index loop over the Arrow batch, the same regime as the CEP NFA
+    scan; all other arithmetic stays vectorized.
+    """
+    in_fields = {f.name: f for f in stream.schema.fields}
+    time_col = order_cols[0]
+    out_schema = StructType(
+        [in_fields[key]]
+        + [in_fields[c] for c in order_cols]
+        + [StructField(value_col, DoubleType())]
+    )
+    buffer_cols = {time_col: "ts"}
+    for c in order_cols[1:]:
+        buffer_cols[c] = "long"
+    buffer_cols[value_col] = "double"
+
+    def kernel(key_tuple, fin, carry):
+        fired, last = carry
+        cents = _cents(fin[value_col])
+        keep = np.zeros(len(fin), dtype=bool)
+        for i in range(len(cents)):
+            c = int(cents[i])
+            if not fired or abs(c - last) >= delta_cents:
+                keep[i] = True
+                fired, last = 1, c
+        out = pd.DataFrame({key: [key_tuple[0]] * int(keep.sum())})
+        sel = fin.loc[keep]
+        for c in order_cols:
+            out[c] = sel[c].to_numpy()
+        out[value_col] = cents[keep] / 100.0
+        return out, (int(fired), int(last))
+
+    return _wm_buffered(
+        stream, [key], order_cols, buffer_cols,
+        [StructField("fired", LongType()), StructField("last", LongType())],
+        (0, 0), kernel, out_schema,
+    )
+
+
 def streaming_over_time_range(
     stream: DataFrame, key: str, time_col: str, value_col: str, range_seconds: int
 ) -> DataFrame:

@@ -309,7 +309,13 @@ def run_changelog_sum_agg(
                 .cast("decimal(18,2)")  # pin scale so the snapshot schema is stable across triggers
                 .alias("total"),
             )
-            .filter(F.col("cnt") > 0)
+            # state cleanup when the record counter cancels to zero
+            # (GroupAggFunction.java:178-196) — kept as != 0, not > 0, so a
+            # retraction delivered before its insert holds a negative
+            # counter instead of being dropped; the merged state is then a
+            # commutative sum and the FINAL snapshot is delivery-order
+            # invariant (the > 0 cut happens once, below)
+            .filter(F.col("cnt") != 0)
         )
         nxt = tempfile.mkdtemp(prefix="aggstate_")
         merged.write.mode("overwrite").parquet(nxt)
@@ -331,6 +337,12 @@ def run_changelog_sum_agg(
             "run_changelog_sum_agg: every micro-batch was empty — no "
             "accumulator state exists to snapshot"
         )
-    return spark.read.parquet(state["snap"]).select(
-        group_col, F.col("cnt").cast("bigint").alias("cnt"), F.col("total").cast("double").alias("total")
+    return (
+        spark.read.parquet(state["snap"])
+        .filter(F.col("cnt") > 0)
+        .select(
+            group_col,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("total").cast("double").alias("total"),
+        )
     )

@@ -90,19 +90,31 @@ class Table:
         parts = _split_exprs(exprs)
         if self._group is not None:
             keys = [k.strip() for k in self._group]
-            aggs = [
-                _expr(p)
-                for p in parts
-                if p.strip() not in keys and _POSTFIX_RE.match(_ALIAS_RE.sub(r"\1", p).strip())
-            ]
-            passthru = [p for p in parts if p.strip() in keys]
+            aggs = []
+            for p in parts:
+                if p.strip() in keys:
+                    continue
+                if not _POSTFIX_RE.match(_ALIAS_RE.sub(r"\1", p).strip()):
+                    raise ValueError(
+                        f"grouped select expression {p.strip()!r} is neither a "
+                        "group key nor a postfix aggregate (col.sum / "
+                        "col.avg / …)"
+                    )
+                aggs.append(_expr(p))
             out = self._df.groupBy(*[F.expr(k) for k in keys]).agg(*aggs)
-            # re-order columns to the select order where possible
+            # re-order columns to the select order
             wanted = []
             for p in parts:
                 name = _ALIAS_RE.match(p).group(2) if _ALIAS_RE.match(p) else p.strip()
                 wanted.append(name)
-            return Table(out.select(*[c for c in wanted if c in out.columns]))
+            missing = [c for c in wanted if c not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"grouped select columns {missing} not present in the "
+                    f"aggregate output {out.columns}; alias aggregates "
+                    "('col.sum as name') to the names you select"
+                )
+            return Table(out.select(*wanted))
         return Table(self._df.select(*[_expr(p) for p in parts]))
 
     def filter(self, predicate: str) -> "Table":

@@ -126,8 +126,21 @@ def test_clustering_coeff_no_cartesian_two_phase(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def _lazy_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
 def test_jaccard_similarity_equi_joins_only(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "graph_jaccard_similarity")
+    # materialize=False keeps the full lineage inspectable (the default path
+    # eagerly checkpoints so its persists can be released per-call)
+    from flink_1_12_0_src_spark.operators.graph import jaccard_similarity
+    from flink_1_12_0_src_spark.queries.graphq import _edges
+
+    plan = _lazy_plan(
+        spark, jaccard_similarity(_edges(spark, sf_dir), materialize=False)
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # intersection counted by one groupBy over the two-path join
@@ -137,7 +150,13 @@ def test_jaccard_similarity_equi_joins_only(spark, sf_dir):
 def test_lsh_cap_single_band_shuffle(spark, sf_dir):
     """The hot-bucket cap must not add a join: bucket sizes come from a
     window count over the same (band, bk) keys the self-join uses."""
-    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    plan = _lazy_plan(
+        spark, minhash_lsh_pairs(docs, "doc_id", "text", materialize=False)
+    )
     assert "Window" in plan  # the census is a window count…
     # …and the candidate generation stays a plain equi self-join
     assert "CartesianProduct" not in plan

@@ -190,3 +190,98 @@ def test_nfa_reluctant_matches_lazy_regex(seq: str, pat_idx: int):
     nfa_spans = [(start, end + 1) for _b, start, end in matches]
     re_spans = [m.span() for m in re.finditer(rx, seq)]
     assert nfa_spans == re_spans, f"seq={seq!r} rx={rx}"
+
+
+def _reference_skip_to_scan(seq: str, rx: str, group_spans, mode: str):
+    """Independent reference for AFTER MATCH SKIP TO FIRST/LAST <var>
+    (AfterMatchSkipStrategy.java:46,56): find the leftmost regex match from
+    the scan position, emit it, then resume AT the first/last row the
+    tracked group bound. Pure-regex engine — shares no code with the NFA."""
+    out, i = [], 0
+    while i <= len(seq):
+        m = re.compile(rx).search(seq, i)
+        if not m:
+            break
+        lo, hi = group_spans(m)
+        out.append(m.span())
+        nxt = lo if mode == "to_first" else hi - 1
+        if nxt <= m.start():
+            raise ValueError("no progress")
+        i = nxt
+    return out
+
+
+@settings(max_examples=250, deadline=None)
+@given(seq=st.text(alphabet="abc", min_size=0, max_size=24))
+def test_nfa_skip_to_last_var_matches_reference(seq: str):
+    """SKIP TO LAST y over A B+: resume at the last b of the match — chained
+    matches may share that row with the next match's leading context."""
+    pattern, rx = _pat_ab_plus()
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches(
+        pdf, pattern, order_by=["pos"], time_col=None, after_match="to_last:y"
+    )
+    nfa_spans = [(start, end + 1) for _b, start, end in matches]
+    ref = _reference_skip_to_scan(
+        seq, "a(b+)", lambda m: m.span(1), "to_last"
+    )
+    assert nfa_spans == ref, f"seq={seq!r}"
+
+
+@settings(max_examples=250, deadline=None)
+@given(seq=st.text(alphabet="abc", min_size=0, max_size=24))
+def test_nfa_skip_to_first_var_matches_reference(seq: str):
+    pattern, rx = _pat_ab_plus()
+    pdf = pd.DataFrame({"pos": range(len(seq)), "t": list(seq)})
+    _, matches = _scan_matches(
+        pdf, pattern, order_by=["pos"], time_col=None, after_match="to_first:y"
+    )
+    nfa_spans = [(start, end + 1) for _b, start, end in matches]
+    ref = _reference_skip_to_scan(
+        seq, "a(b+)", lambda m: m.span(1), "to_first"
+    )
+    assert nfa_spans == ref, f"seq={seq!r}"
+
+
+def test_nfa_skip_to_first_of_leading_var_raises():
+    """SKIP TO FIRST x where x starts the match would loop forever — Flink
+    raises; so do we."""
+    import pytest
+
+    pattern, _ = _pat_ab_plus()
+    pdf = pd.DataFrame({"pos": range(4), "t": list("abab")})
+    with pytest.raises(ValueError, match="infinite loop"):
+        _scan_matches(
+            pdf, pattern, order_by=["pos"], time_col=None, after_match="to_first:x"
+        )
+
+
+@settings(max_examples=250, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20))
+def test_cross_variable_last_binding(vals: list[int]):
+    """DEFINE B AS B.v > LAST(A.v) (the MatchRecognizeITCase cross-variable
+    idiom) via where_binding: A binds one row, B+ binds the following run of
+    rows strictly greater than A's value — reference = direct python scan."""
+    pattern = (
+        Pattern.begin("A")
+        .next("B")
+        .where_binding(
+            lambda pdf, b: pdf["v"] > (pdf["v"].iloc[b["A"][-1]] if b.get("A") else float("inf"))
+        )
+        .one_or_more()
+    )
+    pdf = pd.DataFrame({"pos": range(len(vals)), "v": vals})
+    _, matches = _scan_matches(pdf, pattern, order_by=["pos"], time_col=None)
+    got = [(s, e + 1) for _b, s, e in matches]
+    # reference scan: greedy, skip past last row
+    ref, i = [], 0
+    while i < len(vals) - 1:
+        if vals[i + 1] > vals[i]:
+            j = i + 1
+            while j + 1 < len(vals) and vals[j + 1] > vals[i]:
+                j += 1
+            ref.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    assert got == ref, f"vals={vals!r}"
