@@ -27,6 +27,11 @@ DEFINE comparisons are ``VAR.col <op> rhs`` with op ∈ {=, <>, !=, <, <=, >,
   a cross-variable predicate over the current partial match, compiled to
   ``Pattern.where_binding`` (unmatched reference ⇒ row rejected).
 
+Null predicates: ``VAR.col IS [NOT] NULL`` (vectorized) and
+``FIRST|LAST(VAR2.col) IS [NOT] NULL`` (partial-match; an unbound
+variable's reference IS null — the MatchRecognizeITCase.scala:122-133
+``LAST(A.nullField) IS NULL`` reading).
+
 A variable without a DEFINE entry matches any row (the standard's "always
 true"). PATTERN contiguity is strict (the MATCH_RECOGNIZE regex reading) —
 exactly our Pattern.next/one_or_more(consecutive=True).
@@ -80,6 +85,15 @@ _NAV_RE = re.compile(
     re.I,
 )
 
+# LAST(V.col) IS [NOT] NULL — the MatchRecognizeITCase.scala:122-133 idiom
+# ("LAST(A.nullField) IS NULL": no A row bound a non-null value yet)
+_NAV_NULL_RE = re.compile(
+    r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)\s+IS\s+(NOT\s+)?NULL", re.I
+)
+
+# VAR.col IS [NOT] NULL
+_NULL_RE = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.I)
+
 _UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
@@ -93,7 +107,12 @@ def _make_predicate(conjuncts: list[tuple[str, str, object]]):
     def pred(pdf: pd.DataFrame) -> pd.Series:
         m = pd.Series(True, index=pdf.index)
         for col, op, lit in conjuncts:
-            m &= _OPS[op](pdf[col], lit)
+            if op == "isnull":
+                m &= pdf[col].isna()
+            elif op == "notnull":
+                m &= pdf[col].notna()
+            else:
+                m &= _OPS[op](pdf[col], lit)
         return m
 
     return pred
@@ -124,6 +143,14 @@ def _make_bind_predicate(conjuncts: list[tuple[str, str, str, str, str]]):
         m = pd.Series(True, index=pdf.index)
         for col, op, nav, var2, ref_col in conjuncts:
             idxs = bindings.get(var2)
+            if op in ("isnull", "notnull"):
+                # an unbound variable's FIRST/LAST reference IS null
+                # (MatchRecognizeITCase's LAST(A.nullField) IS NULL reading)
+                ref_null = not idxs or pd.isna(
+                    pdf[ref_col].iloc[idxs[0] if nav == "FIRST" else idxs[-1]]
+                )
+                m &= ref_null if op == "isnull" else not ref_null
+                continue
             if not idxs:
                 return pd.Series(False, index=pdf.index)
             ref = pdf[ref_col].iloc[idxs[0] if nav == "FIRST" else idxs[-1]]
@@ -156,6 +183,13 @@ def parse_match_recognize(clause: str) -> dict:
             raise ValueError(f"unparseable DEFINE entry: {d[:80]}")
         var = dm.group(1).upper()
         for expr in re.split(r"\bAND\b", dm.group(2), flags=re.I):
+            nnm = _NAV_NULL_RE.search(expr)
+            if nnm:
+                nav, var2, ref_col, neg = nnm.groups()
+                bind_defines.setdefault(var, []).append(
+                    (None, "notnull" if neg else "isnull", nav.upper(), var2.upper(), ref_col)
+                )
+                continue
             nm = _NAV_RE.search(expr)
             if nm:
                 cvar, col, op, nav, var2, ref_col, k = nm.groups()
@@ -172,12 +206,22 @@ def parse_match_recognize(clause: str) -> dict:
                     )
                 continue
             cm = _CMP_RE.search(expr)
-            if not cm:
-                raise ValueError(f"unsupported DEFINE predicate: {expr.strip()[:80]}")
-            cvar, col, op, lit = cm.groups()
-            if cvar.upper() != var:
-                raise ValueError("DEFINE may only reference its own variable")
-            defines.setdefault(var, []).append((col, op, _literal(lit)))
+            if cm:
+                cvar, col, op, lit = cm.groups()
+                if cvar.upper() != var:
+                    raise ValueError("DEFINE may only reference its own variable")
+                defines.setdefault(var, []).append((col, op, _literal(lit)))
+                continue
+            um = _NULL_RE.search(expr)
+            if um:
+                cvar, col, neg = um.groups()
+                if cvar.upper() != var:
+                    raise ValueError("DEFINE may only reference its own variable")
+                defines.setdefault(var, []).append(
+                    (col, "notnull" if neg else "isnull", None)
+                )
+                continue
+            raise ValueError(f"unsupported DEFINE predicate: {expr.strip()[:80]}")
 
     pattern: Pattern | None = None
     for var, quant in _STEP_RE.findall(m.group("pattern")):

@@ -159,3 +159,100 @@ def test_table_env_catalog_statements(spark, sf_dir):
     )
     fns = {r.function_name for r in te.execute_sql("SHOW FUNCTIONS").collect()}
     assert "show_fn_probe" in fns and len(fns) > 100
+
+
+def test_match_recognize_parser_prev_and_last_navigation():
+    """PREV/LAST navigation in DEFINE + SKIP TO LAST <var> — the
+    MatchRecognizeITCase.scala:122-133 grammar additions."""
+    import pandas as pd
+
+    from flink_1_12_0_src_spark.operators.cep import _scan_matches
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY pos
+          MEASURES LAST(DOWN.v) AS trough, COUNT(UP.v) AS ups
+          AFTER MATCH SKIP TO LAST UP
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS DOWN.v < PREV(DOWN.v), UP AS UP.v > PREV(UP.v)
+        )
+        """
+    )
+    assert kwargs["after_match"] == "to_last:UP"
+    pat = kwargs["pattern"]
+    # PREV compiles to a vectorized shift comparison: first row has no PREV
+    pdf = pd.DataFrame({"pos": range(5), "v": [5.0, 3.0, 1.0, 2.0, 4.0]})
+    assert list(pat.steps[1].predicate(pdf)) == [False, True, True, False, False]
+    _, matches = _scan_matches(pdf, pat, order_by=["pos"], time_col=None)
+    assert [(s, e) for _b, s, e in matches] == [(0, 4)]
+
+
+def test_match_recognize_parser_last_is_null():
+    """The canonical cross-variable idiom: B AS B.name = 'b' AND
+    LAST(A.nullField) IS NULL (MatchRecognizeITCase.scala:122-133)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_12_0_src_spark.operators.cep import _scan_matches
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY pos
+          MEASURES FIRST(A.pos) AS a_pos, LAST(B.pos) AS b_pos
+          PATTERN (A B)
+          DEFINE A AS A.name = 'a',
+                 B AS B.name = 'b' AND LAST(A.nullField) IS NULL
+        )
+        """
+    )
+    pat = kwargs["pattern"]
+    assert pat.steps[1].bind_predicate is not None
+    # A row with null nullField → B matches; non-null → B rejected
+    pdf = pd.DataFrame(
+        {"pos": range(4), "name": ["a", "b", "a", "b"],
+         "nullField": [np.nan, 1.0, 7.0, np.nan]}
+    )
+    _, matches = _scan_matches(pdf, pat, order_by=["pos"], time_col=None)
+    assert [(s, e) for _b, s, e in matches] == [(0, 1)]  # second A has non-null
+
+
+def test_cep_relaxed_cap_warns_on_truncation():
+    import warnings
+
+    import pandas as pd
+
+    from flink_1_12_0_src_spark.operators.cep import Pattern, _scan_matches
+
+    # 70 b-rows after one a: relaxed step candidate list exceeds the cap of
+    # 64 — must warn, not silently truncate
+    pdf = pd.DataFrame({"pos": range(71), "t": ["a"] + ["b"] * 70})
+    pattern = (
+        Pattern.begin("x").where(lambda p: p.t == "a")
+        .followed_by("y").where(lambda p: p.t == "b")
+        .next("z").where(lambda p: p.t == "zzz")  # forces full backtrack
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _scan_matches(pdf, pattern, order_by=["pos"], time_col=None)
+    assert any("truncated" in str(x.message) for x in w)
+
+
+def test_cep_bind_predicate_rejected_with_any_semantics():
+    import pandas as pd
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.operators.cep import Pattern, _scan_matches_all
+
+    pattern = (
+        Pattern.begin("A").where(lambda p: p.t == "a")
+        .followed_by_any("B").where_binding(lambda p, b: p.t == "b")
+    )
+    pdf = pd.DataFrame({"pos": range(2), "t": ["a", "b"]})
+    with _pytest.raises(ValueError, match="any-semantics"):
+        _scan_matches_all(pdf, pattern, order_by=["pos"], time_col=None)
