@@ -6,7 +6,12 @@ mapping, concretely.)
 
 Per micro-batch of changelog rows (+I / +U / -D with a version column):
   1. collapse the batch itself to one final row per key (last by version);
-  2. MERGE into the maintained table: upsert +I/+U, drop -D keys;
+  2. MERGE into the maintained table BY VERSION: between the stored row and
+     the batch row, the higher version wins (Kafka log-compaction order),
+     and a winning -D persists as a TOMBSTONE row rather than deleting the
+     key — so a delete delivered before a stale earlier update still
+     suppresses it, and the final state is invariant to micro-batch
+     delivery order. ``snapshot()`` filters tombstones out;
   3. rewrite ONLY the key-buckets the batch touched, as NEW versioned bucket
      directories, then advance the per-bucket pointers — never rewrite in
      place, so a reader always sees complete bucket snapshots and a failed
@@ -78,29 +83,48 @@ class UpsertSink:
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        # 1. collapse the batch: last row per key by version, tag key-bucket
+        # 1. collapse the batch: last row per key by version, tag key-bucket;
+        #    -D becomes a tombstone row (kept, filtered at snapshot time)
         last = batch.groupBy(*self.key_cols).agg(
             F.max_by(
                 F.struct(*[c for c in batch.columns if c not in self.key_cols]),
                 F.col(self.version_col),
             ).alias("_r")
         )
-        last = last.select(*self.key_cols, "_r.*").withColumn(
-            "_b", F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets)).cast("int")
+        last = (
+            last.select(*self.key_cols, "_r.*")
+            .withColumn("_tomb", (F.col(self.rowkind_col) == "-D").cast("int"))
+            .drop(self.rowkind_col)
+            .withColumn(
+                "_b", F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets)).cast("int")
+            )
         )
         last = last.persist()
         if self.data_schema is None:
-            self.data_schema = last.drop(self.rowkind_col, "_b").schema
+            self.data_schema = last.drop("_b").schema
         # bucket ids the delta touches — a <=n_buckets id list, never row data
         touched = sorted(r["_b"] for r in last.select("_b").distinct().collect())
         files = self._bucket_files()
         self.stats["files_total"] += sum(len(v) for v in files.values())
         self.stats["files_read"] += sum(len(files.get(b, [])) for b in touched)
-        # 2. MERGE within touched buckets only: untouched keys + survivors
+        # 2. MERGE within touched buckets only, by VERSION: stored row vs
+        #    batch row, higher version wins (ties → the batch row) — the
+        #    log-compaction rule, making the final state delivery-order
+        #    invariant; tombstones compete like any other row
+        from pyspark.sql.window import Window
+
         cur = self._read_buckets(spark, files, touched)
-        untouched = cur.join(last.select(*self.key_cols), self.key_cols, "left_anti")
-        survivors = last.filter(F.col(self.rowkind_col) != "-D").drop(self.rowkind_col)
-        merged = untouched.unionByName(survivors)
+        unioned = cur.withColumn("_pri", F.lit(0)).unionByName(
+            last.withColumn("_pri", F.lit(1))
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col(self.version_col).desc(), F.col("_pri").desc()
+        )
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_pri")
+        )
         # 3. new bucket snapshots for touched buckets, then advance pointers
         nxt = self.version + 1
         vdir = os.path.join(self.base_dir, f"v{nxt}")
@@ -116,7 +140,11 @@ class UpsertSink:
                 "UpsertSink.snapshot: no non-empty micro-batch was processed, "
                 "so the maintained table has no schema — nothing to snapshot"
             )
-        return self._read_buckets(spark, self._bucket_files(), sorted(self.ptr)).drop("_b")
+        return (
+            self._read_buckets(spark, self._bucket_files(), sorted(self.ptr))
+            .filter(F.col("_tomb") == 0)
+            .drop("_b", "_tomb")
+        )
 
 
 def run_changelog_upsert(

@@ -234,3 +234,38 @@ def test_idle_source_watermark_divergence(spark, tmp_path):
     # since — impossible under Flink's default min-of-partitions watermark
     assert ("2024-01-01 10:00:00", "B") in got, got
     assert ("2024-01-01 10:00:00", "A") in got, got
+
+
+def test_upsert_sink_delivery_order_invariant(spark, tmp_path):
+    """Version-aware tombstone merge (log-compaction rule): the maintained
+    table's final state must be identical no matter which order the
+    changelog's micro-batches arrive — a -D delivered before a stale +U
+    still suppresses it."""
+    from flink_1_12_0_src_spark.streaming.upsert import UpsertSink
+
+    ins = spark.createDataFrame(
+        [(1, "a", 0, "+I"), (2, "b", 0, "+I"), (3, "c", 0, "+I")],
+        "k int, payload string, version bigint, rowkind string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a2", 1, "+U"), (3, "c2", 1, "+U")],
+        "k int, payload string, version bigint, rowkind string",
+    )
+    dele = spark.createDataFrame(
+        [(3, "c2", 2, "-D")],
+        "k int, payload string, version bigint, rowkind string",
+    )
+    phases = [ins, upd, dele]
+
+    def run(order, tag):
+        sink = UpsertSink(str(tmp_path / f"t_{tag}"), ["k"], "version", "rowkind")
+        for i in order:
+            sink.process_batch(phases[i], i)
+        return sorted(
+            tuple(r) for r in sink.snapshot(spark).select("k", "payload").collect()
+        )
+
+    expected = [(1, "a2"), (2, "b")]
+    assert run([0, 1, 2], "fwd") == expected
+    assert run([2, 0, 1], "rot") == expected
+    assert run([1, 2, 0], "rev") == expected
