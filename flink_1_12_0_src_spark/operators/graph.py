@@ -309,6 +309,7 @@ def jaccard_similarity(
     dst: str = "dst",
     min_jaccard: float = 0.0,
     materialize: bool = True,
+    max_neighbor_degree: int | None = 4096,
 ) -> DataFrame:
     """Jaccard vertex similarity (Gelly …/graph/library/similarity/
     JaccardIndex.java): for every vertex pair sharing ≥1 neighbor,
@@ -318,17 +319,30 @@ def jaccard_similarity(
     the two-path self-join on the common neighbor produces each co-neighbor
     pair once per shared neighbor, one groupBy counts the intersection, and
     degrees close the union via inclusion-exclusion — no neighbor-set
-    materialization. Pair fan-out is Σ_n deg(n)², the same quadratic-in-hub
-    risk as LSH buckets; at 100 TB the mitigation is identical (cap or
-    sample hub neighbors; AQE skew-join smooths the rest).
+    materialization. Pair fan-out is Σ_n deg(n)², the quadratic-in-hub risk
+    of every bucketed self-join in this repo, guarded the same way:
+    ``max_neighbor_degree`` drops vertices with degree above the cap from
+    every neighbor SET (both the intersection join and the degree counts,
+    so Jaccard stays consistent over the filtered neighborhood space) — a
+    hub adjacent to everything carries ~zero similarity signal but deg²
+    join rows. One window count over the join's own partition key;
+    ``None`` disables.
     """
-    if not materialize:
-        # lazy variant (plan inspection / composition): no persist, so there
-        # is no cache to scope — Catalyst's ReuseExchange dedups the
-        # self-join shuffle instead
-        ud = _undirected(edges, src, dst)
-    else:
-        ud = _undirected(edges, src, dst).persist()
+    ud = _undirected(edges, src, dst)
+    if max_neighbor_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("dst")
+        ud = (
+            ud.withColumn("_nd", F.count("*").over(w))
+            .filter(F.col("_nd") <= max_neighbor_degree)
+            .drop("_nd")
+        )
+    if materialize:
+        # persist is scoped to this call (released in finally after the
+        # eager checkpoint below); materialize=False returns the lazy plan
+        # with no caches for plan inspection / composition
+        ud = ud.persist()
     try:
         deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
         a, b = ud.alias("a"), ud.alias("b")

@@ -333,7 +333,9 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_jaccard_similarity",
     oracle=f"""
 WITH e AS ({_EDGES_SQL}),
-ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+ud0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nd AS (SELECT dst, COUNT(*) AS c FROM ud0 GROUP BY dst),
+ud AS (SELECT ud0.* FROM ud0 JOIN nd USING (dst) WHERE c <= 4096),
 deg AS (SELECT src AS v, COUNT(*) AS d FROM ud GROUP BY src),
 shared AS (
   SELECT a.src AS u, b.src AS w, COUNT(*) AS s
@@ -350,7 +352,9 @@ ORDER BY u, w
     "co-neighbor pairs from the two-path self-join on the part–supplier "
     "graph, intersection counted in one groupBy, union closed by "
     "inclusion-exclusion over degrees; J ≥ 0.34 pairs emitted (round-1 ask "
-    "#9). Engine path: operators/graph.py jaccard_similarity.",
+    "#9). Hub vertices above degree 4096 are dropped from every neighbor "
+    "set before pairing (skew guard, mirrored in the oracle). Engine path: "
+    "operators/graph.py jaccard_similarity.",
 )
 def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import jaccard_similarity

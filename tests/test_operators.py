@@ -229,3 +229,24 @@ def test_upsert_sink_delete_then_reinsert(spark, tmp_path):
     v = sink.version
     sink.process_batch(mk([]), 3)
     assert sink.version == v
+
+
+def test_jaccard_hub_degree_cap_bounds_pair_fanout(spark):
+    """Hub skew guard for the co-neighbor self-join: one vertex adjacent to
+    60 others would alone produce 60·59/2 pair rows; with the cap below its
+    degree the hub drops out of every neighbor set while a small clique's
+    similar pair survives with its full Jaccard."""
+    from flink_1_12_0_src_spark.operators.graph import jaccard_similarity
+
+    hub_edges = [(i, 999) for i in range(60)]  # hub vertex 999, degree 60
+    # two vertices sharing both neighbors 500 and 501 → J(100,101) = 1.0
+    clique = [(100, 500), (101, 500), (100, 501), (101, 501)]
+    edges = spark.createDataFrame(hub_edges + clique, "src bigint, dst bigint")
+
+    uncapped = jaccard_similarity(edges, max_neighbor_degree=None)
+    assert uncapped.count() >= 60 * 59 // 2
+
+    capped = jaccard_similarity(edges, max_neighbor_degree=10)
+    got = {(r["u"], r["w"]): r["jaccard"] for r in capped.collect()}
+    assert all(not (u < 60 and w < 60) for u, w in got), "hub leaked pairs"
+    assert got.get((100, 101)) == 1.0
