@@ -1,0 +1,85 @@
+"""Dataset assembly operators: deterministic splits, per-source quotas,
+and sequence packing — the data-mixing stage of a training pipeline
+(runs after dedup/quality filtering, before tokenization at scale).
+
+Scale design (100 TB):
+- hash split: one stateless projection — no shuffle, no global ordering,
+  reproducible on any engine (md5 is the portable hash, as everywhere in
+  this package);
+- quota sampling: one window rank per source partition — the same shuffle
+  a groupBy would need, bounded output (quota × sources);
+- packing: the concat-then-chunk model LLM pretraining uses — documents
+  are laid out in a deterministic order per stream and a document joins
+  the pack its start offset falls into, so pack assignment is one window
+  cumsum, no sequential driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# lexicographic thresholds over the first 8 md5 hex chars == numeric
+# thresholds over the implied uint32 (fixed width, lowercase): 0.9 and 0.95
+# of the hash space. String comparison keeps the split verifiable in any
+# SQL engine without hex→int conversion.
+SPLIT_TRAIN_BOUND = "e6666666"  # 0.9 × 16^8
+SPLIT_VAL_BOUND = "f3333333"  # 0.95 × 16^8
+
+
+def hash_split(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-independent
+    id hash: split = bucket of md5(seed|id) in the hash space. Stateless and
+    engine-portable — the split survives re-runs, repartitioning, and
+    incremental ingestion (a document's split never changes), which is the
+    property leakage-safe dataset assembly needs."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.withColumn(
+        "split",
+        F.when(h < SPLIT_TRAIN_BOUND, "train")
+        .when(h < SPLIT_VAL_BOUND, "val")
+        .otherwise("test"),
+    )
+
+
+def quota_sample(
+    df: DataFrame, source_col: str, quota: int, order_col: str, id_col: str
+) -> DataFrame:
+    """Per-source quota (data-mixing cap): keep at most ``quota`` documents
+    per source, preferring the highest ``order_col`` (ties broken by id for
+    determinism). One window rank per source partition; at corpus scale the
+    per-source output is bounded at quota rows."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, stream_col: str, token_col, budget: int
+) -> DataFrame:
+    """Sequence packing, concat-then-chunk model: documents of one stream
+    are concatenated in deterministic (id) order and chunked every
+    ``budget`` tokens; a document joins the pack its START offset falls
+    into (pack_id = floor(start_offset / budget)) — exactly the layout a
+    pretraining pack writer produces, as one window cumsum instead of a
+    sequential loop. ``token_col`` is a Column expression for the
+    document's token count."""
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.select(
+        id_col,
+        stream_col,
+        token_col.cast("bigint").alias("n_tokens"),
+        (cum - token_col).cast("bigint").alias("start_offset"),
+        F.floor((cum - token_col) / budget).cast("bigint").alias("pack_id"),
+    )

@@ -41,6 +41,88 @@ FP_GRAM_CHARS, FP_NUM_MINS = 5, 4
 ANN_K, ANN_QUERY_MAX = 5, 20
 
 
+PACK_BUDGET = 512  # tokens per pack (sequence packing)
+QUOTA_PER_LANG = 40  # data-mixing cap per source
+
+
+@register(
+    "dataset_split_hash",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+            WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic 90/5/5 train/val/test split by id hash "
+    "(pipeline/sampling.py hash_split): stateless md5-bucket projection, so "
+    "a document's split never changes across re-runs, repartitioning, or "
+    "incremental ingestion — the leakage-safe dataset-assembly primitive.",
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split").orderBy("doc_id")
+
+
+@register(
+    "dataset_quota_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {QUOTA_PER_LANG}
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc=f"Per-source quota sampling (data mixing): keep the top "
+    f"{QUOTA_PER_LANG} documents per lang by length, ties by id — one "
+    "window rank per source partition (pipeline/sampling.py quota_sample), "
+    "output bounded at quota × sources.",
+)
+def dataset_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import quota_sample
+
+    docs = table(spark, sf_dir, "documents").withColumn("_len", F.length("text"))
+    return (
+        quota_sample(docs, "lang", QUOTA_PER_LANG, "_len", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dataset_pack_sequences",
+    oracle=f"""
+SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' '))) OVER w
+            - len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+       CAST(floor((SUM(len(string_split(text, ' '))) OVER w
+                   - len(string_split(text, ' '))) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc=f"Sequence packing, concat-then-chunk model (pipeline/sampling.py "
+    f"pack_sequences): per-lang streams concatenated in id order and chunked "
+    f"every {PACK_BUDGET} whitespace tokens; a document joins the pack its "
+    "start offset falls into — the pretraining pack-writer layout as one "
+    "window cumsum, no sequential loop.",
+)
+def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "lang", F.size(F.split(F.col("text"), " ")), PACK_BUDGET
+    ).orderBy("doc_id")
+
+
 def _minhash_oracle() -> str:
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
