@@ -308,6 +308,54 @@ def stream_temporal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_iterate_reduce",
+    oracle="""
+SELECT event_id,
+       CAST(CAST(floor(CAST(value AS DOUBLE)) AS BIGINT) % 97 AS BIGINT) AS final_value,
+       CAST(CAST(floor(CAST(value AS DOUBLE)) AS BIGINT) // 97 AS BIGINT) AS n_iters
+FROM events
+ORDER BY event_id
+""",
+    tags=("streaming", "iteration", "custom_op"),
+    doc="Streaming ITERATION with a feedback edge (DataStream.iterate — "
+    "DataStream.java:537 / IterativeStream; the classic subtract-until-"
+    "below-threshold loop from Flink's IterateExample): each value is "
+    "reduced by 97 per iteration, still-large rows flow back into the "
+    "operator's own input via the feedback directory, finished rows leave "
+    "the loop carrying their iteration count. The loop drains when no "
+    "feedback is produced (processAllAvailable quiescence = Flink's "
+    "no-in-flight-feedback). Oracle: the closed form value mod/div 97. "
+    "Closes the round-3 'What's missing #5' out-of-scope row with a real "
+    "mapping (streaming/run.py run_stream_iterate).",
+)
+def stream_iterate_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.streaming.run import run_stream_iterate
+
+    seed = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value").cast("double")).cast("bigint").alias("cur"),
+        F.lit(0).cast("bigint").alias("n_iters"),
+    )
+
+    def split(bdf: DataFrame):
+        done = bdf.filter(F.col("cur") < 97).select(
+            "event_id",
+            F.col("cur").alias("final_value"),
+            "n_iters",
+        )
+        feed = bdf.filter(F.col("cur") >= 97).select(
+            "event_id",
+            (F.col("cur") - 97).alias("cur"),
+            (F.col("n_iters") + 1).alias("n_iters"),
+        )
+        return done, feed
+
+    out = run_stream_iterate(seed, split)
+    return out.select("event_id", "final_value", "n_iters").orderBy("event_id")
+
+
+@register(
     "stream_delta_trigger",
     oracle="""
 WITH RECURSIVE o AS (

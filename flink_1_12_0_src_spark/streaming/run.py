@@ -99,6 +99,64 @@ def run_split_late(
     )
 
 
+def run_stream_iterate(
+    seed_df: DataFrame,
+    split_fn,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Streaming ITERATION with a feedback edge — DataStream.iterate
+    (flink-streaming-java/.../datastream/DataStream.java:537 /
+    IterativeStream: part of the stream is fed back to the operator's own
+    input until it leaves the loop).
+
+    Spark Structured Streaming has no feedback edges, so the loop is
+    realized through the file source itself: the seed is staged into a
+    watched directory; each micro-batch ``split_fn(batch) -> (out_df,
+    feedback_df)`` appends finished rows to the output and writes the
+    feedback rows BACK into the watched directory as new files, which the
+    source discovers as the next micro-batch. ``processAllAvailable``
+    blocks until the feedback drains — the same quiescence condition as
+    Flink's loop with no in-flight feedback records. Like the reference's
+    iterate(), termination is the step function's responsibility.
+
+    Scale shape: each iteration is a full micro-batch over only the
+    still-iterating rows (the loop population shrinks monotonically for
+    contracting steps); state lives in the feedback files, never on the
+    driver. Empty feedback is not written — an empty append would be
+    rediscovered as a new file and spin the loop forever.
+    """
+    import os
+
+    spark: SparkSession = seed_df.sparkSession
+    loop_dir = tempfile.mkdtemp(prefix="iter_loop_")
+    out_dir = tempfile.mkdtemp(prefix="iter_out_")
+    seed_df.write.mode("append").parquet(loop_dir)
+    schema = spark.read.parquet(loop_dir).schema
+
+    def fb(bdf: DataFrame, _eid: int) -> None:
+        bdf = bdf.persist()
+        out, feed = split_fn(bdf)
+        out.write.mode("append").parquet(out_dir)
+        if feed.take(1):
+            feed.write.mode("append").parquet(loop_dir)
+        bdf.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(loop_dir)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_iter_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return seed_df.limit(0)
+    return spark.read.parquet(out_dir)
+
+
 def run_early_fire_trace(
     stream_df: DataFrame,
     time_col: str = "ts",
