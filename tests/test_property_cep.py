@@ -285,3 +285,60 @@ def test_cross_variable_last_binding(vals: list[int]):
         else:
             i += 1
     assert got == ref, f"vals={vals!r}"
+
+
+def _vshape_pattern():
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    return parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY pos
+          MEASURES COUNT(DOWN.v) AS d, COUNT(UP.v) AS u
+          AFTER MATCH SKIP {skip}
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS DOWN.v < PREV(DOWN.v), UP AS UP.v > PREV(UP.v)
+        )
+        """.replace("{skip}", "TO NEXT ROW")
+    )["pattern"]
+
+
+def _runs(vals):
+    """Run-length reference: maximal descents/ascents with dir ∈ {-1,0,1}."""
+    dirs = [0] + [
+        -1 if b < a else (1 if b > a else 0) for a, b in zip(vals, vals[1:])
+    ]
+    return dirs
+
+
+@settings(max_examples=400, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=18))
+def test_vshape_prev_matches_runlength_reference(vals):
+    """The V-shape NFA under SKIP TO NEXT ROW must equal the run-length
+    encoding the SQL oracle uses: one match per STRT position s where the
+    descent run containing s+1 is immediately followed by an ascent step,
+    DOWN binding the run suffix and UP the full following ascent run."""
+    pattern = _vshape_pattern()
+    pdf = pd.DataFrame({"pos": range(len(vals)), "v": [float(x) for x in vals]})
+    _, matches = _scan_matches(
+        pdf, pattern, order_by=["pos"], time_col=None, after_match="next_row"
+    )
+    got = sorted((s, len(b["DOWN"]), len(b["UP"])) for b, s, _e in matches)
+
+    dirs = _runs(vals)
+    expected = []
+    n = len(vals)
+    for s in range(n):
+        if s + 1 >= n or dirs[s + 1] != -1:
+            continue
+        t = s + 1
+        while t + 1 < n and dirs[t + 1] == -1:
+            t += 1
+        if t + 1 >= n or dirs[t + 1] != 1:
+            continue
+        u = t + 1
+        while u + 1 < n and dirs[u + 1] == 1:
+            u += 1
+        expected.append((s, t - s, u - t))
+    assert got == sorted(expected), f"vals={vals!r}"

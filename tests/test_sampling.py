@@ -1,0 +1,86 @@
+"""Dataset-assembly operator properties (pipeline/sampling.py): split
+stability and proportions, quota bounds, packing invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_src_spark.pipeline.sampling import (
+    hash_split,
+    pack_sequences,
+    quota_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from flink_1_12_0_src_spark.catalog import table
+
+    return table(spark, "/root/testdata/sf0.01", "documents")
+
+
+def test_hash_split_is_stable_and_proportional(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    # stability: identical assignment on a re-run over a repartitioned input
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id").select("doc_id", "split").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    # 500 docs: binomial(500, .9) stays within ±5pp with overwhelming margin
+    assert 0.85 <= frac_train <= 0.95
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_subset_invariance(spark, docs):
+    """A document's split never changes when the corpus grows — assignment
+    depends only on the id (leakage-safe incremental ingestion)."""
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 3 == 0), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_quota_sample_bounds_and_prefers_order(spark, docs):
+    d = docs.withColumn("_len", F.length("text"))
+    out = quota_sample(d, "lang", 10, "_len", "doc_id")
+    per = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c <= 10 for c in per.values())
+    # the kept set per lang is exactly the top-10 by (len desc, id)
+    kept_en = sorted(r["doc_id"] for r in out.filter("lang = 'en'").collect())
+    ref = sorted(
+        r["doc_id"]
+        for r in d.filter("lang = 'en'")
+        .orderBy(F.col("_len").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert kept_en == ref
+
+
+def test_pack_sequences_invariants(spark, docs):
+    budget = 512
+    toks = F.size(F.split(F.col("text"), " "))
+    out = pack_sequences(docs, "doc_id", "lang", toks, budget).collect()
+    by_stream: dict = {}
+    for r in out:
+        by_stream.setdefault(r["lang"], []).append(r)
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # offsets are the exclusive cumsum in id order
+        cum = 0
+        for r in rows:
+            assert r["start_offset"] == cum
+            assert r["pack_id"] == cum // budget
+            cum += r["n_tokens"]
+        # pack ids are contiguous from 0 per stream
+        packs = sorted({r["pack_id"] for r in rows})
+        assert packs == list(range(len(packs)))
