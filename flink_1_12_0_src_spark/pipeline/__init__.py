@@ -10,13 +10,17 @@ column plumbing — all DataFrame transforms designed for 100 TB:
 """
 
 from flink_1_12_0_src_spark.pipeline.text import (
+    bm25_topk,
     language_id,
     quality_score,
+    repetition_signals,
     shingles,
     token_stats,
     tokens,
 )
 from flink_1_12_0_src_spark.pipeline.dedup import (
+    bloom_membership,
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -34,7 +38,10 @@ from flink_1_12_0_src_spark.pipeline.multimodal import attach_blob, extract_blob
 
 __all__ = [
     "attach_blob",
+    "bloom_membership",
+    "bm25_topk",
     "cosine_topk",
+    "decontaminate",
     "exact_dedup",
     "extract_blob_features",
     "ivf_assign",
@@ -45,6 +52,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_score",
+    "repetition_signals",
     "shingles",
     "simhash_signatures",
     "token_stats",

@@ -356,3 +356,102 @@ def winnow_fingerprint(
     return mins.select(
         id_col, F.concat_ws("|", *[f"m{s}" for s in range(num_mins)]).alias("fingerprint")
     )
+
+
+def decontaminate(
+    df: DataFrame, bench: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count word k-gram
+    shingles shared with a benchmark/eval corpus and flag any overlap — the
+    n-gram-overlap scrub every pretraining pipeline runs before evaluating on
+    held-out benchmarks (GPT-3 appendix C / PaLM-style 13-gram rule, with k
+    configurable).
+
+    Scale shape: the benchmark side is small by definition (eval suites are
+    MBs against a 100 TB corpus), so its distinct shingle set BROADCASTS and
+    the corpus is scanned once; the broadcast hash join marks hits map-side
+    and the only shuffle is the doc-keyed count agg (partial aggs apply).
+    Documents shorter than k tokens have no shingles and are trivially clean
+    (excluded, mirroring the oracle's len(w) >= k guard).
+    """
+    bench_grams = (
+        bench.select(F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = _spread(df).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    ).join(F.broadcast(bench_grams), "sh", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit") > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_slices: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Partitioned (blocked) Bloom-filter membership test over normalized
+    document text: slice i of the filter uses hex chars [i·hex_chars,
+    (i+1)·hex_chars) of md5(norm) as its bit position — n_slices independent
+    hash functions with 16^hex_chars bits each, the classic partitioned-Bloom
+    layout (one probe per slice, k = n_slices). A probe is ``maybe_member``
+    iff every slice has its bit set; ``actual_member`` (exact text match) is
+    reported alongside so the false-positive behavior is observable — with
+    defaults (4 slices × 256 bits) a corpus of a few hundred docs runs at a
+    realistic ~50-60% slice load.
+
+    Scale shape: the filter is at most n_slices·16^hex_chars DISTINCT rows
+    regardless of corpus size — it broadcasts by construction (this is
+    exactly the runtime-bloom-filter pushdown Spark itself injects for
+    selective joins); probes scan once through n_slices map-side broadcast
+    joins, zero probe-side shuffle. The exact-match check is a corpus-side
+    md5-distinct semi join — the expensive path the Bloom pre-filter exists
+    to short-circuit at real scale (documented here for the oracle's sake).
+    """
+    def _norm(c):
+        return F.lower(F.regexp_replace(F.col(c), r"\s+", " "))
+
+    def _pos(i):
+        return F.substring(F.md5(_norm(text_col)), 1 + i * hex_chars, hex_chars)
+
+    probe_pos = probes.select(
+        F.col(id_col),
+        F.md5(_norm(text_col)).alias("_full"),
+        *[_pos(i).alias(f"p{i}") for i in range(n_slices)],
+    )
+    out = probe_pos
+    for i in range(n_slices):
+        bits = (
+            corpus.select(_pos(i).alias(f"p{i}"))
+            .distinct()
+            .withColumn(f"h{i}", F.lit(1))
+        )
+        out = out.join(F.broadcast(bits), f"p{i}", "left")
+    maybe = F.lit(True)
+    for i in range(n_slices):
+        maybe = maybe & F.col(f"h{i}").isNotNull()
+    exact = corpus.select(F.md5(_norm(text_col)).alias("_full")).distinct().withColumn(
+        "_ex", F.lit(1)
+    )
+    out = out.join(F.broadcast(exact), "_full", "left")
+    return out.select(
+        F.col(id_col),
+        maybe.alias("maybe_member"),
+        F.col("_ex").isNotNull().alias("actual_member"),
+        (maybe & F.col("_ex").isNull()).alias("false_positive"),
+    )

@@ -203,3 +203,97 @@ def cosine_topk_np(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH (Charikar 2002
+    random-hyperplane rounding): component (p, d) is md5-derived uniform in
+    [-1, 1] — reproducible everywhere, no RNG state, no numpy dependency."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / float(1 << 31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _band_codes(
+    vecs: DataFrame, planes: list[list[float]], band_rows: int
+) -> DataFrame:
+    """(vid, v) → (vid, v, band, code): sign bit per hyperplane, grouped into
+    bands of ``band_rows`` bits — a vector lands in len(planes)/band_rows
+    buckets. Pure array expressions per row; ZERO shuffle (the codes are
+    computed inside the scan, like the minhash banding)."""
+    plane_lits = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    )
+    bits = F.transform(
+        plane_lits,
+        lambda row: F.when(_dot(F.col("v"), row) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    n_bands = len(planes) // band_rows
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    "", *[F.element_at(bits, b * band_rows + r + 1) for r in range(band_rows)]
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return vecs.select("vid", "v", F.explode(bands).alias("code"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 24,
+    band_rows: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Random-hyperplane LSH approximate cosine top-k — the hash-bucket ANN
+    alternative to IVF: vectors sharing any band of sign bits are candidates,
+    then exact cosine re-ranks. Candidate generation is a band-code equi-join
+    (never a cross join); buckets larger than ``max_bucket`` are dropped
+    before pairing (same hot-bucket skew guard as the minhash LSH dedup —
+    a degenerate bucket of B vectors would otherwise fan out B·|Q| rows).
+    Recall is tuned by n_planes/band_rows (more, narrower bands → higher
+    recall, more candidates)."""
+    planes = lsh_hyperplanes(dim, n_planes)
+    cv = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    qv = queries.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    c_codes = _band_codes(cv, planes, band_rows).select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "code"
+    )
+    hot = (
+        c_codes.groupBy("code")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("code")
+    )
+    c_codes = c_codes.join(F.broadcast(hot), "code", "left_anti")
+    q_codes = _band_codes(qv, planes, band_rows).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "code"
+    )
+    j = c_codes.join(q_codes, "code").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

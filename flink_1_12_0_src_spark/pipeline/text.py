@@ -185,3 +185,133 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select(id_col, F.col("rk").cast("int").alias("rk"), "term", "score")
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document (the quality
+    rules of Rae et al. 2021 §A1.1 adapted to whitespace tokens): fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    bigram occurrences that are repeats (1 − distinct/total). Documents where
+    either fraction is high are machine-generated boilerplate / keyword-stuffed
+    spam and get flagged.
+
+    Shape at 100 TB: the bigram stats are per-row array expressions — zero
+    shuffle; the top-token count needs one explode + (doc, token) hash-agg and
+    a (doc) re-agg, both with map-side partial aggregation. Join back on the
+    doc id is co-partitioned with the agg output, so the whole op is ONE
+    corpus scan + one narrow doc-keyed shuffle.
+    """
+    w = tokens(text_col)
+    bi = shingles(text_col, 2)
+    per_row = df.where(F.size(w) >= 2).select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(bi).alias("_bi_total"),
+        F.size(F.array_distinct(bi)).alias("_bi_distinct"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(w).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_c"))
+    )
+    return (
+        per_row.join(tok_counts, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+            F.round(1 - F.col("_bi_distinct") / F.col("_bi_total"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_token_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.2),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a bag of query terms and
+    return the top-k (Robertson/Spärck Jones Okapi BM25, the lexical half of
+    every retrieval-augmented training pipeline).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Shape at 100 TB: the query-term list is tiny, so the term filter is a
+    broadcast IN-filter applied DURING the explode scan — only matching
+    (doc, term) rows ever shuffle; dl comes from the same single scan via a
+    doc-keyed agg; N/avgdl/df are scalars/broadcast aggregates. Determinism:
+    dl/avgdl is computed as the exact-integer form dl·N/Σdl (no intermediate
+    rounding to diverge on), every scalar step (idf, tf-part) is rounded to
+    6dp, and the per-term scores accumulate in DECIMAL, so the final sum is
+    order-independent and verifiable digit-for-digit in any engine.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, sum_dl = stats["n"], stats["sum_dl"]
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.round(
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+            6,
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("idf")
+                * F.round(
+                    (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1 - b + b * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl))
+                    ),
+                    6,
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(F.sum("s").alias("sdec"))
+        .select(F.col(id_col), F.col("sdec").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    return out.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col))).cast("int"),
+    ).select("rk", id_col, "score")

@@ -144,3 +144,105 @@ def test_embedding_neardup_block_cap_bounds_pairs(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(100, 101)}, "hot block must drop, small block must survive"
+
+
+def test_bloom_membership_has_no_false_negatives(spark):
+    """THE Bloom invariant: an element that IS in the corpus always tests
+    maybe_member=True. Planted exact duplicates (the real documents table has
+    none across the parity split) must all come back positive."""
+    from flink_1_12_0_src_spark.pipeline.dedup import bloom_membership
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body number {i} with shared words") for i in range(0, 200, 2)],
+        ["doc_id", "text"],
+    )
+    # probes: odd ids, half of them exact copies of corpus texts
+    probes = spark.createDataFrame(
+        [(i + 1, f"doc body number {i} with shared words") for i in range(0, 100, 2)]
+        + [(i + 1, f"unique probe {i} never seen before") for i in range(100, 200, 2)],
+        ["doc_id", "text"],
+    )
+    out = bloom_membership(corpus, probes, "doc_id", "text", 4, 2).collect()
+    for r in out:
+        if r["actual_member"]:
+            assert r["maybe_member"], f"false negative at doc_id={r['doc_id']}"
+        assert r["false_positive"] == (r["maybe_member"] and not r["actual_member"])
+    assert sum(r["actual_member"] for r in out) == 50
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from flink_1_12_0_src_spark.pipeline.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the secret eval answer is forty two")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "clean document about spark joins and windows here"),
+            (2, "contains the secret eval answer is forty two verbatim"),
+            (3, "short doc"),  # < k tokens → no shingles → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, bench, "doc_id", "text", 3).collect()}
+    assert rows[2]["contaminated"] and rows[2]["n_hit"] >= 4
+    assert not rows[1]["contaminated"] and rows[1]["n_hit"] == 0
+    assert 3 not in rows
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must reach the corpus scan as a broadcast
+    hash join — a shuffle of corpus shingles against the bench set would be
+    the 100 TB bottleneck."""
+    from flink_1_12_0_src_spark.pipeline.dedup import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    plan = decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+        "doc_id",
+        "text",
+        3,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_score_order_and_query_filter_pushdown(spark, sf_dir):
+    from flink_1_12_0_src_spark.pipeline.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], 10).collect()
+    assert len(out) == 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rk"] for r in out] == list(range(1, 11))
+
+
+def test_repetition_signals_flags_stuffed_doc(spark):
+    from flink_1_12_0_src_spark.pipeline.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "a perfectly ordinary sentence with distinct varied words"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert rows[1]["repetitive"] and rows[1]["dup_bigram_frac"] > 0.5
+    assert not rows[2]["repetitive"]
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    from flink_1_12_0_src_spark.pipeline.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # 8 bands × 3 bits: a moderately-close neighbor collides in some band w.h.p.
+    assert recall >= 0.7, f"sign-LSH recall@5 too low: {recall:.2f}"
