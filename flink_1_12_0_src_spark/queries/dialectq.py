@@ -819,3 +819,101 @@ def flinkddl_stream_computed_watermark(spark: SparkSession, sf_dir: str) -> Data
         GROUP BY TUMBLE(ts, INTERVAL '1' DAY)
     """)
     return run_to_batch(out, "complete").orderBy("window_start")
+
+
+@register(
+    "flinksql_match_agg_define",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+led AS (
+  SELECT user_id, rn, cents AS c1,
+         LEAD(cents, 1) OVER (PARTITION BY user_id ORDER BY rn) AS c2,
+         LEAD(cents, 2) OVER (PARTITION BY user_id ORDER BY rn) AS c3,
+         LEAD(cents, 3) OVER (PARTITION BY user_id ORDER BY rn) AS c4
+  FROM o),
+runs AS (
+  SELECT user_id, rn AS s, c1, c2, c3, c4,
+         CASE WHEN c1 >= 5000 THEN 0
+              WHEN c2 IS NULL OR c1 + c2 >= 10000 THEN 1
+              WHEN c3 IS NULL OR c1 + c2 + c3 >= 15000 THEN 2
+              ELSE 3 END AS maxrun
+  FROM led),
+cand AS (
+  SELECT user_id, s, c1, c2, c3, c4,
+         CASE WHEN maxrun = 0 THEN NULL
+              WHEN maxrun >= 3 AND c4 IS NOT NULL AND c4 >= 5000 THEN 3
+              WHEN maxrun >= 2 AND c3 IS NOT NULL AND c3 >= 5000 THEN 2
+              WHEN maxrun >= 1 AND c2 IS NOT NULL AND c2 >= 5000 THEN 1
+              ELSE NULL END AS l
+  FROM runs),
+sel(user_id, s, l) AS (
+  SELECT user_id, s, l FROM (
+    SELECT user_id, s, l, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS rk
+    FROM cand WHERE l IS NOT NULL) WHERE rk = 1
+  UNION ALL
+  SELECT nxt.user_id, nxt.s, nxt.l FROM sel
+  JOIN LATERAL (SELECT user_id, s, l FROM cand c
+                WHERE c.user_id = sel.user_id AND c.l IS NOT NULL
+                  AND c.s > sel.s + sel.l
+                ORDER BY s LIMIT 1) nxt ON true)
+SELECT sel.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sel.user_id ORDER BY sel.s) - 1
+            AS INTEGER) AS match_seq,
+       CAST(sel.l AS BIGINT) AS n_a,
+       CAST(c.c1 + CASE WHEN sel.l >= 2 THEN c.c2 ELSE 0 END
+                 + CASE WHEN sel.l >= 3 THEN c.c3 ELSE 0 END AS BIGINT) AS sum_a,
+       (c.c1 + CASE WHEN sel.l >= 2 THEN c.c2 ELSE 0 END
+             + CASE WHEN sel.l >= 3 THEN c.c3 ELSE 0 END) / sel.l AS avg_a,
+       CAST(CASE sel.l WHEN 1 THEN c.c2 WHEN 2 THEN c.c3 ELSE c.c4 END
+            AS BIGINT) AS b_cents
+FROM sel JOIN cand c ON c.user_id = sel.user_id AND c.s = sel.s
+ORDER BY sel.user_id, match_seq
+""",
+    tags=("dialect", "cep", "sql", "agg_define"),
+    doc="MATCH_RECOGNIZE DEFINE with a RUNNING AGGREGATE "
+    "(MatchRecognizeITCase testAggregates; SQL:2016 running semantics): "
+    "PATTERN (A{1,3} B) with A AS AVG(A.cents) < 5000 — every row appended "
+    "to A must keep the running average under the bound (checked per append "
+    "in the NFA via Pattern.where_running), B is the >= 5000 spike; greedy "
+    "backtracking picks the longest A-run whose NEXT row matches B, SKIP "
+    "PAST LAST ROW. MEASURES exercises COUNT/SUM/AVG/LAST. Oracle: prefix "
+    "sums bound the run via LEAD windows; match selection is the same "
+    "recursive jump-CTE as the delta trigger; exact cents keep every "
+    "comparison integer.",
+)
+def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.cep import match_recognize
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(A.cents) AS n_a, SUM(A.cents) AS sum_a,
+                   AVG(A.cents) AS avg_a, LAST(B.cents) AS b_cents
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{1,3} B)
+          DEFINE A AS AVG(A.cents) < 5000, B AS B.cents >= 5000
+        )
+        """
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value").cast("double") * 100).cast("bigint").alias("cents"),
+    )
+    return match_recognize(
+        ev,
+        output_schema=(
+            "user_id bigint, match_seq int, n_a bigint, sum_a bigint, "
+            "avg_a double, b_cents bigint"
+        ),
+        time_col="ts",
+        **kwargs,
+    ).orderBy("user_id", "match_seq")

@@ -342,3 +342,61 @@ def test_vshape_prev_matches_runlength_reference(vals):
             u += 1
         expected.append((s, t - s, u - t))
     assert got == sorted(expected), f"vals={vals!r}"
+
+
+# -- running-aggregate DEFINE (SQL:2016 RUNNING semantics) -------------------
+
+
+def _reference_agg_scan(vals: list[int], bound: int, max_run: int):
+    """Independent reference for PATTERN (A{1,max_run} B) with
+    A AS AVG(A.v) < bound, B AS B.v >= bound, SKIP PAST LAST ROW: simulate
+    the greedy scan directly on the list."""
+    out = []
+    i, n = 0, len(vals)
+    while i < n:
+        # greedy extension: append while the running average stays < bound
+        run = 0
+        s = 0
+        while i + run < n and run < max_run:
+            if (s + vals[i + run]) / (run + 1) >= bound:
+                break
+            s += vals[i + run]
+            run += 1
+        # backtrack: longest L whose next row is a valid B
+        matched = False
+        for L in range(run, 0, -1):
+            j = i + L
+            if j < n and vals[j] >= bound:
+                out.append((i, L, vals[j]))
+                i = j + 1
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=99), min_size=0, max_size=40))
+def test_running_aggregate_define_matches_reference(vals: list[int]):
+    bound, max_run = 50, 3
+    pat = (
+        Pattern.begin("A")
+        .where_running(
+            lambda pdf, bd, prefix, cand, b=bound: float(
+                pdf["v"].iloc[prefix + [cand]].sum()
+            )
+            / (len(prefix) + 1)
+            < b
+        )
+        .times(1, max_run)
+        .next("B")
+        .where(lambda p, b=bound: p.v >= b)
+    )
+    pdf = pd.DataFrame({"rn": range(len(vals)), "v": vals})
+    _, matches = _scan_matches(pdf, pat, ["rn"], None, "past_last")
+    got = [
+        (bindings["A"][0], len(bindings["A"]), vals[bindings["B"][0]])
+        for bindings, _s, _e in matches
+    ]
+    assert got == _reference_agg_scan(vals, bound, max_run)
