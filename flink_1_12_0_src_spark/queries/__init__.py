@@ -138,6 +138,7 @@ _R04_FIXED_FIRST = ("cdc_retract_stream_output", "stream_tumble_early_fire")
 # round-3 backlog query.
 _R04_NEW_LAST = (
     "text_decontaminate",
+    "flinksql_match_agg_define",
     "text_repetition_signals",
     "dedup_bloom_membership",
     "text_bm25_topk",
