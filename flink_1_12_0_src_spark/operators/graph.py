@@ -42,7 +42,10 @@ def connected_components(
     vertex id reachable from it (Gelly ConnectedComponents semantics,
     …/graph/library/ConnectedComponents.java). Returns (v, component).
     """
-    ud = _undirected(edges, src, dst).persist()
+    # loop-invariant edge side: persist PRE-PARTITIONED on the join key so
+    # only the |V|-sized label table shuffles per round (same layout note as
+    # pagerank below)
+    ud = _undirected(edges, src, dst).repartition("src").persist()
     labels = ud.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     for _ in range(max_iter):
         msgs = (
@@ -81,7 +84,7 @@ def label_propagation(
     — all hash-partitioned on vertex id; localCheckpoint flattens lineage."""
     from pyspark.sql import Window as W
 
-    ud = _undirected(edges, src, dst).persist()
+    ud = _undirected(edges, src, dst).repartition("dst").persist()
     labels = ud.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     for _ in range(iterations):
         cnt = (
@@ -143,7 +146,7 @@ def sssp(
     shape; returns (v, dist) for vertices within max_hops. localCheckpoint
     truncates lineage per round (driver-side iteration, §2.12 scale notes)."""
     spark = edges.sparkSession
-    ud = _undirected(edges, src, dst).persist()
+    ud = _undirected(edges, src, dst).repartition("src").persist()
     dist = spark.createDataFrame([(source, 0)], "v long, d int")
     for _ in range(max_hops):
         msgs = ud.join(dist, ud.src == dist.v).select(
@@ -175,17 +178,22 @@ def pagerank(
     makes the result oracle-checkable (float PR never is across engines).
     Vertices are edge endpoints, so outdeg ≥ 1 and there are no danglers.
     """
-    ud = _undirected(edges, src, dst).persist()
+    ud = _undirected(edges, src, dst)
     deg = ud.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = ud.select(F.col("src").alias("v")).distinct().withColumn(
+    # The edge side is loop-invariant: fuse the degree join ONCE and persist
+    # it PRE-PARTITIONED on the join key, so each iteration shuffles only the
+    # |V|-sized rank table (the cached InMemoryTableScan keeps its
+    # HashPartitioning and Catalyst skips the big-side exchange) — the
+    # standard distributed-PageRank layout; at 100 TB the edge relation is
+    # the one you cannot afford to move five times.
+    ud_deg = ud.join(deg, "src").select("src", "dst", "outdeg").repartition("src").persist()
+    ranks = ud_deg.select(F.col("src").alias("v")).distinct().withColumn(
         "rank", F.lit(PR_SCALE).cast("long")
     )
     base = (100 - damping_pct) * PR_SCALE // 100
     for _ in range(iterations):
-        contribs = (
-            ud.join(ranks, ud.src == ranks.v)
-            .join(deg, "src")
-            .select(F.col("dst").alias("v"), F.expr("rank DIV outdeg").alias("c"))
+        contribs = ud_deg.join(ranks, ud_deg.src == ranks.v).select(
+            F.col("dst").alias("v"), F.expr("rank DIV outdeg").alias("c")
         )
         ranks = (
             contribs.groupBy("v")
@@ -196,7 +204,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    ud.unpersist()
+    ud_deg.unpersist()
     return ranks.select("v", F.col("rank").alias("pagerank"))
 
 
