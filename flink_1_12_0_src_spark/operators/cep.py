@@ -620,9 +620,17 @@ def _measure_row(
     pdf: pd.DataFrame,
     bindings: dict[str, list[int]],
     measures: dict[str, tuple[str, str, str]],
+    time_col: str | None = None,
 ) -> dict:
     row: dict = {}
     for out_col, (var, agg, col) in measures.items():
+        if agg == "match_rowtime":
+            # MATCH_ROWTIME() (FlinkSqlOperatorTable.MATCH_ROWTIME,
+            # MatchCodeGenerator.scala): the rowtime attribute of the match =
+            # the timestamp of the LAST row bound by any variable
+            last = max(v[-1] for v in bindings.values() if v)
+            row[out_col] = pdf[col or time_col].iloc[last]
+            continue
         idxs = bindings.get(var, [])
         if idxs:
             row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])
@@ -648,7 +656,7 @@ def _scan_group(
     for seq, (bindings, _start, _end) in enumerate(matches):
         row: dict = {c: pdf[c].iloc[0] for c in partition_by}
         row["match_seq"] = seq
-        row.update(_measure_row(pdf, bindings, measures))
+        row.update(_measure_row(pdf, bindings, measures, time_col))
         out_rows.append(row)
     cols = partition_by + ["match_seq"] + list(measures)
     return pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(columns=cols)

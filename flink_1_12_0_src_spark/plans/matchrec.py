@@ -250,6 +250,13 @@ def parse_match_recognize(clause: str) -> dict:
     measures: dict[str, tuple[str, str, str]] = {}
     for agg, var, col, alias in _MEASURE_RE.findall(m.group("measures")):
         measures[alias] = (var.upper(), agg.lower(), col)
+    for alias in re.findall(
+        r"MATCH_ROWTIME\s*\(\s*\)\s+AS\s+(\w+)", m.group("measures"), re.I
+    ):
+        # FlinkSqlOperatorTable.MATCH_ROWTIME: the match's rowtime attribute
+        # (timestamp of the last bound row); resolved against the query's
+        # time_col at measure time
+        measures[alias] = ("__MATCH__", "match_rowtime", "")
 
     defines: dict[str, list[tuple[str, str, object]]] = {}
     prev_defines: dict[str, list[tuple[str, str, str, int]]] = {}

@@ -869,8 +869,10 @@ SELECT sel.user_id,
        (c.c1 + CASE WHEN sel.l >= 2 THEN c.c2 ELSE 0 END
              + CASE WHEN sel.l >= 3 THEN c.c3 ELSE 0 END) / sel.l AS avg_a,
        CAST(CASE sel.l WHEN 1 THEN c.c2 WHEN 2 THEN c.c3 ELSE c.c4 END
-            AS BIGINT) AS b_cents
+            AS BIGINT) AS b_cents,
+       ob.ts AS match_ts
 FROM sel JOIN cand c ON c.user_id = sel.user_id AND c.s = sel.s
+JOIN o ob ON ob.user_id = sel.user_id AND ob.rn = sel.s + sel.l
 ORDER BY sel.user_id, match_seq
 """,
     tags=("dialect", "cep", "sql", "agg_define"),
@@ -895,7 +897,8 @@ def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY user_id
           ORDER BY ts, event_id
           MEASURES COUNT(A.cents) AS n_a, SUM(A.cents) AS sum_a,
-                   AVG(A.cents) AS avg_a, LAST(B.cents) AS b_cents
+                   AVG(A.cents) AS avg_a, LAST(B.cents) AS b_cents,
+                   MATCH_ROWTIME() AS match_ts
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (A{1,3} B)
           DEFINE A AS AVG(A.cents) < 5000, B AS B.cents >= 5000
@@ -912,7 +915,7 @@ def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         output_schema=(
             "user_id bigint, match_seq int, n_a bigint, sum_a bigint, "
-            "avg_a double, b_cents bigint"
+            "avg_a double, b_cents bigint, match_ts timestamp"
         ),
         time_col="ts",
         **kwargs,

@@ -146,7 +146,7 @@ def streaming_match_recognize(
                 if fin_ts[first] > bound_ns:
                     break  # starts are non-decreasing: all later matches defer
                 row = {key: key_tuple[0], "match_seq": seq}
-                row.update(_measure_row(fin, bindings, measures))
+                row.update(_measure_row(fin, bindings, measures, time_col))
                 out_rows.append(row)
                 seq += 1
                 cut = end if after_match == "past_last" else start
