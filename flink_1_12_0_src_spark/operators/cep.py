@@ -631,6 +631,14 @@ def _measure_row(
             last = max(v[-1] for v in bindings.values() if v)
             row[out_col] = pdf[col or time_col].iloc[last]
             continue
+        if agg == "classifier":
+            # CLASSIFIER() (FlinkSqlOperatorTable.CLASSIFIER): under ONE ROW
+            # PER MATCH, the pattern variable that bound the match's last row
+            last = max(v[-1] for v in bindings.values() if v)
+            row[out_col] = next(
+                name for name, v in bindings.items() if v and v[-1] == last
+            )
+            continue
         idxs = bindings.get(var, [])
         if idxs:
             row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])

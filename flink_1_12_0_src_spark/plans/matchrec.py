@@ -257,6 +257,11 @@ def parse_match_recognize(clause: str) -> dict:
         # (timestamp of the last bound row); resolved against the query's
         # time_col at measure time
         measures[alias] = ("__MATCH__", "match_rowtime", "")
+    for alias in re.findall(
+        r"CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)", m.group("measures"), re.I
+    ):
+        # FlinkSqlOperatorTable.CLASSIFIER: the variable of the last bound row
+        measures[alias] = ("__MATCH__", "classifier", "")
 
     defines: dict[str, list[tuple[str, str, object]]] = {}
     prev_defines: dict[str, list[tuple[str, str, str, int]]] = {}
