@@ -140,6 +140,7 @@ _R04_NEW_LAST = (
     "text_decontaminate",
     "flinksql_match_agg_define",
     "text_repetition_signals",
+    "tableapi_temporal_fn_join",
     "dedup_bloom_membership",
     "text_bm25_topk",
     "knn_lsh_topk",

@@ -921,3 +921,43 @@ def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         **kwargs,
     ).orderBy("user_id", "match_seq")
+
+
+@register(
+    "tableapi_temporal_fn_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+       CAST(c.value AS DOUBLE) AS rate
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+""",
+    tags=("dialect", "table_api", "temporal", "join"),
+    doc="Temporal TABLE FUNCTION join (Table.createTemporalTableFunction, "
+    "flink-table-api-java/.../Table.java + TemporalTableFunctionImpl.java — "
+    "the classic Rates(o_rowtime) idiom): a click-stream 'rate' history is "
+    "registered as a temporal function versioned by ts per user_id, and "
+    "each purchase laterally joins the version valid at its own rowtime. "
+    "Lowered to the union + one-window-pass as-of join — no per-row "
+    "lookups; oracle is DuckDB's native ASOF JOIN.",
+)
+def tableapi_temporal_fn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    env = TableEnvironment(spark)
+    env.create_temporal_table_function(
+        "rates",
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").cast("double").alias("rate")
+        ),
+        time_attr="ts",
+        primary_key="user_id",
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        env.join_lateral_temporal(probe, "rates", probe_time="p_ts")
+        .select("purchase_id", "user_id", "p_ts", "rate")
+        .orderBy("purchase_id")
+    )

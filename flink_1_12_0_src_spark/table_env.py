@@ -42,6 +42,8 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, CatalogTable] = {}
+        # temporal table functions: name → (history DF, time attr, primary key)
+        self._temporal_fns: dict[str, tuple[DataFrame, str, str]] = {}
 
     # -- DDL / DML entry point (executeSql analog) -------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -133,6 +135,41 @@ class TableEnvironment:
         from flink_1_12_0_src_spark.table_api import Table
 
         return Table(self.spark.table(name))
+
+    # -- temporal table functions ------------------------------------------
+    def create_temporal_table_function(
+        self, name: str, history: DataFrame, time_attr: str, primary_key: str
+    ) -> None:
+        """Table.createTemporalTableFunction (flink-table-api-java/.../Table.java;
+        TemporalTableFunctionImpl.java): register a function that versions
+        ``history`` by ``time_attr`` per ``primary_key``. Joining a probe
+        laterally against ``fn(probe_time)`` with key equality is Flink's
+        temporal-table-function join; :meth:`join_lateral_temporal` lowers it
+        to the as-of backward join."""
+        self._temporal_fns[name] = (history, time_attr, primary_key)
+
+    def join_lateral_temporal(
+        self,
+        probe: DataFrame,
+        fn: str,
+        probe_time: str,
+        right_prefix: str = "",
+    ) -> DataFrame:
+        """``probe.joinLateral(fn(probe_time), key equality)`` — each probe
+        row picks the version of the history row (same primary key) valid at
+        its time attribute: the latest history row with time ≤ probe time.
+        One union + window pass, no per-row lookups (operators/joins.py)."""
+        from flink_1_12_0_src_spark.operators.joins import asof_join
+
+        history, time_attr, pk = self._temporal_fns[fn]
+        return asof_join(
+            probe,
+            history,
+            on=[pk],
+            left_time=probe_time,
+            right_time=time_attr,
+            right_prefix=right_prefix,
+        )
 
     # ------------------------------------------------------------------ ---
     def _alter_table(self, stmt: str) -> None:
