@@ -83,3 +83,21 @@ def pack_sequences(
         (cum - token_col).cast("bigint").alias("start_offset"),
         F.floor((cum - token_col) / budget).cast("bigint").alias("pack_id"),
     )
+
+
+def shuffle_shard(df: DataFrame, id_col: str, seed: int = 77, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle + sharding — the pretraining writer
+    layout: shard = first hex nibble of the salted id hash (16 shards),
+    within-shard position = rank of the hash (with id tiebreak). Stateless:
+    (shard, position) is a pure function of (seed, id), invariant to
+    partitioning and re-runs — re-shuffling an epoch is just a new seed.
+    ONE window shuffle keyed by shard; no global sort, no RNG state."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = W.partitionBy(F.substring(h, 1, 1)).orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )

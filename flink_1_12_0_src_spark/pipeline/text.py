@@ -51,9 +51,16 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str, lang_col: str | None = None) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    keep: list[str] | None = None,
+) -> DataFrame:
     """Heuristic document quality: length / punctuation ratio / stopword ratio /
-    mean word length → [0,1] score (the C4/Gopher-rule shape)."""
+    mean word length → [0,1] score (the C4/Gopher-rule shape). ``keep`` carries
+    extra input columns through (so composed pipelines avoid a re-join)."""
     t = F.col(text_col)
     w = tokens(text_col)
     n_chars = F.length(t)
@@ -77,6 +84,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str, lang_col: str | Non
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality"),
+        *[F.col(c) for c in (keep or [])],
     ]
     return df.select(*out)
 

@@ -137,11 +137,13 @@ _R04_FIXED_FIRST = ("cdc_retract_stream_output", "stream_tumble_early_fire")
 # verification is the recall test), so a 50-slot truncation cuts THEM, not a
 # round-3 backlog query.
 _R04_NEW_LAST = (
+    "pipeline_clean_corpus",
     "text_decontaminate",
     "flinksql_match_agg_define",
     "text_repetition_signals",
     "tableapi_temporal_fn_join",
     "dedup_bloom_membership",
+    "dataset_shuffle_shard",
     "text_bm25_topk",
     "knn_lsh_topk",
 )

@@ -872,3 +872,114 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, "vec_id", "embedding", dim=64, k=ANN_K).orderBy(
         "query_id", F.desc("cosine"), "neighbor_id"
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '), {_EN!r}))
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6) AS quality
+  FROM documents
+  WHERE doc_id % 41 <> 0 AND lang = 'en'
+),
+cand AS (SELECT * FROM q WHERE quality >= 0.5),
+surv AS (
+  SELECT * FROM (
+    SELECT doc_id, text, n_words, quality,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS canon
+    FROM cand)
+  WHERE doc_id = canon
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-3),
+                               g -> array_to_string(w[g+1:g+3], ' '))) AS sh
+  FROM toks WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 41 = 0)
+SELECT s.doc_id, CAST(s.n_words AS INTEGER) AS n_words, s.quality
+FROM surv s
+WHERE NOT EXISTS (
+  SELECT 1 FROM grams g JOIN bench b ON g.sh = b.sh WHERE g.doc_id = s.doc_id)
+ORDER BY s.doc_id
+""",
+    tags=("pipeline", "text", "dedup", "composed"),
+    doc="The composed C4-style cleaning pipeline — the flagship LLM-data "
+    "query: English docs outside the benchmark split → quality >= 0.5 "
+    "(per-row JVM expressions, zero shuffle) → exact-dedup survivors "
+    "(min-id per content hash, ONE window shuffle) → drop any doc sharing "
+    "a 3-gram with the benchmark (broadcast anti-semi-join). Filter order "
+    "is cheap-per-row first, so the expensive stages see the smallest "
+    "surviving set — the shape a 100 TB cleaning job must have.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score(
+        docs.filter((F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")),
+        "doc_id",
+        "text",
+        keep=["text"],
+    )
+    cand = scored.filter(F.col("quality") >= 0.5)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    surv = (
+        cand.withColumn("_canon", F.min("doc_id").over(W.partitionBy(h)))
+        .filter(F.col("doc_id") == F.col("_canon"))
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        surv.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("sh"))
+        .join(F.broadcast(bench_grams), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        surv.join(hits, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_words").cast("int").alias("n_words"), "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dataset_shuffle_shard",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('77|' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(hh, 1, 1))::BIGINT AS INTEGER) AS shard_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id) AS BIGINT)
+         AS position
+FROM h ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic global shuffle + sharding (pipeline/sampling.py "
+    "shuffle_shard): the pre-training writer layout — shard = first md5 hex "
+    "nibble (16 shards), within-shard order = rank of the salted id hash. "
+    "Stateless and seed-stable: a document's (shard, position) never "
+    "changes across re-runs or repartitioning; ONE window shuffle keyed by "
+    "shard, no global sort.",
+)
+def dataset_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import shuffle_shard
+
+    return shuffle_shard(table(spark, sf_dir, "documents"), "doc_id", seed=77).orderBy(
+        "doc_id"
+    )
