@@ -911,7 +911,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM grams g JOIN bench b ON g.sh = b.sh WHERE g.doc_id = s.doc_id)
 ORDER BY s.doc_id
 """,
-    tags=("pipeline", "text", "dedup", "composed"),
+    tags=("pipeline", "text", "dedup", "composed", "bench"),
     doc="The composed C4-style cleaning pipeline — the flagship LLM-data "
     "query: English docs outside the benchmark split → quality >= 0.5 "
     "(per-row JVM expressions, zero shuffle) → exact-dedup survivors "
