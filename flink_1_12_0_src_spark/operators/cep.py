@@ -247,6 +247,15 @@ _AGGS = {
 }
 
 
+def _sorted_group(pdf: pd.DataFrame, order_by: list[str]) -> pd.DataFrame:
+    """Stable multi-key sort via np.lexsort. pandas sort_values builds a
+    Categorical per key PER CALL (~1 ms of fixed overhead), which dominates
+    when the NFA scans thousands of small per-key groups — lexsort on the
+    raw arrays is ~10x cheaper at identical semantics."""
+    order = np.lexsort([pdf[c].to_numpy() for c in reversed(order_by)])
+    return pdf.take(order).reset_index(drop=True)
+
+
 def _scan_matches(
     pdf: pd.DataFrame,
     pattern: Pattern,
@@ -262,7 +271,7 @@ def _scan_matches(
     (streaming/cep.py — StreamExecMatch analog), which re-scans a
     watermark-finalized prefix per micro-batch.
     """
-    pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    pdf = _sorted_group(pdf, order_by)
     n = len(pdf)
     masks = [
         (
@@ -507,7 +516,7 @@ def _scan_matches_all(
         raise ValueError("cross-variable DEFINE with any-semantics is out of scope")
     if any(s.run_predicate is not None for s in pattern.steps):
         raise ValueError("running-aggregate DEFINE with any-semantics is out of scope")
-    pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    pdf = _sorted_group(pdf, order_by)
     n = len(pdf)
     masks = [
         (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
@@ -697,4 +706,17 @@ def match_recognize(
             pdf, pattern, order_by, time_col, measures, partition_by, after_match
         )
 
-    return df.groupBy(*partition_by).applyInPandas(fn, schema=output_schema)
+    # Explicit hash repartition on the key BEFORE the groupBy: the NFA stage
+    # is Python-CPU-bound, but AQE's partition coalescing is BYTE-based — on
+    # a few MB of Arrow batches it would fold the stage down to 2-3 tasks and
+    # serialize thousands of per-key scans onto as many cores. A fixed-width
+    # exchange (defaultParallelism) keeps every core busy; groupBy then reuses
+    # the child partitioning, adding no second shuffle. At 100 TB the bytes
+    # are large enough that AQE would size this correctly — the override only
+    # changes small-input behavior, and costs nothing (same single shuffle).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, *partition_by)
+        .groupBy(*partition_by)
+        .applyInPandas(fn, schema=output_schema)
+    )

@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 from flink_1_12_0_src_spark.operators.cep import (
     Pattern,
     _measure_row,
+    _sorted_group,
     _scan_matches,
 )
 
@@ -128,7 +129,7 @@ def streaming_match_recognize(
             if parts
             else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
         )
-        buf = buf.sort_values(order_by, kind="mergesort", ignore_index=True)
+        buf = _sorted_group(buf, order_by) if len(buf) else buf
         ts_ns = buf[time_col].to_numpy(dtype="int64") if len(buf) else np.array([], "int64")
         n_fin = int(np.searchsorted(ts_ns, wm_ns, side="right"))
         bound_ns = wm_ns - within_ns
