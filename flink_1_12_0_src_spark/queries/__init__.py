@@ -144,6 +144,7 @@ _R04_NEW_LAST = (
     "tableapi_temporal_fn_join",
     "dedup_bloom_membership",
     "dataset_shuffle_shard",
+    "fn_misc_suite",
     "text_bm25_topk",
     "knn_lsh_topk",
 )

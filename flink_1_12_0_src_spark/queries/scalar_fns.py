@@ -505,3 +505,60 @@ def fn_url_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         qmap.getItem("size").alias("q_size"),
         brand_key.alias("brand_key"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_misc_suite",
+    oracle="""
+SELECT event_id,
+       bin(CAST(event_id AS BIGINT)) AS id_bin,
+       chr(CAST(65 + event_id % 26 AS INTEGER)) AS id_chr,
+       round((exp(CAST(event_id % 5 AS DOUBLE)) - exp(-CAST(event_id % 5 AS DOUBLE))) / 2, 6) AS v_sinh,
+       round((exp(CAST(event_id % 5 AS DOUBLE)) + exp(-CAST(event_id % 5 AS DOUBLE))) / 2, 6) AS v_cosh,
+       round((exp(2 * CAST(event_id % 5 AS DOUBLE)) - 1) / (exp(2 * CAST(event_id % 5 AS DOUBLE)) + 1), 6) AS v_tanh,
+       to_base64(encode(event_type)) AS etype_b64,
+       decode(from_base64(to_base64(encode(event_type)))) AS etype_rt,
+       strftime(to_timestamp(1700000000 + event_id), '%Y-%m-%d %H:%M:%S')
+         AS from_unix,
+       CAST(instr(event_type, 'r') AS INTEGER) AS locate_r,
+       CAST(strptime('2024-03-0' || CAST(1 + event_id % 9 AS VARCHAR)
+                     || ' 12:30:45', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+         AS to_ts,
+       ts + INTERVAL 8 HOUR AS tz_shanghai
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("batch", "functions", "misc"),
+    doc="The remaining FlinkSqlOperatorTable scalar stragglers (BIN, CHR, "
+    "SINH/COSH/TANH, TO_BASE64/FROM_BASE64, ENCODE/DECODE round trip, "
+    "FROM_UNIXTIME, LOCATE, TO_TIMESTAMP, CONVERT_TZ): each maps to the "
+    "Spark built-in of the same semantics (CONVERT_TZ from UTC to a fixed "
+    "offset = from_utc_timestamp, mirrored as interval arithmetic in the "
+    "oracle; hyperbolic results rounded to 6dp for cross-libm safety). "
+    "NOW()/UUID() are nondeterministic by design (Flink marks them dynamic) "
+    "and PRINT is a sink — excluded from value comparison.",
+)
+def fn_misc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    et = F.col("event_type")
+    return e.select(
+        "event_id",
+        F.bin(F.col("event_id")).alias("id_bin"),
+        F.char(F.lit(65) + F.col("event_id") % 26).alias("id_chr"),
+        F.round(F.sinh((F.col("event_id") % 5).cast("double")), 6).alias("v_sinh"),
+        F.round(F.cosh((F.col("event_id") % 5).cast("double")), 6).alias("v_cosh"),
+        F.round(F.tanh((F.col("event_id") % 5).cast("double")), 6).alias("v_tanh"),
+        F.base64(F.encode(et, "utf-8")).alias("etype_b64"),
+        F.decode(F.unbase64(F.base64(F.encode(et, "utf-8"))), "utf-8").alias(
+            "etype_rt"
+        ),
+        F.from_unixtime(F.lit(1700000000) + F.col("event_id")).alias("from_unix"),
+        F.locate("r", et).cast("int").alias("locate_r"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-03-0"),
+                (F.lit(1) + F.col("event_id") % 9).cast("string"),
+                F.lit(" 12:30:45"),
+            )
+        ).alias("to_ts"),
+        F.from_utc_timestamp(F.col("ts"), "+08:00").alias("tz_shanghai"),
+    ).orderBy("event_id")
