@@ -649,6 +649,17 @@ def _measure_row(
             )
             continue
         idxs = bindings.get(var, [])
+        if "@" in agg:
+            # FIRST/LAST with a logical offset (SQL:2016 row-pattern
+            # navigation): LAST(A.col, 1) = second-to-last bound row;
+            # offset past the binding yields NULL (Flink's reading)
+            base, k = agg.split("@")
+            k = int(k)
+            if len(idxs) <= k:
+                row[out_col] = None
+            else:
+                row[out_col] = pdf[col].iloc[idxs[k if base == "first" else -1 - k]]
+            continue
         if idxs:
             row[out_col] = _AGGS[agg](pdf[col].iloc[idxs])
         else:

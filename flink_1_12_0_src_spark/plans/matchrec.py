@@ -8,7 +8,8 @@ Supported subset (the MatchRecognizeITCase shapes):
     MATCH_RECOGNIZE (
       PARTITION BY c1[, c2 …]
       ORDER BY c1[, c2 …]
-      MEASURES FIRST|LAST|COUNT|SUM|MIN|MAX(VAR.col) AS alias, …
+      MEASURES FIRST|LAST(VAR.col[, offset])|COUNT|SUM|AVG|MIN|MAX(VAR.col)
+               | MATCH_ROWTIME() | CLASSIFIER() AS alias, …
       [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST var | TO LAST var]
       PATTERN (A B+ C{2,4} D? …)
       [WITHIN INTERVAL 'n' UNIT]
@@ -23,9 +24,11 @@ DEFINE comparisons are ``VAR.col <op> rhs`` with op ∈ {=, <>, !=, <, <=, >,
   (SQL:2016 row-pattern PREV; k defaults to 1). Compiles to a vectorized
   ``shift(k)`` comparison — the canonical price-goes-down idiom
   ``DOWN AS DOWN.v < PREV(DOWN.v)`` (MatchRecognizeITCase.scala:122-133);
-- ``FIRST(VAR2.col)`` / ``LAST(VAR2.col)`` of an EARLIER pattern variable —
-  a cross-variable predicate over the current partial match, compiled to
-  ``Pattern.where_binding`` (unmatched reference ⇒ row rejected).
+- ``FIRST(VAR2.col[, k])`` / ``LAST(VAR2.col[, k])`` of an EARLIER pattern
+  variable — a cross-variable predicate over the current partial match with
+  the SQL:2016 logical offset (LAST(A.x, 1) = second-to-last bound row),
+  compiled to ``Pattern.where_binding`` (unmatched or out-of-range
+  reference ⇒ row rejected).
 
 Null predicates: ``VAR.col IS [NOT] NULL`` (vectorized) and
 ``FIRST|LAST(VAR2.col) IS [NOT] NULL`` (partial-match; an unbound
@@ -82,7 +85,9 @@ _SECTION_RE = re.compile(
 )
 
 _MEASURE_RE = re.compile(
-    r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)", re.I
+    r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*"
+    r"(?:,\s*(\d+)\s*)?\)\s+AS\s+(\w+)",
+    re.I,
 )
 
 _STEP_RE = re.compile(r"(\w+)\s*(\+\??|\?\??|\{\s*\d+\s*(?:,\s*\d+\s*)?\}\??)?")
@@ -218,19 +223,20 @@ def _make_bind_predicate(conjuncts: list[tuple[str, str, str, str, str]]):
 
     def pred(pdf: pd.DataFrame, bindings: dict[str, list[int]]) -> pd.Series:
         m = pd.Series(True, index=pdf.index)
-        for col, op, nav, var2, ref_col in conjuncts:
+        for col, op, nav, var2, ref_col, k in conjuncts:
             idxs = bindings.get(var2)
+            pos = k if nav == "FIRST" else -1 - k  # SQL:2016 logical offset
             if op in ("isnull", "notnull"):
                 # an unbound variable's FIRST/LAST reference IS null
                 # (MatchRecognizeITCase's LAST(A.nullField) IS NULL reading)
-                ref_null = not idxs or pd.isna(
-                    pdf[ref_col].iloc[idxs[0] if nav == "FIRST" else idxs[-1]]
+                ref_null = not idxs or len(idxs) <= k or pd.isna(
+                    pdf[ref_col].iloc[idxs[pos]]
                 )
                 m &= ref_null if op == "isnull" else not ref_null
                 continue
-            if not idxs:
+            if not idxs or len(idxs) <= k:
                 return pd.Series(False, index=pdf.index)
-            ref = pdf[ref_col].iloc[idxs[0] if nav == "FIRST" else idxs[-1]]
+            ref = pdf[ref_col].iloc[idxs[pos]]
             m &= _OPS[op](pdf[col], ref)
         return m
 
@@ -248,8 +254,12 @@ def parse_match_recognize(clause: str) -> dict:
     order = [c.strip() for c in m.group("order").split(",")]
 
     measures: dict[str, tuple[str, str, str]] = {}
-    for agg, var, col, alias in _MEASURE_RE.findall(m.group("measures")):
-        measures[alias] = (var.upper(), agg.lower(), col)
+    for agg, var, col, k, alias in _MEASURE_RE.findall(m.group("measures")):
+        agg = agg.lower()
+        if k and agg in ("first", "last"):
+            # SQL:2016 logical offset: LAST(A.col, 1) = second-to-last row
+            agg = f"{agg}@{int(k)}"
+        measures[alias] = (var.upper(), agg, col)
     for alias in re.findall(
         r"MATCH_ROWTIME\s*\(\s*\)\s+AS\s+(\w+)", m.group("measures"), re.I
     ):
@@ -306,7 +316,7 @@ def parse_match_recognize(clause: str) -> dict:
             if nnm:
                 nav, var2, ref_col, neg = nnm.groups()
                 bind_defines.setdefault(var, []).append(
-                    (None, "notnull" if neg else "isnull", nav.upper(), var2.upper(), ref_col)
+                    (None, "notnull" if neg else "isnull", nav.upper(), var2.upper(), ref_col, 0)
                 )
                 continue
             nm = _NAV_RE.search(expr)
@@ -321,7 +331,7 @@ def parse_match_recognize(clause: str) -> dict:
                     )
                 else:
                     bind_defines.setdefault(var, []).append(
-                        (col, op, nav, var2.upper(), ref_col)
+                        (col, op, nav, var2.upper(), ref_col, int(k) if k else 0)
                     )
                 continue
             cm = _CMP_RE.search(expr)

@@ -871,7 +871,9 @@ SELECT sel.user_id,
        CAST(CASE sel.l WHEN 1 THEN c.c2 WHEN 2 THEN c.c3 ELSE c.c4 END
             AS BIGINT) AS b_cents,
        ob.ts AS match_ts,
-       'B' AS last_var
+       'B' AS last_var,
+       CAST(CASE sel.l WHEN 2 THEN c.c1 WHEN 3 THEN c.c2 ELSE NULL END
+            AS BIGINT) AS a_prev_cents
 FROM sel JOIN cand c ON c.user_id = sel.user_id AND c.s = sel.s
 JOIN o ob ON ob.user_id = sel.user_id AND ob.rn = sel.s + sel.l
 ORDER BY sel.user_id, match_seq
@@ -899,7 +901,8 @@ def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY ts, event_id
           MEASURES COUNT(A.cents) AS n_a, SUM(A.cents) AS sum_a,
                    AVG(A.cents) AS avg_a, LAST(B.cents) AS b_cents,
-                   MATCH_ROWTIME() AS match_ts, CLASSIFIER() AS last_var
+                   MATCH_ROWTIME() AS match_ts, CLASSIFIER() AS last_var,
+                   LAST(A.cents, 1) AS a_prev_cents
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (A{1,3} B)
           DEFINE A AS AVG(A.cents) < 5000, B AS B.cents >= 5000
@@ -916,7 +919,8 @@ def flinksql_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         output_schema=(
             "user_id bigint, match_seq int, n_a bigint, sum_a bigint, "
-            "avg_a double, b_cents bigint, match_ts timestamp, last_var string"
+            "avg_a double, b_cents bigint, match_ts timestamp, last_var string, "
+            "a_prev_cents bigint"
         ),
         time_col="ts",
         **kwargs,
