@@ -224,30 +224,39 @@ def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]
 def _band_codes(
     vecs: DataFrame, planes: list[list[float]], band_rows: int
 ) -> DataFrame:
-    """(vid, v) → (vid, v, band, code): sign bit per hyperplane, grouped into
-    bands of ``band_rows`` bits — a vector lands in len(planes)/band_rows
-    buckets. Pure array expressions per row; ZERO shuffle (the codes are
-    computed inside the scan, like the minhash banding)."""
-    plane_lits = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
-    )
-    bits = F.transform(
-        plane_lits,
-        lambda row: F.when(_dot(F.col("v"), row) >= 0, F.lit("1")).otherwise(F.lit("0")),
-    )
+    """(vid, v) → (vid, v, code): sign bit per hyperplane, grouped into bands
+    of ``band_rows`` bits — a vector lands in len(planes)/band_rows buckets.
+
+    Computed as ONE numpy matmul per Arrow batch inside ``mapInPandas`` —
+    still zero shuffle (codes materialize inside the scan, like the minhash
+    banding). An expression-tree formulation (n_planes × dim literals) was
+    tried first: it compiles into multi-MB whole-stage-codegen tasks whose
+    JIT cost dwarfs the arithmetic; the matmul is both faster and
+    scale-identical."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes).T  # (dim, n_planes)
     n_bands = len(planes) // band_rows
-    bands = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(
-                    "", *[F.element_at(bits, b * band_rows + r + 1) for r in range(band_rows)]
-                ),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return vecs.select("vid", "v", F.explode(bands).alias("code"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist())  # (n, dim)
+            S = (V @ P) >= 0  # (n, n_planes) sign bits
+            parts = []
+            for b in range(n_bands):
+                bits = S[:, b * band_rows : (b + 1) * band_rows]
+                codes = [
+                    f"{b}:" + "".join("1" if x else "0" for x in row) for row in bits
+                ]
+                out = pdf[["vid", "v"]].copy()
+                out["code"] = codes
+                parts.append(out)
+            yield pd.concat(parts, ignore_index=True)
+
+    return vecs.mapInPandas(gen, "vid long, v array<double>, code string")
 
 
 def lsh_topk(
