@@ -140,6 +140,7 @@ _R04_NEW_LAST = (
     "pipeline_clean_corpus",
     "text_decontaminate",
     "flinksql_match_agg_define",
+    "stream_match_agg_define",
     "text_repetition_signals",
     "tableapi_temporal_fn_join",
     "dedup_bloom_membership",

@@ -1587,3 +1587,114 @@ def stream_right_outer_join_changelog(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(
         "user_id", F.col("epoch").cast("int").alias("epoch"), "kind", "l_id", "r_id"
     ).orderBy("user_id", "epoch", "kind", "l_id", "r_id")
+
+
+@register(
+    "stream_match_agg_define",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+led AS (
+  SELECT user_id, rn, ts AS t1, cents AS c1,
+         LEAD(cents, 1) OVER w AS c2, LEAD(cents, 2) OVER w AS c3,
+         LEAD(cents, 3) OVER w AS c4,
+         LEAD(ts, 1) OVER w AS t2, LEAD(ts, 2) OVER w AS t3,
+         LEAD(ts, 3) OVER w AS t4
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+runs AS (
+  SELECT user_id, rn AS s, t1, c1, c2, c3, c4, t2, t3, t4,
+         CASE WHEN c1 >= 5000 THEN 0
+              WHEN c2 IS NULL OR c1 + c2 >= 10000
+                   OR t2 > t1 + INTERVAL 7 DAY THEN 1
+              WHEN c3 IS NULL OR c1 + c2 + c3 >= 15000
+                   OR t3 > t1 + INTERVAL 7 DAY THEN 2
+              ELSE 3 END AS maxrun
+  FROM led),
+cand AS (
+  SELECT user_id, s, t1, c1, c2, c3, c4,
+         CASE WHEN maxrun = 0 THEN NULL
+              WHEN maxrun >= 3 AND c4 IS NOT NULL AND c4 >= 5000
+                   AND t4 <= t1 + INTERVAL 7 DAY THEN 3
+              WHEN maxrun >= 2 AND c3 IS NOT NULL AND c3 >= 5000
+                   AND t3 <= t1 + INTERVAL 7 DAY THEN 2
+              WHEN maxrun >= 1 AND c2 IS NOT NULL AND c2 >= 5000
+                   AND t2 <= t1 + INTERVAL 7 DAY THEN 1
+              ELSE NULL END AS l
+  FROM runs),
+sel(user_id, s, l) AS (
+  SELECT user_id, s, l FROM (
+    SELECT user_id, s, l, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS rk
+    FROM cand WHERE l IS NOT NULL) WHERE rk = 1
+  UNION ALL
+  SELECT nxt.user_id, nxt.s, nxt.l FROM sel
+  JOIN LATERAL (SELECT user_id, s, l FROM cand c
+                WHERE c.user_id = sel.user_id AND c.l IS NOT NULL
+                  AND c.s > sel.s + sel.l
+                ORDER BY s LIMIT 1) nxt ON true)
+SELECT sel.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sel.user_id ORDER BY sel.s) - 1
+            AS INTEGER) AS match_seq,
+       CAST(sel.l AS BIGINT) AS n_a,
+       CAST(c.c1 + CASE WHEN sel.l >= 2 THEN c.c2 ELSE 0 END
+                 + CASE WHEN sel.l >= 3 THEN c.c3 ELSE 0 END AS BIGINT) AS sum_a,
+       CAST(CASE sel.l WHEN 1 THEN c.c2 WHEN 2 THEN c.c3 ELSE c.c4 END
+            AS BIGINT) AS b_cents
+FROM sel JOIN cand c ON c.user_id = sel.user_id AND c.s = sel.s
+WHERE c.t1 <= make_timestamp(CAST(floor(epoch_us((SELECT MAX(ts) FROM events))
+                                        / 1000) * 1000 AS BIGINT))
+              - INTERVAL 1 HOUR - INTERVAL 7 DAY
+ORDER BY sel.user_id, match_seq
+""",
+    tags=("streaming", "cep", "stateful", "agg_define", "custom_op"),
+    doc="Streaming MATCH_RECOGNIZE with a RUNNING-AGGREGATE DEFINE "
+    "(StreamExecMatch + MatchRecognizeITCase testAggregates, composed): "
+    "PATTERN (A{1,3} B) WITHIN 7 days, A AS AVG(A.cents) < 5000, over the "
+    "watermarked stream — the NFA re-checks the running average at every "
+    "append inside the watermark-finalized prefix scan; a match emits only "
+    "when the watermark passes start+within (provably final). Oracle: the "
+    "batch jump-CTE bound by the within window on every append AND the "
+    "final-watermark emission cutoff (start <= max_ts(ms-trunc) - 1h - 7d).",
+)
+def stream_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.plans.matchrec import parse_match_recognize
+    from flink_1_12_0_src_spark.streaming.cep import streaming_match_recognize
+
+    kwargs = parse_match_recognize(
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(A.cents) AS n_a, SUM(A.cents) AS sum_a,
+                   LAST(B.cents) AS b_cents
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{1,3} B)
+          WITHIN INTERVAL '7' DAY
+          DEFINE A AS AVG(A.cents) < 5000, B AS B.cents >= 5000
+        )
+        """
+    )
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value").cast("double") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    out = streaming_match_recognize(
+        s,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        pattern=kwargs["pattern"],
+        measures=kwargs["measures"],
+        measure_types={"n_a": "long", "sum_a": "long", "b_cents": "long"},
+        time_col="ts",
+        buffer_cols={"ts": "ts", "event_id": "long", "cents": "long"},
+        after_match=kwargs["after_match"],
+    )
+    return run_to_batch(out, "append").orderBy("user_id", "match_seq")
