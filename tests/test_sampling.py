@@ -84,3 +84,26 @@ def test_pack_sequences_invariants(spark, docs):
         # pack ids are contiguous from 0 per stream
         packs = sorted({r["pack_id"] for r in rows})
         assert packs == list(range(len(packs)))
+
+
+def test_shuffle_shard_is_a_permutation_and_seed_stable(spark, sf_dir):
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.sampling import shuffle_shard
+
+    docs = table(spark, sf_dir, "documents")
+    out = shuffle_shard(docs, "doc_id", seed=77).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["position"])
+    # within every shard, positions are exactly 1..n (a permutation)
+    for shard, pos in by_shard.items():
+        assert 0 <= shard < 16
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # identical across re-runs (stateless), different under a new seed
+    again = shuffle_shard(docs, "doc_id", seed=77).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = {(r["doc_id"]): (r["shard_id"], r["position"])
+             for r in shuffle_shard(docs, "doc_id", seed=78).collect()}
+    moved = sum((r["shard_id"], r["position"]) != other[r["doc_id"]] for r in out)
+    assert moved > len(out) // 2
