@@ -58,7 +58,13 @@ def main(argv: list[str] | None = None) -> int:
             break
         try:
             head = stmt.split(None, 1)[0].upper()
-            if head in {"CREATE", "DROP", "INSERT", "ALTER"}:
+            if head == "EXPLAIN":
+                # Flink SqlClient EXPLAIN [PLAN FOR] <query>
+                body = stmt.split(None, 1)[1]
+                if body.upper().startswith("PLAN FOR"):
+                    body = body[len("PLAN FOR") :].strip()
+                print(env.explain_sql(body))
+            elif head in {"CREATE", "DROP", "INSERT", "ALTER"}:
                 env.execute_sql(stmt)
                 print("OK")
             else:

@@ -128,6 +128,18 @@ class TableEnvironment:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def explain_sql(self, query: str) -> str:
+        """TableEnvironment.explainSql / SqlClient ``EXPLAIN [PLAN FOR]``
+        (SqlClient.java operation parsing; TableEnvironmentImpl.explainSql):
+        return the optimized physical plan of a dialect query as a string —
+        Catalyst's formatted explain stands in for the reference's
+        AST/optimized/physical trio."""
+        df = self.sql_query(query)
+        jvm = self.spark._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
     def from_path(self, name: str):
         """Fluent Table API entry point (TableEnvironment.from_ /
         Table.java:129 — SURVEY §3.2): returns a :class:`table_api.Table`

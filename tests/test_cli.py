@@ -31,3 +31,20 @@ quit;
     assert "OK" in out                 # CREATE FUNCTION acknowledged
     assert "band" in out and ("low" in out or "mid" in out or "high" in out)
     assert "ERROR" not in proc.stderr  # no statement failed
+
+
+def test_cli_explain_statement():
+    script = """EXPLAIN PLAN FOR SELECT n_name FROM nation WHERE n_nationkey < 5;
+EXPLAIN SELECT COUNT(*) AS c FROM region;
+quit;
+"""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flink_1_12_0_src_spark.cli",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2"],
+        input=script, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "== Physical Plan ==" in proc.stdout
+    # predicate pushdown visible in the explained scan
+    assert "PushedFilters" in proc.stdout
+    assert "ERROR" not in proc.stderr
