@@ -148,6 +148,17 @@ class TableEnvironment:
 
         return Table(self.spark.table(name))
 
+    # -- statement sets ----------------------------------------------------
+    def create_statement_set(self) -> "StatementSet":
+        """TableEnvironment.createStatementSet (flink-table-api-java/.../
+        StatementSet.java; internal StatementSetImpl): buffer multiple
+        INSERT statements and execute them together — Flink's multi-sink
+        job. Spark analog: the buffered writes run back-to-back on
+        ``execute()``; a shared scan is deduplicated by persisting the
+        source view before the inserts (caller-controlled, as with Flink's
+        pipeline optimization)."""
+        return StatementSet(self)
+
     # -- temporal table functions ------------------------------------------
     def create_temporal_table_function(
         self, name: str, history: DataFrame, time_attr: str, primary_key: str
@@ -321,3 +332,26 @@ class TableEnvironment:
         for cname, expr in tbl.computed or []:
             df = df.withColumn(cname, F.expr(translate_query(expr)))
         return df
+
+
+class StatementSet:
+    """Buffered multi-INSERT execution (StatementSet.java addInsertSql /
+    execute): statements accumulate until ``execute()``, which runs them in
+    order and clears the buffer, returning the number executed."""
+
+    def __init__(self, env: TableEnvironment):
+        self._env = env
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        head = stmt.strip().split(None, 1)[0].upper()
+        if head != "INSERT":
+            raise ValueError("StatementSet accepts INSERT statements only")
+        self._stmts.append(stmt)
+        return self
+
+    def execute(self) -> int:
+        stmts, self._stmts = self._stmts, []
+        for s in stmts:
+            self._env.execute_sql(s)
+        return len(stmts)

@@ -256,3 +256,65 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
     pdf = pd.DataFrame({"pos": range(2), "t": ["a", "b"]})
     with _pytest.raises(ValueError, match="any-semantics"):
         _scan_matches_all(pdf, pattern, order_by=["pos"], time_col=None)
+
+
+def test_gate_window_composition():
+    """The driver verifies only the first 50 load_all() entries per round:
+    the window must contain the two emission-trace re-verifies, every
+    never-driver-tested backlog query, and the highest-priority round-4
+    additions — never a prior-green query while untested ones wait."""
+    from flink_1_12_0_src_spark.queries import (
+        _DRIVER_GREEN,
+        _R04_FIXED_FIRST,
+        _R04_NEW_LAST,
+        load_all,
+    )
+
+    names = list(load_all())
+    window = set(names[:50])
+    assert set(_R04_FIXED_FIRST) <= window
+    backlog = [
+        n
+        for n in names
+        if n not in _DRIVER_GREEN
+        and n not in _R04_FIXED_FIRST
+        and n not in _R04_NEW_LAST
+    ]
+    assert set(backlog) <= window, "a never-tested backlog query fell out"
+    n_new_slots = 50 - 2 - len(backlog)
+    assert set(_R04_NEW_LAST[:n_new_slots]) <= window
+    # no prior-green query occupies a slot while anything untested waits
+    greens_in_window = [n for n in names[:50] if n in _DRIVER_GREEN]
+    assert not greens_in_window
+
+
+def test_statement_set_multi_sink(spark, tmp_path):
+    """StatementSet (TableEnvironment.createStatementSet / StatementSet.java):
+    two INSERTs into different filesystem sinks buffer, then execute as one
+    call — the multi-sink job shape."""
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(30)], ["id", "name", "grp"]
+    ).createOrReplaceTempView("src_tbl")
+    for sink in ("sink_a", "sink_b"):
+        env.execute_sql(f"""
+            CREATE TABLE {sink} (id BIGINT, name STRING, grp BIGINT) WITH (
+                'connector' = 'filesystem',
+                'path' = '{tmp_path}/{sink}',
+                'format' = 'parquet'
+            )
+        """)
+    ss = env.create_statement_set()
+    ss.add_insert_sql("INSERT INTO sink_a SELECT * FROM src_tbl WHERE grp = 0")
+    ss.add_insert_sql("INSERT INTO sink_b SELECT * FROM src_tbl WHERE grp <> 0")
+    assert ss.execute() == 2
+    assert ss.execute() == 0  # buffer cleared
+    a = spark.read.parquet(f"{tmp_path}/sink_a").count()
+    b = spark.read.parquet(f"{tmp_path}/sink_b").count()
+    assert a == 10 and b == 20
+    import pytest
+
+    with pytest.raises(ValueError):
+        ss.add_insert_sql("SELECT 1")
