@@ -87,3 +87,63 @@ def test_outer_join_changelog_delivery_order_invariant(spark):
         )
 
     assert _rows(run(None)) == _rows(run((3, 2, 1, 0)))
+
+
+def test_delta_trigger_micro_batch_granularity_invariant(spark):
+    """Micro-batch GRANULARITY is the other delivery axis the driver's
+    environment can perturb (maxFilesPerTrigger coalescing): a stateful
+    operator's final output must not depend on how many slices arrive per
+    trigger, only on event-time order."""
+    from flink_1_12_0_src_spark.streaming.source import events_stream
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_delta_trigger
+
+    outs = []
+    for mfpt in (1, 4):
+        s = (
+            events_stream(spark, SF, max_files_per_trigger=mfpt)
+            .select("user_id", "ts", "event_id", "value")
+            .withWatermark("ts", "0 seconds")
+        )
+        out = run_to_batch(
+            streaming_delta_trigger(
+                s, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+                delta_cents=4000,
+            ),
+            "append",
+        )
+        outs.append(_rows(out))
+    assert outs[0] == outs[1]
+
+
+def test_streaming_cep_micro_batch_granularity_invariant(spark):
+    from flink_1_12_0_src_spark.operators.cep import Pattern
+    from flink_1_12_0_src_spark.streaming.cep import streaming_match_recognize
+    from flink_1_12_0_src_spark.streaming.source import events_stream
+
+    outs = []
+    for mfpt in (1, 2):
+        pat = (
+            Pattern.begin("v")
+            .where(lambda pdf: pdf.event_type == "view")
+            .next("c")
+            .where(lambda pdf: pdf.event_type == "click")
+            .within(3600.0)
+        )
+        s = (
+            events_stream(spark, SF, max_files_per_trigger=mfpt)
+            .withWatermark("ts", "1 hour")
+            .select("user_id", "ts", "event_id", "event_type")
+        )
+        out = streaming_match_recognize(
+            s,
+            key="user_id",
+            order_by=["ts", "event_id"],
+            pattern=pat,
+            measures={"view_id": ("v", "last", "event_id"),
+                      "click_id": ("c", "last", "event_id")},
+            measure_types={"view_id": "long", "click_id": "long"},
+            time_col="ts",
+            buffer_cols={"ts": "ts", "event_id": "long", "event_type": "string"},
+        )
+        outs.append(_rows(run_to_batch(out, "append")))
+    assert outs[0] == outs[1]
