@@ -60,7 +60,10 @@ def main(argv: list[str] | None = None) -> int:
             head = stmt.split(None, 1)[0].upper()
             if head == "EXPLAIN":
                 # Flink SqlClient EXPLAIN [PLAN FOR] <query>
-                body = stmt.split(None, 1)[1]
+                parts = stmt.split(None, 1)
+                if len(parts) < 2:
+                    raise ValueError("EXPLAIN needs a query: EXPLAIN [PLAN FOR] <query>")
+                body = parts[1]
                 if body.upper().startswith("PLAN FOR"):
                     body = body[len("PLAN FOR") :].strip()
                 print(env.explain_sql(body))

@@ -252,7 +252,16 @@ def _sorted_group(pdf: pd.DataFrame, order_by: list[str]) -> pd.DataFrame:
     Categorical per key PER CALL (~1 ms of fixed overhead), which dominates
     when the NFA scans thousands of small per-key groups — lexsort on the
     raw arrays is ~10x cheaper at identical semantics."""
-    order = np.lexsort([pdf[c].to_numpy() for c in reversed(order_by)])
+    def key(c: str):
+        a = pdf[c].to_numpy()
+        if a.dtype == object:
+            # object keys (strings, possibly None) break np.lexsort's
+            # comparisons; dense rank with NaNs-last reproduces
+            # sort_values(na_position="last") ordering
+            return pdf[c].rank(method="dense", na_option="bottom").to_numpy()
+        return a
+
+    order = np.lexsort([key(c) for c in reversed(order_by)])
     return pdf.take(order).reset_index(drop=True)
 
 
@@ -285,7 +294,8 @@ def _scan_matches(
         (s.until_predicate(pdf).to_numpy() if s.until_predicate is not None else None)
         for s in pattern.steps
     ]
-    ts = pdf[time_col].astype("int64").to_numpy() / 1e9 if time_col else None
+    ts = pdf[time_col].astype("int64").to_numpy() if time_col else None  # ns ints: exact
+    within_ns = None if pattern.within_seconds is None else round(pattern.within_seconds * 1e9)
 
     def try_at(start: int):
         """Return (bindings, end_idx) for a match whose first row is `start`."""
@@ -310,7 +320,7 @@ def _scan_matches(
                     # Flink); no matching event may appear inside the window
                     if pattern.within_seconds is None or ts is None:
                         raise ValueError("trailing not_followed_by requires within()")
-                    bound = ts[first_pos] + pattern.within_seconds
+                    bound = ts[first_pos] + within_ns
                     for q in range(pos, n):
                         if ts[q] > bound:
                             break
@@ -450,7 +460,7 @@ def _scan_matches(
         def _within_ok(first_pos: int | None, p: int) -> bool:
             if pattern.within_seconds is None or first_pos is None or ts is None:
                 return True
-            return (ts[p] - ts[first_pos]) <= pattern.within_seconds
+            return (ts[p] - ts[first_pos]) <= within_ns
 
         return rec(0, start, {}, None)
 
@@ -522,12 +532,13 @@ def _scan_matches_all(
         (s.predicate(pdf).to_numpy() if s.predicate is not None else [True] * n)
         for s in pattern.steps
     ]
-    ts = pdf[time_col].astype("int64").to_numpy() / 1e9 if time_col else None
+    ts = pdf[time_col].astype("int64").to_numpy() if time_col else None  # ns ints: exact
+    within_ns = None if pattern.within_seconds is None else round(pattern.within_seconds * 1e9)
 
     def within_ok(first_pos: int | None, p: int) -> bool:
         if pattern.within_seconds is None or first_pos is None or ts is None:
             return True
-        return (ts[p] - ts[first_pos]) <= pattern.within_seconds
+        return (ts[p] - ts[first_pos]) <= within_ns
 
     def rec(si: int, pos: int, first_pos: int | None) -> list[tuple[dict, int]]:
         if si == len(pattern.steps):

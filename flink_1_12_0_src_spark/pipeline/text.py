@@ -211,14 +211,16 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     w = tokens(text_col)
     bi = shingles(text_col, 2)
-    per_row = df.where(F.size(w) >= 2).select(
+    base = df.where(F.size(w) >= 2)  # filter BEFORE the explode: dropped
+    # docs must not shuffle exploded tokens
+    per_row = base.select(
         F.col(id_col),
         F.size(w).alias("n_tokens"),
         F.size(bi).alias("_bi_total"),
         F.size(F.array_distinct(bi)).alias("_bi_distinct"),
     )
     tok_counts = (
-        df.select(F.col(id_col), F.explode(w).alias("tok"))
+        base.select(F.col(id_col), F.explode(w).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("c"))

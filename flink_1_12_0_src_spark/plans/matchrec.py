@@ -60,7 +60,7 @@ from typing import Callable
 
 import pandas as pd
 
-from flink_1_12_0_src_spark.operators.cep import Pattern
+from flink_1_12_0_src_spark.operators.cep import _AGGS, Pattern
 
 _OPS: dict[str, Callable] = {
     "=": operator.eq,
@@ -124,15 +124,10 @@ _COL_AGG_RE = re.compile(
     re.I,
 )
 
-# aggregate kernels shared by the run/bind predicates; AVG is an explicit
-# sum/len so the division is the single IEEE op a SQL AVG performs
-_AGG_FNS = {
-    "count": lambda vals: len(vals),
-    "sum": lambda vals: vals.sum(),
-    "avg": lambda vals: float(vals.sum()) / len(vals),
-    "min": lambda vals: vals.min(),
-    "max": lambda vals: vals.max(),
-}
+# aggregate kernels shared by the run/bind predicates — the same table the
+# MEASURES resolver uses (operators/cep._AGGS), restricted to the set the
+# DEFINE grammar accepts
+_AGG_FNS = {k: _AGGS[k] for k in ("count", "sum", "avg", "min", "max")}
 
 _UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 

@@ -351,7 +351,11 @@ class StatementSet:
         return self
 
     def execute(self) -> int:
-        stmts, self._stmts = self._stmts, []
-        for s in stmts:
-            self._env.execute_sql(s)
-        return len(stmts)
+        n = 0
+        while self._stmts:
+            # run-then-pop: a failing INSERT stays at the head with the
+            # rest of the buffer intact, so the caller can fix and retry
+            self._env.execute_sql(self._stmts[0])
+            self._stmts.pop(0)
+            n += 1
+        return n
