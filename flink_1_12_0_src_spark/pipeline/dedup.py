@@ -358,6 +358,83 @@ def winnow_fingerprint(
     )
 
 
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring duplication signal: per document, how much of it is
+    covered by token windows of length ``window`` that also occur in at least
+    ``min_docs - 1`` OTHER documents — the hashed-window approximation of
+    suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"; the reference engine's analog is the
+    dedup stage a Flink batch pipeline builds from flink-java groupBy, e.g.
+    `flink-java/src/main/java/org/apache/flink/api/java/operators/DistinctOperator.java:42`).
+
+    Output: (id, n_tokens, dup_windows, dup_tokens, dup_frac) for every
+    document — dup_windows counts this doc's window occurrences whose hash is
+    cross-doc duplicated, dup_tokens the distinct token positions those
+    windows cover, dup_frac = dup_tokens / n_tokens.
+
+    Scale shape (100 TB): window hashing is map-side and linear (one hash per
+    token position); the duplicated-hash set comes from ONE count-distinct
+    groupBy on the window hash (partial aggs apply); marking is an equi hash
+    join on the hash — output is linear in the number of duplicated window
+    occurrences, never quadratic in bucket size (unlike pair generation, no
+    self-join exists here). Coverage is an explode of exactly ``window`` ints
+    per duplicated occurrence + a per-doc distinct count.
+    """
+    base = _spread(df).select(
+        F.col(id_col), tokens(text_col).alias("w")
+    ).select(id_col, "w", F.size("w").alias("n_tokens"))
+    m = F.col("n_tokens") - F.lit(window - 1)
+    wins = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.array_join(F.slice("w", i, F.lit(window)), " ")).alias("gh"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+        ).alias("s"),
+    ).select(id_col, "n_tokens", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    dup = (
+        wins.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = wins.join(dup, "gh")
+    # one shuffle for both stats: per-group state is ≤ window × doc-length
+    # ints (the doc's own size class), so the list agg stays executor-safe
+    per_doc = hits.groupBy(id_col).agg(
+        F.count("*").alias("dup_windows"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.sequence("pos", F.col("pos") + window - 1)))
+            )
+        ).alias("dup_tokens"),
+    )
+    out = (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0)).cast("bigint").alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )
+    return out
+
+
 def decontaminate(
     df: DataFrame, bench: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

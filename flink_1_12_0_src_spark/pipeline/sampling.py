@@ -101,3 +101,56 @@ def shuffle_shard(df: DataFrame, id_col: str, seed: int = 77, n_shards: int = 16
         F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard_id"),
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+def temperature_sample(
+    df: DataFrame, id_col: str, group_col: str, seed: int = 7
+) -> DataFrame:
+    """Temperature-based domain mixing at T=2 (α=0.5): deterministically
+    downsample each source so its expected kept size is ∝ sqrt(n_g) — the
+    multilingual/multi-domain rebalancing rule (mBERT / XLM-R exponential
+    smoothing; The Pile / LLaMA source weighting), normalized so the smallest
+    group keeps everything: keep_p(g) = sqrt(min_n / n_g).
+
+    Bit-determinism across engines: the per-group probability uses only
+    count, MIN (order-independent), one IEEE divide and one correctly-rounded
+    sqrt — no floating SUM whose result depends on accumulation order. The
+    keep decision compares the first 8 md5 hex chars of the salted id against
+    a per-group fixed-width hex threshold (floor(keep_p·16^8), capped at
+    16^8−1), so membership is a pure function of (seed, id, group counts) and
+    is reproducible in any SQL engine.
+
+    Scale shape: one small count agg (|groups| rows) joined back by BROADCAST,
+    then a stateless filter — no wide shuffle of the corpus, no RNG state,
+    invariant to partitioning and re-runs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    thr = counts.crossJoin(broadcast(mn)).select(
+        group_col,
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(
+                        F.floor(
+                            F.sqrt(F.col("_mn").cast("double") / F.col("_n"))
+                            * F.lit(4294967296.0)
+                        ),
+                        F.lit(4294967295),
+                    )
+                )
+            ),
+            8,
+            "0",
+        ).alias("_thr"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(broadcast(thr), group_col)
+        .filter(h < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -148,6 +148,8 @@ _R04_NEW_LAST = (
     "fn_misc_suite",
     "text_bm25_topk",
     "knn_lsh_topk",
+    "dedup_exact_substring",
+    "dataset_temperature_mix",
 )
 
 

@@ -983,3 +983,80 @@ def dataset_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shard(table(spark, sf_dir, "documents"), "doc_id", seed=77).orderBy(
         "doc_id"
     )
+
+
+SPAN_WINDOW = 8  # token-window length for the exact-substring duplication signal
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+wp AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(1, greatest(len(w) - {SPAN_WINDOW - 1}, 0))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(w) - {SPAN_WINDOW - 1}, 0)),
+                i -> md5(array_to_string(w[i:i+{SPAN_WINDOW - 1}], ' ')))) AS gh
+  FROM base
+),
+dup AS (SELECT gh FROM wp GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT wp.doc_id, wp.pos FROM wp JOIN dup USING (gh)),
+stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows FROM hits GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT ti) AS BIGINT) AS dup_tokens
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + {SPAN_WINDOW - 1})) AS ti FROM hits)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(s.dup_windows, 0) AS dup_windows,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+FROM (SELECT doc_id, n_tokens FROM base) b
+LEFT JOIN stats s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup"),
+    doc=f"Exact-substring duplication signal (hashed {SPAN_WINDOW}-token windows "
+    "shared across ≥2 docs; Lee et al. 2022 ExactSubstr approximated for "
+    "map-side hashing): per-doc duplicated-window count, distinct covered "
+    "token positions, and coverage fraction. One window-hash groupBy + one "
+    "equi join — linear in duplicated occurrences, never a self-join.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import duplicated_spans
+
+    return duplicated_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", window=SPAN_WINDOW
+    ).orderBy("doc_id")
+
+
+@register(
+    "dataset_temperature_mix",
+    oracle="""
+WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS mn FROM n),
+thr AS (
+  SELECT lang,
+         lpad(lower(to_hex(least(CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * 4294967296.0) AS BIGINT),
+                                 4294967295))), 8, '0') AS t
+  FROM n, mn
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc="Temperature-based domain mixing at α=0.5: deterministic per-language "
+    "downsampling with keep_p = sqrt(min_n/n_lang) (mBERT/XLM-R-style "
+    "exponential smoothing normalized to the smallest group). Per-group "
+    "thresholds come from one tiny count agg broadcast back; membership is a "
+    "fixed-width hex-hash comparison — no floating SUM, no RNG state, "
+    "identical row set on any engine and any partitioning.",
+)
+def dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import temperature_sample
+
+    return temperature_sample(
+        table(spark, sf_dir, "documents"), "doc_id", "lang", seed=7
+    ).select("doc_id", "lang").orderBy("doc_id")

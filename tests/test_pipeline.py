@@ -246,3 +246,61 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     recall = len(a & b) / len(b)
     # 8 bands × 3 bits: a moderately-close neighbor collides in some band w.h.p.
     assert recall >= 0.7, f"sign-LSH recall@5 too low: {recall:.2f}"
+
+
+def test_duplicated_spans_flags_planted_substring(spark):
+    from flink_1_12_0_src_spark.pipeline.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " unique one tail here now extra pad"),
+        (2, "front matter words differ " + shared),
+        (3, "completely different text with no common span at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(df, "doc_id", "text", window=8).collect()
+    }
+    # docs 1 and 2 share exactly one 8-token window; doc 3 shares nothing
+    assert out[1]["dup_windows"] == 1 and out[2]["dup_windows"] == 1
+    assert out[1]["dup_tokens"] == 8 and out[2]["dup_tokens"] == 8
+    assert out[3]["dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert abs(out[1]["dup_frac"] - 8 / out[1]["n_tokens"]) < 1e-12
+
+
+def test_duplicated_spans_overlapping_windows_coverage_not_double_counted(spark):
+    from flink_1_12_0_src_spark.pipeline.dedup import duplicated_spans
+
+    # ten identical tokens → three shared 8-windows in both docs, but coverage
+    # is the distinct union (10 tokens), not 3×8
+    t = " ".join(["tok"] * 10)
+    df = spark.createDataFrame([(1, t + " xx yy"), (2, "aa " + t)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_spans(df, "doc_id", "text", window=8).collect()}
+    assert out[1]["dup_windows"] == 3
+    assert out[1]["dup_tokens"] == 10
+    assert out[2]["dup_tokens"] == 10
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark):
+    from flink_1_12_0_src_spark.pipeline.sampling import temperature_sample
+
+    # 1600 docs in 'big', 100 in 'small' → keep_p(big)=sqrt(100/1600)=0.25,
+    # keep_p(small)=1. Expected kept: ~400 vs exactly 100.
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1700)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = temperature_sample(df, "doc_id", "grp", seed=7).groupBy("grp").count()
+    got = {r["grp"]: r["count"] for r in kept.collect()}
+    assert got["small"] == 100  # smallest group keeps everything
+    assert 300 <= got["big"] <= 500  # binomial(1600, 0.25), generous bound
+
+
+def test_temperature_sample_is_deterministic_and_partition_invariant(spark):
+    from flink_1_12_0_src_spark.pipeline.sampling import temperature_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "grp"])
+    df2 = spark.createDataFrame(rows, ["doc_id", "grp"]).repartition(13)
+    a = sorted(r["doc_id"] for r in temperature_sample(df1, "doc_id", "grp").collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df2, "doc_id", "grp").collect())
+    assert a == b

@@ -160,3 +160,19 @@ def test_lsh_cap_single_band_shuffle(spark, sf_dir):
     assert "Window" in plan  # the census is a window count…
     # …and the candidate generation stays a plain equi self-join
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_broadcasts_thresholds(spark, sf_dir):
+    # the per-group threshold side is |groups| rows — it must broadcast so the
+    # corpus is filtered map-side with no wide shuffle of document rows
+    plan = _plan(spark, sf_dir, "dataset_temperature_mix")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_substring_two_phase_agg_no_selfjoin(spark, sf_dir):
+    # duplicated-hash detection is a partial-agg groupBy (map-side combine
+    # before the exchange) and marking is an equi join — never a cartesian
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
