@@ -378,3 +378,117 @@ def jaccard_similarity(
     finally:
         if materialize:
             ud.unpersist()
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_score: float = 0.0,
+    max_neighbor_degree: int | None = 4096,
+) -> DataFrame:
+    """Adamic-Adar vertex similarity (Gelly
+    …/graph/library/similarity/AdamicAdar.java): score(u, w) =
+    Σ_{z ∈ N(u)∩N(w)} 1/ln(deg(z)) — common neighbors weighted inversely by
+    how promiscuous they are.
+
+    Determinism: each term is rounded to 9 dp and accumulated as
+    DECIMAL(28,9), so the sum is exact and independent of partitioning/merge
+    order (a plain float SUM would be order-dependent); the final score casts
+    to DOUBLE once. Degree-1 neighbors are excluded up front (they cannot be
+    shared, and ln(1)=0 would blow up the weight).
+
+    Scale shape: identical to :func:`jaccard_similarity` — the pair explosion
+    comes only from the two-path self-join on the shared neighbor, and
+    neighbors above ``max_neighbor_degree`` are dropped before pairing (the
+    hub guard; a hub of degree B fans out B²/2 pairs). Weights are computed
+    from the FULL degree (before the cap filter), matching Gelly's use of the
+    actual vertex degree.
+    """
+    ud = _undirected(edges, src, dst)
+    nd = ud.groupBy("dst").agg(F.count("*").alias("_c"))
+    half = ud.join(nd, "dst").filter(F.col("_c") >= 2)
+    if max_neighbor_degree is not None:
+        half = half.filter(F.col("_c") <= max_neighbor_degree)
+    half = half.select(
+        "src",
+        "dst",
+        F.round(F.lit(1.0) / F.log(F.col("_c").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("_w"),
+    )
+    a, b = half.alias("a"), half.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("w"))
+        .agg(F.sum(F.col("a._w")).alias("_s"))
+    )
+    return pairs.select(
+        "u", "w", F.col("_s").cast("double").alias("aa_score")
+    ).filter(F.col("aa_score") >= min_score)
+
+
+def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected triadic census (Gelly
+    …/graph/library/clustering/undirected/TriadicCensus.java): one row with
+    the counts of vertex triples having 0, 1, 2 (open wedge) and 3 (triangle)
+    edges, via the closed-form identities
+        t3 = triangles,  t2 = W − 3·t3,  t1 = m·(n−2) − 2·W + 3·t3,
+        t0 = C(n,3) − t1 − t2 − t3,
+    where W = Σ_v C(deg(v), 2) is the triplet count — so the only heavy work
+    is the degree aggregation and the triangle enumeration (no triple-wise
+    scan; the same trick Gelly's implementation uses). Pure BIGINT
+    arithmetic, bit-identical on any engine. Input must be a canonical
+    ``src < dst`` distinct edge list. At extreme vertex counts (n ≳ 3·10⁶ per
+    component set) C(n,3) needs DECIMAL widening — same limit as Gelly's
+    long-based census."""
+    deg = (
+        _undirected(edges, src, dst)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("d"))
+    )
+    nm = deg.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(d) div 2").alias("m"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges"),
+    )
+    t3 = (
+        triangle_counts(edges, src, dst)
+        .agg(F.expr("coalesce(sum(n_triangles), 0) div 3").alias("t3"))
+    )
+    return nm.crossJoin(t3).select(
+        F.col("n").cast("bigint").alias("n_vertices"),
+        F.col("m").alias("n_edges"),
+        (
+            F.expr("n * (n - 1) * (n - 2) div 6")
+            - (F.col("m") * (F.col("n") - 2) - 2 * F.col("wedges") + 3 * F.col("t3"))
+            - (F.col("wedges") - 3 * F.col("t3"))
+            - F.col("t3")
+        ).cast("bigint").alias("t0"),
+        (F.col("m") * (F.col("n") - 2) - 2 * F.col("wedges") + 3 * F.col("t3"))
+        .cast("bigint")
+        .alias("t1"),
+        (F.col("wedges") - 3 * F.col("t3")).cast("bigint").alias("t2"),
+        F.col("t3").alias("t3"),
+    )
+
+
+def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected vertex metrics (Gelly
+    …/graph/library/metric/undirected/VertexMetrics.java): single-row summary
+    — vertex count, edge count, triplet count W = Σ C(d,2), maximum degree,
+    maximum triplets, and average degree 2m/n (one exact IEEE divide; every
+    other column is integral). One degree aggregation, no joins."""
+    deg = (
+        _undirected(edges, src, dst)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_triplets"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.max(F.expr("d * (d - 1) div 2")).alias("max_triplets"),
+        (F.sum("d").cast("double") / F.count("*")).alias("avg_degree"),
+    )

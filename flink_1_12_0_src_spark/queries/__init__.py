@@ -150,6 +150,9 @@ _R04_NEW_LAST = (
     "knn_lsh_topk",
     "dedup_exact_substring",
     "dataset_temperature_mix",
+    "graph_adamic_adar",
+    "graph_triadic_census",
+    "graph_vertex_metrics",
 )
 
 

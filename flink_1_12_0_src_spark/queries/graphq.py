@@ -360,3 +360,119 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import jaccard_similarity
 
     return jaccard_similarity(_edges(spark, sf_dir), min_jaccard=0.34).orderBy("u", "w")
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nd AS (SELECT dst, COUNT(*) AS c FROM ud GROUP BY dst),
+half AS (
+  SELECT ud.src, ud.dst, CAST(round(1.0 / ln(c), 9) AS DECIMAL(28,9)) AS wt
+  FROM ud JOIN nd USING (dst) WHERE c BETWEEN 2 AND 4096
+),
+pairs AS (
+  SELECT a.src AS u, b.src AS w, SUM(a.wt) AS s
+  FROM half a JOIN half b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, w, CAST(s AS DOUBLE) AS aa_score FROM pairs
+WHERE CAST(s AS DOUBLE) >= 40.0 ORDER BY u, w
+""",
+    tags=("graph", "gelly", "self_join"),
+    doc="Gelly AdamicAdar (…/graph/library/similarity/AdamicAdar.java): "
+    "common-neighbor pairs on the part-supplier graph weighted 1/ln(deg) of "
+    "the shared neighbor, score >= 40 emitted. Terms rounded to 9 dp and "
+    "DECIMAL-accumulated so the sum is partitioning-invariant; hub neighbors "
+    "above degree 4096 dropped before pairing (skew guard, mirrored in the "
+    "oracle). Engine path: operators/graph.py adamic_adar.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_edges(spark, sf_dir), min_score=40.0).orderBy("u", "w")
+
+
+@register(
+    "graph_triadic_census",
+    oracle=f"""
+WITH pe AS ({_COORDER_EDGES_SQL}),
+ud AS (SELECT p1 AS src, p2 AS dst FROM pe UNION SELECT p2, p1 FROM pe),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM ud GROUP BY src),
+nm AS (SELECT COUNT(*) AS n, SUM(d) // 2 AS m, SUM(d * (d - 1) // 2) AS wedges FROM deg),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pe e1 JOIN pe e2 ON e1.p2 = e2.p1
+             JOIN pe e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+t AS (SELECT COUNT(*) AS t3 FROM tri)
+SELECT CAST(n AS BIGINT) AS n_vertices, CAST(m AS BIGINT) AS n_edges,
+       CAST(n * (n - 1) * (n - 2) // 6
+            - (m * (n - 2) - 2 * wedges + 3 * t3)
+            - (wedges - 3 * t3) - t3 AS BIGINT) AS t0,
+       CAST(m * (n - 2) - 2 * wedges + 3 * t3 AS BIGINT) AS t1,
+       CAST(wedges - 3 * t3 AS BIGINT) AS t2,
+       CAST(t3 AS BIGINT) AS t3
+FROM nm, t
+""",
+    tags=("graph", "gelly"),
+    doc="Gelly undirected TriadicCensus "
+    "(…/library/clustering/undirected/TriadicCensus.java): triple counts by "
+    "edge multiplicity from the closed-form identities over degrees, edge "
+    "count and triangle count — no triple-wise scan; pure BIGINT arithmetic. "
+    "Engine path: operators/graph.py triadic_census.",
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import triadic_census
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triadic_census(pe)
+
+
+@register(
+    "graph_vertex_metrics",
+    oracle=f"""
+WITH pe AS ({_COORDER_EDGES_SQL}),
+ud AS (SELECT p1 AS src, p2 AS dst FROM pe UNION SELECT p2, p1 FROM pe),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM ud GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+       CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_triplets,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(MAX(d * (d - 1) // 2) AS BIGINT) AS max_triplets,
+       CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_degree
+FROM deg
+""",
+    tags=("graph", "gelly"),
+    doc="Gelly undirected VertexMetrics "
+    "(…/library/metric/undirected/VertexMetrics.java): single-row graph "
+    "summary — vertex/edge/triplet counts, max degree/triplets, average "
+    "degree. One degree aggregation; every column integral except the one "
+    "exact IEEE divide. Engine path: operators/graph.py vertex_metrics.",
+)
+def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import vertex_metrics
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return vertex_metrics(pe)

@@ -250,3 +250,59 @@ def test_jaccard_hub_degree_cap_bounds_pair_fanout(spark):
     got = {(r["u"], r["w"]): r["jaccard"] for r in capped.collect()}
     assert all(not (u < 60 and w < 60) for u, w in got), "hub leaked pairs"
     assert got.get((100, 101)) == 1.0
+
+
+def test_triadic_census_closed_form_on_known_graph(spark):
+    from flink_1_12_0_src_spark.operators.graph import triadic_census
+
+    # K3 plus a pendant vertex: 1-2, 1-3, 2-3, 3-4  (n=4, m=4)
+    # triples: {1,2,3}=triangle; {1,2,4}=1 edge; {1,3,4}=2 edges; {2,3,4}=2 edges
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    row = triadic_census(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"]) == (4, 4)
+    assert (row["t0"], row["t1"], row["t2"], row["t3"]) == (0, 1, 2, 1)
+
+
+def test_vertex_metrics_on_known_graph(spark):
+    from flink_1_12_0_src_spark.operators.graph import vertex_metrics
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    row = vertex_metrics(edges).collect()[0]
+    # degrees: 1→2, 2→2, 3→3, 4→1 ⇒ triplets: 1+1+3+0 = 5
+    assert (row["n_vertices"], row["n_edges"], row["n_triplets"]) == (4, 4, 5)
+    assert (row["max_degree"], row["max_triplets"]) == (3, 3)
+    assert abs(row["avg_degree"] - 2.0) < 1e-12
+
+
+def test_adamic_adar_matches_hand_computation(spark):
+    import math
+
+    from flink_1_12_0_src_spark.operators.graph import adamic_adar
+
+    # 1 and 2 share neighbors 10 (deg 2) and 11 (deg 3); 3 touches 11 only
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)], ["src", "dst"]
+    )
+    rows = {(r["u"], r["w"]): r["aa_score"] for r in adamic_adar(edges).collect()}
+    expect_12 = round(1 / math.log(2), 9) + round(1 / math.log(3), 9)
+    assert abs(rows[(1, 2)] - expect_12) < 1e-9
+    assert abs(rows[(1, 3)] - round(1 / math.log(3), 9)) < 1e-9
+    # degree-1 neighbors contribute nothing and cause no ln(1) blow-up
+    edges2 = spark.createDataFrame([(1, 10), (2, 11)], ["src", "dst"])
+    assert adamic_adar(edges2).count() == 0
+
+
+def test_adamic_adar_hub_cap_drops_hot_neighbor(spark):
+    from flink_1_12_0_src_spark.operators.graph import adamic_adar
+
+    # hub 99 connects 12 vertices; with the cap at 4 it no longer acts as a
+    # SHARED neighbor (no 12²/2 pair fan-out among its neighborhood), though
+    # it still appears as a pair endpoint via low-degree shared neighbors
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(12)] + [(1, 10), (2, 10)], ["src", "dst"]
+    )
+    out = {(r["u"], r["w"]) for r in adamic_adar(edges, max_neighbor_degree=4).collect()}
+    assert out == {(1, 2), (1, 99), (2, 99), (10, 99)}
+    # uncapped, the hub fans out C(12,2) = 66 pairs among its neighborhood
+    # (one of which, (1,2), also arises via z=10), plus the 3 hub-endpoint pairs
+    assert len({(r["u"], r["w"]) for r in adamic_adar(edges).collect()}) == 69
