@@ -492,3 +492,81 @@ def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.max(F.expr("d * (d - 1) div 2")).alias("max_triplets"),
         (F.sum("d").cast("double") / F.count("*")).alias("avg_degree"),
     )
+
+
+def community_detection(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 4,
+    delta: str = "0.6",
+) -> DataFrame:
+    """Gelly CommunityDetection (…/graph/library/CommunityDetection.java,
+    Leung et al. hop-attenuated label propagation): each vertex starts as its
+    own community with score 1.0; per superstep every vertex adopts the label
+    with the highest SUM of received scores (smallest label on ties — the
+    TreeMap-ascending + strict-greater scan in the reference), its new score
+    is the MAX single received score of that label, attenuated by
+    delta/superstep when the label changed. Vertices receiving no messages
+    keep their value.
+
+    Determinism: all score arithmetic runs in DECIMAL(28,9). With the default
+    ``delta='0.6'`` every attenuation delta/i for i ≤ 4 is a finite decimal
+    (0.6, 0.3, 0.2, 0.15), so scores stay exact and the result is identical
+    on any engine and any partitioning — the reason the default differs from
+    Gelly's 0.5 (0.5/3 is non-terminating; the mechanism is unchanged).
+
+    Scale shape: per superstep one join (messages along edges) + one
+    two-level aggregation, the same O(V+E) scatter-gather round Gelly runs;
+    the driver loop truncates lineage with localCheckpoint per iteration like
+    the other fixpoints in this module."""
+    ud = _undirected(edges, src, dst).persist()
+    try:
+        state = (
+            ud.select(F.col("src").alias("v"))
+            .distinct()
+            .select(
+                "v",
+                F.col("v").cast("bigint").alias("label"),
+                F.lit("1.0").cast("decimal(28,9)").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        from decimal import Decimal
+
+        for i in range(1, max_iterations + 1):
+            # attenuation as an exact 9-dp literal (same literal the SQL
+            # oracle embeds), so engine-side decimal division never appears
+            att_str = str(
+                (Decimal(delta) / i).quantize(Decimal("0.000000001"))
+            )
+            att = F.lit(att_str).cast("decimal(28,9)")
+            msgs = state.join(ud, state["v"] == ud["src"]).select(
+                ud["dst"].alias("v"), "label", F.col("score").alias("msg")
+            )
+            per_label = msgs.groupBy("v", "label").agg(
+                F.sum("msg").alias("s"), F.max("msg").alias("mx")
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("v").orderBy(F.col("s").desc(), F.col("label").asc())
+            pick = (
+                per_label.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("v", F.col("label").alias("new_label"), F.col("mx").alias("new_mx"))
+            )
+            state = (
+                state.join(pick, "v", "left")
+                .select(
+                    "v",
+                    F.coalesce("new_label", "label").alias("label"),
+                    F.when(F.col("new_label").isNull(), F.col("score"))
+                    .when(F.col("new_label") == F.col("label"), F.col("new_mx"))
+                    .otherwise((F.col("new_mx") - att).cast("decimal(28,9)"))
+                    .alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state.select("v", "label")
+    finally:
+        ud.unpersist()

@@ -153,6 +153,7 @@ _R04_NEW_LAST = (
     "graph_adamic_adar",
     "graph_triadic_census",
     "graph_vertex_metrics",
+    "graph_community_detection",
 )
 
 

@@ -476,3 +476,61 @@ def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return vertex_metrics(pe)
+
+
+def _community_oracle(rounds: int = 4, delta: str = "0.6") -> str:
+    """Unrolled hop-attenuated label propagation (Gelly CommunityDetection):
+    per round, per-vertex argmax of SUMmed neighbor scores (smallest label on
+    ties), rescored to the MAX single message minus delta/round on change.
+    All score arithmetic in DECIMAL(28,9) with the attenuation embedded as an
+    exact 9-dp literal — bit-identical to the engine loop."""
+    from decimal import Decimal
+
+    sql = f"""
+WITH e AS MATERIALIZED ({_EDGES_SQL}),
+ud AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+s0 AS (SELECT DISTINCT src AS v, CAST(src AS BIGINT) AS label,
+              CAST(1.0 AS DECIMAL(28,9)) AS score FROM ud)"""
+    for i in range(1, rounds + 1):
+        att = str((Decimal(delta) / i).quantize(Decimal("0.000000001")))
+        sql += f""",
+m{i} AS (SELECT ud.dst AS v, l.label, l.score AS msg
+         FROM s{i - 1} l JOIN ud ON ud.src = l.v),
+pl{i} AS (SELECT v, label, SUM(msg) AS sm, MAX(msg) AS mx FROM m{i} GROUP BY v, label),
+pk{i} AS (SELECT v, label AS nl, mx FROM (
+            SELECT v, label, mx,
+                   ROW_NUMBER() OVER (PARTITION BY v ORDER BY sm DESC, label ASC) AS rn
+            FROM pl{i}) WHERE rn = 1),
+s{i} AS (SELECT p.v, COALESCE(k.nl, p.label) AS label,
+                CAST(CASE WHEN k.nl IS NULL THEN p.score
+                          WHEN k.nl = p.label THEN k.mx
+                          ELSE k.mx - CAST({att} AS DECIMAL(28,9)) END
+                     AS DECIMAL(28,9)) AS score
+         FROM s{i - 1} p LEFT JOIN pk{i} k USING (v))"""
+    sql += f"""
+SELECT v, label AS community FROM s{rounds} ORDER BY v"""
+    return sql
+
+
+@register(
+    "graph_community_detection",
+    oracle=_community_oracle(),
+    tags=("graph", "gelly", "iterative"),
+    doc="Gelly CommunityDetection (…/graph/library/CommunityDetection.java, "
+    "Leung et al. hop-attenuated label propagation), 4 supersteps on the "
+    "part-supplier graph: adopt the label with the highest SUM of received "
+    "scores (smallest label on ties — the reference's TreeMap-ascending "
+    "scan), rescore to the MAX single message, attenuate by delta/superstep "
+    "on change. delta=0.6 keeps every attenuation a finite decimal so the "
+    "DECIMAL(28,9) arithmetic is exact on both engines. Engine path: "
+    "operators/graph.py community_detection (per-superstep join + two-level "
+    "agg, localCheckpoint lineage truncation).",
+)
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import community_detection
+
+    return (
+        community_detection(_edges(spark, sf_dir), max_iterations=4, delta="0.6")
+        .withColumnRenamed("label", "community")
+        .orderBy("v")
+    )

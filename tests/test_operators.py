@@ -306,3 +306,29 @@ def test_adamic_adar_hub_cap_drops_hot_neighbor(spark):
     # uncapped, the hub fans out C(12,2) = 66 pairs among its neighborhood
     # (one of which, (1,2), also arises via z=10), plus the 3 hub-endpoint pairs
     assert len({(r["u"], r["w"]) for r in adamic_adar(edges).collect()}) == 69
+
+
+def test_community_detection_two_cliques_converge(spark):
+    from flink_1_12_0_src_spark.operators.graph import community_detection
+
+    # two triangles bridged by one edge: each clique should agree on its
+    # smallest member's label; the attenuated scores keep the bridge from
+    # merging them in 4 supersteps
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    out = {r["v"]: r["label"] for r in community_detection(edges).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+
+
+def test_community_detection_deterministic_across_partitioning(spark):
+    from flink_1_12_0_src_spark.operators.graph import community_detection
+
+    rows = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23]
+    a = spark.createDataFrame(rows, ["src", "dst"])
+    b = spark.createDataFrame(rows, ["src", "dst"]).repartition(17)
+    ra = sorted(map(tuple, community_detection(a).collect()))
+    rb = sorted(map(tuple, community_detection(b).collect()))
+    assert ra == rb

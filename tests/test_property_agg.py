@@ -62,3 +62,34 @@ def test_agg_function_parity(spark, data):
     }
     con.close()
     assert got == want
+
+
+EDGE_SETS = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(es=EDGE_SETS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triadic_census_matches_bruteforce(spark, es):
+    from itertools import combinations
+
+    from flink_1_12_0_src_spark.operators.graph import triadic_census
+
+    if not es:
+        return
+    verts = sorted({v for e in es for v in e})
+    counts = [0, 0, 0, 0]
+    for triple in combinations(verts, 3):
+        k = sum(
+            1
+            for a, b in combinations(sorted(triple), 2)
+            if (a, b) in es
+        )
+        counts[k] += 1
+    df = spark.createDataFrame(sorted(es), ["src", "dst"])
+    row = triadic_census(df).collect()[0]
+    assert (row["t0"], row["t1"], row["t2"], row["t3"]) == tuple(counts)
+    assert row["n_vertices"] == len(verts) and row["n_edges"] == len(es)
