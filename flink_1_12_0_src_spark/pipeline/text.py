@@ -325,3 +325,43 @@ def bm25_topk(
         "rk",
         F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col))).cast("int"),
     ).select("rk", id_col, "score")
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average unigram negative log-probability — the
+    perplexity-proxy quality filter of CCNet/RedPajama-style pipelines (a
+    corpus-trained unigram LM standing in for KenLM, which is not in this
+    environment): nll(doc) = (Σ_t −ln(count(t)/total)) / n_tokens. High
+    values mean the document is full of corpus-rare tokens (gibberish, OCR
+    noise); low values mean boilerplate.
+
+    Determinism: each token's −ln(p) is rounded to 9 dp and accumulated in
+    DECIMAL(28,9); the per-doc mean is one exact IEEE divide at the end — the
+    same partitioning-invariant float recipe as Adamic-Adar.
+
+    Shape at 100 TB: ONE corpus scan for the vocabulary counts (explode +
+    count groupBy, partial aggs map-side), then the scoring scan re-joins
+    tokens to the vocab on the term hash — a plain equi hash join that AQE
+    handles; the total-token scalar is a literal. No Python UDFs, no window
+    over the full corpus."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = toks.count()  # one scalar to the driver; a literal in the plan
+    nll_term = F.round(
+        -F.log(F.col("c").cast("double") / F.lit(float(total))), 9
+    ).cast("decimal(28,9)")
+    scored = toks.join(vocab, "term").select(F.col(id_col), nll_term.alias("_nll"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("_nll").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_s").cast("double") / F.col("n_tokens")).alias("avg_nll"),
+        )
+    )

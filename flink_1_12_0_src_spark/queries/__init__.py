@@ -154,6 +154,7 @@ _R04_NEW_LAST = (
     "graph_triadic_census",
     "graph_vertex_metrics",
     "graph_community_detection",
+    "text_unigram_logppl",
 )
 
 

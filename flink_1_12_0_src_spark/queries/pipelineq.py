@@ -1060,3 +1060,37 @@ def dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         table(spark, sf_dir, "documents"), "doc_id", "lang", seed=7
     ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logppl",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM t),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(CAST(c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM total)), 9)
+              AS DECIMAL(28,9)) AS nll
+  FROM t JOIN vocab USING (term)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+    doc="Perplexity-proxy quality filter: per-document average unigram "
+    "negative log-probability under the corpus's own unigram LM (the "
+    "CCNet/RedPajama KenLM-filter shape without external models). Per-token "
+    "-ln(p) rounded to 9 dp and DECIMAL-accumulated — partitioning-invariant; "
+    "one vocab scan + one equi-join scoring scan, no UDFs.",
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )

@@ -304,3 +304,16 @@ def test_temperature_sample_is_deterministic_and_partition_invariant(spark):
     a = sorted(r["doc_id"] for r in temperature_sample(df1, "doc_id", "grp").collect())
     b = sorted(r["doc_id"] for r in temperature_sample(df2, "doc_id", "grp").collect())
     assert a == b
+
+
+def test_unigram_logppl_scores_rare_tokens_higher(spark):
+    from flink_1_12_0_src_spark.pipeline.text import unigram_logprob
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common rare1 rare2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[2] > out[1]  # rare tokens → higher surprise
+    assert out[1] > 0
