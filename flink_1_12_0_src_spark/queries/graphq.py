@@ -18,6 +18,17 @@ from flink_1_12_0_src_spark.queries import register
 
 _EDGES_SQL = "SELECT DISTINCT l_partkey AS src, -(l_suppkey + 1) AS dst FROM lineitem"
 
+_ORDER_EDGES_SQL = "SELECT DISTINCT l_partkey AS src, -(l_orderkey + 1) AS dst FROM lineitem"
+
+
+def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("src"), (-(F.col("l_orderkey") + 1)).alias("dst")
+    ).distinct()
+
+
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -332,7 +343,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_jaccard_similarity",
     oracle=f"""
-WITH e AS ({_EDGES_SQL}),
+WITH e AS ({_ORDER_EDGES_SQL}),
 ud0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 nd AS (SELECT dst, COUNT(*) AS c FROM ud0 GROUP BY dst),
 ud AS (SELECT ud0.* FROM ud0 JOIN nd USING (dst) WHERE c <= 4096),
@@ -349,8 +360,10 @@ ORDER BY u, w
 """,
     tags=("graph", "gelly", "self_join"),
     doc="Gelly JaccardIndex (…/graph/library/similarity/JaccardIndex.java): "
-    "co-neighbor pairs from the two-path self-join on the part–supplier "
-    "graph, intersection counted in one groupBy, union closed by "
+    "co-neighbor pairs from the two-path self-join on the part-ORDER "
+    "bipartite graph (bounded order size keeps the deg² pairing fan-out "
+    "linear in corpus size; the part-supplier host measured 0 surviving "
+    "pairs and quadratic cost at sf0.1), intersection counted in one groupBy, union closed by "
     "inclusion-exclusion over degrees; J ≥ 0.34 pairs emitted (round-1 ask "
     "#9). Hub vertices above degree 4096 are dropped from every neighbor "
     "set before pairing (skew guard, mirrored in the oracle). Engine path: "
@@ -359,13 +372,15 @@ ORDER BY u, w
 def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import jaccard_similarity
 
-    return jaccard_similarity(_edges(spark, sf_dir), min_jaccard=0.34).orderBy("u", "w")
+    return jaccard_similarity(_order_edges(spark, sf_dir), min_jaccard=0.34).orderBy(
+        "u", "w"
+    )
 
 
 @register(
     "graph_adamic_adar",
     oracle=f"""
-WITH e AS ({_EDGES_SQL}),
+WITH e AS ({_ORDER_EDGES_SQL}),
 ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 nd AS (SELECT dst, COUNT(*) AS c FROM ud GROUP BY dst),
 half AS (
@@ -378,20 +393,24 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT u, w, CAST(s AS DOUBLE) AS aa_score FROM pairs
-WHERE CAST(s AS DOUBLE) >= 40.0 ORDER BY u, w
+WHERE CAST(s AS DOUBLE) >= 1.8 ORDER BY u, w
 """,
     tags=("graph", "gelly", "self_join"),
     doc="Gelly AdamicAdar (…/graph/library/similarity/AdamicAdar.java): "
-    "common-neighbor pairs on the part-supplier graph weighted 1/ln(deg) of "
-    "the shared neighbor, score >= 40 emitted. Terms rounded to 9 dp and "
-    "DECIMAL-accumulated so the sum is partitioning-invariant; hub neighbors "
-    "above degree 4096 dropped before pairing (skew guard, mirrored in the "
-    "oracle). Engine path: operators/graph.py adamic_adar.",
+    "common-neighbor pairs on the part-ORDER bipartite graph weighted "
+    "1/ln(deg) of the shared neighbor, score >= 1.8 emitted. The host graph "
+    "matters at scale: shared-neighbor fan-out is deg², and order size is "
+    "bounded (~7 lines) while supplier degree grows into the hundreds — on "
+    "the part-supplier graph this same query measured 67x slower at sf0.1 "
+    "with ZERO surviving pairs. Terms rounded to 9 dp and DECIMAL-"
+    "accumulated (partitioning-invariant); hub neighbors above degree 4096 "
+    "dropped before pairing (skew guard, mirrored in the oracle). Engine "
+    "path: operators/graph.py adamic_adar.",
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import adamic_adar
 
-    return adamic_adar(_edges(spark, sf_dir), min_score=40.0).orderBy("u", "w")
+    return adamic_adar(_order_edges(spark, sf_dir), min_score=1.8).orderBy("u", "w")
 
 
 @register(
