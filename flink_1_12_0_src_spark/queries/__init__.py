@@ -155,6 +155,8 @@ _R04_NEW_LAST = (
     "graph_vertex_metrics",
     "graph_community_detection",
     "text_unigram_logppl",
+    "tableapi_tumble_window",
+    "tableapi_over_window",
 )
 
 

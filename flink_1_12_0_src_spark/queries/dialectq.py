@@ -965,3 +965,69 @@ def tableapi_temporal_fn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "user_id", "p_ts", "rate")
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "tableapi_tumble_window",
+    oracle="""
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       COUNT(event_id) AS cnt
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+    tags=("dialect", "table_api", "window"),
+    doc="Table API group window (Tumble.java:42 + GroupWindowedTable.java: "
+    "window(Tumble.over('1.hours').on('ts').alias('w')).group_by('w, "
+    "event_type').select('…, w.start, vdec.sum')): the fluent facade lowers "
+    "the window alias to Spark's window() struct and w.start/w.end to field "
+    "accesses on the group key. Money sums in DECIMAL, surfaced as DOUBLE.",
+)
+def tableapi_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.table_api import Tumble, from_dataframe
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        from_dataframe(ev)
+        .add_columns("CAST(value AS DECIMAL(18,6)) AS vdec")
+        .window(Tumble.over("1.hours").on("ts").alias("w"))
+        .group_by("w, event_type")
+        .select("event_type, w.start AS window_start, vdec.sum AS total, event_id.count AS cnt")
+        .select("event_type, window_start, CAST(total AS DOUBLE) AS total, cnt")
+        .order_by("window_start, event_type")
+        .to_df()
+    )
+
+
+@register(
+    "tableapi_over_window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+FROM events ORDER BY event_id
+""",
+    tags=("dialect", "table_api", "over"),
+    doc="Table API OVER window (Over.java:45 + OverWindowedTable.java: "
+    "window(Over.partition_by('user_id').order_by('ts')"
+    ".preceding('unbounded_range').alias('ow')).select('…, vdec.sum over "
+    "ow')): RANGE UNBOUNDED PRECEDING is Spark's default ordered frame, so "
+    "the facade emits a plain Window spec — peer rows (ts ties) aggregate "
+    "together on both engines. DECIMAL accumulation, DOUBLE surface.",
+)
+def tableapi_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.table_api import Over, from_dataframe
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        from_dataframe(ev)
+        .add_columns("CAST(value AS DECIMAL(18,6)) AS vdec")
+        .window(
+            Over.partition_by("user_id").order_by("ts").preceding("unbounded_range").alias("ow")
+        )
+        .select("event_id, user_id, vdec.sum over ow AS rs")
+        .select("event_id, user_id, CAST(rs AS DOUBLE) AS run_sum")
+        .order_by("event_id")
+        .to_df()
+    )

@@ -90,31 +90,31 @@ class Table:
         parts = _split_exprs(exprs)
         if self._group is not None:
             keys = [k.strip() for k in self._group]
-            aggs = []
+            aggs, finals = [], []
             for p in parts:
-                if p.strip() in keys:
-                    continue
-                if not _POSTFIX_RE.match(_ALIAS_RE.sub(r"\1", p).strip()):
+                bare = _ALIAS_RE.sub(r"\1", p).strip()
+                am = _ALIAS_RE.match(p)
+                name = am.group(2) if am else p.strip()
+                if bare in keys:
+                    finals.append(F.expr(bare).alias(name) if name != bare else F.col(bare))
+                elif _POSTFIX_RE.match(bare):
+                    # postfix aggregate; unaliased ones get a dot-free name
+                    # ('value.sum' → 'value_sum'), Flink's EXPR$n analog
+                    out_name = name if am else name.replace(".", "_").replace("()", "")
+                    aggs.append(_expr(bare).alias(out_name))
+                    finals.append(F.col(out_name))
+                elif bare.split(".", 1)[0] in keys:
+                    # group-key-derived field access, e.g. 'w.start' on a
+                    # group window alias (GroupWindowedTable.java select)
+                    finals.append(F.expr(bare).alias(name))
+                else:
                     raise ValueError(
                         f"grouped select expression {p.strip()!r} is neither a "
-                        "group key nor a postfix aggregate (col.sum / "
-                        "col.avg / …)"
+                        "group key, a key-derived field (w.start / w.end), nor "
+                        "a postfix aggregate (col.sum / col.avg / …)"
                     )
-                aggs.append(_expr(p))
             out = self._df.groupBy(*[F.expr(k) for k in keys]).agg(*aggs)
-            # re-order columns to the select order
-            wanted = []
-            for p in parts:
-                name = _ALIAS_RE.match(p).group(2) if _ALIAS_RE.match(p) else p.strip()
-                wanted.append(name)
-            missing = [c for c in wanted if c not in out.columns]
-            if missing:
-                raise ValueError(
-                    f"grouped select columns {missing} not present in the "
-                    f"aggregate output {out.columns}; alias aggregates "
-                    "('col.sum as name') to the names you select"
-                )
-            return Table(out.select(*wanted))
+            return Table(out.select(*finals))
         return Table(self._df.select(*[_expr(p) for p in parts]))
 
     def filter(self, predicate: str) -> "Table":
@@ -147,6 +147,15 @@ class Table:
     # -- aggregation -------------------------------------------------------
     def group_by(self, keys: str) -> "Table":
         return Table(self._df, group_exprs=_split_exprs(keys))
+
+    def window(self, win) -> "GroupWindowedTable | OverWindowedTable":
+        """Table.window(Tumble/Slide/Session…alias) → GroupWindowedTable;
+        Table.window(Over…alias) → OverWindowedTable (Table.java:929,960)."""
+        if isinstance(win, _OverWindow):
+            return OverWindowedTable(self._df, win)
+        if isinstance(win, _GroupWindow):
+            return GroupWindowedTable(self._df, win)
+        raise TypeError(f"window() wants a Tumble/Slide/Session/Over window, got {type(win)}")
 
     def distinct(self) -> "Table":
         return Table(self._df.distinct())
@@ -225,3 +234,177 @@ def _col_name(c: Column) -> str:
 def from_dataframe(df: DataFrame) -> Table:
     """TableEnvironment.fromDataStream / from_path analog."""
     return Table(df)
+
+
+# ---------------------------------------------------------------------------
+# Group windows + OVER windows (Flink 1.12 Table API:
+# flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/
+# {Tumble,Slide,Session,Over}.java + GroupWindowedTable/OverWindowedTable;
+# string DSL per the 1.12 docs: Tumble.over("1.hours").on("ts").alias("w"))
+# ---------------------------------------------------------------------------
+
+_DURATION_RE = re.compile(r"^\s*(\d+)\s*\.\s*(millis|seconds?|minutes?|hours?|days?)\s*$", re.I)
+
+
+def _duration(spec: str) -> str:
+    """'10.minutes' → '10 minutes' (Spark interval string)."""
+    m = _DURATION_RE.match(spec)
+    if not m:
+        raise ValueError(f"unparseable window duration: {spec!r} (want e.g. '10.minutes')")
+    unit = m.group(2).lower()
+    unit = {"millis": "milliseconds"}.get(unit, unit if unit.endswith("s") else unit + "s")
+    return f"{m.group(1)} {unit}"
+
+
+class _GroupWindow:
+    def __init__(self, kind: str, size: str | None, slide: str | None, time_col: str | None, name: str | None):
+        self.kind, self.size, self.slide, self.time_col, self.name = kind, size, slide, time_col, name
+
+    def on(self, time_col: str) -> "_GroupWindow":
+        self.time_col = time_col.strip()
+        return self
+
+    def alias(self, name: str) -> "_GroupWindow":
+        self.name = name.strip()
+        return self
+
+    def _column(self) -> Column:
+        if not (self.time_col and self.name):
+            raise ValueError("group window needs .on(time_col) and .alias(name)")
+        if self.kind == "tumble":
+            return F.window(self.time_col, _duration(self.size))
+        if self.kind == "slide":
+            return F.window(self.time_col, _duration(self.size), _duration(self.slide))
+        return F.session_window(self.time_col, _duration(self.size))
+
+
+class Tumble:
+    """Tumble.over("1.hours").on("ts").alias("w") (Tumble.java:42)."""
+
+    @staticmethod
+    def over(size: str) -> _GroupWindow:
+        return _GroupWindow("tumble", size, None, None, None)
+
+
+class Slide:
+    """Slide.over("1.hours").every("15.minutes").on("ts").alias("w") (Slide.java:47)."""
+
+    @staticmethod
+    def over(size: str) -> "_SlideB":
+        return _SlideB(size)
+
+
+class _SlideB:
+    def __init__(self, size: str):
+        self._size = size
+
+    def every(self, slide: str) -> _GroupWindow:
+        return _GroupWindow("slide", self._size, slide, None, None)
+
+
+class Session:
+    """Session.with_gap("5.minutes").on("ts").alias("w") (Session.java:41)."""
+
+    @staticmethod
+    def with_gap(gap: str) -> _GroupWindow:
+        return _GroupWindow("session", gap, None, None, None)
+
+
+class _OverWindow:
+    def __init__(self):
+        self.partition_keys: list[str] = []
+        self.order_col: str | None = None
+        self.preceding_spec: str = "unbounded_range"
+        self.name: str | None = None
+
+    def order_by(self, col: str) -> "_OverWindow":
+        self.order_col = col.strip()
+        return self
+
+    def preceding(self, spec: str) -> "_OverWindow":
+        self.preceding_spec = spec.strip().lower()
+        return self
+
+    def alias(self, name: str) -> "_OverWindow":
+        self.name = name.strip()
+        return self
+
+    def _spec(self):
+        from pyspark.sql import Window as W
+
+        if not (self.order_col and self.name):
+            raise ValueError("over window needs .order_by(time_col) and .alias(name)")
+        w = W.partitionBy(*[F.expr(k) for k in self.partition_keys]) if self.partition_keys else W.partitionBy()
+        w = w.orderBy(self.order_col)
+        s = self.preceding_spec
+        if s == "unbounded_range":
+            return w  # Spark's default frame IS RANGE UNBOUNDED PRECEDING..CURRENT ROW
+        if s == "unbounded_row":
+            return w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        m = re.match(r"^(\d+)\.rows$", s)
+        if m:
+            return w.rowsBetween(-int(m.group(1)), W.currentRow)
+        raise ValueError(f"unsupported preceding spec: {self.preceding_spec!r}")
+
+
+class Over:
+    """Over.partition_by("k").order_by("ts").preceding("unbounded_range").alias("ow")
+    (Over.java:45; OverWindowPartitionedOrderedPreceding)."""
+
+    @staticmethod
+    def partition_by(keys: str) -> _OverWindow:
+        ow = _OverWindow()
+        ow.partition_keys = [k.strip() for k in keys.split(",")]
+        return ow
+
+    @staticmethod
+    def order_by(col: str) -> _OverWindow:
+        return _OverWindow().order_by(col)
+
+
+_OVER_RE = re.compile(r"^(.*?)\s+over\s+([A-Za-z_]\w*)$", re.I | re.S)
+
+
+class GroupWindowedTable:
+    """table.window(Tumble…alias("w")).group_by("w, key").select(…)
+    (GroupWindowedTable.java → WindowGroupedTable)."""
+
+    def __init__(self, df: DataFrame, win: _GroupWindow):
+        self._df, self._win = df, win
+
+    def group_by(self, keys: str) -> Table:
+        parts = [k.strip() for k in _split_exprs(keys)]
+        if self._win.name not in parts:
+            raise ValueError(f"group_by on a windowed table must include the window alias {self._win.name!r}")
+        df = self._df.withColumn(self._win.name, self._win._column())
+        return Table(df, group_exprs=parts)
+
+
+class OverWindowedTable:
+    """table.window(Over…alias("ow")).select("k, v.sum over ow AS s")
+    (OverWindowedTable.java)."""
+
+    def __init__(self, df: DataFrame, win: _OverWindow):
+        self._df, self._win = df, win
+
+    def select(self, exprs: str) -> Table:
+        spec = self._win._spec()
+        cols = []
+        for p in _split_exprs(exprs):
+            bare = _ALIAS_RE.sub(r"\1", p).strip()
+            am = _ALIAS_RE.match(p)
+            om = _OVER_RE.match(bare)
+            if om:
+                if om.group(2) != self._win.name:
+                    raise ValueError(f"unknown over-window alias {om.group(2)!r}")
+                pm = _POSTFIX_RE.match(om.group(1).strip())
+                if not pm:
+                    raise ValueError(
+                        f"over-window expression must be a postfix aggregate: {p!r}"
+                    )
+                c = _AGG_FNS[pm.group(2).lower()](pm.group(1)).over(spec)
+                name = am.group(2) if am else f"{pm.group(1)}_{pm.group(2)}".replace(".", "_")
+                cols.append(c.alias(name))
+            else:
+                cols.append(_expr(p))
+        return Table(self._df.select(*cols))

@@ -318,3 +318,69 @@ def test_statement_set_multi_sink(spark, tmp_path):
 
     with pytest.raises(ValueError):
         ss.add_insert_sql("SELECT 1")
+
+
+def test_tableapi_session_and_slide_windows(spark, sf_dir):
+    """Session/Slide Table API windows lower to session_window()/window()."""
+    from flink_1_12_0_src_spark.catalog import table as cat_table
+    from flink_1_12_0_src_spark.table_api import Session, Slide, from_dataframe
+
+    ev = cat_table(spark, sf_dir, "events").limit(500)
+    sess = (
+        from_dataframe(ev)
+        .window(Session.with_gap("10.minutes").on("ts").alias("w"))
+        .group_by("w, event_type")
+        .select("event_type, w.start AS ws, w.end AS we, event_id.count AS cnt")
+        .to_df()
+    )
+    assert sess.count() > 0 and set(sess.columns) == {"event_type", "ws", "we", "cnt"}
+    sl = (
+        from_dataframe(ev)
+        .window(Slide.over("1.hours").every("30.minutes").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start AS ws, event_id.count AS cnt")
+        .to_df()
+    )
+    # every event lands in exactly 2 sliding windows
+    total = sum(r["cnt"] for r in sl.collect())
+    assert total == 2 * ev.count()
+
+
+def test_tableapi_over_rows_preceding(spark, sf_dir):
+    from flink_1_12_0_src_spark.catalog import table as cat_table
+    from flink_1_12_0_src_spark.table_api import Over, from_dataframe
+
+    ev = cat_table(spark, sf_dir, "events").limit(200)
+    t = (
+        from_dataframe(ev)
+        .window(Over.partition_by("user_id").order_by("ts").preceding("2.rows").alias("ow"))
+        .select("event_id, value.max over ow AS mx3")
+        .to_df()
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    expect = ev.select(
+        "event_id",
+        F.max("value").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+        ).alias("mx3"),
+    )
+    assert t.exceptAll(expect).count() == 0 and expect.exceptAll(t).count() == 0
+
+
+def test_tableapi_window_error_paths(spark, sf_dir):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.catalog import table as cat_table
+    from flink_1_12_0_src_spark.table_api import Over, Tumble, from_dataframe
+
+    ev = cat_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="window alias"):
+        from_dataframe(ev).window(Tumble.over("1.hours").on("ts").alias("w")).group_by("event_type")
+    with _pytest.raises(ValueError, match="duration"):
+        from_dataframe(ev).window(Tumble.over("1 hour").on("ts").alias("w")).group_by("w").select("w.start AS s").to_df()
+    with _pytest.raises(ValueError, match="postfix"):
+        from_dataframe(ev).window(
+            Over.partition_by("user_id").order_by("ts").alias("ow")
+        ).select("event_id, value + 1 over ow AS x")
