@@ -570,3 +570,41 @@ def community_detection(
         return state.select("v", "label")
     finally:
         ud.unpersist()
+
+
+def edge_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge metrics (Gelly
+    …/graph/library/metric/undirected/EdgeMetrics.java): single-row summary —
+    triangle-triplet count Σ_v C(low_v, 2), rectangle-triplet count
+    Σ_v [C(low_v, 2) + low_v·(d_v − low_v)], and their per-vertex maxima,
+    where low_v counts v's neighbors of higher (degree, id) order (the
+    low-order marking of EdgeMetrics.EdgeStats:135-176). Pure BIGINT
+    arithmetic: degree agg + one edge-degree join + one final agg."""
+    ud = _undirected(edges, src, dst)
+    deg = ud.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    e2 = (
+        ud.join(deg.withColumnsRenamed({"v": "src", "d": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"v": "dst", "d": "dt"}), "dst")
+    )
+    marks = e2.select(
+        F.col("src").alias("v"),
+        F.col("ds").alias("d"),
+        F.when(
+            (F.col("ds") < F.col("dt"))
+            | ((F.col("ds") == F.col("dt")) & (F.col("src") < F.col("dst"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("lo"),
+    )
+    per_v = marks.groupBy("v", "d").agg(F.sum("lo").alias("low"))
+    stats = per_v.select(
+        F.expr("low * (low - 1) div 2").alias("tt"),
+        F.expr("low * (low - 1) div 2 + low * (d - low)").alias("rt"),
+    )
+    return stats.agg(
+        F.coalesce(F.sum("tt"), F.lit(0)).cast("bigint").alias("triangle_triplet_count"),
+        F.coalesce(F.sum("rt"), F.lit(0)).cast("bigint").alias("rectangle_triplet_count"),
+        F.coalesce(F.max("tt"), F.lit(0)).cast("bigint").alias("maximum_triangle_triplets"),
+        F.coalesce(F.max("rt"), F.lit(0)).cast("bigint").alias("maximum_rectangle_triplets"),
+    )

@@ -157,6 +157,7 @@ _R04_NEW_LAST = (
     "text_unigram_logppl",
     "tableapi_tumble_window",
     "tableapi_over_window",
+    "graph_edge_metrics",
 )
 
 

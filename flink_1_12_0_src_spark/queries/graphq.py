@@ -553,3 +553,51 @@ def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("label", "community")
         .orderBy("v")
     )
+
+
+@register(
+    "graph_edge_metrics",
+    oracle=f"""
+WITH pe AS ({_COORDER_EDGES_SQL}),
+ud AS (SELECT p1 AS src, p2 AS dst FROM pe UNION SELECT p2, p1 FROM pe),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM ud GROUP BY src),
+marks AS (
+  SELECT ud.src AS v, ds.d AS d,
+         CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND ud.src < ud.dst)
+              THEN 1 ELSE 0 END AS lo
+  FROM ud JOIN deg ds ON ds.v = ud.src JOIN deg dt ON dt.v = ud.dst
+),
+per_v AS (SELECT v, d, SUM(lo) AS low FROM marks GROUP BY v, d),
+stats AS (
+  SELECT low * (low - 1) // 2 AS tt,
+         low * (low - 1) // 2 + low * (d - low) AS rt
+  FROM per_v
+)
+SELECT CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS triangle_triplet_count,
+       CAST(COALESCE(SUM(rt), 0) AS BIGINT) AS rectangle_triplet_count,
+       CAST(COALESCE(MAX(tt), 0) AS BIGINT) AS maximum_triangle_triplets,
+       CAST(COALESCE(MAX(rt), 0) AS BIGINT) AS maximum_rectangle_triplets
+FROM stats
+""",
+    tags=("graph", "gelly"),
+    doc="Gelly undirected EdgeMetrics "
+    "(…/library/metric/undirected/EdgeMetrics.java): triangle/rectangle "
+    "triplet counts and maxima from per-vertex low-order neighbor counts "
+    "(EdgeStats low-order marking) — degree agg + one edge-degree join, "
+    "pure BIGINT. Engine path: operators/graph.py edge_metrics.",
+)
+def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import edge_metrics
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return edge_metrics(pe)

@@ -332,3 +332,21 @@ def test_community_detection_deterministic_across_partitioning(spark):
     ra = sorted(map(tuple, community_detection(a).collect()))
     rb = sorted(map(tuple, community_detection(b).collect()))
     assert ra == rb
+
+
+def test_edge_metrics_on_triangle_plus_pendant(spark):
+    from flink_1_12_0_src_spark.operators.graph import edge_metrics
+
+    # K3: degrees all 2; low-order counts 2/1/0 → tt per vertex C(low,2)
+    k3 = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["src", "dst"])
+    r = edge_metrics(k3).collect()[0]
+    assert (
+        r["triangle_triplet_count"],
+        r["rectangle_triplet_count"],
+        r["maximum_triangle_triplets"],
+        r["maximum_rectangle_triplets"],
+    ) == (1, 2, 1, 1)
+    # path 1-2-3: no vertex has two higher-order neighbors → all zeros
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    r2 = edge_metrics(path).collect()[0]
+    assert r2["triangle_triplet_count"] == 0 and r2["rectangle_triplet_count"] == 0
