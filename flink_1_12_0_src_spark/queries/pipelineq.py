@@ -517,9 +517,9 @@ ORDER BY id_a, id_b
     "the oracle).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_12_0_src_spark.pipeline.dedup import embedding_neardup_pairs
+    from flink_1_12_0_src_spark.pipeline.dedup import embedding_neardup_pairs_np
 
-    return embedding_neardup_pairs(
+    return embedding_neardup_pairs_np(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
         ND_THRESHOLD, max_block=ND_MAX_BLOCK,
     ).orderBy("id_a", "id_b")

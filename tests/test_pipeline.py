@@ -317,3 +317,20 @@ def test_unigram_logppl_scores_rare_tokens_higher(spark):
     out = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(df, "doc_id", "text").collect()}
     assert out[2] > out[1]  # rare tokens → higher surprise
     assert out[1] > 0
+
+
+def test_embedding_neardup_np_equals_expression_path(spark, sf_dir):
+    from flink_1_12_0_src_spark.catalog import table as cat_table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_np,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    expr = sorted(
+        map(tuple, embedding_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3).collect())
+    )
+    vec = sorted(
+        map(tuple, embedding_neardup_pairs_np(emb, "vec_id", "embedding", "label", 0.3).collect())
+    )
+    assert expr == vec
