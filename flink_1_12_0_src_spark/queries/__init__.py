@@ -158,6 +158,8 @@ _R04_NEW_LAST = (
     "tableapi_tumble_window",
     "tableapi_over_window",
     "graph_edge_metrics",
+    "datastream_keyby_window_sum",
+    "datastream_maxby_flatmap",
 )
 
 

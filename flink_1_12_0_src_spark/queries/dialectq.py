@@ -1031,3 +1031,77 @@ def tableapi_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .order_by("event_id")
         .to_df()
     )
+
+
+@register(
+    "datastream_keyby_window_sum",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events WHERE event_type <> 'heartbeat'
+GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+    tags=("dialect", "datastream", "window"),
+    doc="DataStream API program (datastream.py facade — DataStream.java "
+    "filter:638/map:588/keyBy:292 + WindowedStream.aggregate:661 with "
+    "TumblingEventTimeWindows.of): env.from_dataframe(events).filter(…)"
+    ".map(…).key_by('event_type').window(Tumbling…).aggregate(sum) — the "
+    "FLIP-134 batch execution of the canonical keyed-window stream program; "
+    "every step lowers to a DataFrame op, DECIMAL money sums.",
+)
+def datastream_keyby_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.datastream import (
+        StreamExecutionEnvironment,
+        TumblingEventTimeWindows,
+    )
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = (
+        env.from_dataframe(table(spark, sf_dir, "events"))
+        .filter("event_type <> 'heartbeat'")
+        .map({"ts": "ts", "event_type": "event_type", "vdec": "CAST(value AS DECIMAL(18,6))"})
+        .key_by("event_type")
+        .window(TumblingEventTimeWindows.of("1 hour").on("ts"))
+        .aggregate({"total": F.sum("vdec")})
+        .map({
+            "window_start": "window_start",
+            "event_type": "event_type",
+            "total": "CAST(total AS DOUBLE)",
+        })
+    )
+    return ds.to_df().orderBy("window_start", "event_type")
+
+
+@register(
+    "datastream_maxby_flatmap",
+    oracle="""
+WITH mx AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT user_id, event_id, value, unnest(string_split(event_type, '_')) AS part
+FROM mx ORDER BY user_id, part
+""",
+    tags=("dialect", "datastream"),
+    doc="DataStream keyed maxBy + flatMap (KeyedStream.maxBy:865 — the whole "
+    "row holding each key's maximum, first-element tie-break made "
+    "deterministic on event_id — then DataStream.flatMap:613 as an "
+    "explode): key_by('user_id').max_by('value').flat_map(split(…)).",
+)
+def datastream_maxby_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = (
+        env.from_dataframe(table(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .max_by("value", "event_id")
+        .flat_map("split(event_type, '_')", "part", keep=["user_id", "event_id", "value"])
+        .project("user_id", "event_id", "value", "part")
+    )
+    return ds.to_df().orderBy("user_id", "part")

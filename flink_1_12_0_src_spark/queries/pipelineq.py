@@ -1016,7 +1016,7 @@ FROM (SELECT doc_id, n_tokens FROM base) b
 LEFT JOIN stats s USING (doc_id) LEFT JOIN cov c USING (doc_id)
 ORDER BY doc_id
 """,
-    tags=("pipeline", "dedup"),
+    tags=("pipeline", "dedup", "bench"),
     doc=f"Exact-substring duplication signal (hashed {SPAN_WINDOW}-token windows "
     "shared across ≥2 docs; Lee et al. 2022 ExactSubstr approximated for "
     "map-side hashing): per-doc duplicated-window count, distinct covered "

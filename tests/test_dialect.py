@@ -384,3 +384,46 @@ def test_tableapi_window_error_paths(spark, sf_dir):
         from_dataframe(ev).window(
             Over.partition_by("user_id").order_by("ts").alias("ow")
         ).select("event_id, value + 1 over ow AS x")
+
+
+def test_datastream_facade_primitives(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from flink_1_12_0_src_spark.catalog import table as cat_table
+    from flink_1_12_0_src_spark.datastream import (
+        EventTimeSessionWindows,
+        SlidingEventTimeWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    # from_collection + union + project
+    a = env.from_collection([(1, "x"), (2, "y")], "id int, s string")
+    b = env.from_collection([(3, "z")], "id int, s string")
+    u = a.union(b).project("id").to_df()
+    assert sorted(r["id"] for r in u.collect()) == [1, 2, 3]
+    # min_by keeps the whole row, first on ties
+    ks = env.from_collection(
+        [(1, 5, 10), (1, 5, 11), (2, 7, 12)], "k int, v int, oid int"
+    ).key_by("k").min_by("v", "oid").to_df()
+    rows = {r["k"]: r["oid"] for r in ks.collect()}
+    assert rows == {1: 10, 2: 12}
+    # sliding window: every event lands in exactly size/slide windows
+    ev = cat_table(spark, sf_dir, "events").limit(300)
+    sl = (
+        env.from_dataframe(ev)
+        .key_by("event_type")
+        .window(SlidingEventTimeWindows.of("1 hour", "30 minutes").on("ts"))
+        .aggregate({"cnt": F.count("*")})
+        .to_df()
+    )
+    assert sum(r["cnt"] for r in sl.collect()) == 2 * ev.count()
+    # session window emits start/end columns
+    se = (
+        env.from_dataframe(ev)
+        .key_by("user_id")
+        .window(EventTimeSessionWindows.with_gap("10 minutes").on("ts"))
+        .sum("value")
+        .to_df()
+    )
+    assert {"window_start", "window_end", "user_id", "value"} <= set(se.columns)
