@@ -94,6 +94,17 @@ class DataStream:
         """DataStream.keyBy (DataStream.java:292) → KeyedStream."""
         return KeyedStream(self._df, list(keys))
 
+    def iterate(self, step, max_iterations: int = 10) -> "DataStream":
+        """DataStream.iterate (DataStream.java:537) in batch execution: apply
+        the loop body ``step: DataStream -> DataStream`` ``max_iterations``
+        times with per-round ``localCheckpoint`` lineage truncation — the
+        driver-loop fixpoint shape every Gelly algorithm in this repo uses
+        (streaming feedback execution: ``stream_iterate_reduce``)."""
+        df = self._df
+        for _ in range(max_iterations):
+            df = step(DataStream(df)).to_df().localCheckpoint(eager=True)
+        return DataStream(df)
+
     def print(self, n: int = 20) -> None:
         """DataStream.print (DataStream.java:974) → console sink."""
         self._df.show(n, truncate=False)

@@ -427,3 +427,16 @@ def test_datastream_facade_primitives(spark, sf_dir):
         .to_df()
     )
     assert {"window_start", "window_end", "user_id", "value"} <= set(se.columns)
+
+
+def test_datastream_iterate_converges(spark):
+    from flink_1_12_0_src_spark.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    # Collatz loop: 12 needs 9 rounds (12,6,3,10,5,16,8,4,2,1) → all reach 1
+    ds = env.from_collection([(16,), (5,), (12,)], "v long")
+    out = ds.iterate(
+        lambda d: d.map({"v": "CASE WHEN v % 2 = 0 THEN v div 2 WHEN v > 1 THEN 3 * v + 1 ELSE v END"}),
+        max_iterations=10,
+    ).to_df()
+    assert sorted(int(r["v"]) for r in out.collect()) == [1, 1, 1]
