@@ -118,10 +118,25 @@ _TYPE_MAP = {
 
 _CREATE_RE = re.compile(
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*\((?P<body>.*?)\)\s*"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*(?:\((?P<body>.*?)\)\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
-    r"WITH\s*\((?P<opts>.*?)\)\s*;?\s*$",
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?;?\s*$",
     re.I | re.S,
+)
+
+# CREATE TABLE … LIKE clause (FLIP-110; flink-sql-parser
+# …/ddl/SqlTableLike.java:90 — feature options ALL/OPTIONS/PARTITIONS/
+# GENERATED/WATERMARKS/CONSTRAINTS with INCLUDING/EXCLUDING/OVERWRITING
+# strategies; planner merge rules MergeTableLikeUtil.java:72-80)
+_LIKE_RE = re.compile(
+    r"\sLIKE\s+(?P<base>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\((?P<likeopts>[^)]*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_LIKE_OPT_RE = re.compile(
+    r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|OPTIONS|PARTITIONS|GENERATED|WATERMARKS|CONSTRAINTS)",
+    re.I,
 )
 
 _WATERMARK_RE = re.compile(
@@ -151,10 +166,22 @@ def parse_create_table(ddl: str) -> dict:
     read time exactly like Flink's generated columns). PRIMARY KEY
     constraints are metadata-only (NOT ENFORCED in Flink too).
     """
+    ddl = ddl.strip()
+    like = None
+    lm = _LIKE_RE.search(ddl)
+    if lm:
+        like = {
+            "base": lm.group("base"),
+            "options": [
+                (s_.upper(), f_.upper())
+                for s_, f_ in _LIKE_OPT_RE.findall(lm.group("likeopts") or "")
+            ],
+        }
+        ddl = ddl[: lm.start()]
     m = _CREATE_RE.search(ddl.strip())
     if not m:
         raise ValueError(f"unparseable CREATE TABLE: {ddl[:120]}")
-    body = m.group("body")
+    body = m.group("body") or ""
     watermark = None
     cols: list[str] = []
     depth = 0
@@ -190,7 +217,7 @@ def parse_create_table(ddl: str) -> dict:
         name_part, _, type_part = f.partition(" ")
         cols.append(f"{name_part} {_map_type(type_part)}")
     opts = dict(
-        re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts"))
+        re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or "")
     )
     parts = [p.strip() for p in (m.group("parts") or "").split(",") if p.strip()]
     return {
@@ -200,4 +227,5 @@ def parse_create_table(ddl: str) -> dict:
         "partition_by": parts,
         "watermark": watermark,
         "computed": computed,
+        "like": like,
     }

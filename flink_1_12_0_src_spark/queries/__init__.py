@@ -160,6 +160,7 @@ _R04_NEW_LAST = (
     "graph_edge_metrics",
     "datastream_keyby_window_sum",
     "datastream_maxby_flatmap",
+    "flinkddl_create_table_like",
 )
 
 

@@ -1105,3 +1105,57 @@ def datastream_maxby_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .project("user_id", "event_id", "value", "part")
     )
     return ds.to_df().orderBy("user_id", "part")
+
+
+@register(
+    "flinkddl_create_table_like",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total,
+       COUNT(CASE WHEN value > 100 THEN 1 END) AS big_cnt
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "ddl", "like"),
+    doc="CREATE TABLE … LIKE (FLIP-110; SqlTableLike.java:90, merge rules "
+    "MergeTableLikeUtil.java:72-80): the derived table inherits the base's "
+    "columns + connector options (OPTIONS overwrites by default — the "
+    "derived WITH clause swaps only the path-independent knobs) and adds a "
+    "computed column; querying the derived table proves the merged schema, "
+    "options and generated column all round-trip.",
+)
+def flinkddl_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            .write.mode("overwrite")
+            .json(path)
+        )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_like_base (
+            event_id BIGINT,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            event_type STRING,
+            `value` DOUBLE,
+            props STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'json'
+        )
+    """)
+    env.execute_sql("""
+        CREATE TABLE events_like_derived (
+            is_big AS `value` > 100
+        ) WITH (
+            'connector' = 'filesystem'
+        ) LIKE events_like_base (INCLUDING GENERATED)
+    """)
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total,
+               COUNT(CASE WHEN is_big THEN 1 END) AS big_cnt
+        FROM events_like_derived GROUP BY event_type ORDER BY event_type
+    """)

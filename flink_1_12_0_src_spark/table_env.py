@@ -49,7 +49,11 @@ class TableEnvironment:
     def execute_sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
         head = s.split(None, 2)[0].upper() if s else ""
-        if head == "CREATE" and "WITH" in s.upper() and "TABLE" in s.upper():
+        if (
+            head == "CREATE"
+            and re.search(r"\bTABLE\b", s, re.I)
+            and ("WITH" in s.upper() or re.search(r"\bLIKE\b", s, re.I))
+        ):
             return self._create_table(s)
         if head == "INSERT":
             return self._insert_into(s)
@@ -261,6 +265,8 @@ class TableEnvironment:
 
     def _create_table(self, ddl: str) -> None:
         meta = parse_create_table(ddl)
+        if meta.get("like"):
+            meta = self._merge_like(meta)
         tbl = CatalogTable(
             name=meta["name"],
             schema_ddl=meta["schema_ddl"],
@@ -283,6 +289,81 @@ class TableEnvironment:
             return None
         self._create_table_view_refresh(tbl)
         return None
+
+    def _merge_like(self, meta: dict) -> dict:
+        """CREATE TABLE … LIKE merge (FLIP-110): combine the derived
+        declaration with the base catalog table under the reference's
+        per-feature strategies (SqlTableLike.java:104-185; defaults from
+        MergeTableLikeUtil.java:72-80 — OPTIONS overwrites, everything else
+        includes). EXCLUDING drops the base feature; INCLUDING errors on a
+        conflicting redefinition; OVERWRITING lets the derived side win."""
+        like = meta["like"]
+        base = self._tables.get(like["base"])
+        if base is None:
+            raise ValueError(f"LIKE base table not found in catalog: {like['base']}")
+        strat = {
+            "OPTIONS": "OVERWRITING",
+            "WATERMARKS": "INCLUDING",
+            "GENERATED": "INCLUDING",
+            "PARTITIONS": "INCLUDING",
+            "CONSTRAINTS": "INCLUDING",
+        }
+        for s_, f_ in like["options"]:
+            if f_ == "ALL":
+                if s_ == "OVERWRITING":
+                    raise ValueError("OVERWRITING ALL is not a valid LIKE option")
+                strat = {k: s_ for k in strat}
+            else:
+                strat[f_] = s_
+
+        out = dict(meta)
+        out["schema_ddl"] = ", ".join(p for p in (base.schema_ddl, meta["schema_ddl"]) if p)
+
+        st = strat["OPTIONS"]
+        if st == "EXCLUDING":
+            pass  # derived options only
+        elif st == "OVERWRITING":
+            out["options"] = {**base.options, **meta["options"]}
+        else:  # INCLUDING: conflicting redefinition is an error (MergeTableLikeUtil)
+            clash = {
+                k for k, v in meta["options"].items() if base.options.get(k, v) != v
+            }
+            if clash:
+                raise ValueError(
+                    f"INCLUDING OPTIONS forbids overriding base options: {sorted(clash)}"
+                )
+            out["options"] = {**base.options, **meta["options"]}
+
+        st = strat["WATERMARKS"]
+        if st == "EXCLUDING":
+            pass  # derived watermark only
+        elif meta["watermark"] and base.watermark and st == "INCLUDING":
+            raise ValueError("INCLUDING WATERMARKS forbids redefining the watermark")
+        else:
+            out["watermark"] = meta["watermark"] or base.watermark
+
+        st = strat["GENERATED"]
+        if st == "EXCLUDING":
+            pass
+        else:
+            base_c = dict(base.computed or [])
+            mine = dict(meta["computed"] or [])
+            dup = set(base_c) & set(mine)
+            if dup and st == "INCLUDING":
+                raise ValueError(
+                    f"INCLUDING GENERATED forbids redefining computed columns: {sorted(dup)}"
+                )
+            merged = {**base_c, **mine}
+            out["computed"] = list(merged.items())
+
+        st = strat["PARTITIONS"]
+        if st == "EXCLUDING":
+            pass
+        elif meta["partition_by"] and base.partition_by and st == "INCLUDING":
+            raise ValueError("INCLUDING PARTITIONS forbids redefining partitions")
+        else:
+            out["partition_by"] = meta["partition_by"] or base.partition_by
+        return out
 
     def _insert_into(self, stmt: str) -> None:
         import re

@@ -440,3 +440,49 @@ def test_datastream_iterate_converges(spark):
         max_iterations=10,
     ).to_df()
     assert sorted(int(r["v"]) for r in out.collect()) == [1, 1, 1]
+
+
+def test_create_table_like_merge_strategies(spark, sf_dir):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.plans.dialect import parse_create_table
+    from flink_1_12_0_src_spark.table_env import CatalogTable, TableEnvironment
+
+    env = TableEnvironment(spark)
+    # base registered in the catalog only (path need not exist for the merge)
+    env._tables["likebase"] = CatalogTable(
+        name="likebase",
+        schema_ddl="a BIGINT, b STRING",
+        options={"connector": "filesystem", "format": "json", "path": "/tmp/x"},
+        partition_by=["b"],
+        watermark=("ts", "5 seconds"),
+        computed=[("c", "a + 1")],
+    )
+    # default strategies: OPTIONS overwrites, the rest include
+    m = parse_create_table("CREATE TABLE d (extra INT) WITH ('format'='csv') LIKE likebase")
+    merged = env._merge_like(m)
+    assert merged["schema_ddl"] == "a BIGINT, b STRING, extra INT"
+    assert merged["options"]["format"] == "csv" and merged["options"]["path"] == "/tmp/x"
+    assert merged["watermark"] == ("ts", "5 seconds")
+    assert merged["partition_by"] == ["b"] and dict(merged["computed"]) == {"c": "a + 1"}
+    # EXCLUDING ALL keeps only the derived declaration
+    m2 = parse_create_table(
+        "CREATE TABLE d2 (x INT) WITH ('connector'='filesystem') LIKE likebase (EXCLUDING ALL)"
+    )
+    merged2 = env._merge_like(m2)
+    assert merged2["options"] == {"connector": "filesystem"}
+    assert merged2["watermark"] is None and merged2["partition_by"] == []
+    # INCLUDING OPTIONS forbids conflicting overrides
+    m3 = parse_create_table(
+        "CREATE TABLE d3 (x INT) WITH ('format'='csv') LIKE likebase (INCLUDING OPTIONS)"
+    )
+    with _pytest.raises(ValueError, match="INCLUDING OPTIONS"):
+        env._merge_like(m3)
+    # INCLUDING GENERATED forbids redefining a computed column
+    m4 = parse_create_table("CREATE TABLE d4 (c AS a + 2) LIKE likebase (INCLUDING GENERATED)")
+    with _pytest.raises(ValueError, match="INCLUDING GENERATED"):
+        env._merge_like(m4)
+    # unknown base errors clearly
+    m5 = parse_create_table("CREATE TABLE d5 (x INT) LIKE nope")
+    with _pytest.raises(ValueError, match="not found"):
+        env._merge_like(m5)
