@@ -135,7 +135,13 @@ class KeyedStream:
     def _by(self, field: str, order_col: str, minimize: bool) -> DataStream:
         from pyspark.sql import Window as W
 
-        direction = [F.asc(field) if minimize else F.desc(field), F.asc(order_col)]
+        # NULL values must never win a min/max: Spark ASC is NULLS FIRST by
+        # default, which would make a NULL-valued row the per-key "minimum"
+        # (Flink compares actual values; DuckDB ASC is NULLS LAST)
+        direction = [
+            F.asc_nulls_last(field) if minimize else F.desc_nulls_last(field),
+            F.asc(order_col),
+        ]
         w = W.partitionBy(*self._keys).orderBy(*direction)
         return DataStream(
             self._df.withColumn("_rn", F.row_number().over(w))

@@ -449,8 +449,8 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     nm = deg.agg(
         F.count("*").alias("n"),
-        F.expr("sum(d) div 2").alias("m"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges"),
+        F.expr("coalesce(sum(d) div 2, 0)").alias("m"),
+        F.expr("coalesce(sum(d * (d - 1) div 2), 0)").alias("wedges"),
     )
     t3 = (
         triangle_counts(edges, src, dst)
@@ -486,11 +486,13 @@ def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     return deg.agg(
         F.count("*").cast("bigint").alias("n_vertices"),
-        F.expr("sum(d) div 2").alias("n_edges"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_triplets"),
-        F.max("d").cast("bigint").alias("max_degree"),
-        F.max(F.expr("d * (d - 1) div 2")).alias("max_triplets"),
-        (F.sum("d").cast("double") / F.count("*")).alias("avg_degree"),
+        F.expr("coalesce(sum(d) div 2, 0)").alias("n_edges"),
+        F.expr("coalesce(sum(d * (d - 1) div 2), 0)").alias("n_triplets"),
+        F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_degree"),
+        F.expr("coalesce(max(d * (d - 1) div 2), 0)").alias("max_triplets"),
+        F.coalesce(F.sum("d").cast("double") / F.count("*"), F.lit(0.0)).alias(
+            "avg_degree"
+        ),
     )
 
 

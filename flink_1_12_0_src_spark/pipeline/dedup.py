@@ -385,6 +385,11 @@ def duplicated_spans(
     base = _spread(df).select(
         F.col(id_col), tokens(text_col).alias("w")
     ).select(id_col, "w", F.size("w").alias("n_tokens"))
+    # the (id, n_tokens) stats side is joined back after the aggregations;
+    # materialize the tiny projection eagerly so the full tokenize lineage
+    # is not re-run for a two-column scan (scoped blocks, no cache pin
+    # leaking across a many-query run)
+    base_stats = base.select(id_col, "n_tokens").localCheckpoint(eager=True)
     m = F.col("n_tokens") - F.lit(window - 1)
     wins = base.select(
         id_col,
@@ -420,7 +425,7 @@ def duplicated_spans(
         ).alias("dup_tokens"),
     )
     out = (
-        base.select(id_col, "n_tokens")
+        base_stats
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -549,7 +554,11 @@ def embedding_neardup_pairs_np(
     (Spark's higher-order array functions are interpreted, not codegen'd —
     the expression path measured ~25x slower at sf0.1). Identical contract:
     pairs (id_a < id_b) whose cosine, rounded to ``round_digits``, clears
-    ``threshold``; parity with the expression path is pinned by test.
+    ``threshold``; parity with the expression path is pinned by test at the
+    shipped SFs. (Caveat shared with the DuckDB oracle itself: BLAS pairwise
+    summation can differ from a sequential fold in the last ULP, so a cosine
+    sitting exactly on a 6-dp rounding boundary could in principle flip —
+    the same accepted risk class as list_cosine_similarity vs F.aggregate.)
 
     Memory: the hot-block cap bounds each group at ``max_block`` vectors and
     the matmul runs in 512-row chunks, so per-task scratch stays at

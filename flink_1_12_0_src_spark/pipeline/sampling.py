@@ -128,23 +128,32 @@ def temperature_sample(
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     mn = counts.agg(F.min("_n").alias("_mn"))
+    # keep_p == 1 (the smallest group) must keep EVERY row: a capped
+    # numeric threshold of 0xffffffff would still drop ids whose hash prefix
+    # is exactly 'ffffffff' (one in 2^32 — real rows at corpus scale), so
+    # those groups compare against the sentinel 'g', which every hex string
+    # sorts below
     thr = counts.crossJoin(broadcast(mn)).select(
         group_col,
-        F.lpad(
-            F.lower(
-                F.hex(
-                    F.least(
-                        F.floor(
-                            F.sqrt(F.col("_mn").cast("double") / F.col("_n"))
-                            * F.lit(4294967296.0)
-                        ),
-                        F.lit(4294967295),
+        F.when(F.col("_n") <= F.col("_mn"), F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(
+                                F.sqrt(F.col("_mn").cast("double") / F.col("_n"))
+                                * F.lit(4294967296.0)
+                            ),
+                            F.lit(4294967295),
+                        )
                     )
-                )
-            ),
-            8,
-            "0",
-        ).alias("_thr"),
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("_thr"),
     )
     h = F.substring(
         F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8

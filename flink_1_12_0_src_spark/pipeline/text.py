@@ -344,15 +344,24 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens to the vocab on the term hash — a plain equi hash join that AQE
     handles; the total-token scalar is a literal. No Python UDFs, no window
     over the full corpus."""
+    from pyspark.sql.functions import broadcast
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
-    total = toks.count()  # one scalar to the driver; a literal in the plan
+    # total token count from the vocab aggregate itself (one tiny broadcast
+    # row), so the corpus is tokenized exactly twice — vocab scan + scoring
+    # scan — and the plan stays lazy (no eager count() job at build time)
+    total = vocab.agg(F.sum("c").cast("double").alias("_tot"))
     nll_term = F.round(
-        -F.log(F.col("c").cast("double") / F.lit(float(total))), 9
+        -F.log(F.col("c").cast("double") / F.col("_tot")), 9
     ).cast("decimal(28,9)")
-    scored = toks.join(vocab, "term").select(F.col(id_col), nll_term.alias("_nll"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(broadcast(total))
+        .select(F.col(id_col), nll_term.alias("_nll"))
+    )
     return (
         scored.groupBy(id_col)
         .agg(

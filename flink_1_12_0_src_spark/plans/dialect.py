@@ -170,13 +170,20 @@ def parse_create_table(ddl: str) -> dict:
     like = None
     lm = _LIKE_RE.search(ddl)
     if lm:
-        like = {
-            "base": lm.group("base"),
-            "options": [
-                (s_.upper(), f_.upper())
-                for s_, f_ in _LIKE_OPT_RE.findall(lm.group("likeopts") or "")
-            ],
-        }
+        raw = lm.group("likeopts") or ""
+        opts_list = [
+            (s_.upper(), f_.upper()) for s_, f_ in _LIKE_OPT_RE.findall(raw)
+        ]
+        # reject anything the option grammar did not consume (typos,
+        # unsupported features) and FLIP-110's invalid combinations, instead
+        # of silently falling back to the defaults (SqlTableLike.java:186-191)
+        leftover = _LIKE_OPT_RE.sub("", raw).strip(" ,\n\t")
+        if leftover:
+            raise ValueError(f"unrecognized LIKE option text: {leftover!r}")
+        for s_, f_ in opts_list:
+            if s_ == "OVERWRITING" and f_ in ("ALL", "PARTITIONS", "CONSTRAINTS"):
+                raise ValueError(f"OVERWRITING {f_} is not a valid LIKE option")
+        like = {"base": lm.group("base"), "options": opts_list}
         ddl = ddl[: lm.start()]
     m = _CREATE_RE.search(ddl.strip())
     if not m:

@@ -24,6 +24,23 @@ def _tag(sf_dir: str) -> str:
     return sf_dir.strip("/").replace("/", "_")
 
 
+def _staged_events_json(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as JSON lines once per SF (timestamps at
+    microsecond precision); shared by every query that reads events back
+    through a filesystem+json CREATE TABLE."""
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            .write.mode("overwrite")
+            .json(path)
+        )
+    return path
+
+
+
+
 def _env_with_events(spark: SparkSession, sf_dir: str) -> TableEnvironment:
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return TableEnvironment(spark)
@@ -178,14 +195,7 @@ FROM events GROUP BY event_type
     "aggregated — proves the json format + type mapping round-trips.",
 )
 def flinkddl_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_json")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            table(spark, sf_dir, "events")
-            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-            .write.mode("overwrite")
-            .json(path)
-        )
+    path = _staged_events_json(spark, sf_dir)
     env = TableEnvironment(spark)
     env.execute_sql(f"""
         CREATE TABLE events_json (
@@ -1123,14 +1133,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     "options and generated column all round-trip.",
 )
 def flinkddl_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_json")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            table(spark, sf_dir, "events")
-            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-            .write.mode("overwrite")
-            .json(path)
-        )
+    path = _staged_events_json(spark, sf_dir)
     env = TableEnvironment(spark)
     env.execute_sql(f"""
         CREATE TABLE events_like_base (

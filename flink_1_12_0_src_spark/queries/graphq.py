@@ -28,6 +28,22 @@ def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-order graph (parts sharing an order), canonical src < dst —
+    the SQL twin is _COORDER_EDGES_SQL."""
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,17 +163,7 @@ GROUP BY v
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import triangle_counts
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    pe = _coorder_edges(spark, sf_dir)
     return triangle_counts(pe)
 
 
@@ -326,17 +332,7 @@ ORDER BY v
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import clustering_coefficient
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    pe = _coorder_edges(spark, sf_dir)
     return clustering_coefficient(pe).orderBy("v")
 
 
@@ -445,17 +441,7 @@ FROM nm, t
 def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import triadic_census
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    pe = _coorder_edges(spark, sf_dir)
     return triadic_census(pe)
 
 
@@ -483,17 +469,7 @@ FROM deg
 def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import vertex_metrics
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    pe = _coorder_edges(spark, sf_dir)
     return vertex_metrics(pe)
 
 
@@ -589,15 +565,5 @@ FROM stats
 def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.graph import edge_metrics
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    pe = _coorder_edges(spark, sf_dir)
     return edge_metrics(pe)

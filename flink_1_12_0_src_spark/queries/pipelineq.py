@@ -1038,8 +1038,9 @@ WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY la
 mn AS (SELECT MIN(n) AS mn FROM n),
 thr AS (
   SELECT lang,
-         lpad(lower(to_hex(least(CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * 4294967296.0) AS BIGINT),
-                                 4294967295))), 8, '0') AS t
+         CASE WHEN n <= mn THEN 'g'
+              ELSE lpad(lower(to_hex(least(CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * 4294967296.0) AS BIGINT),
+                                           4294967295))), 8, '0') END AS t
   FROM n, mn
 )
 SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)

@@ -310,9 +310,7 @@ class TableEnvironment:
         }
         for s_, f_ in like["options"]:
             if f_ == "ALL":
-                if s_ == "OVERWRITING":
-                    raise ValueError("OVERWRITING ALL is not a valid LIKE option")
-                strat = {k: s_ for k in strat}
+                strat = {k: s_ for k in strat}  # OVERWRITING ALL rejected at parse
             else:
                 strat[f_] = s_
 

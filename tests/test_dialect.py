@@ -486,3 +486,28 @@ def test_create_table_like_merge_strategies(spark, sf_dir):
     m5 = parse_create_table("CREATE TABLE d5 (x INT) LIKE nope")
     with _pytest.raises(ValueError, match="not found"):
         env._merge_like(m5)
+
+
+def test_create_table_like_rejects_invalid_options(spark):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.plans.dialect import parse_create_table
+
+    with _pytest.raises(ValueError, match="unrecognized LIKE option"):
+        parse_create_table("CREATE TABLE d (x INT) LIKE base (EXCLUDNG ALL)")
+    with _pytest.raises(ValueError, match="OVERWRITING PARTITIONS"):
+        parse_create_table("CREATE TABLE d (x INT) LIKE base (OVERWRITING PARTITIONS)")
+    with _pytest.raises(ValueError, match="OVERWRITING ALL"):
+        parse_create_table("CREATE TABLE d (x INT) LIKE base (OVERWRITING ALL)")
+
+
+def test_datastream_min_by_ignores_nulls(spark):
+    from flink_1_12_0_src_spark.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_collection(
+        [(1, None, 9), (1, 5, 10), (2, None, 11)], "k int, v int, oid int"
+    )
+    rows = {r["k"]: (r["v"], r["oid"]) for r in ds.key_by("k").min_by("v", "oid").to_df().collect()}
+    assert rows[1] == (5, 10)  # NULL must not win the minimum
+    assert rows[2] == (None, 11)  # all-NULL key still emits its row

@@ -350,3 +350,13 @@ def test_edge_metrics_on_triangle_plus_pendant(spark):
     path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     r2 = edge_metrics(path).collect()[0]
     assert r2["triangle_triplet_count"] == 0 and r2["rectangle_triplet_count"] == 0
+
+
+def test_census_and_metrics_empty_graph_zeros(spark):
+    from flink_1_12_0_src_spark.operators.graph import triadic_census, vertex_metrics
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = triadic_census(empty).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0, 0)
+    m = vertex_metrics(empty).collect()[0]
+    assert tuple(m) == (0, 0, 0, 0, 0, 0.0)

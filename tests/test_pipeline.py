@@ -334,3 +334,13 @@ def test_embedding_neardup_np_equals_expression_path(spark, sf_dir):
         map(tuple, embedding_neardup_pairs_np(emb, "vec_id", "embedding", "label", 0.3).collect())
     )
     assert expr == vec
+
+
+def test_temperature_sample_smallest_group_keeps_boundary_hash(spark):
+    from flink_1_12_0_src_spark.pipeline.sampling import temperature_sample
+
+    # single group → keep_p = 1 → EVERY row survives, even one whose md5
+    # prefix would be 'ffffffff' (sentinel threshold 'g' sorts above all hex)
+    rows = [(i, "only") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    assert temperature_sample(df, "doc_id", "grp").count() == 500
