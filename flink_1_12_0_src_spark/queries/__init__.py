@@ -161,6 +161,7 @@ _R04_NEW_LAST = (
     "datastream_keyby_window_sum",
     "datastream_maxby_flatmap",
     "flinkddl_create_table_like",
+    "dataset_split_leakage",
 )
 
 

@@ -1095,3 +1095,50 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "dataset_split_leakage",
+    oracle=f"""
+WITH mh AS (
+  SELECT * FROM ({_minhash_oracle().replace("ORDER BY id_a, id_b", "")})
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+              WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT mh.id_a, mh.id_b, sa.split AS split_a, sb.split AS split_b, mh.est_jaccard
+FROM mh JOIN sp sa ON sa.doc_id = mh.id_a JOIN sp sb ON sb.doc_id = mh.id_b
+WHERE sa.split <> sb.split AND mh.est_jaccard >= 0.5
+ORDER BY id_a, id_b
+""",
+    tags=("pipeline", "dedup", "sampling"),
+    doc="Cross-split leakage audit — the eval-integrity check every dataset "
+    "assembly needs: near-duplicate pairs (banded MinHash-LSH, est Jaccard "
+    ">= 0.5) whose endpoints landed in DIFFERENT hash_split partitions, i.e. "
+    "eval documents with a near-copy in train. Pure composition of the "
+    "shipped primitives (minhash_lsh_pairs x hash_split) — the pair table "
+    "is tiny relative to the corpus, so the split join broadcasts.",
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from flink_1_12_0_src_spark.pipeline.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    ).filter(F.col("est_jaccard") >= 0.5)
+    sp = hash_split(docs, "doc_id").select("doc_id", "split")
+    sa = sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"})
+    sb = sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"})
+    return (
+        pairs.join(broadcast(sa), "id_a")
+        .join(broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
