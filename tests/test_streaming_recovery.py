@@ -269,3 +269,72 @@ def test_upsert_sink_delivery_order_invariant(spark, tmp_path):
     assert run([0, 1, 2], "fwd") == expected
     assert run([2, 0, 1], "rot") == expected
     assert run([1, 2, 0], "rev") == expected
+
+
+def test_idle_source_both_semantics_via_watermark_policy(spark, tmp_path):
+    """Per-source idleness mapped faithfully (upgrades the divergence pinned
+    above): give each source its OWN withWatermark branch and union them —
+    Spark then tracks per-branch event-time stats and
+    spark.sql.streaming.multipleWatermarkPolicy picks the global watermark:
+
+    - 'min' (Spark default) = Flink's DEFAULT min-across-sources watermark
+      (WatermarkStrategy without idleness): the idle source stalls event
+      time and no window finalizes;
+    - 'max' = WatermarksWithIdleness.java with an instant timeout: the idle
+      source cannot stall, windows finalize on the live source's progress.
+
+    The single-stream formulation (one watermark over a union of files,
+    pinned by test_idle_source_watermark_divergence) remains always-'max'.
+    """
+    import os
+
+    base = str(tmp_path / "policy")
+    A, B = f"{base}/A", f"{base}/B"
+    rows_a = [("A", "2024-01-01 10:00:30", 1.0), ("A", "2024-01-01 11:00:00", 3.0)]
+    rows_b = [("B", "2024-01-01 10:00:40", 2.0)]  # goes idle after one event
+    for d, rows in ((A, rows_a), (B, rows_b)):
+        (
+            spark.createDataFrame(rows, "src string, ts_s string, val double")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.parquet(d)
+        )
+    schema = spark.read.parquet(A).schema
+
+    def run(policy):
+        old = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            sa = spark.readStream.schema(schema).parquet(A).withWatermark("ts", "0 seconds")
+            sb = spark.readStream.schema(schema).parquet(B).withWatermark("ts", "0 seconds")
+            agg = (
+                sa.unionByName(sb)
+                .groupBy(F.window("ts", "5 minutes"), "src")
+                .agg(F.count("*").alias("cnt"))
+                .select(F.col("window.start").alias("ws"), "src", "cnt")
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(f"idle_{policy}")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(base, f"ck_{policy}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.processAllAvailable()
+            q.stop()
+            return sorted(
+                (str(r["ws"]), r["src"], r["cnt"])
+                for r in spark.table(f"idle_{policy}").collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", old)
+
+    # Flink default: B's stalled watermark holds back event time — nothing emits
+    assert run("min") == []
+    # withIdleness: A's progress finalizes the 10:00 window for BOTH sources
+    assert run("max") == [
+        ("2024-01-01 10:00:00", "A", 1),
+        ("2024-01-01 10:00:00", "B", 1),
+    ]
