@@ -374,3 +374,38 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col("_s").cast("double") / F.col("n_tokens")).alias("avg_nll"),
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = Σ −(c/n)·ln(c/n) over the doc's own token frequencies — the
+    low-entropy boilerplate/keyword-stuffing detector (complements
+    :func:`repetition_signals`: entropy summarizes the WHOLE distribution
+    where top-token fraction looks at its head).
+
+    Determinism: per-term contributions round to 9 dp and accumulate in
+    DECIMAL(28,9) (the package's partitioning-invariant float recipe); the
+    entropy of a one-token doc is exactly 0.
+
+    Shape at 100 TB: one explode + one (doc, term) count groupBy + one doc
+    groupBy — two shuffles keyed by doc id, partial aggs map-side, no UDFs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    term_h = F.round(
+        -(F.col("c") / F.col("_n")) * F.log(F.col("c") / F.col("_n")), 9
+    ).cast("decimal(28,9)")
+    return (
+        tf.withColumn("_n", n)
+        .select(F.col(id_col), F.col("_n"), term_h.alias("_h"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").cast("bigint").alias("n_tokens"),
+            F.sum("_h").cast("double").alias("entropy"),
+        )
+    )

@@ -162,6 +162,7 @@ _R04_NEW_LAST = (
     "datastream_maxby_flatmap",
     "flinkddl_create_table_like",
     "dataset_split_leakage",
+    "text_token_entropy",
 )
 
 

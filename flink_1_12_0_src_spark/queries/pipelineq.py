@@ -1142,3 +1142,37 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+wn AS (SELECT doc_id, term, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+h AS (
+  SELECT doc_id, n,
+         CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9)) AS th
+  FROM wn
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(th) AS DOUBLE) AS entropy
+FROM h GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+    doc="Per-document Shannon token entropy H = sum -(c/n)ln(c/n) — the "
+    "low-entropy boilerplate/keyword-stuffing signal complementing "
+    "repetition_signals (whole-distribution vs head-of-distribution). "
+    "9-dp-rounded terms, DECIMAL accumulation, two doc-keyed shuffles, no "
+    "UDFs.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import token_entropy
+
+    return token_entropy(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )

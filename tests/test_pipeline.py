@@ -344,3 +344,21 @@ def test_temperature_sample_smallest_group_keeps_boundary_hash(spark):
     rows = [(i, "only") for i in range(500)]
     df = spark.createDataFrame(rows, ["doc_id", "grp"])
     assert temperature_sample(df, "doc_id", "grp").count() == 500
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    import math
+
+    from flink_1_12_0_src_spark.pipeline.text import token_entropy
+
+    rows = [
+        (1, "a a a a a a a a"),          # one token → H = 0
+        (2, "a b a b a b a b"),          # two tokens 50/50 → H = ln 2
+        (3, "a b c d e f g h"),          # uniform 8 → H = ln 8
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - math.log(2)) < 1e-6
+    assert abs(out[3] - math.log(8)) < 1e-6
+    assert out[1] < out[2] < out[3]
