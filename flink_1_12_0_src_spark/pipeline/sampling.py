@@ -163,3 +163,21 @@ def temperature_sample(
         .filter(h < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def uniform_sample(df: DataFrame, id_col: str, k: int, seed: int = 11) -> DataFrame:
+    """Deterministic fixed-size uniform sample: keep the ``k`` documents with
+    the smallest salted id hashes — the distributed, rerun-stable equivalent
+    of reservoir sampling (every id is equally likely under the hash's
+    uniformity, the chosen set is a pure function of (seed, id-set), and
+    adding new documents only ever displaces the largest hashes).
+
+    Scale shape: one TakeOrderedAndProject (top-k by hash) — no full sort,
+    no RNG state, map-side partial top-k then a single k-row merge."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .drop("_h")
+    )

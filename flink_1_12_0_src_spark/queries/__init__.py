@@ -163,6 +163,7 @@ _R04_NEW_LAST = (
     "flinkddl_create_table_like",
     "dataset_split_leakage",
     "text_token_entropy",
+    "dataset_uniform_sample",
 )
 
 

@@ -1176,3 +1176,27 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+SAMPLE_K = 100
+
+
+@register(
+    "dataset_uniform_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+ORDER BY md5('11|' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {SAMPLE_K}
+""",
+    tags=("pipeline", "sampling"),
+    doc=f"Deterministic fixed-size uniform sample (k={SAMPLE_K}): the "
+    "smallest-k salted id hashes — rerun-stable reservoir-sampling "
+    "equivalent; one TakeOrderedAndProject, no full sort, no RNG state "
+    "(pipeline/sampling.py uniform_sample).",
+)
+def dataset_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import uniform_sample
+
+    return uniform_sample(
+        table(spark, sf_dir, "documents"), "doc_id", SAMPLE_K, seed=11
+    ).select("doc_id", "lang")

@@ -176,3 +176,10 @@ def test_exact_substring_two_phase_agg_no_selfjoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact_substring")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_uniform_sample_take_ordered_no_full_sort(spark, sf_dir):
+    # smallest-k-hashes sampling must plan as TakeOrderedAndProject (map-side
+    # partial top-k), never a global Sort + Limit
+    plan = _plan(spark, sf_dir, "dataset_uniform_sample")
+    assert "TakeOrderedAndProject" in plan

@@ -93,3 +93,39 @@ def test_triadic_census_matches_bruteforce(spark, es):
     row = triadic_census(df).collect()[0]
     assert (row["t0"], row["t1"], row["t2"], row["t3"]) == tuple(counts)
     assert row["n_vertices"] == len(verts) and row["n_edges"] == len(es)
+
+
+DOC_TEXTS = st.lists(
+    st.lists(st.sampled_from(list("abc")), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=DOC_TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicated_spans_matches_bruteforce(spark, texts):
+    from flink_1_12_0_src_spark.pipeline.dedup import duplicated_spans
+
+    W = 3
+    docs = list(enumerate(texts))
+    # brute force: hash every W-token window, find cross-doc duplicates,
+    # count windows + distinct covered positions per doc
+    wins = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - W + 1):
+            wins.setdefault(" ".join(toks[p : p + W]), []).append((i, p))
+    dup = {g for g, occ in wins.items() if len({d for d, _ in occ}) >= 2}
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        hits = [p for g in dup for (d, p) in wins[g] if d == i]
+        cov = {x for p in hits for x in range(p, p + W)}
+        expect[i] = (len(toks), len(hits), len(cov))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["dup_tokens"])
+        for r in duplicated_spans(df, "doc_id", "text", window=W).collect()
+    }
+    assert got == expect
