@@ -72,6 +72,24 @@ class TableEnvironment:
                 set(self._tables) | {t.name for t in self.spark.catalog.listTables()}
             )
             return self.spark.createDataFrame([(n,) for n in names], "table_name string")
+        if head == "SHOW" and s.upper().endswith("VIEWS"):
+            # SqlShowViews → temp views not backed by a connector table
+            names = sorted(
+                {t.name for t in self.spark.catalog.listTables() if t.tableType == "TEMPORARY"}
+                - set(self._tables)
+            )
+            return self.spark.createDataFrame([(n,) for n in names], "view_name string")
+        if head == "SHOW" and s.upper().endswith("DATABASES"):
+            # SqlShowDatabases → the single in-memory catalog database
+            return self.spark.createDataFrame(
+                [("default_database",)], "database_name string"
+            )
+        if head == "USE":
+            # SqlUseDatabase — single-database catalog: only the default is valid
+            db = s.split()[-1]
+            if db not in ("default_database", "default_catalog.default_database"):
+                raise ValueError(f"unknown database: {db}")
+            return None
         if head == "SHOW" and s.upper().endswith("FUNCTIONS"):
             # SqlShowFunctions → registered function names (built-ins + UDFs)
             rows = sorted({f.name for f in self.spark.catalog.listFunctions()})

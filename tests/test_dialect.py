@@ -511,3 +511,19 @@ def test_datastream_min_by_ignores_nulls(spark):
     rows = {r["k"]: (r["v"], r["oid"]) for r in ds.key_by("k").min_by("v", "oid").to_df().collect()}
     assert rows[1] == (5, 10)  # NULL must not win the minimum
     assert rows[2] == (None, 11)  # all-NULL key still emits its row
+
+
+def test_show_views_databases_use(spark):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.range(3).createOrReplaceTempView("a_plain_view")
+    views = {r["view_name"] for r in env.execute_sql("SHOW VIEWS").collect()}
+    assert "a_plain_view" in views
+    dbs = [r["database_name"] for r in env.execute_sql("SHOW DATABASES").collect()]
+    assert dbs == ["default_database"]
+    assert env.execute_sql("USE default_database") is None
+    with _pytest.raises(ValueError, match="unknown database"):
+        env.execute_sql("USE prod")
