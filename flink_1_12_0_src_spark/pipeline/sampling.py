@@ -26,15 +26,20 @@ SPLIT_TRAIN_BOUND = "e6666666"  # 0.9 × 16^8
 SPLIT_VAL_BOUND = "f3333333"  # 0.95 × 16^8
 
 
+def _salted_hash(id_col: str, seed: int):
+    """The package's portable id hash: md5(f"{seed}|{id}") — every sampling
+    primitive and its DuckDB oracle mirror this exact format, so the salt
+    layout lives in ONE place."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+
+
 def hash_split(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by content-independent
     id hash: split = bucket of md5(seed|id) in the hash space. Stateless and
     engine-portable — the split survives re-runs, repartitioning, and
     incremental ingestion (a document's split never changes), which is the
     property leakage-safe dataset assembly needs."""
-    h = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8
-    )
+    h = F.substring(_salted_hash(id_col, seed), 1, 8)
     return df.withColumn(
         "split",
         F.when(h < SPLIT_TRAIN_BOUND, "train")
@@ -94,7 +99,7 @@ def shuffle_shard(df: DataFrame, id_col: str, seed: int = 77, n_shards: int = 16
     ONE window shuffle keyed by shard; no global sort, no RNG state."""
     from pyspark.sql import Window as W
 
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    h = _salted_hash(id_col, seed)
     w = W.partitionBy(F.substring(h, 1, 1)).orderBy(h, F.col(id_col))
     return df.select(
         F.col(id_col),
@@ -155,9 +160,7 @@ def temperature_sample(
         )
         .alias("_thr"),
     )
-    h = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8
-    )
+    h = F.substring(_salted_hash(id_col, seed), 1, 8)
     return (
         df.join(broadcast(thr), group_col)
         .filter(h < F.col("_thr"))
@@ -174,7 +177,7 @@ def uniform_sample(df: DataFrame, id_col: str, k: int, seed: int = 11) -> DataFr
 
     Scale shape: one TakeOrderedAndProject (top-k by hash) — no full sort,
     no RNG state, map-side partial top-k then a single k-row merge."""
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    h = _salted_hash(id_col, seed)
     return (
         df.withColumn("_h", h)
         .orderBy("_h", id_col)

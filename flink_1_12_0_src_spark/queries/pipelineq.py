@@ -123,7 +123,7 @@ def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(ordered: bool = True) -> str:
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
     # mirrors minhash_signatures' digest splitting: 4 × 32-bit components per md5
@@ -154,7 +154,7 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(({eqs}) / {nh}.0, 6) AS est_jaccard
 FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
-ORDER BY id_a, id_b
+{"ORDER BY id_a, id_b" if ordered else ""}
 """
 
 
@@ -1101,7 +1101,7 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dataset_split_leakage",
     oracle=f"""
 WITH mh AS (
-  SELECT * FROM ({_minhash_oracle().replace("ORDER BY id_a, id_b", "")})
+  SELECT * FROM ({_minhash_oracle(ordered=False)})
 ),
 sp AS (
   SELECT doc_id,
@@ -1121,23 +1121,35 @@ ORDER BY id_a, id_b
     ">= 0.5) whose endpoints landed in DIFFERENT hash_split partitions, i.e. "
     "eval documents with a near-copy in train. Pure composition of the "
     "shipped primitives (minhash_lsh_pairs x hash_split) — the pair table "
-    "is tiny relative to the corpus, so the split join broadcasts.",
+    "is tiny, and the split of each endpoint is a pure hash expression on "
+    "it — no join against the corpus-sized split table at all.",
 )
 def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        SPLIT_TRAIN_BOUND,
+        SPLIT_VAL_BOUND,
+        _salted_hash,
+    )
 
-    from flink_1_12_0_src_spark.pipeline.sampling import hash_split
+    def split_of(id_col: str) -> F.Column:
+        # hash_split is a pure stateless projection of the id, so the split
+        # of each pair endpoint computes as an EXPRESSION on the tiny pair
+        # table — no join against (and no broadcast of) the corpus-sized
+        # split assignment at all
+        h = F.substring(_salted_hash(id_col, 42), 1, 8)
+        return (
+            F.when(h < SPLIT_TRAIN_BOUND, "train")
+            .when(h < SPLIT_VAL_BOUND, "val")
+            .otherwise("test")
+        )
 
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
     ).filter(F.col("est_jaccard") >= 0.5)
-    sp = hash_split(docs, "doc_id").select("doc_id", "split")
-    sa = sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"})
-    sb = sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"})
     return (
-        pairs.join(broadcast(sa), "id_a")
-        .join(broadcast(sb), "id_b")
+        pairs.withColumn("split_a", split_of("id_a"))
+        .withColumn("split_b", split_of("id_b"))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
         .orderBy("id_a", "id_b")

@@ -85,8 +85,15 @@ class TableEnvironment:
                 [("default_database",)], "database_name string"
             )
         if head == "USE":
-            # SqlUseDatabase — single-database catalog: only the default is valid
-            db = s.split()[-1]
+            # SqlUseDatabase / SqlUseCatalog — single catalog+database model
+            parts = s.split()
+            if len(parts) < 2:
+                raise ValueError("USE needs a database (or CATALOG) name")
+            if parts[1].upper() == "CATALOG":
+                if len(parts) < 3 or parts[2] != "default_catalog":
+                    raise ValueError(f"unknown catalog: {' '.join(parts[2:3]) or '?'}")
+                return None
+            db = parts[-1]
             if db not in ("default_database", "default_catalog.default_database"):
                 raise ValueError(f"unknown database: {db}")
             return None

@@ -527,3 +527,16 @@ def test_show_views_databases_use(spark):
     assert env.execute_sql("USE default_database") is None
     with _pytest.raises(ValueError, match="unknown database"):
         env.execute_sql("USE prod")
+
+
+def test_use_catalog_statement(spark):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("USE CATALOG default_catalog") is None
+    with _pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("USE CATALOG hive")
+    with _pytest.raises(ValueError, match="USE needs"):
+        env.execute_sql("USE")
