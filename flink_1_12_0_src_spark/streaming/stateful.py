@@ -53,6 +53,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# pandas dtypes for the state-buffer round trip (must match _ENC_TYPES:
+# anything restored into a LongType array as float silently nulls)
+_PD_DTYPES = {"ts": "int64", "long": "int64", "double": "float64", "string": "object"}
+
 _ENC_TYPES = {
     "ts": LongType(),  # datetime64[ns] stored as int64 nanos
     "long": LongType(),
@@ -116,9 +120,24 @@ def _wm_buffered(
         carry = tuple(stored[:n_carry]) if stored else init_carry
         parts = []
         if stored:
-            parts.append(
-                pd.DataFrame({c: list(v) for c, v in zip(cols, stored[n_carry:])})
+            # Restore with EXPLICIT dtypes and skip the frame when the stored
+            # buffer is empty. A key whose buffer fully drains (timeout flush
+            # with carry retained) stores empty lists; pd.DataFrame({c: []})
+            # would default those columns to float64, and a later
+            # concat([empty-float64, int64-data]) silently upcasts the int64
+            # nanosecond timestamps to float64 (precision loss) — which the
+            # LongType state array then nulls on write, corrupting the key's
+            # buffer for the rest of the stream. Hit only on the
+            # drain-then-refill delivery pattern (surfaced by the sf0.1
+            # streaming smoke), invisible at smaller replays.
+            restored = pd.DataFrame(
+                {
+                    c: pd.Series(list(v), dtype=_PD_DTYPES[t])
+                    for (c, t), v in zip(buffer_cols.items(), stored[n_carry:])
+                }
             )
+            if len(restored):
+                parts.append(restored)
         for pdf in pdf_iter:
             if len(pdf):
                 enc = {}
@@ -128,7 +147,9 @@ def _wm_buffered(
         buf = (
             pd.concat(parts, ignore_index=True)
             if parts
-            else pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+            else pd.DataFrame(
+                {c: pd.Series(dtype=_PD_DTYPES[t]) for c, t in buffer_cols.items()}
+            )
         )
         if len(buf):
             buf = buf.sort_values(order_cols, kind="mergesort", ignore_index=True)

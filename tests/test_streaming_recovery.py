@@ -338,3 +338,58 @@ def test_idle_source_both_semantics_via_watermark_policy(spark, tmp_path):
         ("2024-01-01 10:00:00", "A", 1),
         ("2024-01-01 10:00:00", "B", 1),
     ]
+
+
+def test_wm_buffer_survives_drain_then_refill(spark, tmp_path):
+    """Regression (found by the sf0.1 streaming smoke): a key whose watermark
+    buffer fully drains (timeout flush, carry retained → EMPTY lists in
+    state) and later receives new rows must keep exact int64 timestamps.
+    Before the typed-restore fix, pd.DataFrame({c: []}) defaulted the
+    restored columns to float64 and the concat upcast the int64 nanosecond
+    buffer to float64 — which the LongType state array nulled on write,
+    crashing the next batch with 'int() argument ... NoneType'."""
+    import os
+
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.stateful import streaming_temporal_join
+
+    src = str(tmp_path / "drainrefill")
+    os.makedirs(src)
+    batches = [
+        # batch 0: key 1 dim+fact (buffered; wm still behind)
+        [(1, "2024-01-01 10:00:00", "D", 1.0), (1, "2024-01-01 10:01:00", "F", 5.0)],
+        # batch 1: only key 2, far ahead → wm passes key 1 entirely; key 1's
+        # timeout flush stores carry + EMPTY buffer lists
+        [(2, "2024-01-01 11:00:00", "F", 7.0)],
+        # batch 2: key 1 refills → restore of the drained state must be typed
+        [(1, "2024-01-01 12:00:00", "F", 9.0)],
+        # batch 3: advance wm so batch 2 finalizes
+        [(2, "2024-01-01 13:00:00", "F", 8.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = (
+            spark.createDataFrame(rows, "user_id int, ts_s string, side string, value double")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .select("user_id", "ts", "side", "value")
+        )
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = run_to_batch(
+        streaming_temporal_join(stream, key="user_id", time_col="ts", side_col="side", value_col="value"),
+        "append",
+    )
+    rows = {(r["user_id"], str(r["fact_ts"])): (str(r["dim_ts"]), r["setting"]) for r in out.collect()}
+    # key 1's first fact joins its 10:00 dim; the refilled 12:00 fact must
+    # STILL see the carried dim version with an exact timestamp
+    assert rows[(1, "2024-01-01 10:01:00")] == ("2024-01-01 10:00:00", 1.0)
+    assert rows[(1, "2024-01-01 12:00:00")] == ("2024-01-01 10:00:00", 1.0)
