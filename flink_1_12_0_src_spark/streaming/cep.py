@@ -58,6 +58,12 @@ from flink_1_12_0_src_spark.operators.cep import (
 )
 
 _COL_TYPES = {"long": LongType(), "string": StringType(), "ts": LongType()}
+# pandas dtypes for the state round trip: a drained key stores EMPTY lists,
+# and an untyped pd.DataFrame({c: []}) would default to float64 — whose
+# concat with live int64 data upcasts the nanosecond timestamps to float,
+# which the LongType state array then nulls on write (same hazard fixed in
+# streaming/stateful.py _wm_buffered)
+_PD_COL_DTYPES = {"long": "int64", "string": "object", "ts": "int64"}
 
 
 def streaming_match_recognize(
@@ -117,9 +123,14 @@ def streaming_match_recognize(
         seq = int(stored[0]) if stored else 0
         parts = []
         if stored:
-            parts.append(
-                pd.DataFrame({c: list(v) for c, v in zip(cols, stored[1:])})
+            restored = pd.DataFrame(
+                {
+                    c: pd.Series(list(v), dtype=_PD_COL_DTYPES[t])
+                    for (c, t), v in zip(buffer_cols.items(), stored[1:])
+                }
             )
+            if len(restored):
+                parts.append(restored)
         for pdf in pdf_iter:
             if len(pdf):
                 parts.append(_encode(pdf))
@@ -127,7 +138,9 @@ def streaming_match_recognize(
         buf = (
             pd.concat(parts, ignore_index=True)
             if parts
-            else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            else pd.DataFrame(
+                {c: pd.Series(dtype=_PD_COL_DTYPES[t]) for c, t in buffer_cols.items()}
+            )
         )
         buf = _sorted_group(buf, order_by) if len(buf) else buf
         ts_ns = buf[time_col].to_numpy(dtype="int64") if len(buf) else np.array([], "int64")

@@ -122,3 +122,63 @@ def test_streaming_cep_defers_unfinalized(spark, tmp_path):
         for r in run_to_batch(out, "append").collect()
     )
     assert rows == [(1, 0, 10, 11)]
+
+
+def test_cep_state_survives_drain_then_refill(spark, tmp_path):
+    """Same drain-then-refill hazard as _wm_buffered (typed state restore):
+    a key whose CEP buffer fully drains (all rows consumed by matches) and
+    later receives new events must keep exact int64 event times."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_0_src_spark.operators import Pattern
+    from flink_1_12_0_src_spark.streaming.cep import streaming_match_recognize
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+
+    src = str(tmp_path / "cepdrain")
+    os.makedirs(src)
+    batches = [
+        [(1, 0, "2024-01-01 10:00:00", "a"), (1, 1, "2024-01-01 10:00:10", "b")],
+        [(2, 2, "2024-01-01 11:00:00", "x")],  # advances wm; key 1 drains fully
+        [(1, 3, "2024-01-01 12:00:00", "a"), (1, 4, "2024-01-01 12:00:05", "b")],
+        [(2, 5, "2024-01-01 13:00:00", "x")],  # advances wm; finalize batch 2
+    ]
+    for i, rows in enumerate(batches):
+        df = (
+            spark.createDataFrame(rows, "k int, i long, ts_s string, typ string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .select("k", "i", "ts", "typ")
+        )
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "0 seconds")
+    )
+    pat = (
+        Pattern.begin("a").where(lambda p: p["typ"] == "a")
+        .next("b").where(lambda p: p["typ"] == "b")
+        .within(3600.0)
+    )
+    out = run_to_batch(
+        streaming_match_recognize(
+            stream,
+            key="k",
+            order_by=["ts", "i"],
+            pattern=pat,
+            measures={"a_i": ("a", "first", "i"), "b_i": ("b", "last", "i")},
+            measure_types={"a_i": "long", "b_i": "long"},
+            time_col="ts",
+            buffer_cols={"ts": "ts", "i": "long", "typ": "string"},
+        ),
+        "append",
+    )
+    got = sorted((r["k"], r["a_i"], r["b_i"]) for r in out.collect())
+    assert got == [(1, 0, 1), (1, 3, 4)]  # both matches, pre- and post-drain
