@@ -103,7 +103,9 @@ def label_propagation(
     return labels
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
+) -> DataFrame:
     """Per-vertex triangle participation counts (Gelly TriangleEnumerator,
     …/graph/library/TriangleEnumerator.java, + clustering triangle metrics).
 
@@ -111,28 +113,38 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     via the two-path + closing-edge join. All three joins hash-partition on a
     vertex id; at scale the standard ordered-degree orientation (direct edges
     low-degree → high-degree) bounds the two-path fan-out — with id-ordering
-    here so the DuckDB oracle can mirror the exact same enumeration."""
-    pe = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("p1"),
-            F.greatest(F.col(src), F.col(dst)).alias("p2"),
+    here so the DuckDB oracle can mirror the exact same enumeration.
+
+    ``materialize=True`` persists the canonical edge set for the three plan
+    references, eagerly checkpoints the result, and releases the cache before
+    returning — scoped to this call so a many-query gate run doesn't
+    accumulate cached edge blocks. ``materialize=False`` returns the lazy
+    plan with no persists (plan inspection / composition)."""
+    pe = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("p1"),
+        F.greatest(F.col(src), F.col(dst)).alias("p2"),
+    ).filter(F.col("p1") != F.col("p2")).distinct()
+    if materialize:
+        pe = pe.persist()  # three plan references below; edges ≪ triangle fan-out
+    try:
+        e1, e2, e3 = pe.alias("e1"), pe.alias("e2"), pe.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+            .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+            .select(F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c"))
         )
-        .filter(F.col("p1") != F.col("p2"))
-        .distinct()
-        .persist()  # three plan references below; edge set ≪ triangle fan-out
-    )
-    e1, e2, e3 = pe.alias("e1"), pe.alias("e2"), pe.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
-        .select(F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c"))
-    )
-    verts = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
-    )
-    return verts.groupBy("v").agg(F.count("*").alias("n_triangles"))
+        verts = (
+            tri.select(F.col("a").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("v")))
+            .unionAll(tri.select(F.col("c").alias("v")))
+        )
+        out = verts.groupBy("v").agg(F.count("*").alias("n_triangles"))
+        if not materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            pe.unpersist()
 
 
 def sssp(

@@ -25,6 +25,7 @@ from flink_1_12_0_src_spark.pipeline.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    semantic_prune,
     simhash_signatures,
     winnow_fingerprint,
 )

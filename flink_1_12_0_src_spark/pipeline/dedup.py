@@ -440,6 +440,43 @@ def duplicated_spans(
     return out
 
 
+def semantic_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+    round_digits: int = 6,
+    max_block: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    within each embedding cluster, prune every vector that has a
+    higher-priority near-duplicate — ``v`` is dropped iff some ``u`` in the
+    same cluster with ``u.id < v.id`` has rounded cosine(u, v) ≥ threshold.
+    The min-id survivor rule replaces the paper's centroid-distance pick so
+    keep/drop decisions are deterministic and engine-portable (the paper
+    notes the choice of representative barely moves downstream accuracy).
+
+    Returns one row per input vector: (vec_id, cluster, kept).
+
+    Scale shape: the cluster id is the blocking key — the pair stage is the
+    same bounded within-block all-pairs as :func:`embedding_neardup_pairs`
+    (IVF-list-sized blocks, ``max_block`` hot-block guard), followed by one
+    distinct on pruned ids and a broadcast-sized anti join back to the
+    assignment. No all-corpus pair space is ever materialized.
+    """
+    pairs = embedding_neardup_pairs_np(
+        df, id_col, vec_col, cluster_col, threshold, round_digits, max_block
+    )
+    pruned = pairs.select(F.col("id_b").alias("_pid")).distinct()
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.col(cluster_col).alias("cluster"))
+        .join(pruned, F.col("vec_id") == F.col("_pid"), "left")
+        .select("vec_id", "cluster", F.col("_pid").isNull().alias("kept"))
+    )
+
+
 def decontaminate(
     df: DataFrame, bench: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

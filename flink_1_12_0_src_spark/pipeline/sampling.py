@@ -184,3 +184,93 @@ def uniform_sample(df: DataFrame, id_col: str, k: int, seed: int = 11) -> DataFr
         .limit(k)
         .drop("_h")
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-pool document by how
+    much more likely its hashed-unigram bag is under the target domain's
+    token distribution than under the raw pool's own —
+    ``logw(doc) = Σ_tokens ln(p_target(bucket) / p_raw(bucket))`` with add-1
+    smoothing over the ``B = 16^hex_chars`` hashed buckets. Documents with
+    positive log-weights look like the target domain; DSIR then resamples
+    proportionally (here the weight itself is the output, plus the
+    ``selected`` indicator ``logw > 0``, so the resampling policy stays a
+    downstream choice).
+
+    Determinism / portability: the bucket is the first ``hex_chars`` chars of
+    md5(token) — a string join key in both engines, no hex→int conversion;
+    each bucket's log-ratio is rounded to 9 dp once, multiplied by the exact
+    per-(doc, bucket) count in DECIMAL(28,9), and accumulated in DECIMAL —
+    the partitioning-invariant float recipe used package-wide.
+
+    Scale shape at 100 TB: the target side is small by definition (a quality
+    domain sample vs the whole crawl), ONE scan each for target and raw
+    bucket counts (explode → hash-agg, B-row outputs), the B-row log-ratio
+    table BROADCASTS, and scoring is one more raw scan reduced to
+    (doc, bucket) counts before the broadcast join — no corpus-size shuffle
+    beyond the doc-keyed sum."""
+    from pyspark.sql.functions import broadcast
+
+    from flink_1_12_0_src_spark.pipeline.text import tokens
+
+    n_buckets = 16 ** hex_chars
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term") != "")
+            .select(
+                F.col(id_col),
+                F.substring(F.md5("term"), 1, hex_chars).alias("bucket"),
+            )
+        )
+
+    tgt_counts = bucketed(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_tok = bucketed(raw)
+    raw_counts = raw_tok.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").cast("double").alias("_tt"))
+    raw_tot = raw_counts.agg(F.sum("cr").cast("double").alias("_tr"))
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .crossJoin(broadcast(tgt_tot))
+        .crossJoin(broadcast(raw_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + 1) / (F.col("_tt") + n_buckets))
+                    / ((F.coalesce("cr", F.lit(0)) + 1) / (F.col("_tr") + n_buckets))
+                ),
+                9,
+            )
+            # decimal(20,9) × decimal(9,0) keeps the product inside Spark's
+            # 38-digit cap with scale 9 intact (28,9 × 28,9 would overflow
+            # precision and silently truncate the scale to 6)
+            .cast("decimal(20,9)")
+            .alias("lr"),
+        )
+    )
+    doc_buckets = raw_tok.groupBy(id_col, "bucket").agg(
+        F.count("*").cast("decimal(9,0)").alias("n")
+    )
+    return (
+        doc_buckets.join(broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n").cast("bigint")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr")).cast("decimal(38,9)").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("_s").cast("double").alias("log_weight"),
+            (F.col("_s") > 0).alias("selected"),
+        )
+    )

@@ -306,3 +306,168 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def pq_fit(
+    train: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): split the (L2-normalized)
+    vector into ``m`` contiguous subspaces and train one ``ksub``-centroid
+    codebook per subspace with the package's deterministic Lloyd kernel
+    (init = lowest-id training vectors, :func:`ivf_fit`).
+
+    Returns (sub, code, centroid) — ``m × ksub`` rows, broadcastable by
+    construction regardless of corpus size. At 100 TB the training side is a
+    bounded uniform sample of the corpus (``sampling.uniform_sample``), the
+    standard PQ recipe — codebook quality saturates at ~100k training
+    vectors, so the fit cost never scales with the corpus.
+    """
+    nv = train.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).select("vid", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("v"))
+    dim = len(nv.select("v").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    books = []
+    for s in range(m):
+        sl = nv.select("vid", F.slice("v", s * sub_d + 1, sub_d).alias("embedding"))
+        cb = ivf_fit(sl, id_col="vid", n_lists=ksub, iters=iters)
+        books.append(
+            cb.select(
+                F.lit(s).alias("sub"),
+                F.col("cluster_id").alias("code"),
+                F.col("centroid"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank (ADC, Jégou et al.
+    2011 §V): encode every corpus vector as m one-byte codes (nearest
+    sub-centroid per subspace, map-side — ONE corpus scan, no shuffle),
+    broadcast the query set and the m×ksub codebook, and scan the codes
+    computing each query's approximate distance as a lookup-table sum:
+    d²(q, x) ≈ Σ_s LUT_q[s, code_s(x)] where LUT_q[s, c] =
+    ‖q_s − centroid_{s,c}‖². Per-partition shortlist candidates per query,
+    one tiny global window cut to ``shortlist`` (default 8·k), then the
+    shortlist joins back to the corpus for an EXACT cosine re-rank — the
+    standard two-stage ANN: the compressed scan bounds the exact work at
+    |Q|·shortlist vectors, and m bytes/vector (not 4·dim) is what makes the
+    scan feasible at 100 TB.
+
+    Vectors are L2-normalized for the ADC stage, so approximate L2 ranking
+    is cosine ranking (‖a−b‖² = 2−2cos on the unit sphere). Ties break by
+    neighbor id; codebook argmins break by code id — fully deterministic
+    given the codebook. Verified by recall against :func:`cosine_topk`
+    (approximation ⇒ no exact SQL oracle, same class as IVF/LSH)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cb_rows = codebooks.orderBy("sub", "code").collect()  # m×ksub, tiny by contract
+    m = 1 + max(r["sub"] for r in cb_rows)
+    ksub = 1 + max(r["code"] for r in cb_rows)
+    C = np.zeros((m, ksub, len(cb_rows[0]["centroid"])))
+    for r in cb_rows:
+        C[r["sub"], r["code"]] = r["centroid"]
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("v")
+    ).collect()  # |Q| small by contract (the broadcast query batch)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r["qid"] for r in q_rows])
+    sub_d = C.shape[2]
+    # LUT[qi, s, c] = ||Q[qi, s-th slice] - C[s, c]||^2
+    LUT = np.stack(
+        [
+            ((Q[:, s * sub_d : (s + 1) * sub_d][:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    b_lut = spark.sparkContext.broadcast(LUT)
+    b_cb = spark.sparkContext.broadcast(C)
+    b_qids = spark.sparkContext.broadcast(qids)
+
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+
+    def adc(it):
+        lut, cb, qs = b_lut.value, b_cb.value, b_qids.value
+        m_, ksub_, sd = cb.shape
+        for pdf in it:
+            ids = pdf["neighbor_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # encode: per subspace argmin ||v_s - centroid||² (ties → lowest code)
+            codes = np.empty((len(ids), m_), dtype=np.int64)
+            for s in range(m_):
+                d = ((V[:, s * sd : (s + 1) * sd][:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+            # ADC distance: sum LUT over subspaces → (|Q|, n)
+            D = np.zeros((lut.shape[0], len(ids)))
+            for s in range(m_):
+                D += lut[:, s, :][:, codes[:, s]]
+            D = np.round(D, 6)
+            out = []
+            for qi in range(lut.shape[0]):
+                order = np.lexsort((ids, D[qi]))[: sl + 1]
+                keep = order[ids[order] != qs[qi]][:sl]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qs[qi],
+                            "neighbor_id": ids[keep],
+                            "approx_cosine": 1.0 - D[qi][keep] / 2.0,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    sl = shortlist if shortlist is not None else 8 * k
+    cand = nv.mapInPandas(adc, "query_id long, neighbor_id long, approx_cosine double")
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sl)
+        .drop("rn", "approx_cosine")
+    )
+    # exact re-rank of the shortlist: |Q|·shortlist rows join back to the
+    # corpus vectors (hash join on neighbor_id), query vectors broadcast
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    j = short.join(cvec, "neighbor_id").join(F.broadcast(qdf), "query_id")
+    cos = F.round(
+        _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -167,25 +167,47 @@ _R04_NEW_LAST = (
 )
 
 
+# Round-5 rotation. 74 queries had no driver-green row entering round 4, but
+# the gate truncates at 50/round, so (in round 4's rank order) positions
+# 51-74 — exactly the _R04_NEW_LAST tail below — could not receive a row.
+# Round 5 puts those 24 FIRST: if the round-4 gate ran as ordered, every
+# never-tested query has a hard CORRECTNESS row after this round; if round 4's
+# artifacts were lost, this still covers 50 of the 74 and the next rotation
+# picks up the remainder (the union over rounds converges either way).
+_R05_FRONT = tuple(_R04_NEW_LAST[3:])
+
+# Queries first registered in round 5 — never had any chance of a driver row,
+# so they outrank the round-3 backlog that round 4 presumably gated.
+_R05_NEW = (
+    "dedup_semantic_prune",
+    "dataset_dsir_weights",
+    "knn_pq_topk",
+)
+
+
 def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    (0,_) = the two r03 emission-trace fixes (must re-verify);
-    (1,_) = never driver-tested as of round 3 (all 18 LLM-pipeline queries
-        plus the round-3-new set) — the round-3 judge's explicit ask: give
-        every one of these a hard CORRECTNESS row;
-    (2,i) = round-4-new queries, explicitly ordered so any truncation drops
-        the most-redundantly-verified ones;
-    (3,_) = already driver-green in r01/r02/r03 (re-verify only if budget
+    (0,i) = truncated past round 4's 50-slot window — first rows this round;
+    (1,_) = the two r03 emission-trace fixes (re-verify post-fix);
+    (2,i) = round-5-new queries (first possible row);
+    (3,_) = never driver-tested as of round 3 (LLM-pipeline + round-3-new) —
+        presumed gated in round 4, re-verify next;
+    (4,i) = round-4-new queries that fit round 4's window;
+    (5,_) = already driver-green in r01/r02/r03 (re-verify only if budget
         remains).
     """
+    if name in _R05_FRONT:
+        return (0, _R05_FRONT.index(name))
     if name in _R04_FIXED_FIRST:
-        return (0, 0)
+        return (1, 0)
+    if name in _R05_NEW:
+        return (2, _R05_NEW.index(name))
     if name in _R04_NEW_LAST:
-        return (2, _R04_NEW_LAST.index(name))
+        return (4, _R04_NEW_LAST.index(name))
     if name in _DRIVER_GREEN:
-        return (3, 0)
-    return (1, 0)
+        return (5, 0)
+    return (3, 0)
 
 
 def load_all() -> dict[str, Query]:

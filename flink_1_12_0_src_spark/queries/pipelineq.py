@@ -341,6 +341,29 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_pq_topk",
+    oracle=None,  # approximate by design — recall vs brute force asserted in tests
+    tags=("pipeline", "similarity"),
+    doc="Product-quantization ADC top-k (Jégou et al. 2011; pipeline/"
+    "similarity.py pq_fit/pq_topk): 16 subspaces × 32 codes trained with the "
+    "deterministic Lloyd kernel, corpus encoded map-side to 16 one-byte codes "
+    "(the 100 TB ANN memory story: m bytes/vector instead of 4·dim), queries "
+    "+ codebook LUTs broadcast, approximate distance = LUT sum, per-partition "
+    "shortlist then exact cosine re-rank of 8k candidates. Rows-only driver check; recall@5 "
+    "vs brute force asserted in tests/test_pipeline.py.",
+)
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=16, ksub=32, iters=2)
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return pq_topk(emb, q, books, k=ANN_K).orderBy(
+        "query_id", F.desc("cosine"), "neighbor_id"
+    )
+
+
 def _langid_oracle() -> str:
     langs = sorted(LANG_MARKERS)
     hits = {
@@ -523,6 +546,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
         ND_THRESHOLD, max_block=ND_MAX_BLOCK,
     ).orderBy("id_a", "id_b")
+
+
+SEM_THRESHOLD = 0.3  # same calibration as ND_THRESHOLD (max in-cluster cosine ≈ 0.51)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+a AS (
+  SELECT e.vec_id, c.cid AS cluster, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+  FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, cluster, v FROM a WHERE rn = 1),
+bsz AS (SELECT cluster, COUNT(*) AS csz FROM asg GROUP BY 1),
+blk AS (SELECT asg.* FROM asg JOIN bsz USING (cluster) WHERE csz <= {ND_MAX_BLOCK}),
+pru AS (SELECT DISTINCT y.vec_id
+        FROM blk x JOIN blk y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {SEM_THRESHOLD})
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+       (pru.vec_id IS NULL) AS kept
+FROM asg LEFT JOIN pru USING (vec_id) ORDER BY asg.vec_id
+""",
+    tags=("pipeline", "dedup", "similarity", "clustering"),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023; pipeline.dedup."
+    "semantic_prune): assign every embedding to its nearest of 4 fixed "
+    "centroids (lowest-id vectors — the deterministic Lloyd kernel of "
+    "ivf_fit), then within each cluster prune any vector having a lower-id "
+    f"near-duplicate at rounded cosine ≥ {SEM_THRESHOLD}. Min-id survivor "
+    "replaces the paper's centroid-distance pick for engine portability. "
+    "Pair stage = the same hot-block-capped within-cluster matmul as "
+    "dedup_embedding_cosine; assignment is a broadcast cross join (map-side); "
+    "the prune set joins back broadcast-sized. No corpus-wide pair space.",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import semantic_prune
+    from flink_1_12_0_src_spark.pipeline.similarity import cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    offset = 1 << 40  # centroid ids disjoint from vector ids
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    assign = cosine_topk(cents, emb, k=1).select(
+        F.col("query_id").alias("vec_id"),
+        (F.col("neighbor_id") - offset).alias("cluster"),
+    )
+    blocked = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
+    return semantic_prune(
+        blocked, "vec_id", "embedding", "cluster", SEM_THRESHOLD, max_block=ND_MAX_BLOCK
+    ).orderBy("vec_id")
 
 
 @register(
@@ -1212,3 +1288,55 @@ def dataset_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniform_sample(
         table(spark, sf_dir, "documents"), "doc_id", SAMPLE_K, seed=11
     ).select("doc_id", "lang")
+
+
+DSIR_HEX = 2  # 256 hashed-unigram buckets (16^2)
+
+
+@register(
+    "dataset_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, substr(md5(t), 1, {DSIR_HEX}) AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM tok WHERE lang <> 'en' GROUP BY 1),
+tt AS (SELECT SUM(ct)::DOUBLE AS t FROM tc),
+tr AS (SELECT SUM(cr)::DOUBLE AS t FROM rc),
+ratio AS (
+  SELECT bucket,
+         CAST(round(ln(((COALESCE(ct, 0) + 1) / (tt.t + {16 ** DSIR_HEX}))
+                       / ((COALESCE(cr, 0) + 1) / (tr.t + {16 ** DSIR_HEX}))), 9)
+              AS DECIMAL(28,9)) AS lr
+  FROM rc FULL JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN tr
+),
+db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tok WHERE lang <> 'en' GROUP BY 1, 2)
+SELECT db.doc_id, SUM(db.n) AS n_tokens,
+       CAST(SUM(CAST(db.n AS DECIMAL(28,9)) * ratio.lr) AS DOUBLE) AS log_weight,
+       SUM(CAST(db.n AS DECIMAL(28,9)) * ratio.lr) > 0 AS selected
+FROM db JOIN ratio USING (bucket)
+GROUP BY db.doc_id ORDER BY db.doc_id
+""",
+    tags=("pipeline", "sampling", "text"),
+    doc="DSIR importance weights (Xie et al. 2023; pipeline/sampling.py "
+    "dsir_weights): score raw-pool documents (lang <> 'en') by hashed-unigram "
+    "log-likelihood ratio against the target domain (lang = 'en'), add-1 "
+    f"smoothing over {16 ** DSIR_HEX} md5-prefix buckets. Per-bucket log-ratio "
+    "rounded to 9 dp once, DECIMAL-accumulated per doc — partitioning- and "
+    "engine-invariant. The ratio table broadcasts; two raw scans + one "
+    "target scan, no corpus-size shuffle beyond the doc-keyed sum.",
+)
+def dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import dsir_weights
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        hex_chars=DSIR_HEX,
+    ).orderBy("doc_id")

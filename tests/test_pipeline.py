@@ -362,3 +362,38 @@ def test_token_entropy_orders_repetitive_below_diverse(spark):
     assert abs(out[2] - math.log(2)) < 1e-6
     assert abs(out[3] - math.log(8)) < 1e-6
     assert out[1] < out[2] < out[3]
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(emb, q, k=5)
+    books = pq_fit(emb, m=16, ksub=32, iters=2)
+    approx = pq_topk(emb, q, books, k=5)
+    assert approx.columns == ["query_id", "neighbor_id", "cosine"]
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # exactly k rows per query, no self matches
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(per_q.values()) == {5}
+    recall = len(a & b) / len(b)
+    # ADC shortlist (8k) + exact re-rank recovers most true neighbors even
+    # with coarse 16x32 codebooks on the synthetic 64-dim clusters
+    assert recall >= 0.7, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_pq_deterministic_across_runs(spark, sf_dir):
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = pq_fit(emb, m=16, ksub=32, iters=2)
+    r1 = sorted(map(tuple, pq_topk(emb, q, books, k=5).collect()))
+    r2 = sorted(map(tuple, pq_topk(emb.repartition(7), q, books, k=5).collect()))
+    assert r1 == r2
