@@ -397,3 +397,65 @@ def test_pq_deterministic_across_runs(spark, sf_dir):
     r1 = sorted(map(tuple, pq_topk(emb, q, books, k=5).collect()))
     r2 = sorted(map(tuple, pq_topk(emb.repartition(7), q, books, k=5).collect()))
     assert r1 == r2
+
+
+def test_semantic_prune_invariants(spark, sf_dir):
+    """Greedy min-id prune rule invariants: (1) a vector is pruned iff some
+    LOWER-id vector in its cluster clears the threshold with it; (2) the
+    lowest id of every cluster is always kept; (3) output covers every input
+    vector exactly once."""
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        embedding_neardup_pairs_np,
+        semantic_prune,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").alias("cluster")
+    )
+    out = semantic_prune(emb, "vec_id", "embedding", "cluster", 0.3).collect()
+    assert len(out) == emb.count()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    cluster_of = {r["vec_id"]: r["cluster"] for r in out}
+    pairs = embedding_neardup_pairs_np(
+        emb, "vec_id", "embedding", "cluster", 0.3
+    ).collect()
+    has_lower = {r["id_b"] for r in pairs}
+    for vid, k in kept.items():
+        assert k == (vid not in has_lower), f"vec {vid}: kept={k}"
+    min_per_cluster = {}
+    for vid, c in cluster_of.items():
+        min_per_cluster[c] = min(min_per_cluster.get(c, vid), vid)
+    for c, vid in min_per_cluster.items():
+        assert kept[vid], f"cluster {c} lowest id {vid} must survive"
+
+
+def test_dsir_weights_partitioning_invariant(spark, sf_dir):
+    """DECIMAL accumulation ⇒ identical weights under any repartitioning."""
+    from flink_1_12_0_src_spark.pipeline.sampling import dsir_weights
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en")
+    tgt = docs.filter(F.col("lang") == "en")
+    a = sorted(map(tuple, dsir_weights(raw, tgt, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_weights(raw.repartition(13), tgt.repartition(3), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-domain tokens must outscore docs of raw-only
+    tokens — the defining DSIR property."""
+    from flink_1_12_0_src_spark.pipeline.sampling import dsir_weights
+
+    tgt_rows = [(1000 + i, "alpha beta gamma delta epsilon") for i in range(20)]
+    raw_rows = [(1, "alpha beta gamma delta epsilon"), (2, "zork mumble frotz blorb grue")]
+    raw_rows += [(10 + i, "zork mumble frotz blorb grue") for i in range(20)]
+    tgt = spark.createDataFrame(tgt_rows, "doc_id bigint, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dsir_weights(raw, tgt, "doc_id", "text").collect()}
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[1]["selected"] and not out[2]["selected"]
