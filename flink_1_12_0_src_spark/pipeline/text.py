@@ -409,3 +409,67 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum("_h").cast("double").alias("entropy"),
         )
     )
+
+
+def quality_ensemble(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Multi-signal quality filter (the FineWeb/Dolma ensemble shape):
+    z-standardize four independent quality signals over the corpus —
+    heuristic quality score (:func:`quality_score`), duplicate-bigram
+    fraction (:func:`repetition_signals`), token-distribution entropy
+    (:func:`token_entropy`), and unigram negative log-likelihood
+    (:func:`unigram_logprob`) — and combine them into one composite:
+    ``0.4·z(quality) + 0.2·z(entropy) − 0.2·z(dup_bigram) − 0.2·z(nll)``,
+    keeping documents with a positive composite. Replaces the single-signal
+    threshold with the ensemble every production pipeline actually ships
+    (no one signal separates boilerplate from prose from gibberish alone).
+
+    Determinism: each signal is rounded to 6 dp, Σx and Σx² accumulate in
+    DECIMAL (exact), and μ/σ/z use only IEEE-exact ops (divide, sqrt) — no
+    transcendentals after the signals themselves, so both engines agree
+    bit-for-bit. Constant signals (σ = 0) contribute z = 0.
+
+    Shape at 100 TB: the four signal pipelines are each one-to-two doc-keyed
+    shuffles; the ensemble adds three doc-keyed equi joins, ONE tiny
+    corpus-stats aggregate (9 numbers) broadcast back, and a map-side
+    projection. Docs shorter than 2 tokens drop at the repetition join
+    (no bigrams ⇒ no ensemble row), mirroring the oracle."""
+    sigs = ("quality", "dup_bigram_frac", "entropy", "avg_nll")
+    j = (
+        quality_score(df, id_col, text_col).select(id_col, "quality")
+        .join(repetition_signals(df, id_col, text_col).select(id_col, "dup_bigram_frac"), id_col)
+        .join(token_entropy(df, id_col, text_col).select(id_col, "entropy"), id_col)
+        .join(unigram_logprob(df, id_col, text_col).select(id_col, "avg_nll"), id_col)
+    )
+    rounded = j.select(id_col, *[F.round(F.col(s), 6).alias(s) for s in sigs])
+    aggs = []
+    for s in sigs:
+        d = F.col(s).cast("decimal(18,6)")
+        aggs += [
+            F.sum(d).cast("double").alias(f"_s_{s}"),
+            F.sum(d * d).cast("double").alias(f"_q_{s}"),
+        ]
+    stats = rounded.agg(F.count("*").cast("double").alias("_n"), *aggs)
+
+    def z(s):
+        mu = F.col(f"_s_{s}") / F.col("_n")
+        var = F.col(f"_q_{s}") / F.col("_n") - mu * mu
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        return F.when(sd > 0, F.round((F.col(s) - mu) / sd, 6)).otherwise(F.lit(0.0))
+
+    composite = F.round(
+        z("quality") * 0.4 + z("entropy") * 0.2
+        - z("dup_bigram_frac") * 0.2 - z("avg_nll") * 0.2,
+        6,
+    )
+    return (
+        rounded.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            z("quality").alias("z_quality"),
+            z("dup_bigram_frac").alias("z_dup_bigram"),
+            z("entropy").alias("z_entropy"),
+            z("avg_nll").alias("z_nll"),
+            composite.alias("composite"),
+            (composite > 0).alias("keep"),
+        )
+    )

@@ -181,6 +181,7 @@ _R05_FRONT = tuple(_R04_NEW_LAST[3:])
 _R05_NEW = (
     "dedup_semantic_prune",
     "dataset_dsir_weights",
+    "text_quality_ensemble",
     "knn_pq_topk",
 )
 

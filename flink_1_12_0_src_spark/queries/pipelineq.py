@@ -1340,3 +1340,86 @@ def dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         hex_chars=DSIR_HEX,
     ).orderBy("doc_id")
+
+
+def _ensemble_oracle() -> str:
+    sigs = ("quality", "dup_bigram_frac", "entropy", "avg_nll")
+    stat_cols = ", ".join(
+        f"CAST(SUM(CAST({s} AS DECIMAL(18,6))) AS DOUBLE) AS s_{s}, "
+        f"CAST(SUM(CAST({s} AS DECIMAL(18,6)) * CAST({s} AS DECIMAL(18,6))) AS DOUBLE) AS q_{s}"
+        for s in sigs
+    )
+
+    def z(s):
+        mu = f"(st.s_{s} / st.n)"
+        var = f"(st.q_{s} / st.n - {mu} * {mu})"
+        sd = f"sqrt(greatest({var}, 0.0))"
+        return f"CASE WHEN {sd} > 0 THEN round((j.{s} - {mu}) / {sd}, 6) ELSE 0.0 END"
+
+    comp = (
+        f"round({z('quality')} * 0.4 + {z('entropy')} * 0.2"
+        f" - {z('dup_bigram_frac')} * 0.2 - {z('avg_nll')} * 0.2, 6)"
+    )
+    return f"""
+WITH t0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+q AS (
+  SELECT doc_id,
+         round(least(len(w) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]')) / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(w, {_EN!r})) / len(w), 6) * 10, 1.0) * 0.3, 6) AS quality
+  FROM t0),
+rep AS (
+  SELECT doc_id, round(1 - len(list_distinct(b)) / len(b), 6) AS dup_bigram_frac
+  FROM (SELECT doc_id, list_transform(generate_series(0, len(w)-2),
+                                      g -> array_to_string(w[g+1:g+2], ' ')) AS b
+        FROM t0 WHERE len(w) >= 2)),
+t AS (SELECT doc_id, unnest(w) AS term FROM t0),
+tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tt GROUP BY doc_id, term),
+wn AS (SELECT doc_id, term, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+ent AS (
+  SELECT doc_id, CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) AS entropy
+  FROM wn GROUP BY doc_id),
+vocab AS (SELECT term, COUNT(*) AS c FROM tt GROUP BY term),
+total AS (SELECT COUNT(*) AS n FROM tt),
+nll AS (
+  SELECT tt.doc_id,
+         CAST(SUM(CAST(round(-ln(CAST(vocab.c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM total)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_nll
+  FROM tt JOIN vocab USING (term) GROUP BY tt.doc_id),
+j AS (
+  SELECT q.doc_id, round(q.quality, 6) AS quality,
+         round(rep.dup_bigram_frac, 6) AS dup_bigram_frac,
+         round(ent.entropy, 6) AS entropy, round(nll.avg_nll, 6) AS avg_nll
+  FROM q JOIN rep USING (doc_id) JOIN ent USING (doc_id) JOIN nll USING (doc_id)),
+st AS (SELECT COUNT(*)::DOUBLE AS n, {stat_cols} FROM j)
+SELECT j.doc_id,
+       {z('quality')} AS z_quality,
+       {z('dup_bigram_frac')} AS z_dup_bigram,
+       {z('entropy')} AS z_entropy,
+       {z('avg_nll')} AS z_nll,
+       {comp} AS composite,
+       {comp} > 0 AS keep
+FROM j CROSS JOIN st ORDER BY j.doc_id
+"""
+
+
+@register(
+    "text_quality_ensemble",
+    oracle=_ensemble_oracle(),
+    tags=("pipeline", "text", "quality"),
+    doc="Multi-signal quality ensemble (FineWeb/Dolma shape; pipeline.text."
+    "quality_ensemble): z-standardized combination of heuristic quality, "
+    "duplicate-bigram fraction, token entropy, and unigram NLL — composite "
+    "= 0.4 z(quality) + 0.2 z(entropy) − 0.2 z(dup_bigram) − 0.2 z(nll), "
+    "keep if positive. Σx/Σx² in DECIMAL, z-ops IEEE-exact (no "
+    "transcendentals past the signals) ⇒ engine-identical. One tiny stats "
+    "aggregate broadcast back; three doc-keyed joins.",
+)
+def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import quality_ensemble
+
+    return quality_ensemble(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
