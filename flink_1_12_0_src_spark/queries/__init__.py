@@ -182,6 +182,7 @@ _R05_NEW = (
     "dedup_semantic_prune",
     "dataset_dsir_weights",
     "text_quality_ensemble",
+    "flinkddl_options_hint",
     "knn_pq_topk",
 )
 

@@ -1162,3 +1162,50 @@ def flinkddl_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(CASE WHEN is_big THEN 1 END) AS big_cnt
         FROM events_like_derived GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "flinkddl_options_hint",
+    oracle="""
+SELECT r.r_name, COUNT(*) AS n_nations, CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("dialect", "ddl", "source", "csv", "hints"),
+    doc="FLIP-113 dynamic table options (flink-table-planner-blink "
+    ".../hint/FlinkHints.java HINT_NAME_OPTIONS; CatalogSourceTable's "
+    "dynamic-options merge): nation is staged as ';'-delimited CSV but the "
+    "DDL declares '|' — an unhinted read mis-parses every row into one "
+    "column. The query's /*+ OPTIONS('csv.field-delimiter'=';') */ hint "
+    "overrides the delimiter FOR THIS QUERY ONLY (the catalog entry and its "
+    "view keep the DDL options), proving per-query option merge semantics.",
+)
+def flinkddl_options_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_nation_csv_semi")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "sep", ";"
+        ).csv(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nation_semi (
+            {_NATION_COLS_DDL}
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'csv',
+            'csv.field-delimiter' = '|'
+        )
+    """)
+    # sanity: the UNHINTED read uses the DDL delimiter and mis-parses —
+    # every ';'-joined line lands in column 1, so all keys are NULL
+    assert env.sql_query(
+        "SELECT COUNT(n_regionkey) AS k FROM nation_semi"
+    ).first()["k"] == 0
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return env.sql_query("""
+        SELECT r.r_name, COUNT(*) AS n_nations, CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+        FROM nation_semi /*+ OPTIONS('csv.field-delimiter'=';') */ n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)

@@ -132,7 +132,45 @@ class TableEnvironment:
 
     # -- query entry point (sqlQuery analog) -------------------------------
     def sql_query(self, query: str) -> DataFrame:
-        return self.spark.sql(translate_query(query))
+        return self.spark.sql(translate_query(self._apply_options_hints(query)))
+
+    # -- FLIP-113 dynamic table options ------------------------------------
+    _HINT_RE = re.compile(
+        r"(\bFROM|\bJOIN)\s+(\w+)\s*/\*\+\s*OPTIONS\s*\((.*?)\)\s*\*/", re.I | re.S
+    )
+
+    def _apply_options_hints(self, query: str) -> str:
+        """``FROM t /*+ OPTIONS('k'='v') */`` — per-query dynamic table
+        options (FLIP-113; flink-table-planner-blink .../hint/FlinkHints.java
+        HINT_NAME_OPTIONS, merged over the catalog options exactly like
+        CatalogSourceTable's dynamic-options merge). The hinted scan becomes
+        a temp view of the table re-read with ``{**ddl_options, **hint}`` —
+        scoped to this query; the catalog entry and its view are untouched."""
+
+        def repl(m: re.Match) -> str:
+            kw, name, body = m.group(1), m.group(2), m.group(3)
+            opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body))
+            if not opts:
+                raise ValueError(f"empty OPTIONS hint on table {name}")
+            if name not in self._tables:
+                raise ValueError(
+                    f"OPTIONS hint on {name}: dynamic options apply only to "
+                    "connector (DDL) tables, mirroring FlinkHints' catalog-"
+                    "table-only scope"
+                )
+            tbl = self._tables[name]
+            cfg = reader_config({**tbl.options, **opts})
+            reader = self.spark.read.format(cfg["format"])
+            if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
+                reader = reader.schema(tbl.schema_ddl)
+            for k, v in cfg["options"].items():
+                reader = reader.option(k, v)
+            df = self._apply_computed(reader.load(cfg["path"]), tbl)
+            hinted = f"_hinted_{name}_{abs(hash(tuple(sorted(opts.items())))) % 10**8}"
+            df.createOrReplaceTempView(hinted)
+            return f"{kw} {hinted}"
+
+        return self._HINT_RE.sub(repl, query)
 
     # -- streaming scan with the DDL's watermark applied -------------------
     def stream_table(self, name: str, extra_options: dict | None = None) -> DataFrame:

@@ -540,3 +540,42 @@ def test_use_catalog_statement(spark):
         env.execute_sql("USE CATALOG hive")
     with _pytest.raises(ValueError, match="USE needs"):
         env.execute_sql("USE")
+
+
+def test_options_hint_scoped_to_query(spark, sf_dir):
+    """FLIP-113 dynamic options: the hint overrides connector options for
+    one query only; the catalog entry / registered view keep DDL options,
+    and hints on non-connector tables are rejected."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    path = os.path.join(tempfile.gettempdir(), "hint_nation_semi_test")
+    table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+        "sep", ";"
+    ).csv(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE hint_nation (
+            n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING
+        ) WITH (
+            'connector' = 'filesystem', 'path' = '{path}',
+            'format' = 'csv', 'csv.field-delimiter' = '|'
+        )
+    """)
+    n = table(spark, sf_dir, "nation").count()
+    hinted = env.sql_query(
+        "SELECT COUNT(n_nationkey) AS k FROM hint_nation "
+        "/*+ OPTIONS('csv.field-delimiter'=';') */"
+    ).first()["k"]
+    assert hinted == n
+    # unhinted read still uses the DDL delimiter (mis-parses to NULL keys)
+    assert env.sql_query("SELECT COUNT(n_nationkey) AS k FROM hint_nation").first()["k"] == 0
+    with _pytest.raises(ValueError, match="connector"):
+        env.sql_query("SELECT * FROM region /*+ OPTIONS('a'='b') */")
+    with _pytest.raises(ValueError, match="empty OPTIONS"):
+        env.sql_query("SELECT * FROM hint_nation /*+ OPTIONS() */")
