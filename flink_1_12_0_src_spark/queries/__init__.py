@@ -183,6 +183,7 @@ _R05_NEW = (
     "dataset_dsir_weights",
     "text_quality_ensemble",
     "flinkddl_options_hint",
+    "flinksql_system_time_join",
     "knn_pq_topk",
 )
 

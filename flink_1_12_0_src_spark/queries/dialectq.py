@@ -1209,3 +1209,57 @@ def flinkddl_options_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """)
+
+
+@register(
+    "flinksql_system_time_join",
+    oracle="""
+WITH f AS (SELECT * FROM events WHERE event_type = 'purchase'),
+d AS (SELECT * FROM events WHERE event_type = 'signup'),
+j AS (
+  SELECT f.event_id, f.user_id, f.ts, d.ts AS version_ts,
+         CAST(d.value AS DOUBLE) AS setting,
+         row_number() OVER (PARTITION BY f.event_id ORDER BY d.ts DESC) AS rn
+  FROM f JOIN d ON f.user_id = d.user_id AND d.ts <= f.ts
+)
+SELECT event_id, user_id, ts, version_ts, setting
+FROM j WHERE rn = 1 ORDER BY event_id
+""",
+    tags=("dialect", "join", "temporal", "sql"),
+    doc="FLIP-132 event-time temporal join SQL, new syntax in Flink 1.12 "
+    "(JOIN dim FOR SYSTEM_TIME AS OF f.rowtime; StreamExecTemporalJoinRule / "
+    "TemporalRowTimeJoinOperator.java): each purchase joins the signup "
+    "version current at its event time. The dim is a catalog table whose "
+    "DDL declares the WATERMARK (version/rowtime) column — Flink's own "
+    "precondition — and the clause lowers to a LATERAL greatest-version "
+    "subquery (per-fact top-1, no full history join survives the plan).",
+)
+def flinksql_system_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_dim_parquet")
+    ev = table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.write.mode("overwrite").parquet(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_dim (
+            event_id BIGINT,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            event_type STRING,
+            `value` DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView("purchases")
+    return env.sql_query("""
+        SELECT f.event_id, f.user_id, f.ts, d.ts AS version_ts,
+               CAST(d.`value` AS DOUBLE) AS setting
+        FROM purchases f
+        JOIN events_dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.user_id = d.user_id AND d.event_type = 'signup'
+        ORDER BY f.event_id
+    """)

@@ -132,7 +132,53 @@ class TableEnvironment:
 
     # -- query entry point (sqlQuery analog) -------------------------------
     def sql_query(self, query: str) -> DataFrame:
-        return self.spark.sql(translate_query(self._apply_options_hints(query)))
+        q = self._rewrite_system_time_joins(self._apply_options_hints(query))
+        return self.spark.sql(translate_query(q))
+
+    # -- FLIP-132: JOIN dim FOR SYSTEM_TIME AS OF fact.rowtime -------------
+    _SYSTEM_TIME_RE = re.compile(
+        r"(?P<left>LEFT\s+(?:OUTER\s+)?)?JOIN\s+(?P<dim>\w+)\s+"
+        r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<fa>\w+)\.(?P<ft>\w+)\s+"
+        r"(?:AS\s+)?(?P<alias>\w+)\s+ON\s+"
+        r"(?P<cond>\w+\.\w+\s*=\s*(?:'[^']*'|\w+\.\w+)"
+        r"(?:\s+AND\s+\w+\.\w+\s*=\s*(?:'[^']*'|\w+\.\w+))*)",
+        re.I | re.S,
+    )
+
+    def _rewrite_system_time_joins(self, query: str) -> str:
+        """Event-time temporal join SQL (FLIP-132, new in Flink 1.12 —
+        flink-table-planner-blink .../physical/stream/
+        StreamExecTemporalJoinRule / TemporalRowTimeJoinOperator.java):
+        ``JOIN dim FOR SYSTEM_TIME AS OF f.rowtime AS d ON f.k = d.k`` picks,
+        per fact row, the dim version current at the fact's event time.
+
+        Lowered to a LATERAL correlated subquery — greatest version_ts ≤
+        fact_ts with a deterministic full ordering on the dim's declared
+        order (version time, then remaining dim columns as tiebreak is the
+        caller's job via the ON condition; here ties break by the version
+        time column only, matching the reference's latestRightRowToJoin
+        single-version-per-timestamp assumption). The dim must be a catalog
+        table whose DDL declares a WATERMARK column — Flink's own
+        requirement for an event-time temporal join's version attribute."""
+
+        def repl(m: re.Match) -> str:
+            dim, alias, fa, ft = m.group("dim"), m.group("alias"), m.group("fa"), m.group("ft")
+            if dim not in self._tables or not self._tables[dim].watermark:
+                raise ValueError(
+                    f"FOR SYSTEM_TIME AS OF on {dim}: the build side must be a "
+                    "catalog table with a WATERMARK (rowtime) column — "
+                    "mirroring Flink's event-time temporal join requirement"
+                )
+            vt = self._tables[dim].watermark[0]
+            left = m.group("left") or ""
+            cond = m.group("cond")
+            return (
+                f"{left}JOIN LATERAL (SELECT * FROM {dim} AS {alias} "
+                f"WHERE {cond} AND {alias}.{vt} <= {fa}.{ft} "
+                f"ORDER BY {alias}.{vt} DESC LIMIT 1) AS {alias} ON true"
+            )
+
+        return self._SYSTEM_TIME_RE.sub(repl, query)
 
     # -- FLIP-113 dynamic table options ------------------------------------
     _HINT_RE = re.compile(

@@ -579,3 +579,53 @@ def test_options_hint_scoped_to_query(spark, sf_dir):
         env.sql_query("SELECT * FROM region /*+ OPTIONS('a'='b') */")
     with _pytest.raises(ValueError, match="empty OPTIONS"):
         env.sql_query("SELECT * FROM hint_nation /*+ OPTIONS() */")
+
+
+def test_system_time_join_left_and_rejection(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF: LEFT variant pads facts with no version; a dim
+    without a WATERMARK column is rejected (Flink's own precondition)."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    path = os.path.join(tempfile.gettempdir(), "sysjoin_dim_test")
+    ev = table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE dim_wm (
+            event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+            event_type STRING, `value` DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}', 'format' = 'parquet')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE dim_nowm (
+            event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}', 'format' = 'parquet')
+    """)
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView("facts")
+    inner = env.sql_query("""
+        SELECT f.event_id FROM facts f
+        JOIN dim_wm FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.user_id = d.user_id AND d.event_type = 'signup'
+    """).count()
+    left = env.sql_query("""
+        SELECT f.event_id, d.ts AS version_ts FROM facts f
+        LEFT JOIN dim_wm FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.user_id = d.user_id AND d.event_type = 'signup'
+    """)
+    n_facts = ev.filter(F.col("event_type") == "purchase").count()
+    assert left.count() == n_facts >= inner
+    assert left.filter(F.col("version_ts").isNull()).count() == n_facts - inner
+    with _pytest.raises(ValueError, match="WATERMARK"):
+        env.sql_query("""
+            SELECT f.event_id FROM facts f
+            JOIN dim_nowm FOR SYSTEM_TIME AS OF f.ts AS d ON f.user_id = d.user_id
+        """)
