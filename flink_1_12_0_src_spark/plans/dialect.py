@@ -143,6 +143,14 @@ _WATERMARK_RE = re.compile(
     rf"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*{_INTERVAL}", re.I
 )
 
+# FLIP-107 metadata column: name TYPE METADATA [FROM 'key'] [VIRTUAL]
+# (flink-sql-parser .../ddl/SqlTableColumn.java SqlMetadataColumn)
+_METADATA_RE = re.compile(
+    r"^(?P<name>`?\w+`?)\s+(?P<type>\w+(?:\(\d+(?:,\s*\d+)?\))?)\s+METADATA"
+    r"(?:\s+FROM\s+'(?P<key>[^']+)')?(?P<virtual>\s+VIRTUAL)?\s*$",
+    re.I,
+)
+
 
 def _map_type(flink_type: str) -> str:
     t = flink_type.strip().upper()
@@ -207,6 +215,7 @@ def parse_create_table(ddl: str) -> dict:
     if field.strip():
         fields.append(field)
     computed: list[tuple[str, str]] = []
+    metadata: list[tuple[str, str, str, bool]] = []
     for f in fields:
         f = f.strip().rstrip(",").strip()
         if not f:
@@ -217,6 +226,21 @@ def parse_create_table(ddl: str) -> dict:
             continue
         if re.match(r"PRIMARY\s+KEY", f, re.I):
             continue  # NOT ENFORCED in Flink too — metadata only
+        mm = _METADATA_RE.match(f)
+        if mm:
+            # FLIP-107 metadata column (SqlTableColumn.SqlMetadataColumn):
+            # name TYPE METADATA [FROM 'key'] [VIRTUAL]; key defaults to the
+            # column name, VIRTUAL columns are read-only (excluded on insert)
+            name = mm.group("name").strip("`")
+            metadata.append(
+                (
+                    name,
+                    _map_type(mm.group("type")),
+                    mm.group("key") or name,
+                    bool(mm.group("virtual")),
+                )
+            )
+            continue
         parts = f.split(None, 2)
         if len(parts) >= 3 and parts[1].upper() == "AS":
             computed.append((parts[0], parts[2]))  # computed column: name AS expr
@@ -234,5 +258,6 @@ def parse_create_table(ddl: str) -> dict:
         "partition_by": parts,
         "watermark": watermark,
         "computed": computed,
+        "metadata": metadata,
         "like": like,
     }

@@ -184,6 +184,7 @@ _R05_NEW = (
     "text_quality_ensemble",
     "flinkddl_options_hint",
     "flinksql_system_time_join",
+    "flinkddl_metadata_columns",
     "knn_pq_topk",
 )
 

@@ -1263,3 +1263,48 @@ def flinksql_system_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON f.user_id = d.user_id AND d.event_type = 'signup'
         ORDER BY f.event_id
     """)
+
+
+@register(
+    "flinkddl_metadata_columns",
+    oracle=f"""
+SELECT event_type AS etype, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY event_type ORDER BY etype
+""",
+    tags=("dialect", "ddl", "source", "metadata"),
+    doc="FLIP-107 metadata columns (SqlTableColumn.SqlMetadataColumn; "
+    "SupportsReadingMetadata): events staged as event_type-partitioned "
+    "parquet, the DDL declares fpath STRING METADATA FROM 'file.path' "
+    "VIRTUAL, and the query derives each row's partition purely from the "
+    "read-time file path — proving the metadata column resolves per file "
+    "(counts per path-derived partition ≡ counts per event_type). Kafka "
+    "metadata keys translate but are broker-gated.",
+)
+def flinkddl_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_parted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE events_meta (
+            event_id BIGINT,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            `value` DOUBLE,
+            fpath STRING METADATA FROM 'file.path' VIRTUAL
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    return env.sql_query("""
+        SELECT regexp_extract(fpath, 'event_type=([a-z]+)', 1) AS etype,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_meta
+        GROUP BY regexp_extract(fpath, 'event_type=([a-z]+)', 1)
+        ORDER BY etype
+    """)

@@ -34,6 +34,21 @@ class CatalogTable:
     partition_by: list[str]
     watermark: tuple[str, str] | None  # (column, delay-string)
     computed: list[tuple[str, str]] = None  # computed columns: (name, expr)
+    # FLIP-107 metadata columns: (name, spark_type, metadata key, virtual)
+    metadata: list[tuple[str, str, str, bool]] = None
+
+
+# Connector metadata keys → Spark read-side expressions (FLIP-107,
+# SupportsReadingMetadata). Filesystem keys resolve from Spark's hidden
+# ``_metadata`` struct; kafka keys are same-named columns of Spark's kafka
+# source rows (broker-dependent, untestable in this env — translation only).
+_FS_METADATA_KEYS = {
+    "file.path": "_metadata.file_path",
+    "file.name": "_metadata.file_name",
+    "file.size": "_metadata.file_size",
+    "file.modification-time": "_metadata.file_modification_time",
+}
+_KAFKA_METADATA_KEYS = {"topic", "partition", "offset", "timestamp", "timestamp-type"}
 
 
 class TableEnvironment:
@@ -232,6 +247,7 @@ class TableEnvironment:
         for k, v in {**cfg["options"], **(extra_options or {})}.items():
             reader = reader.option(k, v)
         df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
+        df = self._apply_metadata(df, tbl, cfg["format"])
         df = self._apply_computed(df, tbl)  # before watermark: rowtime may be computed
         if tbl.watermark:
             col, delay = tbl.watermark
@@ -383,6 +399,7 @@ class TableEnvironment:
             partition_by=meta["partition_by"],
             watermark=meta["watermark"],
             computed=meta["computed"],
+            metadata=meta.get("metadata"),
         )
         self._tables[tbl.name] = tbl
         cfg = reader_config(tbl.options)
@@ -462,6 +479,16 @@ class TableEnvironment:
                 )
             merged = {**base_c, **mine}
             out["computed"] = list(merged.items())
+            # metadata columns merge under the same GENERATED strategy
+            # (MergeTableLikeUtil groups computed + metadata columns)
+            base_m = {m_[0]: m_ for m_ in (base.metadata or [])}
+            mine_m = {m_[0]: m_ for m_ in (meta.get("metadata") or [])}
+            dupm = set(base_m) & set(mine_m)
+            if dupm and st == "INCLUDING":
+                raise ValueError(
+                    f"INCLUDING GENERATED forbids redefining metadata columns: {sorted(dupm)}"
+                )
+            out["metadata"] = list({**base_m, **mine_m}.values())
 
         st = strat["PARTITIONS"]
         if st == "EXCLUDING":
@@ -509,8 +536,32 @@ class TableEnvironment:
         for k, v in cfg["options"].items():
             reader = reader.option(k, v)
         df = reader.load(cfg["path"])
+        df = self._apply_metadata(df, tbl, cfg["format"])
         df = self._apply_computed(df, tbl)
         df.createOrReplaceTempView(tbl.name)
+
+    def _apply_metadata(self, df: DataFrame, tbl: CatalogTable, fmt: str) -> DataFrame:
+        """Append FLIP-107 metadata columns (SupportsReadingMetadata): each
+        declared ``name TYPE METADATA [FROM 'key']`` resolves the connector's
+        metadata key at read time and casts to the declared type. VIRTUAL
+        columns behave identically on reads (the flag only excludes them
+        from the insert schema, DynamicTableSource docs)."""
+        from pyspark.sql import functions as F
+
+        for name, typ, key, _virtual in tbl.metadata or []:
+            if fmt == "kafka":
+                if key not in _KAFKA_METADATA_KEYS:
+                    raise ValueError(f"unknown kafka metadata key: {key}")
+                expr = key.replace("-", "_")
+            elif key in _FS_METADATA_KEYS:
+                expr = _FS_METADATA_KEYS[key]
+            else:
+                raise ValueError(
+                    f"unsupported metadata key for {fmt} connector: {key!r} "
+                    f"(filesystem keys: {sorted(_FS_METADATA_KEYS)})"
+                )
+            df = df.withColumn(name, F.expr(expr).cast(typ))
+        return df
 
     def _apply_computed(self, df: DataFrame, tbl: CatalogTable) -> DataFrame:
         """Append the DDL's computed columns (generated at read time, like

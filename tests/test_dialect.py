@@ -259,31 +259,24 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 
 def test_gate_window_composition():
-    """The driver verifies only the first 50 load_all() entries per round:
-    the window must contain the two emission-trace re-verifies, every
-    never-driver-tested backlog query, and the highest-priority round-4
-    additions — never a prior-green query while untested ones wait."""
+    """The driver verifies only the first 50 load_all() entries per round.
+    Round-5 policy: the 24 queries truncated past round 4's window come
+    first (their first possible CORRECTNESS row), then the two emission-
+    trace re-verifies, then every round-5-new query — and no prior-green
+    query occupies a slot while anything untested waits."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
         _R04_FIXED_FIRST,
-        _R04_NEW_LAST,
+        _R05_FRONT,
+        _R05_NEW,
         load_all,
     )
 
     names = list(load_all())
     window = set(names[:50])
+    assert names[: len(_R05_FRONT)] == list(_R05_FRONT)
     assert set(_R04_FIXED_FIRST) <= window
-    backlog = [
-        n
-        for n in names
-        if n not in _DRIVER_GREEN
-        and n not in _R04_FIXED_FIRST
-        and n not in _R04_NEW_LAST
-    ]
-    assert set(backlog) <= window, "a never-tested backlog query fell out"
-    n_new_slots = 50 - 2 - len(backlog)
-    assert set(_R04_NEW_LAST[:n_new_slots]) <= window
-    # no prior-green query occupies a slot while anything untested waits
+    assert set(_R05_NEW) <= window, "a round-5-new query fell out of the window"
     greens_in_window = [n for n in names[:50] if n in _DRIVER_GREEN]
     assert not greens_in_window
 
@@ -628,4 +621,52 @@ def test_system_time_join_left_and_rejection(spark, sf_dir):
         env.sql_query("""
             SELECT f.event_id FROM facts f
             JOIN dim_nowm FOR SYSTEM_TIME AS OF f.ts AS d ON f.user_id = d.user_id
+        """)
+
+
+def test_metadata_column_parse_and_resolution(spark, sf_dir):
+    """FLIP-107: METADATA [FROM 'key'] [VIRTUAL] parses; filesystem keys
+    resolve per file at read time; unknown keys are rejected."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.plans.dialect import parse_create_table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    meta = parse_create_table("""
+        CREATE TABLE t (
+            a BIGINT,
+            fname STRING METADATA FROM 'file.name' VIRTUAL,
+            fsize BIGINT METADATA FROM 'file.size'
+        ) WITH ('connector'='filesystem','path'='/x','format'='parquet')
+    """)
+    assert meta["metadata"] == [
+        ("fname", "STRING", "file.name", True),
+        ("fsize", "BIGINT", "file.size", False),
+    ]
+    assert meta["schema_ddl"] == "a BIGINT"
+
+    path = os.path.join(tempfile.gettempdir(), "meta_cols_test")
+    table(spark, sf_dir, "nation").repartition(3).write.mode("overwrite").parquet(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nation_meta (
+            n_nationkey BIGINT,
+            fname STRING METADATA FROM 'file.name' VIRTUAL,
+            fsize BIGINT METADATA FROM 'file.size'
+        ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
+    """)
+    rows = env.sql_query(
+        "SELECT DISTINCT fname, fsize FROM nation_meta"
+    ).collect()
+    assert len(rows) == 3  # one (name, size) per part file
+    assert all(r["fname"].endswith(".parquet") and r["fsize"] > 0 for r in rows)
+    with _pytest.raises(ValueError, match="unsupported metadata key"):
+        env.execute_sql(f"""
+            CREATE TABLE bad_meta (
+                a BIGINT, x STRING METADATA FROM 'partition'
+            ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
         """)
