@@ -185,6 +185,7 @@ _R05_NEW = (
     "flinkddl_options_hint",
     "flinksql_system_time_join",
     "flinkddl_metadata_columns",
+    "flinkddl_static_partition_insert",
     "knn_pq_topk",
 )
 

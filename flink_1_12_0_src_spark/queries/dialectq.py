@@ -1308,3 +1308,57 @@ def flinkddl_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY regexp_extract(fpath, 'event_type=([a-z]+)', 1)
         ORDER BY etype
     """)
+
+
+@register(
+    "flinkddl_static_partition_insert",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(12,2)) * 2
+                     ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "ddl", "sink", "partitioning"),
+    doc="Static partition INSERT OVERWRITE (FLIP-63 / FileSystemTableSink's "
+    "staticPartitions): fill a PARTITIONED BY (event_type) sink with all "
+    "events, then INSERT OVERWRITE ... PARTITION (event_type='click') with "
+    "doubled values and NO partition column in the SELECT. The overwrite "
+    "must replace ONLY the click partition (dynamic partitionOverwriteMode "
+    "— the reference's replace-touched-partitions behavior); every other "
+    "partition keeps its original rows, checked per partition against the "
+    "source of truth.",
+)
+def flinkddl_static_partition_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_static_part_sink")
+    shutil.rmtree(path, ignore_errors=True)  # fresh sink per run (two-step DML)
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_spart_sink (
+            event_id BIGINT,
+            user_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) PARTITIONED BY (event_type) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    env.execute_sql(
+        "INSERT OVERWRITE events_spart_sink "
+        "SELECT event_id, user_id, value AS `value`, event_type FROM events"
+    )
+    env.execute_sql("""
+        INSERT OVERWRITE events_spart_sink PARTITION (event_type='click')
+        SELECT event_id, user_id, CAST(value * 2 AS DOUBLE) AS `value`
+        FROM events WHERE event_type = 'click'
+    """)
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_spart_sink GROUP BY event_type ORDER BY event_type
+    """)

@@ -502,15 +502,40 @@ class TableEnvironment:
     def _insert_into(self, stmt: str) -> None:
         import re
 
-        m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.*)", stmt, re.I | re.S)
+        from pyspark.sql import functions as F
+
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*"
+            r"(?:PARTITION\s*\(([^)]*)\)\s*)?(.*)",
+            stmt,
+            re.I | re.S,
+        )
         if not m:
             raise ValueError(f"unparseable INSERT: {stmt[:120]}")
         mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
-        sink_name, query = m.group(2), m.group(3)
+        sink_name, part_clause, query = m.group(2), m.group(3), m.group(4)
         df = self.sql_query(query)
         tbl = self._tables.get(sink_name)
         if tbl is None:
             raise ValueError(f"unknown sink table: {sink_name}")
+        # static partition spec (FLIP-63 / filesystem connector INSERT
+        # OVERWRITE t PARTITION (k='v'): the SELECT omits the static
+        # columns; they append as literals, and overwrite touches ONLY the
+        # written partitions — Spark's dynamic partitionOverwriteMode is
+        # exactly the reference's replace-touched-partitions behavior)
+        static: dict[str, str] = {}
+        if part_clause:
+            for kv in part_clause.split(","):
+                k, _, v = kv.partition("=")
+                k, v = k.strip(), v.strip().strip("'\"")
+                if k not in (tbl.partition_by or []):
+                    raise ValueError(
+                        f"static partition column {k!r} is not a partition "
+                        f"column of {sink_name} ({tbl.partition_by})"
+                    )
+                static[k] = v
+            for k, v in static.items():
+                df = df.withColumn(k, F.lit(v))
         cfg = writer_config(tbl.options)
         if cfg["format"] == "console":
             df.show(truncate=False)  # print connector (DataStream.print():974)
@@ -519,6 +544,8 @@ class TableEnvironment:
             df.write.format("noop").mode("overwrite").save()
             return None
         writer = df.write.format(cfg["format"]).mode(mode)
+        if mode == "overwrite" and tbl.partition_by:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         for k, v in cfg["options"].items():
             writer = writer.option(k, v)
         if tbl.partition_by:

@@ -670,3 +670,21 @@ def test_metadata_column_parse_and_resolution(spark, sf_dir):
                 a BIGINT, x STRING METADATA FROM 'partition'
             ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
         """)
+
+
+def test_static_partition_insert_rejects_non_partition_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, "a")], ["id", "grp"]).createOrReplaceTempView("sp_src")
+    env.execute_sql(f"""
+        CREATE TABLE sp_sink (id BIGINT, grp STRING) PARTITIONED BY (grp) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/sp', 'format' = 'parquet'
+        )
+    """)
+    with _pytest.raises(ValueError, match="not a partition column"):
+        env.execute_sql(
+            "INSERT OVERWRITE sp_sink PARTITION (id='3') SELECT 'a' AS grp FROM sp_src"
+        )
