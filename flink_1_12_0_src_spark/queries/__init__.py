@@ -186,6 +186,7 @@ _R05_NEW = (
     "flinksql_system_time_join",
     "flinkddl_metadata_columns",
     "flinkddl_static_partition_insert",
+    "cdc_maxwell_normalize",
     "knn_pq_topk",
 )
 

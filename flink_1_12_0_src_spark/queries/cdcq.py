@@ -397,3 +397,62 @@ def _stage_ordered_file_stream(spark: SparkSession, phases: list[DataFrame], pat
         open(os.path.join(path, "_SUCCESS"), "w").close()
     schema = spark.read.parquet(os.path.join(path, "00000.parquet")).schema
     return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+@register(
+    "cdc_maxwell_normalize",
+    oracle=_ORACLE_FINAL_STATE.format(bump="3.0"),
+    tags=("cdc", "format", "changelog"),
+    doc="maxwell-json decode (MaxwellJsonDeserializationSchema, new format "
+    "in Flink 1.12): envelopes {data, old, type insert/update/delete, ts} "
+    "with Maxwell's PARTIAL old-image convention (only changed fields "
+    "non-null). Serialized to real JSON, parsed back, mapped to rowkind "
+    "+I/+U/-D, collapsed to current state by changelog_normalize; the "
+    "-U before-image merge (old over data) is pinned by unit test.",
+)
+def cdc_maxwell_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.sources.cdc import parse_maxwell
+
+    o = _orders_payload(spark, sf_dir)
+    ins = o.select(
+        F.to_json(
+            F.struct(
+                _payload_struct().alias("data"),
+                F.lit(None).cast(f"struct<{_PAYLOAD_DDL}>").alias("old"),
+                F.lit("insert").alias("type"),
+                (F.col("o_orderkey") * 10).alias("ts"),
+            )
+        ).alias("value")
+    )
+    # maxwell update: data = full new row, old = ONLY the changed field
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload_struct(bump=3.0).alias("data"),
+                F.struct(
+                    F.lit(None).cast("bigint").alias("o_orderkey"),
+                    F.lit(None).cast("bigint").alias("o_custkey"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.col("o_totalprice").alias("o_totalprice"),
+                ).alias("old"),
+                F.lit("update").alias("type"),
+                (F.col("o_orderkey") * 10 + 1).alias("ts"),
+            )
+        ).alias("value")
+    )
+    dele = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload_struct(bump=3.0).alias("data"),
+                F.lit(None).cast(f"struct<{_PAYLOAD_DDL}>").alias("old"),
+                F.lit("delete").alias("type"),
+                (F.col("o_orderkey") * 10 + 2).alias("ts"),
+            )
+        ).alias("value")
+    )
+    raw = ins.union(upd).union(dele)
+    changelog = parse_maxwell(raw, "value", _PAYLOAD_DDL)
+    current = changelog_normalize(
+        changelog.drop("rowkind"), primary_key=["o_orderkey"], version_col="ts_ms", delete_col="is_delete"
+    )
+    return current.select(*_PAYLOAD_COLS)

@@ -71,3 +71,62 @@ def parse_canal(raw: DataFrame, json_col: str, payload_schema_ddl: str) -> DataF
             (F.col("t") == "DELETE").alias("is_delete"),
         )
     )
+
+
+_KIND_UPDATE_BEFORE = "-U"
+
+
+def parse_maxwell(
+    raw: DataFrame,
+    json_col: str,
+    payload_schema_ddl: str,
+    emit_update_before: bool = False,
+) -> DataFrame:
+    """Decode maxwell-json envelopes {data, old, type, ts}
+    (MaxwellJsonDeserializationSchema.java:54-123, new format in Flink 1.12).
+
+    type mapping: insert → +I, update → +U (after image = ``data``),
+    delete → -D (``data`` is the deleted row). Maxwell's ``old`` field is a
+    PARTIAL before image — only changed fields are non-null — so the full
+    -U before image is ``old`` merged over ``data`` field-by-field
+    (coalesce; MaxwellJsonDeserializationSchema.java:106-119). By default
+    the -U rows are dropped (this package's consumers re-aggregate from
+    normalized state, same policy as parse_debezium); pass
+    ``emit_update_before=True`` to emit them, exactly reconstructing the
+    reference's UPDATE_BEFORE/UPDATE_AFTER pair.
+
+    ``ts`` is Maxwell's epoch-seconds commit time → exposed as ``ts_ms``.
+    """
+    env = (
+        f"struct<data:struct<{payload_schema_ddl}>,old:struct<{payload_schema_ddl}>,"
+        "type:string,ts:bigint>"
+    )
+    fields = [f.split(":")[0] for f in payload_schema_ddl.split(",")]
+    p = raw.select(F.from_json(F.col(json_col), env).alias("m"))
+    after = p.select(
+        F.col("m.data").alias("payload"),
+        F.when(F.col("m.type") == "insert", _KIND_INSERT)
+        .when(F.col("m.type") == "update", _KIND_UPDATE)
+        .when(F.col("m.type") == "delete", _KIND_DELETE)
+        .alias("rowkind"),
+        (F.col("m.ts") * 1000).alias("ts_ms"),
+        (F.col("m.type") == "delete").alias("is_delete"),
+    ).select("payload.*", "rowkind", "ts_ms", "is_delete")
+    if not emit_update_before:
+        return after
+    before = (
+        p.filter(F.col("m.type") == "update")
+        .select(
+            F.struct(
+                *[
+                    F.coalesce(F.col(f"m.old.{f}"), F.col(f"m.data.{f}")).alias(f)
+                    for f in fields
+                ]
+            ).alias("payload"),
+            F.lit(_KIND_UPDATE_BEFORE).alias("rowkind"),
+            (F.col("m.ts") * 1000).alias("ts_ms"),
+            F.lit(False).alias("is_delete"),
+        )
+        .select("payload.*", "rowkind", "ts_ms", "is_delete")
+    )
+    return after.unionAll(before)

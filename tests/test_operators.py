@@ -360,3 +360,31 @@ def test_census_and_metrics_empty_graph_zeros(spark):
     assert tuple(r) == (0, 0, 0, 0, 0, 0)
     m = vertex_metrics(empty).collect()[0]
     assert tuple(m) == (0, 0, 0, 0, 0, 0.0)
+
+
+def test_maxwell_update_before_merges_partial_old(spark):
+    """Maxwell's old field is PARTIAL (only changed fields non-null): the
+    -U before image must be old merged over data field-by-field
+    (MaxwellJsonDeserializationSchema.java:106-119)."""
+    from flink_1_12_0_src_spark.sources.cdc import parse_maxwell
+
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"data": {"k": 1, "name": "n1", "price": 20.0},'
+                ' "old": {"k": null, "name": null, "price": 10.0},'
+                ' "type": "update", "ts": 7}',
+            )
+        ],
+        ["value"],
+    )
+    out = parse_maxwell(
+        raw, "value", "k:bigint,name:string,price:double", emit_update_before=True
+    ).collect()
+    kinds = {r["rowkind"]: r for r in out}
+    assert set(kinds) == {"+U", "-U"}
+    after, before = kinds["+U"], kinds["-U"]
+    assert (after["k"], after["name"], after["price"]) == (1, "n1", 20.0)
+    # unchanged fields come from data; the changed price from old
+    assert (before["k"], before["name"], before["price"]) == (1, "n1", 10.0)
+    assert after["ts_ms"] == before["ts_ms"] == 7000
