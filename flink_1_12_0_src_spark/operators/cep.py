@@ -514,6 +514,8 @@ def _scan_matches_all(
     pattern: Pattern,
     order_by: list[str],
     time_col: str | None,
+    relaxed_cap: int | None = None,
+    combo_cap: int | None = None,
 ) -> tuple[pd.DataFrame, list[tuple[dict[str, list[int]], int, int]]]:
     """Enumerate-ALL scan for patterns with followedByAny / allowCombinations
     (NFA.java's non-deterministic TAKE/PROCEED branching). Every alternative
@@ -526,6 +528,8 @@ def _scan_matches_all(
         raise ValueError("cross-variable DEFINE with any-semantics is out of scope")
     if any(s.run_predicate is not None for s in pattern.steps):
         raise ValueError("running-aggregate DEFINE with any-semantics is out of scope")
+    relaxed_cap = RELAXED_CANDIDATE_CAP if relaxed_cap is None else relaxed_cap
+    combo_cap = COMBINATION_ELEMS_CAP if combo_cap is None else combo_cap
     pdf = _sorted_group(pdf, order_by)
     n = len(pdf)
     masks = [
@@ -549,7 +553,7 @@ def _scan_matches_all(
             outs = []
             take = [p for p in ([pos] if step.contiguity == "strict" else range(pos, n)) if p < n and mask[p]]
             if step.contiguity == "any":
-                take = _cap_candidates(take, RELAXED_CANDIDATE_CAP, "any-step optional")
+                take = _cap_candidates(take, relaxed_cap, "any-step optional")
             for p in take[: None if step.contiguity == "any" else 1]:
                 fp = first_pos if first_pos is not None else p
                 if not within_ok(fp, p):
@@ -564,7 +568,7 @@ def _scan_matches_all(
         else:
             candidates = _cap_candidates(
                 [p for p in range(pos, n) if mask[p]],
-                RELAXED_CANDIDATE_CAP,
+                relaxed_cap,
                 "any-step",
             )
         branching_pos = step.contiguity == "any"
@@ -597,7 +601,7 @@ def _scan_matches_all(
             elif q == "+c":
                 elems = _cap_candidates(
                     [e for e in range(p, n) if mask[e] and within_ok(fp, e)],
-                    COMBINATION_ELEMS_CAP,
+                    combo_cap,
                     "allowCombinations",
                 )
                 rest = [e for e in elems if e != p]
