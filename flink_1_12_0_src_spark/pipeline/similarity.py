@@ -70,10 +70,14 @@ def ivf_fit(
     shuffle of the corpus) → new means via posexplode + two-level agg.
     """
     vecs = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-    w_init = W.orderBy("vid")
+    # init = n_lists lowest-id vectors. orderBy+limit plans as
+    # TakeOrderedAndProject (map-side partial top-k, single tiny merge) —
+    # the global-window row_number alternative would sort the whole corpus
+    # into one partition. The row_number below runs over n_lists rows only.
     centroids = (
-        vecs.withColumn("rn", F.row_number().over(w_init))
-        .filter(F.col("rn") <= n_lists)
+        vecs.orderBy("vid")
+        .limit(n_lists)
+        .withColumn("rn", F.row_number().over(W.orderBy("vid")))
         .select((F.col("rn") - 1).alias("cluster_id"), F.col("v").alias("centroid"))
     )
     for _ in range(iters):

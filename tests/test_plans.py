@@ -183,3 +183,17 @@ def test_uniform_sample_take_ordered_no_full_sort(spark, sf_dir):
     # partial top-k), never a global Sort + Limit
     plan = _plan(spark, sf_dir, "dataset_uniform_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_fit_init_take_ordered_no_global_window(spark, sf_dir):
+    # the lowest-id centroid init must plan as TakeOrderedAndProject
+    # (map-side partial top-k) — not a corpus-wide single-partition window
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.similarity import ivf_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = ivf_fit(emb, n_lists=8, iters=1)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
