@@ -622,3 +622,39 @@ def edge_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.coalesce(F.max("tt"), F.lit(0)).cast("bigint").alias("maximum_triangle_triplets"),
         F.coalesce(F.max("rt"), F.lit(0)).cast("bigint").alias("maximum_rectangle_triplets"),
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    top: str = "top",
+    bottom: str = "bottom",
+    max_bottom_degree: int | None = 4096,
+) -> DataFrame:
+    """Bipartite top-projection (Gelly …/graph/bipartite/BipartiteGraph.java:
+    projectionTopSimple, :127): connect two top vertices for every bottom
+    vertex they share. The reference emits one multi-edge per connecting
+    bottom; here the multiplicity aggregates into ``n_links`` per canonical
+    (src < dst) pair — the same information, deterministic and hash-friendly
+    (the bottom projection is this function with the columns swapped).
+
+    Scale shape: one self-equi-join partitioned on the bottom id + one pair
+    groupBy. A bottom vertex of degree B yields B(B-1)/2 pairs, so
+    ``max_bottom_degree`` drops hub bottoms before pairing (the package's
+    standard quadratic-fan-out guard); ``None`` disables."""
+    e = edges.select(F.col(top).alias("t"), F.col(bottom).alias("b")).distinct()
+    if max_bottom_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("b")
+        e = (
+            e.withColumn("_bd", F.count("*").over(w))
+            .filter(F.col("_bd") <= max_bottom_degree)
+            .drop("_bd")
+        )
+    a = e.select(F.col("t").alias("src"), "b")
+    c = e.select(F.col("t").alias("dst"), "b")
+    return (
+        a.join(c, (a.b == c.b) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_links"))
+    )

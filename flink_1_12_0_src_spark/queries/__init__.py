@@ -187,6 +187,7 @@ _R05_NEW = (
     "flinkddl_metadata_columns",
     "flinkddl_static_partition_insert",
     "cdc_maxwell_normalize",
+    "graph_bipartite_projection",
     "knn_pq_topk",
 )
 

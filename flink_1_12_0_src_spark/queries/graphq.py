@@ -567,3 +567,28 @@ def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pe = _coorder_edges(spark, sf_dir)
     return edge_metrics(pe)
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+WITH e AS (SELECT DISTINCT l_suppkey AS t, l_partkey AS b FROM lineitem)
+SELECT a.t AS src, c.t AS dst, COUNT(*) AS n_links
+FROM e a JOIN e c ON a.b = c.b AND a.t < c.t
+GROUP BY a.t, c.t ORDER BY src, dst
+""",
+    tags=("graph", "gelly", "bipartite"),
+    doc="Bipartite top-projection (Gelly …/graph/bipartite/BipartiteGraph."
+    "java:127 projectionTopSimple): suppliers connect for every part they "
+    "share on the part–supplier bipartite graph; the reference's one-multi-"
+    "edge-per-connecting-bottom becomes an aggregated n_links per canonical "
+    "pair. One self-join partitioned on the bottom (part) id + one pair "
+    "groupBy; hub bottoms above the degree cap drop before pairing "
+    "(quadratic-fan-out guard, inactive at this SF and mirrored trivially).",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.graph import bipartite_projection
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("top"), F.col("l_partkey").alias("bottom"))
+    return bipartite_projection(edges, "top", "bottom").orderBy("src", "dst")
