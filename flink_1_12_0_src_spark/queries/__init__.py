@@ -188,6 +188,7 @@ _R05_NEW = (
     "flinkddl_static_partition_insert",
     "cdc_maxwell_normalize",
     "graph_bipartite_projection",
+    "stream_text_quality",
     "knn_pq_topk",
 )
 

@@ -397,9 +397,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN = LANG_MARKERS["en"]
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
+# shared with the streaming twin (stream_text_quality) — identical semantics
+TEXT_QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS w,
          length(text) AS n_chars, len(string_split(lower(text), ' ')) AS n_words,
@@ -415,7 +414,12 @@ SELECT doc_id, n_chars, n_words,
              + (1 - least(round(punct / n_chars, 6) * 5, 1.0)) * 0.3
              + least(round(stop / n_words, 6) * 10, 1.0) * 0.3, 6) AS quality
 FROM t ORDER BY doc_id
-""",
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=TEXT_QUALITY_ORACLE,
     tags=("pipeline", "text", "bench"),
     doc="Heuristic quality scoring (C4/Gopher-rule shape): length, punctuation "
     "ratio, stopword ratio, mean word length → [0,1] score.",

@@ -1698,3 +1698,25 @@ def stream_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         after_match=kwargs["after_match"],
     )
     return run_to_batch(out, "append").orderBy("user_id", "match_seq")
+
+
+from flink_1_12_0_src_spark.queries.pipelineq import TEXT_QUALITY_ORACLE
+
+
+@register(
+    "stream_text_quality",
+    oracle=TEXT_QUALITY_ORACLE,
+    tags=("streaming", "pipeline", "text"),
+    doc="Text-pipeline-on-a-stream: the heuristic quality scorer (pure JVM "
+    "expressions, pipeline.text.quality_score) applied to a streaming "
+    "documents source in append mode — the continuous-ingest shape of the "
+    "corpus filter (stateless per-row transforms run unchanged on batch and "
+    "stream; the result set is delivery-order invariant by construction).",
+)
+def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    out = quality_score(s, "doc_id", "text")
+    return run_to_batch(out, "append").orderBy("doc_id")

@@ -219,3 +219,26 @@ def events_stream_mod(
         .parquet(path + "/mod*")
     )
     return out if with_stage else out.drop("stage")
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming replay of the documents table in ~n_files micro-batches —
+    the text-pipeline-on-a-stream source (stateless per-row transforms need
+    no delivery ordering, so no mtime protocol: any file order yields the
+    same append-mode result set)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, f"{tag}_documents_{n_files}")
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "documents").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(marker, "w").close()
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
