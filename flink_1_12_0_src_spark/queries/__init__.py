@@ -189,6 +189,7 @@ _R05_NEW = (
     "cdc_maxwell_normalize",
     "graph_bipartite_projection",
     "stream_text_quality",
+    "pipeline_training_mix",
     "knn_pq_topk",
 )
 

@@ -1427,3 +1427,99 @@ def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_ensemble(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+MIX_PACK_BUDGET = 512
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text, source,
+         len(string_split(lower(text), ' ')) AS n_words,
+         round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '), {_EN!r}))
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6) AS quality
+  FROM documents
+  WHERE doc_id % 41 <> 0 AND lang = 'en'
+),
+cand AS (SELECT * FROM q WHERE quality >= 0.5),
+surv AS (
+  SELECT * FROM (
+    SELECT doc_id, text, source, n_words,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS canon
+    FROM cand)
+  WHERE doc_id = canon
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-3),
+                               g -> array_to_string(w[g+1:g+3], ' '))) AS sh
+  FROM toks WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 41 = 0),
+clean AS (
+  SELECT s.doc_id, s.source, s.n_words FROM surv s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM grams g JOIN bench b ON g.sh = b.sh WHERE g.doc_id = s.doc_id)
+),
+tr AS (
+  SELECT * FROM clean
+  WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens,
+       CAST(SUM(n_words) OVER w - n_words AS BIGINT) AS start_offset,
+       CAST(floor((SUM(n_words) OVER w - n_words) / {MIX_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM tr
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling", "composed"),
+    doc="End-to-end dataset assembly — the second composed flagship: the "
+    "C4-style clean corpus (quality filter → exact dedup → benchmark "
+    "decontamination), then the leakage-safe 90% train hash-split, then "
+    f"per-source sequence packing at {MIX_PACK_BUDGET} tokens (concat-then-"
+    "chunk window cumsum). Every stage is the already-verified primitive; "
+    "the composition proves they chain without re-materialization — one "
+    "lazy plan end to end, cheap-per-row filters first.",
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flink_1_12_0_src_spark.pipeline.sampling import hash_split, pack_sequences
+    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score(
+        docs.filter((F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")),
+        "doc_id",
+        "text",
+        keep=["text", "source"],
+    )
+    cand = scored.filter(F.col("quality") >= 0.5)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    surv = cand.withColumn("_canon", F.min("doc_id").over(W.partitionBy(h))).filter(
+        F.col("doc_id") == F.col("_canon")
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        surv.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("sh"))
+        .join(F.broadcast(bench_grams), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = surv.join(hits, "doc_id", "left_anti").select("doc_id", "source", "n_words")
+    tr = hash_split(clean, "doc_id", seed=42).filter(F.col("split") == "train")
+    return pack_sequences(
+        tr, "doc_id", "source", F.col("n_words"), MIX_PACK_BUDGET
+    ).orderBy("doc_id")
