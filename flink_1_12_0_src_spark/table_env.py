@@ -167,14 +167,18 @@ class TableEnvironment:
         ``JOIN dim FOR SYSTEM_TIME AS OF f.rowtime AS d ON f.k = d.k`` picks,
         per fact row, the dim version current at the fact's event time.
 
-        Lowered to a LATERAL correlated subquery — greatest version_ts ≤
-        fact_ts with a deterministic full ordering on the dim's declared
-        order (version time, then remaining dim columns as tiebreak is the
-        caller's job via the ON condition; here ties break by the version
-        time column only, matching the reference's latestRightRowToJoin
-        single-version-per-timestamp assumption). The dim must be a catalog
-        table whose DDL declares a WATERMARK column — Flink's own
-        requirement for an event-time temporal join's version attribute."""
+        Lowered to a derived as-of table: DISTINCT fact (key, rowtime)
+        combinations hash-join the dim on the key equalities, version rows
+        later than the fact time drop, and a window keeps the greatest
+        version per combination — then the derived table equi-joins back to
+        the facts. This keeps every join a hash join (per-key fan-out =
+        |facts_k| × |versions_k|); a LATERAL LIMIT-1 subquery instead
+        decorrelates to a nested loop over DISTINCT timestamps × the whole
+        dim, which measured 100× slower at bench scale. Ties on the version
+        time break by the version time column only, matching the reference's
+        latestRightRowToJoin single-version-per-timestamp assumption. The
+        dim must be a catalog table whose DDL declares a WATERMARK column —
+        Flink's own requirement for the version attribute."""
 
         def repl(m: re.Match) -> str:
             dim, alias, fa, ft = m.group("dim"), m.group("alias"), m.group("fa"), m.group("ft")
@@ -187,11 +191,62 @@ class TableEnvironment:
             vt = self._tables[dim].watermark[0]
             left = m.group("left") or ""
             cond = m.group("cond")
-            return (
-                f"{left}JOIN LATERAL (SELECT * FROM {dim} AS {alias} "
-                f"WHERE {cond} AND {alias}.{vt} <= {fa}.{ft} "
-                f"ORDER BY {alias}.{vt} DESC LIMIT 1) AS {alias} ON true"
+            # the fact side must be a plain table/view in the same FROM
+            fm = re.search(rf"FROM\s+(\w+)\s+(?:AS\s+)?{fa}\b", query, re.I)
+            if not fm:
+                raise ValueError(
+                    f"FOR SYSTEM_TIME AS OF: fact alias {fa!r} must reference "
+                    "a plain table or view in the FROM clause"
+                )
+            fact_tbl = fm.group(1)
+            # split the ON conjunction into fact-key equalities vs dim-only
+            fact_cols: list[str] = []  # fact-side column of each key equality
+            inner_conds: list[str] = []
+            outer_conds: list[str] = []
+            for eq in re.split(r"\s+AND\s+", cond, flags=re.I):
+                lhs, rhs = (s.strip() for s in eq.split("="))
+                sides = {}
+                for term in (lhs, rhs):
+                    tm = re.match(r"(\w+)\.(\w+)$", term)
+                    sides[term] = tm.groups() if tm else None
+                refs = {v[0] for v in sides.values() if v}
+                if refs == {fa, alias}:
+                    fcol = next(v[1] for v in sides.values() if v and v[0] == fa)
+                    fact_cols.append(fcol)
+                    inner_conds.append(
+                        eq.replace(f"{fa}.", "__f.").replace(f"{alias}.", "__d.")
+                    )
+                    outer_conds.append(f"{alias}.__fk_{fcol} = {fa}.{fcol}")
+                elif refs <= {alias}:  # dim-side-only predicate (e.g. literal)
+                    inner_conds.append(eq.replace(f"{alias}.", "__d."))
+                else:
+                    raise ValueError(
+                        f"unsupported FOR SYSTEM_TIME ON term: {eq!r} (each "
+                        "term must equate a fact column with a dim column, or "
+                        "constrain the dim side alone)"
+                    )
+            if not fact_cols:
+                raise ValueError(
+                    "FOR SYSTEM_TIME AS OF needs at least one fact-to-dim key "
+                    "equality in ON (the dim's primary-key join, as in Flink)"
+                )
+            fsel = ", ".join(dict.fromkeys(fact_cols + [ft]))
+            fk_sel = ", ".join(
+                f"__f.{c} AS __fk_{c}" for c in dict.fromkeys(fact_cols)
             )
+            inner = " AND ".join(inner_conds + [f"__d.{vt} <= __f.{ft}"])
+            derived = (
+                f"(SELECT * FROM ("
+                f"SELECT __d.*, {fk_sel}, __f.{ft} AS __ft, "
+                f"ROW_NUMBER() OVER (PARTITION BY "
+                + ", ".join(f"__f.{c}" for c in dict.fromkeys(fact_cols + [ft]))
+                + f" ORDER BY __d.{vt} DESC) AS __rn "
+                f"FROM (SELECT DISTINCT {fsel} FROM {fact_tbl}) __f "
+                f"JOIN {dim} __d ON {inner}"
+                f") WHERE __rn = 1)"
+            )
+            on = " AND ".join(outer_conds + [f"{alias}.__ft = {fa}.{ft}"])
+            return f"{left}JOIN {derived} AS {alias} ON {on}"
 
         return self._SYSTEM_TIME_RE.sub(repl, query)
 
