@@ -1480,7 +1480,7 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY doc_id
 """,
-    tags=("pipeline", "sampling", "composed"),
+    tags=("pipeline", "sampling", "composed", "bench"),
     doc="End-to-end dataset assembly — the second composed flagship: the "
     "C4-style clean corpus (quality filter → exact dedup → benchmark "
     "decontamination), then the leakage-safe 90% train hash-split, then "
