@@ -190,6 +190,7 @@ _R05_NEW = (
     "graph_bipartite_projection",
     "stream_text_quality",
     "pipeline_training_mix",
+    "flinkddl_compressed_sink",
     "knn_pq_topk",
 )
 

@@ -1362,3 +1362,44 @@ def flinkddl_static_partition_insert(spark: SparkSession, sf_dir: str) -> DataFr
                CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events_spart_sink GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "flinkddl_compressed_sink",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "ddl", "sink", "formats"),
+    doc="Compressed filesystem sink (flink-formats parquet.compression / "
+    "flink-compress codec writers): a parquet sink declared with "
+    "'parquet.compression'='gzip' must write gzip-codec part files "
+    "(suffix-checked) that read back transparently to the same aggregate "
+    "as the source of truth.",
+)
+def flinkddl_compressed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_gzip_sink")
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_gzip_sink (
+            event_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet',
+            'parquet.compression' = 'gzip'
+        )
+    """)
+    env.execute_sql(
+        "INSERT OVERWRITE events_gzip_sink "
+        "SELECT event_id, value AS `value`, event_type FROM events"
+    )
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert parts and all(".gz." in f for f in parts), f"expected gzip parts, got {parts[:3]}"
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_gzip_sink GROUP BY event_type ORDER BY event_type
+    """)

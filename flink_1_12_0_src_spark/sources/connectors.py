@@ -114,11 +114,21 @@ def writer_config(options: dict[str, str]) -> dict:
     """Translate WITH-options into a sink config {format, path, options}."""
     conn = options.get("connector")
     if conn == "filesystem":
-        fmt = _FORMATS.get(options.get("format", "parquet"))
+        flink_fmt = options.get("format", "parquet")
+        fmt = _FORMATS.get(flink_fmt)
+        out_opts = _format_options(fmt, options)
+        # sink compression (flink-formats parquet.compression / orc.compress;
+        # row formats via the flink-compress codec extension) → Spark's
+        # per-format "compression" writer option; reads auto-detect the codec
+        comp = options.get(f"{flink_fmt}.compression") or (
+            options.get("orc.compress") if fmt == "orc" else None
+        )
+        if comp:
+            out_opts["compression"] = comp.lower()
         return {
             "format": fmt,
             "path": options["path"],
-            "options": _format_options(fmt, options),
+            "options": out_opts,
         }
     if conn == "print":
         return {"format": "console", "path": None, "options": {}}
