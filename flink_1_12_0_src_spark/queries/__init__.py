@@ -191,6 +191,7 @@ _R05_NEW = (
     "stream_text_quality",
     "pipeline_training_mix",
     "flinkddl_compressed_sink",
+    "flinkddl_auto_compaction_sink",
     "knn_pq_topk",
 )
 

@@ -1403,3 +1403,47 @@ def flinkddl_compressed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events_gzip_sink GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "flinkddl_auto_compaction_sink",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {_SQL_TOTAL} AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "ddl", "sink", "compaction"),
+    doc="Streaming-sink auto-compaction (FileSystemOptions.java:204-214 "
+    "AUTO_COMPACTION / COMPACTION_FILE_SIZE, new in 1.12; CompactOperator): "
+    "a sink declared with 'auto-compaction'='true' rewrites its many small "
+    "part files into ceil(bytes / compaction.file-size) files after the "
+    "write, staged-and-swapped so readers never see a half-compacted state. "
+    "The query asserts the file count actually collapsed and the compacted "
+    "table still matches the source-of-truth aggregate.",
+)
+def flinkddl_auto_compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_compact_sink")
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_compact_sink (
+            event_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet',
+            'auto-compaction' = 'true',
+            'compaction.file-size' = '256MB'
+        )
+    """)
+    env.execute_sql(
+        "INSERT OVERWRITE events_compact_sink "
+        "SELECT event_id, value AS `value`, event_type FROM events"
+    )
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) == 1, f"auto-compaction should leave 1 file, got {len(parts)}"
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_compact_sink GROUP BY event_type ORDER BY event_type
+    """)

@@ -110,6 +110,16 @@ def reader_config(options: dict[str, str]) -> dict:
     raise ValueError(f"unknown connector: {conn!r} (supported: {SUPPORTED_CONNECTORS})")
 
 
+def _parse_mem(v: str) -> int:
+    """Parse Flink MemorySize strings ('128MB', '64 kb', '1g') to bytes."""
+    import re as _re
+
+    m = _re.match(r"\s*(\d+)\s*([kmgt]?)b?\s*$", v, _re.I)
+    if not m:
+        raise ValueError(f"unparseable memory size: {v!r}")
+    return int(m.group(1)) * 1024 ** ("", "k", "m", "g", "t").index(m.group(2).lower())
+
+
 def writer_config(options: dict[str, str]) -> dict:
     """Translate WITH-options into a sink config {format, path, options}."""
     conn = options.get("connector")
@@ -129,6 +139,12 @@ def writer_config(options: dict[str, str]) -> dict:
             "format": fmt,
             "path": options["path"],
             "options": out_opts,
+            # streaming-sink small-file compaction (FileSystemOptions.java:
+            # 204-214 AUTO_COMPACTION / COMPACTION_FILE_SIZE, new in 1.12)
+            "auto_compaction": options.get("auto-compaction", "false").lower() == "true",
+            "compaction_file_size": _parse_mem(
+                options.get("compaction.file-size", "128MB")
+            ),
         }
     if conn == "print":
         return {"format": "console", "path": None, "options": {}}

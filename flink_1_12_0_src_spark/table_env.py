@@ -606,9 +606,54 @@ class TableEnvironment:
         if tbl.partition_by:
             writer = writer.partitionBy(*tbl.partition_by)
         writer.save(cfg["path"])
+        if cfg.get("auto_compaction"):
+            self._compact_sink(tbl, cfg)
         # refresh the readable view over the sink path
         self._create_table_view_refresh(tbl)
         return None
+
+    def _compact_sink(self, tbl: CatalogTable, cfg: dict) -> None:
+        """Small-file compaction (FileSystemOptions.java:204-214
+        AUTO_COMPACTION / COMPACTION_FILE_SIZE, 1.12's streaming-sink
+        CompactOperator): rewrite each leaf data directory (the table root,
+        or every partition directory) into ceil(bytes / compaction.file-size)
+        files. The rewrite stages into a sibling directory and swaps in —
+        readers never see the half-compacted state, the reference's
+        invisible-temporary-files property."""
+        import math
+        import os
+        import shutil
+
+        root = cfg["path"].removeprefix("file:")
+        target = max(1, cfg.get("compaction_file_size") or 1)
+        leaf_dirs = sorted(
+            {
+                d
+                for d, _s, files in os.walk(root)
+                if any(not f.startswith(("_", ".")) for f in files)
+            }
+        )
+        for d in leaf_dirs:
+            data = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+            total = sum(os.path.getsize(os.path.join(d, f)) for f in data)
+            n = max(1, math.ceil(total / target))
+            if n >= len(data):
+                continue  # already at or below the target file count
+            tmp = d + "__compact_tmp"
+            (
+                self.spark.read.format(cfg["format"])
+                .options(**cfg["options"])
+                .load(d)
+                .repartition(n)
+                .write.format(cfg["format"])
+                .options(**cfg["options"])
+                .mode("overwrite")
+                .save(tmp)
+            )
+            swap = d + "__compact_old"
+            os.rename(d, swap)
+            os.rename(tmp, d)
+            shutil.rmtree(swap)
 
     def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
         cfg = reader_config(tbl.options)
