@@ -608,6 +608,22 @@ class TableEnvironment:
         writer.save(cfg["path"])
         if cfg.get("auto_compaction"):
             self._compact_sink(tbl, cfg)
+        # partition-commit success-file policy (FileSystemOptions.java:
+        # 157-198, sink.partition-commit.policy.kind = 'success-file'): mark
+        # every written partition directory committed. Spark's _SUCCESS only
+        # lands at the table root, so the per-partition markers (and any
+        # custom marker name) are written here — the PartitionCommitPolicy
+        # downstream consumers poll for.
+        if "success-file" in tbl.options.get("sink.partition-commit.policy.kind", ""):
+            import os
+
+            marker = tbl.options.get(
+                "sink.partition-commit.success-file.name", "_SUCCESS"
+            )
+            root = cfg["path"].removeprefix("file:")
+            for d, _s, files in os.walk(root):
+                if d != root and any(not f.startswith(("_", ".")) for f in files):
+                    open(os.path.join(d, marker), "w").close()
         # refresh the readable view over the sink path
         self._create_table_view_refresh(tbl)
         return None

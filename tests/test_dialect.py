@@ -688,3 +688,31 @@ def test_static_partition_insert_rejects_non_partition_column(spark, tmp_path):
         env.execute_sql(
             "INSERT OVERWRITE sp_sink PARTITION (id='3') SELECT 'a' AS grp FROM sp_src"
         )
+
+
+def test_partition_commit_success_file_policy(spark, sf_dir, tmp_path):
+    """sink.partition-commit.policy.kind='success-file' writes the (custom)
+    commit marker into every written partition directory
+    (FileSystemOptions.java:157-198 / PartitionCommitPolicy)."""
+    import os
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    path = f"{tmp_path}/committed"
+    env.execute_sql(f"""
+        CREATE TABLE commit_sink (
+            event_id BIGINT, event_type STRING
+        ) PARTITIONED BY (event_type) WITH (
+            'connector' = 'filesystem', 'path' = '{path}', 'format' = 'parquet',
+            'sink.partition-commit.policy.kind' = 'success-file',
+            'sink.partition-commit.success-file.name' = '_MY_DONE'
+        )
+    """)
+    env.execute_sql("INSERT OVERWRITE commit_sink SELECT event_id, event_type FROM events")
+    parts = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(parts) >= 3
+    for d in parts:
+        assert os.path.exists(os.path.join(path, d, "_MY_DONE")), d
