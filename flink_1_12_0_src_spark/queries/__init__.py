@@ -192,6 +192,7 @@ _R05_NEW = (
     "pipeline_training_mix",
     "flinkddl_compressed_sink",
     "flinkddl_auto_compaction_sink",
+    "stream_ooo_delta_trigger",
     "knn_pq_topk",
 )
 

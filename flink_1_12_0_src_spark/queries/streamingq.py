@@ -1720,3 +1720,44 @@ def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = documents_stream(spark, sf_dir, n_files=4)
     out = quality_score(s, "doc_id", "text")
     return run_to_batch(out, "append").orderBy("doc_id")
+
+
+@register(
+    "stream_ooo_delta_trigger",
+    oracle=f"""
+WITH RECURSIVE f AS (SELECT * FROM events WHERE {_OOO_WHERE}),
+o AS (
+  SELECT user_id, ts, event_id, CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM f),
+emit(user_id, rn, cents) AS (
+  SELECT user_id, rn, cents FROM o WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, nxt.rn, nxt.cents
+  FROM emit e
+  JOIN LATERAL (SELECT rn, cents FROM o
+                WHERE o.user_id = e.user_id AND o.rn > e.rn
+                  AND abs(o.cents - e.cents) >= 4000
+                ORDER BY rn LIMIT 1) nxt ON true
+)
+SELECT o.user_id, o.ts, o.event_id, CAST(o.cents / 100.0 AS DOUBLE) AS value
+FROM emit JOIN o ON o.user_id = emit.user_id AND o.rn = emit.rn
+ORDER BY o.user_id, o.ts, o.event_id
+""",
+    tags=("streaming", "trigger", "stateful", "custom_op", "out_of_order"),
+    doc="Delta trigger under out-of-order delivery (weeks replayed 1,3,2,4): "
+    "the fire chain is a strictly sequential recurrence (each decision "
+    "depends on the previous fired element), so the watermark buffer MUST "
+    "reorder late rows before the kernel sees them — the emitted set over "
+    "the finalized region equals the in-order chain, the strongest "
+    "delivery-order-invariance check the trigger family has.",
+)
+def stream_ooo_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _ooo_stream(spark, sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = streaming_delta_trigger(
+        s, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        delta_cents=4000,
+    )
+    # the watermark buffer releases only finalized rows, so the emitted set
+    # already covers exactly the _OOO_WHERE region — no batch-side filter
+    return run_to_batch(out, "append").orderBy("user_id", "ts", "event_id")
