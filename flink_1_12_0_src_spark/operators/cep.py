@@ -690,9 +690,13 @@ def _scan_group(
     measures: dict[str, tuple[str, str, str]],
     partition_by: list[str],
     after_match: str = "past_last",
+    relaxed_cap: int | None = None,
+    combo_cap: int | None = None,
 ) -> pd.DataFrame:
     if _has_any_semantics(pattern):
-        pdf, matches = _scan_matches_all(pdf, pattern, order_by, time_col)
+        pdf, matches = _scan_matches_all(
+            pdf, pattern, order_by, time_col, relaxed_cap, combo_cap
+        )
     else:
         pdf, matches = _scan_matches(pdf, pattern, order_by, time_col, after_match)
     out_rows = []
@@ -714,6 +718,8 @@ def match_recognize(
     output_schema: str,
     time_col: str | None = None,
     after_match: str = "past_last",
+    relaxed_cap: int | None = None,
+    combo_cap: int | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a batch DataFrame.
 
@@ -723,13 +729,19 @@ def match_recognize(
     (SKIP TO NEXT ROW), or "to_first:<VAR>" / "to_last:<VAR>" (SKIP TO
     FIRST/LAST <var>, resuming AT that row) — Flink
     AfterMatchSkipStrategy.java:38-60.
+    relaxed_cap / combo_cap: per-call overrides of the enumerate-all scan's
+    branching caps (RELAXED_CANDIDATE_CAP / COMBINATION_ELEMS_CAP) — raise
+    them when dense alternatives legitimately exceed the defaults (a
+    truncation emits a RuntimeWarning); only consulted for patterns with
+    any-semantics (followedByAny / allowCombinations).
     """
     if pattern.steps and pattern.steps[0].negated:
         raise ValueError("pattern cannot start with a negative step")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _scan_group(
-            pdf, pattern, order_by, time_col, measures, partition_by, after_match
+            pdf, pattern, order_by, time_col, measures, partition_by, after_match,
+            relaxed_cap, combo_cap,
         )
 
     # Explicit hash repartition on the key BEFORE the groupBy: the NFA stage

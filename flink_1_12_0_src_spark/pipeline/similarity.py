@@ -348,6 +348,10 @@ def pq_fit(
         .orderBy("vid")
         .collect()
     )
+    if len(sample) < ksub:
+        raise ValueError(
+            f"pq_fit needs at least ksub={ksub} training vectors, got {len(sample)}"
+        )
     V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
     dim = V.shape[1]

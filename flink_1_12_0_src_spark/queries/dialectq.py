@@ -1235,10 +1235,13 @@ FROM j WHERE rn = 1 ORDER BY event_id
     "subquery (per-fact top-1, no full history join survives the plan).",
 )
 def flinksql_system_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_dim_parquet")
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_signup_dim_parquet")
     ev = table(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev.write.mode("overwrite").parquet(path)
+        # version table = the signup events (the reference keys versions by
+        # the join key; condition-after-selection semantics are pinned by
+        # tests/test_dialect.py::test_system_time_condition_after_selection)
+        ev.filter(F.col("event_type") == "signup").write.mode("overwrite").parquet(path)
     env = TableEnvironment(spark)
     env.execute_sql(f"""
         CREATE TABLE events_dim (
@@ -1260,7 +1263,7 @@ def flinksql_system_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(d.`value` AS DOUBLE) AS setting
         FROM purchases f
         JOIN events_dim FOR SYSTEM_TIME AS OF f.ts AS d
-          ON f.user_id = d.user_id AND d.event_type = 'signup'
+          ON f.user_id = d.user_id
         ORDER BY f.event_id
     """)
 

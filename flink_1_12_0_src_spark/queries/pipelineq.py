@@ -588,17 +588,9 @@ FROM asg LEFT JOIN pru USING (vec_id) ORDER BY asg.vec_id
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import semantic_prune
-    from flink_1_12_0_src_spark.pipeline.similarity import cosine_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    offset = 1 << 40  # centroid ids disjoint from vector ids
-    cents = emb.filter(F.col("vec_id") < 4).select(
-        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-    )
-    assign = cosine_topk(cents, emb, k=1).select(
-        F.col("query_id").alias("vec_id"),
-        (F.col("neighbor_id") - offset).alias("cluster"),
-    )
+    assign = _centroid_assign(emb).select("vec_id", "cluster")
     blocked = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
     return semantic_prune(
         blocked, "vec_id", "embedding", "cluster", SEM_THRESHOLD, max_block=ND_MAX_BLOCK
@@ -730,6 +722,33 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, "doc_id", "text", 3).orderBy("doc_id", "rk")
 
 
+def _centroid_assign(emb: DataFrame, n_cents: int = 4) -> DataFrame:
+    """Nearest-of-the-lowest-id-centroids assignment with the CENTROIDS
+    broadcast (the corpus side stays distributed — cosine_topk broadcasts
+    its query side, which here would be the whole corpus). Rounded cosine +
+    centroid-id tiebreak, mirroring the oracle's QUALIFY top-1 exactly.
+    Returns (vec_id, cluster, cosine)."""
+    from pyspark.sql import Window as W
+
+    from flink_1_12_0_src_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cv")
+    )
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 6
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.col("cid"), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "cosine")
+    )
+
+
 @register(
     "embedding_kmeans_assign",
     oracle="""
@@ -750,17 +769,7 @@ ORDER BY e.vec_id
     "no corpus shuffle. Oracle: cross join + QUALIFY top-1.",
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    offset = 1 << 40  # keep centroid ids disjoint from vector ids
-    cents = emb.filter(F.col("vec_id") < 4).select(
-        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-    )
-    assign = cosine_topk(cents, emb, k=1)
-    return assign.select(
-        F.col("query_id").alias("vec_id"),
-        (F.col("neighbor_id") - offset).alias("cluster"),
-        "cosine",
-    ).orderBy("vec_id")
+    return _centroid_assign(table(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

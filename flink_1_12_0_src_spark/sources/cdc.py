@@ -101,7 +101,22 @@ def parse_maxwell(
         f"struct<data:struct<{payload_schema_ddl}>,old:struct<{payload_schema_ddl}>,"
         "type:string,ts:bigint>"
     )
-    fields = [f.split(":")[0] for f in payload_schema_ddl.split(",")]
+    # split top-level fields only — parameterized types (decimal(10,2),
+    # struct<...>) contain commas of their own
+    fields, depth, cur = [], 0, ""
+    for ch in payload_schema_ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        fields.append(cur)
+    fields = [f.strip().split(":")[0].strip() for f in fields]
     p = raw.select(F.from_json(F.col(json_col), env).alias("m"))
     after = p.select(
         F.col("m.data").alias("payload"),

@@ -178,7 +178,15 @@ class TableEnvironment:
         time break by the version time column only, matching the reference's
         latestRightRowToJoin single-version-per-timestamp assumption. The
         dim must be a catalog table whose DDL declares a WATERMARK column —
-        Flink's own requirement for the version attribute."""
+        Flink's own requirement for the version attribute.
+
+        Condition ordering matches the reference exactly
+        (TemporalRowTimeJoinOperator.java:244-246): the latest version is
+        selected over ALL versions of the key first, and any non-key ON
+        predicate applies to the SELECTED row afterwards — a fact whose
+        current version fails the predicate emits nothing (inner) or a NULL
+        pad (LEFT), it does NOT fall back to an older version that would
+        have passed."""
 
         def repl(m: re.Match) -> str:
             dim, alias, fa, ft = m.group("dim"), m.group("alias"), m.group("fa"), m.group("ft")
@@ -204,7 +212,9 @@ class TableEnvironment:
             inner_conds: list[str] = []
             outer_conds: list[str] = []
             for eq in re.split(r"\s+AND\s+", cond, flags=re.I):
-                lhs, rhs = (s.strip() for s in eq.split("="))
+                # partition on the FIRST '=' — a dim-side string literal may
+                # itself contain '=' (the hint regex admits '...' bodies)
+                lhs, _sep, rhs = (s.strip() for s in eq.partition("="))
                 sides = {}
                 for term in (lhs, rhs):
                     tm = re.match(r"(\w+)\.(\w+)$", term)
@@ -217,8 +227,11 @@ class TableEnvironment:
                         eq.replace(f"{fa}.", "__f.").replace(f"{alias}.", "__d.")
                     )
                     outer_conds.append(f"{alias}.__fk_{fcol} = {fa}.{fcol}")
-                elif refs <= {alias}:  # dim-side-only predicate (e.g. literal)
-                    inner_conds.append(eq.replace(f"{alias}.", "__d."))
+                elif refs <= {alias}:
+                    # dim-side-only predicate: the reference applies the join
+                    # condition to the SELECTED latest version, not before
+                    # version selection — keep it on the OUTER join
+                    outer_conds.append(eq)
                 else:
                     raise ValueError(
                         f"unsupported FOR SYSTEM_TIME ON term: {eq!r} (each "
@@ -281,7 +294,8 @@ class TableEnvironment:
                 reader = reader.schema(tbl.schema_ddl)
             for k, v in cfg["options"].items():
                 reader = reader.option(k, v)
-            df = self._apply_computed(reader.load(cfg["path"]), tbl)
+            df = self._apply_metadata(reader.load(cfg["path"]), tbl, cfg["format"])
+            df = self._apply_computed(df, tbl)
             hinted = f"_hinted_{name}_{abs(hash(tuple(sorted(opts.items())))) % 10**8}"
             df.createOrReplaceTempView(hinted)
             return f"{kw} {hinted}"
@@ -633,9 +647,12 @@ class TableEnvironment:
         AUTO_COMPACTION / COMPACTION_FILE_SIZE, 1.12's streaming-sink
         CompactOperator): rewrite each leaf data directory (the table root,
         or every partition directory) into ceil(bytes / compaction.file-size)
-        files. The rewrite stages into a sibling directory and swaps in —
-        readers never see the half-compacted state, the reference's
-        invisible-temporary-files property."""
+        files. The rewrite stages into a sibling directory and swaps in via
+        two renames; the original survives under a recovery suffix until the
+        swap completes, and a crash between the renames is healed on the
+        next compaction pass (the recovery pre-pass below restores the
+        stranded directory), approximating the reference's
+        invisible-temporary-files property on a non-atomic filesystem."""
         import math
         import os
         import shutil
@@ -649,6 +666,15 @@ class TableEnvironment:
                 if any(not f.startswith(("_", ".")) for f in files)
             }
         )
+        # recovery pre-pass: a crash between the two renames of an earlier
+        # compaction leaves the data only under <dir>__compact_old
+        for d, _s, _files in os.walk(root):
+            if d.endswith("__compact_old"):
+                orig = d[: -len("__compact_old")]
+                if not os.path.exists(orig):
+                    os.rename(d, orig)
+                else:
+                    shutil.rmtree(d)
         for d in leaf_dirs:
             data = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
             total = sum(os.path.getsize(os.path.join(d, f)) for f in data)
@@ -695,7 +721,9 @@ class TableEnvironment:
             if fmt == "kafka":
                 if key not in _KAFKA_METADATA_KEYS:
                     raise ValueError(f"unknown kafka metadata key: {key}")
-                expr = key.replace("-", "_")
+                # Spark's kafka source columns: topic, partition, offset,
+                # timestamp, timestampType (camelCase, not snake_case)
+                expr = "timestampType" if key == "timestamp-type" else key
             elif key in _FS_METADATA_KEYS:
                 expr = _FS_METADATA_KEYS[key]
             else:

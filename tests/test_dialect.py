@@ -607,12 +607,12 @@ def test_system_time_join_left_and_rejection(spark, sf_dir):
     inner = env.sql_query("""
         SELECT f.event_id FROM facts f
         JOIN dim_wm FOR SYSTEM_TIME AS OF f.ts AS d
-          ON f.user_id = d.user_id AND d.event_type = 'signup'
+          ON f.user_id = d.user_id
     """).count()
     left = env.sql_query("""
         SELECT f.event_id, d.ts AS version_ts FROM facts f
         LEFT JOIN dim_wm FOR SYSTEM_TIME AS OF f.ts AS d
-          ON f.user_id = d.user_id AND d.event_type = 'signup'
+          ON f.user_id = d.user_id
     """)
     n_facts = ev.filter(F.col("event_type") == "purchase").count()
     assert left.count() == n_facts >= inner
@@ -716,3 +716,74 @@ def test_partition_commit_success_file_policy(spark, sf_dir, tmp_path):
     assert len(parts) >= 3
     for d in parts:
         assert os.path.exists(os.path.join(path, d, "_MY_DONE")), d
+
+
+def test_system_time_condition_after_selection(spark):
+    """TemporalRowTimeJoinOperator.java:244-246: the latest version is
+    selected over ALL versions of the key FIRST; a non-key ON predicate then
+    tests the SELECTED row — it must not fall back to an older version that
+    would have passed."""
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00")], "k bigint, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts").createOrReplaceTempView("st_facts")
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "st_cond_dim")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "good"), (1, "2024-01-05 00:00:00", "bad")],
+        "k bigint, vts string, tag string",
+    ).selectExpr("k", "CAST(vts AS TIMESTAMP) AS vts", "tag").write.mode(
+        "overwrite"
+    ).parquet(path)
+    env.execute_sql(f"""
+        CREATE TABLE st_dim (
+            k BIGINT, vts TIMESTAMP(3), tag STRING,
+            WATERMARK FOR vts AS vts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
+    """)
+    # latest version at fact time is the 'bad' one → predicate fails → no row
+    inner = env.sql_query("""
+        SELECT f.k FROM st_facts f
+        JOIN st_dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.k = d.k AND d.tag = 'good'
+    """).collect()
+    assert inner == [], "must not fall back to the older passing version"
+    left = env.sql_query("""
+        SELECT f.k, d.tag FROM st_facts f
+        LEFT JOIN st_dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.k = d.k AND d.tag = 'good'
+    """).collect()
+    assert len(left) == 1 and left[0]["tag"] is None
+
+
+def test_options_hint_preserves_metadata_columns(spark, sf_dir):
+    """A hinted read must rebuild the table WITH its FLIP-107 metadata
+    columns (regression: the hint rebuild skipped _apply_metadata)."""
+    import os
+    import tempfile
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    path = os.path.join(tempfile.gettempdir(), "hint_meta_combo")
+    table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+        "sep", ";"
+    ).csv(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE hint_meta_tbl (
+            n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING,
+            fname STRING METADATA FROM 'file.name' VIRTUAL
+        ) WITH ('connector'='filesystem','path'='{path}',
+                'format'='csv','csv.field-delimiter'='|')
+    """)
+    rows = env.sql_query(
+        "SELECT n_nationkey, fname FROM hint_meta_tbl "
+        "/*+ OPTIONS('csv.field-delimiter'=';') */ WHERE n_nationkey IS NOT NULL"
+    ).collect()
+    assert rows and all(r["fname"].endswith(".csv") for r in rows)

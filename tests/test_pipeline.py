@@ -459,3 +459,16 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     out = {r["doc_id"]: r for r in dsir_weights(raw, tgt, "doc_id", "text").collect()}
     assert out[1]["log_weight"] > out[2]["log_weight"]
     assert out[1]["selected"] and not out[2]["selected"]
+
+
+def test_pq_fit_rejects_tiny_training_set(spark):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="training vectors"):
+        pq_fit(tiny, m=2, ksub=16)

@@ -400,3 +400,29 @@ def test_running_aggregate_define_matches_reference(vals: list[int]):
         for bindings, _s, _e in matches
     ]
     assert got == _reference_agg_scan(vals, bound, max_run)
+
+
+def test_any_scan_cap_override_reaches_scan(spark):
+    """The per-call cap override must actually change enumerate-all results
+    (a cap of 1 truncates the alternatives the default cap keeps)."""
+    import warnings
+
+    from flink_1_12_0_src_spark.operators.cep import Pattern, match_recognize
+
+    rows = [(1, i, "a" if i == 0 else "b") for i in range(6)]
+    df = spark.createDataFrame(rows, "k bigint, pos bigint, t string")
+    pat = (
+        Pattern.begin("A").where(lambda p: p.t == "a")
+        .followed_by_any("B").where(lambda p: p.t == "b")
+    )
+    kwargs = dict(
+        partition_by=["k"], order_by=["pos"], pattern=pat,
+        measures={"b_pos": ("B", "first", "pos")},
+        output_schema="k bigint, match_seq long, b_pos bigint",
+    )
+    full = match_recognize(df, **kwargs).count()
+    assert full == 5  # every b is an alternative
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        capped = match_recognize(df, relaxed_cap=1, **kwargs).count()
+    assert capped == 1
