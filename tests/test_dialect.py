@@ -787,3 +787,69 @@ def test_options_hint_preserves_metadata_columns(spark, sf_dir):
         "/*+ OPTIONS('csv.field-delimiter'=';') */ WHERE n_nationkey IS NOT NULL"
     ).collect()
     assert rows and all(r["fname"].endswith(".csv") for r in rows)
+
+
+def test_system_time_sql_equals_asof_operator(spark):
+    """Cross-validation: the FOR SYSTEM_TIME SQL lowering and the
+    independent union-window as-of operator (operators/joins.py asof_join)
+    must agree on seeded random fact/version tables."""
+    import os
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.operators.joins import asof_join
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    for seed in (3, 11, 27):
+        rng = random.Random(seed)
+        facts = [
+            (k, f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00", i)
+            for i, k in enumerate(rng.choices(range(6), k=40))
+        ]
+        vers = [
+            (k, f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:30:00", float(j))
+            for j, k in enumerate(rng.choices(range(6), k=25))
+        ]
+        fdf = spark.createDataFrame(facts, "k bigint, ts string, fid bigint").selectExpr(
+            "k", "CAST(ts AS TIMESTAMP) AS ts", "fid"
+        )
+        vdf = spark.createDataFrame(vers, "k bigint, vts string, setting double").selectExpr(
+            "k", "CAST(vts AS TIMESTAMP) AS vts", "setting"
+        )
+        # de-dup version timestamps per key (both formulations assume a
+        # single version per (key, version_ts))
+        vdf = vdf.groupBy("k", "vts").agg({"setting": "max"}).withColumnRenamed(
+            "max(setting)", "setting"
+        )
+        path = os.path.join(tempfile.gettempdir(), f"st_xval_{seed}")
+        vdf.write.mode("overwrite").parquet(path)
+        env = TableEnvironment(spark)
+        env.execute_sql(f"""
+            CREATE TABLE xval_dim_{seed} (
+                k BIGINT, vts TIMESTAMP(3), setting DOUBLE,
+                WATERMARK FOR vts AS vts - INTERVAL '1' SECOND
+            ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
+        """)
+        fdf.createOrReplaceTempView(f"xval_facts_{seed}")
+        sql_rows = sorted(
+            map(
+                tuple,
+                env.sql_query(f"""
+                    SELECT f.fid, d.vts AS version_ts, d.setting
+                    FROM xval_facts_{seed} f
+                    LEFT JOIN xval_dim_{seed} FOR SYSTEM_TIME AS OF f.ts AS d
+                      ON f.k = d.k
+                """).select("fid", "version_ts", "setting").collect(),
+            )
+        )
+        op_rows = sorted(
+            map(
+                tuple,
+                asof_join(fdf, vdf, on=["k"], left_time="ts", right_time="vts")
+                .select("fid", F.col("vts").alias("version_ts"), "setting")
+                .collect(),
+            )
+        )
+        assert sql_rows == op_rows, f"seed {seed}"
