@@ -114,3 +114,54 @@ def extract_blob_features(df: DataFrame) -> DataFrame:
         _featurize,
         schema="doc_id bigint, n_bytes bigint, first_byte int, bucket int, mime string",
     )
+
+
+def windowed_energy(
+    df: DataFrame, id_col: str = "doc_id", win: int = 64, hop: int = 32
+) -> DataFrame:
+    """Sliding-window RMS energy over audio-like blobs via mapInPandas — the
+    voice-activity / silence-trimming primitive of an audio pipeline.
+
+    Treats each blob byte as one PCM sample (a real decoder would produce
+    int16 frames — stubbed, no audio codecs here): window w covers samples
+    [w·hop, w·hop + win) (last partial window included), energy =
+    round(sqrt(mean(sample²)), 6) per window, plus an ``active`` flag
+    against the corpus-agnostic threshold of half the byte range. Windows
+    materialize Python-side from the same Arrow batch — the one-row →
+    many-windows explode never round-trips through a JVM explode; output is
+    linear in blob bytes, no shuffle."""
+    import math
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, offs, lens, rms = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf["blob"]):
+                n = len(blob)
+                w = 0
+                while w * hop < n:
+                    chunk = blob[w * hop : w * hop + win]
+                    ids.append(i)
+                    widx.append(w)
+                    offs.append(w * hop)
+                    lens.append(len(chunk))
+                    rms.append(round(math.sqrt(sum(b * b for b in chunk) / len(chunk)), 6))
+                    w += 1
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "sample_offset": pd.Series(offs, dtype="int64"),
+                    "window_len": pd.Series(lens, dtype="int32"),
+                    "rms_energy": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    out_schema = (
+        f"{id_col} bigint, window_idx int, sample_offset bigint, "
+        "window_len int, rms_energy double"
+    )
+    from pyspark.sql import functions as F
+
+    return df.mapInPandas(_energy, schema=out_schema).withColumn(
+        "active", F.col("rms_energy") >= 64.0
+    )

@@ -193,6 +193,7 @@ _R05_NEW = (
     "flinkddl_compressed_sink",
     "flinkddl_auto_compaction_sink",
     "stream_ooo_delta_trigger",
+    "multimodal_audio_energy",
     "knn_pq_topk",
 )
 

@@ -1532,3 +1532,37 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         tr, "doc_id", "source", F.col("n_words"), MIX_PACK_BUDGET
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+w AS (SELECT doc_id, text, n,
+             unnest(generate_series(0, CAST(ceil(n / 32.0) AS INT) - 1)) AS w
+      FROM t)
+SELECT doc_id, CAST(w AS INTEGER) AS window_idx, CAST(w * 32 AS BIGINT) AS sample_offset,
+       CAST(least(n - w * 32, 64) AS INTEGER) AS window_len,
+       round(sqrt(list_avg([pow(ascii(text[p]), 2)
+                            FOR p IN generate_series(w * 32 + 1, least(n, w * 32 + 64))])),
+             6) AS rms_energy,
+       round(sqrt(list_avg([pow(ascii(text[p]), 2)
+                            FOR p IN generate_series(w * 32 + 1, least(n, w * 32 + 64))])),
+             6) >= 64.0 AS active
+FROM w ORDER BY doc_id, window_idx
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Sliding-window RMS energy over audio-like blobs (pipeline.multimodal"
+    ".windowed_energy) — the VAD/silence-trim primitive: 64-sample windows "
+    "at hop 32 (50% overlap), energy per window + an activity flag; the "
+    "decode is stubbed (bytes as PCM samples — no audio codecs in env) but "
+    "the Arrow windowing plumbing, schema, and one-row→many-windows "
+    "Python-side explode are real and exactly mirrored by the oracle.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import attach_blob, windowed_energy
+
+    docs = table(spark, sf_dir, "documents")
+    return windowed_energy(attach_blob(docs, "doc_id", "text"), "doc_id").orderBy(
+        "doc_id", "window_idx"
+    )
