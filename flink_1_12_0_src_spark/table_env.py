@@ -54,11 +54,23 @@ _KAFKA_METADATA_KEYS = {"topic", "partition", "offset", "timestamp", "timestamp-
 class TableEnvironment:
     """Minimal TableEnvironment: in-memory catalog + Flink-dialect SQL."""
 
+    # SET keys translated onto live Spark confs (the rest are stored only,
+    # like the reference's free-form session property map)
+    _SET_CONF_MAP = {
+        "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+        "table.optimizer.join-reorder-enabled": "spark.sql.cbo.joinReorder.enabled",
+        "table.optimizer.adaptive-execution.enabled": "spark.sql.adaptive.enabled",
+    }
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, CatalogTable] = {}
         # temporal table functions: name → (history DF, time attr, primary key)
         self._temporal_fns: dict[str, tuple[DataFrame, str, str]] = {}
+        # SET/RESET session properties (SqlCommandParser.java:310-322) +
+        # the pre-SET values of any live conf we changed, for RESET
+        self._session_props: dict[str, str] = {}
+        self._conf_originals: dict[str, str] = {}
 
     # -- DDL / DML entry point (executeSql analog) -------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -111,6 +123,35 @@ class TableEnvironment:
             db = parts[-1]
             if db not in ("default_database", "default_catalog.default_database"):
                 raise ValueError(f"unknown database: {db}")
+            return None
+        if head == "SET":
+            # SqlCommandParser.java:310 — SET [key = value]; bare SET lists
+            # the session properties (whitespace ignored left of '=' only)
+            m = re.match(r"SET(\s+(?P<k>\S+)\s*=(?P<v>.*))?$", s, re.I | re.S)
+            if not m:
+                raise ValueError(f"unparseable SET: {s[:120]}")
+            if m.group("k") is None:
+                rows = sorted(self._session_props.items())
+                return self.spark.createDataFrame(
+                    rows or [("", "")], "key string, value string"
+                ).filter("key <> ''")
+            k, v = m.group("k"), m.group("v").rstrip()
+            # right side keeps leading content after '=' minus one space
+            v = v[1:] if v.startswith(" ") else v
+            self._session_props[k] = v
+            conf = self._SET_CONF_MAP.get(k)
+            if conf:
+                if conf not in self._conf_originals:
+                    self._conf_originals[conf] = self.spark.conf.get(conf)
+                self.spark.conf.set(conf, v)
+            return None
+        if head == "RESET":
+            # SqlCommandParser.java:321 — drop all session properties and
+            # restore any live conf SET changed
+            self._session_props.clear()
+            for conf, orig in self._conf_originals.items():
+                self.spark.conf.set(conf, orig)
+            self._conf_originals.clear()
             return None
         if head == "SHOW" and s.upper().endswith("FUNCTIONS"):
             # SqlShowFunctions → registered function names (built-ins + UDFs)

@@ -853,3 +853,23 @@ def test_system_time_sql_equals_asof_operator(spark):
             )
         )
         assert sql_rows == op_rows, f"seed {seed}"
+
+
+def test_set_reset_session_properties(spark):
+    """SET / RESET (SqlCommandParser.java:310-322): properties store and
+    list; mapped keys drive live confs; RESET restores originals."""
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    assert env.execute_sql("SET table.exec.resource.default-parallelism = 7") is None
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    env.execute_sql("SET sql-client.execution.result-mode = table")
+    rows = {r["key"]: r["value"] for r in env.execute_sql("SET").collect()}
+    assert rows == {
+        "table.exec.resource.default-parallelism": "7",
+        "sql-client.execution.result-mode": "table",
+    }
+    assert env.execute_sql("RESET") is None
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+    assert env.execute_sql("SET").count() == 0
