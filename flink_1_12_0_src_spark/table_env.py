@@ -106,6 +106,22 @@ class TableEnvironment:
                 - set(self._tables)
             )
             return self.spark.createDataFrame([(n,) for n in names], "view_name string")
+        if head == "SHOW" and s.upper().endswith("CATALOGS"):
+            # SqlCommandParser SHOW_CATALOGS — single in-memory catalog
+            return self.spark.createDataFrame(
+                [("default_catalog",)], "catalog_name string"
+            )
+        if head == "SHOW" and s.upper().endswith("CURRENT CATALOG"):
+            return self.spark.createDataFrame(
+                [("default_catalog",)], "current_catalog_name string"
+            )
+        if head == "SHOW" and s.upper().endswith("CURRENT DATABASE"):
+            return self.spark.createDataFrame(
+                [("default_database",)], "current_database_name string"
+            )
+        if head == "SHOW" and s.upper().endswith("MODULES"):
+            # SqlCommandParser SHOW_MODULES — the default core module
+            return self.spark.createDataFrame([("core",)], "module_name string")
         if head == "SHOW" and s.upper().endswith("DATABASES"):
             # SqlShowDatabases → the single in-memory catalog database
             return self.spark.createDataFrame(

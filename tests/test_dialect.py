@@ -873,3 +873,13 @@ def test_set_reset_session_properties(spark):
     assert env.execute_sql("RESET") is None
     assert spark.conf.get("spark.sql.shuffle.partitions") == orig
     assert env.execute_sql("SET").count() == 0
+
+
+def test_show_catalogs_modules_current(spark):
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert [r[0] for r in env.execute_sql("SHOW CATALOGS").collect()] == ["default_catalog"]
+    assert [r[0] for r in env.execute_sql("SHOW CURRENT CATALOG").collect()] == ["default_catalog"]
+    assert [r[0] for r in env.execute_sql("SHOW CURRENT DATABASE").collect()] == ["default_database"]
+    assert [r[0] for r in env.execute_sql("SHOW MODULES").collect()] == ["core"]
