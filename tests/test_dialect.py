@@ -883,3 +883,32 @@ def test_show_catalogs_modules_current(spark):
     assert [r[0] for r in env.execute_sql("SHOW CURRENT CATALOG").collect()] == ["default_catalog"]
     assert [r[0] for r in env.execute_sql("SHOW CURRENT DATABASE").collect()] == ["default_database"]
     assert [r[0] for r in env.execute_sql("SHOW MODULES").collect()] == ["core"]
+
+
+def test_stream_table_resolves_metadata_columns(spark, sf_dir, tmp_path):
+    """stream_table applies FLIP-107 metadata columns on the streaming read
+    path too (not just the batch view)."""
+    import os
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    path = f"{tmp_path}/stream_meta"
+    table(spark, sf_dir, "events").limit(200).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ev_stream_meta (
+            event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+            fname STRING METADATA FROM 'file.name' VIRTUAL,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{path}','format'='parquet')
+    """)
+    s = env.stream_table("ev_stream_meta")
+    assert "fname" in s.columns and s.isStreaming
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+
+    out = run_to_batch(s.select("event_id", "fname"), "append")
+    rows = out.collect()
+    assert rows and all(r["fname"].endswith(".parquet") for r in rows)
