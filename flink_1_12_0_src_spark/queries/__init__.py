@@ -194,6 +194,7 @@ _R05_NEW = (
     "flinkddl_auto_compaction_sink",
     "stream_ooo_delta_trigger",
     "multimodal_audio_energy",
+    "agg_filter_clause",
     "knn_pq_topk",
 )
 

@@ -924,3 +924,34 @@ def agg_single_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("n_nationkey", "n_name", single.alias("region"))
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_finished,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS total_open,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS big_custs
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("batch", "agg", "sql"),
+    doc="SQL:2003 aggregate FILTER clause (Calcite-parsed in the reference's "
+    "Blink planner — per-aggregate conditional inputs without CASE "
+    "contortions): plain, DECIMAL-summed, and DISTINCT aggregates each "
+    "under their own FILTER, identical syntax in both engines; Catalyst "
+    "folds the filters into the partial aggregate (no extra scan).",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_finished,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                             FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS total_open,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS big_custs
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
