@@ -912,3 +912,54 @@ def test_stream_table_resolves_metadata_columns(spark, sf_dir, tmp_path):
     out = run_to_batch(s.select("event_id", "fname"), "append")
     rows = out.collect()
     assert rows and all(r["fname"].endswith(".parquet") for r in rows)
+
+
+def test_group_window_translation_sweep_vs_duckdb(spark, sf_dir):
+    """Differential sweep of the TUMBLE/HOP interval translation: every
+    (unit, size) combination must bucket identically to DuckDB's
+    time_bucket over the same events — broad protection for the
+    interval-unit conversion table, not just the single configs the
+    registry queries pin."""
+    import duckdb
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    env = TableEnvironment(spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    combos = [("SECOND", 30), ("MINUTE", 5), ("MINUTE", 90), ("HOUR", 12), ("DAY", 2)]
+    for unit, size in combos:
+        srows = sorted(
+            tuple(str(v) for v in r)
+            for r in env.sql_query(f"""
+                SELECT TUMBLE_START(ts, INTERVAL '{size}' {unit}) AS ws,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY TUMBLE(ts, INTERVAL '{size}' {unit})
+            """).collect()
+        )
+        orows = sorted(
+            tuple(str(v) for v in r)
+            for r in con.execute(f"""
+                -- origin-match Spark/Flink's epoch-aligned buckets (DuckDB's
+                -- default multi-day origin is 2000-01-03)
+                SELECT time_bucket(INTERVAL '{size}' {unit}, ts, TIMESTAMP '1970-01-01') AS ws,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY 1
+            """).fetchall()
+        )
+        assert srows == orows, f"TUMBLE {size} {unit}"
+    # HOP: slide divides size; every row lands in size/slide windows
+    for unit, slide, size in [("MINUTE", 15, 60), ("HOUR", 6, 24)]:
+        total = spark.sql("SELECT COUNT(*) c FROM events").first()["c"]
+        hop_sum = env.sql_query(f"""
+            SELECT SUM(cnt) AS s FROM (
+              SELECT HOP(ts, INTERVAL '{slide}' {unit}, INTERVAL '{size}' {unit}),
+                     COUNT(*) AS cnt
+              FROM events GROUP BY HOP(ts, INTERVAL '{slide}' {unit}, INTERVAL '{size}' {unit})
+            )
+        """).first()["s"]
+        assert hop_sum == total * (size // slide), f"HOP {slide}/{size} {unit}"
