@@ -67,9 +67,18 @@ def main(argv: list[str] | None = None) -> int:
                 if body.upper().startswith("PLAN FOR"):
                     body = body[len("PLAN FOR") :].strip()
                 print(env.explain_sql(body))
-            elif head in {"CREATE", "DROP", "INSERT", "ALTER"}:
-                env.execute_sql(stmt)
-                print("OK")
+            elif head in {"CREATE", "DROP", "INSERT", "ALTER", "SET", "RESET", "USE"}:
+                # statement commands: Flink-dialect routing (a bare SET lists
+                # the session properties, so it may return rows)
+                out = env.execute_sql(stmt)
+                if out is not None:
+                    out.show(args.max_rows, truncate=False)
+                else:
+                    print("OK")
+            elif head in {"SHOW", "DESCRIBE", "DESC"}:
+                # introspection goes through the dialect router, NOT spark.sql
+                # (SHOW CATALOGS/MODULES etc. differ from Spark's own SHOW)
+                env.execute_sql(stmt).show(args.max_rows, truncate=False)
             else:
                 env.sql_query(stmt).show(args.max_rows, truncate=False)
         except Exception as ex:  # REPL: report, keep session alive

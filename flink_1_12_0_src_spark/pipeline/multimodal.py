@@ -126,7 +126,8 @@ def windowed_energy(
     int16 frames — stubbed, no audio codecs here): window w covers samples
     [w·hop, w·hop + win) (last partial window included), energy =
     round(sqrt(mean(sample²)), 6) per window, plus an ``active`` flag
-    against the corpus-agnostic threshold of half the byte range. Windows
+    against the fixed threshold 64.0 (a quarter of the 0-255 byte range —
+    mirrored verbatim in the oracle). Windows
     materialize Python-side from the same Arrow batch — the one-row →
     many-windows explode never round-trips through a JVM explode; output is
     linear in blob bytes, no shuffle."""

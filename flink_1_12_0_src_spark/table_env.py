@@ -147,10 +147,9 @@ class TableEnvironment:
             if not m:
                 raise ValueError(f"unparseable SET: {s[:120]}")
             if m.group("k") is None:
-                rows = sorted(self._session_props.items())
                 return self.spark.createDataFrame(
-                    rows or [("", "")], "key string, value string"
-                ).filter("key <> ''")
+                    sorted(self._session_props.items()), "key string, value string"
+                )
             k, v = m.group("k"), m.group("v").rstrip()
             # right side keeps leading content after '=' minus one space
             v = v[1:] if v.startswith(" ") else v

@@ -48,3 +48,28 @@ quit;
     # predicate pushdown visible in the explained scan
     assert "PushedFilters" in proc.stdout
     assert "ERROR" not in proc.stderr
+
+
+def test_cli_set_show_statements_route_through_dialect():
+    """SET/RESET/SHOW typed in the REPL must hit the Flink-dialect router,
+    not spark.sql (regression: they previously fell through and got Spark's
+    divergent native semantics)."""
+    script = """SET table.exec.resource.default-parallelism = 3;
+SET;
+SHOW CATALOGS;
+SHOW MODULES;
+RESET;
+SET;
+quit;
+"""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flink_1_12_0_src_spark.cli",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2"],
+        input=script, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "table.exec.resource.default-parallelism" in out  # bare SET listing
+    assert "default_catalog" in out                          # Flink catalogs, not spark_catalog
+    assert "core" in out                                     # SHOW MODULES
+    assert out.count("OK") >= 2                              # SET k=v and RESET ack

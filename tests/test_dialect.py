@@ -789,13 +789,12 @@ def test_options_hint_preserves_metadata_columns(spark, sf_dir):
     assert rows and all(r["fname"].endswith(".csv") for r in rows)
 
 
-def test_system_time_sql_equals_asof_operator(spark):
+def test_system_time_sql_equals_asof_operator(spark, tmp_path):
     """Cross-validation: the FOR SYSTEM_TIME SQL lowering and the
     independent union-window as-of operator (operators/joins.py asof_join)
     must agree on seeded random fact/version tables."""
     import os
     import random
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -823,7 +822,7 @@ def test_system_time_sql_equals_asof_operator(spark):
         vdf = vdf.groupBy("k", "vts").agg({"setting": "max"}).withColumnRenamed(
             "max(setting)", "setting"
         )
-        path = os.path.join(tempfile.gettempdir(), f"st_xval_{seed}")
+        path = os.path.join(str(tmp_path), f"st_xval_{seed}")
         vdf.write.mode("overwrite").parquet(path)
         env = TableEnvironment(spark)
         env.execute_sql(f"""
@@ -862,17 +861,20 @@ def test_set_reset_session_properties(spark):
 
     env = TableEnvironment(spark)
     orig = spark.conf.get("spark.sql.shuffle.partitions")
-    assert env.execute_sql("SET table.exec.resource.default-parallelism = 7") is None
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-    env.execute_sql("SET sql-client.execution.result-mode = table")
-    rows = {r["key"]: r["value"] for r in env.execute_sql("SET").collect()}
-    assert rows == {
-        "table.exec.resource.default-parallelism": "7",
-        "sql-client.execution.result-mode": "table",
-    }
-    assert env.execute_sql("RESET") is None
-    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
-    assert env.execute_sql("SET").count() == 0
+    try:
+        assert env.execute_sql("SET table.exec.resource.default-parallelism = 7") is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        env.execute_sql("SET sql-client.execution.result-mode = table")
+        rows = {r["key"]: r["value"] for r in env.execute_sql("SET").collect()}
+        assert rows == {
+            "table.exec.resource.default-parallelism": "7",
+            "sql-client.execution.result-mode": "table",
+        }
+        assert env.execute_sql("RESET") is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+        assert env.execute_sql("SET").count() == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
 
 
 def test_show_catalogs_modules_current(spark):
