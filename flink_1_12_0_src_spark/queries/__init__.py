@@ -195,6 +195,7 @@ _R05_NEW = (
     "stream_ooo_delta_trigger",
     "multimodal_audio_energy",
     "agg_filter_clause",
+    "stream_clean_corpus",
     "knn_pq_topk",
 )
 

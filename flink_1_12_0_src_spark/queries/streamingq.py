@@ -1761,3 +1761,88 @@ def stream_ooo_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the watermark buffer releases only finalized rows, so the emitted set
     # already covers exactly the _OOO_WHERE region — no batch-side filter
     return run_to_batch(out, "append").orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "stream_clean_corpus",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '),
+                                                {{EN}})) 
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6) AS quality
+  FROM documents WHERE doc_id % 41 <> 0 AND lang = 'en'
+),
+cand AS (SELECT * FROM q WHERE quality >= 0.5),
+d AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+         MIN(text) AS text, MIN(n_words) AS n_words, MIN(quality) AS quality
+  FROM cand GROUP BY 1
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-3),
+                               g -> array_to_string(w[g+1:g+3], ' '))) AS sh
+  FROM toks WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 41 = 0),
+dg AS (
+  SELECT d.content_hash,
+         unnest(list_transform(generate_series(0, len(string_split(lower(d.text), ' '))-3),
+                               g -> array_to_string(string_split(lower(d.text), ' ')[g+1:g+3], ' '))) AS sh
+  FROM d
+)
+SELECT d.content_hash, CAST(d.n_words AS INTEGER) AS n_words, d.quality
+FROM d
+WHERE NOT EXISTS (SELECT 1 FROM dg JOIN bench USING (sh)
+                  WHERE dg.content_hash = d.content_hash)
+ORDER BY d.content_hash
+""".replace("{EN}", repr(__import__("flink_1_12_0_src_spark.pipeline.text", fromlist=["LANG_MARKERS"]).LANG_MARKERS["en"])),
+    tags=("streaming", "pipeline", "text", "dedup", "composed"),
+    doc="The clean-corpus flagship running CONTINUOUSLY: streamed documents "
+    "→ stateless quality filter → streaming exact-dedup keep-first on the "
+    "content hash (dropDuplicates keyed state) → benchmark 3-gram "
+    "decontamination as a row-local overlap test against the eval-suite-"
+    "sized gram set shipped inside the plan (the streaming analog of the "
+    "broadcast anti-semi-join). Output keyed by content hash, "
+    "so the emitted set is delivery-order invariant even though the "
+    "keep-first SURVIVOR id is arrival-dependent — the same curation "
+    "pipeline, batch or continuous ingest.",
+)
+def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    docs = table(spark, sf_dir, "documents")
+    # the benchmark gram set is eval-suite-sized by definition — collect and
+    # ship it inside the plan (the streaming analog of the broadcast
+    # anti-semi-join; a second stream branch would be a stream-stream anti
+    # join, which Structured Streaming rejects)
+    bench_grams = sorted(
+        r["sh"]
+        for r in docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+        .collect()
+    )
+    s = documents_stream(spark, sf_dir, n_files=4)
+    scored = quality_score(
+        s.filter((F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")),
+        "doc_id",
+        "text",
+        keep=["text"],
+    )
+    cand = scored.filter(F.col("quality") >= 0.5)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    dedup = cand.withColumn("content_hash", h).dropDuplicates(["content_hash"])
+    clean = dedup.filter(
+        ~F.arrays_overlap(F.array_distinct(shingles("text", 3)), F.lit(bench_grams))
+    ).select("content_hash", F.col("n_words").cast("int").alias("n_words"), "quality")
+    return run_to_batch(clean, "append").orderBy("content_hash")
