@@ -119,6 +119,24 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [("default_database",)], "current_database_name string"
             )
+        if head == "SHOW" and re.match(r"SHOW\s+PARTITIONS\s+\w+$", s, re.I):
+            # SqlShowPartitions — one row per partition spec of a
+            # partitioned catalog table (hive-style directory layout)
+            import os
+
+            name = s.split()[-1]
+            tbl = self._tables.get(name)
+            if tbl is None or not tbl.partition_by:
+                raise ValueError(f"SHOW PARTITIONS: {name} is not a partitioned catalog table")
+            root = reader_config(tbl.options)["path"].removeprefix("file:")
+            specs = sorted(
+                os.path.relpath(d, root).replace(os.sep, "/")
+                for d, _sub, files in os.walk(root)
+                if any(not f.startswith(("_", ".")) for f in files) and d != root
+            )
+            return self.spark.createDataFrame(
+                [(p_,) for p_ in specs], "partition_name string"
+            )
         if head == "SHOW" and s.upper().endswith("MODULES"):
             # SqlCommandParser SHOW_MODULES — the default core module
             return self.spark.createDataFrame([("core",)], "module_name string")

@@ -965,3 +965,31 @@ def test_group_window_translation_sweep_vs_duckdb(spark, sf_dir):
             )
         """).first()["s"]
         assert hop_sum == total * (size // slide), f"HOP {slide}/{size} {unit}"
+
+
+def test_show_partitions(spark, sf_dir, tmp_path):
+    """SqlShowPartitions: one row per hive-style partition directory of a
+    partitioned catalog table; non-partitioned tables are rejected."""
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    env.execute_sql(f"""
+        CREATE TABLE part_show_sink (id BIGINT, event_type STRING)
+        PARTITIONED BY (event_type) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/ps', 'format' = 'parquet'
+        )
+    """)
+    env.execute_sql("INSERT OVERWRITE part_show_sink SELECT event_id, event_type FROM events")
+    parts = [r["partition_name"] for r in env.execute_sql("SHOW PARTITIONS part_show_sink").collect()]
+    assert len(parts) >= 3 and all(p.startswith("event_type=") for p in parts)
+    env.execute_sql(f"""
+        CREATE TABLE unpart_sink (id BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/up', 'format' = 'parquet'
+        )
+    """)
+    with _pytest.raises(ValueError, match="not a partitioned"):
+        env.execute_sql("SHOW PARTITIONS unpart_sink")
