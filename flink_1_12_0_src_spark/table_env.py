@@ -190,6 +190,28 @@ class TableEnvironment:
             # SqlShowFunctions → registered function names (built-ins + UDFs)
             rows = sorted({f.name for f in self.spark.catalog.listFunctions()})
             return self.spark.createDataFrame([(n,) for n in rows], "function_name string")
+        if head in ("DESCRIBE", "DESC") and re.match(
+            r"DESC(RIBE)?\s+CATALOG\s+\w+$", s, re.I
+        ):
+            # SqlDescribeCatalog — the in-memory catalog's properties
+            name = s.split()[-1]
+            if name != "default_catalog":
+                raise ValueError(f"unknown catalog: {name}")
+            return self.spark.createDataFrame(
+                [("default database", "default_database"), ("type", "generic_in_memory")],
+                "info_name string, info_value string",
+            )
+        if head in ("DESCRIBE", "DESC") and re.match(
+            r"DESC(RIBE)?\s+DATABASE\s+\w+$", s, re.I
+        ):
+            # SqlDescribeDatabase
+            name = s.split()[-1]
+            if name != "default_database":
+                raise ValueError(f"unknown database: {name}")
+            return self.spark.createDataFrame(
+                [("catalog", "default_catalog"), ("comment", "")],
+                "info_name string, info_value string",
+            )
         if head in ("DESCRIBE", "DESC"):
             # SqlRichDescribeTable → name/type/nullable rows
             name = s.split()[-1]

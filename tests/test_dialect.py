@@ -993,3 +993,17 @@ def test_show_partitions(spark, sf_dir, tmp_path):
     """)
     with _pytest.raises(ValueError, match="not a partitioned"):
         env.execute_sql("SHOW PARTITIONS unpart_sink")
+
+
+def test_describe_catalog_and_database(spark):
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    c = {r[0]: r[1] for r in env.execute_sql("DESCRIBE CATALOG default_catalog").collect()}
+    assert c["default database"] == "default_database"
+    d = {r[0]: r[1] for r in env.execute_sql("DESC DATABASE default_database").collect()}
+    assert d["catalog"] == "default_catalog"
+    with _pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("DESCRIBE CATALOG hive")
