@@ -71,6 +71,13 @@ class TableEnvironment:
         # the pre-SET values of any live conf we changed, for RESET
         self._session_props: dict[str, str] = {}
         self._conf_originals: dict[str, str] = {}
+        # catalog/database registry (GenericInMemoryCatalog.java:52 +
+        # SqlCreateCatalog/SqlCreateDatabase): names only — the table
+        # namespace stays flat, as in the single in-memory catalog model
+        self._catalogs = {"default_catalog"}
+        self._databases = {"default_database"}
+        self.current_catalog = "default_catalog"
+        self.current_database = "default_database"
 
     # -- DDL / DML entry point (executeSql analog) -------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -84,6 +91,18 @@ class TableEnvironment:
             return self._create_table(s)
         if head == "INSERT":
             return self._insert_into(s)
+        if head == "DROP" and re.match(r"DROP\s+CATALOG\s+\w+$", s, re.I):
+            name = s.split()[-1]
+            if name == "default_catalog" or name == self.current_catalog:
+                raise ValueError(f"cannot drop the default/current catalog: {name}")
+            self._catalogs.discard(name)
+            return None
+        if head == "DROP" and re.match(r"DROP\s+DATABASE\s+\w+$", s, re.I):
+            name = s.split()[-1]
+            if name == "default_database" or name == self.current_database:
+                raise ValueError(f"cannot drop the default/current database: {name}")
+            self._databases.discard(name)
+            return None
         if head == "DROP":
             name = s.split()[-1]
             self._tables.pop(name, None)
@@ -93,6 +112,26 @@ class TableEnvironment:
             return self._alter_table(s)
         if re.match(r"CREATE\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION", s, re.I):
             return self._create_function(s)
+        if re.match(r"CREATE\s+CATALOG\s+\w+", s, re.I):
+            # SqlCreateCatalog — only the in-memory factory exists here
+            m = re.match(r"CREATE\s+CATALOG\s+(\w+)(?:\s+WITH\s*\((.*)\))?$", s, re.I | re.S)
+            opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2) or ""))
+            ctype = opts.get("type", "generic_in_memory")
+            if ctype != "generic_in_memory":
+                raise ValueError(
+                    f"unsupported catalog type: {ctype!r} (only "
+                    "generic_in_memory — hive/jdbc catalogs are out of scope)"
+                )
+            self._catalogs.add(m.group(1))
+            return None
+        if re.match(r"CREATE\s+DATABASE\s+", s, re.I):
+            # SqlCreateDatabase [IF NOT EXISTS]
+            m = re.match(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.I)
+            name = m.group(2)
+            if name in self._databases and not m.group(1):
+                raise ValueError(f"database already exists: {name}")
+            self._databases.add(name)
+            return None
         if head == "SHOW" and s.upper().endswith("TABLES"):
             # SqlShowTables → one row per catalog entry (TableEnvironmentImpl)
             names = sorted(
@@ -107,17 +146,17 @@ class TableEnvironment:
             )
             return self.spark.createDataFrame([(n,) for n in names], "view_name string")
         if head == "SHOW" and s.upper().endswith("CATALOGS"):
-            # SqlCommandParser SHOW_CATALOGS — single in-memory catalog
+            # SqlCommandParser SHOW_CATALOGS
             return self.spark.createDataFrame(
-                [("default_catalog",)], "catalog_name string"
+                [(c,) for c in sorted(self._catalogs)], "catalog_name string"
             )
         if head == "SHOW" and s.upper().endswith("CURRENT CATALOG"):
             return self.spark.createDataFrame(
-                [("default_catalog",)], "current_catalog_name string"
+                [(self.current_catalog,)], "current_catalog_name string"
             )
         if head == "SHOW" and s.upper().endswith("CURRENT DATABASE"):
             return self.spark.createDataFrame(
-                [("default_database",)], "current_database_name string"
+                [(self.current_database,)], "current_database_name string"
             )
         if head == "SHOW" and re.match(r"SHOW\s+PARTITIONS\s+\w+$", s, re.I):
             # SqlShowPartitions — one row per partition spec of a
@@ -143,20 +182,22 @@ class TableEnvironment:
         if head == "SHOW" and s.upper().endswith("DATABASES"):
             # SqlShowDatabases → the single in-memory catalog database
             return self.spark.createDataFrame(
-                [("default_database",)], "database_name string"
+                [(d,) for d in sorted(self._databases)], "database_name string"
             )
         if head == "USE":
-            # SqlUseDatabase / SqlUseCatalog — single catalog+database model
+            # SqlUseDatabase / SqlUseCatalog over the registry
             parts = s.split()
             if len(parts) < 2:
                 raise ValueError("USE needs a database (or CATALOG) name")
             if parts[1].upper() == "CATALOG":
-                if len(parts) < 3 or parts[2] != "default_catalog":
+                if len(parts) < 3 or parts[2] not in self._catalogs:
                     raise ValueError(f"unknown catalog: {' '.join(parts[2:3]) or '?'}")
+                self.current_catalog = parts[2]
                 return None
-            db = parts[-1]
-            if db not in ("default_database", "default_catalog.default_database"):
+            db = parts[-1].split(".")[-1]
+            if db not in self._databases:
                 raise ValueError(f"unknown database: {db}")
+            self.current_database = db
             return None
         if head == "SET":
             # SqlCommandParser.java:310 — SET [key = value]; bare SET lists
@@ -195,7 +236,7 @@ class TableEnvironment:
         ):
             # SqlDescribeCatalog — the in-memory catalog's properties
             name = s.split()[-1]
-            if name != "default_catalog":
+            if name not in self._catalogs:
                 raise ValueError(f"unknown catalog: {name}")
             return self.spark.createDataFrame(
                 [("default database", "default_database"), ("type", "generic_in_memory")],
@@ -206,10 +247,10 @@ class TableEnvironment:
         ):
             # SqlDescribeDatabase
             name = s.split()[-1]
-            if name != "default_database":
+            if name not in self._databases:
                 raise ValueError(f"unknown database: {name}")
             return self.spark.createDataFrame(
-                [("catalog", "default_catalog"), ("comment", "")],
+                [("catalog", self.current_catalog), ("comment", "")],
                 "info_name string, info_value string",
             )
         if head in ("DESCRIBE", "DESC"):

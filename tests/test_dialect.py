@@ -1007,3 +1007,37 @@ def test_describe_catalog_and_database(spark):
     assert d["catalog"] == "default_catalog"
     with _pytest.raises(ValueError, match="unknown catalog"):
         env.execute_sql("DESCRIBE CATALOG hive")
+
+
+def test_create_use_drop_catalog_and_database(spark):
+    """SqlCreateCatalog / SqlCreateDatabase / USE / DROP over the in-memory
+    registry: create, switch current, list, and protected drops."""
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG mem2 WITH ('type' = 'generic_in_memory')")
+    env.execute_sql("CREATE DATABASE analytics")
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS analytics")
+    with _pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE DATABASE analytics")
+    with _pytest.raises(ValueError, match="unsupported catalog type"):
+        env.execute_sql("CREATE CATALOG h WITH ('type' = 'hive')")
+    assert [r[0] for r in env.execute_sql("SHOW CATALOGS").collect()] == [
+        "default_catalog", "mem2",
+    ]
+    assert "analytics" in [r[0] for r in env.execute_sql("SHOW DATABASES").collect()]
+    env.execute_sql("USE CATALOG mem2")
+    assert env.execute_sql("SHOW CURRENT CATALOG").first()[0] == "mem2"
+    env.execute_sql("USE analytics")
+    assert env.execute_sql("SHOW CURRENT DATABASE").first()[0] == "analytics"
+    with _pytest.raises(ValueError, match="current"):
+        env.execute_sql("DROP DATABASE analytics")
+    env.execute_sql("USE default_database")
+    env.execute_sql("DROP DATABASE analytics")
+    assert "analytics" not in [r[0] for r in env.execute_sql("SHOW DATABASES").collect()]
+    with _pytest.raises(ValueError, match="default/current"):
+        env.execute_sql("DROP CATALOG mem2")  # still the current catalog
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG mem2")
