@@ -533,9 +533,22 @@ class TableEnvironment:
     def _alter_table(self, stmt: str) -> None:
         """ALTER TABLE name RENAME TO new / ALTER TABLE name SET ('k'='v')
         (SqlAlterTableRename / SqlAlterTableOptions —
-        flink-sql-parser/.../ddl/SqlAlterTable.java). Rename moves the
-        catalog entry and re-registers the view under the new name; SET
-        merges connector options and refreshes the scan."""
+        flink-sql-parser/.../ddl/SqlAlterTable.java); ALTER VIEW name
+        RENAME TO new / ALTER VIEW name AS query (SqlAlterViewRename /
+        SqlAlterViewAs). Rename moves the catalog entry and re-registers
+        the view under the new name; SET merges connector options and
+        refreshes the scan."""
+        m = re.match(r"ALTER\s+VIEW\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$", stmt, re.I)
+        if m:
+            old, new = m.group(1), m.group(2)
+            df = self.spark.table(old)
+            df.createOrReplaceTempView(new)
+            self.spark.catalog.dropTempView(old)
+            return None
+        m = re.match(r"ALTER\s+VIEW\s+(\w+)\s+AS\s+(.*)$", stmt, re.I | re.S)
+        if m:
+            self.sql_query(m.group(2)).createOrReplaceTempView(m.group(1))
+            return None
         m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$", stmt, re.I)
         if m:
             old, new = m.group(1), m.group(2)

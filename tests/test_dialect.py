@@ -1041,3 +1041,20 @@ def test_create_use_drop_catalog_and_database(spark):
         env.execute_sql("DROP CATALOG mem2")  # still the current catalog
     env.execute_sql("USE CATALOG default_catalog")
     env.execute_sql("DROP CATALOG mem2")
+
+
+def test_alter_view_rename_and_redefine(spark, sf_dir):
+    """SqlAlterViewRename / SqlAlterViewAs: rename moves the temp view;
+    AS swaps the definition in place."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("av_nation")
+    env.execute_sql("CREATE VIEW av_v AS SELECT n_nationkey FROM av_nation WHERE n_regionkey = 1")
+    n1 = spark.table("av_v").count()
+    env.execute_sql("ALTER VIEW av_v RENAME TO av_v2")
+    assert spark.table("av_v2").count() == n1
+    assert "av_v" not in {t.name for t in spark.catalog.listTables()}
+    env.execute_sql("ALTER VIEW av_v2 AS SELECT n_nationkey FROM av_nation")
+    assert spark.table("av_v2").count() == spark.table("av_nation").count()
