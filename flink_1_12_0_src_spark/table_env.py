@@ -76,6 +76,7 @@ class TableEnvironment:
         # namespace stays flat, as in the single in-memory catalog model
         self._catalogs = {"default_catalog"}
         self._databases = {"default_database"}
+        self._db_props: dict[str, dict[str, str]] = {}
         self.current_catalog = "default_catalog"
         self.current_database = "default_database"
 
@@ -91,6 +92,25 @@ class TableEnvironment:
             return self._create_table(s)
         if head == "INSERT":
             return self._insert_into(s)
+        if re.match(r"ALTER\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION", s, re.I):
+            # SqlAlterFunction — redefinition keeps the name, swaps the target
+            return self._create_function(
+                re.sub(r"^ALTER", "CREATE", s, count=1, flags=re.I)
+            )
+        if re.match(r"DROP\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION", s, re.I):
+            # SqlDropFunction — route to Spark's own DROP TEMPORARY FUNCTION
+            name = s.split()[-1]
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            return None
+        if re.match(r"ALTER\s+DATABASE\s+\w+\s+SET", s, re.I):
+            # SqlAlterDatabase — property bag on a registered database
+            m = re.match(r"ALTER\s+DATABASE\s+(\w+)\s+SET\s*\((.*)\)\s*$", s, re.I | re.S)
+            if not m or m.group(1) not in self._databases:
+                raise ValueError(f"unknown database: {s.split()[2]}")
+            self._db_props.setdefault(m.group(1), {}).update(
+                dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2)))
+            )
+            return None
         if head == "DROP" and re.match(r"DROP\s+CATALOG\s+\w+$", s, re.I):
             name = s.split()[-1]
             if name == "default_catalog" or name == self.current_catalog:
@@ -112,6 +132,7 @@ class TableEnvironment:
             return self._alter_table(s)
         if re.match(r"CREATE\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION", s, re.I):
             return self._create_function(s)
+
         if re.match(r"CREATE\s+CATALOG\s+\w+", s, re.I):
             # SqlCreateCatalog — only the in-memory factory exists here
             m = re.match(r"CREATE\s+CATALOG\s+(\w+)(?:\s+WITH\s*\((.*)\))?$", s, re.I | re.S)

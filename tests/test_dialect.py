@@ -1058,3 +1058,24 @@ def test_alter_view_rename_and_redefine(spark, sf_dir):
     assert "av_v" not in {t.name for t in spark.catalog.listTables()}
     env.execute_sql("ALTER VIEW av_v2 AS SELECT n_nationkey FROM av_nation")
     assert spark.table("av_v2").count() == spark.table("av_nation").count()
+
+
+def test_alter_drop_function_and_alter_database(spark):
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION adf_probe AS "
+        "'flink_1_12_0_src_spark.functions.scalar.price_band'"
+    )
+    # ALTER re-registers under the same name without error
+    env.execute_sql(
+        "ALTER TEMPORARY FUNCTION adf_probe AS "
+        "'flink_1_12_0_src_spark.functions.scalar.price_band'"
+    )
+    env.execute_sql("DROP TEMPORARY FUNCTION adf_probe")
+    fns = {r.function_name for r in env.execute_sql("SHOW FUNCTIONS").collect()}
+    assert "adf_probe" not in fns
+    env.execute_sql("CREATE DATABASE adb")
+    env.execute_sql("ALTER DATABASE adb SET ('owner' = 'etl')")
+    assert env._db_props["adb"] == {"owner": "etl"}
