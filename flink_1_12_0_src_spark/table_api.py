@@ -217,6 +217,26 @@ class Table:
     def offset(self, n: int) -> "Table":
         return Table(self._df.offset(n))
 
+    # -- sinks -------------------------------------------------------------
+    def execute_insert(self, env, sink_name: str, overwrite: bool = False) -> None:
+        """Table.executeInsert (Table.java:1519) — write this table's rows
+        into the named catalog sink table through the environment's INSERT
+        path (connector options, partitioning, compaction and commit
+        policies all apply). ``env`` is the TableEnvironment holding the
+        sink's DDL; the fluent API stays env-free everywhere else, so the
+        handle is explicit here rather than captured at construction."""
+        import uuid
+
+        tmp = f"_tapi_insert_{uuid.uuid4().hex[:12]}"
+        self._df.createOrReplaceTempView(tmp)
+        try:
+            env.execute_sql(
+                f"INSERT {'OVERWRITE' if overwrite else 'INTO'} {sink_name} "
+                f"SELECT * FROM {tmp}"
+            )
+        finally:
+            self._df.sparkSession.catalog.dropTempView(tmp)
+
     # -- escape hatch ------------------------------------------------------
     def to_df(self) -> DataFrame:
         return self._df

@@ -1079,3 +1079,34 @@ def test_alter_drop_function_and_alter_database(spark):
     env.execute_sql("CREATE DATABASE adb")
     env.execute_sql("ALTER DATABASE adb SET ('owner' = 'etl')")
     assert env._db_props["adb"] == {"owner": "etl"}
+
+
+def test_table_api_execute_insert(spark, sf_dir, tmp_path):
+    """Table.executeInsert parity: a fluent-API result writes through the
+    environment's INSERT path into a catalog sink and reads back."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_api import from_dataframe
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE tapi_sink (n_regionkey BIGINT, n_cnt BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/tapi', 'format' = 'parquet'
+        )
+    """)
+    t = (
+        from_dataframe(table(spark, sf_dir, "nation"))
+        .group_by("n_regionkey")
+        .select("n_regionkey, n_nationkey.count AS n_cnt")
+    )
+    t.execute_insert(env, "tapi_sink", overwrite=True)
+    got = {
+        (r["n_regionkey"], r["n_cnt"])
+        for r in env.sql_query("SELECT * FROM tapi_sink").collect()
+    }
+    want = {
+        (r["n_regionkey"], r["cnt"])
+        for r in table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == want
