@@ -237,6 +237,14 @@ class Table:
         finally:
             self._df.sparkSession.catalog.dropTempView(tmp)
 
+    def explain(self) -> str:
+        """Table.explain (Table.java:1475) — the planned physical plan text."""
+        return self._df._jdf.queryExecution().explainString(
+            self._df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
     # -- escape hatch ------------------------------------------------------
     def to_df(self) -> DataFrame:
         return self._df

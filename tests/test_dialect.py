@@ -1110,3 +1110,16 @@ def test_table_api_execute_insert(spark, sf_dir, tmp_path):
         .groupBy("n_regionkey").count().withColumnRenamed("count", "cnt").collect()
     }
     assert got == want
+
+
+def test_table_api_explain(spark, sf_dir):
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.table_api import from_dataframe
+
+    plan = (
+        from_dataframe(table(spark, sf_dir, "nation"))
+        .group_by("n_regionkey")
+        .select("n_regionkey, n_nationkey.count AS c")
+        .explain()
+    )
+    assert "HashAggregate" in plan and "Physical Plan" in plan
