@@ -472,3 +472,21 @@ def test_pq_fit_rejects_tiny_training_set(spark):
     )
     with _pytest.raises(ValueError, match="training vectors"):
         pq_fit(tiny, m=2, ksub=16)
+
+
+def test_bipartite_projection_hub_guard(spark):
+    """A hub bottom vertex shared by B tops yields B(B-1)/2 pairs; with the
+    degree cap below B the hub drops before pairing while small bottoms
+    still project."""
+    from flink_1_12_0_src_spark.operators.graph import bipartite_projection
+
+    rows = [(t, 999) for t in range(60)]          # hub bottom: 60 tops
+    rows += [(100, 1), (101, 1), (100, 2), (101, 2)]  # small bottoms
+    edges = spark.createDataFrame(rows, "top bigint, bottom bigint")
+
+    uncapped = bipartite_projection(edges, "top", "bottom", max_bottom_degree=None)
+    assert uncapped.filter("src < 60 AND dst < 60").count() == 60 * 59 // 2
+
+    capped = bipartite_projection(edges, "top", "bottom", max_bottom_degree=10)
+    got = {(r["src"], r["dst"]): r["n_links"] for r in capped.collect()}
+    assert got == {(100, 101): 2}, "hub must drop; small bottoms must survive"
