@@ -66,7 +66,12 @@ def quota_sample(
 
 
 def pack_sequences(
-    df: DataFrame, id_col: str, stream_col: str, token_col, budget: int
+    df: DataFrame,
+    id_col: str,
+    stream_col: str,
+    token_col,
+    budget: int,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing, concat-then-chunk model: documents of one stream
     are concatenated in deterministic (id) order and chunked every
@@ -74,16 +79,25 @@ def pack_sequences(
     into (pack_id = floor(start_offset / budget)) — exactly the layout a
     pretraining pack writer produces, as one window cumsum instead of a
     sequential loop. ``token_col`` is a Column expression for the
-    document's token count."""
+    document's token count.
+
+    Scale note: the cumsum sorts each stream in ONE window partition, so a
+    stream holding most of a 100 TB corpus concentrates on one task (the
+    sort spills, but the task is serial). Pass ``shard_col`` (e.g.
+    :func:`shuffle_shard`'s deterministic shard id) to pack each
+    (stream, shard) independently — pack ids become shard-local, which is
+    exactly how production pack writers parallelize a stream across
+    output files."""
+    parts = [stream_col] + ([shard_col] if shard_col else [])
     w = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(*parts)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(token_col).over(w)
     return df.select(
         id_col,
-        stream_col,
+        *parts,
         token_col.cast("bigint").alias("n_tokens"),
         (cum - token_col).cast("bigint").alias("start_offset"),
         F.floor((cum - token_col) / budget).cast("bigint").alias("pack_id"),

@@ -490,3 +490,23 @@ def test_bipartite_projection_hub_guard(spark):
     capped = bipartite_projection(edges, "top", "bottom", max_bottom_degree=10)
     got = {(r["src"], r["dst"]): r["n_links"] for r in capped.collect()}
     assert got == {(100, 101): 2}, "hub must drop; small bottoms must survive"
+
+
+def test_pack_sequences_sharded_packing(spark):
+    """shard_col packs each (stream, shard) independently: offsets restart
+    per shard and every pack except a shard's last is full."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, "s", i % 2, 10) for i in range(20)]  # two shards of 10 docs
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, shard int, n int")
+    out = pack_sequences(df, "doc_id", "src", F.col("n"), 25, shard_col="shard").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        assert rs[0]["start_offset"] == 0  # offsets restart per shard
+        assert [r["pack_id"] for r in rs] == [i * 10 // 25 for i in range(10)]
