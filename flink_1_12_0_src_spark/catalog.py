@@ -39,6 +39,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-settable; ensures any caller-provided session (e.g. the driver's)
     # can read the NANOS-typed events file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session time zone: every calendar operation (string→timestamp
+    # casts, F.window day buckets, NTZ→LTZ normalization below) must agree
+    # with the DuckDB oracles, which treat the on-disk wall-clock values as
+    # UTC. A caller-provided session with a non-UTC TZ would silently shift
+    # day/week boundaries while keeping row counts identical.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name != "ts":

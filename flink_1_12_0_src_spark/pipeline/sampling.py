@@ -220,9 +220,13 @@ def dsir_weights(
 
     Determinism / portability: the bucket is the first ``hex_chars`` chars of
     md5(token) — a string join key in both engines, no hex→int conversion;
-    each bucket's log-ratio is rounded to 9 dp once, multiplied by the exact
+    each bucket's log-ratio is rounded to 6 dp once, multiplied by the exact
     per-(doc, bucket) count in DECIMAL(28,9), and accumulated in DECIMAL —
-    the partitioning-invariant float recipe used package-wide.
+    the partitioning-invariant float recipe used package-wide. 6 dp (not the
+    package's usual 9) because ``ln`` is a transcendental whose last ULP
+    differs between the JVM's and DuckDB's libm: a 9-dp round preserves the
+    flip and the DECIMAL sum faithfully accumulates it (the r05 driver-red),
+    while 6 dp sits inside any correctly-rounded libm's agreement.
 
     Scale shape at 100 TB: the target side is small by definition (a quality
     domain sample vs the whole crawl), ONE scan each for target and raw
@@ -262,7 +266,7 @@ def dsir_weights(
                     ((F.coalesce("ct", F.lit(0)) + 1) / (F.col("_tt") + n_buckets))
                     / ((F.coalesce("cr", F.lit(0)) + 1) / (F.col("_tr") + n_buckets))
                 ),
-                9,
+                6,
             )
             # decimal(20,9) × decimal(9,0) keeps the product inside Spark's
             # 38-digit cap with scale 9 intact (28,9 × 28,9 would overflow

@@ -121,108 +121,88 @@ _R03_DRIVER_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
-
-# Round-3 driver-red rows (hash-only mismatch; emission-trace fixtures were
-# sensitive to micro-batch delivery order). Round 4 derives the epoch from a
-# data-borne ``stage`` column instead — these re-verify at the very front of
-# the round-4 gate budget.
-_R04_FIXED_FIRST = ("cdc_retract_stream_output", "stream_tumble_early_fire")
-
-# Queries first registered in round 4 (after the gate-promotion commit), in
-# the order they should consume any REMAINING budget once the round-3 judge's
-# explicit ask — a row for every previously-never-tested query — is fully
-# served. The weakest checks sit last (text_bm25_topk's oracle is the most
-# redundant with text_tfidf_topk's; knn_lsh_topk is rows-only — its real
-# verification is the recall test), so a 50-slot truncation cuts THEM, not a
-# round-3 backlog query.
-_R04_NEW_LAST = (
-    "pipeline_clean_corpus",
-    "text_decontaminate",
-    "flinksql_match_agg_define",
-    "stream_match_agg_define",
-    "text_repetition_signals",
-    "tableapi_temporal_fn_join",
-    "dedup_bloom_membership",
-    "dataset_shuffle_shard",
-    "fn_misc_suite",
-    "text_bm25_topk",
-    "knn_lsh_topk",
-    "dedup_exact_substring",
-    "dataset_temperature_mix",
-    "graph_adamic_adar",
-    "graph_triadic_census",
-    "graph_vertex_metrics",
-    "graph_community_detection",
-    "text_unigram_logppl",
-    "tableapi_tumble_window",
-    "tableapi_over_window",
-    "graph_edge_metrics",
-    "datastream_keyby_window_sum",
-    "datastream_maxby_flatmap",
-    "flinkddl_create_table_like",
-    "dataset_split_leakage",
-    "text_token_entropy",
-    "dataset_uniform_sample",
+# Round-5 driver-green rows (CORRECTNESS_r05.json, hash_match=true).
+_R05_DRIVER_GREEN = frozenset(
+    {
+        "agg_filter_clause", "cdc_maxwell_normalize", "cep_followed_by_any",
+        "dataset_shuffle_shard", "dataset_split_leakage",
+        "dataset_temperature_mix", "dataset_uniform_sample",
+        "datastream_keyby_window_sum", "datastream_maxby_flatmap",
+        "dedup_bloom_membership", "dedup_exact_substring",
+        "dedup_semantic_prune", "flinkddl_alter",
+        "flinkddl_auto_compaction_sink", "flinkddl_compressed_sink",
+        "flinkddl_computed_col", "flinkddl_create_function",
+        "flinkddl_create_table_like", "flinkddl_metadata_columns",
+        "flinkddl_options_hint", "flinkddl_static_partition_insert",
+        "flinksql_match_prev_vshape", "flinksql_match_skip_to_last",
+        "flinksql_system_time_join", "fn_misc_suite", "graph_adamic_adar",
+        "graph_bipartite_projection", "graph_community_detection",
+        "graph_edge_metrics", "graph_triadic_census",
+        "graph_vertex_metrics", "multimodal_audio_energy",
+        "pipeline_training_mix", "stream_clean_corpus",
+        "stream_match_agg_define", "stream_ooo_delta_trigger",
+        "stream_text_quality", "tableapi_over_window",
+        "tableapi_temporal_fn_join", "tableapi_tumble_window",
+        "text_bm25_topk", "text_quality_ensemble",
+        "text_repetition_signals", "text_token_entropy",
+        "text_unigram_logppl",
+    }
 )
 
+_DRIVER_GREEN = (
+    _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN | _R05_DRIVER_GREEN
+)
 
-# Round-5 rotation. 74 queries had no driver-green row entering round 4, but
-# the gate truncates at 50/round, so (in round 4's rank order) positions
-# 51-74 — exactly the _R04_NEW_LAST tail below — could not receive a row.
-# Round 5 puts those 24 FIRST: if the round-4 gate ran as ordered, every
-# never-tested query has a hard CORRECTNESS row after this round; if round 4's
-# artifacts were lost, this still covers 50 of the 74 and the next rotation
-# picks up the remainder (the union over rounds converges either way).
-_R05_FRONT = tuple(_R04_NEW_LAST[3:])
-
-# Queries first registered in round 5 — never had any chance of a driver row,
-# so they outrank the round-3 backlog that round 4 presumably gated.
-_R05_NEW = (
-    "dedup_semantic_prune",
+# Round-5 driver-red rows, fixed for round 6 (calendar-free epoch-day keys +
+# session-TZ pin for the two emission traces; 6-dp ln() rounding for DSIR) —
+# re-verify at the very front of the round-6 gate budget.
+_R06_FIXED_FIRST = (
+    "cdc_retract_stream_output",
+    "stream_tumble_early_fire",
     "dataset_dsir_weights",
-    "text_quality_ensemble",
-    "flinkddl_options_hint",
-    "flinksql_system_time_join",
-    "flinkddl_metadata_columns",
-    "flinkddl_static_partition_insert",
-    "cdc_maxwell_normalize",
-    "graph_bipartite_projection",
-    "stream_text_quality",
-    "pipeline_training_mix",
-    "flinkddl_compressed_sink",
-    "flinkddl_auto_compaction_sink",
-    "stream_ooo_delta_trigger",
-    "multimodal_audio_energy",
-    "agg_filter_clause",
-    "stream_clean_corpus",
-    "knn_pq_topk",
 )
+
+# Queries first registered in round 6 — never had any chance of a driver row.
+# They run right after the never-tested backlog (tier 1): a brand-new query
+# is the likeliest to hide a defect, so the proven backlog gets slots first.
+_R06_NEW = (
+    "stream_semi_join_exists",
+    "stream_anti_join_not_exists",
+    "flinkddl_show_partitions",
+    "tableapi_execute_insert",
+)
+
+# The registry's only rows-only entries: the ANN top-k trio, whose real
+# verification is the recall gates in tests/test_pipeline.py. They can never
+# produce a hash-green driver row, so they must never outrank an oracle-able
+# query in the gate window (r05 burned 2 slots on guaranteed `no_oracle`
+# rows) — dead last, permanently.
+_NO_ORACLE_LAST = ("knn_lsh_topk", "knn_ivf_topk", "knn_pq_topk")
 
 
 def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    (0,i) = truncated past round 4's 50-slot window — first rows this round;
-    (1,_) = the two r03 emission-trace fixes (re-verify post-fix);
-    (2,i) = round-5-new queries (first possible row);
-    (3,_) = never driver-tested as of round 3 (LLM-pipeline + round-3-new) —
-        presumed gated in round 4, re-verify next;
-    (4,i) = round-4-new queries that fit round 4's window;
-    (5,_) = already driver-green in r01/r02/r03 (re-verify only if budget
-        remains).
+    (0,i) = round-5 driver-red rows, now fixed — re-verify first;
+    (1,_) = oracle-able queries that have NEVER had a driver-green row
+        (44 entering round 6; the r04 gate loss made this the backlog);
+    (2,i) = round-6-new queries (first possible row);
+    (3,_) = already driver-green in r01/r02/r03/r05 (re-verify only if
+        budget remains);
+    (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
+        rows, so they must not consume an evidence slot.
+
+    Tiers 0+1+2 = 48 ≤ 50, so one round closes the never-tested backlog.
     """
-    if name in _R05_FRONT:
-        return (0, _R05_FRONT.index(name))
-    if name in _R04_FIXED_FIRST:
-        return (1, 0)
-    if name in _R05_NEW:
-        return (2, _R05_NEW.index(name))
-    if name in _R04_NEW_LAST:
-        return (4, _R04_NEW_LAST.index(name))
+    if name in _R06_FIXED_FIRST:
+        return (0, _R06_FIXED_FIRST.index(name))
+    if name in _NO_ORACLE_LAST:
+        return (4, _NO_ORACLE_LAST.index(name))
+    if name in _R06_NEW:
+        return (2, _R06_NEW.index(name))
     if name in _DRIVER_GREEN:
-        return (5, 0)
-    return (3, 0)
+        return (3, 0)
+    return (1, 0)
 
 
 def load_all() -> dict[str, Query]:

@@ -210,11 +210,13 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wk AS (
   SELECT user_id,
-         CAST(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
-                   WHEN ts < TIMESTAMP '2024-01-15' THEN 1
-                   WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+         CAST(CASE WHEN d < 19730 THEN 0
+                   WHEN d < 19737 THEN 1
+                   WHEN d < 19744 THEN 2
                    ELSE 3 END AS INTEGER) AS epoch
-  FROM events
+  FROM (SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        FROM events)
 ),
 cum AS (
   SELECT user_id, epoch, COUNT(*) AS delta FROM wk GROUP BY 1, 2
@@ -262,11 +264,13 @@ def cdc_retract_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wk AS (
   SELECT user_id,
-         CAST(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
-                   WHEN ts < TIMESTAMP '2024-01-15' THEN 1
-                   WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+         CAST(CASE WHEN d < 19730 THEN 0
+                   WHEN d < 19737 THEN 1
+                   WHEN d < 19744 THEN 2
                    ELSE 3 END AS INTEGER) AS epoch
-  FROM events
+  FROM (SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        FROM events)
 ),
 cum AS (
   SELECT user_id, epoch, COUNT(*) AS delta FROM wk GROUP BY 1, 2

@@ -1322,7 +1322,7 @@ tr AS (SELECT SUM(cr)::DOUBLE AS t FROM rc),
 ratio AS (
   SELECT bucket,
          CAST(round(ln(((COALESCE(ct, 0) + 1) / (tt.t + {16 ** DSIR_HEX}))
-                       / ((COALESCE(cr, 0) + 1) / (tr.t + {16 ** DSIR_HEX}))), 9)
+                       / ((COALESCE(cr, 0) + 1) / (tr.t + {16 ** DSIR_HEX}))), 6)
               AS DECIMAL(28,9)) AS lr
   FROM rc FULL JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN tr
 ),
@@ -1338,7 +1338,9 @@ GROUP BY db.doc_id ORDER BY db.doc_id
     "dsir_weights): score raw-pool documents (lang <> 'en') by hashed-unigram "
     "log-likelihood ratio against the target domain (lang = 'en'), add-1 "
     f"smoothing over {16 ** DSIR_HEX} md5-prefix buckets. Per-bucket log-ratio "
-    "rounded to 9 dp once, DECIMAL-accumulated per doc — partitioning- and "
+    "rounded to 6 dp once (inside cross-libm ln() agreement; 9 dp preserved "
+    "a last-ULP flip — the r05 driver-red), DECIMAL-accumulated per doc — "
+    "partitioning- and "
     "engine-invariant. The ratio table broadcasts; two raw scans + one "
     "target scan, no corpus-size shuffle beyond the doc-keyed sum.",
 )

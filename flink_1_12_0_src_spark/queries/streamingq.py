@@ -957,19 +957,19 @@ def stream_unbounded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_tumble_early_fire",
     oracle="""
 WITH e AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS window_day,
          CAST(event_id % 4 AS INTEGER) AS epoch
   FROM events
 ),
 cum AS (
-  SELECT window_start, epoch, COUNT(*) AS delta FROM e GROUP BY 1, 2
+  SELECT window_day, epoch, COUNT(*) AS delta FROM e GROUP BY 1, 2
 ),
 c1 AS (
-  SELECT window_start, epoch,
-         SUM(delta) OVER (PARTITION BY window_start ORDER BY epoch) AS cnt
+  SELECT window_day, epoch,
+         SUM(delta) OVER (PARTITION BY window_day ORDER BY epoch) AS cnt
   FROM cum
 )
-SELECT window_start, cnt FROM c1 ORDER BY window_start, cnt
+SELECT window_day, cnt FROM c1 ORDER BY window_day, cnt
 """,
     tags=("streaming", "window_agg", "early_fire"),
     doc="Early-fire EMISSION TRACE, exactly oracled (Flink WindowEmitStrategy "
@@ -983,7 +983,10 @@ SELECT window_start, cnt FROM c1 ORDER BY window_start, cnt
     "foreachBatch and cumulated in data-borne stage order, so it is "
     "invariant to micro-batch delivery order (the round-3 driver red was an "
     "order scramble); tests pin its equivalence to Spark's raw update-mode "
-    "memory-sink trace under in-order delivery. No watermark: state is never "
+    "memory-sink trace under in-order delivery. The window key is the UTC "
+    "epoch DAY (unix_micros DIV 86400e6 / epoch_us // 86400e6) — pure "
+    "integer arithmetic, immune to session-TZ/calendar divergence between "
+    "engines (the r05 residual red). No watermark: state is never "
     "evicted, matching early-fire-before-window-close semantics; the trigger "
     "interval plays the early-fire delay role (documented approximation, "
     "SURVEY §2.8).",
@@ -993,7 +996,7 @@ def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.source import events_stream_mod
 
     s = events_stream_mod(spark, sf_dir, with_stage=True)
-    return run_early_fire_trace(s).orderBy("window_start", "cnt")
+    return run_early_fire_trace(s).orderBy("window_day", "cnt")
 
 
 @register(

@@ -160,7 +160,7 @@ def run_stream_iterate(
 def run_early_fire_trace(
     stream_df: DataFrame,
     time_col: str = "ts",
-    window: str = "1 day",
+    window_us: int = 86_400_000_000,
     stage_col: str = "stage",
     timeout_sec: int = 300,
 ) -> DataFrame:
@@ -168,7 +168,13 @@ def run_early_fire_trace(
     (Flink WindowEmitStrategy early-fire — WindowEmitStrategy.scala:32,
     154-204): every micro-batch that touches a window re-emits the window's
     refined count, and the returned DataFrame is the full refinement trace
-    (window_start, cnt) — one row per (window, refinement).
+    (window_day, cnt) — one row per (window, refinement).
+
+    The window key is ``unix_micros(time_col) DIV window_us`` — pure integer
+    epoch arithmetic, so the bucket boundaries cannot depend on the session
+    time zone or any calendar semantics (``F.window('1 day')`` buckets by
+    session-TZ midnight, which a non-UTC driver session shifts while keeping
+    row counts identical — the r03/r05 driver-red signature).
 
     Delivery-order invariance: per-(window, stage) delta counts are folded
     in ``foreachBatch`` (the streaming state), and the trace is cumulated in
@@ -187,9 +193,11 @@ def run_early_fire_trace(
 
     def fb(bdf: DataFrame, _eid: int) -> None:
         (
-            bdf.groupBy(F.window(time_col, window).alias("w"), stage_col)
+            bdf.groupBy(
+                F.expr(f"unix_micros({time_col}) DIV {window_us}").alias("window_day"),
+                stage_col,
+            )
             .agg(F.count("*").alias("d"))
-            .select(F.col("w.start").alias("window_start"), stage_col, "d")
             .write.mode("append")
             .parquet(root)
         )
@@ -207,12 +215,12 @@ def run_early_fire_trace(
             q.stop()
     deltas = (
         spark.read.parquet(root)
-        .groupBy("window_start", stage_col)
+        .groupBy("window_day", stage_col)
         .agg(F.sum("d").alias("d"))
     )
     return deltas.withColumn(
-        "cnt", F.sum("d").over(W.partitionBy("window_start").orderBy(stage_col))
-    ).select("window_start", "cnt")
+        "cnt", F.sum("d").over(W.partitionBy("window_day").orderBy(stage_col))
+    ).select("window_day", "cnt")
 
 
 def run_incremental_join(

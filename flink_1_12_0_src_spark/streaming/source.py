@@ -28,12 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_1_12_0_src_spark.catalog import table
 
-# v4: staged-cache format version — bumping forces re-staging so files always
-# carry the current format (v4 adds the per-slice ``stage`` column and the
-# write-marker-last crash-safety protocol). Stale caches written under
-# different parquet-timestamp configs would otherwise surface TIMESTAMP_NTZ
-# columns that withWatermark rejects, or lack the stage column.
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams_v4")
+# v5: staged-cache format version — bumping forces re-staging so files always
+# carry the current format (v4 added the per-slice ``stage`` column and the
+# write-marker-last crash-safety protocol; v5 switches the week staging to
+# calendar-free epoch-day filters, so caches staged under a non-UTC session
+# TZ — where string-literal timestamp casts shift the week boundaries — are
+# invalidated). Stale caches written under different parquet-timestamp
+# configs would otherwise surface TIMESTAMP_NTZ columns that withWatermark
+# rejects, or lack the stage column.
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "flink_1_12_0_src_spark_streams_v5")
 
 # Our own completion marker, written AFTER mtime ordering (Spark's _SUCCESS
 # lands before it, mid-staging). Underscore prefix keeps it out of file
@@ -134,22 +137,30 @@ def events_stream_weeks(
     epoch rather than the (delivery-order-fragile) trigger index;
     ``with_stage=False`` drops the column for consumers that don't need it.
     """
+    # Week boundaries as UTC epoch DAYS (2024-01-01 = day 19723). Integer
+    # arithmetic on unix_micros is calendar- and session-TZ-free, unlike the
+    # previous string-literal timestamp casts, which a non-UTC session TZ
+    # shifted by hours while keeping per-week row counts plausible (the
+    # r03/r05 driver-red signature on the emission-trace queries).
     bounds = {
-        "1": ("2024-01-01", "2024-01-08"),
-        "2": ("2024-01-08", "2024-01-15"),
-        "3": ("2024-01-15", "2024-01-22"),
-        "4": ("2024-01-22", "2024-02-01"),
+        "1": (19723, 19730),
+        "2": (19730, 19737),
+        "3": (19737, 19744),
+        "4": (19744, 19754),
     }
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, f"{tag}_events_weeks_{'_'.join(order)}")
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
-        ev = table(spark, sf_dir, "events")
+        ev = table(spark, sf_dir, "events").withColumn(
+            "_day", F.expr("unix_micros(ts) DIV 86400000000")
+        )
         os.makedirs(path, exist_ok=True)
         for w in order:
             lo, hi = bounds[w]
             (
-                ev.filter((ev.ts >= lo) & (ev.ts < hi))
+                ev.filter((F.col("_day") >= lo) & (F.col("_day") < hi))
+                .drop("_day")
                 .withColumn("stage", F.lit(int(w) - 1).cast("int"))
                 .coalesce(1)
                 .write.mode("overwrite")

@@ -67,10 +67,10 @@ def test_early_fire_trace_equals_raw_update_mode_trace(spark):
     Spark's own update-mode windowed aggregate emits into a memory sink —
     the mechanism claim behind stream_tumble_early_fire."""
     s = events_stream_mod(spark, SF)
-    agg = s.groupBy(F.window("ts", "1 day")).agg(F.count("*").alias("cnt"))
-    raw = run_to_batch(
-        agg.select(F.col("window.start").alias("window_start"), "cnt"), "update"
+    agg = s.groupBy(F.expr("unix_micros(ts) DIV 86400000000").alias("window_day")).agg(
+        F.count("*").alias("cnt")
     )
+    raw = run_to_batch(agg.select("window_day", "cnt"), "update")
     trace = run_early_fire_trace(events_stream_mod(spark, SF, with_stage=True))
     assert _rows(raw) == _rows(trace)
 
