@@ -953,6 +953,94 @@ def stream_unbounded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semi_anti_stream(spark: SparkSession, sf_dir: str):
+    from flink_1_12_0_src_spark.streaming.source import events_stream_mod
+
+    return (
+        events_stream_mod(spark, sf_dir, with_stage=True)
+        .filter(
+            (F.col("event_type") == "purchase")
+            | ((F.col("event_type") == "error") & (F.col("value") > 200))
+        )
+        .select("user_id", "event_id", "event_type", "stage")
+    )
+
+
+@register(
+    "stream_semi_join_exists",
+    oracle="""
+WITH l AS (SELECT user_id, event_id AS l_id, CAST(event_id % 4 AS INTEGER) AS e
+           FROM events WHERE event_type = 'purchase'),
+fm AS (SELECT user_id, MIN(CAST(event_id % 4 AS INTEGER)) AS first_e
+       FROM events WHERE event_type = 'error' AND value > 200 GROUP BY 1)
+SELECT l.user_id, CAST(GREATEST(l.e, fm.first_e) AS INTEGER) AS epoch,
+       '+I' AS kind, l.l_id
+FROM l JOIN fm USING (user_id)
+ORDER BY user_id, l_id
+""",
+    tags=("streaming", "join", "stateful", "changelog", "custom_op"),
+    doc="Streaming SEMI join (IN / EXISTS) — the last §2.3 cell "
+    "(StreamingSemiAntiJoinOperator.java:40-107: a left row emits exactly "
+    "once, when its match count goes 0→1). Purchases of users with a "
+    "high-value error: incremental ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR over bucketed "
+    "keyed state, reduced to each left row's FIRST matching right stage "
+    "(streaming/run.py run_incremental_semi_anti_join); emitted epoch = "
+    "greatest(left stage, first match stage), data-borne and delivery-order "
+    "invariant. Oracle: EXISTS-join with the same first-match arithmetic.",
+)
+def stream_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_semi_anti_join
+
+    out = run_incremental_semi_anti_join(
+        _semi_anti_stream(spark, sf_dir),
+        side_col="event_type",
+        left_tag="purchase",
+        join_keys=["user_id"],
+        left_id="event_id",
+        how="semi",
+    )
+    return out.orderBy("user_id", "l_id")
+
+
+@register(
+    "stream_anti_join_not_exists",
+    oracle="""
+WITH l AS (SELECT user_id, event_id AS l_id, CAST(event_id % 4 AS INTEGER) AS e
+           FROM events WHERE event_type = 'purchase'),
+fm AS (SELECT user_id, MIN(CAST(event_id % 4 AS INTEGER)) AS first_e
+       FROM events WHERE event_type = 'error' AND value > 200 GROUP BY 1)
+SELECT l.user_id, l.e AS epoch, '+I' AS kind, l.l_id
+FROM l LEFT JOIN fm USING (user_id)
+WHERE fm.first_e IS NULL OR fm.first_e > l.e
+UNION ALL
+SELECT l.user_id, fm.first_e AS epoch, '-D' AS kind, l.l_id
+FROM l JOIN fm USING (user_id) WHERE fm.first_e > l.e
+ORDER BY user_id, l_id, kind
+""",
+    tags=("streaming", "join", "stateful", "changelog", "custom_op"),
+    doc="Streaming ANTI join (NOT IN / NOT EXISTS) with RETRACTION emission "
+    "(StreamingSemiAntiJoinOperator.java:109-150: a left row is emitted "
+    "while its match count is 0 and retracted by -D when the first match "
+    "arrives). Purchases of users with NO high-value error yet: +I at the "
+    "purchase's arrival stage iff no matching error preceded it, -D at the "
+    "first matching error's stage — the full changelog trace, data-borne "
+    "epochs, delivery-order invariant (tests scramble delivery). Oracle: "
+    "NOT-EXISTS pad leg + first-match retraction leg in closed form.",
+)
+def stream_anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_semi_anti_join
+
+    out = run_incremental_semi_anti_join(
+        _semi_anti_stream(spark, sf_dir),
+        side_col="event_type",
+        left_tag="purchase",
+        join_keys=["user_id"],
+        left_id="event_id",
+        how="anti",
+    )
+    return out.orderBy("user_id", "l_id", "kind")
+
+
 @register(
     "stream_tumble_early_fire",
     oracle="""

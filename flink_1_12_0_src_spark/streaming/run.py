@@ -523,3 +523,185 @@ def run_incremental_outer_join_changelog(
     if how in ("right", "full") and r_all is not None:
         out = out.unionByName(pad_legs(r_all, l_all, "r_id", "_e_r", "_e_l"))
     return out
+
+
+def run_incremental_semi_anti_join(
+    stream_df: DataFrame,
+    side_col: str,
+    left_tag: str,
+    join_keys: list[str],
+    left_id: str,
+    how: str = "semi",
+    stage_col: str = "stage",
+    timeout_sec: int = 300,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Unbounded streaming SEMI / ANTI join with changelog emission — the
+    streaming face of IN / EXISTS / NOT EXISTS (reference:
+    flink-table/flink-table-runtime-blink/.../join/stream/
+    StreamingSemiAntiJoinOperator.java:40-150 — semi emits a left row when
+    its match count goes 0→1; anti emits it while the count is 0 and
+    RETRACTS it when the first match arrives).
+
+    Both sides arrive as ONE tagged union stream (the connect-streams
+    encoding shared with run_incremental_join). Per micro-batch the matched
+    pairs are computed incrementally — ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR with the
+    parquet-bucketed keyed state and delta-touched-bucket reads of
+    run_incremental_join — then reduced map-side to ONE candidate row per
+    (left row, batch): the batch-local minimum matching right stage. At
+    end-of-stream the candidates reduce to each left row's GLOBAL first
+    matching stage (min of per-batch mins; exactly-once pair emission makes
+    that the true min), so every emitted epoch is a pure function of the
+    DATA-borne ``stage_col``, invariant to micro-batch delivery order (the
+    same discipline as run_incremental_outer_join_changelog).
+
+    Emission, with ``e_l`` = left row's arrival stage and ``first`` = min
+    matching right stage (NULL if never matched):
+
+    - semi: one ``+I`` per matched left row at ``greatest(e_l, first)`` —
+      the slice where, under in-order delivery, its match count went 0→1.
+    - anti: ``+I`` at ``e_l`` iff ``first IS NULL OR first > e_l`` (no match
+      existed on arrival), and ``-D`` at ``first`` for the matched subset —
+      StreamingSemiAntiJoinOperator's retract path. A left row whose key was
+      already matched on arrival never appears.
+
+    Emits (*join_keys, epoch INT, kind STRING, l_id LONG). Append-only
+    inputs ⇒ kinds are +I/-D only, matching Flink's changelog inference.
+    """
+    import glob as globmod
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be semi/anti: {how}")
+    spark: SparkSession = stream_df.sparkSession
+    l_dir = tempfile.mkdtemp(prefix="saj_left_")
+    r_dir = tempfile.mkdtemp(prefix="saj_right_")
+    cand_dir = tempfile.mkdtemp(prefix="saj_cand_")
+
+    def bucketed(df: DataFrame, cols: list) -> DataFrame:
+        return df.select(*join_keys, *cols).withColumn(
+            "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
+        )
+
+    def bucket_files(root: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for f in globmod.glob(os.path.join(root, "_b=*", "*.parquet")):
+            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            out.setdefault(b, []).append(f)
+        return out
+
+    def read_buckets(files: dict[int, list[str]], buckets, schema) -> DataFrame | None:
+        sel = [f for b in buckets for f in files.get(b, [])]
+        if not sel:
+            return None
+        return spark.read.schema(schema).parquet(*sel)
+
+    def fb(bdf: DataFrame, _eid: int) -> None:
+        bdf = bdf.persist()
+        dl = bucketed(
+            bdf.filter(F.col(side_col) == left_tag),
+            [F.col(left_id).alias("l_id"), F.col(stage_col).cast("int").alias("_e_l")],
+        ).persist()
+        dr = bucketed(
+            bdf.filter(F.col(side_col) != left_tag),
+            [F.col(stage_col).cast("int").alias("_e_r")],
+        ).persist()
+        l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
+        dl.write.partitionBy("_b").mode("append").parquet(l_dir)
+        dr.write.partitionBy("_b").mode("append").parquet(r_dir)
+        dl_b = [r["_b"] for r in dl.select("_b").distinct().collect()]
+        dr_b = [r["_b"] for r in dr.select("_b").distinct().collect()]
+        dlp, drp = dl.drop("_b"), dr.drop("_b")
+        l_prev = read_buckets(l_files, dr_b, dlp.schema)
+        r_prev = read_buckets(r_files, dl_b, drp.schema)
+        parts = [dlp.join(drp, join_keys)]
+        if r_prev is not None:
+            parts.append(dlp.join(r_prev, join_keys))
+        if l_prev is not None:
+            parts.append(l_prev.join(drp, join_keys))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.unionByName(p)
+        # one candidate per (left row, batch): the batch-local first match
+        (
+            joined.groupBy(*join_keys, "l_id", "_e_l")
+            .agg(F.min("_e_r").alias("_e_r_min"))
+            .write.mode("append")
+            .parquet(cand_dir)
+        )
+        dl.unpersist()
+        dr.unpersist()
+        bdf.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_saj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    key_fields = [
+        f for f in stream_df.schema.fields if f.name in join_keys
+    ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("l_id", T.LongType()),
+        ]
+    )
+
+    def read_or_none(root: str, pattern: str) -> DataFrame | None:
+        if not globmod.glob(os.path.join(root, pattern)):
+            return None
+        return spark.read.parquet(root)
+
+    cand = read_or_none(cand_dir, "*.parquet")
+    first = (
+        cand.groupBy(*join_keys, "l_id", "_e_l").agg(F.min("_e_r_min").alias("_first"))
+        if cand is not None
+        else None
+    )
+    if how == "semi":
+        if first is None:
+            return spark.createDataFrame([], out_schema)
+        return first.select(
+            *join_keys,
+            F.greatest("_e_l", "_first").cast("int").alias("epoch"),
+            F.lit("+I").alias("kind"),
+            F.col("l_id").cast("long").alias("l_id"),
+        )
+    l_all = read_or_none(l_dir, os.path.join("_b=*", "*.parquet"))
+    if l_all is None:
+        return spark.createDataFrame([], out_schema)
+    l_all = l_all.drop("_b")
+    if first is None:
+        lm = l_all.withColumn("_first", F.lit(None).cast("int"))
+    else:
+        lm = l_all.join(
+            first.select(*join_keys, "l_id", "_first"), [*join_keys, "l_id"], "left"
+        )
+
+    def emit(df: DataFrame, kind: str, epoch_col) -> DataFrame:
+        return df.select(
+            *join_keys,
+            epoch_col.cast("int").alias("epoch"),
+            F.lit(kind).alias("kind"),
+            F.col("l_id").cast("long").alias("l_id"),
+        )
+
+    unmatched_on_arrival = lm.filter(
+        F.col("_first").isNull() | (F.col("_first") > F.col("_e_l"))
+    )
+    ins = emit(unmatched_on_arrival, "+I", F.col("_e_l"))
+    dels = emit(unmatched_on_arrival.filter(F.col("_first").isNotNull()), "-D", F.col("_first"))
+    return ins.unionByName(dels)

@@ -89,6 +89,27 @@ def test_outer_join_changelog_delivery_order_invariant(spark):
     assert _rows(run(None)) == _rows(run((3, 2, 1, 0)))
 
 
+def test_semi_anti_join_delivery_order_invariant(spark):
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_semi_anti_join
+
+    def run(how, order):
+        s = (
+            events_stream_mod(spark, SF, with_stage=True, order=order)
+            .filter(
+                (F.col("event_type") == "purchase")
+                | ((F.col("event_type") == "error") & (F.col("value") > 200))
+            )
+            .select("user_id", "event_id", "event_type", "stage")
+        )
+        return run_incremental_semi_anti_join(
+            s, side_col="event_type", left_tag="purchase",
+            join_keys=["user_id"], left_id="event_id", how=how,
+        )
+
+    for how in ("semi", "anti"):
+        assert _rows(run(how, None)) == _rows(run(how, (3, 1, 0, 2))), how
+
+
 def test_delta_trigger_micro_batch_granularity_invariant(spark):
     """Micro-batch GRANULARITY is the other delivery axis the driver's
     environment can perturb (maxFilesPerTrigger coalescing): a stateful
