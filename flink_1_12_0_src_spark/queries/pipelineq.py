@@ -1480,14 +1480,15 @@ clean AS (
     SELECT 1 FROM grams g JOIN bench b ON g.sh = b.sh WHERE g.doc_id = s.doc_id)
 ),
 tr AS (
-  SELECT * FROM clean
+  SELECT *, substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard_id
+  FROM clean
   WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
 )
-SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens,
+SELECT doc_id, source, shard_id, CAST(n_words AS BIGINT) AS n_tokens,
        CAST(SUM(n_words) OVER w - n_words AS BIGINT) AS start_offset,
        CAST(floor((SUM(n_words) OVER w - n_words) / {MIX_PACK_BUDGET}) AS BIGINT) AS pack_id
 FROM tr
-WINDOW w AS (PARTITION BY source ORDER BY doc_id
+WINDOW w AS (PARTITION BY source, shard_id ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY doc_id
 """,
@@ -1495,15 +1496,25 @@ ORDER BY doc_id
     doc="End-to-end dataset assembly — the second composed flagship: the "
     "C4-style clean corpus (quality filter → exact dedup → benchmark "
     "decontamination), then the leakage-safe 90% train hash-split, then "
-    f"per-source sequence packing at {MIX_PACK_BUDGET} tokens (concat-then-"
-    "chunk window cumsum). Every stage is the already-verified primitive; "
+    f"per-(source, shard) sequence packing at {MIX_PACK_BUDGET} tokens "
+    "(concat-then-chunk window cumsum). The pack stage shards each source "
+    "16 ways by a deterministic md5-nibble of the doc id (shuffle_shard's "
+    "shard derivation, seed 77) so no source ever packs in ONE window "
+    "partition — at 100 TB a dominant source parallelizes across shards "
+    "instead of serializing on a single sorted task; pack ids are "
+    "shard-local, exactly how production pack writers split a stream "
+    "across output files. Every stage is the already-verified primitive; "
     "the composition proves they chain without re-materialization — one "
     "lazy plan end to end, cheap-per-row filters first.",
 )
 def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from flink_1_12_0_src_spark.pipeline.sampling import hash_split, pack_sequences
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        _salted_hash,
+        hash_split,
+        pack_sequences,
+    )
     from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
 
     docs = table(spark, sf_dir, "documents")
@@ -1530,9 +1541,13 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = surv.join(hits, "doc_id", "left_anti").select("doc_id", "source", "n_words")
-    tr = hash_split(clean, "doc_id", seed=42).filter(F.col("split") == "train")
+    tr = (
+        hash_split(clean, "doc_id", seed=42)
+        .filter(F.col("split") == "train")
+        .withColumn("shard_id", F.substring(_salted_hash("doc_id", 77), 1, 1))
+    )
     return pack_sequences(
-        tr, "doc_id", "source", F.col("n_words"), MIX_PACK_BUDGET
+        tr, "doc_id", "source", F.col("n_words"), MIX_PACK_BUDGET, shard_col="shard_id"
     ).orderBy("doc_id")
 
 

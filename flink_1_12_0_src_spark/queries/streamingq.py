@@ -1864,10 +1864,11 @@ WITH q AS (
                + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
                                   / length(text), 6) * 5, 1.0)) * 0.3
                + least(round(len(list_intersect(string_split(lower(text), ' '),
-                                                {{EN}})) 
+                                                {{EN}}))
                              / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
                6) AS quality
-  FROM documents WHERE doc_id % 41 <> 0 AND lang = 'en'
+  FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text
+        FROM documents WHERE doc_id % 41 <> 0 AND lang = 'en')
 ),
 cand AS (SELECT * FROM q WHERE quality >= 0.5),
 d AS (
@@ -1924,6 +1925,13 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     s = documents_stream(spark, sf_dir, n_files=4)
+    # Whitespace-normalize FIRST (row-local projection): every downstream
+    # value — n_words, quality, the 3-gram overlap — is then a pure function
+    # of the content hash's preimage, so rows colliding on the hash carry
+    # identical payloads and the streamed keep-first output cannot depend on
+    # arrival order (the r05 advisor finding: raw-text n_words/quality made
+    # the survivor's values arrival-dependent under hash collisions).
+    s = s.withColumn("text", F.regexp_replace(F.col("text"), r"\s+", " "))
     scored = quality_score(
         s.filter((F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")),
         "doc_id",

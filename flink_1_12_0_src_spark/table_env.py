@@ -111,20 +111,41 @@ class TableEnvironment:
                 dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2)))
             )
             return None
-        if head == "DROP" and re.match(r"DROP\s+CATALOG\s+\w+$", s, re.I):
-            name = s.split()[-1]
+        if head == "DROP" and re.match(r"DROP\s+CATALOG\b", s, re.I):
+            m = re.match(r"DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s, re.I)
+            if not m:
+                raise ValueError(f"cannot parse DROP CATALOG statement: {s}")
+            name = m.group(2)
             if name == "default_catalog" or name == self.current_catalog:
                 raise ValueError(f"cannot drop the default/current catalog: {name}")
+            if name not in self._catalogs and not m.group(1):
+                raise ValueError(f"unknown catalog: {name}")
             self._catalogs.discard(name)
             return None
-        if head == "DROP" and re.match(r"DROP\s+DATABASE\s+\w+$", s, re.I):
-            name = s.split()[-1]
+        if head == "DROP" and re.match(r"DROP\s+DATABASE\b", s, re.I):
+            m = re.match(r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s, re.I)
+            if not m:
+                raise ValueError(f"cannot parse DROP DATABASE statement: {s}")
+            name = m.group(2)
             if name == "default_database" or name == self.current_database:
                 raise ValueError(f"cannot drop the default/current database: {name}")
+            if name not in self._databases and not m.group(1):
+                raise ValueError(f"unknown database: {name}")
             self._databases.discard(name)
             return None
         if head == "DROP":
-            name = s.split()[-1]
+            # SqlDropTable / SqlDropView: DROP [TEMPORARY] TABLE/VIEW
+            # [IF EXISTS] name. Reject anything else rather than falling
+            # through and silently dropping a table whose name happens to be
+            # the statement's last token.
+            m = re.match(
+                r"DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                s,
+                re.I,
+            )
+            if not m:
+                raise ValueError(f"unsupported DROP statement: {s}")
+            name = m.group(1)
             self._tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return None
@@ -830,6 +851,25 @@ class TableEnvironment:
 
         root = cfg["path"].removeprefix("file:")
         target = max(1, cfg.get("compaction_file_size") or 1)
+        # recovery pre-pass FIRST, over a materialized listing (renaming /
+        # deleting while iterating the live os.walk generator skips or
+        # errors on just-renamed paths): a crash between the two renames of
+        # an earlier compaction leaves the data only under <dir>__compact_old.
+        # The table ROOT's own stranded twin is a sibling of root — outside
+        # any walk of root — so probe it explicitly (the unpartitioned case,
+        # where the leaf dir is root itself).
+        candidates = [(root + "__compact_old", None, None)] if os.path.isdir(
+            root + "__compact_old"
+        ) else []
+        for d, _s, _files in candidates + list(os.walk(root)):
+            if d.endswith("__compact_old"):
+                orig = d[: -len("__compact_old")]
+                if not os.path.exists(orig):
+                    os.rename(d, orig)
+                else:
+                    shutil.rmtree(d)
+        # leaf dirs AFTER recovery, so a just-restored directory is
+        # compacted by THIS pass, not the next one
         leaf_dirs = sorted(
             {
                 d
@@ -837,15 +877,6 @@ class TableEnvironment:
                 if any(not f.startswith(("_", ".")) for f in files)
             }
         )
-        # recovery pre-pass: a crash between the two renames of an earlier
-        # compaction leaves the data only under <dir>__compact_old
-        for d, _s, _files in os.walk(root):
-            if d.endswith("__compact_old"):
-                orig = d[: -len("__compact_old")]
-                if not os.path.exists(orig):
-                    os.rename(d, orig)
-                else:
-                    shutil.rmtree(d)
         for d in leaf_dirs:
             data = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
             total = sum(os.path.getsize(os.path.join(d, f)) for f in data)

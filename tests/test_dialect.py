@@ -1043,6 +1043,37 @@ def test_create_use_drop_catalog_and_database(spark):
     env.execute_sql("DROP CATALOG mem2")
 
 
+def test_drop_catalog_database_if_exists(spark):
+    """DROP CATALOG/DATABASE [IF EXISTS] must hit the registry branch, never
+    fall through to the table-drop path (which would silently drop a temp
+    view of the same name); unknown names error without IF EXISTS."""
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG memx WITH ('type' = 'generic_in_memory')")
+    env.execute_sql("CREATE DATABASE dbx")
+    # a same-named temp view must survive the catalog/database drops
+    spark.range(1).createOrReplaceTempView("memx")
+    spark.range(1).createOrReplaceTempView("dbx")
+    env.execute_sql("DROP CATALOG IF EXISTS memx")
+    env.execute_sql("DROP DATABASE IF EXISTS dbx")
+    assert "memx" not in [r[0] for r in env.execute_sql("SHOW CATALOGS").collect()]
+    assert "dbx" not in [r[0] for r in env.execute_sql("SHOW DATABASES").collect()]
+    assert spark.table("memx").count() == 1 and spark.table("dbx").count() == 1
+    env.execute_sql("DROP CATALOG IF EXISTS memx")  # idempotent
+    env.execute_sql("DROP DATABASE IF EXISTS dbx")
+    with _pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("DROP CATALOG memx")
+    with _pytest.raises(ValueError, match="unknown database"):
+        env.execute_sql("DROP DATABASE dbx")
+    with _pytest.raises(ValueError, match="unsupported DROP"):
+        env.execute_sql("DROP SOMETHING weird x")
+    spark.catalog.dropTempView("memx")
+    spark.catalog.dropTempView("dbx")
+
+
 def test_alter_view_rename_and_redefine(spark, sf_dir):
     """SqlAlterViewRename / SqlAlterViewAs: rename moves the temp view;
     AS swaps the definition in place."""
@@ -1123,3 +1154,43 @@ def test_table_api_explain(spark, sf_dir):
         .explain()
     )
     assert "HashAggregate" in plan and "Physical Plan" in plan
+
+
+def test_compact_sink_crash_recovery_same_pass(spark, tmp_path):
+    """A crash between _compact_sink's two renames leaves data only under
+    <dir>__compact_old. The next compaction pass must (a) restore it —
+    including for the table ROOT itself, whose stranded twin is a sibling
+    outside any walk of root — and (b) compact the restored directory in the
+    SAME pass, not the next one."""
+    import os
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    root = str(tmp_path / "tbl")
+    spark.range(100).repartition(4).write.parquet(root)
+    n_rows = 100
+    # simulate the crash: first rename done, second never happened
+    os.rename(root, root + "__compact_old")
+    cfg = {"path": root, "format": "parquet", "options": {},
+           "compaction_file_size": 10**9}
+    env._compact_sink(None, cfg)
+    assert os.path.isdir(root) and not os.path.isdir(root + "__compact_old")
+    files = [f for f in os.listdir(root) if not f.startswith(("_", "."))]
+    assert len(files) == 1, f"restored dir must compact in the same pass: {files}"
+    assert spark.read.parquet(root).count() == n_rows
+
+    # partitioned variant: stranded partition dir inside root
+    proot = str(tmp_path / "ptbl")
+    spark.range(100).withColumnRenamed("id", "v").selectExpr(
+        "v", "v % 2 AS p"
+    ).repartition(4).write.partitionBy("p").parquet(proot)
+    os.rename(os.path.join(proot, "p=1"), os.path.join(proot, "p=1__compact_old"))
+    env._compact_sink(None, {"path": proot, "format": "parquet", "options": {},
+                             "compaction_file_size": 10**9})
+    assert os.path.isdir(os.path.join(proot, "p=1"))
+    for part in ("p=0", "p=1"):
+        fs = [f for f in os.listdir(os.path.join(proot, part))
+              if not f.startswith(("_", "."))]
+        assert len(fs) == 1, (part, fs)
+    assert spark.read.parquet(proot).count() == 100

@@ -197,3 +197,15 @@ def test_ivf_fit_init_take_ordered_no_global_window(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_training_mix_pack_window_is_sharded(spark, sf_dir):
+    # the flagship's pack stage must partition its window by (source,
+    # shard_id), never by source alone — a dominant source at 100 TB would
+    # otherwise concentrate the pack cumsum on ONE serial sorted task
+    plan = _plan(spark, sf_dir, "pipeline_training_mix")
+    win_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l and "source" in l
+    ]
+    assert win_lines, "pack window missing from plan"
+    assert all("shard_id" in l for l in win_lines), win_lines
