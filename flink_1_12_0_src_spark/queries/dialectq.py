@@ -1450,3 +1450,92 @@ def flinkddl_auto_compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events_compact_sink GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "flinkddl_show_partitions",
+    oracle="""
+SELECT 'event_type=' || event_type AS partition_name, COUNT(*) AS cnt
+FROM events GROUP BY event_type ORDER BY partition_name
+""",
+    tags=("dialect", "ddl", "catalog", "partitioning"),
+    doc="SHOW PARTITIONS round trip (SqlShowPartitions / "
+    "GenericInMemoryCatalog.listPartitions — flink-table/flink-sql-parser/"
+    ".../dql/SqlShowPartitions.java): a PARTITIONED BY (event_type) "
+    "filesystem sink is filled with INSERT OVERWRITE, SHOW PARTITIONS "
+    "enumerates the hive-style partition specs from the committed layout, "
+    "and each listed partition is joined back to its row count read "
+    "through the sink — so the listing, the directory layout, and the "
+    "readable data must all agree with the source of truth.",
+)
+def flinkddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_showpart_sink")
+    shutil.rmtree(path, ignore_errors=True)  # stale partitions would linger
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_showpart_sink (
+            event_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) PARTITIONED BY (event_type) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    env.execute_sql(
+        "INSERT OVERWRITE events_showpart_sink "
+        "SELECT event_id, value AS `value`, event_type FROM events"
+    )
+    parts = env.execute_sql("SHOW PARTITIONS events_showpart_sink")
+    counts = env.sql_query("""
+        SELECT concat('event_type=', event_type) AS partition_name,
+               COUNT(*) AS cnt
+        FROM events_showpart_sink GROUP BY event_type
+    """)
+    return parts.join(counts, "partition_name").orderBy("partition_name")
+
+
+@register(
+    "tableapi_execute_insert",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events WHERE value > 100 GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "table_api", "sink"),
+    doc="Table.executeInsert (Table.java:1519 → TableEnvironment's INSERT "
+    "path): a fluent Table pipeline (from_path → filter → select) written "
+    "into a filesystem parquet sink via execute_insert(overwrite=True), "
+    "then read back through the sink's catalog view and aggregated — the "
+    "fluent API's DML leg, previously unit-tested only, now "
+    "oracle-evidenced end to end (connector options and commit policies "
+    "apply because the write goes through the env INSERT path).",
+)
+def tableapi_execute_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_events_tapi_insert_sink")
+    env = _env_with_events(spark, sf_dir)
+    env.execute_sql(f"""
+        CREATE TABLE events_tapi_sink (
+            event_id BIGINT,
+            `value` DOUBLE,
+            event_type STRING
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+    """)
+    t = (
+        env.from_path("events")
+        .filter("value > 100")
+        .select("event_id, value, event_type")
+    )
+    t.execute_insert(env, "events_tapi_sink", overwrite=True)
+    return env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_tapi_sink GROUP BY event_type ORDER BY event_type
+    """)
