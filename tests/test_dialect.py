@@ -260,25 +260,31 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 def test_gate_window_composition():
     """The driver verifies only the first 50 load_all() entries per round.
-    Round-5 policy: the 24 queries truncated past round 4's window come
-    first (their first possible CORRECTNESS row), then the two emission-
-    trace re-verifies, then every round-5-new query — and no prior-green
-    query occupies a slot while anything untested waits."""
+    Round-6 policy: the three fixed round-5 reds re-verify first, then
+    every oracle-able query that has never had a driver-green row, then the
+    round-6-new queries — no prior-green query occupies a slot while
+    anything untested waits, and the no-oracle ANN trio (which can only
+    ever produce `no_oracle` rows) sits dead last, outside any window."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
-        _R04_FIXED_FIRST,
-        _R05_FRONT,
-        _R05_NEW,
+        _NO_ORACLE_LAST,
+        _R06_FIXED_FIRST,
+        _R06_NEW,
         load_all,
     )
 
     names = list(load_all())
     window = set(names[:50])
-    assert names[: len(_R05_FRONT)] == list(_R05_FRONT)
-    assert set(_R04_FIXED_FIRST) <= window
-    assert set(_R05_NEW) <= window, "a round-5-new query fell out of the window"
+    assert names[: len(_R06_FIXED_FIRST)] == list(_R06_FIXED_FIRST)
+    assert set(_R06_NEW) <= window, "a round-6-new query fell out of the window"
+    never_tested = [
+        n for n in names
+        if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST
+    ]
+    assert set(never_tested) <= window, "an untested oracle-able query waits"
     greens_in_window = [n for n in names[:50] if n in _DRIVER_GREEN]
-    assert not greens_in_window
+    assert len(greens_in_window) + len(never_tested) == 50
+    assert names[-len(_NO_ORACLE_LAST):] == list(_NO_ORACLE_LAST)
 
 
 def test_statement_set_multi_sink(spark, tmp_path):
