@@ -170,6 +170,7 @@ _R06_NEW = (
     "stream_anti_join_not_exists",
     "flinkddl_show_partitions",
     "tableapi_execute_insert",
+    "flinkddl_datagen_sequence",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -1539,3 +1539,43 @@ def tableapi_execute_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events_tapi_sink GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "flinkddl_datagen_sequence",
+    oracle="""
+SELECT CAST(id % 5 AS BIGINT) AS grp, COUNT(*) AS cnt,
+       SUM(id) AS sum_id, SUM((id + 1000000) % 97) AS sum_vmod
+FROM range(1, 10001) t(id)
+GROUP BY grp ORDER BY grp
+""",
+    tags=("dialect", "ddl", "connector"),
+    doc="Bounded datagen connector (DataGenTableSourceFactory.java:55-145 "
+    "fields.<f>.kind='sequence' with start/end via SequenceGeneratorVisitor; "
+    "DataGenTableSource.java:63 bounds the source): an all-sequence datagen "
+    "table materializes as a deterministic batch view (spark.range + "
+    "start+id projections), aggregated and checked against the closed-form "
+    "oracle — the datagen row's first hard evidence (random kinds stay "
+    "nondeterministic/streaming, as in the reference).",
+)
+def flinkddl_datagen_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen_seq (
+            id BIGINT,
+            v BIGINT
+        ) WITH (
+            'connector' = 'datagen',
+            'fields.id.kind' = 'sequence',
+            'fields.id.start' = '1',
+            'fields.id.end' = '10000',
+            'fields.v.kind' = 'sequence',
+            'fields.v.start' = '1000001',
+            'fields.v.end' = '1010000'
+        )
+    """)
+    return env.sql_query("""
+        SELECT id % 5 AS grp, COUNT(*) AS cnt,
+               SUM(id) AS sum_id, SUM(v % 97) AS sum_vmod
+        FROM gen_seq GROUP BY id % 5 ORDER BY grp
+    """)

@@ -101,11 +101,25 @@ def reader_config(options: dict[str, str]) -> dict:
             "changelog_by_key": conn == "upsert-kafka",
         }
     if conn == "datagen":
+        # DataGenTableSourceFactory.java:55-145: per-field generators keyed
+        # fields.<name>.{kind,start,end,min,max,length}; 'sequence' emits
+        # start..end and terminates when exhausted, 'random' never does.
+        # Bounded iff number-of-rows is set (DataGenTableSource.java:63) —
+        # or every field is a finite sequence, which exhausts the source.
+        import re as _re
+
+        fields: dict[str, dict[str, str]] = {}
+        for k, v in options.items():
+            m = _re.match(r"fields\.(\w+)\.(kind|start|end|min|max|length)$", k)
+            if m:
+                fields.setdefault(m.group(1), {})[m.group(2)] = v
         return {
             "format": "rate",
             "path": None,
             "options": {"rowsPerSecond": options.get("rows-per-second", "10")},
             "streaming_capable": True,
+            "datagen_fields": fields,
+            "number_of_rows": options.get("number-of-rows"),
         }
     raise ValueError(f"unknown connector: {conn!r} (supported: {SUPPORTED_CONNECTORS})")
 

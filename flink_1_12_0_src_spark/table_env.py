@@ -490,7 +490,8 @@ class TableEnvironment:
         if not cfg["streaming_capable"]:
             raise ValueError(f"table {name} is not streaming-capable")
         reader = self.spark.readStream.format(cfg["format"])
-        if tbl.schema_ddl:
+        # rate/kafka define their own fixed schemas and reject a user one
+        if tbl.schema_ddl and cfg["format"] not in ("rate", "kafka"):
             reader = reader.schema(tbl.schema_ddl)
         for k, v in {**cfg["options"], **(extra_options or {})}.items():
             reader = reader.option(k, v)
@@ -665,7 +666,12 @@ class TableEnvironment:
         self._tables[tbl.name] = tbl
         cfg = reader_config(tbl.options)
         if cfg["format"] == "rate":
-            return None  # datagen is streaming-only; use stream_table()
+            # BOUNDED datagen (DataGenTableSource.java:63 isBounded when
+            # number-of-rows is set; an all-sequence table exhausts its
+            # SequenceGenerators and ends too) materializes as a batch view;
+            # unbounded datagen stays streaming-only via stream_table().
+            self._materialize_datagen(tbl, cfg)
+            return None
         if cfg["format"] == "kafka":
             return None  # needs a broker; use stream_table() when available
         import os
@@ -898,6 +904,64 @@ class TableEnvironment:
             os.rename(d, swap)
             os.rename(tmp, d)
             shutil.rmtree(swap)
+
+    def _materialize_datagen(self, tbl: CatalogTable, cfg: dict) -> bool:
+        """Bounded datagen table → batch view (DataGenTableSourceFactory.java:
+        55-145 + SequenceGeneratorVisitor: ``fields.<f>.kind = 'sequence'``
+        emits start..end in order; DataGenTableSource.java:63 bounds the
+        source when ``number-of-rows`` is set, and an all-sequence table ends
+        when its generators exhaust). The view is ``spark.range(n)`` with one
+        projection per declared column — sequence fields are ``start + id``
+        (deterministic, oracle-able), random fields are rand()-derived with
+        the reference's min/max/length options (nondeterministic by design,
+        same as RandomGeneratorVisitor). Returns False (no view) for
+        unbounded random-only tables — those replay via stream_table()."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        fields = cfg.get("datagen_fields") or {}
+        cols = [
+            c.strip().split(None, 1)
+            for c in _re.split(r",\s*(?![^()]*\))", tbl.schema_ddl or "")
+            if c.strip()
+        ]
+        specs = {name: fields.get(name, {}) for name, _t in cols}
+        seq_lens = [
+            int(s["end"]) - int(s["start"]) + 1
+            for s in specs.values()
+            if s.get("kind") == "sequence"
+        ]
+        n_rows = cfg.get("number_of_rows")
+        if n_rows is not None:
+            n = int(n_rows)
+        elif cols and all(s.get("kind") == "sequence" for s in specs.values()):
+            n = min(seq_lens)
+        else:
+            return False  # unbounded: streaming-only
+        if seq_lens:
+            n = min([n] + seq_lens)  # a sequence ends the source when exhausted
+        out = []
+        for name, typ in cols:
+            s = specs.get(name, {})
+            if s.get("kind") == "sequence":
+                expr = F.expr(f"CAST({int(s['start'])} + id AS {typ})")
+            elif typ.upper().startswith(("CHAR", "VARCHAR", "STRING")):
+                ln = int(s.get("length", 100))
+                expr = F.expr(f"substring(repeat(md5(cast(rand() as string)), "
+                              f"{ln // 32 + 1}), 1, {ln})").cast("string")
+            else:
+                lo, hi = s.get("min"), s.get("max")
+                if lo is not None or hi is not None:
+                    lo_v, hi_v = float(lo or 0), float(hi or 32767)
+                    expr = F.expr(
+                        f"CAST({lo_v} + rand() * ({hi_v} - {lo_v}) AS {typ})"
+                    )
+                else:
+                    expr = F.expr(f"CAST(rand() * 32767 AS {typ})")
+            out.append(expr.alias(name))
+        self.spark.range(n).select(*out).createOrReplaceTempView(tbl.name)
+        return True
 
     def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
         cfg = reader_config(tbl.options)

@@ -1200,3 +1200,43 @@ def test_compact_sink_crash_recovery_same_pass(spark, tmp_path):
               if not f.startswith(("_", "."))]
         assert len(fs) == 1, (part, fs)
     assert spark.read.parquet(proot).count() == 100
+
+
+def test_datagen_bounded_variants(spark):
+    """Bounded datagen: number-of-rows caps a random table; a sequence field
+    shorter than number-of-rows exhausts first (SequenceGenerator ends the
+    source); random min/max/length options are honored."""
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen_nrows (id BIGINT, name STRING) WITH (
+            'connector' = 'datagen',
+            'number-of-rows' = '77',
+            'fields.id.min' = '5',
+            'fields.id.max' = '9',
+            'fields.name.length' = '10'
+        )
+    """)
+    rows = spark.table("gen_nrows").collect()
+    assert len(rows) == 77
+    assert all(5 <= r["id"] <= 9 for r in rows)
+    assert all(len(r["name"]) == 10 for r in rows)
+
+    env.execute_sql("""
+        CREATE TABLE gen_mixed (id BIGINT, v DOUBLE) WITH (
+            'connector' = 'datagen',
+            'number-of-rows' = '100',
+            'fields.id.kind' = 'sequence',
+            'fields.id.start' = '1',
+            'fields.id.end' = '40'
+        )
+    """)
+    assert spark.table("gen_mixed").count() == 40  # sequence exhausts first
+
+    # unbounded random datagen stays streaming-only: no batch view
+    env.execute_sql("""
+        CREATE TABLE gen_unbounded (id BIGINT) WITH ('connector' = 'datagen')
+    """)
+    assert "gen_unbounded" not in {t.name for t in spark.catalog.listTables()}
+    assert env.stream_table("gen_unbounded").isStreaming
