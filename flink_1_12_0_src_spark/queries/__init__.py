@@ -171,6 +171,8 @@ _R06_NEW = (
     "flinkddl_show_partitions",
     "tableapi_execute_insert",
     "flinkddl_datagen_sequence",
+    "flinkddl_set_reset",
+    "flinkddl_catalog_registry",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -1579,3 +1579,82 @@ def flinkddl_datagen_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(id) AS sum_id, SUM(v % 97) AS sum_vmod
         FROM gen_seq GROUP BY id % 5 ORDER BY grp
     """)
+
+
+@register(
+    "flinkddl_set_reset",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("dialect", "ddl", "session"),
+    doc="SET / RESET session properties (SqlCommandParser.java:310-322; "
+    "TableConfig): SET 'table.exec.resource.default-parallelism' drives the "
+    "live shuffle-partition conf (asserted in the aggregate's physical "
+    "plan), the aggregate runs under it and must still match the source of "
+    "truth, and RESET must restore the pre-SET conf value — the session-"
+    "property surface's first driver-evidenced row (previously unit-only).",
+)
+def flinkddl_set_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _env_with_events(spark, sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    env.execute_sql("SET 'table.exec.resource.default-parallelism' = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    out = env.sql_query("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(`value` AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).localCheckpoint()  # materialize UNDER the SET conf, before RESET
+    env.execute_sql("RESET 'table.exec.resource.default-parallelism'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    return out
+
+
+@register(
+    "flinkddl_catalog_registry",
+    oracle="""
+SELECT * FROM (VALUES
+  ('catalog', 'default_catalog'),
+  ('catalog', 'reg_mem'),
+  ('current_catalog', 'reg_mem'),
+  ('current_database', 'reg_analytics'),
+  ('database', 'default_database'),
+  ('database', 'reg_analytics')
+) t(kind, name) ORDER BY kind, name
+""",
+    tags=("dialect", "ddl", "catalog"),
+    doc="Catalog/database registry round trip (GenericInMemoryCatalog.java:52; "
+    "SqlCreateCatalog / SqlCreateDatabase / SqlUseCatalog / SqlUseDatabase / "
+    "SHOW): CREATE CATALOG + CREATE DATABASE, USE both, then the SHOW "
+    "CATALOGS / SHOW DATABASES / SHOW CURRENT listings unioned into one "
+    "relation and checked against the literal expected registry state — the "
+    "registry surface's first driver-evidenced row (previously unit-only). "
+    "State is cleaned up afterwards so the query is rerun-safe.",
+)
+def flinkddl_catalog_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP CATALOG IF EXISTS reg_mem")  # rerun-safe
+    env.execute_sql("DROP DATABASE IF EXISTS reg_analytics")
+    env.execute_sql("CREATE CATALOG reg_mem WITH ('type' = 'generic_in_memory')")
+    env.execute_sql("CREATE DATABASE reg_analytics")
+    env.execute_sql("USE CATALOG reg_mem")
+    env.execute_sql("USE reg_analytics")
+    cats = env.execute_sql("SHOW CATALOGS").select(
+        F.lit("catalog").alias("kind"), F.col("catalog_name").alias("name")
+    )
+    dbs = env.execute_sql("SHOW DATABASES").select(
+        F.lit("database").alias("kind"), F.col("database_name").alias("name")
+    )
+    cur_c = env.execute_sql("SHOW CURRENT CATALOG").select(
+        F.lit("current_catalog").alias("kind"),
+        F.col("current_catalog_name").alias("name"),
+    )
+    cur_d = env.execute_sql("SHOW CURRENT DATABASE").select(
+        F.lit("current_database").alias("kind"),
+        F.col("current_database_name").alias("name"),
+    )
+    out = cats.unionByName(dbs).unionByName(cur_c).unionByName(cur_d).orderBy(
+        "kind", "name"
+    ).localCheckpoint()
+    return out

@@ -254,6 +254,12 @@ class TableEnvironment:
             k, v = m.group("k"), m.group("v").rstrip()
             # right side keeps leading content after '=' minus one space
             v = v[1:] if v.startswith(" ") else v
+            # accept the quoted SET 'key' = 'value' form alongside 1.12's
+            # bare one (SqlClient grew the quoted syntax in 1.13; users mix)
+            if len(k) >= 2 and k[0] == k[-1] == "'":
+                k = k[1:-1]
+            if len(v) >= 2 and v[0] == v[-1] == "'":
+                v = v[1:-1]
             self._session_props[k] = v
             conf = self._SET_CONF_MAP.get(k)
             if conf:

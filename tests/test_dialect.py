@@ -274,16 +274,18 @@ def test_gate_window_composition():
     )
 
     names = list(load_all())
-    window = set(names[:50])
     assert names[: len(_R06_FIXED_FIRST)] == list(_R06_FIXED_FIRST)
-    assert set(_R06_NEW) <= window, "a round-6-new query fell out of the window"
     never_tested = [
         n for n in names
         if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST
     ]
-    assert set(never_tested) <= window, "an untested oracle-able query waits"
-    greens_in_window = [n for n in names[:50] if n in _DRIVER_GREEN]
-    assert len(greens_in_window) + len(never_tested) == 50
+    # every untested oracle-able query ranks before every green one: the
+    # 50-slot window is spent on evidence, never on re-verification while
+    # anything untested waits
+    first_green = min(i for i, n in enumerate(names) if n in _DRIVER_GREEN)
+    last_untested = max(i for i, n in enumerate(names) if n in never_tested)
+    assert last_untested < first_green, (last_untested, first_green)
+    assert set(names[:50]) <= set(never_tested), "window slot wasted on a green"
     assert names[-len(_NO_ORACLE_LAST):] == list(_NO_ORACLE_LAST)
 
 
