@@ -535,6 +535,7 @@ def run_incremental_semi_anti_join(
     stage_col: str = "stage",
     timeout_sec: int = 300,
     n_buckets: int = 16,
+    io_stats: dict | None = None,
 ) -> DataFrame:
     """Unbounded streaming SEMI / ANTI join with changelog emission — the
     streaming face of IN / EXISTS / NOT EXISTS (reference:
@@ -580,6 +581,9 @@ def run_incremental_semi_anti_join(
     l_dir = tempfile.mkdtemp(prefix="saj_left_")
     r_dir = tempfile.mkdtemp(prefix="saj_right_")
     cand_dir = tempfile.mkdtemp(prefix="saj_cand_")
+    stats = io_stats if io_stats is not None else {}
+    stats.setdefault("files_read", 0)
+    stats.setdefault("files_total", 0)
 
     def bucketed(df: DataFrame, cols: list) -> DataFrame:
         return df.select(*join_keys, *cols).withColumn(
@@ -595,6 +599,7 @@ def run_incremental_semi_anti_join(
 
     def read_buckets(files: dict[int, list[str]], buckets, schema) -> DataFrame | None:
         sel = [f for b in buckets for f in files.get(b, [])]
+        stats["files_read"] += len(sel)
         if not sel:
             return None
         return spark.read.schema(schema).parquet(*sel)
@@ -610,6 +615,9 @@ def run_incremental_semi_anti_join(
             [F.col(stage_col).cast("int").alias("_e_r")],
         ).persist()
         l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
+        stats["files_total"] += sum(len(v) for v in l_files.values()) + sum(
+            len(v) for v in r_files.values()
+        )
         dl.write.partitionBy("_b").mode("append").parquet(l_dir)
         dr.write.partitionBy("_b").mode("append").parquet(r_dir)
         dl_b = [r["_b"] for r in dl.select("_b").distinct().collect()]

@@ -393,3 +393,58 @@ def test_wm_buffer_survives_drain_then_refill(spark, tmp_path):
     # STILL see the carried dim version with an exact timestamp
     assert rows[(1, "2024-01-01 10:01:00")] == ("2024-01-01 10:00:00", 1.0)
     assert rows[(1, "2024-01-01 12:00:00")] == ("2024-01-01 10:00:00", 1.0)
+
+
+def test_semi_anti_join_bucket_pruning(spark, tmp_path):
+    """The semi/anti join's keyed state is hash-bucketed like
+    run_incremental_join's: a micro-batch whose delta touches one key must
+    read only that key's bucket from the accumulated history, and the final
+    emission must equal the closed-form first-match semantics."""
+    import os
+
+    from flink_1_12_0_src_spark.streaming.run import run_incremental_semi_anti_join
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(k, k, "L", 0) for k in range(8)],          # all left, stage 0
+        [(1, 100, "R", 1)],                          # one matching right key
+        [(2, 200, "R", 2)],                          # another
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k int, eid bigint, side string, stage int")
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        base = os.path.getmtime(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    schema = spark.read.parquet(f"{src}/b0").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+
+    stats: dict = {}
+    semi = run_incremental_semi_anti_join(
+        stream(), side_col="side", left_tag="L", join_keys=["k"],
+        left_id="eid", how="semi", n_buckets=8, io_stats=stats,
+    )
+    got = sorted((r["k"], r["epoch"], r["kind"]) for r in semi.collect())
+    assert got == [(1, 1, "+I"), (2, 2, "+I")]
+    assert stats["files_total"] > 0
+    assert stats["files_read"] < stats["files_total"], stats
+
+    anti = run_incremental_semi_anti_join(
+        stream(), side_col="side", left_tag="L", join_keys=["k"],
+        left_id="eid", how="anti", n_buckets=8,
+    )
+    got = sorted((r["k"], r["epoch"], r["kind"]) for r in anti.collect())
+    # all 8 lefts were unmatched on arrival (+I at 0); keys 1,2 retract at
+    # their first match's stage
+    expected = sorted(
+        [(k, 0, "+I") for k in range(8)] + [(1, 1, "-D"), (2, 2, "-D")]
+    )
+    assert got == expected
