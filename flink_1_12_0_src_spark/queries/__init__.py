@@ -195,7 +195,11 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must not consume an evidence slot.
 
-    Tiers 0+1+2 = 48 ≤ 50, so one round closes the never-tested backlog.
+    Tiers 0+1+2 = 51 (3 fixed + 41 backlog + 7 round-6-new): one over the
+    50-slot window, so the LAST-ranked round-6 query
+    (flinkddl_catalog_registry, deliberately ordered least-critical-last)
+    defers to the next rotation. Every query that ever had a red row and
+    every judge-verified backlog entry is inside the window.
     """
     if name in _R06_FIXED_FIRST:
         return (0, _R06_FIXED_FIRST.index(name))

@@ -1629,8 +1629,10 @@ SELECT * FROM (VALUES
     "SHOW): CREATE CATALOG + CREATE DATABASE, USE both, then the SHOW "
     "CATALOGS / SHOW DATABASES / SHOW CURRENT listings unioned into one "
     "relation and checked against the literal expected registry state — the "
-    "registry surface's first driver-evidenced row (previously unit-only). "
-    "State is cleaned up afterwards so the query is rerun-safe.",
+    "registry surface's first hard-evidence row (previously unit-only). "
+    "Rerun-safe because the registry is per-TableEnvironment-instance "
+    "(fresh each call); the leading DROP IF EXISTS statements are no-ops "
+    "that exercise the IF EXISTS path on unknown names.",
 )
 def flinkddl_catalog_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = TableEnvironment(spark)

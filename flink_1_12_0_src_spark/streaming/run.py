@@ -534,8 +534,6 @@ def run_incremental_semi_anti_join(
     how: str = "semi",
     stage_col: str = "stage",
     timeout_sec: int = 300,
-    n_buckets: int = 16,
-    io_stats: dict | None = None,
 ) -> DataFrame:
     """Unbounded streaming SEMI / ANTI join with changelog emission — the
     streaming face of IN / EXISTS / NOT EXISTS (reference:
@@ -545,19 +543,24 @@ def run_incremental_semi_anti_join(
     RETRACTS it when the first match arrives).
 
     Both sides arrive as ONE tagged union stream (the connect-streams
-    encoding shared with run_incremental_join). Per micro-batch the matched
-    pairs are computed incrementally — ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR with the
-    parquet-bucketed keyed state and delta-touched-bucket reads of
-    run_incremental_join — then reduced map-side to ONE candidate row per
-    (left row, batch): the batch-local minimum matching right stage. At
-    end-of-stream the candidates reduce to each left row's GLOBAL first
-    matching stage (min of per-batch mins; exactly-once pair emission makes
-    that the true min), so every emitted epoch is a pure function of the
-    DATA-borne ``stage_col``, invariant to micro-batch delivery order (the
-    same discipline as run_incremental_outer_join_changelog).
+    encoding shared with run_incremental_join). State maintenance is
+    O(|Δ|) per trigger with NO history reads: left rows append to keyed
+    state as-is, and the right side is reduced MAP-SIDE to one
+    (key, min stage) row per batch before appending — the append-only
+    specialization of StreamingSemiAntiJoinOperator's per-left match-count
+    state (inputs never retract, so the count's only load-bearing content
+    is whether/when it first became positive, i.e. the key's minimum right
+    stage; per-batch mins are associative, so appending them and reducing
+    once at close yields the global min regardless of delivery order). At
+    100 TB the right-side state is O(distinct keys), not O(right rows).
 
-    Emission, with ``e_l`` = left row's arrival stage and ``first`` = min
-    matching right stage (NULL if never matched):
+    The changelog trace is FINALIZED at end-of-stream from the accumulated
+    state — the watermark-close discipline of
+    run_incremental_outer_join_changelog's pad legs — so every emitted
+    epoch is a pure function of the DATA-borne ``stage_col``, invariant to
+    micro-batch delivery order and granularity. With ``e_l`` = left row's
+    arrival stage and ``first`` = its key's minimum matching right stage
+    (NULL if never matched):
 
     - semi: one ``+I`` per matched left row at ``greatest(e_l, first)`` —
       the slice where, under in-order delivery, its match count went 0→1.
@@ -580,68 +583,26 @@ def run_incremental_semi_anti_join(
     spark: SparkSession = stream_df.sparkSession
     l_dir = tempfile.mkdtemp(prefix="saj_left_")
     r_dir = tempfile.mkdtemp(prefix="saj_right_")
-    cand_dir = tempfile.mkdtemp(prefix="saj_cand_")
-    stats = io_stats if io_stats is not None else {}
-    stats.setdefault("files_read", 0)
-    stats.setdefault("files_total", 0)
-
-    def bucketed(df: DataFrame, cols: list) -> DataFrame:
-        return df.select(*join_keys, *cols).withColumn(
-            "_b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)).cast("int")
-        )
-
-    def bucket_files(root: str) -> dict[int, list[str]]:
-        out: dict[int, list[str]] = {}
-        for f in globmod.glob(os.path.join(root, "_b=*", "*.parquet")):
-            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
-            out.setdefault(b, []).append(f)
-        return out
-
-    def read_buckets(files: dict[int, list[str]], buckets, schema) -> DataFrame | None:
-        sel = [f for b in buckets for f in files.get(b, [])]
-        stats["files_read"] += len(sel)
-        if not sel:
-            return None
-        return spark.read.schema(schema).parquet(*sel)
 
     def fb(bdf: DataFrame, _eid: int) -> None:
         bdf = bdf.persist()
-        dl = bucketed(
-            bdf.filter(F.col(side_col) == left_tag),
-            [F.col(left_id).alias("l_id"), F.col(stage_col).cast("int").alias("_e_l")],
-        ).persist()
-        dr = bucketed(
-            bdf.filter(F.col(side_col) != left_tag),
-            [F.col(stage_col).cast("int").alias("_e_r")],
-        ).persist()
-        l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
-        stats["files_total"] += sum(len(v) for v in l_files.values()) + sum(
-            len(v) for v in r_files.values()
-        )
-        dl.write.partitionBy("_b").mode("append").parquet(l_dir)
-        dr.write.partitionBy("_b").mode("append").parquet(r_dir)
-        dl_b = [r["_b"] for r in dl.select("_b").distinct().collect()]
-        dr_b = [r["_b"] for r in dr.select("_b").distinct().collect()]
-        dlp, drp = dl.drop("_b"), dr.drop("_b")
-        l_prev = read_buckets(l_files, dr_b, dlp.schema)
-        r_prev = read_buckets(r_files, dl_b, drp.schema)
-        parts = [dlp.join(drp, join_keys)]
-        if r_prev is not None:
-            parts.append(dlp.join(r_prev, join_keys))
-        if l_prev is not None:
-            parts.append(l_prev.join(drp, join_keys))
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.unionByName(p)
-        # one candidate per (left row, batch): the batch-local first match
         (
-            joined.groupBy(*join_keys, "l_id", "_e_l")
-            .agg(F.min("_e_r").alias("_e_r_min"))
+            bdf.filter(F.col(side_col) == left_tag)
+            .select(
+                *join_keys,
+                F.col(left_id).alias("l_id"),
+                F.col(stage_col).cast("int").alias("_e_l"),
+            )
             .write.mode("append")
-            .parquet(cand_dir)
+            .parquet(l_dir)
         )
-        dl.unpersist()
-        dr.unpersist()
+        (
+            bdf.filter(F.col(side_col) != left_tag)
+            .groupBy(*join_keys)
+            .agg(F.min(F.col(stage_col).cast("int")).alias("_e_r_min"))
+            .write.mode("append")
+            .parquet(r_dir)
+        )
         bdf.unpersist()
 
     q = (
@@ -656,9 +617,7 @@ def run_incremental_semi_anti_join(
         if q.isActive:
             q.stop()
 
-    key_fields = [
-        f for f in stream_df.schema.fields if f.name in join_keys
-    ]
+    key_fields = [f for f in stream_df.schema.fields if f.name in join_keys]
     out_schema = T.StructType(
         key_fields
         + [
@@ -668,36 +627,33 @@ def run_incremental_semi_anti_join(
         ]
     )
 
-    def read_or_none(root: str, pattern: str) -> DataFrame | None:
-        if not globmod.glob(os.path.join(root, pattern)):
+    def read_or_none(root: str) -> DataFrame | None:
+        if not globmod.glob(os.path.join(root, "*.parquet")):
             return None
         return spark.read.parquet(root)
 
-    cand = read_or_none(cand_dir, "*.parquet")
+    l_all, r_all = read_or_none(l_dir), read_or_none(r_dir)
     first = (
-        cand.groupBy(*join_keys, "l_id", "_e_l").agg(F.min("_e_r_min").alias("_first"))
-        if cand is not None
+        r_all.groupBy(*join_keys).agg(F.min("_e_r_min").alias("_first"))
+        if r_all is not None
         else None
     )
     if how == "semi":
-        if first is None:
+        if l_all is None or first is None:
             return spark.createDataFrame([], out_schema)
-        return first.select(
+        return l_all.join(first, join_keys).select(
             *join_keys,
             F.greatest("_e_l", "_first").cast("int").alias("epoch"),
             F.lit("+I").alias("kind"),
             F.col("l_id").cast("long").alias("l_id"),
         )
-    l_all = read_or_none(l_dir, os.path.join("_b=*", "*.parquet"))
     if l_all is None:
         return spark.createDataFrame([], out_schema)
-    l_all = l_all.drop("_b")
-    if first is None:
-        lm = l_all.withColumn("_first", F.lit(None).cast("int"))
-    else:
-        lm = l_all.join(
-            first.select(*join_keys, "l_id", "_first"), [*join_keys, "l_id"], "left"
-        )
+    lm = (
+        l_all.join(first, join_keys, "left")
+        if first is not None
+        else l_all.withColumn("_first", F.lit(None).cast("int"))
+    )
 
     def emit(df: DataFrame, kind: str, epoch_col) -> DataFrame:
         return df.select(
@@ -711,5 +667,7 @@ def run_incremental_semi_anti_join(
         F.col("_first").isNull() | (F.col("_first") > F.col("_e_l"))
     )
     ins = emit(unmatched_on_arrival, "+I", F.col("_e_l"))
-    dels = emit(unmatched_on_arrival.filter(F.col("_first").isNotNull()), "-D", F.col("_first"))
+    dels = emit(
+        unmatched_on_arrival.filter(F.col("_first").isNotNull()), "-D", F.col("_first")
+    )
     return ins.unionByName(dels)

@@ -502,6 +502,15 @@ class TableEnvironment:
         for k, v in {**cfg["options"], **(extra_options or {})}.items():
             reader = reader.option(k, v)
         df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
+        if cfg["format"] == "rate" and tbl.schema_ddl:
+            # datagen: project the rate source's monotonically increasing
+            # ``value`` onto the DECLARED columns (sequence = start + value,
+            # random = rand()-derived) so the stream honors the DDL schema
+            # instead of leaking rate's raw (timestamp, value) pair
+            cols = self._datagen_cols(
+                tbl.schema_ddl, cfg.get("datagen_fields") or {}
+            )
+            df = df.select(*self._datagen_projection(cols, "value"))
         df = self._apply_metadata(df, tbl, cfg["format"])
         df = self._apply_computed(df, tbl)  # before watermark: rowtime may be computed
         if tbl.watermark:
@@ -911,62 +920,71 @@ class TableEnvironment:
             os.rename(tmp, d)
             shutil.rmtree(swap)
 
+    @staticmethod
+    def _datagen_cols(schema_ddl: str, fields: dict) -> list[tuple[str, str, dict]]:
+        """Parse the DDL's flat column list and pair each column with its
+        fields.<name>.* generator spec (comma split is paren-aware so
+        DECIMAL(p,s) survives)."""
+        import re as _re
+
+        return [
+            (*c.strip().split(None, 1), fields.get(c.strip().split(None, 1)[0], {}))
+            for c in _re.split(r",\s*(?![^()]*\))", schema_ddl or "")
+            if c.strip()
+        ]
+
+    @staticmethod
+    def _datagen_projection(cols: list[tuple[str, str, dict]], idx: str):
+        """One Column per declared field, driven by the row index ``idx``
+        (spark.range's ``id`` for batch; the rate source's ``value`` for
+        streams): sequence → start + idx (SequenceGeneratorVisitor,
+        deterministic); random → rand()-derived honoring min/max/length
+        (RandomGeneratorVisitor, nondeterministic by design)."""
+        from pyspark.sql import functions as F
+
+        out = []
+        for name, typ, spec in cols:
+            if spec.get("kind") == "sequence":
+                expr = F.expr(f"CAST({int(spec['start'])} + {idx} AS {typ})")
+            elif typ.upper().startswith(("CHAR", "VARCHAR", "STRING")):
+                ln = int(spec.get("length", 100))
+                expr = F.expr(
+                    f"substring(repeat(md5(cast(rand() as string)), "
+                    f"{ln // 32 + 1}), 1, {ln})"
+                ).cast("string")
+            else:
+                lo, hi = spec.get("min"), spec.get("max")
+                if lo is not None or hi is not None:
+                    lo_v, hi_v = float(lo or 0), float(hi or 32767)
+                    expr = F.expr(f"CAST({lo_v} + rand() * ({hi_v} - {lo_v}) AS {typ})")
+                else:
+                    expr = F.expr(f"CAST(rand() * 32767 AS {typ})")
+            out.append(expr.alias(name))
+        return out
+
     def _materialize_datagen(self, tbl: CatalogTable, cfg: dict) -> bool:
         """Bounded datagen table → batch view (DataGenTableSourceFactory.java:
         55-145 + SequenceGeneratorVisitor: ``fields.<f>.kind = 'sequence'``
         emits start..end in order; DataGenTableSource.java:63 bounds the
-        source when ``number-of-rows`` is set, and an all-sequence table ends
-        when its generators exhaust). The view is ``spark.range(n)`` with one
-        projection per declared column — sequence fields are ``start + id``
-        (deterministic, oracle-able), random fields are rand()-derived with
-        the reference's min/max/length options (nondeterministic by design,
-        same as RandomGeneratorVisitor). Returns False (no view) for
-        unbounded random-only tables — those replay via stream_table()."""
-        import re as _re
-
-        from pyspark.sql import functions as F
-
-        fields = cfg.get("datagen_fields") or {}
-        cols = [
-            c.strip().split(None, 1)
-            for c in _re.split(r",\s*(?![^()]*\))", tbl.schema_ddl or "")
-            if c.strip()
-        ]
-        specs = {name: fields.get(name, {}) for name, _t in cols}
+        source when ``number-of-rows`` is set, and ANY finite sequence field
+        ends the whole source when its generator exhausts). The view is
+        ``spark.range(n)`` projected per declared column. Returns False (no
+        view) for unbounded tables — number-of-rows absent and no sequence
+        field — which replay via stream_table()."""
+        cols = self._datagen_cols(tbl.schema_ddl, cfg.get("datagen_fields") or {})
         seq_lens = [
             int(s["end"]) - int(s["start"]) + 1
-            for s in specs.values()
+            for _n, _t, s in cols
             if s.get("kind") == "sequence"
         ]
         n_rows = cfg.get("number_of_rows")
-        if n_rows is not None:
-            n = int(n_rows)
-        elif cols and all(s.get("kind") == "sequence" for s in specs.values()):
-            n = min(seq_lens)
-        else:
+        if n_rows is None and not seq_lens:
             return False  # unbounded: streaming-only
-        if seq_lens:
-            n = min([n] + seq_lens)  # a sequence ends the source when exhausted
-        out = []
-        for name, typ in cols:
-            s = specs.get(name, {})
-            if s.get("kind") == "sequence":
-                expr = F.expr(f"CAST({int(s['start'])} + id AS {typ})")
-            elif typ.upper().startswith(("CHAR", "VARCHAR", "STRING")):
-                ln = int(s.get("length", 100))
-                expr = F.expr(f"substring(repeat(md5(cast(rand() as string)), "
-                              f"{ln // 32 + 1}), 1, {ln})").cast("string")
-            else:
-                lo, hi = s.get("min"), s.get("max")
-                if lo is not None or hi is not None:
-                    lo_v, hi_v = float(lo or 0), float(hi or 32767)
-                    expr = F.expr(
-                        f"CAST({lo_v} + rand() * ({hi_v} - {lo_v}) AS {typ})"
-                    )
-                else:
-                    expr = F.expr(f"CAST(rand() * 32767 AS {typ})")
-            out.append(expr.alias(name))
-        self.spark.range(n).select(*out).createOrReplaceTempView(tbl.name)
+        bounds = seq_lens + ([int(n_rows)] if n_rows is not None else [])
+        n = min(bounds)
+        self.spark.range(n).select(
+            *self._datagen_projection(cols, "id")
+        ).createOrReplaceTempView(tbl.name)
         return True
 
     def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
