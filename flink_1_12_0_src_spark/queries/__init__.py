@@ -188,7 +188,9 @@ def _gate_rank(name: str) -> tuple[int, int]:
 
     (0,i) = round-5 driver-red rows, now fixed — re-verify first;
     (1,_) = oracle-able queries that have NEVER had a driver-green row
-        (44 entering round 6; the r04 gate loss made this the backlog);
+        and are not in another tier (41 backlog entries entering round 6 —
+        the r04 gate loss made this the backlog; the 3 fixed reds rank in
+        tier 0);
     (2,i) = round-6-new queries (first possible row);
     (3,_) = already driver-green in r01/r02/r03/r05 (re-verify only if
         budget remains);

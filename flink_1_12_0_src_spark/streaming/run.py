@@ -36,10 +36,13 @@ def run_to_batch(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     return spark.table(name)
 
 
@@ -88,10 +91,13 @@ def run_split_late(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     schema = stream_df.schema
     return (
         spark.read.schema(schema).parquet(side_dir),
@@ -209,10 +215,13 @@ def run_early_fire_trace(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     deltas = (
         spark.read.parquet(root)
         .groupBy("window_day", stage_col)
@@ -335,10 +344,13 @@ def run_incremental_join(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     return spark.read.parquet(out_dir)
 
 
@@ -483,10 +495,13 @@ def run_incremental_outer_join_changelog(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
 
     # pad legs, finalized from the accumulated bucketed sides
     def side_all(root: str) -> DataFrame | None:
@@ -552,7 +567,11 @@ def run_incremental_semi_anti_join(
     is whether/when it first became positive, i.e. the key's minimum right
     stage; per-batch mins are associative, so appending them and reducing
     once at close yields the global min regardless of delivery order). At
-    100 TB the right-side state is O(distinct keys), not O(right rows).
+    100 TB the right-side state is O(distinct keys) rows, not O(right
+    rows); the log-structured append does add one file-set per trigger, so
+    a long-running deployment would fold in periodic min-merge compaction
+    (the run_changelog_upsert bucket-rewrite pattern) — a bounded replay
+    doesn't need it.
 
     The changelog trace is FINALIZED at end-of-stream from the accumulated
     state — the watermark-close discipline of
@@ -612,10 +631,13 @@ def run_incremental_semi_anti_join(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
 
     key_fields = [f for f in stream_df.schema.fields if f.name in join_keys]
     out_schema = T.StructType(

@@ -169,7 +169,9 @@ def run_changelog_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     return sink.snapshot(stream_df.sparkSession)
 
 
@@ -238,10 +240,13 @@ def run_changelog_count(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     if state["snap"] is None:
         empty = spark.createDataFrame(
             [], f"`{key}` string, epoch int, kind string, cnt bigint"
@@ -356,10 +361,13 @@ def run_changelog_sum_agg(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # partial state would yield a wrong-but-plausible result; fail loud
+        raise TimeoutError(f"streaming replay exceeded {timeout_sec}s")
     if state["snap"] is None:
         raise RuntimeError(
             "run_changelog_sum_agg: every micro-batch was empty — no "

@@ -506,10 +506,26 @@ class TableEnvironment:
             # datagen: project the rate source's monotonically increasing
             # ``value`` onto the DECLARED columns (sequence = start + value,
             # random = rand()-derived) so the stream honors the DDL schema
-            # instead of leaking rate's raw (timestamp, value) pair
+            # instead of leaking rate's raw (timestamp, value) pair. A
+            # bounded generator (finite sequence or number-of-rows) must not
+            # emit past exhaustion: the rate source itself cannot terminate,
+            # so rows beyond the bound are filtered — the stream idles once
+            # exhausted instead of ending (documented approximation of
+            # DataGenTableSource's bounded termination).
+            from pyspark.sql import functions as F
+
             cols = self._datagen_cols(
                 tbl.schema_ddl, cfg.get("datagen_fields") or {}
             )
+            bounds = [
+                int(s["end"]) - int(s["start"]) + 1
+                for _n, _t, s in cols
+                if s.get("kind") == "sequence"
+            ]
+            if cfg.get("number_of_rows") is not None:
+                bounds.append(int(cfg["number_of_rows"]))
+            if bounds:
+                df = df.filter(F.col("value") < min(bounds))
             df = df.select(*self._datagen_projection(cols, "value"))
         df = self._apply_metadata(df, tbl, cfg["format"])
         df = self._apply_computed(df, tbl)  # before watermark: rowtime may be computed
@@ -682,9 +698,10 @@ class TableEnvironment:
         cfg = reader_config(tbl.options)
         if cfg["format"] == "rate":
             # BOUNDED datagen (DataGenTableSource.java:63 isBounded when
-            # number-of-rows is set; an all-sequence table exhausts its
-            # SequenceGenerators and ends too) materializes as a batch view;
-            # unbounded datagen stays streaming-only via stream_table().
+            # number-of-rows is set; ANY finite sequence field ends the
+            # source when its generator exhausts) materializes as a batch
+            # view; unbounded datagen stays streaming-only via
+            # stream_table().
             self._materialize_datagen(tbl, cfg)
             return None
         if cfg["format"] == "kafka":
@@ -927,11 +944,13 @@ class TableEnvironment:
         DECIMAL(p,s) survives)."""
         import re as _re
 
-        return [
-            (*c.strip().split(None, 1), fields.get(c.strip().split(None, 1)[0], {}))
-            for c in _re.split(r",\s*(?![^()]*\))", schema_ddl or "")
-            if c.strip()
-        ]
+        out = []
+        for c in _re.split(r",\s*(?![^()]*\))", schema_ddl or ""):
+            if not c.strip():
+                continue
+            name, typ = c.strip().split(None, 1)
+            out.append((name, typ, fields.get(name, {})))
+        return out
 
     @staticmethod
     def _datagen_projection(cols: list[tuple[str, str, dict]], idx: str):
