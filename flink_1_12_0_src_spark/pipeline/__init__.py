@@ -11,6 +11,7 @@ column plumbing — all DataFrame transforms designed for 100 TB:
 
 from flink_1_12_0_src_spark.pipeline.text import (
     bm25_topk,
+    gopher_rules,
     language_id,
     quality_score,
     repetition_signals,
@@ -36,6 +37,7 @@ from flink_1_12_0_src_spark.pipeline.similarity import (
     ivf_topk,
 )
 from flink_1_12_0_src_spark.pipeline.multimodal import attach_blob, extract_blob_features
+from flink_1_12_0_src_spark.pipeline.sampling import token_budget_select
 
 __all__ = [
     "attach_blob",
@@ -45,6 +47,7 @@ __all__ = [
     "decontaminate",
     "exact_dedup",
     "extract_blob_features",
+    "gopher_rules",
     "ivf_assign",
     "ivf_fit",
     "ivf_topk",
@@ -56,6 +59,7 @@ __all__ = [
     "repetition_signals",
     "shingles",
     "simhash_signatures",
+    "token_budget_select",
     "token_stats",
     "tokens",
     "winnow_fingerprint",

@@ -122,6 +122,72 @@ def shuffle_shard(df: DataFrame, id_col: str, seed: int = 77, n_shards: int = 16
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col,
+    budget: int,
+    block: int = 4096,
+) -> DataFrame:
+    """Per-source TOKEN-budget fill (the data-mixing knob when the recipe is
+    "N tokens of source X", not "N documents"): documents fill each source's
+    budget in deterministic ascending-id order, and a document is selected
+    while its START offset is still inside the budget (prefix-truncation —
+    the boundary document is kept and truncated downstream at tokenization,
+    exactly the pack-writer convention in :func:`pack_sequences`).
+
+    Scale design (100 TB): the naive formulation is one running-sum window
+    per source — a single serial task per source, the same scale-killer the
+    unsharded flagship pack had. Instead this is an exact two-phase
+    distributed prefix sum: blocks of ``block`` consecutive ids align with
+    the fill order, so (1) a per-(source, block) window computes the
+    intra-block running sum with the widest window partition capped at
+    ``block`` rows, (2) the per-block subtotals (corpus_rows / block rows —
+    tiny) cumsum per source into each block's starting offset, and (3) a
+    join on (source, block) adds offset + intra-block sum. AQE broadcasts
+    the offsets side when it fits; sizing ``block`` trades offset-table
+    rows against intra-block window width.
+
+    ``token_col`` is a Column expression for the document's token count.
+    Output: (id, source, n_tokens, cum_before, selected).
+    """
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_col.cast("bigint").alias("n_tokens"),
+        F.floor(F.col(id_col) / block).alias("_blk"),
+    )
+    intra = (
+        Window.partitionBy(source_col, "_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum_in", F.sum("n_tokens").over(intra))
+    subtot = d.groupBy(source_col, "_blk").agg(F.sum("n_tokens").alias("_tot"))
+    prior = (
+        Window.partitionBy(source_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = subtot.select(
+        source_col,
+        "_blk",
+        F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias("_off"),
+    )
+    cum_before = (F.col("_off") + F.col("_cum_in") - F.col("n_tokens")).cast("bigint")
+    return (
+        d.join(offs, [source_col, "_blk"])
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            cum_before.alias("cum_before"),
+            (cum_before < budget).alias("selected"),
+        )
+    )
+
+
 def temperature_sample(
     df: DataFrame, id_col: str, group_col: str, seed: int = 7
 ) -> DataFrame:

@@ -89,6 +89,61 @@ def quality_score(
     return df.select(*out)
 
 
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language Models",
+# Appendix A / table A1 — the published values, not tuned to this corpus).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021 Appendix A):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    fraction of words containing an alphabetic character, and the ≥2
+    stop-word requirement — each emitted as its own boolean plus the
+    conjunction, so downstream mixing can ablate individual rules. The
+    line-based rules (bullet-start / ellipsis-end fractions) need line
+    structure the corpus schema doesn't carry and are documented out.
+
+    All pure array expressions per row — zero shuffle at any corpus size.
+    """
+    w = tokens(text_col)
+    n_words = F.size(w)
+    wlen_sum = F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wlen = F.round(wlen_sum / n_words, 6)
+    symbol_words = F.size(F.filter(w, lambda x: x.contains("#") | x.contains("...")))
+    symbol_ratio = F.round(symbol_words / n_words, 6)
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = F.round(alpha_words / n_words, 6)
+    stop_hits = F.size(
+        F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+    )
+    word_count_ok = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    mean_wlen_ok = mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+    symbol_ok = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    alpha_ok = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    stop_ok = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wlen_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok & mean_wlen_ok & symbol_ok & alpha_ok & stop_ok).alias(
+            "gopher_pass"
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 50, overlap: int = 10
 ) -> DataFrame:

@@ -149,30 +149,64 @@ _R05_DRIVER_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = (
-    _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN | _R05_DRIVER_GREEN
+# Round-6 driver-green rows (CORRECTNESS_r06.json, hash_match=true) — the
+# whole round-5 backlog plus 6 of the 7 round-6-new queries.
+_R06_DRIVER_GREEN = frozenset(
+    {
+        "cdc_consume_changelog_agg", "dataset_pack_sequences",
+        "dataset_quota_sample", "dataset_split_hash", "dedup_cluster_docs",
+        "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "doc_chunking",
+        "doc_fingerprint", "embedding_cosine_topk",
+        "embedding_kmeans_assign", "flinkddl_describe",
+        "flinkddl_set_reset", "flinkddl_show_functions",
+        "flinkddl_show_partitions", "flinkddl_stream_computed_watermark",
+        "flinksql_match_agg_define", "graph_clustering_coeff",
+        "graph_jaccard_similarity", "multimodal_features",
+        "multimodal_frame_sample", "pipeline_clean_corpus",
+        "stream_anti_join_not_exists", "stream_delta_trigger",
+        "stream_evictor_count", "stream_evictor_delta",
+        "stream_evictor_time", "stream_full_outer_join_changelog",
+        "stream_iterate_reduce", "stream_outer_join_changelog",
+        "stream_right_outer_join_changelog", "stream_semi_join_exists",
+        "stream_temporal_sort", "tableapi_execute_insert",
+        "tableapi_fluent_agg", "tableapi_setops_projection",
+        "text_language_id", "text_pii_mask", "text_quality_score",
+        "text_tfidf_topk", "text_token_count",
+    }
 )
 
-# Round-5 driver-red rows, fixed for round 6 (calendar-free epoch-day keys +
-# session-TZ pin for the two emission traces; 6-dp ln() rounding for DSIR) —
-# re-verify at the very front of the round-6 gate budget.
-_R06_FIXED_FIRST = (
+_DRIVER_GREEN = (
+    _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
+    | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN
+)
+
+# The 6 round-6 driver-red rows. All six were value-correct; the red was the
+# oracle typing an uncast integer SUM() as DuckDB HUGEINT, which renders
+# differently than Spark's BIGINT through the driver's rendered-value hash
+# (same defect class as the r03 flinkddl_csv_source red, commit bd0ead5).
+# Fixed for round 7 by CAST(... AS BIGINT) in the oracles; the permanent
+# guard is tests/test_oracle_types.py. Re-verify at the very front.
+_R07_FIXED_FIRST = (
     "cdc_retract_stream_output",
+    "cdc_retract_with_delete",
     "stream_tumble_early_fire",
     "dataset_dsir_weights",
+    "text_decontaminate",
+    "flinkddl_datagen_sequence",
 )
 
-# Queries first registered in round 6 — never had any chance of a driver row.
-# They run right after the never-tested backlog (tier 1): a brand-new query
-# is the likeliest to hide a defect, so the proven backlog gets slots first.
-_R06_NEW = (
-    "stream_semi_join_exists",
-    "stream_anti_join_not_exists",
-    "flinkddl_show_partitions",
-    "tableapi_execute_insert",
-    "flinkddl_datagen_sequence",
-    "flinkddl_set_reset",
-    "flinkddl_catalog_registry",
+# Round-6's deliberate 51st-of-50 deferral — the only oracle-able query with
+# no driver row yet. One slot here completes driver evidence for the whole
+# registry (242/242 union).
+_R07_NEVER_TESTED = ("flinkddl_catalog_registry",)
+
+# Queries first registered in round 7 — first possible driver row.
+_R07_NEW = (
+    "flinkddl_explain_plan",
+    "text_gopher_rules",
+    "dataset_token_budget",
+    "flinkddl_show_tables_views",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -186,32 +220,31 @@ _NO_ORACLE_LAST = ("knn_lsh_topk", "knn_ivf_topk", "knn_pq_topk")
 def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    (0,i) = round-5 driver-red rows, now fixed — re-verify first;
-    (1,_) = oracle-able queries that have NEVER had a driver-green row
-        and are not in another tier (41 backlog entries entering round 6 —
-        the r04 gate loss made this the backlog; the 3 fixed reds rank in
-        tier 0);
-    (2,i) = round-6-new queries (first possible row);
-    (3,_) = already driver-green in r01/r02/r03/r05 (re-verify only if
-        budget remains);
+    (0,i) = round-6 driver-red rows, oracle-cast-fixed — re-verify first;
+    (1,i) = flinkddl_catalog_registry, the only oracle-able query with no
+        driver row yet (round-6's deliberate 51st-of-50 deferral);
+    (2,i) = round-7-new queries (first possible row);
+    (3,_) = already driver-green in r01/r02/r03/r05/r06 (235 rows —
+        re-verify with the remaining ~42 slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
-        rows, so they must not consume an evidence slot.
+        rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 51 (3 fixed + 41 backlog + 7 round-6-new): one over the
-    50-slot window, so the LAST-ranked round-6 query
-    (flinkddl_catalog_registry, deliberately ordered least-critical-last)
-    defers to the next rotation. Every query that ever had a red row and
-    every judge-verified backlog entry is inside the window.
+    Tiers 0+1+2 = 8 (6 fixed + 1 never-tested + 1 round-7-new), far inside
+    the 50-slot window: every red and every never-evidenced query gets a
+    driver row this round, taking the oracle-able registry to a full
+    243/243 round-over-round union.
     """
-    if name in _R06_FIXED_FIRST:
-        return (0, _R06_FIXED_FIRST.index(name))
+    if name in _R07_FIXED_FIRST:
+        return (0, _R07_FIXED_FIRST.index(name))
     if name in _NO_ORACLE_LAST:
         return (4, _NO_ORACLE_LAST.index(name))
-    if name in _R06_NEW:
-        return (2, _R06_NEW.index(name))
+    if name in _R07_NEVER_TESTED:
+        return (1, _R07_NEVER_TESTED.index(name))
+    if name in _R07_NEW:
+        return (2, _R07_NEW.index(name))
     if name in _DRIVER_GREEN:
         return (3, 0)
-    return (1, 0)
+    return (1, 99)
 
 
 def load_all() -> dict[str, Query]:

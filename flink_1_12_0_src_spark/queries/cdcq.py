@@ -223,7 +223,7 @@ cum AS (
 ),
 c1 AS (
   SELECT user_id, epoch,
-         SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS cnt
+         CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS BIGINT) AS cnt
   FROM cum
 ),
 c2 AS (
@@ -277,7 +277,7 @@ cum AS (
 ),
 c1 AS (
   SELECT user_id, epoch,
-         SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS cnt
+         CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS BIGINT) AS cnt
   FROM cum
 ),
 c2 AS (

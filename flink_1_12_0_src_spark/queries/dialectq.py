@@ -1545,7 +1545,8 @@ def tableapi_execute_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flinkddl_datagen_sequence",
     oracle="""
 SELECT CAST(id % 5 AS BIGINT) AS grp, COUNT(*) AS cnt,
-       SUM(id) AS sum_id, SUM((id + 1000000) % 97) AS sum_vmod
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(SUM((id + 1000000) % 97) AS BIGINT) AS sum_vmod
 FROM range(1, 10001) t(id)
 GROUP BY grp ORDER BY grp
 """,
@@ -1609,6 +1610,97 @@ def flinkddl_set_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     env.execute_sql("RESET 'table.exec.resource.default-parallelism'")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     return out
+
+
+@register(
+    "flinkddl_show_tables_views",
+    oracle="""
+SELECT * FROM (VALUES
+  ('table', 'showtv_nation'),
+  ('table', 'showtv_top'),
+  ('view',  'showtv_top')
+) t(kind, name) ORDER BY kind, name
+""",
+    tags=("dialect", "ddl", "introspection"),
+    doc="SHOW TABLES / SHOW VIEWS round trip (SqlShowTables / SqlShowViews — "
+    "TableEnvironmentImpl.listTables/listViews; Flink lists views under "
+    "SHOW TABLES too, views-only under SHOW VIEWS): a connector table plus "
+    "a derived temporary view, both listings filtered to the query's "
+    "namespace prefix so the row is deterministic under a shared session "
+    "(other queries' temp views don't leak in). Rerun-safe via leading "
+    "DROP IF EXISTS.",
+)
+def flinkddl_show_tables_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _nation_csv(spark, sf_dir)
+    env = TableEnvironment(spark)
+    env.execute_sql("DROP VIEW IF EXISTS showtv_top")
+    env.execute_sql("DROP TABLE IF EXISTS showtv_nation")
+    env.execute_sql(f"""
+        CREATE TABLE showtv_nation (
+            {_NATION_COLS_DDL}
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'csv'
+        )
+    """)
+    env.execute_sql(
+        "CREATE TEMPORARY VIEW showtv_top AS "
+        "SELECT n_name FROM showtv_nation WHERE n_regionkey = 0"
+    )
+    tables = env.execute_sql("SHOW TABLES").filter(
+        F.col("table_name").startswith("showtv_")
+    ).select(F.lit("table").alias("kind"), F.col("table_name").alias("name"))
+    views = env.execute_sql("SHOW VIEWS").filter(
+        F.col("view_name").startswith("showtv_")
+    ).select(F.lit("view").alias("kind"), F.col("view_name").alias("name"))
+    return tables.unionByName(views).orderBy("kind", "name").localCheckpoint()
+
+
+@register(
+    "flinkddl_explain_plan",
+    oracle="""
+SELECT * FROM (VALUES
+  ('== Physical Plan ==', true),
+  ('AdaptiveSparkPlan',   true),
+  ('Exchange',            true),
+  ('HashAggregate',       true),
+  ('PushedFilters',       true),
+  ('ReadSchema',          true),
+  ('Scan parquet',        true),
+  ('partial_count',       true)
+) t(feature, present) ORDER BY feature
+""",
+    tags=("dialect", "ddl", "introspection"),
+    doc="EXPLAIN statement / Table.explain (SqlExplain / SqlCommandParser "
+    "EXPLAIN PLAN FOR; TableEnvironmentImpl.explainSql, "
+    "TableEnvironmentImpl.java:703): the dialect EXPLAIN of a filtered "
+    "aggregate renders Catalyst's formatted physical plan, and the row "
+    "asserts the plan SHAPE the engine promises at scale — AQE on "
+    "(AdaptiveSparkPlan), filter pushed to the parquet scan (PushedFilters), "
+    "column-pruned read (ReadSchema), and two-stage aggregation "
+    "(partial_count below the Exchange). Each expected feature becomes a "
+    "(feature, present) row against a closed-form oracle — the explain "
+    "surface's first driver row (previously unit-only), doubling as a "
+    "driver-checked plan-quality gate.",
+)
+def flinkddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = TableEnvironment(spark)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_explain"
+    )
+    plan = env.execute_sql(
+        "EXPLAIN SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem_explain "
+        "WHERE l_quantity > 10 GROUP BY l_returnflag"
+    ).collect()[0][0]
+    features = [
+        "== Physical Plan ==", "AdaptiveSparkPlan", "Exchange",
+        "HashAggregate", "PushedFilters", "ReadSchema", "Scan parquet",
+        "partial_count",
+    ]
+    return spark.createDataFrame(
+        [(f, f in plan) for f in sorted(features)], "feature string, present boolean"
+    )
 
 
 @register(

@@ -123,6 +123,48 @@ def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TB_BUDGET = 2000  # tokens per source
+TB_BLOCK = 256  # ids per prefix-sum block (small so sf0.01 spans ~20 blocks)
+
+
+@register(
+    "dataset_token_budget",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+c AS (
+  SELECT doc_id, source, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, cum_before,
+       cum_before < {TB_BUDGET} AS selected
+FROM c ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+    doc=f"Per-source TOKEN-budget fill (pipeline/sampling.py "
+    f"token_budget_select): documents fill each source's {TB_BUDGET}-token "
+    "budget in ascending-id order; selected while the start offset is "
+    "inside the budget (prefix truncation, the pack-writer convention). "
+    "The Spark plan is an exact TWO-PHASE distributed prefix sum — "
+    f"intra-block running sums over {TB_BLOCK}-id blocks plus a cumsum of "
+    "the tiny per-(source, block) subtotal table joined back — so no "
+    "source-wide serial window task exists at any corpus size; the oracle "
+    "is the equivalent single-window formulation.",
+)
+def dataset_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import token_budget_select
+
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs,
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")),
+        TB_BUDGET,
+        block=TB_BLOCK,
+    ).orderBy("doc_id")
+
+
 def _minhash_oracle(ordered: bool = True) -> str:
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
@@ -426,6 +468,63 @@ FROM t ORDER BY doc_id
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+def _gopher_oracle() -> str:
+    from flink_1_12_0_src_spark.pipeline.text import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(list_aggregate(list_transform(w, x -> len(x)), 'sum') / len(w), 6) AS mean_word_len,
+         round(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) / len(w), 6) AS symbol_ratio,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w), 6) AS alpha_ratio,
+         CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS BIGINT) AS stopword_hits
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stopword_hits,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS word_count_ok,
+       mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN} AS mean_word_len_ok,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS symbol_ratio_ok,
+       alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS alpha_ratio_ok,
+       stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS stopword_ok,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+         AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_gopher_oracle(),
+    tags=("pipeline", "text"),
+    doc="Gopher quality rules (Rae et al. 2021 Appendix A; pipeline/text.py "
+    "gopher_rules): the published rule set — word-count bounds, "
+    "mean-word-length bounds, symbol-to-word ratio, alphabetic-word "
+    "fraction, ≥2 stop words — each rule its own boolean plus the "
+    "conjunction, so mixing recipes can ablate rules individually. Pure "
+    "per-row array expressions, zero shuffle at any corpus size (the "
+    "line-based bullet/ellipsis rules need line structure the corpus "
+    "schema doesn't carry — documented out).",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import gopher_rules
+
+    return gopher_rules(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
 
 @register(
@@ -797,7 +896,7 @@ marked AS (
   WHERE g.doc_id % 41 <> 0
 )
 SELECT doc_id, COUNT(*) AS n_grams,
-       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS contaminated
 FROM marked GROUP BY doc_id ORDER BY doc_id
 """,
@@ -1327,7 +1426,7 @@ ratio AS (
   FROM rc FULL JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN tr
 ),
 db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tok WHERE lang <> 'en' GROUP BY 1, 2)
-SELECT db.doc_id, SUM(db.n) AS n_tokens,
+SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_tokens,
        CAST(SUM(CAST(db.n AS DECIMAL(28,9)) * ratio.lr) AS DOUBLE) AS log_weight,
        SUM(CAST(db.n AS DECIMAL(28,9)) * ratio.lr) > 0 AS selected
 FROM db JOIN ratio USING (bucket)
@@ -1338,9 +1437,12 @@ GROUP BY db.doc_id ORDER BY db.doc_id
     "dsir_weights): score raw-pool documents (lang <> 'en') by hashed-unigram "
     "log-likelihood ratio against the target domain (lang = 'en'), add-1 "
     f"smoothing over {16 ** DSIR_HEX} md5-prefix buckets. Per-bucket log-ratio "
-    "rounded to 6 dp once (inside cross-libm ln() agreement; 9 dp preserved "
-    "a last-ULP flip — the r05 driver-red), DECIMAL-accumulated per doc — "
-    "partitioning- and "
+    "rounded to 6 dp once (keeps ln() safely inside cross-libm agreement — "
+    "defensive hardening), DECIMAL-accumulated per doc. The actual r05/r06 "
+    "driver reds were the oracle's uncast SUM(db.n) typing as DuckDB "
+    "HUGEINT, whose rendering diverges from Spark's BIGINT under the "
+    "driver's rendered-value hash — fixed in r07 by CAST(... AS BIGINT), "
+    "guarded by tests/test_oracle_types.py. Partitioning- and "
     "engine-invariant. The ratio table broadcasts; two raw scans + one "
     "target scan, no corpus-size shuffle beyond the doc-keyed sum.",
 )

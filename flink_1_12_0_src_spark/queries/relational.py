@@ -59,7 +59,8 @@ def calc_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "values_inline",
     oracle="""
-SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
+SELECT id, tag, CAST(score AS DOUBLE) AS score
+FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
   AS t(id, tag, score) ORDER BY id
 """,
     tags=("batch", "values"),

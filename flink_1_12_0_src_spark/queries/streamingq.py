@@ -1054,7 +1054,7 @@ cum AS (
 ),
 c1 AS (
   SELECT window_day, epoch,
-         SUM(delta) OVER (PARTITION BY window_day ORDER BY epoch) AS cnt
+         CAST(SUM(delta) OVER (PARTITION BY window_day ORDER BY epoch) AS BIGINT) AS cnt
   FROM cum
 )
 SELECT window_day, cnt FROM c1 ORDER BY window_day, cnt
@@ -1074,7 +1074,11 @@ SELECT window_day, cnt FROM c1 ORDER BY window_day, cnt
     "memory-sink trace under in-order delivery. The window key is the UTC "
     "epoch DAY (unix_micros DIV 86400e6 / epoch_us // 86400e6) — pure "
     "integer arithmetic, immune to session-TZ/calendar divergence between "
-    "engines (the r05 residual red). No watermark: state is never "
+    "engines (defensive hardening; the actual r05/r06 driver reds were the "
+    "oracle's uncast windowed SUM typing as DuckDB HUGEINT, which renders "
+    "differently than Spark's BIGINT under the driver's rendered-value hash "
+    "— fixed in r07 by CAST(... AS BIGINT), guarded by "
+    "tests/test_oracle_types.py). No watermark: state is never "
     "evicted, matching early-fire-before-window-close semantics; the trigger "
     "interval plays the early-fire delay role (documented approximation, "
     "SURVEY §2.8).",

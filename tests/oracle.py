@@ -21,6 +21,37 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Output types every oracle must resolve to. The driver's gate hashes
+# *rendered* values, so an oracle column typed HUGEINT (DuckDB's type for any
+# uncast integer SUM, plain or windowed) or DECIMAL renders through the
+# pandas/Arrow path differently than Spark's BIGINT/DOUBLE even when the
+# values are identical — this was the sole cause of all 6 r06 driver reds
+# (and the r03 flinkddl_csv_source red, commit bd0ead5). Keep oracles plain.
+PLAIN_TYPES = frozenset(
+    {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+)
+
+_FAMILY = {
+    "bigint": "int", "integer": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "varchar": "str", "string": "str",
+    "boolean": "bool",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+
+
+def type_family(dtype: str) -> str:
+    """Map a Spark dtype / DuckDB type string to a render family.
+
+    Families group types whose Python/Arrow rendering is identical (all int
+    widths render the same; VARCHAR==string; …). Anything outside the plain
+    set — HUGEINT, DECIMAL(p,s), arrays — maps to its own raw string, so it
+    only matches an identical type on the other side.
+    """
+    return _FAMILY.get(dtype.strip().lower(), dtype.strip().lower())
+
+
 def _norm(v):
     if isinstance(v, Decimal):
         return float(v)
@@ -50,14 +81,25 @@ def compare_to_oracle(spark, sf_dir: str, spark_fn, oracle: str, float_tol: floa
     """Assert the Spark query and the DuckDB oracle agree. float_tol=0 → exact."""
     sdf = spark_fn(spark, sf_dir)
     scols = sdf.columns
+    stypes = dict(sdf.dtypes)
     srows = [tuple(r) for r in sdf.collect()]
     con = duck_connect(sf_dir)
-    cur = con.execute(oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+    orows = rel.fetchall()
     con.close()
 
     assert sorted(scols) == sorted(ocols), f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}"
+    # The driver hashes *rendered* values, so type families must line up too —
+    # a DuckDB HUGEINT (uncast integer SUM) vs Spark BIGINT is a driver red
+    # even when fetchall() values compare equal (r06 lesson; see PLAIN_TYPES).
+    type_mism = [
+        (c, stypes[c], otypes[c]) for c in sorted(scols) if type_family(stypes[c]) != type_family(otypes[c])
+    ]
+    assert not type_mism, "output type family mismatch (spark vs oracle): " + ", ".join(
+        f"{c}: spark={st} oracle={ot}" for c, st, ot in type_mism
+    )
     assert len(srows) == len(orows), f"row count differs: spark={len(srows)} oracle={len(orows)}"
 
     _, s_norm = normalize(srows, scols)

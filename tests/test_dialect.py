@@ -260,37 +260,35 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 def test_gate_window_composition():
     """The driver verifies only the first 50 load_all() entries per round.
-    Round-6 policy: the three fixed round-5 reds re-verify first, then
-    every oracle-able query that has never had a driver-green row, then the
-    round-6-new queries — no prior-green query occupies a slot while
-    anything untested waits, and the no-oracle ANN trio (which can only
-    ever produce `no_oracle` rows) sits dead last, outside any window."""
+    Round-7 policy: the six oracle-cast-fixed round-6 reds re-verify first,
+    then flinkddl_catalog_registry (the only never-driver-tested oracle-able
+    query, round-6's deliberate deferral), then the round-7-new queries —
+    no prior-green query occupies a slot while anything unevidenced waits,
+    and the no-oracle ANN trio (which can only ever produce `no_oracle`
+    rows) sits dead last, outside any window."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
         _NO_ORACLE_LAST,
-        _R06_FIXED_FIRST,
-        _R06_NEW,
+        _R07_FIXED_FIRST,
+        _R07_NEVER_TESTED,
+        _R07_NEW,
         load_all,
     )
 
     names = list(load_all())
-    assert names[: len(_R06_FIXED_FIRST)] == list(_R06_FIXED_FIRST)
-    never_tested = [
+    front = list(_R07_FIXED_FIRST) + list(_R07_NEVER_TESTED) + list(_R07_NEW)
+    assert names[: len(front)] == front
+    # everything after the front tier and before the ANN trio is driver-green
+    # already — round 7 has zero unevidenced oracle-able queries waiting
+    unevidenced = [
         n for n in names
-        if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST
+        if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST and n not in front
     ]
-    # every untested oracle-able query ranks before every green one: the
-    # 50-slot window is spent on evidence, never on re-verification while
-    # anything untested waits
-    first_green = min(i for i, n in enumerate(names) if n in _DRIVER_GREEN)
-    last_untested = max(i for i, n in enumerate(names) if n in never_tested)
-    assert last_untested < first_green, (last_untested, first_green)
-    assert set(names[:50]) <= set(never_tested), "window slot wasted on a green"
-    # 51 untested enter round 6; exactly ONE defers past the 50-slot window,
-    # and it must be the deliberately least-critical round-6 query — pin it
-    # so a rank regression can't silently truncate a backlog entry instead
-    deferred = [n for n in names[50:] if n in never_tested]
-    assert deferred == ["flinkddl_catalog_registry"], deferred
+    assert unevidenced == [], unevidenced
+    # the whole front tier fits the 50-slot window with room to spare, so
+    # the remaining slots re-verify greens and nothing defers this round
+    assert len(front) <= 50
+    assert set(names[len(front):50]) <= set(_DRIVER_GREEN)
     assert names[-len(_NO_ORACLE_LAST):] == list(_NO_ORACLE_LAST)
 
 

@@ -107,3 +107,38 @@ def test_shuffle_shard_is_a_permutation_and_seed_stable(spark, sf_dir):
              for r in shuffle_shard(docs, "doc_id", seed=78).collect()}
     moved = sum((r["shard_id"], r["position"]) != other[r["doc_id"]] for r in out)
     assert moved > len(out) // 2
+
+
+def test_token_budget_block_size_invariance(spark, sf_dir):
+    """The two-phase distributed prefix sum is EXACT: any block size (including
+    one so large the whole source is a single block — the naive single-window
+    formulation) yields identical (cum_before, selected) assignments."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.sampling import token_budget_select
+
+    docs = table(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+
+    def run(block):
+        rows = token_budget_select(
+            docs, "doc_id", "source", tok, budget=2000, block=block
+        ).collect()
+        return sorted(map(tuple, rows))
+
+    single_window = run(10**9)  # one block per source == naive formulation
+    assert run(64) == single_window
+    assert run(257) == single_window  # non-power-of-two, misaligned boundaries
+    # budget boundary: per source, the selected set is a prefix in id order
+    # and stops exactly where cum_before crosses the budget
+    by_src = {}
+    for doc_id, src, n, cum, sel in single_window:
+        by_src.setdefault(src, []).append((doc_id, n, cum, sel))
+    for src, rows in by_src.items():
+        rows.sort()
+        cum = 0
+        for doc_id, n, cum_before, sel in rows:
+            assert cum_before == cum
+            assert sel == (cum_before < 2000)
+            cum += n
