@@ -209,3 +209,33 @@ def test_training_mix_pack_window_is_sharded(spark, sf_dir):
     ]
     assert win_lines, "pack window missing from plan"
     assert all("shard_id" in l for l in win_lines), win_lines
+
+
+def test_token_budget_windows_are_block_scoped(spark, sf_dir):
+    # the two-phase prefix sum must never run a source-wide running-sum
+    # window over corpus rows: the intra-block window partitions by
+    # (source, _blk), and the only source-only window runs over the tiny
+    # per-block SUBTOTAL table (input of an aggregate), not the corpus
+    plan = _plan(spark, sf_dir, "dataset_token_budget")
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "prefix-sum windows missing from plan"
+    corpus_wins = [l for l in win_lines if "n_tokens" in l]
+    assert corpus_wins and all("_blk" in l for l in corpus_wins), corpus_wins
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    # pure per-row array expressions: no Exchange anywhere before the
+    # ORDER BY (the single rangepartitioning sort is the query's own
+    # deterministic output ordering, not operator work)
+    plan = _plan(spark, sf_dir, "text_gopher_rules")
+    lines = plan.splitlines()
+    bad = []
+    for i, l in enumerate(lines):
+        if l.strip().startswith("(") and l.split(")", 1)[-1].strip().startswith("Exchange"):
+            # formatted mode: the partitioning is on the block's Arguments line
+            args = next(
+                (x for x in lines[i + 1 : i + 6] if x.startswith("Arguments:")), ""
+            )
+            if "rangepartitioning" not in args:
+                bad.append((l, args))
+    assert not bad, bad
