@@ -149,7 +149,10 @@ def token_budget_select(
     the offsets side when it fits; sizing ``block`` trades offset-table
     rows against intra-block window width.
 
-    ``token_col`` is a Column expression for the document's token count.
+    ``token_col`` is a Column expression for the document's token count; a
+    NULL count contributes 0 tokens to the running sum (matching SQL window
+    SUM's NULL-skipping), so the row still gets a concrete cum_before and
+    selected instead of a NULL that drops it from both result sets.
     Output: (id, source, n_tokens, cum_before, selected).
     """
     d = df.select(
@@ -175,7 +178,11 @@ def token_budget_select(
         "_blk",
         F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias("_off"),
     )
-    cum_before = (F.col("_off") + F.col("_cum_in") - F.col("n_tokens")).cast("bigint")
+    cum_before = (
+        F.col("_off")
+        + F.coalesce(F.col("_cum_in"), F.lit(0))  # all-NULL frame → no tokens yet
+        - F.coalesce(F.col("n_tokens"), F.lit(0))
+    ).cast("bigint")
     return (
         d.join(offs, [source_col, "_blk"])
         .select(

@@ -150,7 +150,9 @@ _R05_DRIVER_GREEN = frozenset(
 )
 
 # Round-6 driver-green rows (CORRECTNESS_r06.json, hash_match=true) — the
-# whole round-5 backlog plus 6 of the 7 round-6-new queries.
+# whole round-5 backlog plus 5 of the 7 round-6-new queries (the other two:
+# flinkddl_datagen_sequence red on the HUGEINT oracle typing,
+# flinkddl_catalog_registry deferred past the window).
 _R06_DRIVER_GREEN = frozenset(
     {
         "cdc_consume_changelog_agg", "dataset_pack_sequences",
@@ -229,10 +231,11 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 8 (6 fixed + 1 never-tested + 1 round-7-new), far inside
+    Tiers 0+1+2 = 11 (6 fixed + 1 never-tested + 4 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
-    243/243 round-over-round union.
+    246/246 round-over-round union (the remaining ~39 slots re-verify
+    greens).
     """
     if name in _R07_FIXED_FIRST:
         return (0, _R07_FIXED_FIRST.index(name))

@@ -1661,14 +1661,13 @@ def flinkddl_show_tables_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flinkddl_explain_plan",
     oracle="""
 SELECT * FROM (VALUES
-  ('== Physical Plan ==', true),
-  ('AdaptiveSparkPlan',   true),
-  ('Exchange',            true),
-  ('HashAggregate',       true),
-  ('PushedFilters',       true),
-  ('ReadSchema',          true),
-  ('Scan parquet',        true),
-  ('partial_count',       true)
+  ('adaptive_execution',   true),
+  ('columns_pruned',       true),
+  ('exchange',             true),
+  ('parquet_scan',         true),
+  ('physical_plan',        true),
+  ('predicate_pushed',     true),
+  ('two_stage_aggregate',  true)
 ) t(feature, present) ORDER BY feature
 """,
     tags=("dialect", "ddl", "introspection"),
@@ -1676,13 +1675,14 @@ SELECT * FROM (VALUES
     "EXPLAIN PLAN FOR; TableEnvironmentImpl.explainSql, "
     "TableEnvironmentImpl.java:703): the dialect EXPLAIN of a filtered "
     "aggregate renders Catalyst's formatted physical plan, and the row "
-    "asserts the plan SHAPE the engine promises at scale — AQE on "
-    "(AdaptiveSparkPlan), filter pushed to the parquet scan (PushedFilters), "
-    "column-pruned read (ReadSchema), and two-stage aggregation "
-    "(partial_count below the Exchange). Each expected feature becomes a "
-    "(feature, present) row against a closed-form oracle — the explain "
-    "surface's first driver row (previously unit-only), doubling as a "
-    "driver-checked plan-quality gate.",
+    "asserts the plan SHAPE the engine promises at scale — each feature is "
+    "a SEMANTIC predicate over the plan text, not a bare substring: "
+    "predicate_pushed requires the actual GreaterThan(l_quantity,10.0) "
+    "inside PushedFilters (a derived IsNotNull alone does not pass), "
+    "columns_pruned requires the ReadSchema to carry the two referenced "
+    "columns and NONE of lineitem's other columns, two_stage_aggregate "
+    "requires the partial_count below the Exchange. The explain surface's "
+    "first driver row, doubling as a driver-checked plan-quality gate.",
 )
 def flinkddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = TableEnvironment(spark)
@@ -1693,13 +1693,34 @@ def flinkddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXPLAIN SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem_explain "
         "WHERE l_quantity > 10 GROUP BY l_returnflag"
     ).collect()[0][0]
-    features = [
-        "== Physical Plan ==", "AdaptiveSparkPlan", "Exchange",
-        "HashAggregate", "PushedFilters", "ReadSchema", "Scan parquet",
-        "partial_count",
-    ]
+    read_schema = next(
+        (l for l in plan.splitlines() if l.startswith("ReadSchema:")), ""
+    )
+    pushed = next(
+        (l for l in plan.splitlines() if l.startswith("PushedFilters:")), ""
+    )
+    features = {
+        "physical_plan": "== Physical Plan ==" in plan,
+        "adaptive_execution": "AdaptiveSparkPlan" in plan,
+        "parquet_scan": "Scan parquet" in plan,
+        "exchange": "Exchange" in plan,
+        "two_stage_aggregate": "partial_count" in plan and "HashAggregate" in plan,
+        # the real predicate reaches the scan — a derived IsNotNull alone
+        # (which PushedFilters prints even when the comparison is NOT
+        # pushed) must not pass
+        "predicate_pushed": "GreaterThan(l_quantity,10.0)" in pushed,
+        # only the two referenced columns are read
+        "columns_pruned": (
+            "l_quantity" in read_schema
+            and "l_returnflag" in read_schema
+            and not any(
+                c in read_schema
+                for c in ("l_orderkey", "l_extendedprice", "l_shipdate", "l_partkey")
+            )
+        ),
+    }
     return spark.createDataFrame(
-        [(f, f in plan) for f in sorted(features)], "feature string, present boolean"
+        sorted(features.items()), "feature string, present boolean"
     )
 
 

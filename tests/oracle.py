@@ -27,13 +27,17 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 # pandas/Arrow path differently than Spark's BIGINT/DOUBLE even when the
 # values are identical — this was the sole cause of all 6 r06 driver reds
 # (and the r03 flinkddl_csv_source red, commit bd0ead5). Keep oracles plain.
+# FLOAT/REAL is deliberately NOT plain: float32 renders its excess digits
+# ('0.10000000149011612' vs double '0.1'), the same rendered-value divergence
+# class as HUGEINT — no oracle may emit it (none does; audit-verified).
 PLAIN_TYPES = frozenset(
-    {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+    {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
 )
 
 _FAMILY = {
     "bigint": "int", "integer": "int", "int": "int", "smallint": "int", "tinyint": "int",
-    "double": "float", "float": "float",
+    "double": "float64",
+    "float": "float32", "real": "float32",  # renders differently than double
     "varchar": "str", "string": "str",
     "boolean": "bool",
     "timestamp": "timestamp", "timestamp_ntz": "timestamp",

@@ -81,7 +81,18 @@ def test_harness_reds_on_hugeint_like_the_driver(spark):
 
 def test_type_family_map():
     assert type_family("bigint") == type_family("INTEGER") == "int"
-    assert type_family("double") == type_family("FLOAT") == "float"
+    assert type_family("double") == "float64"
+    # float32 renders excess digits vs double — must NOT share a family
+    assert type_family("FLOAT") == type_family("real") == "float32"
+    assert type_family("FLOAT") != type_family("double")
     assert type_family("string") == type_family("VARCHAR") == "str"
     assert type_family("HUGEINT") == "hugeint"  # matches nothing Spark emits
     assert type_family("DECIMAL(2,1)") == "decimal(2,1)"
+
+
+def test_audit_rejects_float32():
+    con = duck_connect(SF_SMOKE)
+    try:
+        assert _non_plain(con, "SELECT CAST(1.5 AS FLOAT) AS x") == [("x", "FLOAT")]
+    finally:
+        con.close()

@@ -142,3 +142,27 @@ def test_token_budget_block_size_invariance(spark, sf_dir):
             assert cum_before == cum
             assert sel == (cum_before < 2000)
             cum += n
+
+
+def test_token_budget_null_tokens_contribute_zero(spark):
+    """A NULL token count must not poison the prefix sum: the row gets a
+    concrete cum_before/selected (NULL contributes 0, like SQL window SUM)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(0, "a", 5), (1, "a", None), (2, "a", 7), (3, "b", None), (4, "b", 2)],
+        "doc_id long, source string, n long",
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["cum_before"], r["selected"])
+        for r in token_budget_select(
+            df, "doc_id", "source", F.col("n"), budget=10, block=2
+        ).collect()
+    }
+    assert rows[0] == (5, 0, True)
+    assert rows[1] == (None, 5, True)   # concrete, not NULL
+    assert rows[2] == (7, 5, True)      # NULL row added nothing
+    assert rows[3] == (None, 0, True)   # leading NULL in a fresh source
+    assert rows[4] == (2, 0, True)
