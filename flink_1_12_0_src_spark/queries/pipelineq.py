@@ -140,7 +140,7 @@ SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, cum_before,
        cum_before < {TB_BUDGET} AS selected
 FROM c ORDER BY doc_id
 """,
-    tags=("pipeline", "sampling"),
+    tags=("pipeline", "sampling", "bench"),
     doc=f"Per-source TOKEN-budget fill (pipeline/sampling.py "
     f"token_budget_select): documents fill each source's {TB_BUDGET}-token "
     "budget in ascending-id order; selected while the start offset is "
@@ -511,7 +511,7 @@ FROM m ORDER BY doc_id
 @register(
     "text_gopher_rules",
     oracle=_gopher_oracle(),
-    tags=("pipeline", "text"),
+    tags=("pipeline", "text", "bench"),
     doc="Gopher quality rules (Rae et al. 2021 Appendix A; pipeline/text.py "
     "gopher_rules): the published rule set — word-count bounds, "
     "mean-word-length bounds, symbol-to-word ratio, alphabetic-word "

@@ -166,3 +166,42 @@ def test_token_budget_null_tokens_contribute_zero(spark):
     assert rows[2] == (7, 5, True)      # NULL row added nothing
     assert rows[3] == (None, 0, True)   # leading NULL in a fresh source
     assert rows[4] == (2, 0, True)
+
+
+def test_token_budget_property_matches_python_reference(spark):
+    """Hypothesis: random (id, source, tokens-with-nulls) tables — the
+    two-phase distributed prefix sum must equal the sequential python
+    reference exactly, for any block size."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.sampling import token_budget_select
+
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.one_of(st.none(), st.integers(0, 50))),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(rows=rows_strategy, block=st.sampled_from([1, 3, 7, 1000]), budget=st.integers(0, 120))
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(rows, block, budget):
+        pdf = pd.DataFrame(
+            [(i, s, n) for i, (s, n) in enumerate(rows)], columns=["doc_id", "source", "n"]
+        )
+        sdf = spark.createDataFrame(
+            pdf.astype(object).where(pdf.notna(), None), "doc_id long, source string, n long"
+        )
+        got = {
+            r["doc_id"]: (r["cum_before"], r["selected"])
+            for r in token_budget_select(sdf, "doc_id", "source", F.col("n"), budget, block=block).collect()
+        }
+        cum: dict = {}
+        for i, (s, n) in enumerate(rows):
+            before = cum.get(s, 0)
+            assert got[i] == (before, before < budget), (i, s, n, block, budget)
+            cum[s] = before + (n or 0)
+
+    run()
