@@ -203,7 +203,7 @@ def pagerank(
         "rank", F.lit(PR_SCALE).cast("long")
     )
     base = (100 - damping_pct) * PR_SCALE // 100
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = ud_deg.join(ranks, ud_deg.src == ranks.v).select(
             F.col("dst").alias("v"), F.expr("rank DIV outdeg").alias("c")
         )
@@ -214,8 +214,19 @@ def pagerank(
                 "v",
                 (F.lit(base) + F.expr(f"({damping_pct} * s) DIV 100")).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Lineage here grows LINEARLY (each iteration references the prior
+        # ranks exactly once), so a truncation every iteration only buys plan
+        # hygiene while charging one full eager job per round (~20% of total
+        # at bench scale). Truncate every 3rd round instead — plan depth
+        # stays bounded for high iteration counts, and the intermediate
+        # rounds fuse into one job.
+        if (i + 1) % 3 == 0 and i != iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize the FINAL ranks while ud_deg is still cached — the lazy
+    # tail would otherwise re-derive the edge+degree join from parquet at
+    # the caller's first action, after the unpersist below
+    ranks = ranks.localCheckpoint(eager=True)
     ud_deg.unpersist()
     return ranks.select("v", F.col("rank").alias("pagerank"))
 
