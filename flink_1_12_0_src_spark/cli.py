@@ -15,10 +15,68 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 from flink_1_12_0_src_spark.catalog import TABLES, table
 from flink_1_12_0_src_spark.session import get_spark
 from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+
+# SqlClient.java:83 SOURCE_MAX_SIZE — refuse oversized script files
+_SOURCE_MAX_SIZE = 50_000
+
+_HELP = """Available commands (SqlCommandParser.java command set):
+  QUIT/EXIT; CLEAR; HELP; SOURCE <file>;
+  SHOW CATALOGS/DATABASES/TABLES/VIEWS/FUNCTIONS/MODULES/PARTITIONS;
+  SHOW CURRENT CATALOG/DATABASE; USE [CATALOG] <name>;
+  CREATE/DROP/ALTER CATALOG|DATABASE|TABLE|VIEW|FUNCTION;
+  DESCRIBE <table>; EXPLAIN [PLAN FOR] <query>;
+  SET ['key' = 'value']; RESET ['key']; INSERT INTO/OVERWRITE; SELECT ...;"""
+
+
+def _dispatch(env, stmt: str, max_rows: int) -> None:
+    """Route one statement the way CliClient.callCommand does."""
+    head = stmt.split(None, 1)[0].upper()
+    if head == "HELP":
+        print(_HELP)
+    elif head == "CLEAR":
+        sys.stdout.write("\033[2J\033[H")
+    elif head == "SOURCE":
+        # CliClient.java:686 callSource — read the file as ONE statement
+        # (size-capped), echo it, then dispatch it recursively
+        parts = stmt.split(None, 1)
+        if len(parts) < 2:
+            raise ValueError("SOURCE needs a path: SOURCE <script-file>")
+        text = Path(parts[1].strip().strip("'\"")).read_text()
+        if len(text) > _SOURCE_MAX_SIZE:
+            raise ValueError(f"SOURCE file exceeds {_SOURCE_MAX_SIZE} chars")
+        inner = text.strip().rstrip(";").strip()
+        print(f"[INFO] Executing SQL from file:\n{inner}")
+        if inner:
+            _dispatch(env, inner, max_rows)
+    elif head == "EXPLAIN":
+        # Flink SqlClient EXPLAIN [PLAN FOR] <query>
+        parts = stmt.split(None, 1)
+        if len(parts) < 2:
+            raise ValueError("EXPLAIN needs a query: EXPLAIN [PLAN FOR] <query>")
+        body = parts[1]
+        if body.upper().startswith("PLAN FOR"):
+            body = body[len("PLAN FOR") :].strip()
+        print(env.explain_sql(body))
+    elif head in {"CREATE", "DROP", "INSERT", "ALTER", "SET", "RESET", "USE"}:
+        # statement commands: Flink-dialect routing (a bare SET lists
+        # the session properties, so it may return rows)
+        out = env.execute_sql(stmt)
+        if out is not None:
+            out.show(max_rows, truncate=False)
+        else:
+            print("OK")
+    elif head in {"SHOW", "DESCRIBE", "DESC"}:
+        # introspection goes through the dialect router, NOT spark.sql
+        # (SHOW CATALOGS/MODULES etc. differ from Spark's own SHOW)
+        env.execute_sql(stmt).show(max_rows, truncate=False)
+    else:
+        env.sql_query(stmt).show(max_rows, truncate=False)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,30 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         if stmt.lower() in {"quit", "exit"}:
             break
         try:
-            head = stmt.split(None, 1)[0].upper()
-            if head == "EXPLAIN":
-                # Flink SqlClient EXPLAIN [PLAN FOR] <query>
-                parts = stmt.split(None, 1)
-                if len(parts) < 2:
-                    raise ValueError("EXPLAIN needs a query: EXPLAIN [PLAN FOR] <query>")
-                body = parts[1]
-                if body.upper().startswith("PLAN FOR"):
-                    body = body[len("PLAN FOR") :].strip()
-                print(env.explain_sql(body))
-            elif head in {"CREATE", "DROP", "INSERT", "ALTER", "SET", "RESET", "USE"}:
-                # statement commands: Flink-dialect routing (a bare SET lists
-                # the session properties, so it may return rows)
-                out = env.execute_sql(stmt)
-                if out is not None:
-                    out.show(args.max_rows, truncate=False)
-                else:
-                    print("OK")
-            elif head in {"SHOW", "DESCRIBE", "DESC"}:
-                # introspection goes through the dialect router, NOT spark.sql
-                # (SHOW CATALOGS/MODULES etc. differ from Spark's own SHOW)
-                env.execute_sql(stmt).show(args.max_rows, truncate=False)
-            else:
-                env.sql_query(stmt).show(args.max_rows, truncate=False)
+            _dispatch(env, stmt, args.max_rows)
         except Exception as ex:  # REPL: report, keep session alive
             print(f"ERROR: {ex}", file=sys.stderr)
     spark.stop()

@@ -209,6 +209,7 @@ _R07_NEW = (
     "text_gopher_rules",
     "dataset_token_budget",
     "flinkddl_show_tables_views",
+    "flinkddl_show_modules",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -231,7 +232,7 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 11 (6 fixed + 1 never-tested + 4 round-7-new), far inside
+    Tiers 0+1+2 = 12 (6 fixed + 1 never-tested + 5 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
     246/246 round-over-round union (the remaining ~39 slots re-verify

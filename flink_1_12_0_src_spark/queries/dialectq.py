@@ -1613,6 +1613,38 @@ def flinkddl_set_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flinkddl_show_modules",
+    oracle="""
+SELECT * FROM (VALUES
+  ('after_load',   1, 'core'),
+  ('after_load',   2, 'ext_fns'),
+  ('after_unload', 1, 'core')
+) t(phase, pos, module_name) ORDER BY phase, pos
+""",
+    tags=("dialect", "ddl", "module"),
+    doc="Module registry round trip (FLIP-68 — TableEnvironment.java:354-362 "
+    "loadModule/unloadModule, ModuleManager.java LinkedHashMap resolution "
+    "order, SqlCommandParser.java:250 SHOW MODULES): load a second module, "
+    "SHOW MODULES lists both in LOAD order with core first; unload it, the "
+    "listing shrinks back. Duplicate-load and unknown-unload raise, as in "
+    "ModuleManager (unit-tested); position in the listing is the function-"
+    "resolution order surface.",
+)
+def flinkddl_show_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = TableEnvironment(spark)
+    env.load_module("ext_fns", object())
+    # the SQL statement surface must agree with the Java-API listing
+    shown = sorted(r["module_name"] for r in env.execute_sql("SHOW MODULES").collect())
+    assert shown == sorted(env.list_modules()), shown
+    rows = [("after_load", i + 1, n) for i, n in enumerate(env.list_modules())]
+    env.unload_module("ext_fns")
+    rows += [("after_unload", i + 1, n) for i, n in enumerate(env.list_modules())]
+    return spark.createDataFrame(
+        rows, "phase string, pos int, module_name string"
+    ).orderBy("phase", "pos")
+
+
+@register(
     "flinkddl_show_tables_views",
     oracle="""
 SELECT * FROM (VALUES

@@ -79,6 +79,11 @@ class TableEnvironment:
         self._db_props: dict[str, dict[str, str]] = {}
         self.current_catalog = "default_catalog"
         self.current_database = "default_database"
+        # module registry (FLIP-68 — TableEnvironment.java:354-362
+        # loadModule/unloadModule, :689 listModules; ModuleManager resolves
+        # functions through modules in LOAD order, 'core' always first):
+        # name → module object (opaque here; resolution order is the surface)
+        self._modules: dict[str, object] = {"core": None}
 
     # -- DDL / DML entry point (executeSql analog) -------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -219,8 +224,11 @@ class TableEnvironment:
                 [(p_,) for p_ in specs], "partition_name string"
             )
         if head == "SHOW" and s.upper().endswith("MODULES"):
-            # SqlCommandParser SHOW_MODULES — the default core module
-            return self.spark.createDataFrame([("core",)], "module_name string")
+            # SqlCommandParser.java:250 SHOW_MODULES — module names in
+            # resolution (load) order, 'core' first (ModuleManager)
+            return self.spark.createDataFrame(
+                [(n,) for n in self._modules], "module_name string"
+            )
         if head == "SHOW" and s.upper().endswith("DATABASES"):
             # SqlShowDatabases → the single in-memory catalog database
             return self.spark.createDataFrame(
@@ -536,6 +544,26 @@ class TableEnvironment:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def load_module(self, name: str, module: object) -> None:
+        """TableEnvironment.loadModule (TableEnvironment.java:354; FLIP-68):
+        append a module to the resolution order. Duplicate names are an
+        error, as in ModuleManager.loadModule."""
+        if name in self._modules:
+            raise ValueError(f"module {name} already loaded")
+        self._modules[name] = module
+
+    def unload_module(self, name: str) -> None:
+        """TableEnvironment.unloadModule (TableEnvironment.java:362;
+        ModuleManager.java unloads ANY name incl. core — mirrored)."""
+        if name not in self._modules:
+            raise ValueError(f"No module with name {name} exists")
+        del self._modules[name]
+
+    def list_modules(self) -> list[str]:
+        """TableEnvironment.listModules (TableEnvironment.java:689) —
+        names in resolution order."""
+        return list(self._modules)
 
     def explain_sql(self, query: str) -> str:
         """TableEnvironment.explainSql / SqlClient ``EXPLAIN [PLAN FOR]``

@@ -73,3 +73,29 @@ quit;
     assert "default_catalog" in out                          # Flink catalogs, not spark_catalog
     assert "core" in out                                     # SHOW MODULES
     assert out.count("OK") >= 2                              # SET k=v and RESET ack
+
+
+def test_cli_source_help_clear(tmp_path):
+    """SOURCE <file> (CliClient.java:686 — read one statement from a file,
+    echo, execute), HELP, and CLEAR round out the SqlCommandParser command
+    set in the REPL."""
+    sql_file = tmp_path / "script.sql"
+    sql_file.write_text("SELECT COUNT(*) AS n_from_file FROM region;\n")
+    big = tmp_path / "big.sql"
+    big.write_text("-- " + "x" * 60_000)
+    script = f"""HELP;
+CLEAR;
+SOURCE {sql_file};
+SOURCE {big};
+quit;
+"""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flink_1_12_0_src_spark.cli",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2"],
+        input=script, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SOURCE <file>" in proc.stdout          # HELP listed the command
+    assert "Executing SQL from file" in proc.stdout
+    assert "n_from_file" in proc.stdout            # the sourced SELECT ran
+    assert "exceeds 50000" in proc.stderr          # size cap enforced

@@ -1263,3 +1263,25 @@ def test_datagen_bounded_variants(spark):
     sdf = env.stream_table("gen_unbounded")
     assert sdf.isStreaming and sdf.columns == ["id", "name"]
     assert dict(sdf.dtypes) == {"id": "bigint", "name": "string"}
+
+
+def test_module_registry_semantics(spark):
+    """ModuleManager parity: LOAD order is resolution order, duplicate load
+    and unknown unload raise, core is unloadable like any module."""
+    import pytest as _pytest
+
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.list_modules() == ["core"]
+    env.load_module("a", object())
+    env.load_module("b", object())
+    assert env.list_modules() == ["core", "a", "b"]
+    with _pytest.raises(ValueError, match="already"):
+        env.load_module("a", object())
+    env.unload_module("a")
+    assert env.list_modules() == ["core", "b"]
+    with _pytest.raises(ValueError, match="No module"):
+        env.unload_module("a")
+    env.unload_module("core")  # reference allows it (ModuleManager.java)
+    assert env.list_modules() == ["b"]
