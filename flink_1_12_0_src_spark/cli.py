@@ -34,16 +34,32 @@ _HELP = """Available commands (SqlCommandParser.java command set):
   SET ['key' = 'value']; RESET ['key']; INSERT INTO/OVERWRITE; SELECT ...;"""
 
 
-def _dispatch(env, stmt: str, max_rows: int) -> None:
-    """Route one statement the way CliClient.callCommand does."""
+# SOURCE may dispatch a statement that is itself a SOURCE; bound the chain
+# so a self-/cyclically-SOURCing script fails fast instead of recursing to
+# the interpreter limit with a 50 KB echo per level
+_SOURCE_MAX_DEPTH = 16
+
+
+def _dispatch(env, stmt: str, max_rows: int, depth: int = 0) -> bool:
+    """Route one statement the way CliClient.callCommand does.
+
+    Returns False when the statement ends the session (QUIT/EXIT — also
+    honored inside a SOURCE'd file, as CliClient routes sourced content
+    through the same command parser), True otherwise.
+    """
     head = stmt.split(None, 1)[0].upper()
+    if head in {"QUIT", "EXIT"}:
+        return False
     if head == "HELP":
         print(_HELP)
     elif head == "CLEAR":
-        sys.stdout.write("\033[2J\033[H")
+        if sys.stdout.isatty():  # CliClient clears only a real terminal
+            sys.stdout.write("\033[2J\033[H")
     elif head == "SOURCE":
         # CliClient.java:686 callSource — read the file as ONE statement
         # (size-capped), echo it, then dispatch it recursively
+        if depth >= _SOURCE_MAX_DEPTH:
+            raise ValueError(f"SOURCE nesting exceeds {_SOURCE_MAX_DEPTH} levels")
         parts = stmt.split(None, 1)
         if len(parts) < 2:
             raise ValueError("SOURCE needs a path: SOURCE <script-file>")
@@ -53,7 +69,7 @@ def _dispatch(env, stmt: str, max_rows: int) -> None:
         inner = text.strip().rstrip(";").strip()
         print(f"[INFO] Executing SQL from file:\n{inner}")
         if inner:
-            _dispatch(env, inner, max_rows)
+            return _dispatch(env, inner, max_rows, depth + 1)
     elif head == "EXPLAIN":
         # Flink SqlClient EXPLAIN [PLAN FOR] <query>
         parts = stmt.split(None, 1)
@@ -77,6 +93,7 @@ def _dispatch(env, stmt: str, max_rows: int) -> None:
         env.execute_sql(stmt).show(max_rows, truncate=False)
     else:
         env.sql_query(stmt).show(max_rows, truncate=False)
+    return True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -112,10 +129,9 @@ def main(argv: list[str] | None = None) -> int:
         buf = []
         if not stmt:
             continue
-        if stmt.lower() in {"quit", "exit"}:
-            break
         try:
-            _dispatch(env, stmt, args.max_rows)
+            if not _dispatch(env, stmt, args.max_rows):
+                break
         except Exception as ex:  # REPL: report, keep session alive
             print(f"ERROR: {ex}", file=sys.stderr)
     spark.stop()

@@ -235,7 +235,7 @@ def _gate_rank(name: str) -> tuple[int, int]:
     Tiers 0+1+2 = 12 (6 fixed + 1 never-tested + 5 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
-    246/246 round-over-round union (the remaining ~39 slots re-verify
+    247/247 round-over-round union (the remaining ~38 slots re-verify
     greens).
     """
     if name in _R07_FIXED_FIRST:

@@ -1633,9 +1633,10 @@ SELECT * FROM (VALUES
 def flinkddl_show_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = TableEnvironment(spark)
     env.load_module("ext_fns", object())
-    # the SQL statement surface must agree with the Java-API listing
-    shown = sorted(r["module_name"] for r in env.execute_sql("SHOW MODULES").collect())
-    assert shown == sorted(env.list_modules()), shown
+    # the SQL statement surface must agree with the Java-API listing IN
+    # LOAD ORDER — the resolution-order surface is the point of FLIP-68
+    shown = [r["module_name"] for r in env.execute_sql("SHOW MODULES").collect()]
+    assert shown == env.list_modules(), shown
     rows = [("after_load", i + 1, n) for i, n in enumerate(env.list_modules())]
     env.unload_module("ext_fns")
     rows += [("after_unload", i + 1, n) for i, n in enumerate(env.list_modules())]

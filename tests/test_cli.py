@@ -99,3 +99,25 @@ quit;
     assert "Executing SQL from file" in proc.stdout
     assert "n_from_file" in proc.stdout            # the sourced SELECT ran
     assert "exceeds 50000" in proc.stderr          # size cap enforced
+
+
+def test_cli_source_quit_and_recursion_cap(tmp_path):
+    """A SOURCE'd QUIT ends the session (CliClient routes sourced content
+    through the same command parser), and a self-SOURCing script fails with
+    a bounded nesting error instead of recursing."""
+    quit_sql = tmp_path / "quit.sql"
+    quit_sql.write_text("QUIT;\n")
+    loop_sql = tmp_path / "loop.sql"
+    loop_sql.write_text(f"SOURCE {loop_sql};\n")
+    script = f"""SOURCE {loop_sql};
+SOURCE {quit_sql};
+SELECT 1 AS should_not_run;
+"""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flink_1_12_0_src_spark.cli",
+         "--sf-dir", "/root/testdata/sf0.001", "--cpus", "2"],
+        input=script, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "nesting exceeds" in proc.stderr       # cycle bounded, session alive
+    assert "should_not_run" not in proc.stdout    # QUIT from the file ended it
