@@ -465,8 +465,22 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ``src < dst`` distinct edge list. At extreme vertex counts (n ≳ 3·10⁶ per
     component set) C(n,3) needs DECIMAL widening — same limit as Gelly's
     long-based census."""
+    # The input edge list may itself be an expensive derivation (the test
+    # host is a lineitem co-order self-join); both the degree aggregation
+    # and the triangle enumeration consume it, so canonicalize + persist it
+    # ONCE and release after materializing the single-row census — halves
+    # the dominant cost at any scale where the edge derivation isn't free.
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias(src),
+            F.greatest(F.col(src), F.col(dst)).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .persist()
+    )
     deg = (
-        _undirected(edges, src, dst)
+        _undirected(canon, src, dst)
         .groupBy(F.col("src").alias("v"))
         .agg(F.count("*").alias("d"))
     )
@@ -476,10 +490,13 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.expr("coalesce(sum(d * (d - 1) div 2), 0)").alias("wedges"),
     )
     t3 = (
-        triangle_counts(edges, src, dst)
+        # materialize=True: the enumerator's own pe persist must stay — the
+        # three-way join references it three times, and only the SOURCE
+        # derivation is shared with the degree path via `canon`
+        triangle_counts(canon, src, dst)
         .agg(F.expr("coalesce(sum(n_triangles), 0) div 3").alias("t3"))
     )
-    return nm.crossJoin(t3).select(
+    out = nm.crossJoin(t3).select(
         F.col("n").cast("bigint").alias("n_vertices"),
         F.col("m").alias("n_edges"),
         (
@@ -493,7 +510,9 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .alias("t1"),
         (F.col("wedges") - 3 * F.col("t3")).cast("bigint").alias("t2"),
         F.col("t3").alias("t3"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; materialize before the unpersist
+    canon.unpersist()
+    return out
 
 
 def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
