@@ -29,6 +29,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Host-load context for the reader: this machine shows up to 20× timing
+    # variance under co-tenant pressure (see round-3/6 phantom regressions) —
+    # a high 1-min load average at start means the run should be re-taken.
+    try:
+        la = os.getloadavg()
+        print(f"# host loadavg at start: {la[0]:.1f} {la[1]:.1f} {la[2]:.1f} (cpus={cpus})", file=sys.stderr)
+    except OSError:
+        pass
+
     reg = load_all()
     bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from flink_1_12_0_src_spark.pipeline.text import tokens
+
 # lexicographic thresholds over the first 8 md5 hex chars == numeric
 # thresholds over the implied uint32 (fixed width, lowercase): 0.9 and 0.95
 # of the hash space. String comparison keeps the split verifiable in any
@@ -119,6 +121,44 @@ def shuffle_shard(df: DataFrame, id_col: str, seed: int = 77, n_shards: int = 16
         F.col(id_col),
         F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard_id"),
         F.row_number().over(w).cast("bigint").alias("position"),
+    )
+
+
+def source_mix_report(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus accounting — the mix report a data curator reads
+    before setting sampling weights: document/char/token volumes, language
+    spread, and each source's share of the corpus.
+
+    Scale (100 TB): ONE source-keyed hash aggregate with map-side partials
+    (token counts are computed map-side from the text, so the shuffle carries
+    only per-source partial sums, never text). The corpus-wide total is a
+    one-row aggregate cross-joined back via broadcast — no global window, no
+    single-partition stage over data-sized input.
+    """
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(lang_col)).alias("n_langs"),
+        F.sum(F.col(chars_col)).cast("bigint").alias("total_chars"),
+        F.sum(F.size(tokens(text_col)).cast("bigint")).alias("total_tokens"),
+    )
+    totals = per_source.agg(F.sum("n_docs").alias("_corpus_docs"))
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+            F.round(F.col("n_docs") / F.col("_corpus_docs"), 6).alias("doc_share"),
+        )
     )
 
 

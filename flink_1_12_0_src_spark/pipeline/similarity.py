@@ -56,6 +56,40 @@ def cosine_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding — the classifier-centroid step of
+    quality/topic filtering pipelines (FineWeb-edu shape: label a seed set,
+    average its embeddings, score the corpus by cosine to the centroid).
+
+    Returns long-form rows (label, dim, centroid, n_vectors) so the output
+    stays in plain scalar types for any engine. Per-dimension sums
+    accumulate in DECIMAL after a fixed 6-dp round, so the mean is exact and
+    order-independent regardless of partitioning/merge order.
+
+    Scale (100 TB): posexplode fans each vector into `dim` rows map-side,
+    then ONE (label, dim)-keyed shuffle with map-side partial aggregation —
+    the classic two-stage mean. Output is |labels|×dim rows: tiny,
+    broadcastable to the scoring pass downstream. No collect, no global
+    window.
+    """
+    ex = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    dec = F.round(F.col("v"), round_digits).cast("decimal(18,6)")
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), round_digits
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 def ivf_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -3,7 +3,7 @@ scoring, token statistics. All pure JVM expressions (no Python UDFs)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
 # the shape of a byte-level BPE's initial split (token *counting*, not a real
@@ -36,6 +36,25 @@ def shingles(text_col: str | Column, k: int) -> Column:
             lambda g: F.array_join(F.slice(w, g + F.lit(1), k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def zipf_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-level term-frequency head (Zipf ranking): the k most frequent
+    whitespace tokens with their frequency and 1-based rank — the vocabulary
+    report a corpus audit runs before tokenizer training.
+
+    Scale (100 TB): the distributed word count — explode map-side, ONE
+    token-keyed shuffle with map-side partial counts, then orderBy+limit
+    which plans as TakeOrderedAndProject (per-partition top-k, single tiny
+    merge — the full vocabulary is never globally sorted). The row_number
+    window then runs over k rows only, so its single partition is bounded by
+    construction. Ties break lexicographically for cross-engine determinism.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("token")).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    head = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1685,3 +1685,90 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_energy(attach_blob(docs, "doc_id", "text"), "doc_id").orderBy(
         "doc_id", "window_idx"
     )
+
+
+@register(
+    "embedding_centroid_by_label",
+    oracle="""
+SELECT label, CAST(ord - 1 AS INTEGER) AS dim,
+       round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+      FROM embeddings)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+    tags=("pipeline", "similarity"),
+    doc="Per-label mean embedding (pipeline.similarity.label_centroids) — "
+    "the classifier-centroid step of FineWeb-edu-style quality/topic "
+    "filtering: average a labeled seed set's embeddings, then score the "
+    "corpus by cosine to the centroid. Long-form (label, dim) output keeps "
+    "types plain; sums accumulate in DECIMAL after a fixed 6-dp round so "
+    "the mean is bit-identical across engines and merge orders. Scale: "
+    "posexplode map-side, one (label, dim)-keyed shuffle with partial "
+    "aggregation; output |labels|x|dim| rows, broadcastable downstream.",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import label_centroids
+
+    return label_centroids(table(spark, sf_dir, "embeddings")).orderBy("label", "dim")
+
+
+@register(
+    "text_zipf_rank_report",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS zipf_rank
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 50
+""",
+    tags=("pipeline", "text"),
+    doc="Corpus-level term-frequency head (pipeline.text.zipf_topk): the 50 "
+    "most frequent tokens with frequency and 1-based Zipf rank — the "
+    "vocabulary audit run before tokenizer training. Scale: the canonical "
+    "distributed word count (explode map-side, one token-keyed shuffle with "
+    "map-side partial counts), then orderBy+limit planning as "
+    "TakeOrderedAndProject so the full vocabulary is never globally sorted; "
+    "the rank window runs over the 50-row head only. Lexicographic "
+    "tiebreak for cross-engine determinism.",
+)
+def text_zipf_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import zipf_topk
+
+    return zipf_topk(table(spark, sf_dir, "documents"), "text", 50).withColumnRenamed(
+        "rank", "zipf_rank"
+    )
+
+
+@register(
+    "dataset_source_mix_report",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_langs, total_chars, total_tokens,
+       round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+       round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
+FROM s
+ORDER BY source
+""",
+    tags=("pipeline", "sampling"),
+    doc="Per-source corpus accounting (pipeline.sampling.source_mix_report) "
+    "— the mix report read before setting sampling weights: doc/char/token "
+    "volumes, language spread, share of corpus. Scale: one source-keyed "
+    "hash aggregate with map-side partials (token counts computed map-side, "
+    "text never shuffles); the corpus total is a one-row aggregate "
+    "broadcast back — no global window over data-sized input.",
+)
+def dataset_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import source_mix_report
+
+    return source_mix_report(table(spark, sf_dir, "documents")).orderBy("source")

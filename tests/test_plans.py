@@ -239,3 +239,29 @@ def test_gopher_rules_zero_shuffle(spark, sf_dir):
             if "rangepartitioning" not in args:
                 bad.append((l, args))
     assert not bad, bad
+
+
+def test_zipf_head_never_sorts_vocabulary(spark, sf_dir):
+    # the vocabulary head is per-partition top-k + one tiny merge; the rank
+    # window then runs over the 50-row head, never the full vocabulary
+    plan = _plan(spark, sf_dir, "text_zipf_rank_report")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial word counts
+
+
+def test_label_centroids_two_stage(spark, sf_dir):
+    # posexplode fans out map-side; the (label, dim) mean is a two-stage
+    # hash aggregate — partial before the one keyed Exchange, final after
+    plan = _plan(spark, sf_dir, "embedding_centroid_by_label")
+    assert "Generate" in plan  # posexplode, map-side
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_source_mix_total_broadcasts(spark, sf_dir):
+    # the corpus-wide total is a one-row aggregate broadcast back onto the
+    # 20-row per-source aggregate — never a global window over input data
+    plan = _plan(spark, sf_dir, "dataset_source_mix_report")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
