@@ -90,6 +90,54 @@ def label_centroids(
     )
 
 
+def nearest_centroid_classify(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification — the scoring pass that follows
+    :func:`label_centroids` in a FineWeb-edu-style quality/topic filter:
+    every corpus vector is assigned the label whose centroid it is most
+    cosine-similar to. Returns (vec_id, true_label, pred_label, cosine,
+    correct) so the same output doubles as the filter's confusion report.
+
+    Scale (100 TB): centroids are |labels|×dim — reassembled into arrays and
+    BROADCAST; the corpus is scanned once with a map-side cosine argmax (the
+    per-vec_id window runs over |labels| rows per vector). The corpus never
+    shuffles on data size. Cosines are rounded to 6 dp with a label tiebreak
+    for cross-engine determinism.
+    """
+    cents = (
+        label_centroids(corpus, vec_col, label_col, round_digits)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
+        .select(
+            F.col("label").alias("pred_label"),
+            F.transform("pm", lambda s: s["centroid"]).alias("cv"),
+        )
+    )
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("true_label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    j = e.crossJoin(F.broadcast(cents))
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))),
+        round_digits,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("pred_label"))
+    return (
+        j.select("vec_id", "true_label", "pred_label", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("correct", F.col("pred_label") == F.col("true_label"))
+    )
+
+
 def ivf_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

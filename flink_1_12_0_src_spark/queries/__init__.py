@@ -211,6 +211,7 @@ _R07_NEW = (
     "flinkddl_show_tables_views",
     "flinkddl_show_modules",
     "embedding_centroid_by_label",
+    "embedding_nearest_centroid",
     "text_zipf_rank_report",
     "dataset_source_mix_report",
 )
@@ -235,10 +236,10 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 15 (6 fixed + 1 never-tested + 8 round-7-new), far inside
+    Tiers 0+1+2 = 16 (6 fixed + 1 never-tested + 9 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
-    250/250 round-over-round union (the remaining ~35 slots re-verify
+    251/251 round-over-round union (the remaining ~34 slots re-verify
     greens).
     """
     if name in _R07_FIXED_FIRST:

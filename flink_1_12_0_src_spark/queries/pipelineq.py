@@ -1772,3 +1772,41 @@ def dataset_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.sampling import source_mix_report
 
     return source_mix_report(table(spark, sf_dir, "documents")).orderBy("source")
+
+
+@register(
+    "embedding_nearest_centroid",
+    oracle="""
+WITH ex AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+            FROM embeddings),
+cent AS (SELECT label, ord,
+                round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS c
+         FROM ex GROUP BY label, ord),
+cl AS (SELECT label AS pred_label, list(c ORDER BY ord) AS cv FROM cent GROUP BY label),
+e AS (SELECT vec_id, label AS true_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+SELECT e.vec_id, e.true_label, cl.pred_label,
+       round(list_cosine_similarity(e.v, cl.cv), 6) AS cosine,
+       cl.pred_label = e.true_label AS correct
+FROM e CROSS JOIN cl
+QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, cl.cv), 6) DESC,
+                                    cl.pred_label) = 1
+ORDER BY e.vec_id
+""",
+    tags=("pipeline", "similarity"),
+    doc="Nearest-centroid classification (pipeline.similarity."
+    "nearest_centroid_classify) — the scoring pass after "
+    "embedding_centroid_by_label in a FineWeb-edu-style filter: label "
+    "centroids reassembled into arrays, BROADCAST, one corpus scan with a "
+    "map-side cosine argmax (per-vector window over |labels| rows). The "
+    "corpus never shuffles on data size; 6-dp rounding + label tiebreak "
+    "make the argmax engine-identical. Output doubles as the confusion "
+    "report (true vs predicted label per vector).",
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import nearest_centroid_classify
+
+    return nearest_centroid_classify(table(spark, sf_dir, "embeddings")).orderBy("vec_id")

@@ -265,3 +265,11 @@ def test_source_mix_total_broadcasts(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    # |labels|xdim centroids broadcast; the corpus scan carries the cosine
+    # argmax map-side and never shuffles on data size
+    plan = _plan(spark, sf_dir, "embedding_nearest_centroid")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
