@@ -510,3 +510,38 @@ def test_pack_sequences_sharded_packing(spark):
         rs.sort(key=lambda r: r["doc_id"])
         assert rs[0]["start_offset"] == 0  # offsets restart per shard
         assert [r["pack_id"] for r in rs] == [i * 10 // 25 for i in range(10)]
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    """Third-implementation cross-check: the Spark/DuckDB centroid spec
+    (6-dp round → DECIMAL sum → /n → 6-dp round) recomputed in numpy
+    float64 must agree to the last rounded digit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from flink_1_12_0_src_spark.pipeline.similarity import label_centroids
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+        for r in label_centroids(table(spark, sf_dir, "embeddings")).collect()
+    }
+    for label, grp in pdf.groupby("label"):
+        mat = np.round(np.stack(grp["embedding"].to_numpy()).astype(np.float64), 6)
+        want = np.round(mat.sum(axis=0) / len(grp), 6)
+        for dim in range(mat.shape[1]):
+            centroid, n = got[(label, dim)]
+            assert n == len(grp)
+            assert centroid == pytest.approx(want[dim], abs=1.5e-6)
+
+
+def test_nearest_centroid_agreement_beats_chance(spark, sf_dir):
+    """The label structure in the synthetic embeddings is real: assigning
+    each vector to its nearest label centroid must agree with the true
+    label well above the 1/|labels| chance rate."""
+    from flink_1_12_0_src_spark.pipeline.similarity import nearest_centroid_classify
+
+    rows = nearest_centroid_classify(table(spark, sf_dir, "embeddings")).collect()
+    n_labels = len({r["true_label"] for r in rows})
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc > 1.5 / n_labels, (acc, n_labels)
