@@ -138,6 +138,48 @@ def nearest_centroid_classify(
     )
 
 
+def cluster_cohesion(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label cluster cohesion report — the quality gate run after a
+    clustering / labeling pass (e.g. before SemDeDup-style within-cluster
+    dedup): for every label, the mean / min / max cosine similarity of its
+    members to the label centroid. Low mean cohesion flags an incoherent
+    cluster; a low min flags outlier members worth re-assigning.
+
+    Scale (100 TB): centroids come from :func:`label_centroids`
+    (|labels|×dim, one keyed shuffle), are reassembled into arrays and
+    BROADCAST; the corpus joins on ``label`` map-side and the final
+    aggregate is per-label with map-side partials — the corpus never
+    shuffles on data size. Cosines round to 6 dp and the mean accumulates
+    in DECIMAL, so every statistic is order-independent across engines.
+    """
+    cents = (
+        label_centroids(corpus, vec_col, label_col, round_digits)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["centroid"]).alias("cv"))
+    )
+    e = corpus.select(F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("v"))
+    j = e.join(F.broadcast(cents), "label")
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))),
+        round_digits,
+    )
+    dec = cos.cast("decimal(18,6)")
+    return j.select("label", cos.alias("cos"), dec.alias("dcos")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("dcos").cast("double") / F.count(F.lit(1)), round_digits).alias(
+            "mean_cosine"
+        ),
+        F.min("cos").alias("min_cosine"),
+        F.max("cos").alias("max_cosine"),
+    )
+
+
 def ivf_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -57,6 +57,43 @@ def zipf_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def vocab_growth(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group vocabulary report (the Heaps'-law audit run before tokenizer
+    training): total token volume, distinct vocabulary size, hapax-legomenon
+    count (tokens seen exactly once in the group), and the type/token ratio.
+    A shrinking ratio as volume grows is the expected Heaps curve; a flat one
+    flags synthetic or template text.
+
+    Scale (100 TB): explode map-side, ONE (group, token)-keyed shuffle with
+    map-side partial counts (the classic distributed word count), then a
+    group-keyed rollup of the per-token counts — output is |groups| rows.
+    The raw text never shuffles; no count-distinct state is needed because
+    distinct-token and hapax counts are plain aggregates of the per-token
+    count table.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tc = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tc.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.count_if(F.col("cnt") == 1).alias("hapax_tokens"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("cnt"), round_digits
+            ).alias("type_token_ratio"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish pre-tokens + distinct ratio."""
     w = tokens(text_col)

@@ -499,3 +499,70 @@ def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
     )
     return out.orderBy("user_id", "match_seq")
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id),
+r AS (SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT cohort_week, week_offset, n_active,
+       round(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+FROM r ORDER BY cohort_week, week_offset
+""",
+    tags=("batch", "analytics", "custom_op", "bench"),
+    doc="Weekly cohort retention matrix (operators/analytics.py "
+    "retention_cohorts) — the canonical keyed-stream user-analytics query the "
+    "reference serves with group-window aggregates "
+    "(StreamExecGroupWindowAggregate.scala): cohort users by ISO week of "
+    "first event, count active members per week offset, normalize by cohort "
+    "size. Scale: the corpus shuffles once on user_id (distinct activity and "
+    "first-week agg share the key; the join is co-partitioned); everything "
+    "after is an aggregate over weeks x offsets rows, and COUNT(*) is exact "
+    "because activity is pre-deduplicated per (user, week).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import retention_cohorts
+
+    ev = table(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_week", "week_offset")
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value,
+       round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_value,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="Per-event-type distribution report (operators/analytics.py "
+    "value_percentiles): exact PERCENTILE_CONT quantiles (rank p*(n-1), the "
+    "shared ANSI definition of Spark's percentile and DuckDB's "
+    "quantile_cont) plus count/min/max and a DECIMAL-accumulated mean. "
+    "Mirrors the reference's OVER/agg percentile surface "
+    "(flink-table planner PERCENTILE_CONT lowering). Scale: exact "
+    "percentile keeps a per-group value->count map — fine for bounded "
+    "measure domains; the 100 TB path for unbounded high-cardinality "
+    "measures is approx_percentile (mergeable t-digest), noted in the "
+    "operator docstring; the oracle gate requires the exact form.",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import value_percentiles
+
+    ev = table(spark, sf_dir, "events")
+    return value_percentiles(ev).orderBy("event_type")

@@ -1810,3 +1810,66 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.similarity import nearest_centroid_classify
 
     return nearest_centroid_classify(table(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+@register(
+    "embedding_cluster_cohesion",
+    oracle="""
+WITH ex AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+            FROM embeddings),
+cent AS (SELECT label, ord,
+                round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS c
+         FROM ex GROUP BY label, ord),
+cl AS (SELECT label, list(c ORDER BY ord) AS cv FROM cent GROUP BY label),
+e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT e.label, round(list_cosine_similarity(e.v, cl.cv), 6) AS cos
+      FROM e JOIN cl USING (label))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cosine,
+       min(cos) AS min_cosine,
+       max(cos) AS max_cosine
+FROM s GROUP BY label ORDER BY label
+""",
+    tags=("pipeline", "similarity"),
+    doc="Per-label cluster cohesion report (pipeline.similarity."
+    "cluster_cohesion) — the quality gate after a clustering/labeling pass "
+    "and before SemDeDup-style within-cluster dedup: mean/min/max member "
+    "cosine to the label centroid. Scale: centroids are |labels|x|dim| and "
+    "BROADCAST; the corpus joins on label map-side and the final per-label "
+    "aggregate has map-side partials — the corpus never shuffles on data "
+    "size. 6-dp rounding + DECIMAL mean accumulation keep every statistic "
+    "order-independent across engines.",
+)
+def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import cluster_cohesion
+
+    return cluster_cohesion(table(spark, sf_dir, "embeddings")).orderBy("label")
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tc AS (SELECT source, token, COUNT(*) AS cnt
+       FROM tok WHERE token <> '' GROUP BY source, token)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio
+FROM tc GROUP BY source ORDER BY source
+""",
+    tags=("pipeline", "text", "bench"),
+    doc="Per-source vocabulary growth report (pipeline.text.vocab_growth) — "
+    "the Heaps'-law audit before tokenizer training: token volume, distinct "
+    "vocabulary, hapax-legomenon count, type/token ratio. Scale: the "
+    "distributed word count (explode map-side, one (source, token)-keyed "
+    "shuffle with partial counts) followed by a |sources|-row rollup; "
+    "distinct/hapax counts are plain aggregates of the count table, so no "
+    "count-distinct state and the raw text never shuffles.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import vocab_growth
+
+    return vocab_growth(table(spark, sf_dir, "documents")).orderBy("source")

@@ -388,3 +388,39 @@ def test_maxwell_update_before_merges_partial_old(spark):
     # unchanged fields come from data; the changed price from old
     assert (before["k"], before["name"], before["price"]) == (1, "n1", 10.0)
     assert after["ts_ms"] == before["ts_ms"] == 7000
+
+
+def test_retention_cohort_semantics(spark, sf_dir):
+    """Offset 0 is the cohort itself (retention exactly 1.0), every offset
+    is non-negative, and no offset row exceeds its cohort size."""
+    from flink_1_12_0_src_spark.operators.analytics import retention_cohorts
+    from flink_1_12_0_src_spark.catalog import table
+
+    rows = retention_cohorts(table(spark, sf_dir, "events")).collect()
+    assert rows
+    size = {r["cohort_week"]: r["n_active"] for r in rows if r["week_offset"] == 0}
+    users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(size.values()) == users  # cohorts partition the user base
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["n_active"] <= size[r["cohort_week"]]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_value_percentiles_semantics(spark, sf_dir):
+    """Quantiles are ordered and bracketed by min/max; counts reconcile."""
+    from flink_1_12_0_src_spark.operators.analytics import value_percentiles
+    from flink_1_12_0_src_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    rows = value_percentiles(ev).collect()
+    assert {r["event_type"] for r in rows} == {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert (
+            r["min_value"] <= r["p25"] <= r["p50"] <= r["p90"] <= r["p99"] <= r["max_value"]
+        )
+        assert r["min_value"] <= r["avg_value"] <= r["max_value"]

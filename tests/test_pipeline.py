@@ -545,3 +545,63 @@ def test_nearest_centroid_agreement_beats_chance(spark, sf_dir):
     n_labels = len({r["true_label"] for r in rows})
     acc = sum(r["correct"] for r in rows) / len(rows)
     assert acc > 1.5 / n_labels, (acc, n_labels)
+
+
+def test_cluster_cohesion_matches_numpy(spark, sf_dir):
+    """Cross-check the per-label cohesion stats against a straight numpy
+    computation of member-to-centroid cosines (same 6-dp rounding)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_1_12_0_src_spark.pipeline.similarity import cluster_cohesion
+
+    def r6(x: float) -> Decimal:
+        # Spark/DuckDB round() is HALF_UP on the decimal rendering of the
+        # double; np.round is half-to-even, which can differ by 1e-6 at a
+        # 7th-decimal tie — emulate the engines exactly
+        return Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_cosine"], r["min_cosine"], r["max_cosine"])
+        for r in cluster_cohesion(table(spark, sf_dir, "embeddings")).collect()
+    }
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        cent = np.array(
+            [
+                float(r6(float(sum(r6(v) for v in mat[:, d])) / len(grp)))
+                for d in range(mat.shape[1])
+            ]
+        )
+        cos = np.round(
+            (mat @ cent) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(cent)), 6
+        )
+        mean = float(sum(Decimal(f"{c:.6f}") for c in cos) / len(cos))
+        n, m, lo, hi = got[label]
+        assert n == len(grp)
+        assert m == pytest.approx(mean, abs=1.5e-6)
+        assert lo == pytest.approx(cos.min(), abs=1.5e-6)
+        assert hi == pytest.approx(cos.max(), abs=1.5e-6)
+        assert -1.0 <= lo <= hi <= 1.0
+
+
+def test_vocab_growth_invariants(spark, sf_dir):
+    """Per-source vocabulary report: hapax <= distinct <= total, the ratio
+    is distinct/total, and token volume reconciles with token_stats."""
+    from flink_1_12_0_src_spark.pipeline.text import vocab_growth
+
+    docs = table(spark, sf_dir, "documents")
+    rows = vocab_growth(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hapax_tokens"] <= r["distinct_tokens"] <= r["total_tokens"]
+        assert r["type_token_ratio"] == pytest.approx(
+            r["distinct_tokens"] / r["total_tokens"], abs=1e-6
+        )
+    total = sum(r["total_tokens"] for r in rows)
+    n_tokens = docs.selectExpr(
+        "sum(size(split(lower(text), '\\\\s+'))) AS n"
+    ).collect()[0]["n"]
+    assert total == n_tokens

@@ -273,3 +273,35 @@ def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_nearest_centroid")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_cohesion_broadcasts_centroids(spark, sf_dir):
+    # centroids (|labels|xdim) broadcast onto the label-keyed corpus join;
+    # the final per-label stats are a two-stage hash aggregate
+    plan = _plan(spark, sf_dir, "embedding_cluster_cohesion")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_vocab_growth_two_stage_wordcount(spark, sf_dir):
+    # explode map-side, (source, token)-keyed shuffle with partial counts,
+    # then a |sources|-row rollup — no count-distinct, no window
+    plan = _plan(spark, sf_dir, "text_vocab_growth")
+    assert "Generate" in plan  # explode runs map-side
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_retention_single_user_shuffle(spark, sf_dir):
+    # distinct weekly activity and the first-week aggregate share the
+    # user_id key: the join is co-partitioned, so the events input is
+    # exchanged on user_id once per branch and never re-shuffled after the
+    # join; the retention window runs over weeks x offsets rows only
+    plan = _plan(spark, sf_dir, "events_retention_cohorts")
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # no Exchange between the join and the final (cohort, offset) aggregate
+    # other than the tiny aggregate's own: count hashpartitioning exchanges
+    assert "CartesianProduct" not in plan
