@@ -70,6 +70,95 @@ def retention_cohorts(
     )
 
 
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Aggregate funnel conversion report: stage N counts the users whose
+    earliest stage-N event strictly follows their earliest qualifying
+    stage-(N-1) event (the strict-sequence funnel; CEP's `cep_funnel`
+    enumerates the matches themselves, this reports the rates).
+
+    Returns one row per stage: (stage_idx, stage, n_users, conv_from_prev,
+    conv_from_start).
+
+    Scale (100 TB): each stage is a user-keyed MIN aggregate filtered by the
+    previous stage's timestamp — the joins are all on ``user_col``, so every
+    stage reuses the same hash partitioning (AQE coalesces the exchanges),
+    and each stage's input shrinks monotonically. The final report crosses
+    |stages| one-row aggregates — broadcast by construction — and never
+    collects to the driver.
+    """
+    cur = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage)
+        if cur is not None:
+            ev = ev.join(cur, user_col).filter(F.col(ts_col) > F.col("prev_ts"))
+        cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("prev_ts"))
+        counts.append(cur.agg(F.count(F.lit(1)).alias(f"n{i}")))
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    stage_structs = []
+    for i, stage in enumerate(stages):
+        n = F.col(f"n{i}")
+        prev = F.col(f"n{i - 1}") if i else n
+        stage_structs.append(
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                n.alias("n_users"),
+                F.round(n.cast("double") / prev, round_digits).alias("conv_from_prev"),
+                F.round(n.cast("double") / F.col("n0"), round_digits).alias(
+                    "conv_from_start"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")
+
+
+def daily_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Daily volume anomaly report: per (event_type, day) event counts with
+    the z-score of each day against that type's own daily history, flagging
+    |z| >= threshold — the drop/spike detector run over ingest volumes
+    before a training snapshot is cut.
+
+    Scale (100 TB): ONE (type, day)-keyed aggregate with map-side partials
+    reduces the corpus to |types| x |days| rows; the mean/stddev window runs
+    over that tiny table only. Counts are exact integers, so the mean is
+    exact in double; stddev_samp agrees across engines to ~1e-12 relative
+    and the z-score is rounded to 6 dp.
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.partitionBy("event_type")
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(w))
+        / F.stddev_samp("n_events").over(w),
+        round_digits,
+    )
+    return daily.withColumn("zscore", z).withColumn(
+        "is_anomaly", F.abs(F.col("zscore")) >= threshold
+    )
+
+
 def value_percentiles(
     events: DataFrame,
     group_col: str = "event_type",

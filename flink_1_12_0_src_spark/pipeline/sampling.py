@@ -295,6 +295,60 @@ def temperature_sample(
     )
 
 
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    volume_col: str = "n_chars",
+    cap: float = 3.0,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic fractional-epoch upsampling — the repeat-count mechanic
+    of a pretraining data mix (LLaMA/Pile-style source weighting): scarce
+    sources are repeated toward the largest source's volume, capped at
+    ``cap`` epochs. ``epochs_g = min(max_volume / volume_g, cap)``; every
+    document gets ``floor(epochs_g)`` guaranteed repeats plus one more when
+    the first 8 md5 hex chars of its salted id fall below the fixed-width
+    hex threshold of the fractional part — so the expected per-source volume
+    matches the target exactly while each document's repeat count is a pure
+    function of (seed, id, group volumes), reproducible in any engine.
+
+    Output: one row per (document, epoch_idx) with the repeat_count carried —
+    the epoch-expanded layout a pack-writer consumes.
+
+    Scale (100 TB): one |groups|-row volume aggregate joined back by
+    BROADCAST; repeat derivation is stateless per row, and the explode fans
+    out at most ``cap``× — no wide shuffle, no RNG state, invariant to
+    partitioning and re-runs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    vols = df.groupBy(group_col).agg(F.sum(volume_col).alias("_vol"))
+    mx = vols.agg(F.max("_vol").alias("_mx"))
+    epochs = F.least(F.col("_mx").cast("double") / F.col("_vol"), F.lit(cap))
+    plan = vols.crossJoin(broadcast(mx)).select(
+        group_col,
+        F.floor(epochs).cast("int").alias("_base"),
+        (epochs - F.floor(epochs)).alias("_frac"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("_frac") * F.lit(4294967296.0)).cast("bigint"))),
+        8,
+        "0",
+    )
+    h8 = F.substring(_salted_hash(id_col, seed), 1, 8)
+    rc = (F.col("_base") + (h8 < thr).cast("int")).alias("repeat_count")
+    return (
+        df.join(broadcast(plan), group_col)
+        .select(id_col, group_col, rc)
+        .filter(F.col("repeat_count") > 0)
+        .withColumn(
+            "epoch_idx",
+            F.explode(F.sequence(F.lit(0), F.col("repeat_count") - 1)),
+        )
+    )
+
+
 def uniform_sample(df: DataFrame, id_col: str, k: int, seed: int = 11) -> DataFrame:
     """Deterministic fixed-size uniform sample: keep the ``k`` documents with
     the smallest salted id hashes — the distributed, rerun-stable equivalent

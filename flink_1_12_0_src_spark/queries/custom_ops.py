@@ -566,3 +566,74 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return value_percentiles(ev).orderBy("event_type")
+
+
+@register(
+    "events_funnel_rates",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+             (SELECT COUNT(*) FROM c) AS nc,
+             (SELECT COUNT(*) FROM p) AS np)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
+         CAST(1.0 AS DOUBLE) AS conv_from_prev, CAST(1.0 AS DOUBLE) AS conv_from_start
+  FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(nc AS BIGINT),
+         round(CAST(nc AS DOUBLE) / nv, 6), round(CAST(nc AS DOUBLE) / nv, 6)
+  FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(np AS BIGINT),
+         round(CAST(np AS DOUBLE) / nc, 6), round(CAST(np AS DOUBLE) / nv, 6)
+  FROM n
+) ORDER BY stage_idx
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="Aggregate funnel conversion report (operators/analytics.py "
+    "funnel_conversion): stage N counts users whose earliest stage-N event "
+    "strictly follows their earliest qualifying stage-(N-1) event — the "
+    "rates companion to cep_funnel's match enumeration (same NFA semantics, "
+    "StreamExecMatch.scala lineage). Scale: every stage is a user-keyed MIN "
+    "aggregate joined on the same key (exchange reuse, monotonically "
+    "shrinking input); the report crosses one-row aggregates — no collect.",
+)
+def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_conversion(ev).orderBy("stage_idx")
+
+
+@register(
+    "events_daily_anomaly",
+    oracle="""
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY event_type, day)
+SELECT event_type, day, n_events,
+       round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+             / stddev_samp(n_events) OVER (PARTITION BY event_type), 6) AS zscore,
+       abs(round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+                 / stddev_samp(n_events) OVER (PARTITION BY event_type), 6)) >= 2.0
+           AS is_anomaly
+FROM d ORDER BY event_type, day
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="Daily volume anomaly report (operators/analytics.py daily_anomaly): "
+    "per-(event_type, day) counts z-scored against the type's own daily "
+    "history, |z| >= 2 flagged — the ingest drop/spike detector run before "
+    "cutting a training snapshot. Scale: one (type, day)-keyed aggregate "
+    "with map-side partials reduces the corpus to |types| x |days| rows; "
+    "the stats window runs over that tiny table only. Counts are exact "
+    "integers so the mean is exact; stddev_samp agrees across engines to "
+    "~1e-12 relative and the z-score rounds to 6 dp.",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import daily_anomaly
+
+    ev = table(spark, sf_dir, "events")
+    return daily_anomaly(ev).orderBy("event_type", "day")

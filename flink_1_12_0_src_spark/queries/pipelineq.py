@@ -1873,3 +1873,42 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import vocab_growth
 
     return vocab_growth(table(spark, sf_dir, "documents")).orderBy("source")
+
+
+@register(
+    "dataset_epoch_repeat",
+    oracle="""
+WITH v AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS vol FROM documents GROUP BY source),
+m AS (SELECT MAX(vol) AS mx FROM v),
+t AS (SELECT source, least(CAST(mx AS DOUBLE) / vol, CAST(3.0 AS DOUBLE)) AS epochs
+      FROM v CROSS JOIN m),
+p AS (SELECT d.doc_id, d.source,
+             CAST(floor(t.epochs) AS INTEGER) AS base,
+             t.epochs - floor(t.epochs) AS frac,
+             substr(md5('13|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents d JOIN t USING (source)),
+r AS (SELECT doc_id, source,
+             CAST(base + CASE WHEN h8 < lpad(lower(hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0')
+                              THEN 1 ELSE 0 END AS INTEGER) AS repeat_count
+      FROM p)
+SELECT doc_id, source, repeat_count,
+       CAST(unnest(generate_series(0, repeat_count - 1)) AS INTEGER) AS epoch_idx
+FROM r
+ORDER BY doc_id, epoch_idx
+""",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic fractional-epoch upsampling (pipeline.sampling."
+    "epoch_repeat) — the repeat-count mechanic of a pretraining data mix: "
+    "each source targets min(max_volume/volume, 3) epochs; documents get "
+    "floor(epochs) guaranteed repeats plus one fractional repeat decided by "
+    "a fixed-width hex threshold on the salted id hash, so expected volume "
+    "hits the target exactly and every repeat count is a pure function of "
+    "(seed, id, group volumes). Output is the epoch-expanded (doc, "
+    "epoch_idx) layout a pack-writer consumes. Scale: one |sources|-row "
+    "volume agg broadcast back, stateless per-row derivation, explode fans "
+    "at most 3x — no wide shuffle, no RNG state.",
+)
+def dataset_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import epoch_repeat
+
+    return epoch_repeat(table(spark, sf_dir, "documents")).orderBy("doc_id", "epoch_idx")

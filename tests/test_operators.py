@@ -424,3 +424,45 @@ def test_value_percentiles_semantics(spark, sf_dir):
             r["min_value"] <= r["p25"] <= r["p50"] <= r["p90"] <= r["p99"] <= r["max_value"]
         )
         assert r["min_value"] <= r["avg_value"] <= r["max_value"]
+
+
+def test_funnel_conversion_semantics(spark, sf_dir):
+    """Stage counts shrink monotonically, rates are consistent ratios in
+    (0, 1], and the view stage matches the users who ever viewed."""
+    from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+    from flink_1_12_0_src_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    rows = {r["stage"]: r for r in funnel_conversion(ev).collect()}
+    assert list(rows) == ["view", "click", "purchase"]
+    n_view = (
+        ev.filter("event_type = 'view'").select("user_id").distinct().count()
+    )
+    assert rows["view"]["n_users"] == n_view
+    assert rows["view"]["conv_from_prev"] == 1.0
+    assert (
+        rows["view"]["n_users"]
+        >= rows["click"]["n_users"]
+        >= rows["purchase"]["n_users"]
+        > 0
+    )
+    assert rows["purchase"]["conv_from_start"] == pytest.approx(
+        rows["purchase"]["n_users"] / rows["view"]["n_users"], abs=1e-6
+    )
+
+
+def test_daily_anomaly_semantics(spark, sf_dir):
+    """Z-scores are centered per type (sum ~ 0), counts reconcile with the
+    raw table, and the anomaly flag matches |z| >= 2."""
+    from flink_1_12_0_src_spark.operators.analytics import daily_anomaly
+    from flink_1_12_0_src_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    rows = daily_anomaly(ev).collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+        assert r["is_anomaly"] == (abs(r["zscore"]) >= 2.0)
+    for typ, rs in by_type.items():
+        assert abs(sum(r["zscore"] for r in rs)) < 1e-3 * len(rs), typ

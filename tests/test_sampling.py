@@ -205,3 +205,35 @@ def test_token_budget_property_matches_python_reference(spark):
             cum[s] = before + (n or 0)
 
     run()
+
+
+def test_epoch_repeat_targets_volume(spark, sf_dir):
+    """Repeat counts are floor/ceil of the per-source epoch target, epoch
+    indices are dense 0..repeat_count-1, and the realized epoch-expanded
+    char volume lands near each source's target volume."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.sampling import epoch_repeat
+
+    docs = table(spark, sf_dir, "documents")
+    rows = epoch_repeat(docs).collect()
+    vols = {
+        r["source"]: r["vol"]
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("vol")).collect()
+    }
+    mx = max(vols.values())
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["source"]), []).append(r["epoch_idx"])
+        epochs = min(mx / vols[r["source"]], 3.0)
+        assert r["repeat_count"] in (int(epochs), int(epochs) + 1)
+    for (doc_id, _), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs))), doc_id
+    # realized volume ≈ target volume per source (fractional repeats are
+    # hash-Bernoulli with the exact target expectation)
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    realized: dict = {}
+    for (doc_id, src), idxs in per_doc.items():
+        realized[src] = realized.get(src, 0) + chars[doc_id] * len(idxs)
+    for src, vol in vols.items():
+        target = min(mx / vol, 3.0) * vol
+        assert abs(realized[src] - target) / target < 0.25, (src, realized[src], target)
