@@ -466,3 +466,37 @@ def test_daily_anomaly_semantics(spark, sf_dir):
         assert r["is_anomaly"] == (abs(r["zscore"]) >= 2.0)
     for typ, rs in by_type.items():
         assert abs(sum(r["zscore"] for r in rs)) < 1e-3 * len(rs), typ
+
+
+def test_analytics_partitioning_invariance(spark, sf_dir):
+    """The analytics reports are pure functions of the data, not of its
+    layout: scrambling the partitioning (and, for retention, duplicating
+    every event — activity is pre-deduplicated per (user, week)) leaves
+    every output row identical."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.operators.analytics import (
+        daily_anomaly,
+        funnel_conversion,
+        retention_cohorts,
+    )
+    from flink_1_12_0_src_spark.pipeline.sampling import epoch_repeat
+
+    ev = table(spark, sf_dir, "events")
+    scrambled = ev.repartition(7, "event_id")
+
+    def rows(df, *order):
+        return [tuple(r) for r in df.orderBy(*order).collect()]
+
+    assert rows(
+        retention_cohorts(ev.unionAll(ev)), "cohort_week", "week_offset"
+    ) == rows(retention_cohorts(scrambled), "cohort_week", "week_offset")
+    assert rows(funnel_conversion(ev), "stage_idx") == rows(
+        funnel_conversion(scrambled), "stage_idx"
+    )
+    assert rows(daily_anomaly(ev), "event_type", "day") == rows(
+        daily_anomaly(scrambled), "event_type", "day"
+    )
+    docs = table(spark, sf_dir, "documents")
+    assert rows(epoch_repeat(docs), "doc_id", "epoch_idx") == rows(
+        epoch_repeat(docs.repartition(5, "doc_id")), "doc_id", "epoch_idx"
+    )
