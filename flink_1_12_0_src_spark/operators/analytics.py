@@ -159,6 +159,45 @@ def daily_anomaly(
     )
 
 
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition report over per-user event sequences:
+    for every (from_type, to_type) bigram of consecutive events, the
+    transition count and the row-normalized probability — the clickstream
+    path analysis the reference serves with keyed CEP/OVER windows.
+
+    Scale (100 TB): ONE user-keyed shuffle; the lead() window sorts within
+    each user's partition only (per-user sequences are bounded), then the
+    bigram aggregate reduces to |types|² rows, over which the normalizing
+    window runs. Ties order by the event id so the sequence — and therefore
+    the matrix — is engine- and partitioning-deterministic.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    norm = W.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(norm),
+            round_digits,
+        ),
+    )
+
+
 def value_percentiles(
     events: DataFrame,
     group_col: str = "event_type",

@@ -180,6 +180,38 @@ def cluster_cohesion(
     )
 
 
+def centroid_separation(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise label-centroid cosine similarity (label_a < label_b) — the
+    separation half of a cluster-quality audit (:func:`cluster_cohesion` is
+    the cohesion half): labels whose centroids are near-parallel are
+    candidates for merging, and a classifier built on them will confuse.
+
+    Scale (100 TB): after :func:`label_centroids` reduces the corpus to
+    |labels|×dim rows, everything here — array reassembly, the triangular
+    self-join, the cosine — runs on |labels| rows; the corpus is scanned
+    exactly once by the centroid aggregate.
+    """
+    cents = (
+        label_centroids(corpus, vec_col, label_col, round_digits)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["centroid"]).alias("cv"))
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    j = a.join(b, F.col("label_a") < F.col("label_b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        round_digits,
+    )
+    return j.select("label_a", "label_b", cos.alias("cosine"))
+
+
 def ivf_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

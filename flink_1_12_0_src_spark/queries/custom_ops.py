@@ -637,3 +637,35 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return daily_anomaly(ev).orderBy("event_type", "day")
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM c ORDER BY from_type, to_type
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="First-order Markov transition matrix over per-user event sequences "
+    "(operators/analytics.py transition_matrix) — the clickstream path "
+    "report the reference serves with keyed OVER windows "
+    "(StreamExecOverAggregate.scala lineage): consecutive-event bigram "
+    "counts plus row-normalized probabilities. Scale: one user-keyed "
+    "shuffle, lead() sorts within bounded per-user partitions, the bigram "
+    "aggregate reduces to |types|^2 rows before the normalizing window; "
+    "event-id tiebreak makes the sequence engine-deterministic.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import transition_matrix
+
+    ev = table(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("from_type", "to_type")

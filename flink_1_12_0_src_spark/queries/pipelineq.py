@@ -1876,6 +1876,37 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroid_separation",
+    oracle="""
+WITH ex AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+            FROM embeddings),
+cent AS (SELECT label, ord,
+                round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS c
+         FROM ex GROUP BY label, ord),
+cl AS (SELECT label, list(c ORDER BY ord) AS cv FROM cent GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_cosine_similarity(a.cv, b.cv), 6) AS cosine
+FROM cl a JOIN cl b ON a.label < b.label
+ORDER BY label_a, label_b
+""",
+    tags=("pipeline", "similarity"),
+    doc="Pairwise label-centroid cosine report (pipeline.similarity."
+    "centroid_separation) — the separation half of the cluster-quality "
+    "audit (cluster_cohesion is the cohesion half): near-parallel centroids "
+    "flag labels a downstream classifier will confuse. Scale: the corpus is "
+    "scanned once by the centroid aggregate; the triangular self-join and "
+    "cosines run over |labels| rows only.",
+)
+def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import centroid_separation
+
+    return centroid_separation(table(spark, sf_dir, "embeddings")).orderBy(
+        "label_a", "label_b"
+    )
+
+
+@register(
     "dataset_epoch_repeat",
     oracle="""
 WITH v AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS vol FROM documents GROUP BY source),

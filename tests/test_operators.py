@@ -500,3 +500,21 @@ def test_analytics_partitioning_invariance(spark, sf_dir):
     assert rows(epoch_repeat(docs), "doc_id", "epoch_idx") == rows(
         epoch_repeat(docs.repartition(5, "doc_id")), "doc_id", "epoch_idx"
     )
+
+
+def test_transition_matrix_semantics(spark, sf_dir):
+    """Each from_type's probabilities sum to ~1, and total transitions equal
+    total events minus one per active user (the bigram count identity)."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.operators.analytics import transition_matrix
+
+    ev = table(spark, sf_dir, "events")
+    rows = transition_matrix(ev).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for typ, rs in by_from.items():
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-4, typ
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users

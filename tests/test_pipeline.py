@@ -605,3 +605,29 @@ def test_vocab_growth_invariants(spark, sf_dir):
         "sum(size(split(lower(text), '\\\\s+'))) AS n"
     ).collect()[0]["n"]
     assert total == n_tokens
+
+
+def test_centroid_separation_triangular(spark, sf_dir):
+    """Exactly C(|labels|, 2) ordered pairs, cosines within [-1, 1], and the
+    matrix agrees with a numpy recomputation from the engine's centroids."""
+    import numpy as np
+
+    from flink_1_12_0_src_spark.pipeline.similarity import (
+        centroid_separation,
+        label_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents: dict = {}
+    for r in label_centroids(emb).collect():
+        cents.setdefault(r["label"], {})[r["dim"]] = r["centroid"]
+    rows = centroid_separation(emb).collect()
+    n = len(cents)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        va = np.array([cents[r["label_a"]][d] for d in sorted(cents[r["label_a"]])])
+        vb = np.array([cents[r["label_b"]][d] for d in sorted(cents[r["label_b"]])])
+        want = float((va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert r["cosine"] == pytest.approx(want, abs=1.5e-6)
