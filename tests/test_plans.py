@@ -305,3 +305,15 @@ def test_retention_single_user_shuffle(spark, sf_dir):
     # no Exchange between the join and the final (cohort, offset) aggregate
     # other than the tiny aggregate's own: count hashpartitioning exchanges
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_separation_reuses_centroid_exchange(spark, sf_dir):
+    # the triangular self-join references the centroid aggregate twice; AQE
+    # must reuse the (label, dim) exchange so the corpus-sized centroid
+    # pipeline executes once, not per branch
+    df = REG["embedding_centroid_separation"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "ReusedExchange" in plan
