@@ -9,13 +9,16 @@ here each is one declarative DataFrame plan so Catalyst picks the physical
 strategy.
 
 Scale design (100 TB of events):
-- ``retention_cohorts``: the corpus shuffles ONCE on ``user_id`` (distinct
-  weekly activity + first-week aggregate share the same key, so AQE reuses
-  the exchange for the join); everything after the per-user join is an
-  aggregate over (cohort_week, week_offset) — weeks × offsets rows, tiny.
-  No count-distinct is needed at the final stage: activity is already
-  distinct per (user, week) and cohort_week is functionally dependent on
-  user_id, so a plain COUNT(*) is exact.
+- ``retention_cohorts``: both branches scan a 2-column projection of the
+  corpus (plan-asserted pruning); the distinct-activity branch shuffles
+  once on (user, week), while the first-week branch partial-aggregates
+  map-side to |users| rows before its exchange (Catalyst folds the distinct
+  into the MIN, which is duplicate-insensitive) and joins back broadcast
+  (SMJ co-partitioned at scale, AQE's call). Everything after the per-user
+  join is an aggregate over (cohort_week, week_offset) — weeks × offsets
+  rows, tiny. No count-distinct is needed at the final stage: activity is
+  already distinct per (user, week) and cohort_week is functionally
+  dependent on user_id, so a plain COUNT(*) is exact.
 - ``value_percentiles``: exact percentiles via Spark's ``percentile``
   aggregate — per-group state is a value→count map, fine for bounded-domain
   measures; for unbounded high-cardinality measures at 100 TB the scale path
@@ -108,15 +111,20 @@ def funnel_conversion(
     for i, stage in enumerate(stages):
         n = F.col(f"n{i}")
         prev = F.col(f"n{i - 1}") if i else n
+        # NULLIF guards: an empty stage makes downstream rates undefined
+        # (NULL), identically in both engines — never a divide-by-zero
+        # (Spark 4 runs ANSI mode, where bare x/0 throws)
         stage_structs.append(
             F.struct(
                 F.lit(i + 1).alias("stage_idx"),
                 F.lit(stage).alias("stage"),
                 n.alias("n_users"),
-                F.round(n.cast("double") / prev, round_digits).alias("conv_from_prev"),
-                F.round(n.cast("double") / F.col("n0"), round_digits).alias(
-                    "conv_from_start"
+                F.round(n.cast("double") / F.nullif(prev, F.lit(0)), round_digits).alias(
+                    "conv_from_prev"
                 ),
+                F.round(
+                    n.cast("double") / F.nullif(F.col("n0"), F.lit(0)), round_digits
+                ).alias("conv_from_start"),
             )
         )
     return row.select(F.explode(F.array(*stage_structs)).alias("s")).select("s.*")
@@ -210,9 +218,7 @@ def value_percentiles(
     definition shared by Spark's ``percentile`` and DuckDB's
     ``quantile_cont``), plus count / min / max and a DECIMAL-accumulated
     mean so every statistic is order-independent across engines."""
-    pct_arr = F.expr(
-        f"percentile({value_col}, array({', '.join(f'{p}D' for p in percentiles)}))"
-    )
+    pct_arr = F.percentile(F.col(value_col), F.lit(list(percentiles)))
     dec = F.round(F.col(value_col), round_digits).cast("decimal(18,6)")
     agg = events.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -225,6 +231,7 @@ def value_percentiles(
     )
     cols = [agg[group_col], "n_events", "min_value", "max_value", "avg_value"]
     for i, p in enumerate(percentiles):
-        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
-        cols.append(F.round(F.col("pcts")[i], round_digits).alias(name))
+        cols.append(
+            F.round(F.col("pcts")[i], round_digits).alias(f"p{int(round(p * 100))}")
+        )
     return agg.select(*cols)

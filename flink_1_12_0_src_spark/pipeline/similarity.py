@@ -90,6 +90,30 @@ def label_centroids(
     )
 
 
+def _centroid_arrays(
+    corpus: DataFrame,
+    vec_col: str,
+    label_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Reassemble :func:`label_centroids`'s long-form (label, dim, centroid)
+    rows into one array per label — the tiny (|labels| rows) broadcastable
+    table every centroid-scoring pass joins against. Shared by
+    :func:`nearest_centroid_classify`, :func:`cluster_cohesion`, and
+    :func:`centroid_separation` so centroid assembly has exactly one
+    definition."""
+    return (
+        label_centroids(corpus, vec_col, label_col, round_digits)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["centroid"]).alias("cv"))
+    )
+
+
+def _cosine(a, b, round_digits: int) -> F.Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
+
+
 def nearest_centroid_classify(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -109,14 +133,8 @@ def nearest_centroid_classify(
     shuffles on data size. Cosines are rounded to 6 dp with a label tiebreak
     for cross-engine determinism.
     """
-    cents = (
-        label_centroids(corpus, vec_col, label_col, round_digits)
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
-        .select(
-            F.col("label").alias("pred_label"),
-            F.transform("pm", lambda s: s["centroid"]).alias("cv"),
-        )
+    cents = _centroid_arrays(corpus, vec_col, label_col, round_digits).select(
+        F.col("label").alias("pred_label"), "cv"
     )
     e = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -124,10 +142,7 @@ def nearest_centroid_classify(
         _as_double(F.col(vec_col)).alias("v"),
     )
     j = e.crossJoin(F.broadcast(cents))
-    cos = F.round(
-        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))),
-        round_digits,
-    )
+    cos = _cosine(F.col("v"), F.col("cv"), round_digits)
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("pred_label"))
     return (
         j.select("vec_id", "true_label", "pred_label", cos.alias("cosine"))
@@ -157,18 +172,10 @@ def cluster_cohesion(
     shuffles on data size. Cosines round to 6 dp and the mean accumulates
     in DECIMAL, so every statistic is order-independent across engines.
     """
-    cents = (
-        label_centroids(corpus, vec_col, label_col, round_digits)
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["centroid"]).alias("cv"))
-    )
+    cents = _centroid_arrays(corpus, vec_col, label_col, round_digits)
     e = corpus.select(F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("v"))
     j = e.join(F.broadcast(cents), "label")
-    cos = F.round(
-        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))),
-        round_digits,
-    )
+    cos = _cosine(F.col("v"), F.col("cv"), round_digits)
     dec = cos.cast("decimal(18,6)")
     return j.select("label", cos.alias("cos"), dec.alias("dcos")).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -196,19 +203,11 @@ def centroid_separation(
     self-join, the cosine — runs on |labels| rows; the corpus is scanned
     exactly once by the centroid aggregate.
     """
-    cents = (
-        label_centroids(corpus, vec_col, label_col, round_digits)
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["centroid"]).alias("cv"))
-    )
+    cents = _centroid_arrays(corpus, vec_col, label_col, round_digits)
     a = cents.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
     b = cents.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
     j = a.join(b, F.col("label_a") < F.col("label_b"))
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
-        round_digits,
-    )
+    cos = _cosine(F.col("va"), F.col("vb"), round_digits)
     return j.select("label_a", "label_b", cos.alias("cosine"))
 
 

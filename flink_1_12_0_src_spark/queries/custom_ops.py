@@ -581,15 +581,18 @@ n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
              (SELECT COUNT(*) FROM p) AS np)
 SELECT * FROM (
   SELECT 1 AS stage_idx, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
-         CAST(1.0 AS DOUBLE) AS conv_from_prev, CAST(1.0 AS DOUBLE) AS conv_from_start
+         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_prev,
+         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_start
   FROM n
   UNION ALL
   SELECT 2, 'click', CAST(nc AS BIGINT),
-         round(CAST(nc AS DOUBLE) / nv, 6), round(CAST(nc AS DOUBLE) / nv, 6)
+         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6),
+         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6)
   FROM n
   UNION ALL
   SELECT 3, 'purchase', CAST(np AS BIGINT),
-         round(CAST(np AS DOUBLE) / nc, 6), round(CAST(np AS DOUBLE) / nv, 6)
+         round(CAST(np AS DOUBLE) / nullif(nc, 0), 6),
+         round(CAST(np AS DOUBLE) / nullif(nv, 0), 6)
   FROM n
 ) ORDER BY stage_idx
 """,

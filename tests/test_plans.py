@@ -293,18 +293,23 @@ def test_vocab_growth_two_stage_wordcount(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_retention_single_user_shuffle(spark, sf_dir):
-    # distinct weekly activity and the first-week aggregate share the
-    # user_id key: the join is co-partitioned, so the events input is
-    # exchanged on user_id once per branch and never re-shuffled after the
-    # join; the retention window runs over weeks x offsets rows only
+def test_retention_scan_pruning_and_join_shape(spark, sf_dir):
+    # both branches scan ONLY (user_id, ts) — at 100 TB the events table has
+    # many more columns and reading them would dominate; the first-week
+    # branch partial-aggregates before its exchange (MIN is duplicate-
+    # insensitive, so Catalyst folds the distinct away); the join is an
+    # equi join, never a cartesian
     plan = _plan(spark, sf_dir, "events_retention_cohorts")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "user_id" in l and "ts" in l and "event_type" not in l and "props" not in l
+        for l in reads
+    )
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    # no Exchange between the join and the final (cohort, offset) aggregate
-    # other than the tiny aggregate's own: count hashpartitioning exchanges
     assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on both branches
 
 
 def test_centroid_separation_reuses_centroid_exchange(spark, sf_dir):
