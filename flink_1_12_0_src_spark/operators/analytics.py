@@ -156,6 +156,15 @@ def daily_anomaly(
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return zscore_report(daily, threshold, round_digits)
+
+
+def zscore_report(
+    daily: DataFrame, threshold: float = 2.0, round_digits: int = 6
+) -> DataFrame:
+    """The audit half of :func:`daily_anomaly`, split out so the same
+    expressions score a batch-computed count table OR the final snapshot of
+    a continuously-maintained streaming count (``stream_daily_anomaly``)."""
     w = W.partitionBy("event_type")
     z = F.round(
         (F.col("n_events") - F.avg("n_events").over(w))

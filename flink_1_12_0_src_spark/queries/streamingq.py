@@ -1949,3 +1949,40 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.arrays_overlap(F.array_distinct(shingles("text", 3)), F.lit(bench_grams))
     ).select("content_hash", F.col("n_words").cast("int").alias("n_words"), "quality")
     return run_to_batch(clean, "append").orderBy("content_hash")
+
+
+_DAILY_ANOMALY_ORACLE = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY event_type, day)
+SELECT event_type, day, n_events,
+       round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+             / stddev_samp(n_events) OVER (PARTITION BY event_type), 6) AS zscore,
+       abs(round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+                 / stddev_samp(n_events) OVER (PARTITION BY event_type), 6)) >= 2.0
+           AS is_anomaly
+FROM d ORDER BY event_type, day
+"""
+
+
+@register(
+    "stream_daily_anomaly",
+    oracle=_DAILY_ANOMALY_ORACLE,
+    tags=("streaming", "analytics"),
+    doc="Analytics-on-a-stream: the per-(type, day) event counts of "
+    "events_daily_anomaly maintained INCREMENTALLY by a streaming grouped "
+    "aggregate (the production shape — counts update as events arrive), "
+    "with the z-score audit (operators/analytics.py zscore_report) applied "
+    "to the final snapshot. The snapshot is a pure function of the data "
+    "regardless of micro-batch boundaries, so the report equals the batch "
+    "operator's exactly. Scale: streaming state is |types| x |days| "
+    "counters; the audit window runs over that tiny table only.",
+)
+def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import zscore_report
+
+    s = events_stream(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = s.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    snap = run_to_batch(daily, "complete")
+    return zscore_report(snap).orderBy("event_type", "day")
