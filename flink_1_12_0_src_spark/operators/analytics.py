@@ -215,6 +215,57 @@ def transition_matrix(
     )
 
 
+def sessionize_stats(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization with per-session statistics: consecutive
+    events of a user belong to one session while the inter-event gap stays
+    under ``gap_sec`` (the reference's session-window assigner,
+    EventTimeSessionWindows/DynamicEventTimeSessionWindows — here as the
+    batch gaps-and-islands form that reports per-session rows rather than
+    a windowed aggregate).
+
+    Returns (user_id, session_seq, started_at, n_events, duration_sec).
+
+    Scale (100 TB): ONE user-keyed shuffle; both windows (the gap flag and
+    the running session counter) and the final (user, session) aggregate
+    share the per-user partitioning, so nothing re-shuffles after the first
+    exchange. Timestamps compare as epoch seconds (exact integers), and the
+    event-id tiebreak makes the island assignment engine-deterministic.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    # microsecond-exact integers on both engines (Spark unix_micros /
+    # DuckDB epoch_us) — whole-second truncation would shift island
+    # boundaries and durations by up to a second between engines
+    epoch_us = F.unix_micros(F.col(ts_col))
+    new_sess = (
+        F.when(epoch_us - F.lag(epoch_us).over(w) > gap_sec * 1_000_000, 1)
+        .otherwise(0)
+        .alias("_new")
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "_eid").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("_eid"),
+        new_sess,
+    ).withColumn("session_seq", (F.sum("_new").over(run) + 1).cast("int"))
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("started_at"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).alias("duration_sec"),
+    )
+
+
 def value_percentiles(
     events: DataFrame,
     group_col: str = "event_type",

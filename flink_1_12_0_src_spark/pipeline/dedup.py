@@ -62,6 +62,50 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dup_rate_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group exact-duplicate audit — the before/after accounting a dedup
+    run reports: documents per group, members of corpus-wide exact-duplicate
+    clusters (same md5(text) appearing >1 anywhere), how many of those a
+    keep-one dedup would drop, and the resulting dup/survivor rates.
+
+    Scale (100 TB): one md5-keyed count aggregate with map-side partials
+    (the text itself never shuffles — only its 128-bit hash), joined back by
+    hash, then a |groups|-row rollup. The duplicate-cluster count table is
+    proportional to the number of DISTINCT texts, and survivor election is
+    min-id (rerun-stable).
+    """
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.col(id_col).alias("_id"),
+    )
+    clusters = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("_id").alias("keeper")
+    )
+    j = hashed.join(clusters, "h")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("cnt") > 1).alias("n_in_dup_clusters"),
+            F.count_if(
+                (F.col("cnt") > 1) & (F.col("_id") != F.col("keeper"))
+            ).alias("n_dropped_by_dedup"),
+            F.round(
+                F.count_if(F.col("cnt") > 1).cast("double") / F.count(F.lit(1)),
+                round_digits,
+            ).alias("dup_rate"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, shingle_k: int = 3
 ) -> DataFrame:

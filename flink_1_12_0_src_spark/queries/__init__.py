@@ -224,6 +224,8 @@ _R07_NEW = (
     "embedding_centroid_separation",
     "events_transition_matrix",
     "stream_daily_anomaly",
+    "events_session_stats",
+    "dedup_rate_by_source",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -246,10 +248,10 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 26 (6 fixed + 1 never-tested + 19 round-7-new), far inside
+    Tiers 0+1+2 = 28 (6 fixed + 1 never-tested + 21 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
-    261/261 round-over-round union (the remaining ~24 slots re-verify
+    263/263 round-over-round union (the remaining ~22 slots re-verify
     greens).
     """
     if name in _R07_FIXED_FIRST:

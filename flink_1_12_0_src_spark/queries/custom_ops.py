@@ -672,3 +672,44 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return transition_matrix(ev).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) + 1 AS INTEGER) AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq, MIN(ts) AS started_at,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="Gap-based sessionization with per-session statistics "
+    "(operators/analytics.py sessionize_stats) — the batch gaps-and-islands "
+    "form of the reference's session window assigner "
+    "(EventTimeSessionWindows, 30-min gap) reporting per-session rows: "
+    "start, event count, duration. Scale: one user-keyed shuffle shared by "
+    "the gap flag, the running session counter, and the (user, session) "
+    "aggregate — nothing re-shuffles after the first exchange; epoch-second "
+    "integer comparisons and an event-id tiebreak keep the island "
+    "assignment engine-deterministic.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import sessionize_stats
+
+    ev = table(spark, sf_dir, "events")
+    return sessionize_stats(ev).orderBy("user_id", "session_seq")

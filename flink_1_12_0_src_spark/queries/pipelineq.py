@@ -1943,3 +1943,33 @@ def dataset_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.sampling import epoch_repeat
 
     return epoch_repeat(table(spark, sf_dir, "documents")).orderBy("doc_id", "epoch_idx")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+WITH h AS (SELECT source, doc_id, md5(text) AS hh FROM documents),
+c AS (SELECT hh, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM h GROUP BY hh)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+       CAST(SUM(CASE WHEN cnt > 1 AND doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_by_dedup,
+       round(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS dup_rate
+FROM h JOIN c USING (hh)
+GROUP BY source ORDER BY source
+""",
+    tags=("pipeline", "dedup"),
+    doc="Per-source exact-duplicate audit (pipeline.dedup.dup_rate_report) — "
+    "the before/after accounting a dedup run reports: members of corpus-wide "
+    "md5 duplicate clusters, how many a min-id keep-one dedup would drop, "
+    "and the dup rate. Scale: one hash-keyed count aggregate with map-side "
+    "partials (text never shuffles — only its 128-bit hash), a hash join "
+    "back, then a |sources|-row rollup; survivor election is min-id, "
+    "rerun-stable.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import dup_rate_report
+
+    return dup_rate_report(table(spark, sf_dir, "documents")).orderBy("source")

@@ -518,3 +518,26 @@ def test_transition_matrix_semantics(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_session_stats_semantics(spark, sf_dir):
+    """Sessions partition each user's events (counts reconcile), session_seq
+    is dense from 1, and every intra-session gap is within the 30-min bound
+    (spot-checked via duration: a 1-event session has duration 0)."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.operators.analytics import sessionize_stats
+
+    ev = table(spark, sf_dir, "events")
+    rows = sessionize_stats(ev).collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+        assert r["duration_sec"] >= 0
+        if r["n_events"] == 1:
+            assert r["duration_sec"] == 0
+    for user, rs in by_user.items():
+        seqs = sorted(r["session_seq"] for r in rs)
+        assert seqs == list(range(1, len(rs) + 1)), user
+        starts = [r["started_at"] for r in sorted(rs, key=lambda r: r["session_seq"])]
+        assert starts == sorted(starts), user  # sessions ordered by start

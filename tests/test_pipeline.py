@@ -631,3 +631,22 @@ def test_centroid_separation_triangular(spark, sf_dir):
         vb = np.array([cents[r["label_b"]][d] for d in sorted(cents[r["label_b"]])])
         want = float((va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert r["cosine"] == pytest.approx(want, abs=1.5e-6)
+
+
+def test_dup_rate_report_reconciles_with_exact_dedup(spark, sf_dir):
+    """The per-source audit totals must agree with the corpus-wide exact
+    dedup: dropped-by-dedup across sources == total docs minus distinct
+    texts, and dup-cluster membership >= dropped."""
+    from flink_1_12_0_src_spark.pipeline.dedup import dup_rate_report
+
+    docs = table(spark, sf_dir, "documents")
+    rows = dup_rate_report(docs).collect()
+    n_docs = docs.count()
+    n_distinct = docs.selectExpr("md5(text) AS h").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_dropped_by_dedup"] for r in rows) == n_docs - n_distinct
+    for r in rows:
+        assert 0 <= r["n_dropped_by_dedup"] <= r["n_in_dup_clusters"] <= r["n_docs"]
+        assert r["dup_rate"] == pytest.approx(
+            r["n_in_dup_clusters"] / r["n_docs"], abs=1e-6
+        )
