@@ -349,6 +349,43 @@ def epoch_repeat(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: int = 17,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Vassilopoulos A-ES scheme (each item ranks by
+    ``u^(1/w)``, equivalently by the monotone key ``ln(u)/w``): the k items
+    with the largest keys form an exact weighted sample, and the selection
+    is a pure function of (seed, id, weight) — rerun- and
+    partitioning-stable, the weighted sibling of :func:`uniform_sample`.
+    Items with non-positive weight are excluded.
+
+    Bit-determinism: ``u`` derives from the first 8 md5 hex chars of the
+    salted id ((v+1)/2^32, so u ∈ (0, 1]); the single ``ln`` rounds to 9 dp
+    before ranking with an id tiebreak, so a last-ULP libm divergence
+    between engines cannot flip the selection (the `text_unigram_logppl`
+    precedent).
+
+    Scale (100 TB): map-side key derivation, then ONE top-k
+    (TakeOrderedAndProject — per-partition heads, single k-row merge); no
+    RNG state, no full sort, no shuffle of the corpus.
+    """
+    v = F.conv(F.substring(_salted_hash(id_col, seed), 1, 8), 16, 10).cast("bigint")
+    u = (v + 1).cast("double") / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col), round_digits)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def uniform_sample(df: DataFrame, id_col: str, k: int, seed: int = 11) -> DataFrame:
     """Deterministic fixed-size uniform sample: keep the ``k`` documents with
     the smallest salted id hashes — the distributed, rerun-stable equivalent

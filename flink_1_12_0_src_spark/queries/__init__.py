@@ -226,6 +226,7 @@ _R07_NEW = (
     "stream_daily_anomaly",
     "events_session_stats",
     "dedup_rate_by_source",
+    "dataset_weighted_sample",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -248,10 +249,10 @@ def _gate_rank(name: str) -> tuple[int, int]:
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 28 (6 fixed + 1 never-tested + 21 round-7-new), far inside
+    Tiers 0+1+2 = 29 (6 fixed + 1 never-tested + 22 round-7-new), far inside
     the 50-slot window: every red and every never-evidenced query gets a
     driver row this round, taking the oracle-able registry to a full
-    263/263 round-over-round union (the remaining ~22 slots re-verify
+    264/264 round-over-round union (the remaining ~21 slots re-verify
     greens).
     """
     if name in _R07_FIXED_FIRST:

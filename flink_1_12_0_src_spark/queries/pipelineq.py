@@ -1973,3 +1973,36 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import dup_rate_report
 
     return dup_rate_report(table(spark, sf_dir, "documents")).orderBy("source")
+
+
+@register(
+    "dataset_weighted_sample",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((('0x' || substr(md5('17|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) / n_chars, 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, es_key
+FROM p ORDER BY es_key DESC, doc_id LIMIT 100
+""",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic weighted sampling without replacement "
+    "(pipeline.sampling.weighted_sample) — Efraimidis-Vassilopoulos A-ES: "
+    "rank by the monotone key ln(u)/w with u hash-derived per id, take the "
+    "top k; longer documents are proportionally likelier, the selection is "
+    "a pure function of (seed, id, weight), and the 9-dp key rounding + id "
+    "tiebreak make the cut engine-exact (the unigram_logppl libm "
+    "precedent). Scale: map-side keys, one TakeOrderedAndProject — "
+    "per-partition heads and a single k-row merge, no full sort, no RNG "
+    "state.",
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import weighted_sample
+
+    return (
+        weighted_sample(table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "n_chars", "es_key")
+        .orderBy(F.desc("es_key"), "doc_id")
+    )

@@ -237,3 +237,24 @@ def test_epoch_repeat_targets_volume(spark, sf_dir):
     for src, vol in vols.items():
         target = min(mx / vol, 3.0) * vol
         assert abs(realized[src] - target) / target < 0.25, (src, realized[src], target)
+
+
+def test_weighted_sample_biases_toward_weight(spark, sf_dir):
+    """The A-ES sample is length-biased (mean n_chars above the corpus
+    mean), exactly k rows, stable under repartitioning, and its keys are
+    the top-k of the full key distribution."""
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.sampling import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    got = weighted_sample(docs, k=100).collect()
+    assert len(got) == 100
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["n_chars"] for r in got) / len(got)
+    assert sample_mean > corpus_mean
+    again = weighted_sample(docs.repartition(7, "doc_id"), k=100).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    all_keys = sorted(
+        (r["es_key"] for r in weighted_sample(docs, k=10**9).collect()), reverse=True
+    )
+    assert sorted((r["es_key"] for r in got), reverse=True) == all_keys[:100]
