@@ -129,3 +129,80 @@ def test_duplicated_spans_matches_bruteforce(spark, texts):
         for r in duplicated_spans(df, "doc_id", "text", window=W).collect()
     }
     assert got == expect
+
+
+# (user_id, seconds-offset, event_id) triples; ids unique by construction idx
+EVENT_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=EVENT_ROWS)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_matches_bruteforce(spark, rows):
+    """Gap-based sessionization vs a straight Python reference on random
+    event sets — pins the strict-> boundary (a gap of exactly 1800 s stays
+    in-session) and the (ts, event_id) tiebreak."""
+    import datetime
+
+    from flink_1_12_0_src_spark.operators.analytics import sessionize_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(data, "user_id bigint, ts timestamp, event_id bigint")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["started_at"], r["n_events"], r["duration_sec"])
+        for r in sessionize_stats(sdf, gap_sec=1800).collect()
+    }
+    # brute force: per user, sort by (ts, id), split where gap > 1800 s
+    want = {}
+    by_user: dict = {}
+    for u, ts, i in sorted(data, key=lambda t: (t[0], t[1], t[2])):
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        seq, sess = 1, [tss[0]]
+        for prev, cur in zip(tss, tss[1:]):
+            if (cur - prev).total_seconds() > 1800:
+                want[(u, seq)] = (sess[0], len(sess), int((sess[-1] - sess[0]).total_seconds()))
+                seq, sess = seq + 1, [cur]
+            else:
+                sess.append(cur)
+        want[(u, seq)] = (sess[0], len(sess), int((sess[-1] - sess[0]).total_seconds()))
+    assert got == want
+
+
+@given(rows=EVENT_ROWS)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_transition_matrix_matches_bruteforce(spark, rows):
+    """First-order transition counts vs a Python reference — pins the
+    per-user adjacency (no cross-user bigrams) and the (ts, id) ordering."""
+    import datetime
+    from collections import Counter
+
+    from flink_1_12_0_src_spark.operators.analytics import transition_matrix
+
+    base = datetime.datetime(2024, 1, 1)
+    types = ["a", "b", "c"]
+    data = [
+        (u, base + datetime.timedelta(seconds=s), i, types[i % 3])
+        for i, (u, s) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_matrix(sdf).collect()
+    }
+    want: Counter = Counter()
+    by_user: dict = {}
+    for u, ts, i, t in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        by_user.setdefault(u, []).append(t)
+    for seq in by_user.values():
+        want.update(zip(seq, seq[1:]))
+    assert got == dict(want)
