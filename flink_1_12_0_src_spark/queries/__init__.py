@@ -178,55 +178,43 @@ _R06_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-7 driver-green rows (CORRECTNESS_r07.json — 50/50 green, the first
+# zero-red round): the 6 oracle-cast-fixed ex-reds (HUGEINT rendering class,
+# permanently guarded by tests/test_oracle_types.py), the deferred
+# flinkddl_catalog_registry, and all 22 round-7-new queries.
+_R07_DRIVER_GREEN = frozenset(
+    {
+        "cdc_retract_stream_output", "cdc_retract_with_delete",
+        "stream_tumble_early_fire", "dataset_dsir_weights",
+        "text_decontaminate", "flinkddl_datagen_sequence",
+        "flinkddl_catalog_registry",
+        "flinkddl_explain_plan", "text_gopher_rules", "dataset_token_budget",
+        "flinkddl_show_tables_views", "flinkddl_show_modules",
+        "embedding_centroid_by_label", "embedding_nearest_centroid",
+        "text_zipf_rank_report", "dataset_source_mix_report",
+        "embedding_cluster_cohesion", "text_vocab_growth",
+        "events_retention_cohorts", "events_value_percentiles",
+        "events_funnel_rates", "events_daily_anomaly", "dataset_epoch_repeat",
+        "embedding_centroid_separation", "events_transition_matrix",
+        "stream_daily_anomaly", "events_session_stats",
+        "dedup_rate_by_source", "dataset_weighted_sample",
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
-    | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN
+    | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
 )
 
-# The 6 round-6 driver-red rows. All six were value-correct; the red was the
-# oracle typing an uncast integer SUM() as DuckDB HUGEINT, which renders
-# differently than Spark's BIGINT through the driver's rendered-value hash
-# (same defect class as the r03 flinkddl_csv_source red, commit bd0ead5).
-# Fixed for round 7 by CAST(... AS BIGINT) in the oracles; the permanent
-# guard is tests/test_oracle_types.py. Re-verify at the very front.
-_R07_FIXED_FIRST = (
-    "cdc_retract_stream_output",
-    "cdc_retract_with_delete",
-    "stream_tumble_early_fire",
-    "dataset_dsir_weights",
-    "text_decontaminate",
-    "flinkddl_datagen_sequence",
-)
+# Round-7 had zero driver-red rows (a first), so there is nothing to
+# re-verify at the front this round.
+_R08_FIXED_FIRST: tuple[str, ...] = ()
 
-# Round-6's deliberate 51st-of-50 deferral — the only oracle-able query with
-# no driver row yet. One slot here completes driver evidence for the whole
-# registry (242/242 union).
-_R07_NEVER_TESTED = ("flinkddl_catalog_registry",)
-
-# Queries first registered in round 7 — first possible driver row.
-_R07_NEW = (
-    "flinkddl_explain_plan",
-    "text_gopher_rules",
-    "dataset_token_budget",
-    "flinkddl_show_tables_views",
-    "flinkddl_show_modules",
-    "embedding_centroid_by_label",
-    "embedding_nearest_centroid",
-    "text_zipf_rank_report",
-    "dataset_source_mix_report",
-    "embedding_cluster_cohesion",
-    "text_vocab_growth",
-    "events_retention_cohorts",
-    "events_value_percentiles",
-    "events_funnel_rates",
-    "events_daily_anomaly",
-    "dataset_epoch_repeat",
-    "embedding_centroid_separation",
-    "events_transition_matrix",
-    "stream_daily_anomaly",
-    "events_session_stats",
-    "dedup_rate_by_source",
-    "dataset_weighted_sample",
+# Queries first registered in round 8 — first possible driver row.
+_R08_NEW = (
+    "stream_funnel_rates",
+    "stream_retention_cohorts",
+    "dedup_paragraph_minhash",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -240,29 +228,27 @@ _NO_ORACLE_LAST = ("knn_lsh_topk", "knn_ivf_topk", "knn_pq_topk")
 def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
-    (0,i) = round-6 driver-red rows, oracle-cast-fixed — re-verify first;
-    (1,i) = flinkddl_catalog_registry, the only oracle-able query with no
-        driver row yet (round-6's deliberate 51st-of-50 deferral);
-    (2,i) = round-7-new queries (first possible row);
-    (3,_) = already driver-green in r01/r02/r03/r05/r06 (235 rows —
-        re-verify with the remaining ~42 slots, registration order);
+    (0,i) = prior-round driver-red rows, fixed — re-verify first (EMPTY this
+        round: CORRECTNESS_r07 was 50/50 green, the first zero-red round);
+    (1,i) = any oracle-able query somehow never driver-tested (none known —
+        the round-over-round union is 264/264 — but the tier catches any
+        registration added outside _R08_NEW by mistake);
+    (2,i) = round-8-new queries (first possible driver row);
+    (3,_) = already driver-green in r01-r07 (264 rows — re-verify with the
+        remaining ~47 slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = 29 (6 fixed + 1 never-tested + 22 round-7-new), far inside
-    the 50-slot window: every red and every never-evidenced query gets a
-    driver row this round, taking the oracle-able registry to a full
-    264/264 round-over-round union (the remaining ~21 slots re-verify
-    greens).
+    Tiers 0+1+2 = len(_R08_NEW), far inside the 50-slot window: every new
+    query gets a driver row this round while the remaining slots re-verify
+    greens, keeping the oracle-able union complete.
     """
-    if name in _R07_FIXED_FIRST:
-        return (0, _R07_FIXED_FIRST.index(name))
+    if name in _R08_FIXED_FIRST:
+        return (0, _R08_FIXED_FIRST.index(name))
     if name in _NO_ORACLE_LAST:
         return (4, _NO_ORACLE_LAST.index(name))
-    if name in _R07_NEVER_TESTED:
-        return (1, _R07_NEVER_TESTED.index(name))
-    if name in _R07_NEW:
-        return (2, _R07_NEW.index(name))
+    if name in _R08_NEW:
+        return (2, _R08_NEW.index(name))
     if name in _DRIVER_GREEN:
         return (3, 0)
     return (1, 99)
