@@ -63,7 +63,13 @@ def _dispatch(env, stmt: str, max_rows: int, depth: int = 0) -> bool:
         parts = stmt.split(None, 1)
         if len(parts) < 2:
             raise ValueError("SOURCE needs a path: SOURCE <script-file>")
-        text = Path(parts[1].strip().strip("'\"")).read_text()
+        src_path = Path(parts[1].strip().strip("'\""))
+        # Reject on file SIZE before materializing the content, so an
+        # arbitrarily large file is never fully read into memory (bytes >=
+        # chars in any encoding, so the stat check can't under-reject).
+        if src_path.stat().st_size > _SOURCE_MAX_SIZE:
+            raise ValueError(f"SOURCE file exceeds {_SOURCE_MAX_SIZE} chars")
+        text = src_path.read_text()
         if len(text) > _SOURCE_MAX_SIZE:
             raise ValueError(f"SOURCE file exceeds {_SOURCE_MAX_SIZE} chars")
         inner = text.strip().rstrip(";").strip()

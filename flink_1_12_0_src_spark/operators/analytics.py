@@ -164,11 +164,16 @@ def zscore_report(
 ) -> DataFrame:
     """The audit half of :func:`daily_anomaly`, split out so the same
     expressions score a batch-computed count table OR the final snapshot of
-    a continuously-maintained streaming count (``stream_daily_anomaly``)."""
+    a continuously-maintained streaming count (``stream_daily_anomaly``).
+
+    The stddev denominator is NULLIF-guarded: a type whose daily counts are
+    all identical (stddev 0) gets NULL zscore/is_anomaly in both engines
+    instead of an engine-dependent 0.0/0.0 NaN rendering — same hardening as
+    funnel_conversion's conversion ratios."""
     w = W.partitionBy("event_type")
     z = F.round(
         (F.col("n_events") - F.avg("n_events").over(w))
-        / F.stddev_samp("n_events").over(w),
+        / F.nullif(F.stddev_samp("n_events").over(w), F.lit(0.0)),
         round_digits,
     )
     return daily.withColumn("zscore", z).withColumn(

@@ -461,8 +461,13 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     where W = Σ_v C(deg(v), 2) is the triplet count — so the only heavy work
     is the degree aggregation and the triangle enumeration (no triple-wise
     scan; the same trick Gelly's implementation uses). Pure BIGINT
-    arithmetic, bit-identical on any engine. Input must be a canonical
-    ``src < dst`` distinct edge list. At extreme vertex counts (n ≳ 3·10⁶ per
+    arithmetic, bit-identical on any engine. The input is canonicalized
+    in here (least/greatest + distinct) and SELF-LOOPS ARE EXCLUDED from
+    every statistic: a self-loop is not an edge of any triple, so it
+    contributes to neither n_vertices, n_edges, degrees nor the census —
+    a vertex incident only to a self-loop does not appear at all. This
+    matches triangle_counts and the p1 < p2 oracle host (pinned by
+    test_triadic_census_ignores_self_loops). At extreme vertex counts (n ≳ 3·10⁶ per
     component set) C(n,3) needs DECIMAL widening — same limit as Gelly's
     long-based census."""
     # The input edge list may itself be an expensive derivation (the test

@@ -127,30 +127,53 @@ def nearest_centroid_classify(
     cosine-similar to. Returns (vec_id, true_label, pred_label, cosine,
     correct) so the same output doubles as the filter's confusion report.
 
-    Scale (100 TB): centroids are |labels|×dim — reassembled into arrays and
-    BROADCAST; the corpus is scanned once with a map-side cosine argmax (the
-    per-vec_id window runs over |labels| rows per vector). The corpus never
-    shuffles on data size. Cosines are rounded to 6 dp with a label tiebreak
-    for cross-engine determinism.
+    Scale (100 TB): centroids are |labels|×dim — reassembled into ONE row
+    holding a label-sorted array of (pred_label, centroid) structs, then
+    broadcast-cross-joined so every corpus row carries the whole centroid
+    set. The argmax is a row-local ``F.aggregate`` fold over that array
+    (strictly-greater keeps the lowest label on ties — same ordering as a
+    DESC-cosine/ASC-label window). The corpus NEVER shuffles: no window, no
+    Exchange on data size — the plan test pins the absence of any
+    hashpartitioning exchange. Cosines are rounded to 6 dp for cross-engine
+    determinism.
     """
-    cents = _centroid_arrays(corpus, vec_col, label_col, round_digits).select(
-        F.col("label").alias("pred_label"), "cv"
+    # One row: array of (pred_label, cv) structs, sorted by label ascending
+    # (struct order = first-field order) so the fold's strict > realizes the
+    # ASC-label tiebreak.
+    cents_row = _centroid_arrays(corpus, vec_col, label_col, round_digits).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("label").alias("pred_label"), F.col("cv").alias("cv"))
+            )
+        ).alias("cents")
     )
     e = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("true_label"),
         _as_double(F.col(vec_col)).alias("v"),
     )
-    j = e.crossJoin(F.broadcast(cents))
-    cos = _cosine(F.col("v"), F.col("cv"), round_digits)
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("pred_label"))
-    return (
-        j.select("vec_id", "true_label", "pred_label", cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("correct", F.col("pred_label") == F.col("true_label"))
+    j = e.crossJoin(F.broadcast(cents_row))
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            s["pred_label"].alias("pred_label"),
+            _cosine(F.col("v"), s["cv"], round_digits).alias("cosine"),
+        ),
     )
+    # Fold init = the first (lowest-label) element, so the accumulator's type
+    # always matches the element type whatever the label column's type is;
+    # strict > over the label-sorted rest realizes the ASC-label tiebreak.
+    best = F.aggregate(
+        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s["cosine"] > acc["cosine"], s).otherwise(acc),
+    )
+    return j.select(
+        "vec_id",
+        "true_label",
+        best["pred_label"].alias("pred_label"),
+        best["cosine"].alias("cosine"),
+    ).withColumn("correct", F.col("pred_label") == F.col("true_label"))
 
 
 def cluster_cohesion(

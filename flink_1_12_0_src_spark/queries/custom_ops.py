@@ -619,9 +619,9 @@ WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) 
            FROM events GROUP BY event_type, day)
 SELECT event_type, day, n_events,
        round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
-             / stddev_samp(n_events) OVER (PARTITION BY event_type), 6) AS zscore,
+             / NULLIF(stddev_samp(n_events) OVER (PARTITION BY event_type), 0.0), 6) AS zscore,
        abs(round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
-                 / stddev_samp(n_events) OVER (PARTITION BY event_type), 6)) >= 2.0
+                 / NULLIF(stddev_samp(n_events) OVER (PARTITION BY event_type), 0.0), 6)) >= 2.0
            AS is_anomaly
 FROM d ORDER BY event_type, day
 """,

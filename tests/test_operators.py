@@ -263,6 +263,20 @@ def test_triadic_census_closed_form_on_known_graph(spark):
     assert (row["t0"], row["t1"], row["t2"], row["t3"]) == (0, 1, 2, 1)
 
 
+def test_triadic_census_ignores_self_loops(spark):
+    """Self-loops are excluded from EVERY census statistic (docstring
+    contract): adding 3-3 and a vertex 5 with only 5-5 must leave the census
+    identical to the loop-free graph — vertex 5 does not appear at all."""
+    from flink_1_12_0_src_spark.operators.graph import triadic_census
+
+    base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    looped = base + [(3, 3), (5, 5)]
+    r0 = triadic_census(spark.createDataFrame(base, ["src", "dst"])).collect()[0]
+    r1 = triadic_census(spark.createDataFrame(looped, ["src", "dst"])).collect()[0]
+    assert tuple(r0) == tuple(r1)
+    assert (r1["n_vertices"], r1["n_edges"]) == (4, 4)
+
+
 def test_vertex_metrics_on_known_graph(spark):
     from flink_1_12_0_src_spark.operators.graph import vertex_metrics
 
@@ -466,6 +480,27 @@ def test_daily_anomaly_semantics(spark, sf_dir):
         assert r["is_anomaly"] == (abs(r["zscore"]) >= 2.0)
     for typ, rs in by_type.items():
         assert abs(sum(r["zscore"] for r in rs)) < 1e-3 * len(rs), typ
+
+
+def test_daily_anomaly_constant_volume_yields_null(spark):
+    """A type whose daily counts are all identical has stddev 0; the NULLIF
+    guard must yield NULL zscore/is_anomaly (not a NaN whose cross-engine
+    rendering is undefined), while a varying type still scores normally."""
+    from flink_1_12_0_src_spark.operators.analytics import daily_anomaly
+
+    ev = spark.createDataFrame(
+        # "flat": exactly 2 events on each of 3 days; "spiky": 1,1,7
+        [("flat", f"2024-01-0{d} 0{h}:00:00") for d in (1, 2, 3) for h in (1, 2)]
+        + [("spiky", "2024-01-01 01:00:00"), ("spiky", "2024-01-02 01:00:00")]
+        + [("spiky", f"2024-01-03 0{h}:00:00") for h in range(1, 8)],
+        "event_type string, ts string",
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    rows = {(r["event_type"], str(r["day"])): r for r in daily_anomaly(ev).collect()}
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        assert rows[("flat", d)]["zscore"] is None
+        assert rows[("flat", d)]["is_anomaly"] is None
+    assert rows[("spiky", "2024-01-03")]["zscore"] > 1.0
+    assert rows[("spiky", "2024-01-03")]["is_anomaly"] is not None
 
 
 def test_analytics_partitioning_invariance(spark, sf_dir):

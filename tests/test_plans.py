@@ -268,11 +268,16 @@ def test_source_mix_total_broadcasts(spark, sf_dir):
 
 
 def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
-    # |labels|xdim centroids broadcast; the corpus scan carries the cosine
-    # argmax map-side and never shuffles on data size
+    # |labels|xdim centroids fold into ONE broadcast row; the cosine argmax
+    # is a row-local array fold, so the corpus-sized side must never hash-
+    # shuffle (no per-vec_id window — the ADVICE-flagged Exchange is pinned
+    # out; the only corpus-wide exchange is the query's final orderBy range
+    # partitioning for the oracle's deterministic comparison)
     plan = _plan(spark, sf_dir, "embedding_nearest_centroid")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_cluster_cohesion_broadcasts_centroids(spark, sf_dir):
