@@ -180,6 +180,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph in exact BIGINT
     fixed-point arithmetic (Gelly …/graph/library/PageRank.java semantics;
@@ -221,13 +222,17 @@ def pagerank(
         # at bench scale). Truncate every 3rd round instead — plan depth
         # stays bounded for high iteration counts, and the intermediate
         # rounds fuse into one job.
-        if (i + 1) % 3 == 0 and i != iterations - 1:
+        if materialize and (i + 1) % 3 == 0 and i != iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     # materialize the FINAL ranks while ud_deg is still cached — the lazy
     # tail would otherwise re-derive the edge+degree join from parquet at
-    # the caller's first action, after the unpersist below
-    ranks = ranks.localCheckpoint(eager=True)
-    ud_deg.unpersist()
+    # the caller's first action, after the unpersist below.
+    # ``materialize=False`` returns the fully lazy plan (no checkpoints, no
+    # eager work) for plan inspection — the golden fingerprint tests pin the
+    # iteration topology through it.
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
+        ud_deg.unpersist()
     return ranks.select("v", F.col("rank").alias("pagerank"))
 
 

@@ -403,7 +403,12 @@ def winnow_fingerprint(
 
 
 def duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, window: int = 8, min_docs: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication signal: per document, how much of it is
     covered by token windows of length ``window`` that also occur in at least
@@ -432,8 +437,11 @@ def duplicated_spans(
     # the (id, n_tokens) stats side is joined back after the aggregations;
     # materialize the tiny projection eagerly so the full tokenize lineage
     # is not re-run for a two-column scan (scoped blocks, no cache pin
-    # leaking across a many-query run)
-    base_stats = base.select(id_col, "n_tokens").localCheckpoint(eager=True)
+    # leaking across a many-query run). ``materialize=False`` keeps the plan
+    # fully lazy for plan inspection (golden fingerprint tests).
+    base_stats = base.select(id_col, "n_tokens")
+    if materialize:
+        base_stats = base_stats.localCheckpoint(eager=True)
     m = F.col("n_tokens") - F.lit(window - 1)
     wins = base.select(
         id_col,

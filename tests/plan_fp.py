@@ -1,0 +1,193 @@
+"""Normalized physical-plan fingerprints — the repo's adoption of the
+reference's golden-plan test strategy (SURVEY.md §5.1: Flink pins 182 golden
+plan XMLs under flink-table-planner-blink/src/test/resources/.../planner/).
+
+A full golden plan TEXT would be Spark-version- and expression-id-brittle, so
+the fingerprint keeps only the load-bearing structure a 100 TB run cares
+about, normalized to survive cosmetic planner changes:
+
+- the multiset of physical node kinds (joins keep their join type — a
+  BroadcastHashJoin silently becoming a SortMergeJoin is exactly the
+  regression class this exists to catch);
+- per parquet scan: the table, how many columns the scan READS (column
+  pruning), and whether any NON-trivial filter is pushed down (IsNotNull
+  alone doesn't count — predicate pushdown);
+- per shuffle Exchange: its partitioning kind (hashpartitioning /
+  rangepartitioning / SinglePartition / RoundRobinPartitioning) — a new
+  SinglePartition exchange is a lost-parallelism regression, a new
+  hashpartitioning one is a new shuffle;
+- subquery count.
+
+Expression ids (#13L), file paths, plan ids, statistics and AQE's
+isFinalPlan markers are all excluded.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+# tree lines: "+- BroadcastHashJoin Inner BuildRight (13)", ":- Scan parquet  (1)"
+_NODE = re.compile(r"^[\s+:|-]*([A-Za-z][A-Za-z0-9 ]*?)\s*\((\d+)\)\s*$")
+# detail block headers: "(16) Exchange" / "(1) Scan parquet "
+_BLOCK = re.compile(r"^\((\d+)\)\s+(.*?)\s*$")
+_TRIVIAL_FILTER = re.compile(r"^IsNotNull\(")
+
+
+def _node_kind(name: str) -> str:
+    """Normalize a tree node label to its fingerprint kind: first token,
+    except joins keep the join type and 'Scan parquet' stays two tokens."""
+    toks = name.split()
+    if toks[0] == "Scan":
+        return " ".join(toks[:2])
+    if toks[0].endswith("Join") or toks[0] == "CartesianProduct":
+        return " ".join(toks[:2]) if len(toks) > 1 else toks[0]
+    return toks[0]
+
+
+def _split_filters(s: str) -> list[str]:
+    """Split a PushedFilters list on top-level commas (filters contain
+    commas inside parens: GreaterThan(l_shipdate,1998-06-01T00:00))."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def plan_fingerprint(plan: str) -> dict:
+    """Normalized structural fingerprint of a formatted explain string."""
+    main, _, subs = plan.partition("===== Subqueries =====")
+    sections = main.split("\n\n")
+    tree = sections[0]
+
+    kinds: Counter[str] = Counter()
+    for line in tree.splitlines():
+        m = _NODE.match(line)
+        if m:
+            kinds[_node_kind(m.group(1))] += 1
+
+    scans: list[dict] = []
+    exchanges: Counter[str] = Counter()
+    for block in sections[1:]:
+        lines = block.strip().splitlines()
+        if not lines:
+            continue
+        m = _BLOCK.match(lines[0])
+        if not m:
+            continue
+        head = m.group(2)
+        body = "\n".join(lines[1:])
+        if head.startswith("Scan parquet"):
+            tbl = re.search(r"/([A-Za-z0-9_]+)\.parquet", body)
+            rs = re.search(r"ReadSchema: struct<(.*)>", body)
+            read_cols = len(_split_filters(rs.group(1))) if rs and rs.group(1) else 0
+            pf = re.search(r"PushedFilters: \[(.*?)\]", body)
+            pushed = [
+                f
+                for f in (_split_filters(pf.group(1)) if pf else [])
+                if f and not _TRIVIAL_FILTER.match(f)
+            ]
+            scans.append(
+                {
+                    "table": tbl.group(1) if tbl else "?",
+                    "read_cols": read_cols,
+                    "pushed_nontrivial": bool(pushed),
+                }
+            )
+        elif head == "Exchange":
+            arg = re.search(r"Arguments: ([A-Za-z]+)", body)
+            exchanges[arg.group(1) if arg else "?"] += 1
+
+    scans.sort(key=lambda s: (s["table"], s["read_cols"], s["pushed_nontrivial"]))
+    n_subqueries = len(re.findall(r"Subquery:?\s", subs)) if subs else 0
+    return {
+        "nodes": dict(sorted(kinds.items())),
+        "scans": scans,
+        "exchange_kinds": dict(sorted(exchanges.items())),
+        "n_subqueries": n_subqueries,
+    }
+
+
+def df_fingerprint(spark, df) -> dict:
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return plan_fingerprint(plan)
+
+
+def bench_plan_providers() -> dict:
+    """(spark, sf_dir) -> DataFrame provider per bench-tagged query.
+
+    Most queries fingerprint their registry implementation unchanged (plan
+    construction is lazy). Three queries materialize internally
+    (localCheckpoint), so their registry plan degenerates to an ExistingRDD
+    scan; their providers rebuild the identical topology with
+    ``materialize=False`` so the golden pins the real interior plan. The two
+    stream_* bench queries execute a streaming job and return a sink
+    readback whose batch plan carries no optimizer surface — they are
+    excluded here; their operator shape is pinned by the streaming tests.
+    """
+    from flink_1_12_0_src_spark.queries import load_all
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+        SPAN_WINDOW,
+    )
+
+    reg = load_all()
+    providers = {
+        n: q.spark
+        for n, q in sorted(reg.items())
+        if "bench" in q.tags and not n.startswith("stream_")
+    }
+
+    def _lazy_minhash(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("id_a", "id_b")
+
+    def _lazy_spans(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import duplicated_spans
+
+        return duplicated_spans(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            window=SPAN_WINDOW,
+            materialize=False,
+        ).orderBy("doc_id")
+
+    def _lazy_pagerank(spark, sf_dir):
+        from flink_1_12_0_src_spark.operators.graph import pagerank
+        from flink_1_12_0_src_spark.queries.graphq import _edges
+
+        return pagerank(_edges(spark, sf_dir), iterations=5, materialize=False)
+
+    providers["dedup_minhash_lsh"] = _lazy_minhash
+    providers["dedup_exact_substring"] = _lazy_spans
+    providers["graph_pagerank"] = _lazy_pagerank
+    return providers
