@@ -53,6 +53,15 @@ def retention_cohorts(
         )
         .distinct()
     )
+    return retention_from_activity(act, round_digits)
+
+
+def retention_from_activity(act: DataFrame, round_digits: int = 6) -> DataFrame:
+    """The report half of :func:`retention_cohorts`, split out (same shape as
+    :func:`zscore_report`) so identical expressions score a batch-derived
+    activity set OR the final snapshot of a continuously-maintained streaming
+    (user, week) distinct aggregate (``stream_retention_cohorts``). ``act``
+    must be distinct rows of (user_id, wk: DATE truncated to ISO Monday)."""
     first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     # act is distinct on (user_id, wk) and cohort_week is functionally
     # dependent on user_id, so COUNT(*) below counts distinct active users.

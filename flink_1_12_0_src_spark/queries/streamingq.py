@@ -1986,3 +1986,119 @@ def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = s.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
     snap = run_to_batch(daily, "complete")
     return zscore_report(snap).orderBy("event_type", "day")
+
+
+_RETENTION_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id),
+r AS (SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT cohort_week, week_offset, n_active,
+       round(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+FROM r ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "stream_retention_cohorts",
+    oracle=_RETENTION_ORACLE,
+    tags=("streaming", "analytics"),
+    doc="Analytics-on-a-stream: the distinct (user, ISO-week) activity set "
+    "of events_retention_cohorts maintained INCREMENTALLY by a streaming "
+    "grouped aggregate — the continuously-updated retention dashboard shape "
+    "(reference analog: chained StreamExecGroupAggregate, "
+    "flink-table-planner-blink/.../stream/StreamExecGroupAggregate.scala:52) "
+    "— with the cohort report (operators/analytics.py "
+    "retention_from_activity) applied to the final snapshot. The snapshot "
+    "is the distinct activity SET, a pure function of the data regardless "
+    "of micro-batch boundaries, so the report equals the batch operator's "
+    "exactly. Scale: streaming state is one counter per (user, week) — the "
+    "corpus-sized distinct is the part worth maintaining incrementally; the "
+    "report runs over |users|x|weeks| rows.",
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import retention_from_activity
+
+    s = events_stream(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    act = s.groupBy("user_id", "wk").agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: the cohort report self-joins the snapshot (activity ⋈
+    # first-week agg), and Spark cannot deduplicate conflicting attribute
+    # references through a memory-sink view (INTERNAL_ERROR); checkpointing
+    # the state-sized snapshot (|users| x |weeks|) makes it a fresh relation
+    snap = (
+        run_to_batch(act, "complete")
+        .select("user_id", "wk")
+        .localCheckpoint(eager=True)
+    )
+    return retention_from_activity(snap).orderBy("cohort_week", "week_offset")
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+             (SELECT COUNT(*) FROM c) AS nc,
+             (SELECT COUNT(*) FROM p) AS np)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
+         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_prev,
+         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_start
+  FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(nc AS BIGINT),
+         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6),
+         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6)
+  FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(np AS BIGINT),
+         round(CAST(np AS DOUBLE) / nullif(nc, 0), 6),
+         round(CAST(np AS DOUBLE) / nullif(nv, 0), 6)
+  FROM n
+) ORDER BY stage_idx
+"""
+
+
+@register(
+    "stream_funnel_rates",
+    oracle=_FUNNEL_ORACLE,
+    tags=("streaming", "analytics"),
+    doc="Analytics-on-a-stream: the strict-sequence funnel of "
+    "events_funnel_rates continuously maintained — streaming state is the "
+    "DISTINCT (user, stage, ts) triple set via a grouped aggregate (same "
+    "chained-StreamExecGroupAggregate analog as stream_daily_anomaly), the "
+    "staged-MIN report (operators/analytics.py funnel_conversion) applied "
+    "to the snapshot. The funnel is duplicate-insensitive (every stage is a "
+    "MIN over an EXISTS-filtered set), so report-on-distinct-triples equals "
+    "the batch report exactly, independent of micro-batch boundaries. The "
+    "triple state is the MINIMAL exact state for a strict-sequence funnel "
+    "under out-of-order arrival: an earlier stage-(N-1) event arriving late "
+    "can retroactively qualify an already-seen stage-N event, so per-stage "
+    "running MINs alone cannot incrementally maintain it — production "
+    "deployments bound this state with a TTL or session window.",
+)
+def stream_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+
+    s = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    triples = s.groupBy("user_id", "event_type", "ts").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # localCheckpoint: the staged-MIN report self-joins the snapshot per
+    # stage, and Spark cannot deduplicate conflicting attribute references
+    # through a memory-sink view (INTERNAL_ERROR); the checkpoint holds the
+    # state-sized distinct triple set, nothing corpus-shaped beyond it
+    snap = (
+        run_to_batch(triples, "complete")
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=True)
+    )
+    return funnel_conversion(snap).orderBy("stage_idx")
