@@ -206,3 +206,64 @@ def test_transition_matrix_matches_bruteforce(spark, rows):
     for seq in by_user.values():
         want.update(zip(seq, seq[1:]))
     assert got == dict(want)
+
+
+# (user, stage-index-or-other, seconds) — a TINY time domain (0..20 s) forces
+# timestamp ties, and the 4th type value exercises non-funnel noise events;
+# repeated and missing stages arise naturally from random draws
+FUNNEL_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=FUNNEL_ROWS)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_conversion_matches_bruteforce(spark, rows):
+    """Strict-sequence funnel vs a per-user Python scan — pins the strict
+    ``ts >`` qualification (a stage-N event at exactly the stage-(N-1)
+    timestamp does NOT advance), MIN-of-qualifying per stage, and the
+    NULL rates of an empty stage."""
+    import datetime
+
+    from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+
+    stages = ("view", "click", "purchase")
+    types = [*stages, "other"]
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, types[k], base + datetime.timedelta(seconds=s)) for u, k, s in rows
+    ]
+    sdf = spark.createDataFrame(data, "user_id bigint, event_type string, ts timestamp")
+    got = {
+        r["stage_idx"]: (r["stage"], r["n_users"], r["conv_from_prev"], r["conv_from_start"])
+        for r in funnel_conversion(sdf).collect()
+    }
+
+    by_user: dict = {}
+    for u, t, ts in data:
+        by_user.setdefault(u, []).append((t, ts))
+    counts = []
+    prev: dict = {}
+    for i, stage in enumerate(stages):
+        nxt = {}
+        for u, evs in by_user.items():
+            if i > 0 and u not in prev:
+                continue
+            cand = [ts for t, ts in evs if t == stage and (i == 0 or ts > prev[u])]
+            if cand:
+                nxt[u] = min(cand)
+        prev = nxt
+        counts.append(len(nxt))
+
+    def rate(n, d):
+        return round(n / d, 6) if d else None
+
+    for i, stage in enumerate(stages):
+        n, p = counts[i], counts[i - 1] if i else counts[i]
+        assert got[i + 1] == (stage, n, rate(n, p), rate(n, counts[0])), (
+            i,
+            counts,
+            got,
+        )
