@@ -139,6 +139,30 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sigs: DataFrame, id_col: str, num_hashes: int, band_rows: int) -> DataFrame:
+    """Banded LSH bucket keys from a signature table: one (id, band, bk) row
+    per band, bk = md5 over the band's signature components. Shared by the
+    document-pair generator (:func:`minhash_lsh_pairs`) and the
+    paragraph-granularity report (:func:`paragraph_dedup_report`)."""
+    n_bands = num_hashes // band_rows
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[f"h{b * band_rows + j}" for j in range(band_rows)])
+                        ).alias("bk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "x.band", "x.bk")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -169,23 +193,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     if materialize:
         sigs = sigs.persist()
-    n_bands = num_hashes // band_rows
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", *[f"h{b * band_rows + j}" for j in range(band_rows)])
-                        ).alias("bk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("x"),
-    ).select(id_col, "x.band", "x.bk")
+    bands = _band_keys(sigs, id_col, num_hashes, band_rows)
 
     if max_bucket is not None:
         # Bucket-size guard as a window count over the exact keys the
@@ -233,6 +241,101 @@ def minhash_lsh_pairs(
         if materialize:
             bands.unpersist()
             sigs.unpersist()
+
+
+def paragraph_dedup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 16,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+    max_bucket: int = 256,
+    round_digits: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Paragraph-granularity near-dedup audit — the RefinedWeb/CCNet
+    production shape applied below document level: split every document into
+    paragraphs, MinHash-band each paragraph, and report per document how
+    many of its paragraphs are near-duplicated in OTHER documents
+    (boilerplate detection: headers, banners, license blocks survive
+    doc-level dedup but light up here). Returns (id, n_paragraphs,
+    n_dup_paragraphs, dup_frac) for every document.
+
+    "Paragraph" here is a fixed ``block``-token window (the corpus has no
+    line structure; fixed windows are the standard fallback granularity). A
+    paragraph counts as duplicated when ANY of its LSH band buckets (size ≤
+    ``max_bucket``) also contains a paragraph of a DIFFERENT document —
+    within-doc repetition is a separate signal (text_repetition_signals)
+    and does not count.
+
+    Scale (100 TB): the paragraph explosion is linear (ceil(tokens/block)
+    rows per doc) and reuses the doc-level MinHash machinery
+    (:func:`minhash_signatures` + :func:`_band_keys`) on composite
+    (doc, paragraph) keys. There is NO pair generation and NO self-join at
+    any granularity: duplicated buckets come from ONE (band, bk)-keyed
+    aggregate (bucket size + distinct-doc count, hot buckets > max_bucket
+    dropped exactly as in :func:`minhash_lsh_pairs`), paragraphs mark by an
+    equi join against that bucket list, and the report is a per-doc
+    aggregate — output and every intermediate are linear in the corpus.
+    """
+    toks = tokens(text_col)
+    # every doc has >= 1 paragraph (greatest guards a pathological empty
+    # text from producing a descending sequence)
+    n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block)).cast("int"), F.lit(1))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
+            )
+        ).alias("pid", "ptext"),
+    ).withColumn("pkey", F.struct(F.col(id_col).alias("did"), F.col("pid").alias("pid")))
+    sigs = minhash_signatures(paras, "pkey", "ptext", num_hashes, shingle_k)
+    bands = _band_keys(sigs, "pkey", num_hashes, band_rows)
+    if materialize:
+        bands = bands.persist()
+    try:
+        dup_buckets = (
+            bands.groupBy("band", "bk")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.countDistinct(F.col("pkey.did")).alias("nd"),
+            )
+            .filter((F.col("sz") <= max_bucket) & (F.col("nd") >= 2))
+            .select("band", "bk")
+        )
+        dup_p = (
+            bands.join(dup_buckets, ["band", "bk"])
+            .select("pkey")
+            .distinct()
+            .groupBy(F.col("pkey.did").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_dup_paragraphs"))
+        )
+        n_par = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+        out = (
+            n_par.join(dup_p, id_col, "left")
+            .select(
+                id_col,
+                "n_paragraphs",
+                F.coalesce("n_dup_paragraphs", F.lit(0)).alias("n_dup_paragraphs"),
+                F.round(
+                    F.coalesce("n_dup_paragraphs", F.lit(0)).cast("double")
+                    / F.col("n_paragraphs"),
+                    round_digits,
+                ).alias("dup_frac"),
+            )
+        )
+        if not materialize:
+            return out  # fully lazy plan (inspection / composition)
+        # materialize before releasing the band cache (scoped persist, same
+        # discipline as minhash_lsh_pairs)
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            bands.unpersist()
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

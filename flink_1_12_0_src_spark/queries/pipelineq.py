@@ -217,6 +217,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"doc_id": "doc_id"}).orderBy("id_a", "id_b")
 
 
+PARA_BLOCK = 16  # tokens per synthetic paragraph (the corpus has no line breaks)
+
+
+def _paragraph_dedup_oracle() -> str:
+    nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+    bands = nh // rows
+    hcols = ", ".join(
+        f"MIN(substr(md5('{s // 4}|' || sh), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(nh)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, pid, {b} AS band, md5({key}) AS bk FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+paras AS (
+  SELECT doc_id, pid,
+         array_to_string(w[pid*{PARA_BLOCK}+1:pid*{PARA_BLOCK}+{PARA_BLOCK}], ' ') AS ptext
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0,
+                 GREATEST(CAST(ceil(len(w) / {PARA_BLOCK}.0) AS INT) - 1, 0))) AS pid
+        FROM toks)
+),
+pshingles AS (
+  SELECT doc_id, pid,
+         unnest(list_transform(generate_series(0, len(pw)-{k}),
+                               g -> array_to_string(pw[g+1:g+{k}], ' '))) AS sh
+  FROM (SELECT doc_id, pid, string_split(ptext, ' ') AS pw FROM paras)
+  WHERE len(pw) >= {k}
+),
+sigs AS (SELECT doc_id, pid, {hcols} FROM pshingles GROUP BY doc_id, pid),
+bands0 AS ({band_selects}),
+dup AS (SELECT band, bk FROM bands0 GROUP BY band, bk
+        HAVING COUNT(*) <= {MH_MAX_BUCKET} AND COUNT(DISTINCT doc_id) >= 2),
+dupp AS (SELECT DISTINCT doc_id, pid FROM bands0 JOIN dup USING (band, bk)),
+npar AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs FROM paras GROUP BY doc_id)
+SELECT n.doc_id, n.n_paragraphs,
+       CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_paragraphs,
+       round(CAST(COALESCE(d.nd, 0) AS DOUBLE) / n.n_paragraphs, 6) AS dup_frac
+FROM npar n
+LEFT JOIN (SELECT doc_id, COUNT(*) AS nd FROM dupp GROUP BY doc_id) d USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+@register(
+    "dedup_paragraph_minhash",
+    oracle=_paragraph_dedup_oracle(),
+    tags=("pipeline", "dedup"),
+    doc="Paragraph-granularity near-dedup audit (pipeline/dedup.py "
+    "paragraph_dedup_report) — the RefinedWeb/CCNet production shape below "
+    f"document level: {PARA_BLOCK}-token paragraph windows, each MinHash-"
+    f"banded ({MH_NUM_HASHES} hashes, {MH_BAND_ROWS}-row bands), a paragraph "
+    "flagged when any of its capped band buckets also holds a paragraph of "
+    "a DIFFERENT doc; per-doc duplicated-paragraph fraction. NO pair "
+    "generation and NO self-join at any granularity: duplicated buckets "
+    "come from one (band, bk)-keyed aggregate, marking is an equi join — "
+    "everything stays linear in the corpus.",
+)
+def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
+
+    docs = table(spark, sf_dir, "documents")
+    return paragraph_dedup_report(
+        docs,
+        "doc_id",
+        "text",
+        block=PARA_BLOCK,
+        num_hashes=MH_NUM_HASHES,
+        shingle_k=MH_SHINGLE_K,
+        band_rows=MH_BAND_ROWS,
+        max_bucket=MH_MAX_BUCKET,
+    ).orderBy("doc_id")
+
+
 @register(
     "dedup_exact_hash",
     oracle="""

@@ -12,6 +12,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _touched_buckets(delta: DataFrame) -> list[int]:
+    """Bucket ids a micro-batch delta touches — a bounded (<= n_buckets)
+    driver-side id list used to prune which accumulated bucket FILES the
+    incremental joins re-read; never row data."""
+    return [r["_b"] for r in delta.select("_b").distinct().collect()]
+
+
 def run_to_batch(
     stream_df: DataFrame,
     output_mode: str = "complete",
@@ -317,8 +324,8 @@ def run_incremental_join(
         dl.write.partitionBy("_b").mode("append").parquet(l_dir)
         dr.write.partitionBy("_b").mode("append").parquet(r_dir)
         # buckets each delta touches — a <=n_buckets-element id list, not rows
-        dl_buckets = [r["_b"] for r in dl.select("_b").distinct().collect()]
-        dr_buckets = [r["_b"] for r in dr.select("_b").distinct().collect()]
+        dl_buckets = _touched_buckets(dl)
+        dr_buckets = _touched_buckets(dr)
         data_schema = dl.drop("_b").schema
         dlp, drp = dl.drop("_b"), dr.drop("_b")
         r_schema = dr.drop("_b").schema
@@ -461,8 +468,8 @@ def run_incremental_outer_join_changelog(
         l_files, r_files = bucket_files(l_dir), bucket_files(r_dir)
         dl.write.partitionBy("_b").mode("append").parquet(l_dir)
         dr.write.partitionBy("_b").mode("append").parquet(r_dir)
-        dl_b = [r["_b"] for r in dl.select("_b").distinct().collect()]
-        dr_b = [r["_b"] for r in dr.select("_b").distinct().collect()]
+        dl_b = _touched_buckets(dl)
+        dr_b = _touched_buckets(dr)
         dlp, drp = dl.drop("_b"), dr.drop("_b")
         l_schema, r_schema = dlp.schema, drp.schema
         l_prev = read_buckets(l_files, dr_b, l_schema)

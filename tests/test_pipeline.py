@@ -44,6 +44,31 @@ def test_simhash_close_for_minhash_neardups(spark, sf_dir):
     assert checked > 0, "expected some high-jaccard pairs in the fixture"
 
 
+def test_paragraph_dedup_flags_shared_boilerplate(spark):
+    """Two docs sharing an identical 16-token boilerplate block are flagged
+    on exactly that paragraph; a fully unique doc reports 0; within-doc
+    repetition alone does NOT count (cross-doc only)."""
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
+
+    boiler = " ".join(f"b{i}" for i in range(16))  # one exact paragraph block
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(16))  # noqa: E731
+    rows = [
+        (1, boiler + " " + u("x")),   # 2 paragraphs: boiler + unique
+        (2, boiler + " " + u("y")),   # 2 paragraphs: boiler + unique
+        (3, u("z") + " " + u("w")),   # 2 unique paragraphs
+        (4, u("r") + " " + u("r")),   # same block TWICE within ONE doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_dup_paragraphs"], r["dup_frac"])
+        for r in paragraph_dedup_report(docs, block=16).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (2, 0, 0.0)  # within-doc repetition is not cross-doc dup
+
+
 def test_minhash_estimates_match_exact_jaccard_direction(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()

@@ -280,6 +280,23 @@ def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
     assert "hashpartitioning(vec_id" not in plan
 
 
+def test_paragraph_dedup_no_pair_explosion(spark, sf_dir):
+    # paragraph near-dedup NEVER generates pairs: duplicated buckets come
+    # from one (band, bk)-keyed aggregate and marking is an equi join — no
+    # cartesian/nested-loop node may appear at any granularity
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
+    from tests.plan_fp import df_fingerprint
+
+    df = paragraph_dedup_report(
+        table(spark, sf_dir, "documents"), materialize=False
+    )
+    fp = df_fingerprint(spark, df)
+    assert not any("CartesianProduct" in k or "NestedLoop" in k for k in fp["nodes"])
+    assert fp["nodes"].get("Generate", 0) >= 2  # paragraph + band explosions
+    assert fp["nodes"].get("HashAggregate", 0) >= 4  # two-phase sig + bucket aggs
+
+
 def test_cluster_cohesion_broadcasts_centroids(spark, sf_dir):
     # centroids (|labels|xdim) broadcast onto the label-keyed corpus join;
     # the final per-label stats are a two-stage hash aggregate
