@@ -208,6 +208,46 @@ def test_transition_matrix_matches_bruteforce(spark, rows):
     assert got == dict(want)
 
 
+@given(rows=EVENT_ROWS)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_retention_cohorts_matches_bruteforce(spark, rows):
+    """Weekly cohort retention vs a per-user Python reference — pins the
+    ISO-Monday week truncation, the distinct-per-(user, week) counting, and
+    the cohort-size normalization."""
+    import datetime
+
+    from flink_1_12_0_src_spark.operators.analytics import retention_cohorts
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    # spread offsets across ~6 weeks so cohorts and offsets both vary
+    data = [
+        (u, base + datetime.timedelta(seconds=s * 1800), i)
+        for i, (u, s) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(data, "user_id bigint, ts timestamp, event_id bigint")
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(sdf).collect()
+    }
+    act = {
+        (u, (ts.date() - datetime.timedelta(days=ts.weekday())))
+        for u, ts, _ in data
+    }
+    first = {}
+    for u, wk in sorted(act):
+        first.setdefault(u, wk)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for u, wk in act:
+        counts[(first[u], (wk - first[u]).days // 7)] += 1
+    want = {
+        (cw, off): (n, round(n / counts[(cw, 0)], 6))
+        for (cw, off), n in counts.items()
+    }
+    assert got == want
+
+
 # (user, stage-index-or-other, seconds) — a TINY time domain (0..20 s) forces
 # timestamp ties, and the 4th type value exercises non-funnel noise events;
 # repeated and missing stages arise naturally from random draws
