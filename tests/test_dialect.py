@@ -260,26 +260,24 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 def test_gate_window_composition():
     """The driver verifies only the first 50 load_all() entries per round.
-    Round-7 policy: the six oracle-cast-fixed round-6 reds re-verify first,
-    then flinkddl_catalog_registry (the only never-driver-tested oracle-able
-    query, round-6's deliberate deferral), then the round-7-new queries —
-    no prior-green query occupies a slot while anything unevidenced waits,
-    and the no-oracle ANN trio (which can only ever produce `no_oracle`
-    rows) sits dead last, outside any window."""
+    Round-8 policy: no reds to re-verify (CORRECTNESS_r07 was 50/50 green),
+    so the round-8-new queries lead — no prior-green query occupies a slot
+    while anything unevidenced waits, and the no-oracle ANN trio (which can
+    only ever produce `no_oracle` rows) sits dead last, outside any
+    window."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
         _NO_ORACLE_LAST,
-        _R07_FIXED_FIRST,
-        _R07_NEVER_TESTED,
-        _R07_NEW,
+        _R08_FIXED_FIRST,
+        _R08_NEW,
         load_all,
     )
 
     names = list(load_all())
-    front = list(_R07_FIXED_FIRST) + list(_R07_NEVER_TESTED) + list(_R07_NEW)
+    front = list(_R08_FIXED_FIRST) + list(_R08_NEW)
     assert names[: len(front)] == front
     # everything after the front tier and before the ANN trio is driver-green
-    # already — round 7 has zero unevidenced oracle-able queries waiting
+    # already — round 8 has zero unevidenced oracle-able queries waiting
     unevidenced = [
         n for n in names
         if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST and n not in front
