@@ -147,6 +147,12 @@ def source_mix_report(
         F.sum(F.col(chars_col)).cast("bigint").alias("total_chars"),
         F.sum(F.size(tokens(text_col)).cast("bigint")).alias("total_tokens"),
     )
+    return _mix_shares(per_source)
+
+
+def _mix_shares(per_source: DataFrame) -> DataFrame:
+    """Derived mix columns over a per-source volume table — shared by the
+    batch report and the streaming twin's snapshot rollup."""
     totals = per_source.agg(F.sum("n_docs").alias("_corpus_docs"))
     return (
         per_source.crossJoin(F.broadcast(totals))
@@ -159,6 +165,61 @@ def source_mix_report(
             F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("avg_chars"),
             F.round(F.col("n_docs") / F.col("_corpus_docs"), 6).alias("doc_share"),
         )
+    )
+
+
+def source_mix_from_lang_groups(groups: DataFrame) -> DataFrame:
+    """The report half of :func:`source_mix_report` over PRE-AGGREGATED
+    (source, lang, n_docs, total_chars, total_tokens) rows — the final
+    snapshot of a continuously-maintained streaming grouped aggregate
+    (``stream_source_mix``). n_langs is an exact COUNT(*) because the input
+    is one row per (source, lang); every other statistic is a sum of sums,
+    so the rollup equals the batch report exactly."""
+    per_source = groups.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return _mix_shares(per_source)
+
+
+def pack_efficiency_report(
+    df: DataFrame,
+    stream_col: str,
+    token_col,
+    budget: int,
+    shard_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Packing-efficiency audit for the concat-then-chunk writer
+    (:func:`pack_sequences`): per (stream[, shard]), the document/token
+    volumes, how many ``budget``-token packs they chunk into, and the fill
+    fraction (tokens / pack capacity). Under concat-then-chunk every pack is
+    full except each partition's TAIL pack, so 1 - fill_frac is exactly the
+    tail waste — the quantity that grows with shard count (more shards =
+    more parallel writers = more tails), which is the trade this report
+    exists to measure before choosing a shard fan-out.
+
+    Scale (100 TB): ONE (stream[, shard])-keyed hash aggregate with map-side
+    partials; token counts are computed map-side so the shuffle carries only
+    partial sums, never text. Output is |streams|×|shards| rows.
+    """
+    parts = [stream_col] + ([shard_col] if shard_col else [])
+    agg = df.groupBy(*parts).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("total_tokens"),
+    )
+    n_packs = F.ceil(F.col("total_tokens") / F.lit(budget)).cast("bigint")
+    return agg.select(
+        *parts,
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        F.round(
+            F.col("total_tokens") / (n_packs * F.lit(budget)).cast("double"),
+            round_digits,
+        ).alias("fill_frac"),
     )
 
 

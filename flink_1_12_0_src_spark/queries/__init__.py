@@ -215,6 +215,8 @@ _R08_NEW = (
     "stream_funnel_rates",
     "stream_retention_cohorts",
     "dedup_paragraph_minhash",
+    "dataset_pack_efficiency",
+    "stream_source_mix",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -123,6 +123,51 @@ def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "dataset_pack_efficiency",
+    oracle=f"""
+WITH h AS (SELECT lang, len(string_split(text, ' ')) AS nt,
+                  CAST(('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+                       AS INTEGER) AS shard_id
+           FROM documents),
+s AS (SELECT lang, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens
+      FROM h GROUP BY lang, shard_id)
+SELECT lang, shard_id, n_docs, total_tokens,
+       CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT) AS n_packs,
+       round(CAST(total_tokens AS DOUBLE)
+             / (CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET}), 6)
+           AS fill_frac
+FROM s ORDER BY lang, shard_id
+""",
+    tags=("pipeline", "sampling"),
+    doc=f"Packing-efficiency audit (pipeline/sampling.py "
+    f"pack_efficiency_report): per (lang stream, writer shard), doc/token "
+    f"volumes, {PACK_BUDGET}-token pack count, and fill fraction under the "
+    "concat-then-chunk writer — 1 - fill_frac is exactly the per-shard TAIL "
+    "waste, the quantity that grows with shard fan-out (more parallel "
+    "writers = more tails); this report prices that trade before choosing "
+    "the fan-out. Scale: one keyed aggregate with map-side partials, token "
+    "counts map-side, output |streams|x|shards| rows.",
+)
+def dataset_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import pack_efficiency_report
+
+    docs = table(spark, sf_dir, "documents")
+    # same salted-hash shard as shuffle_shard (seed 77, first md5 nibble)
+    h = F.md5(F.concat(F.lit("77|"), F.col("doc_id").cast("string")))
+    sharded = docs.withColumn(
+        "shard_id", F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    )
+    return pack_efficiency_report(
+        sharded,
+        "lang",
+        F.size(F.split(F.col("text"), " ")),
+        PACK_BUDGET,
+        "shard_id",
+    ).orderBy("lang", "shard_id")
+
+
 TB_BUDGET = 2000  # tokens per source
 TB_BLOCK = 256  # ids per prefix-sum block (small so sf0.01 spans ~20 blocks)
 

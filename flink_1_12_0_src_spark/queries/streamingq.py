@@ -1988,6 +1988,51 @@ def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_report(snap).orderBy("event_type", "day")
 
 
+@register(
+    "stream_source_mix",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_langs, total_chars, total_tokens,
+       round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+       round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
+FROM s
+ORDER BY source
+""",
+    tags=("streaming", "analytics"),
+    doc="Analytics-on-a-stream: the per-source mix accounting of "
+    "dataset_source_mix_report continuously maintained — streaming state is "
+    "one (source, lang) row of doc/char/token counters updated as documents "
+    "arrive (the live ingest dashboard a curator watches), the share rollup "
+    "(pipeline/sampling.py source_mix_from_lang_groups) applied to the "
+    "final snapshot. n_langs is an exact COUNT(*) over the (source, lang) "
+    "snapshot rows, every other statistic a sum of sums, so the report "
+    "equals the batch operator's exactly regardless of micro-batch "
+    "boundaries. Scale: state is |sources| x |langs| counters.",
+)
+def stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import source_mix_from_lang_groups
+    from flink_1_12_0_src_spark.pipeline.text import tokens
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = s.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+    )
+    # localCheckpoint: the share rollup cross-joins the snapshot with its
+    # own one-row total, and Spark cannot deduplicate conflicting attribute
+    # references through a memory-sink view (same as the other twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    return source_mix_from_lang_groups(snap).orderBy("source")
+
+
 _RETENTION_ORACLE = """
 WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
 f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id),
