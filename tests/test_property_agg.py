@@ -248,6 +248,71 @@ def test_retention_cohorts_matches_bruteforce(spark, rows):
     assert got == want
 
 
+# small word alphabet so paragraph blocks collide across docs with real
+# probability; doc length up to ~3 blocks exercises tail paragraphs
+PARA_TEXTS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=40).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=PARA_TEXTS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_dedup_matches_bruteforce(spark, texts):
+    """Paragraph near-dedup vs an exact Python twin (same md5 minhash math,
+    banding, hot cap, cross-doc rule) on random low-entropy corpora — pins
+    block splitting (incl. short tails), the <k-token no-signature drop,
+    and the distinct-doc bucket condition."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
+
+    BLOCK, NH, K, ROWS, CAP = 8, 12, 3, 4, 256
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_dup_paragraphs"], r["dup_frac"])
+        for r in paragraph_dedup_report(
+            sdf, block=BLOCK, num_hashes=NH, shingle_k=K, band_rows=ROWS, max_bucket=CAP
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    buckets = defaultdict(list)  # (band, bk) -> [(doc, pid)]
+    n_par = {}
+    for i, t in docs:
+        w = t.lower().split(" ")
+        nb = max(-(-len(w) // BLOCK), 1)
+        n_par[i] = nb
+        for pid in range(nb):
+            pw = w[pid * BLOCK : pid * BLOCK + BLOCK]
+            if len(pw) < K:
+                continue  # no shingles -> no signature (explode drop)
+            sh = {" ".join(pw[g : g + K]) for g in range(len(pw) - K + 1)}
+            sig = [
+                min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
+                for s in range(NH)
+            ]
+            for b in range(NH // ROWS):
+                bk = md5("|".join(sig[b * ROWS : (b + 1) * ROWS]))
+                buckets[(b, bk)].append((i, pid))
+    dup_p = set()
+    for members in buckets.values():
+        if len(members) <= CAP and len({d for d, _ in members}) >= 2:
+            dup_p.update(members)
+    nd = defaultdict(int)
+    for d, _ in dup_p:
+        nd[d] += 1
+    want = {i: (n_par[i], nd[i], round(nd[i] / n_par[i], 6)) for i, _ in docs}
+    assert got == want
+
+
 # (user, stage-index-or-other, seconds) — a TINY time domain (0..20 s) forces
 # timestamp ties, and the 4th type value exercises non-funnel noise events;
 # repeated and missing stages arise naturally from random draws

@@ -86,6 +86,29 @@ def test_pack_sequences_invariants(spark, docs):
         assert packs == list(range(len(packs)))
 
 
+def test_pack_efficiency_hand_numbers(spark):
+    """Fill fraction is tokens / (n_packs * budget) with n_packs =
+    ceil(tokens / budget) — a stream exactly filling its packs reports 1.0,
+    a one-token overflow adds a whole nearly-empty tail pack."""
+    from flink_1_12_0_src_spark.pipeline.sampling import pack_efficiency_report
+
+    rows = [
+        ("full", 10), ("full", 10),          # 20 tokens = 2 packs of 10 → 1.0
+        ("spill", 10), ("spill", 11),        # 21 tokens = 3 packs → 0.7
+        ("tiny", 1),                          # 1 token = 1 pack → 0.1
+    ]
+    df = spark.createDataFrame(rows, "stream string, nt int")
+    got = {
+        r["stream"]: (r["n_docs"], r["total_tokens"], r["n_packs"], r["fill_frac"])
+        for r in pack_efficiency_report(df, "stream", F.col("nt"), 10).collect()
+    }
+    assert got == {
+        "full": (2, 20, 2, 1.0),
+        "spill": (2, 21, 3, 0.7),
+        "tiny": (1, 1, 1, 0.1),
+    }
+
+
 def test_shuffle_shard_is_a_permutation_and_seed_stable(spark, sf_dir):
     from flink_1_12_0_src_spark.catalog import table
     from flink_1_12_0_src_spark.pipeline.sampling import shuffle_shard
