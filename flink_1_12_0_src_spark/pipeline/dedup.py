@@ -314,7 +314,10 @@ def paragraph_dedup_report(
             .groupBy(F.col("pkey.did").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_dup_paragraphs"))
         )
-        n_par = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+        # the paragraph count is a pure per-doc expression (no explode, no
+        # aggregate) — one extra lightweight scan instead of replaying the
+        # paragraph explosion
+        n_par = df.select(F.col(id_col), n_blocks.cast("bigint").alias("n_paragraphs"))
         out = (
             n_par.join(dup_p, id_col, "left")
             .select(

@@ -313,7 +313,7 @@ ORDER BY n.doc_id
 @register(
     "dedup_paragraph_minhash",
     oracle=_paragraph_dedup_oracle(),
-    tags=("pipeline", "dedup"),
+    tags=("pipeline", "dedup", "bench"),
     doc="Paragraph-granularity near-dedup audit (pipeline/dedup.py "
     "paragraph_dedup_report) — the RefinedWeb/CCNet production shape below "
     f"document level: {PARA_BLOCK}-token paragraph windows, each MinHash-"

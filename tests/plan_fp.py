@@ -187,7 +187,23 @@ def bench_plan_providers() -> dict:
 
         return pagerank(_edges(spark, sf_dir), iterations=5, materialize=False)
 
+    def _lazy_paragraph(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
+        from flink_1_12_0_src_spark.queries.pipelineq import PARA_BLOCK
+
+        return paragraph_dedup_report(
+            table(spark, sf_dir, "documents"),
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("doc_id")
+
     providers["dedup_minhash_lsh"] = _lazy_minhash
     providers["dedup_exact_substring"] = _lazy_spans
     providers["graph_pagerank"] = _lazy_pagerank
+    providers["dedup_paragraph_minhash"] = _lazy_paragraph
     return providers
