@@ -52,6 +52,15 @@ def zipf_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """
     toks = df.select(F.explode(tokens(text_col)).alias("token")).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return zipf_head_from_counts(counts, k)
+
+
+def zipf_head_from_counts(counts: DataFrame, k: int = 50) -> DataFrame:
+    """The report half of :func:`zipf_topk` over a (token, freq) count table
+    — split out so the same head/rank expressions run on a batch word count
+    OR the final snapshot of a continuously-maintained streaming word count
+    (``stream_wordcount_zipf``). orderBy+limit plans as
+    TakeOrderedAndProject; the rank window covers only the k-row head."""
     head = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     return head.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -217,6 +217,7 @@ _R08_NEW = (
     "dedup_paragraph_minhash",
     "dataset_pack_efficiency",
     "stream_source_mix",
+    "stream_wordcount_zipf",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

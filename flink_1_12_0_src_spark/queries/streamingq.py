@@ -1989,6 +1989,42 @@ def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_wordcount_zipf",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS zipf_rank
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 50
+""",
+    tags=("streaming", "text"),
+    doc="Streaming WordCount — THE reference flagship example "
+    "(flink-examples/flink-examples-streaming/.../wordcount/WordCount.java) "
+    "— as a continuously-maintained vocabulary dashboard: per-token counts "
+    "updated by a streaming grouped aggregate as documents arrive, the Zipf "
+    "head/rank report (pipeline/text.py zipf_head_from_counts) applied to "
+    "the final snapshot. The snapshot count table is a pure function of the "
+    "data, so the head equals text_zipf_rank_report exactly. Scale: "
+    "streaming state is one counter per distinct token (vocabulary-sized); "
+    "the report is TakeOrderedAndProject over the snapshot — the vocabulary "
+    "is never globally sorted.",
+)
+def stream_wordcount_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import tokens, zipf_head_from_counts
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    toks = s.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    snap = run_to_batch(counts, "complete")
+    return zipf_head_from_counts(snap, 50).withColumnRenamed("rank", "zipf_rank")
+
+
+@register(
     "stream_source_mix",
     oracle="""
 WITH s AS (
