@@ -64,12 +64,15 @@ def _dispatch(env, stmt: str, max_rows: int, depth: int = 0) -> bool:
         if len(parts) < 2:
             raise ValueError("SOURCE needs a path: SOURCE <script-file>")
         src_path = Path(parts[1].strip().strip("'\""))
-        # Reject on file SIZE before materializing the content, so an
-        # arbitrarily large file is never fully read into memory (bytes >=
-        # chars in any encoding, so the stat check can't under-reject).
-        if src_path.stat().st_size > _SOURCE_MAX_SIZE:
+        # Memory-bound the read without changing the documented CHAR limit:
+        # UTF-8 uses at most 4 bytes per char, so st_size > 4×cap is
+        # definitely over the cap (rejected before any read); otherwise read
+        # at most cap+1 chars and apply the exact char check — a whole
+        # oversized file is never materialized.
+        if src_path.stat().st_size > 4 * _SOURCE_MAX_SIZE:
             raise ValueError(f"SOURCE file exceeds {_SOURCE_MAX_SIZE} chars")
-        text = src_path.read_text()
+        with open(src_path, encoding="utf-8") as fh:
+            text = fh.read(_SOURCE_MAX_SIZE + 1)
         if len(text) > _SOURCE_MAX_SIZE:
             raise ValueError(f"SOURCE file exceeds {_SOURCE_MAX_SIZE} chars")
         inner = text.strip().rstrip(";").strip()

@@ -199,7 +199,11 @@ def pagerank(
     # HashPartitioning and Catalyst skips the big-side exchange) — the
     # standard distributed-PageRank layout; at 100 TB the edge relation is
     # the one you cannot afford to move five times.
-    ud_deg = ud.join(deg, "src").select("src", "dst", "outdeg").repartition("src").persist()
+    ud_deg = ud.join(deg, "src").select("src", "dst", "outdeg").repartition("src")
+    if materialize:
+        # scoped persist, released below; the lazy (materialize=False) path
+        # must not register a cache entry it can never unpersist
+        ud_deg = ud_deg.persist()
     ranks = ud_deg.select(F.col("src").alias("v")).distinct().withColumn(
         "rank", F.lit(PR_SCALE).cast("long")
     )

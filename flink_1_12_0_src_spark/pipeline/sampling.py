@@ -172,12 +172,14 @@ def source_mix_from_lang_groups(groups: DataFrame) -> DataFrame:
     """The report half of :func:`source_mix_report` over PRE-AGGREGATED
     (source, lang, n_docs, total_chars, total_tokens) rows — the final
     snapshot of a continuously-maintained streaming grouped aggregate
-    (``stream_source_mix``). n_langs is an exact COUNT(*) because the input
-    is one row per (source, lang); every other statistic is a sum of sums,
-    so the rollup equals the batch report exactly."""
+    (``stream_source_mix``). n_langs is an exact COUNT(lang) because the
+    input is one row per (source, lang) — counting the COLUMN (not *) skips
+    a NULL-lang group exactly as the batch report's countDistinct(lang) and
+    the oracles' COUNT(DISTINCT lang) do; every other statistic is a sum of
+    sums, so the rollup equals the batch report exactly."""
     per_source = groups.groupBy("source").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_langs"),
+        F.count(F.col("lang")).alias("n_langs"),
         F.sum("total_chars").cast("bigint").alias("total_chars"),
         F.sum("total_tokens").cast("bigint").alias("total_tokens"),
     )

@@ -137,13 +137,20 @@ def nearest_centroid_classify(
     hashpartitioning exchange. Cosines are rounded to 6 dp for cross-engine
     determinism.
     """
-    # One row: array of (pred_label, cv) structs, sorted by label ascending
-    # (struct order = first-field order) so the fold's strict > realizes the
-    # ASC-label tiebreak.
+    # One row: array of (pred_label, cv, cn) structs, sorted by label
+    # ascending (struct order = first-field order) so the fold's strict >
+    # realizes the ASC-label tiebreak. Centroid norms are precomputed INTO
+    # the broadcast structs and the corpus vector's norm is hoisted to one
+    # per-row column, so the per-centroid fold does only the dot product —
+    # no redundant norm folds inside the interpreted HOF hot loop.
     cents_row = _centroid_arrays(corpus, vec_col, label_col, round_digits).agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("label").alias("pred_label"), F.col("cv").alias("cv"))
+                F.struct(
+                    F.col("label").alias("pred_label"),
+                    F.col("cv").alias("cv"),
+                    _norm(F.col("cv")).alias("cn"),
+                )
             )
         ).alias("cents")
     )
@@ -151,13 +158,15 @@ def nearest_centroid_classify(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("true_label"),
         _as_double(F.col(vec_col)).alias("v"),
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     j = e.crossJoin(F.broadcast(cents_row))
     scored = F.transform(
         F.col("cents"),
         lambda s: F.struct(
             s["pred_label"].alias("pred_label"),
-            _cosine(F.col("v"), s["cv"], round_digits).alias("cosine"),
+            F.round(
+                _dot(F.col("v"), s["cv"]) / (F.col("vn") * s["cn"]), round_digits
+            ).alias("cosine"),
         ),
     )
     # Fold init = the first (lowest-label) element, so the accumulator's type

@@ -10,9 +10,9 @@ from __future__ import annotations
 import pytest
 
 from flink_1_12_0_src_spark.queries import load_all
+from tests.conftest import SF_SMOKE as SF
 
 REG = load_all()
-SF = "/root/testdata/sf0.001"
 
 
 def _rows(df):
