@@ -1923,11 +1923,11 @@ ORDER BY e.vec_id
     doc="Nearest-centroid classification (pipeline.similarity."
     "nearest_centroid_classify) — the scoring pass after "
     "embedding_centroid_by_label in a FineWeb-edu-style filter: label "
-    "centroids reassembled into arrays, BROADCAST, one corpus scan with a "
-    "map-side cosine argmax (per-vector window over |labels| rows). The "
-    "corpus never shuffles on data size; 6-dp rounding + label tiebreak "
-    "make the argmax engine-identical. Output doubles as the confusion "
-    "report (true vs predicted label per vector).",
+    "centroids fold into ONE broadcast row of (label, centroid, norm) "
+    "structs and the argmax is a row-local array fold over it — no window, "
+    "no Exchange on the corpus side (plan-pinned). 6-dp rounding + label "
+    "tiebreak make the argmax engine-identical. Output doubles as the "
+    "confusion report (true vs predicted label per vector).",
 )
 def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.similarity import nearest_centroid_classify
