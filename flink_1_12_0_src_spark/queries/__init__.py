@@ -218,6 +218,7 @@ _R08_NEW = (
     "dataset_pack_efficiency",
     "stream_source_mix",
     "stream_wordcount_zipf",
+    "dedup_cluster_size_histogram",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

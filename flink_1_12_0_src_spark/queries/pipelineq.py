@@ -846,9 +846,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_docs",
-    oracle=f"""
+# Recursive-CTE connected-components closure over the n-gram-Jaccard pair
+# graph — the shared oracle prefix for the per-doc cluster assignment and
+# the cluster-size histogram.
+_CLUSTER_CC_SQL = f"""
 WITH RECURSIVE toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
 grams0 AS (
   SELECT DISTINCT doc_id, lang,
@@ -875,6 +876,31 @@ reach(v, r) AS (
   SELECT reach.v, ud.dst FROM reach JOIN ud ON ud.src = reach.r
 ),
 cc AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+"""
+
+
+def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document — near-dup pairs → connected
+    components, singletons keep their own id. Shared by the per-doc
+    assignment query and the cluster-size histogram."""
+    from flink_1_12_0_src_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.v, "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+
+
+@register(
+    "dedup_cluster_docs",
+    oracle=_CLUSTER_CC_SQL
+    + """
 SELECT d.doc_id,
        COALESCE(cc.component, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(cc.component, d.doc_id) AS is_canonical
@@ -892,22 +918,54 @@ ORDER BY d.doc_id
     "smaller than the input. Oracle: pair SQL + recursive-CTE closure.",
 )
 def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_12_0_src_spark.operators.graph import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(pairs)
     return (
-        docs.select("doc_id")
-        .join(cc, docs.doc_id == cc.v, "left")
+        _cluster_assignment(spark, sf_dir)
         .select(
             "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_CLUSTER_CC_SQL
+    + """,
+asg AS (SELECT COALESCE(cc.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON cc.v = d.doc_id),
+s AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM asg GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY cluster_size ORDER BY cluster_size
+""",
+    tags=("pipeline", "dedup", "graph"),
+    doc="Near-dup CLUSTER-SIZE distribution — the audit production dedup "
+    "reports publish (how much of the corpus sits in duplicate groups of "
+    "size 2, 3, ... vs singletons): cluster assignments from "
+    "dedup_cluster_docs' shared pipeline rolled up to (cluster_size, "
+    "n_clusters, n_docs). A heavy tail here flags boilerplate families "
+    "before the survivors are cut. Scale: two tiny aggregations over the "
+    "|docs|-row assignment table; the pair graph and CC loop are shared "
+    "machinery, orders of magnitude smaller than the corpus.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        _cluster_assignment(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )
 
 

@@ -33,3 +33,24 @@ def test_stream_twin_equals_batch(spark, stream_name, batch_name):
     got = _rows(REG[stream_name].spark(spark, SF))
     want = _rows(REG[batch_name].spark(spark, SF))
     assert got == want
+
+
+def test_twin_snapshot_is_microbatch_boundary_invariant(spark):
+    """The twins' core claim, pinned directly: the grouped-aggregate
+    snapshot is a pure function of the DATA — replaying the same files as
+    four micro-batches or as one produces identical state."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import events_stream
+
+    def snapshot(per_trigger):
+        s = events_stream(spark, SF, n_files=4, max_files_per_trigger=per_trigger)
+        daily = (
+            s.select("event_type", F.to_date("ts").alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        return _rows(run_to_batch(daily, "complete"))
+
+    assert snapshot(1) == snapshot(4)
