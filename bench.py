@@ -78,7 +78,9 @@ def main() -> None:
             q.spark(spark, sf_dir).count()
         samples = []
         n = 0
-        for _ in range(runs):
+
+        def timed_run():
+            nonlocal n
             # drop any DataFrames a previous run persisted so each timed run
             # does its own full compute (JIT stays warm; data caches do not
             # carry over)
@@ -87,6 +89,17 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             n = df.count()
             samples.append(time.perf_counter() - t0)
+
+        for _ in range(runs):
+            timed_run()
+        # Spread guard: this host shows up to 20× co-tenant variance, and a
+        # spike during one query poisons its median for the whole artifact
+        # (observed: samples 2.15/7.12/24.1 on unchanged code). When the
+        # spread is pathological, take two extra runs and let the median
+        # re-center on the steady state.
+        if max(samples) > 3 * min(samples):
+            timed_run()
+            timed_run()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
         print(
