@@ -153,6 +153,12 @@ def bench_plan_providers() -> dict:
         for n, q in sorted(reg.items())
         if "bench" in q.tags and not n.startswith("stream_")
     }
+    # The full TPC-H suite is pinned too (the reference pins 182 golden plan
+    # XMLs — breadth is the point): all 22 plans are lazy, so fingerprinting
+    # costs plan construction only.
+    providers.update(
+        {n: q.spark for n, q in sorted(reg.items()) if n.startswith("tpch_q")}
+    )
 
     def _lazy_minhash(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
