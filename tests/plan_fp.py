@@ -148,17 +148,42 @@ def bench_plan_providers() -> dict:
     )
 
     reg = load_all()
+    # Queries whose plan CONSTRUCTION executes real work (streaming replay,
+    # sink round-trips, eager bucketed-table writes) — fingerprinting them
+    # would make the test suite slow for no signal.
+    slow_construction = {
+        "agg_distinct_multi", "cdc_consume_changelog_agg",
+        "cdc_foreachbatch_upsert", "cdc_retract_stream_output",
+        "cdc_retract_with_delete", "dedup_simhash",
+        "flinkddl_stream_computed_watermark", "flinksql_stream_tumble",
+        "join_bucketed_coloc",
+    }
+    # Queries whose RETURNED plan is a checkpointed-RDD scan (iterative
+    # graph algorithms, DDL surface round-trips, composed materializers) —
+    # nothing to pin; their interiors are covered by dedicated plan tests
+    # or by the lazy special-case providers below.
+    degenerate = {
+        "dataset_split_leakage", "dedup_cluster_docs",
+        "dedup_cluster_size_histogram", "flinkddl_catalog_registry",
+        "flinkddl_describe", "flinkddl_explain_plan", "flinkddl_set_reset",
+        "flinkddl_show_functions", "flinkddl_show_modules",
+        "flinkddl_show_partitions", "flinkddl_show_tables_views",
+        "graph_clustering_coeff", "graph_community_detection",
+        "graph_connected_components", "graph_jaccard_similarity",
+        "graph_label_propagation", "graph_sssp", "graph_triadic_census",
+        "graph_triangle_count", "join_cross",
+    }
+    # Rule-based inclusion (the reference pins 182 golden plan XMLs —
+    # breadth is the point): every registered query whose plan is lazy and
+    # non-degenerate gets a golden, so a NEW query automatically demands
+    # one (the coverage test fails until the goldens are regenerated).
     providers = {
         n: q.spark
         for n, q in sorted(reg.items())
-        if "bench" in q.tags and not n.startswith("stream_")
+        if not n.startswith(("stream_", "knn_"))
+        and n not in slow_construction
+        and n not in degenerate
     }
-    # The full TPC-H suite is pinned too (the reference pins 182 golden plan
-    # XMLs — breadth is the point): all 22 plans are lazy, so fingerprinting
-    # costs plan construction only.
-    providers.update(
-        {n: q.spark for n, q in sorted(reg.items()) if n.startswith("tpch_q")}
-    )
 
     def _lazy_minhash(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
