@@ -239,7 +239,7 @@ def _gate_rank(name: str) -> tuple[int, int]:
         registration added outside _R08_NEW by mistake);
     (2,i) = round-8-new queries (first possible driver row);
     (3,_) = already driver-green in r01-r07 (264 rows — re-verify with the
-        remaining ~47 slots, registration order);
+        remaining ~43 slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 

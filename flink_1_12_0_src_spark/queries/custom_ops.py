@@ -501,9 +501,10 @@ def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "match_seq")
 
 
-@register(
-    "events_retention_cohorts",
-    oracle="""
+# Shared with the streaming twin (stream_retention_cohorts): ONE oracle
+# definition adjudicates both the batch operator and the incrementally
+# maintained snapshot — a fix applied here reaches both gates.
+RETENTION_ORACLE = """
 WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
 f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id),
 r AS (SELECT f.cohort_week,
@@ -515,7 +516,12 @@ SELECT cohort_week, week_offset, n_active,
              / MAX(CASE WHEN week_offset = 0 THEN n_active END)
                    OVER (PARTITION BY cohort_week), 6) AS retention
 FROM r ORDER BY cohort_week, week_offset
-""",
+"""
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=RETENTION_ORACLE,
     tags=("batch", "analytics", "custom_op", "bench"),
     doc="Weekly cohort retention matrix (operators/analytics.py "
     "retention_cohorts) — the canonical keyed-stream user-analytics query the "
@@ -568,9 +574,8 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles(ev).orderBy("event_type")
 
 
-@register(
-    "events_funnel_rates",
-    oracle="""
+# Shared with the streaming twin (stream_funnel_rates) — one definition.
+FUNNEL_ORACLE = """
 WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
       WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
@@ -595,7 +600,12 @@ SELECT * FROM (
          round(CAST(np AS DOUBLE) / nullif(nv, 0), 6)
   FROM n
 ) ORDER BY stage_idx
-""",
+"""
+
+
+@register(
+    "events_funnel_rates",
+    oracle=FUNNEL_ORACLE,
     tags=("batch", "analytics", "custom_op"),
     doc="Aggregate funnel conversion report (operators/analytics.py "
     "funnel_conversion): stage N counts users whose earliest stage-N event "
@@ -612,9 +622,8 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(ev).orderBy("stage_idx")
 
 
-@register(
-    "events_daily_anomaly",
-    oracle="""
+# Shared with the streaming twin (stream_daily_anomaly) — one definition.
+DAILY_ANOMALY_ORACLE = """
 WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
            FROM events GROUP BY event_type, day)
 SELECT event_type, day, n_events,
@@ -624,7 +633,12 @@ SELECT event_type, day, n_events,
                  / NULLIF(stddev_samp(n_events) OVER (PARTITION BY event_type), 0.0), 6)) >= 2.0
            AS is_anomaly
 FROM d ORDER BY event_type, day
-""",
+"""
+
+
+@register(
+    "events_daily_anomaly",
+    oracle=DAILY_ANOMALY_ORACLE,
     tags=("batch", "analytics", "custom_op"),
     doc="Daily volume anomaly report (operators/analytics.py daily_anomaly): "
     "per-(event_type, day) counts z-scored against the type's own daily "

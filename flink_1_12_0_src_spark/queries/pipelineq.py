@@ -151,11 +151,15 @@ FROM s ORDER BY lang, shard_id
     "counts map-side, output |streams|x|shards| rows.",
 )
 def dataset_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_12_0_src_spark.pipeline.sampling import pack_efficiency_report
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        _salted_hash,
+        pack_efficiency_report,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    # same salted-hash shard as shuffle_shard (seed 77, first md5 nibble)
-    h = F.md5(F.concat(F.lit("77|"), F.col("doc_id").cast("string")))
+    # same salted-hash shard as shuffle_shard (seed 77, first md5 nibble) —
+    # derived through the package's single salt-layout definition
+    h = _salted_hash("doc_id", 77)
     sharded = docs.withColumn(
         "shard_id", F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     )
@@ -1896,9 +1900,8 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(table(spark, sf_dir, "embeddings")).orderBy("label", "dim")
 
 
-@register(
-    "text_zipf_rank_report",
-    oracle="""
+# Shared with the streaming twin (stream_wordcount_zipf) — one definition.
+ZIPF_ORACLE = """
 SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
        CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS zipf_rank
 FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
@@ -1906,7 +1909,12 @@ WHERE token <> ''
 GROUP BY token
 ORDER BY freq DESC, token ASC
 LIMIT 50
-""",
+"""
+
+
+@register(
+    "text_zipf_rank_report",
+    oracle=ZIPF_ORACLE,
     tags=("pipeline", "text"),
     doc="Corpus-level term-frequency head (pipeline.text.zipf_topk): the 50 "
     "most frequent tokens with frequency and 1-based Zipf rank — the "
@@ -1925,9 +1933,8 @@ def text_zipf_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dataset_source_mix_report",
-    oracle="""
+# Shared with the streaming twin (stream_source_mix) — one definition.
+SOURCE_MIX_ORACLE = """
 WITH s AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1940,7 +1947,12 @@ SELECT source, n_docs, n_langs, total_chars, total_tokens,
        round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
 FROM s
 ORDER BY source
-""",
+"""
+
+
+@register(
+    "dataset_source_mix_report",
+    oracle=SOURCE_MIX_ORACLE,
     tags=("pipeline", "sampling"),
     doc="Per-source corpus accounting (pipeline.sampling.source_mix_report) "
     "— the mix report read before setting sampling weights: doc/char/token "

@@ -1795,7 +1795,16 @@ def stream_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(out, "append").orderBy("user_id", "match_seq")
 
 
-from flink_1_12_0_src_spark.queries.pipelineq import TEXT_QUALITY_ORACLE
+from flink_1_12_0_src_spark.queries.custom_ops import (
+    DAILY_ANOMALY_ORACLE,
+    FUNNEL_ORACLE,
+    RETENTION_ORACLE,
+)
+from flink_1_12_0_src_spark.queries.pipelineq import (
+    SOURCE_MIX_ORACLE,
+    TEXT_QUALITY_ORACLE,
+    ZIPF_ORACLE,
+)
 
 
 @register(
@@ -1951,22 +1960,11 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(clean, "append").orderBy("content_hash")
 
 
-_DAILY_ANOMALY_ORACLE = """
-WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
-           FROM events GROUP BY event_type, day)
-SELECT event_type, day, n_events,
-       round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
-             / NULLIF(stddev_samp(n_events) OVER (PARTITION BY event_type), 0.0), 6) AS zscore,
-       abs(round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
-                 / NULLIF(stddev_samp(n_events) OVER (PARTITION BY event_type), 0.0), 6)) >= 2.0
-           AS is_anomaly
-FROM d ORDER BY event_type, day
-"""
 
 
 @register(
     "stream_daily_anomaly",
-    oracle=_DAILY_ANOMALY_ORACLE,
+    oracle=DAILY_ANOMALY_ORACLE,
     tags=("streaming", "analytics"),
     doc="Analytics-on-a-stream: the per-(type, day) event counts of "
     "events_daily_anomaly maintained INCREMENTALLY by a streaming grouped "
@@ -1990,15 +1988,7 @@ def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_wordcount_zipf",
-    oracle="""
-SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
-       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS zipf_rank
-FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
-WHERE token <> ''
-GROUP BY token
-ORDER BY freq DESC, token ASC
-LIMIT 50
-""",
+    oracle=ZIPF_ORACLE,
     tags=("streaming", "text"),
     doc="Streaming WordCount — THE reference flagship example "
     "(flink-examples/flink-examples-streaming/.../wordcount/WordCount.java) "
@@ -2026,20 +2016,7 @@ def stream_wordcount_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_source_mix",
-    oracle="""
-WITH s AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
-  FROM documents GROUP BY source)
-SELECT source, n_docs, n_langs, total_chars, total_tokens,
-       round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
-       round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
-FROM s
-ORDER BY source
-""",
+    oracle=SOURCE_MIX_ORACLE,
     tags=("streaming", "analytics"),
     doc="Analytics-on-a-stream: the per-source mix accounting of "
     "dataset_source_mix_report continuously maintained — streaming state is "
@@ -2069,24 +2046,11 @@ def stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_from_lang_groups(snap).orderBy("source")
 
 
-_RETENTION_ORACLE = """
-WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
-f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id),
-r AS (SELECT f.cohort_week,
-             CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
-             CAST(COUNT(*) AS BIGINT) AS n_active
-      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
-SELECT cohort_week, week_offset, n_active,
-       round(CAST(n_active AS DOUBLE)
-             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
-                   OVER (PARTITION BY cohort_week), 6) AS retention
-FROM r ORDER BY cohort_week, week_offset
-"""
 
 
 @register(
     "stream_retention_cohorts",
-    oracle=_RETENTION_ORACLE,
+    oracle=RETENTION_ORACLE,
     tags=("streaming", "analytics"),
     doc="Analytics-on-a-stream: the distinct (user, ISO-week) activity set "
     "of events_retention_cohorts maintained INCREMENTALLY by a streaming "
@@ -2120,37 +2084,11 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_from_activity(snap).orderBy("cohort_week", "week_offset")
 
 
-_FUNNEL_ORACLE = """
-WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
-c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
-      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
-p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
-n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
-             (SELECT COUNT(*) FROM c) AS nc,
-             (SELECT COUNT(*) FROM p) AS np)
-SELECT * FROM (
-  SELECT 1 AS stage_idx, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
-         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_prev,
-         round(CAST(nv AS DOUBLE) / nullif(nv, 0), 6) AS conv_from_start
-  FROM n
-  UNION ALL
-  SELECT 2, 'click', CAST(nc AS BIGINT),
-         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6),
-         round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6)
-  FROM n
-  UNION ALL
-  SELECT 3, 'purchase', CAST(np AS BIGINT),
-         round(CAST(np AS DOUBLE) / nullif(nc, 0), 6),
-         round(CAST(np AS DOUBLE) / nullif(nv, 0), 6)
-  FROM n
-) ORDER BY stage_idx
-"""
 
 
 @register(
     "stream_funnel_rates",
-    oracle=_FUNNEL_ORACLE,
+    oracle=FUNNEL_ORACLE,
     tags=("streaming", "analytics"),
     doc="Analytics-on-a-stream: the strict-sequence funnel of "
     "events_funnel_rates continuously maintained — streaming state is the "

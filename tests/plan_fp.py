@@ -126,17 +126,20 @@ def df_fingerprint(spark, df) -> dict:
     return plan_fingerprint(plan)
 
 
-def bench_plan_providers() -> dict:
-    """(spark, sf_dir) -> DataFrame provider per bench-tagged query.
+def golden_plan_providers() -> dict:
+    """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
+    every registered query whose plan is lazy and non-degenerate — the
+    bench-tagged headliners, the full TPC-H suite, and the rest of the
+    batch registry (188 of 274).
 
     Most queries fingerprint their registry implementation unchanged (plan
-    construction is lazy). Three queries materialize internally
+    construction is lazy). Four queries materialize internally
     (localCheckpoint), so their registry plan degenerates to an ExistingRDD
     scan; their providers rebuild the identical topology with
-    ``materialize=False`` so the golden pins the real interior plan. The two
-    stream_* bench queries execute a streaming job and return a sink
-    readback whose batch plan carries no optimizer surface — they are
-    excluded here; their operator shape is pinned by the streaming tests.
+    ``materialize=False`` so the golden pins the real interior plan. The
+    stream_* queries execute a streaming job and return a sink readback
+    whose batch plan carries no optimizer surface — they are excluded here;
+    their operator shape is pinned by the streaming tests.
     """
     from flink_1_12_0_src_spark.queries import load_all
     from flink_1_12_0_src_spark.queries.pipelineq import (

@@ -1,4 +1,4 @@
-"""Golden plan-fingerprint tests for every bench-tagged headline query — the
+"""Golden plan-fingerprint tests for every lazy batch query in the registry — the
 repo's full adoption of the reference's golden-plan strategy (SURVEY.md §5.1:
 182 golden plan XMLs under flink-table-planner-blink/src/test/resources/...;
 here the golden is a normalized structural fingerprint, not full text, so it
@@ -18,16 +18,16 @@ from pathlib import Path
 
 import pytest
 
-from tests.plan_fp import bench_plan_providers, df_fingerprint
+from tests.plan_fp import df_fingerprint, golden_plan_providers
 
 GOLDENS = json.loads((Path(__file__).parent / "plan_goldens.json").read_text())
-PROVIDERS = bench_plan_providers()
+PROVIDERS = golden_plan_providers()
 
 
-def test_goldens_cover_every_fingerprintable_bench_query():
+def test_goldens_cover_every_fingerprintable_query():
     """The golden file and the provider map must stay in lockstep with the
-    bench tag — adding a bench query without a golden fails here, not
-    silently."""
+    registry: registering any lazy batch query without regenerating the
+    goldens fails here, not silently."""
     assert sorted(GOLDENS) == sorted(PROVIDERS)
 
 

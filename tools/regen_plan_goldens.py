@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Regenerate tests/plan_goldens.json — the golden plan fingerprints for the
-bench-tagged headline queries (reference analog: Flink's golden plan XMLs,
+"""Regenerate tests/plan_goldens.json — the golden plan fingerprints for every
+lazy batch query in the registry (bench headliners, TPC-H, and the rest) (reference analog: Flink's golden plan XMLs,
 SURVEY.md §5.1).
 
 Run after an INTENTIONAL plan change, diff-review the result like any golden:
@@ -21,7 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tests.conftest import SF_CORRECT  # noqa: E402
-from tests.plan_fp import bench_plan_providers, df_fingerprint  # noqa: E402
+from tests.plan_fp import df_fingerprint, golden_plan_providers  # noqa: E402
 
 from flink_1_12_0_src_spark.session import get_spark  # noqa: E402
 
@@ -32,7 +32,7 @@ def main() -> None:
     spark = get_spark(app_name="regen-goldens", cpus=8, shuffle_partitions=8)
     old = json.loads(GOLDENS.read_text()) if GOLDENS.exists() else {}
     new = {}
-    for name, provider in sorted(bench_plan_providers().items()):
+    for name, provider in sorted(golden_plan_providers().items()):
         new[name] = df_fingerprint(spark, provider(spark, SF_CORRECT))
         status = (
             "unchanged"
