@@ -212,6 +212,17 @@ def pack_efficiency_report(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).cast("bigint").alias("total_tokens"),
     )
+    return pack_fill_from_volumes(agg, parts, budget, round_digits)
+
+
+def pack_fill_from_volumes(
+    agg: DataFrame, parts: list, budget: int, round_digits: int = 6
+) -> DataFrame:
+    """The derived half of :func:`pack_efficiency_report` over PRE-AGGREGATED
+    (parts..., n_docs, total_tokens) rows — shared with the streaming twin
+    (``stream_pack_efficiency``), whose volume counters a streaming grouped
+    aggregate maintains; pack count and fill fraction are pure functions of
+    the volumes, so the snapshot report equals the batch report exactly."""
     n_packs = F.ceil(F.col("total_tokens") / F.lit(budget)).cast("bigint")
     return agg.select(
         *parts,

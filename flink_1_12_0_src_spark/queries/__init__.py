@@ -219,6 +219,7 @@ _R08_NEW = (
     "stream_source_mix",
     "stream_wordcount_zipf",
     "dedup_cluster_size_histogram",
+    "stream_pack_efficiency",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -123,9 +123,8 @@ def dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "dataset_pack_efficiency",
-    oracle=f"""
+# Shared with the streaming twin (stream_pack_efficiency) — one definition.
+PACK_EFFICIENCY_ORACLE = f"""
 WITH h AS (SELECT lang, len(string_split(text, ' ')) AS nt,
                   CAST(('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
                        AS INTEGER) AS shard_id
@@ -139,7 +138,12 @@ SELECT lang, shard_id, n_docs, total_tokens,
              / (CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET}), 6)
            AS fill_frac
 FROM s ORDER BY lang, shard_id
-""",
+"""
+
+
+@register(
+    "dataset_pack_efficiency",
+    oracle=PACK_EFFICIENCY_ORACLE,
     tags=("pipeline", "sampling"),
     doc=f"Packing-efficiency audit (pipeline/sampling.py "
     f"pack_efficiency_report): per (lang stream, writer shard), doc/token "

@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    PACK_EFFICIENCY_ORACLE,
     SOURCE_MIX_ORACLE,
     TEXT_QUALITY_ORACLE,
     ZIPF_ORACLE,
@@ -2012,6 +2013,45 @@ def stream_wordcount_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     snap = run_to_batch(counts, "complete")
     return zipf_head_from_counts(snap, 50).withColumnRenamed("rank", "zipf_rank")
+
+
+@register(
+    "stream_pack_efficiency",
+    oracle=PACK_EFFICIENCY_ORACLE,
+    tags=("streaming", "sampling"),
+    doc="Analytics-on-a-stream: the packing-efficiency audit of "
+    "dataset_pack_efficiency continuously maintained — per (lang stream, "
+    "writer shard) doc/token volume counters updated by a streaming grouped "
+    "aggregate as documents arrive (the live pack-writer dashboard), the "
+    "fill/pack derivation (pipeline/sampling.py pack_fill_from_volumes) "
+    "applied to the final snapshot. Pack count and fill fraction are pure "
+    "functions of the volumes, so the report equals the batch operator's "
+    "exactly regardless of micro-batch boundaries. Scale: state is "
+    "|streams| x |shards| counters.",
+)
+def stream_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        _salted_hash,
+        pack_fill_from_volumes,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import PACK_BUDGET
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    h = _salted_hash("doc_id", 77)
+    rows = s.select(
+        "lang",
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+    )
+    g = rows.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )
+    snap = run_to_batch(g, "complete")
+    return pack_fill_from_volumes(snap, ["lang", "shard_id"], PACK_BUDGET).orderBy(
+        "lang", "shard_id"
+    )
 
 
 @register(

@@ -27,6 +27,7 @@ def _rows(df):
         ("stream_daily_anomaly", "events_daily_anomaly"),
         ("stream_source_mix", "dataset_source_mix_report"),
         ("stream_wordcount_zipf", "text_zipf_rank_report"),
+        ("stream_pack_efficiency", "dataset_pack_efficiency"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
