@@ -41,6 +41,33 @@ def main() -> None:
     except OSError:
         loadavg_start = None
 
+    # Pre-flight load gate: recording a load field was not enough — the r08
+    # artifact was taken at loadavg 17.4/32 and showed a uniform phantom
+    # 1.95× that cost an adjudication cycle. If the host is busy (1-min
+    # loadavg above ~cpus/8), WAIT for quiet — bounded at 5 minutes — and
+    # only if it never quiets down proceed with an explicit
+    # "contaminated": true stamp, so the artifact is trustworthy standalone.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", str(cpus / 8)))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300"))
+    contaminated = False
+    if loadavg_start is not None and loadavg_start[0] > load_gate:
+        deadline = time.monotonic() + wait_budget
+        while loadavg_start[0] > load_gate and time.monotonic() < deadline:
+            print(
+                f"# host busy (1-min loadavg {loadavg_start[0]:.1f} > gate "
+                f"{load_gate:.1f}); waiting for quiet...",
+                file=sys.stderr,
+            )
+            time.sleep(15)
+            loadavg_start = os.getloadavg()
+        if loadavg_start[0] > load_gate:
+            contaminated = True
+            print(
+                f"# still busy after {wait_budget:.0f}s "
+                f"(loadavg {loadavg_start[0]:.1f}); proceeding CONTAMINATED",
+                file=sys.stderr,
+            )
+
     reg = load_all()
     bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}
 
@@ -127,6 +154,8 @@ def main() -> None:
         payload["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     if loadavg_end is not None:
         payload["loadavg_end"] = [round(x, 2) for x in loadavg_end]
+    if contaminated:
+        payload["contaminated"] = True
     print(json.dumps(payload))
     spark.stop()
 

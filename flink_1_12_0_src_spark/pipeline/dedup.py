@@ -284,15 +284,9 @@ def paragraph_dedup_report(
     # every doc has >= 1 paragraph (greatest guards a pathological empty
     # text from producing a descending sequence)
     n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block)).cast("int"), F.lit(1))
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_blocks - 1),
-                lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
-            )
-        ).alias("pid", "ptext"),
-    ).withColumn("pkey", F.struct(F.col(id_col).alias("did"), F.col("pid").alias("pid")))
+    paras = _paragraphs(df, id_col, text_col, block).withColumn(
+        "pkey", F.struct(F.col(id_col).alias("did"), F.col("pid").alias("pid"))
+    )
     sigs = minhash_signatures(paras, "pkey", "ptext", num_hashes, shingle_k)
     bands = _band_keys(sigs, "pkey", num_hashes, band_rows)
     if materialize:
@@ -802,3 +796,292 @@ def embedding_neardup_pairs_np(
         ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     return e.groupBy("blk").applyInPandas(pairs, "id_a long, id_b long, cosine double")
+
+
+def _paragraphs(df: DataFrame, id_col: str, text_col: str, block: int) -> DataFrame:
+    """Fixed ``block``-token paragraph windows of every document: one
+    (id, pid, ptext) row per window, ptext = the window's lowercased tokens
+    re-joined with single spaces. Shared by :func:`paragraph_dedup_report`
+    (audit) and :func:`paragraph_dedup_rewrite` (survivor rewrite) so both
+    see byte-identical paragraph text. Linear explosion
+    (ceil(tokens/block) rows per doc)."""
+    toks = tokens(text_col)
+    # every doc has >= 1 paragraph (greatest guards a pathological empty
+    # text from producing a descending sequence)
+    n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block)).cast("int"), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
+            )
+        ).alias("pid", "ptext"),
+    )
+
+
+def paragraph_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 16,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+    max_bucket: int = 256,
+    materialize: bool = True,
+) -> DataFrame:
+    """Paragraph-granularity near-dedup REWRITE — the other half of the
+    RefinedWeb/CCNet recipe: :func:`paragraph_dedup_report` *audits*
+    duplicated paragraphs; this operator *removes* them and reassembles the
+    cleaned documents. Returns (id, n_paragraphs, n_kept, clean_text) for
+    every document, clean_text = the surviving paragraphs re-joined in
+    original (pid) order — lowercased/whitespace-normalized because the
+    paragraph windows are token-derived.
+
+    Survivor rule (deterministic, order-free): for each duplicated band
+    bucket (size ≤ ``max_bucket`` and ≥ 2 distinct docs) the bucket's
+    MIN doc id is the keeper; a paragraph is DROPPED iff it sits in at
+    least one such bucket whose keeper is a DIFFERENT document. The
+    min-(doc, pid) member is always kept (its doc IS the bucket min), and
+    within-doc repetition never drops anything — same cross-doc-only
+    contract as the audit.
+
+    Scale (100 TB): identical topology to the audit — linear paragraph
+    explosion through the shared MinHash band machinery, duplicated buckets
+    from ONE (band, bk)-keyed aggregate (now also carrying min(did)), drops
+    marked by an equi join against that tiny bucket list, reassembly one
+    per-doc sort-agg. NO pair generation and NO self-join at any
+    granularity; every intermediate is linear in the corpus."""
+    paras = _paragraphs(df, id_col, text_col, block).withColumn(
+        "pkey", F.struct(F.col(id_col).alias("did"), F.col("pid").alias("pid"))
+    )
+    sigs = minhash_signatures(paras, "pkey", "ptext", num_hashes, shingle_k)
+    bands = _band_keys(sigs, "pkey", num_hashes, band_rows)
+    if materialize:
+        bands = bands.persist()
+    try:
+        dup_buckets = (
+            bands.groupBy("band", "bk")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.countDistinct(F.col("pkey.did")).alias("nd"),
+                F.min(F.col("pkey.did")).alias("keep_did"),
+            )
+            .filter((F.col("sz") <= max_bucket) & (F.col("nd") >= 2))
+            .select("band", "bk", "keep_did")
+        )
+        drops = (
+            bands.join(dup_buckets, ["band", "bk"])
+            .filter(F.col("pkey.did") != F.col("keep_did"))
+            .select(
+                F.col("pkey.did").alias(id_col), F.col("pkey.pid").alias("pid")
+            )
+            .distinct()
+        )
+        kept = paras.join(drops, [id_col, "pid"], "left_anti")
+        reassembled = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pid"), F.col("ptext")))
+                    ),
+                    lambda x: x["ptext"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        toks = tokens(text_col)
+        n_par = df.select(
+            F.col(id_col),
+            F.greatest(
+                F.ceil(F.size(toks) / F.lit(block)).cast("int"), F.lit(1)
+            ).cast("bigint").alias("n_paragraphs"),
+        )
+        out = n_par.join(reassembled, id_col, "left").select(
+            id_col,
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        if not materialize:
+            return out  # fully lazy plan (inspection / composition)
+        # materialize before releasing the band cache (scoped persist, same
+        # discipline as minhash_lsh_pairs / paragraph_dedup_report)
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            bands.unpersist()
+
+
+def rowlocal_band_keys(
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+):
+    """LSH band-bucket keys of a document computed ENTIRELY row-locally:
+    array<struct<band:int, bk:string>> with one entry per band, empty when
+    the doc has no shingles (< shingle_k tokens). Bit-identical to
+    :func:`minhash_signatures` + :func:`_band_keys` — MIN over the shingle
+    multiset equals MIN over the set, and the md5-component splitting and
+    band-key derivation mirror those functions exactly.
+
+    Exists for the STREAMING near-dedup path: Structured Streaming permits
+    one streaming aggregate per query, and the explode→groupBy signature
+    stage would spend it — a row-local projection leaves the single
+    aggregate budget for the (band, bk) bucket state itself. Higher-order
+    functions are interpreted (the measured 5×-slower path at batch scale),
+    which is irrelevant on micro-batch-sized inputs; batch queries keep the
+    codegen'd explode machinery."""
+    sh = shingles(text_col, shingle_k)
+
+    # Factory helpers, NOT `lambda x, g=g:` default-arg closures: PySpark
+    # derives the HOF lambda's arity from the Python signature, so a default
+    # second parameter turns the lambda into the (element, index) binary form
+    # and silently binds the "closure" name to the array-index Column.
+    def _digests(g: int):
+        return F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{g}|"), x)))
+
+    def _hmin(arr, s: int):
+        return F.array_min(
+            F.transform(arr, lambda d: F.substring(d, 1 + (s % 4) * 8, 8))
+        )
+
+    digest_arrays = [_digests(g) for g in range((num_hashes + 3) // 4)]
+    hmins = [_hmin(digest_arrays[s // 4], s) for s in range(num_hashes)]
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[hmins[b * band_rows + j] for j in range(band_rows)])
+                ).alias("bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return F.when(F.size(sh) >= 1, bands).otherwise(
+        F.array().cast("array<struct<band:int,bk:string>>")
+    )
+
+
+def neardedup_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+    max_bucket: int = 256,
+    stats: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Document-level near-dedup ADMISSION — streaming keep-first semantics
+    made order-free: a document is admitted iff it is the MIN doc id in
+    every (size ≤ ``max_bucket``) band bucket it occupies. This is exactly
+    "first wins" under the deterministic min-id tiebreak (reference analog:
+    StreamExecDeduplicate keep-first,
+    flink-table-planner-blink/.../stream/StreamExecDeduplicate.scala:58,
+    composed with the banded MinHash machinery): whichever order documents
+    arrive, the admitted set is identical. Returns
+    (id, n_dup_buckets, admitted) for every document — n_dup_buckets = how
+    many capped buckets already belong to a lower id. Docs with no shingles
+    (< shingle_k tokens) have no buckets and are admitted by convention.
+    Buckets larger than ``max_bucket`` are boilerplate junk, not duplicate
+    evidence — same hot-bucket contract as :func:`minhash_lsh_pairs`.
+
+    ``stats`` — a precomputed (band, bk, sz, keep_did) bucket-state table —
+    lets the STREAMING twin hand in its continuously-maintained aggregate
+    snapshot; when None it is derived here from the same bands.
+
+    Scale (100 TB): linear banding, ONE (band, bk)-keyed aggregate for the
+    bucket state (min + count, map-side partials), one equi join of bands
+    against it, one per-doc aggregate. No pair generation, no self-join."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    bands = _band_keys(sigs, id_col, num_hashes, band_rows)
+    own_stats = stats is None
+    cache = own_stats and materialize
+    if cache:
+        bands = bands.persist()
+    if own_stats:
+        stats = bands.groupBy("band", "bk").agg(
+            F.count(F.lit(1)).alias("sz"), F.min(id_col).alias("keep_did")
+        )
+    try:
+        dup_counts = (
+            bands.join(stats.select("band", "bk", "sz", "keep_did"), ["band", "bk"])
+            .filter((F.col("sz") <= max_bucket) & (F.col("keep_did") < F.col(id_col)))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_dup_buckets"))
+        )
+        out = df.select(id_col).join(dup_counts, id_col, "left").select(
+            id_col,
+            F.coalesce("n_dup_buckets", F.lit(0)).cast("bigint").alias("n_dup_buckets"),
+            (F.coalesce("n_dup_buckets", F.lit(0)) == 0).alias("admitted"),
+        )
+        if not cache:
+            return out  # lazy (twin-supplied stats, or inspection)
+        return out.localCheckpoint(eager=True)
+    finally:
+        if cache:
+            bands.unpersist()
+
+
+def contamination_matrix(
+    train: DataFrame,
+    bench: DataFrame,
+    bench_col: str = "benchmark",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-benchmark contamination audit — the matrix production teams
+    publish alongside a decontamination run: for EVERY benchmark split at
+    once, how many training documents share at least one word k-gram with
+    it and what fraction of the training corpus that is. ``bench`` carries
+    one row per benchmark document with a ``bench_col`` split label;
+    returns (benchmark, n_bench_docs, n_contaminated, contamination_rate)
+    per split. Extends :func:`decontaminate` (single aggregate flag) to the
+    per-benchmark breakdown (GPT-3 appendix C reports exactly this table).
+
+    Scale shape: the benchmark side is eval-suite-sized by definition, so
+    its per-split distinct shingle set BROADCASTS; the 100 TB training
+    corpus is scanned ONCE, hits marked by a map-side broadcast hash join,
+    then one (benchmark, doc)-distinct and a |benchmarks|-row rollup. A
+    k-gram in several splits fans out only on the tiny broadcast side. The
+    training-corpus denominator is a one-row broadcast aggregate (no
+    driver-side count: the whole matrix stays one lazy plan)."""
+    bench_grams = (
+        bench.select(F.col(bench_col), F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    bench_sizes = bench.groupBy(bench_col).agg(
+        F.count(F.lit(1)).alias("n_bench_docs")
+    )
+    n_train_row = train.agg(F.count(F.lit(1)).alias("_n_train"))
+    hits = (
+        _spread(train)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"))
+        .join(F.broadcast(bench_grams), "sh")
+        .select(bench_col, id_col)
+        .distinct()
+        .groupBy(bench_col)
+        .agg(F.countDistinct(id_col).alias("n_contaminated"))
+    )
+    return (
+        bench_sizes.join(hits, bench_col, "left")
+        .crossJoin(F.broadcast(n_train_row))
+        .select(
+            bench_col,
+            "n_bench_docs",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.nullif(F.col("_n_train").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )

@@ -224,13 +224,17 @@ def pack_fill_from_volumes(
     aggregate maintains; pack count and fill fraction are pure functions of
     the volumes, so the snapshot report equals the batch report exactly."""
     n_packs = F.ceil(F.col("total_tokens") / F.lit(budget)).cast("bigint")
+    # NULLIF-guard the pack capacity: a zero-token group has 0 packs, and
+    # Spark's NULL-on-/0 vs DuckDB's float inf/NaN would diverge — NULLIF
+    # pins both engines to NULL (same hardening as zscore_report / funnel).
     return agg.select(
         *parts,
         "n_docs",
         "total_tokens",
         n_packs.alias("n_packs"),
         F.round(
-            F.col("total_tokens") / (n_packs * F.lit(budget)).cast("double"),
+            F.col("total_tokens")
+            / F.nullif((n_packs * F.lit(budget)).cast("double"), F.lit(0.0)),
             round_digits,
         ).alias("fill_frac"),
     )

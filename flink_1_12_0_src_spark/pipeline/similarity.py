@@ -172,10 +172,17 @@ def nearest_centroid_classify(
     # Fold init = the first (lowest-label) element, so the accumulator's type
     # always matches the element type whatever the label column's type is;
     # strict > over the label-sorted rest realizes the ASC-label tiebreak.
+    # A zero-norm vector or centroid makes the division NULL; coalescing both
+    # sides to -inf keeps the DESC-window semantics (NULL cosines lose to any
+    # non-NULL one) instead of a NULL comparison silently keeping the
+    # accumulator.
+    neg_inf = F.lit(float("-inf"))
     best = F.aggregate(
         F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
         F.element_at(scored, 1),
-        lambda acc, s: F.when(s["cosine"] > acc["cosine"], s).otherwise(acc),
+        lambda acc, s: F.when(
+            F.coalesce(s["cosine"], neg_inf) > F.coalesce(acc["cosine"], neg_inf), s
+        ).otherwise(acc),
     )
     return j.select(
         "vec_id",

@@ -201,25 +201,48 @@ _R07_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-8 driver-green rows (CORRECTNESS_r08.json — 50/50 green, the second
+# consecutive zero-red round): all 8 round-8-new queries on first
+# presentation plus 42 re-verified greens.
+_R08_DRIVER_GREEN = frozenset(
+    {
+        "agg_distinct_multi", "agg_filter_clause", "agg_function_suite",
+        "agg_listagg_collect", "agg_min_by_max_by", "agg_multiset",
+        "agg_single_value", "agg_stddev_var", "agg_two_stage_salted",
+        "calc_project_filter", "correlate_unnest",
+        "dataset_pack_efficiency", "dedup_cluster_size_histogram",
+        "dedup_keep_first", "dedup_keep_last", "dedup_paragraph_minhash",
+        "expand_cube", "expand_grouping_sets", "expand_rollup_grouping_id",
+        "interval_join_batch", "join_anti_not_in", "join_broadcast_hint",
+        "join_bucketed_coloc", "join_cross", "join_full_outer",
+        "join_left_outer", "join_right_outer", "join_salted_skew",
+        "join_scalar_subquery", "join_semi_in", "join_theta_nonequi",
+        "over_lead_lag", "over_range_frame", "over_rank_functions",
+        "over_rows_frame", "over_sliding_rows", "setop_except",
+        "setop_except_all", "setop_intersect", "setop_intersect_all",
+        "setop_union_all", "setop_union_distinct", "sort_limit_offset",
+        "stream_funnel_rates", "stream_pack_efficiency",
+        "stream_retention_cohorts", "stream_source_mix",
+        "stream_wordcount_zipf", "topn_per_group", "values_inline",
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
+    | _R08_DRIVER_GREEN
 )
 
-# Round-7 had zero driver-red rows (a first), so there is nothing to
-# re-verify at the front this round.
-_R08_FIXED_FIRST: tuple[str, ...] = ()
+# Round-8 had zero driver-red rows (second zero-red round in a row), so there
+# is nothing to re-verify at the front this round.
+_R09_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries first registered in round 8 — first possible driver row.
-_R08_NEW = (
-    "stream_funnel_rates",
-    "stream_retention_cohorts",
-    "dedup_paragraph_minhash",
-    "dataset_pack_efficiency",
-    "stream_source_mix",
-    "stream_wordcount_zipf",
-    "dedup_cluster_size_histogram",
-    "stream_pack_efficiency",
+# Queries first registered in round 9 — first possible driver row.
+_R09_NEW = (
+    "pipeline_refinedweb_clean",
+    "dedup_keepfirst_admit",
+    "stream_neardedup_keepfirst",
+    "text_contamination_matrix",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
@@ -234,26 +257,26 @@ def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
     (0,i) = prior-round driver-red rows, fixed — re-verify first (EMPTY this
-        round: CORRECTNESS_r07 was 50/50 green, the first zero-red round);
+        round: CORRECTNESS_r08 was 50/50 green, the second zero-red round);
     (1,i) = any oracle-able query somehow never driver-tested (none known —
-        the round-over-round union is 264/264 — but the tier catches any
-        registration added outside _R08_NEW by mistake);
-    (2,i) = round-8-new queries (first possible driver row);
-    (3,_) = already driver-green in r01-r07 (264 rows — re-verify with the
-        remaining ~43 slots, registration order);
+        the round-over-round union is 272/272 — but the tier catches any
+        registration added outside _R09_NEW by mistake);
+    (2,i) = round-9-new queries (first possible driver row);
+    (3,_) = already driver-green in r01-r08 (272 rows — re-verify with the
+        remaining ~47 slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = len(_R08_NEW), far inside the 50-slot window: every new
+    Tiers 0+1+2 = len(_R09_NEW), far inside the 50-slot window: every new
     query gets a driver row this round while the remaining slots re-verify
     greens, keeping the oracle-able union complete.
     """
-    if name in _R08_FIXED_FIRST:
-        return (0, _R08_FIXED_FIRST.index(name))
+    if name in _R09_FIXED_FIRST:
+        return (0, _R09_FIXED_FIRST.index(name))
     if name in _NO_ORACLE_LAST:
         return (4, _NO_ORACLE_LAST.index(name))
-    if name in _R08_NEW:
-        return (2, _R08_NEW.index(name))
+    if name in _R09_NEW:
+        return (2, _R09_NEW.index(name))
     if name in _DRIVER_GREEN:
         return (3, 0)
     return (1, 99)

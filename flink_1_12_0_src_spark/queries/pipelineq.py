@@ -135,7 +135,8 @@ s AS (SELECT lang, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
 SELECT lang, shard_id, n_docs, total_tokens,
        CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT) AS n_packs,
        round(CAST(total_tokens AS DOUBLE)
-             / (CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET}), 6)
+             / NULLIF(CAST(CAST(ceil(total_tokens / {PACK_BUDGET}.0) AS BIGINT)
+                           * {PACK_BUDGET} AS DOUBLE), 0.0), 6)
            AS fill_frac
 FROM s ORDER BY lang, shard_id
 """
@@ -273,7 +274,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_BLOCK = 16  # tokens per synthetic paragraph (the corpus has no line breaks)
 
 
-def _paragraph_dedup_oracle() -> str:
+def _paragraph_bands_cte() -> str:
+    """Shared WITH-prefix of the paragraph-granularity oracles: paragraph
+    windows → per-paragraph shingles → MinHash sigs → banded bucket keys
+    (bands0: doc_id, pid, band, bk) plus the per-doc paragraph counts
+    (npar). The audit (dedup_paragraph_minhash) and the survivor rewrite
+    (pipeline_refinedweb_clean) append different tails to the SAME prefix,
+    so the two oracles can never drift on the banding machinery."""
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
     hcols = ", ".join(
@@ -305,15 +312,39 @@ pshingles AS (
 ),
 sigs AS (SELECT doc_id, pid, {hcols} FROM pshingles GROUP BY doc_id, pid),
 bands0 AS ({band_selects}),
+npar AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs FROM paras GROUP BY doc_id)"""
+
+
+def _paragraph_dedup_oracle() -> str:
+    return f"""{_paragraph_bands_cte()},
 dup AS (SELECT band, bk FROM bands0 GROUP BY band, bk
         HAVING COUNT(*) <= {MH_MAX_BUCKET} AND COUNT(DISTINCT doc_id) >= 2),
-dupp AS (SELECT DISTINCT doc_id, pid FROM bands0 JOIN dup USING (band, bk)),
-npar AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs FROM paras GROUP BY doc_id)
+dupp AS (SELECT DISTINCT doc_id, pid FROM bands0 JOIN dup USING (band, bk))
 SELECT n.doc_id, n.n_paragraphs,
        CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_paragraphs,
        round(CAST(COALESCE(d.nd, 0) AS DOUBLE) / n.n_paragraphs, 6) AS dup_frac
 FROM npar n
 LEFT JOIN (SELECT doc_id, COUNT(*) AS nd FROM dupp GROUP BY doc_id) d USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+def _refinedweb_clean_oracle() -> str:
+    return f"""{_paragraph_bands_cte()},
+dup AS (SELECT band, bk, MIN(doc_id) AS keep_did FROM bands0 GROUP BY band, bk
+        HAVING COUNT(*) <= {MH_MAX_BUCKET} AND COUNT(DISTINCT doc_id) >= 2),
+drops AS (SELECT DISTINCT b.doc_id, b.pid
+          FROM bands0 b JOIN dup d USING (band, bk) WHERE b.doc_id <> d.keep_did),
+kept AS (SELECT p.doc_id, p.pid, p.ptext
+         FROM paras p LEFT JOIN drops d ON d.doc_id = p.doc_id AND d.pid = p.pid
+         WHERE d.pid IS NULL),
+reasm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(ptext, ' ' ORDER BY pid) AS clean_text
+          FROM kept GROUP BY doc_id)
+SELECT n.doc_id, n.n_paragraphs,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM npar n LEFT JOIN reasm r USING (doc_id)
 ORDER BY n.doc_id
 """
 
@@ -345,6 +376,104 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=MH_SHINGLE_K,
         band_rows=MH_BAND_ROWS,
         max_bucket=MH_MAX_BUCKET,
+    ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_refinedweb_clean",
+    oracle=_refinedweb_clean_oracle(),
+    tags=("pipeline", "dedup", "bench"),
+    doc="Paragraph-granularity near-dedup REWRITE (pipeline/dedup.py "
+    "paragraph_dedup_rewrite) — the other half of the RefinedWeb/CCNet "
+    "recipe: dedup_paragraph_minhash AUDITS duplicated paragraphs, this "
+    "REMOVES them and reassembles clean documents. Survivor rule is "
+    "deterministic and order-free (per duplicated capped band bucket the "
+    "MIN doc id keeps its paragraph; cross-doc members of other docs are "
+    "dropped), mirrored verbatim in the oracle via the SHARED paragraph-"
+    "bands CTE prefix. Same linear topology as the audit: banded buckets "
+    "from ONE (band, bk) aggregate (now also carrying min doc), drops via "
+    "equi join, reassembly one per-doc sort-agg — NO pair generation, NO "
+    "self-join.",
+)
+def pipeline_refinedweb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_rewrite
+
+    docs = table(spark, sf_dir, "documents")
+    return paragraph_dedup_rewrite(
+        docs,
+        "doc_id",
+        "text",
+        block=PARA_BLOCK,
+        num_hashes=MH_NUM_HASHES,
+        shingle_k=MH_SHINGLE_K,
+        band_rows=MH_BAND_ROWS,
+        max_bucket=MH_MAX_BUCKET,
+    ).orderBy("doc_id")
+
+
+def _neardedup_keepfirst_oracle() -> str:
+    nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+    bands = nh // rows
+    hcols = ", ".join(
+        f"MIN(substr(md5('{s // 4}|' || sh), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(nh)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-{k}),
+                               g -> array_to_string(w[g+1:g+{k}], ' '))) AS sh
+  FROM toks WHERE len(w) >= {k}
+),
+sigs AS (SELECT doc_id, {hcols} FROM shingles GROUP BY doc_id),
+bands0 AS ({band_selects}),
+stats AS (SELECT band, bk, COUNT(*) AS sz, MIN(doc_id) AS keep_did
+          FROM bands0 GROUP BY band, bk),
+dupc AS (SELECT b.doc_id, COUNT(*) AS n_dup_buckets
+         FROM bands0 b JOIN stats s USING (band, bk)
+         WHERE s.sz <= {MH_MAX_BUCKET} AND s.keep_did < b.doc_id
+         GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_dup_buckets, 0) AS BIGINT) AS n_dup_buckets,
+       COALESCE(c.n_dup_buckets, 0) = 0 AS admitted
+FROM documents d LEFT JOIN dupc c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ONE constant shared by the batch admission operator (dedup_keepfirst_admit)
+# and its streaming twin (stream_neardedup_keepfirst, queries/streamingq.py)
+# — same pattern as RETENTION/FUNNEL/ZIPF/SOURCE_MIX/PACK_EFFICIENCY_ORACLE,
+# so operator and twin can never drift.
+NEARDEDUP_KEEPFIRST_ORACLE = _neardedup_keepfirst_oracle()
+
+
+@register(
+    "dedup_keepfirst_admit",
+    oracle=NEARDEDUP_KEEPFIRST_ORACLE,
+    tags=("pipeline", "dedup"),
+    doc="Document-level near-dedup ADMISSION (pipeline/dedup.py "
+    "neardedup_keep_first): streaming keep-first semantics made order-free "
+    "— a doc is admitted iff it is the MIN id in every capped band bucket "
+    "it occupies (first-wins under the deterministic min-id tiebreak; "
+    "reference analog StreamExecDeduplicate keep-first composed with the "
+    "banded MinHash machinery). ONE (band, bk)-keyed aggregate for the "
+    "bucket state, one equi join, one per-doc count — no pair generation, "
+    "no self-join.",
+)
+def dedup_keepfirst_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import neardedup_keep_first
+
+    docs = table(spark, sf_dir, "documents")
+    return neardedup_keep_first(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
     ).orderBy("doc_id")
 
 
@@ -1103,6 +1232,57 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
     return decontaminate(train, bench, "doc_id", "text", DC_GRAM_K).orderBy("doc_id")
+
+
+@register(
+    "text_contamination_matrix",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-{DC_GRAM_K}),
+                               g -> array_to_string(w[g+1:g+{DC_GRAM_K}], ' '))) AS sh
+  FROM toks WHERE len(w) >= {DC_GRAM_K}
+),
+bgrams AS (SELECT DISTINCT 'bench_' || CAST(doc_id % 3 AS VARCHAR) AS benchmark, sh
+           FROM grams WHERE doc_id % 41 = 0),
+bsizes AS (SELECT 'bench_' || CAST(doc_id % 3 AS VARCHAR) AS benchmark,
+                  CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+           FROM documents WHERE doc_id % 41 = 0 GROUP BY 1),
+ntrain AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 41 <> 0),
+hits AS (SELECT b.benchmark, COUNT(DISTINCT g.doc_id) AS n_contaminated
+         FROM grams g JOIN bgrams b USING (sh)
+         WHERE g.doc_id % 41 <> 0 GROUP BY 1)
+SELECT s.benchmark, s.n_bench_docs,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+             / NULLIF(CAST((SELECT n FROM ntrain) AS DOUBLE), 0.0), 6)
+           AS contamination_rate
+FROM bsizes s LEFT JOIN hits h USING (benchmark)
+ORDER BY benchmark
+""",
+    tags=("pipeline", "text", "dedup"),
+    doc=f"Per-benchmark contamination matrix (pipeline.dedup."
+    f"contamination_matrix): the audit production teams publish alongside a "
+    f"decontamination run — for EVERY benchmark split at once (doc_id % 41 "
+    f"= 0 stands in for the eval suite, split into 3 benchmarks by id), how "
+    f"many training docs share a word {DC_GRAM_K}-gram with it and what "
+    "fraction of the corpus that is (GPT-3 appendix C reports exactly this "
+    "table). The per-split shingle set BROADCASTS; one corpus scan, "
+    "map-side broadcast hash join, |benchmarks|-row rollup; the train-count "
+    "denominator is a one-row broadcast aggregate (fully lazy plan).",
+)
+def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import contamination_matrix
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).withColumn(
+        "benchmark", F.concat(F.lit("bench_"), (F.col("doc_id") % 3).cast("string"))
+    )
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return contamination_matrix(
+        train, bench, "benchmark", "doc_id", "text", DC_GRAM_K
+    ).orderBy("benchmark")
 
 
 @register(

@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
     SOURCE_MIX_ORACLE,
     TEXT_QUALITY_ORACLE,
@@ -2161,3 +2162,67 @@ def stream_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return funnel_conversion(snap).orderBy("stage_idx")
+
+
+@register(
+    "stream_neardedup_keepfirst",
+    oracle=NEARDEDUP_KEEPFIRST_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="Streaming near-dedup ADMISSION — the production RefinedWeb-ingest "
+    "shape: continuous keep-first dedup whose state is the seen MinHash "
+    "band-bucket table, maintained INCREMENTALLY by a streaming grouped "
+    "aggregate (per (band, bk): occupancy count + MIN doc id — the "
+    "reference analog is StreamExecDeduplicate keep-first, "
+    "flink-table-planner-blink/.../stream/StreamExecDeduplicate.scala:58, "
+    "composed with the repo's banded machinery). A document is admitted "
+    "iff every capped bucket it occupies has it as the MIN id — first-wins "
+    "under the deterministic min-id tiebreak, so the admitted set is "
+    "IDENTICAL whatever the delivery order or micro-batch boundaries "
+    "(pinned in tests/test_streaming_analytics.py). Band keys on the "
+    "stream are computed ROW-LOCALLY (pipeline/dedup.py "
+    "rowlocal_band_keys, bit-identical to the batch explode path) so the "
+    "single streaming-aggregate budget goes to the bucket state itself; "
+    "the admission report applies the batch operator to the snapshot via "
+    "its stats= hand-in. Scale: state is 3 buckets/doc — the inherent "
+    "dedup-state floor; production bounds it with TTL.",
+)
+def stream_neardedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        neardedup_keep_first,
+        rowlocal_band_keys,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    b = s.select(
+        "doc_id",
+        F.explode(
+            rowlocal_band_keys("text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS)
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bk").alias("bk"))
+    stats = b.groupBy("band", "bk").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keep_did")
+    )
+    # localCheckpoint: the admission report joins batch-derived bands against
+    # this snapshot twice removed from the memory-sink view (same conflicting-
+    # attribute-reference hazard as the other twins); the checkpoint holds the
+    # bucket-state table, nothing larger
+    snap = run_to_batch(stats, "complete").localCheckpoint(eager=True)
+    docs = table(spark, sf_dir, "documents")
+    return neardedup_keep_first(
+        docs,
+        "doc_id",
+        "text",
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+        stats=snap,
+    ).orderBy("doc_id")

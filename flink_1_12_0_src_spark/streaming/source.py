@@ -78,6 +78,42 @@ def events_stream(
     )
 
 
+def events_stream_scrambled(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, order: tuple = (3, 1, 0, 2)
+) -> DataFrame:
+    """The SAME ts-range slices as :func:`events_stream`, delivered in a
+    SCRAMBLED trigger order: slice ``order[0]`` arrives first, then
+    ``order[1]``, ... (mtime permutation; FileStreamSource processes by
+    mtime then path). The out-of-order-delivery fixture for the analytics
+    twins: their snapshots are pure functions of the data, so ANY delivery
+    permutation must yield the identical report — including the funnel's
+    late-stage-qualification path, where a stage-(N-1) slice arrives AFTER
+    the stage-N slice it retroactively qualifies (the default order ships
+    the chronologically LAST slice first)."""
+    assert len(order) == n_files and sorted(order) == list(range(n_files))
+    import shutil
+
+    events_stream(spark, sf_dir, n_files)  # ensure the base staging exists
+    base_dir = _split_dir(sf_dir, n_files)
+    path = base_dir + "_scram_" + "".join(str(i) for i in order)
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        parts = sorted(f for f in os.listdir(base_dir) if f.startswith("part-"))
+        for f in parts:
+            shutil.copy2(os.path.join(base_dir, f), os.path.join(path, f))
+        base = os.path.getmtime(os.path.join(path, parts[-1]))
+        for rank, idx in enumerate(order):
+            os.utime(os.path.join(path, parts[idx]), (base + rank, base + rank))
+        open(marker, "w").close()
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
 def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with REAL late data: calendar-week slices delivered out of
     order — week1, week3, week2, week4 (of the 2024-01 events range). After

@@ -130,7 +130,7 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (188 of 274).
+    batch registry (191 of 279).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). Four queries materialize internally
@@ -236,8 +236,40 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("doc_id")
 
+    def _lazy_refinedweb(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_rewrite
+        from flink_1_12_0_src_spark.queries.pipelineq import PARA_BLOCK
+
+        return paragraph_dedup_rewrite(
+            table(spark, sf_dir, "documents"),
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("doc_id")
+
+    def _lazy_keepfirst(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import neardedup_keep_first
+
+        return neardedup_keep_first(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("doc_id")
+
     providers["dedup_minhash_lsh"] = _lazy_minhash
     providers["dedup_exact_substring"] = _lazy_spans
     providers["graph_pagerank"] = _lazy_pagerank
     providers["dedup_paragraph_minhash"] = _lazy_paragraph
+    providers["pipeline_refinedweb_clean"] = _lazy_refinedweb
+    providers["dedup_keepfirst_admit"] = _lazy_keepfirst
     return providers

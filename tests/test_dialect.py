@@ -260,24 +260,24 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 def test_gate_window_composition():
     """The driver verifies only the first 50 load_all() entries per round.
-    Round-8 policy: no reds to re-verify (CORRECTNESS_r07 was 50/50 green),
-    so the round-8-new queries lead — no prior-green query occupies a slot
+    Round-9 policy: no reds to re-verify (CORRECTNESS_r08 was 50/50 green),
+    so the round-9-new queries lead — no prior-green query occupies a slot
     while anything unevidenced waits, and the no-oracle ANN trio (which can
     only ever produce `no_oracle` rows) sits dead last, outside any
     window."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
         _NO_ORACLE_LAST,
-        _R08_FIXED_FIRST,
-        _R08_NEW,
+        _R09_FIXED_FIRST,
+        _R09_NEW,
         load_all,
     )
 
     names = list(load_all())
-    front = list(_R08_FIXED_FIRST) + list(_R08_NEW)
+    front = list(_R09_FIXED_FIRST) + list(_R09_NEW)
     assert names[: len(front)] == front
     # everything after the front tier and before the ANN trio is driver-green
-    # already — round 8 has zero unevidenced oracle-able queries waiting
+    # already — round 9 has zero unevidenced oracle-able queries waiting
     unevidenced = [
         n for n in names
         if n not in _DRIVER_GREEN and n not in _NO_ORACLE_LAST and n not in front

@@ -675,3 +675,28 @@ def test_dup_rate_report_reconciles_with_exact_dedup(spark, sf_dir):
         assert r["dup_rate"] == pytest.approx(
             r["n_in_dup_clusters"] / r["n_docs"], abs=1e-6
         )
+
+
+def test_rowlocal_band_keys_bit_identical_to_batch_path(spark, sf_dir):
+    """The streaming near-dedup twin computes LSH band buckets ROW-LOCALLY
+    (pipeline/dedup.py rowlocal_band_keys) while the batch operator uses the
+    explode + hash-aggregate path (minhash_signatures + _band_keys). The
+    keep-first admission join only works if the two are BIT-identical — pin
+    it on the real corpus (this test would have caught the HOF lambda-arity
+    pitfall where a default second parameter binds to the array index)."""
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        _band_keys,
+        minhash_signatures,
+        rowlocal_band_keys,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch = _band_keys(
+        minhash_signatures(docs, "doc_id", "text", 12, 3), "doc_id", 12, 4
+    ).select("doc_id", "band", "bk")
+    rl = docs.select(
+        "doc_id", F.explode(rowlocal_band_keys("text", 12, 3, 4)).alias("x")
+    ).select("doc_id", "x.band", "x.bk")
+    assert batch.exceptAll(rl).count() == 0
+    assert rl.exceptAll(batch).count() == 0
+    assert batch.count() == rl.count() > 0

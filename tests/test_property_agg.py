@@ -266,7 +266,6 @@ def test_paragraph_dedup_matches_bruteforce(spark, texts):
     banding, hot cap, cross-doc rule) on random low-entropy corpora — pins
     block splitting (incl. short tails), the <k-token no-signature drop,
     and the distinct-doc bucket condition."""
-    import hashlib
     from collections import defaultdict
 
     from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_report
@@ -281,27 +280,8 @@ def test_paragraph_dedup_matches_bruteforce(spark, texts):
         ).collect()
     }
 
-    def md5(s: str) -> str:
-        return hashlib.md5(s.encode()).hexdigest()
-
-    buckets = defaultdict(list)  # (band, bk) -> [(doc, pid)]
-    n_par = {}
-    for i, t in docs:
-        w = t.lower().split(" ")
-        nb = max(-(-len(w) // BLOCK), 1)
-        n_par[i] = nb
-        for pid in range(nb):
-            pw = w[pid * BLOCK : pid * BLOCK + BLOCK]
-            if len(pw) < K:
-                continue  # no shingles -> no signature (explode drop)
-            sh = {" ".join(pw[g : g + K]) for g in range(len(pw) - K + 1)}
-            sig = [
-                min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
-                for s in range(NH)
-            ]
-            for b in range(NH // ROWS):
-                bk = md5("|".join(sig[b * ROWS : (b + 1) * ROWS]))
-                buckets[(b, bk)].append((i, pid))
+    buckets, paras = _brute_para_buckets(docs, BLOCK, NH, K, ROWS)
+    n_par = {i: len(paras[i]) for i, _ in docs}
     dup_p = set()
     for members in buckets.values():
         if len(members) <= CAP and len({d for d, _ in members}) >= 2:
@@ -310,6 +290,119 @@ def test_paragraph_dedup_matches_bruteforce(spark, texts):
     for d, _ in dup_p:
         nd[d] += 1
     want = {i: (n_par[i], nd[i], round(nd[i] / n_par[i], 6)) for i, _ in docs}
+    assert got == want
+
+
+def _brute_para_buckets(docs, block, nh, k, rows):
+    """(band, bk) -> [(doc, pid)] buckets via the reference md5 minhash math
+    — shared by the paragraph audit and rewrite brute-force twins."""
+    import hashlib
+    from collections import defaultdict
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    buckets = defaultdict(list)
+    paras = {}
+    for i, t in docs:
+        w = t.lower().split(" ")
+        nb = max(-(-len(w) // block), 1)
+        paras[i] = [" ".join(w[pid * block : pid * block + block]) for pid in range(nb)]
+        for pid in range(nb):
+            pw = w[pid * block : pid * block + block]
+            if len(pw) < k:
+                continue
+            sh = {" ".join(pw[g : g + k]) for g in range(len(pw) - k + 1)}
+            sig = [
+                min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
+                for s in range(nh)
+            ]
+            for b in range(nh // rows):
+                bk = md5("|".join(sig[b * rows : (b + 1) * rows]))
+                buckets[(b, bk)].append((i, pid))
+    return buckets, paras
+
+
+@given(texts=PARA_TEXTS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_rewrite_matches_bruteforce(spark, texts):
+    """Survivor REWRITE vs an exact Python twin — pins the deterministic
+    keeper rule (per duplicated capped bucket the MIN doc id keeps its
+    paragraph; cross-doc members of other docs drop), the within-doc-
+    repetition-never-drops contract, and the pid-order text reassembly
+    (including all-paragraphs-dropped docs reassembling to '')."""
+    from flink_1_12_0_src_spark.pipeline.dedup import paragraph_dedup_rewrite
+
+    BLOCK, NH, K, ROWS, CAP = 8, 12, 3, 4, 256
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["clean_text"])
+        for r in paragraph_dedup_rewrite(
+            sdf, block=BLOCK, num_hashes=NH, shingle_k=K, band_rows=ROWS, max_bucket=CAP
+        ).collect()
+    }
+    buckets, paras = _brute_para_buckets(docs, BLOCK, NH, K, ROWS)
+    drops = set()
+    for members in buckets.values():
+        if len(members) <= CAP and len({d for d, _ in members}) >= 2:
+            keep_did = min(d for d, _ in members)
+            drops.update((d, pid) for d, pid in members if d != keep_did)
+    want = {}
+    for i, _ in docs:
+        kept = [p for pid, p in enumerate(paras[i]) if (i, pid) not in drops]
+        want[i] = (len(paras[i]), len(kept), " ".join(kept))
+    assert got == want
+
+
+@given(texts=PARA_TEXTS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neardedup_keepfirst_matches_bruteforce(spark, texts):
+    """Doc-level keep-first admission vs a Python twin — pins the order-free
+    first-wins rule (admitted iff MIN id in every capped bucket occupied),
+    the per-band dup-bucket counting, and the no-shingle-docs-admitted
+    convention."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_1_12_0_src_spark.pipeline.dedup import neardedup_keep_first
+
+    NH, K, ROWS, CAP = 12, 3, 4, 256
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_buckets"], r["admitted"])
+        for r in neardedup_keep_first(
+            sdf, num_hashes=NH, shingle_k=K, band_rows=ROWS, max_bucket=CAP
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    buckets = defaultdict(list)
+    doc_keys = defaultdict(list)
+    for i, t in docs:
+        w = t.lower().split(" ")
+        if len(w) < K:
+            continue  # no shingles -> no signature -> no buckets
+        sh = {" ".join(w[g : g + K]) for g in range(len(w) - K + 1)}
+        sig = [
+            min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
+            for s in range(NH)
+        ]
+        for b in range(NH // ROWS):
+            bk = md5("|".join(sig[b * ROWS : (b + 1) * ROWS]))
+            buckets[(b, bk)].append(i)
+            doc_keys[i].append((b, bk))
+    want = {}
+    for i, _ in docs:
+        n_dup = sum(
+            1
+            for key in doc_keys.get(i, [])
+            if len(buckets[key]) <= CAP and min(buckets[key]) < i
+        )
+        want[i] = (n_dup, n_dup == 0)
     assert got == want
 
 

@@ -28,6 +28,7 @@ def _rows(df):
         ("stream_source_mix", "dataset_source_mix_report"),
         ("stream_wordcount_zipf", "text_zipf_rank_report"),
         ("stream_pack_efficiency", "dataset_pack_efficiency"),
+        ("stream_neardedup_keepfirst", "dedup_keepfirst_admit"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -53,5 +54,68 @@ def test_twin_snapshot_is_microbatch_boundary_invariant(spark):
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
         return _rows(run_to_batch(daily, "complete"))
+
+    assert snapshot(1) == snapshot(4)
+
+
+def test_twin_snapshot_is_delivery_order_invariant(spark):
+    """Out-of-ORDER delivery, not just boundary placement: replay the SAME
+    ts-range slices with the chronologically LAST slice arriving FIRST
+    (order 3,1,0,2). The funnel twin's distinct-triple snapshot is a pure
+    function of the data, so the report must equal the batch answer even
+    though every stage-(N-1) event of the early slices arrives AFTER the
+    stage-N events it retroactively qualifies — the late-stage-qualification
+    claim (queries/streamingq.py stream_funnel_rates) pinned directly."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import events_stream_scrambled
+
+    s = events_stream_scrambled(spark, SF, 4, order=(3, 1, 0, 2))
+    triples = (
+        s.select("user_id", "event_type", "ts")
+        .groupBy("user_id", "event_type", "ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    snap = (
+        run_to_batch(triples, "complete")
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=True)
+    )
+    got = _rows(funnel_conversion(snap))
+    want = _rows(REG["events_funnel_rates"].spark(spark, SF))
+    assert got == want
+
+
+def test_neardedup_bucket_state_is_boundary_invariant(spark):
+    """The near-dedup twin's streaming state — the (band, bk) → (occupancy,
+    min doc) bucket table — is a pure function of the corpus: replaying the
+    document files as four micro-batches or as one yields identical state
+    (count and MIN are order- and batching-insensitive), which is what makes
+    keep-first admission deterministic under any delivery schedule."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import rowlocal_band_keys
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        MH_BAND_ROWS,
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+    )
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    def snapshot(per_trigger):
+        s = documents_stream(spark, SF, n_files=4, max_files_per_trigger=per_trigger)
+        b = s.select(
+            "doc_id",
+            F.explode(
+                rowlocal_band_keys("text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS)
+            ).alias("x"),
+        ).select("doc_id", "x.band", "x.bk")
+        stats = b.groupBy("band", "bk").agg(
+            F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keep_did")
+        )
+        return _rows(run_to_batch(stats, "complete"))
 
     assert snapshot(1) == snapshot(4)

@@ -41,7 +41,7 @@ def main() -> None:
         )
         print(f"{name}: {status}")
     for gone in sorted(set(old) - set(new)):
-        print(f"{gone}: REMOVED (no longer bench-tagged)")
+        print(f"{gone}: REMOVED (no longer in golden_plan_providers)")
     GOLDENS.write_text(json.dumps(new, indent=1, sort_keys=True) + "\n")
     print(f"wrote {GOLDENS} ({len(new)} queries)")
     spark.stop()
