@@ -130,7 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (191 of 279).
+    batch registry (191 of 279 registered queries), plus seven ``report::*``
+    goldens pinning the streaming twins' report halves directly over
+    synthetic snapshot relations (198 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). Four queries materialize internally
@@ -272,4 +274,109 @@ def golden_plan_providers() -> dict:
     providers["dedup_paragraph_minhash"] = _lazy_paragraph
     providers["pipeline_refinedweb_clean"] = _lazy_refinedweb
     providers["dedup_keepfirst_admit"] = _lazy_keepfirst
+    providers.update(_report_providers())
     return providers
+
+
+def _report_providers() -> dict:
+    """``report::*`` goldens: the streaming twins' REPORT halves pinned
+    DIRECTLY, each fingerprinted over a synthetic state-shaped snapshot
+    relation (LocalRelation stands in for the memory-sink snapshot). The
+    batch queries' goldens cover the same expressions only indirectly —
+    through plans where the snapshot is a full corpus aggregate — so a
+    report-half regression (a lost window partitioning, a new shuffle in
+    the share rollup) surfaces here as its own named diff."""
+    import datetime
+
+    def _funnel(spark, sf_dir):
+        from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
+
+        snap = spark.createDataFrame(
+            [(1, "view", datetime.datetime(2024, 1, 1))],
+            "user_id bigint, event_type string, ts timestamp",
+        )
+        return funnel_conversion(snap).orderBy("stage_idx")
+
+    def _retention(spark, sf_dir):
+        from flink_1_12_0_src_spark.operators.analytics import retention_from_activity
+
+        snap = spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 1))], "user_id bigint, wk date"
+        )
+        return retention_from_activity(snap).orderBy("cohort_week", "week_offset")
+
+    def _zscore(spark, sf_dir):
+        from flink_1_12_0_src_spark.operators.analytics import zscore_report
+
+        snap = spark.createDataFrame(
+            [("view", datetime.date(2024, 1, 1), 3)],
+            "event_type string, day date, n_events bigint",
+        )
+        return zscore_report(snap).orderBy("event_type", "day")
+
+    def _zipf(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.text import zipf_head_from_counts
+
+        snap = spark.createDataFrame([("the", 9)], "token string, freq bigint")
+        return zipf_head_from_counts(snap, 50)
+
+    def _source_mix(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.sampling import (
+            source_mix_from_lang_groups,
+        )
+
+        snap = spark.createDataFrame(
+            [("web", "en", 3, 100, 20)],
+            "source string, lang string, n_docs bigint, total_chars bigint,"
+            " total_tokens bigint",
+        )
+        return source_mix_from_lang_groups(snap).orderBy("source")
+
+    def _pack_fill(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.sampling import pack_fill_from_volumes
+        from flink_1_12_0_src_spark.queries.pipelineq import PACK_BUDGET
+
+        snap = spark.createDataFrame(
+            [("en", 1, 3, 900)],
+            "lang string, shard_id int, n_docs bigint, total_tokens bigint",
+        )
+        return pack_fill_from_volumes(snap, ["lang", "shard_id"], PACK_BUDGET).orderBy(
+            "lang", "shard_id"
+        )
+
+    def _neardedup_admission(spark, sf_dir):
+        # the stats= hand-in path the streaming twin uses (batch-derived
+        # bands joined against a precomputed bucket-state snapshot) — the
+        # own-stats path is pinned by dedup_keepfirst_admit's golden
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import neardedup_keep_first
+        from flink_1_12_0_src_spark.queries.pipelineq import (
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+        )
+
+        stats = spark.createDataFrame(
+            [(0, "aa", 2, 1)], "band int, bk string, sz bigint, keep_did bigint"
+        )
+        return neardedup_keep_first(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            stats=stats,
+        ).orderBy("doc_id")
+
+    return {
+        "report::funnel_conversion": _funnel,
+        "report::retention_from_activity": _retention,
+        "report::zscore_report": _zscore,
+        "report::zipf_head_from_counts": _zipf,
+        "report::source_mix_from_lang_groups": _source_mix,
+        "report::pack_fill_from_volumes": _pack_fill,
+        "report::neardedup_admission": _neardedup_admission,
+    }
