@@ -243,6 +243,7 @@ _R09_NEW = (
     "dedup_keepfirst_admit",
     "stream_neardedup_keepfirst",
     "text_contamination_matrix",
+    "pipeline_refinedweb_corpus",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -274,13 +274,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_BLOCK = 16  # tokens per synthetic paragraph (the corpus has no line breaks)
 
 
-def _paragraph_bands_cte() -> str:
+def _paragraph_bands_cte(src: str = "documents", lead: str = "WITH ") -> str:
     """Shared WITH-prefix of the paragraph-granularity oracles: paragraph
     windows → per-paragraph shingles → MinHash sigs → banded bucket keys
     (bands0: doc_id, pid, band, bk) plus the per-doc paragraph counts
-    (npar). The audit (dedup_paragraph_minhash) and the survivor rewrite
-    (pipeline_refinedweb_clean) append different tails to the SAME prefix,
-    so the two oracles can never drift on the banding machinery."""
+    (npar). The audit (dedup_paragraph_minhash), the survivor rewrite
+    (pipeline_refinedweb_clean), and the composed curation flagship
+    (pipeline_refinedweb_corpus, ``src='admitted'``/``lead=','``) append
+    different tails to the SAME prefix, so the oracles can never drift on
+    the banding machinery."""
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
     hcols = ", ".join(
@@ -294,7 +296,7 @@ def _paragraph_bands_cte() -> str:
         for b in range(bands)
     )
     return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+{lead}toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM {src}),
 paras AS (
   SELECT doc_id, pid,
          array_to_string(w[pid*{PARA_BLOCK}+1:pid*{PARA_BLOCK}+{PARA_BLOCK}], ' ') AS ptext
@@ -329,8 +331,12 @@ ORDER BY n.doc_id
 """
 
 
-def _refinedweb_clean_oracle() -> str:
-    return f"""{_paragraph_bands_cte()},
+def _rewrite_tail(where: str = "") -> str:
+    """Survivor-rewrite tail over the paragraph-bands prefix: duplicated
+    buckets carrying their MIN-doc keeper, cross-doc drops, pid-ordered
+    reassembly. Shared verbatim by the standalone rewrite and the composed
+    curation flagship (which appends a minimum-content WHERE)."""
+    return f""",
 dup AS (SELECT band, bk, MIN(doc_id) AS keep_did FROM bands0 GROUP BY band, bk
         HAVING COUNT(*) <= {MH_MAX_BUCKET} AND COUNT(DISTINCT doc_id) >= 2),
 drops AS (SELECT DISTINCT b.doc_id, b.pid
@@ -345,8 +351,13 @@ SELECT n.doc_id, n.n_paragraphs,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
        COALESCE(r.clean_text, '') AS clean_text
 FROM npar n LEFT JOIN reasm r USING (doc_id)
+{where}
 ORDER BY n.doc_id
 """
+
+
+def _refinedweb_clean_oracle() -> str:
+    return _paragraph_bands_cte() + _rewrite_tail()
 
 
 @register(
@@ -411,7 +422,12 @@ def pipeline_refinedweb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _neardedup_keepfirst_oracle() -> str:
+def _keepfirst_cte_body() -> str:
+    """Doc-level keep-first CTE chain (d-prefixed names so it composes with
+    the paragraph CTEs without collision): dtoks → dshingles → dsigs →
+    dbands0 → dstats → ddupc (per-doc count of capped buckets already owned
+    by a lower id). Shared by the standalone admission oracle and the
+    composed curation flagship."""
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
     hcols = ", ".join(
@@ -419,31 +435,35 @@ def _neardedup_keepfirst_oracle() -> str:
         for s in range(nh)
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM dsigs".format(
             b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-shingles AS (
+    return f"""dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+dshingles AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(0, len(w)-{k}),
                                g -> array_to_string(w[g+1:g+{k}], ' '))) AS sh
-  FROM toks WHERE len(w) >= {k}
+  FROM dtoks WHERE len(w) >= {k}
 ),
-sigs AS (SELECT doc_id, {hcols} FROM shingles GROUP BY doc_id),
-bands0 AS ({band_selects}),
-stats AS (SELECT band, bk, COUNT(*) AS sz, MIN(doc_id) AS keep_did
-          FROM bands0 GROUP BY band, bk),
-dupc AS (SELECT b.doc_id, COUNT(*) AS n_dup_buckets
-         FROM bands0 b JOIN stats s USING (band, bk)
-         WHERE s.sz <= {MH_MAX_BUCKET} AND s.keep_did < b.doc_id
-         GROUP BY b.doc_id)
+dsigs AS (SELECT doc_id, {hcols} FROM dshingles GROUP BY doc_id),
+dbands0 AS ({band_selects}),
+dstats AS (SELECT band, bk, COUNT(*) AS sz, MIN(doc_id) AS keep_did
+           FROM dbands0 GROUP BY band, bk),
+ddupc AS (SELECT b.doc_id, COUNT(*) AS n_dup_buckets
+          FROM dbands0 b JOIN dstats s USING (band, bk)
+          WHERE s.sz <= {MH_MAX_BUCKET} AND s.keep_did < b.doc_id
+          GROUP BY b.doc_id)"""
+
+
+def _neardedup_keepfirst_oracle() -> str:
+    return f"""
+WITH {_keepfirst_cte_body()}
 SELECT d.doc_id,
        CAST(COALESCE(c.n_dup_buckets, 0) AS BIGINT) AS n_dup_buckets,
        COALESCE(c.n_dup_buckets, 0) = 0 AS admitted
-FROM documents d LEFT JOIN dupc c USING (doc_id)
+FROM documents d LEFT JOIN ddupc c USING (doc_id)
 ORDER BY d.doc_id
 """
 
@@ -475,6 +495,71 @@ def dedup_keepfirst_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardedup_keep_first(
         docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
     ).orderBy("doc_id")
+
+
+RW_MIN_KEPT = 2  # curation floor: drop docs left with < 2 surviving paragraphs
+
+
+def _refinedweb_corpus_oracle() -> str:
+    return (
+        f"\nWITH {_keepfirst_cte_body()},\n"
+        "admitted AS (SELECT d.doc_id, d.text FROM documents d\n"
+        "             LEFT JOIN ddupc c USING (doc_id)\n"
+        "             WHERE COALESCE(c.n_dup_buckets, 0) = 0),"
+        + _paragraph_bands_cte(src="admitted", lead="")
+        + _rewrite_tail(where=f"WHERE COALESCE(r.n_kept, 0) >= {RW_MIN_KEPT}")
+    )
+
+
+@register(
+    "pipeline_refinedweb_corpus",
+    oracle=_refinedweb_corpus_oracle(),
+    tags=("pipeline", "dedup", "bench"),
+    doc="Composed RefinedWeb-style curation FLAGSHIP — the full two-level "
+    "production recipe in one plan: (1) doc-level keep-first near-dedup "
+    "admission (drop whole near-dup documents, MIN-id keeper), (2) "
+    "paragraph-survivor rewrite on the ADMITTED set only (cross-doc "
+    "boilerplate paragraphs removed, text reassembled), (3) a minimum-"
+    f"content floor (≥ {RW_MIN_KEPT} surviving paragraphs). The oracle "
+    "composes the SAME shared CTE constants (_keepfirst_cte_body + "
+    "_paragraph_bands_cte + _rewrite_tail) so flagship and building blocks "
+    "can never drift. Scale: two linear banded-MinHash passes (doc-level "
+    "then paragraph-level over the survivors), one doc_id-keyed semi join "
+    "between them, no pair generation or self-join anywhere.",
+)
+def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        neardedup_keep_first,
+        paragraph_dedup_rewrite,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    adm = neardedup_keep_first(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    )
+    # Scoped persist (MEMORY_AND_DISK, spill-safe): the rewrite references
+    # its input three times (signatures, kept paragraphs, paragraph counts)
+    # and would re-run the admission semi join for each — the stage barrier
+    # a production pipeline realizes by writing the admitted set to storage
+    # between the two passes. The rewrite localCheckpoints its output, so
+    # the cache can be released before returning.
+    survivors = docs.join(
+        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    try:
+        cleaned = paragraph_dedup_rewrite(
+            survivors,
+            "doc_id",
+            "text",
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+        )
+    finally:
+        survivors.unpersist()
+    return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
 
 
 @register(

@@ -130,9 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (191 of 279 registered queries), plus seven ``report::*``
+    batch registry (192 of 280 registered queries), plus seven ``report::*``
     goldens pinning the streaming twins' report halves directly over
-    synthetic snapshot relations (198 goldens total).
+    synthetic snapshot relations (199 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). Four queries materialize internally
@@ -268,12 +268,50 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("doc_id")
 
+    def _lazy_refinedweb_corpus(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import (
+            neardedup_keep_first,
+            paragraph_dedup_rewrite,
+        )
+        from flink_1_12_0_src_spark.queries.pipelineq import PARA_BLOCK, RW_MIN_KEPT
+
+        docs = table(spark, sf_dir, "documents")
+        adm = neardedup_keep_first(
+            docs,
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            materialize=False,
+        )
+        survivors = docs.join(
+            adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+        )
+        cleaned = paragraph_dedup_rewrite(
+            survivors,
+            "doc_id",
+            "text",
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+            materialize=False,
+        )
+        return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
+
     providers["dedup_minhash_lsh"] = _lazy_minhash
     providers["dedup_exact_substring"] = _lazy_spans
     providers["graph_pagerank"] = _lazy_pagerank
     providers["dedup_paragraph_minhash"] = _lazy_paragraph
     providers["pipeline_refinedweb_clean"] = _lazy_refinedweb
     providers["dedup_keepfirst_admit"] = _lazy_keepfirst
+    providers["pipeline_refinedweb_corpus"] = _lazy_refinedweb_corpus
     providers.update(_report_providers())
     return providers
 
