@@ -23,6 +23,48 @@ from flink_1_12_0_src_spark.queries import load_all  # noqa: E402
 from flink_1_12_0_src_spark.session import get_spark  # noqa: E402
 
 
+def preflight_load_gate(cpus: int) -> tuple[tuple | None, bool]:
+    """Pre-flight host-load gate. Recording a load field was not enough —
+    the r08 artifact was taken at loadavg 17.4/32 and showed a uniform
+    phantom 1.95× that cost an adjudication cycle. If the host is busy
+    (1-min loadavg above ~cpus/8), WAIT for quiet — bounded, default 5
+    minutes — and only if it never quiets down proceed with an explicit
+    ``contaminated`` flag, so the recorded artifact is trustworthy
+    standalone. Returns (loadavg_start, contaminated); loadavg_start is
+    None when the platform has no getloadavg."""
+    try:
+        loadavg_start: tuple[float, float, float] | None = os.getloadavg()
+    except OSError:
+        return None, False
+    la = loadavg_start
+    print(
+        f"# host loadavg at start: {la[0]:.1f} {la[1]:.1f} {la[2]:.1f} (cpus={cpus})",
+        file=sys.stderr,
+    )
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", str(cpus / 8)))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300"))
+    poll = min(15.0, max(wait_budget, 0.01))
+    contaminated = False
+    if loadavg_start[0] > load_gate:
+        deadline = time.monotonic() + wait_budget
+        while loadavg_start[0] > load_gate and time.monotonic() < deadline:
+            print(
+                f"# host busy (1-min loadavg {loadavg_start[0]:.1f} > gate "
+                f"{load_gate:.1f}); waiting for quiet...",
+                file=sys.stderr,
+            )
+            time.sleep(poll)
+            loadavg_start = os.getloadavg()
+        if loadavg_start[0] > load_gate:
+            contaminated = True
+            print(
+                f"# still busy after {wait_budget:.0f}s "
+                f"(loadavg {loadavg_start[0]:.1f}); proceeding CONTAMINATED",
+                file=sys.stderr,
+            )
+    return loadavg_start, contaminated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -34,39 +76,7 @@ def main() -> None:
     # a high 1-min load average at start means the run should be re-taken.
     # Recorded INTO the JSON artifact (not just stderr) so any future mover
     # self-adjudicates against the load it ran under.
-    try:
-        loadavg_start: tuple[float, float, float] | None = os.getloadavg()
-        la = loadavg_start
-        print(f"# host loadavg at start: {la[0]:.1f} {la[1]:.1f} {la[2]:.1f} (cpus={cpus})", file=sys.stderr)
-    except OSError:
-        loadavg_start = None
-
-    # Pre-flight load gate: recording a load field was not enough — the r08
-    # artifact was taken at loadavg 17.4/32 and showed a uniform phantom
-    # 1.95× that cost an adjudication cycle. If the host is busy (1-min
-    # loadavg above ~cpus/8), WAIT for quiet — bounded at 5 minutes — and
-    # only if it never quiets down proceed with an explicit
-    # "contaminated": true stamp, so the artifact is trustworthy standalone.
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", str(cpus / 8)))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300"))
-    contaminated = False
-    if loadavg_start is not None and loadavg_start[0] > load_gate:
-        deadline = time.monotonic() + wait_budget
-        while loadavg_start[0] > load_gate and time.monotonic() < deadline:
-            print(
-                f"# host busy (1-min loadavg {loadavg_start[0]:.1f} > gate "
-                f"{load_gate:.1f}); waiting for quiet...",
-                file=sys.stderr,
-            )
-            time.sleep(15)
-            loadavg_start = os.getloadavg()
-        if loadavg_start[0] > load_gate:
-            contaminated = True
-            print(
-                f"# still busy after {wait_budget:.0f}s "
-                f"(loadavg {loadavg_start[0]:.1f}); proceeding CONTAMINATED",
-                file=sys.stderr,
-            )
+    loadavg_start, contaminated = preflight_load_gate(cpus)
 
     reg = load_all()
     bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}

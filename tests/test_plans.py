@@ -344,3 +344,35 @@ def test_centroid_separation_reuses_centroid_exchange(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "ReusedExchange" in plan
+
+
+def test_bench_preflight_load_gate():
+    """The bench artifact's trust gate (round-9 verdict ask): a quiet host
+    (gate far above any real load) passes clean; a busy host with an
+    exhausted wait budget is stamped contaminated instead of silently
+    recording a poisoned artifact."""
+    import os
+
+    import bench
+
+    old = {
+        k: os.environ.get(k)
+        for k in ("SPARK_GRAFT_BENCH_MAX_LOAD", "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC")
+    }
+    try:
+        os.environ["SPARK_GRAFT_BENCH_MAX_LOAD"] = "1e9"
+        la, contaminated = bench.preflight_load_gate(32)
+        if la is None:  # platform without getloadavg: gate is a no-op
+            return
+        assert contaminated is False and len(la) == 3
+
+        os.environ["SPARK_GRAFT_BENCH_MAX_LOAD"] = "-1"
+        os.environ["SPARK_GRAFT_BENCH_LOAD_WAIT_SEC"] = "0"
+        la, contaminated = bench.preflight_load_gate(32)
+        assert contaminated is True
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
