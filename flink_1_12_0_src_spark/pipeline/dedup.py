@@ -1071,6 +1071,22 @@ def contamination_matrix(
         .groupBy(bench_col)
         .agg(F.countDistinct(id_col).alias("n_contaminated"))
     )
+    return contamination_report_from_hits(bench_sizes, hits, n_train_row, bench_col)
+
+
+def contamination_report_from_hits(
+    bench_sizes: DataFrame,
+    hits: DataFrame,
+    n_train_row: DataFrame,
+    bench_col: str = "benchmark",
+) -> DataFrame:
+    """The report half of :func:`contamination_matrix` over a per-benchmark
+    hit-count table (``bench_col``, n_contaminated), the per-benchmark doc
+    counts, and a one-row training-corpus total — split out so identical
+    expressions score the batch-derived tables OR the final snapshots of a
+    continuously-maintained streaming hit set
+    (``stream_contamination_matrix``). NULLIF keeps a zero-doc training
+    corpus NULL in both engines."""
     return (
         bench_sizes.join(hits, bench_col, "left")
         .crossJoin(F.broadcast(n_train_row))

@@ -244,6 +244,7 @@ _R09_NEW = (
     "stream_neardedup_keepfirst",
     "text_contamination_matrix",
     "pipeline_refinedweb_corpus",
+    "stream_contamination_matrix",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -1319,9 +1319,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "doc_id", "text", DC_GRAM_K).orderBy("doc_id")
 
 
-@register(
-    "text_contamination_matrix",
-    oracle=f"""
+# ONE constant shared by the batch matrix (text_contamination_matrix) and
+# its streaming twin (stream_contamination_matrix, queries/streamingq.py).
+CONTAMINATION_MATRIX_ORACLE = f"""
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -1345,7 +1345,12 @@ SELECT s.benchmark, s.n_bench_docs,
            AS contamination_rate
 FROM bsizes s LEFT JOIN hits h USING (benchmark)
 ORDER BY benchmark
-""",
+"""
+
+
+@register(
+    "text_contamination_matrix",
+    oracle=CONTAMINATION_MATRIX_ORACLE,
     tags=("pipeline", "text", "dedup"),
     doc=f"Per-benchmark contamination matrix (pipeline.dedup."
     f"contamination_matrix): the audit production teams publish alongside a "
@@ -1361,13 +1366,27 @@ def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import contamination_matrix
 
     docs = table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 41 == 0).withColumn(
-        "benchmark", F.concat(F.lit("bench_"), (F.col("doc_id") % 3).cast("string"))
-    )
-    train = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = contam_bench_of(docs)
+    train = contam_train_of(docs)
     return contamination_matrix(
         train, bench, "benchmark", "doc_id", "text", DC_GRAM_K
     ).orderBy("benchmark")
+
+
+def contam_bench_of(docs: DataFrame) -> DataFrame:
+    """The synthetic eval suite both contamination queries use: doc_id % 41
+    = 0 stands in for benchmark docs, split into 3 benchmarks by id —
+    shared between the batch matrix and its streaming twin (applied to the
+    batch table there; the benchmark side of an audit is static by nature)."""
+    return docs.filter(F.col("doc_id") % 41 == 0).withColumn(
+        "benchmark", F.concat(F.lit("bench_"), (F.col("doc_id") % 3).cast("string"))
+    )
+
+
+def contam_train_of(docs: DataFrame) -> DataFrame:
+    """The training-corpus complement of :func:`contam_bench_of` — applied
+    to the batch table here and to the document STREAM in the twin."""
+    return docs.filter(F.col("doc_id") % 41 != 0)
 
 
 @register(

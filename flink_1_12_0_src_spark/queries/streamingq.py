@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    CONTAMINATION_MATRIX_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
     SOURCE_MIX_ORACLE,
@@ -2226,3 +2227,63 @@ def stream_neardedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
         MH_MAX_BUCKET,
         stats=snap,
     ).orderBy("doc_id")
+
+
+@register(
+    "stream_contamination_matrix",
+    oracle=CONTAMINATION_MATRIX_ORACLE,
+    tags=("streaming", "pipeline", "text", "dedup"),
+    doc="Analytics-on-a-stream: the per-benchmark contamination matrix of "
+    "text_contamination_matrix continuously maintained as training "
+    "documents are INGESTED — the live pre-training decontamination "
+    "dashboard. The benchmark shingle set is STATIC (eval suites don't "
+    "change mid-run) and joins the training stream map-side via a "
+    "stream-static broadcast hash join; streaming state is the distinct "
+    "(benchmark, doc) hit set via a grouped aggregate plus a one-row "
+    "train-doc counter (its own streaming query — Structured Streaming "
+    "allows one aggregate per query). Both snapshots are pure functions of "
+    "the data, and the shared report half (pipeline/dedup.py "
+    "contamination_report_from_hits) equals the batch matrix exactly "
+    "regardless of micro-batch boundaries. Scale: state is |benchmarks| x "
+    "|contaminated docs| + 1 counter.",
+)
+def stream_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import contamination_report_from_hits
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        DC_GRAM_K,
+        contam_bench_of,
+        contam_train_of,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    bench = contam_bench_of(table(spark, sf_dir, "documents"))
+    bench_grams = bench.select(
+        "benchmark", F.explode(shingles("text", DC_GRAM_K)).alias("sh")
+    ).distinct()
+    bench_sizes = bench.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("n_bench_docs")
+    )
+
+    train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4))
+    hit_set = (
+        train_s.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", DC_GRAM_K))).alias("sh"),
+        )
+        .join(F.broadcast(bench_grams), "sh")
+        .groupBy("benchmark", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4)).agg(
+        F.count(F.lit(1)).alias("_n_train")
+    )
+    hits_snap = run_to_batch(hit_set, "complete").localCheckpoint(eager=True)
+    n_train_row = run_to_batch(n_train_s, "complete").localCheckpoint(eager=True)
+    hits = hits_snap.groupBy("benchmark").agg(
+        F.countDistinct("doc_id").alias("n_contaminated")
+    )
+    return contamination_report_from_hits(bench_sizes, hits, n_train_row).orderBy(
+        "benchmark"
+    )

@@ -130,12 +130,12 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (192 of 280 registered queries), plus seven ``report::*``
+    batch registry (192 of 281 registered queries), plus seven ``report::*``
     goldens pinning the streaming twins' report halves directly over
     synthetic snapshot relations (199 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
-    construction is lazy). Four queries materialize internally
+    construction is lazy). A handful of queries materialize internally
     (localCheckpoint), so their registry plan degenerates to an ExistingRDD
     scan; their providers rebuild the identical topology with
     ``materialize=False`` so the golden pins the real interior plan. The

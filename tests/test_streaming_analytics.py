@@ -29,6 +29,7 @@ def _rows(df):
         ("stream_wordcount_zipf", "text_zipf_rank_report"),
         ("stream_pack_efficiency", "dataset_pack_efficiency"),
         ("stream_neardedup_keepfirst", "dedup_keepfirst_admit"),
+        ("stream_contamination_matrix", "text_contamination_matrix"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
