@@ -1030,6 +1030,170 @@ def neardedup_keep_first(
             bands.unpersist()
 
 
+def neardedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+    max_bucket: int = 256,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup ADMISSION of an incoming ``batch`` against an
+    existing ``corpus`` snapshot — the production shape of continuous corpus
+    curation: each new crawl is deduplicated against everything already
+    ingested (plus itself) WITHOUT re-deduplicating the corpus. A batch
+    document is admitted iff every (size ≤ ``max_bucket``) band bucket it
+    occupies (a) holds no corpus member and (b) has it as the MIN batch id —
+    the same order-free keep-first contract as :func:`neardedup_keep_first`,
+    extended with the corpus-collision test. Returns one row per batch doc:
+    (id, n_corpus_dup_buckets, n_batch_dup_buckets, admitted). Reference
+    analog: StreamExecDeduplicate keep-first
+    (flink-table-planner-blink/.../stream/StreamExecDeduplicate.scala:58) —
+    the corpus bucket table IS that operator's keyed state, here as a
+    relation.
+
+    Scale (100 TB corpus, ~TB-scale daily batch): the corpus side is ONE
+    (band, bk)-keyed aggregate that production would precompute once and
+    maintain incrementally (append the admitted batch's buckets each run —
+    min/count are decomposable); the batch side re-bands only the new data.
+    The stats join is a plain equi join AQE plans by actual sizes — with a
+    small daily batch the batch-bands side broadcasts, so the 100-TB corpus
+    state is never shuffled. No pair generation, no self-join."""
+    c_bands = _band_keys(
+        minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k),
+        id_col,
+        num_hashes,
+        band_rows,
+    ).withColumn("_corp", F.lit(1))
+    b_bands = _band_keys(
+        minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k),
+        id_col,
+        num_hashes,
+        band_rows,
+    ).withColumn("_corp", F.lit(0))
+    # the batch bands feed both the combined bucket stats and the marking
+    # join — persist so the batch's shingle+hash pipeline runs once
+    if materialize:
+        b_bands = b_bands.persist()
+    try:
+        stats = (
+            c_bands.unionByName(b_bands)
+            .groupBy("band", "bk")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.sum("_corp").alias("n_corp"),
+                F.min(F.when(F.col("_corp") == 0, F.col(id_col))).alias("keep_bid"),
+            )
+        )
+        dup_counts = (
+            b_bands.join(stats, ["band", "bk"])
+            .filter(F.col("sz") <= max_bucket)
+            .groupBy(id_col)
+            .agg(
+                F.count_if(F.col("n_corp") > 0).cast("bigint").alias("_ncorp"),
+                F.count_if(F.col("keep_bid") < F.col(id_col))
+                .cast("bigint")
+                .alias("_nbatch"),
+            )
+        )
+        out = batch.select(id_col).join(dup_counts, id_col, "left").select(
+            id_col,
+            F.coalesce("_ncorp", F.lit(0)).cast("bigint").alias("n_corpus_dup_buckets"),
+            F.coalesce("_nbatch", F.lit(0)).cast("bigint").alias("n_batch_dup_buckets"),
+            (
+                (F.coalesce("_ncorp", F.lit(0)) + F.coalesce("_nbatch", F.lit(0))) == 0
+            ).alias("admitted"),
+        )
+        if not materialize:
+            return out  # lazy (plan inspection / composition)
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            b_bands.unpersist()
+
+
+def minhash_calibration_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    band_rows: int = 4,
+    max_bucket: int = 256,
+    materialize: bool = True,
+) -> DataFrame:
+    """MinHash calibration audit — estimated vs TRUE Jaccard for every LSH
+    candidate pair: (id_a, id_b, est_jaccard, true_jaccard, abs_err). This is
+    the tuning report production dedup publishes when choosing the band
+    layout (bands × rows trades recall for precision; the abs_err
+    distribution says whether ``num_hashes`` sketches are tight enough to
+    threshold on). Estimated = fraction of agreeing signature components
+    (:func:`minhash_lsh_pairs`); true = |A∩B|/|A∪B| over the documents'
+    DISTINCT ``shingle_k``-gram sets.
+
+    Scale (100 TB): the expensive exact-Jaccard join runs ONLY over the
+    LSH-bounded candidate pairs (each capped bucket fans out at most
+    max_bucket²/2 pairs), never all pairs: candidates join the distinct
+    (doc, shingle) relation on each endpoint, and the second join key
+    includes the shingle itself, so the fan-out is pair-local. This is the
+    standard LSH-then-verify topology with the verify stage emitted as an
+    audit instead of a filter."""
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_k,
+        band_rows,
+        max_bucket,
+        materialize=materialize,
+    )
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
+        .distinct()
+    )
+    if materialize:
+        # two plan references (both pair endpoints) + the size aggregate
+        sh = sh.persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+        out = (
+            pairs.join(inter, ["id_a", "id_b"], "left")
+            .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                "est_jaccard",
+                F.round(
+                    F.coalesce("_i", F.lit(0)).cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.coalesce("_i", F.lit(0))),
+                    6,
+                ).alias("true_jaccard"),
+            )
+            .withColumn(
+                "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
+            )
+        )
+        if not materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            sh.unpersist()
+
+
 def contamination_matrix(
     train: DataFrame,
     bench: DataFrame,

@@ -574,3 +574,39 @@ def dsir_weights(
             (F.col("_s") > 0).alias("selected"),
         )
     )
+
+
+def source_diversity(
+    df: DataFrame, group_col: str, source_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-group source-DIVERSITY audit — the data-mixing health metric next
+    to the raw shares of :func:`source_mix_report`: for each ``group_col``
+    (language), the Shannon entropy in bits of the doc-count distribution
+    over ``source_col`` (domains/crawl snapshots), the effective number of
+    sources 2^H (the "how many equally-sized domains is this worth"
+    headline every corpus card publishes), and the largest single-source
+    share (the concentration red flag). A corpus whose effective source
+    count collapses is one scrape away from domain overfitting.
+
+    Determinism: each −p·log2(p) term rounds to 9 dp and accumulates in
+    DECIMAL(28,9) (the package's partitioning-invariant float recipe);
+    2^H and the top share round once at the end.
+
+    Shape at 100 TB: one (group, source)-keyed count aggregate (map-side
+    partials), one group-keyed rollup over the sources-sized relation —
+    nothing downstream of the first aggregate scales with the corpus."""
+    counts = df.groupBy(group_col, source_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(group_col)
+    p = F.col("c").cast("double") / F.sum("c").over(w).cast("double")
+    terms = counts.select(
+        F.col(group_col),
+        p.alias("_p"),
+        F.round(-p * F.log2(p), 9).cast("decimal(28,9)").alias("_th"),
+    )
+    h = F.sum("_th").cast("double")
+    return terms.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        h.alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), round_digits).alias("effective_sources"),
+        F.round(F.max("_p"), round_digits).alias("top_share"),
+    )

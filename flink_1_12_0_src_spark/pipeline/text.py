@@ -496,6 +496,87 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob_grouped(
+    df: DataFrame, id_col: str, text_col: str, lm_col: str
+) -> DataFrame:
+    """Per-document average unigram negative log-probability under a
+    PER-GROUP unigram LM — the faithful CCNet shape: CCNet trains one KenLM
+    per language and scores each language shard against its own model
+    (:func:`unigram_logprob` is the corpus-global variant). Returns
+    (id, lm_col, n_tokens, avg_nll); a document is scored only against its
+    own group's vocabulary, so the same token can be cheap in `en` and
+    expensive in `de`.
+
+    Determinism and shape match :func:`unigram_logprob` exactly (9-dp-rounded
+    −ln(p) terms, DECIMAL accumulation, one exact IEEE divide): the only
+    change is that the vocabulary count, the total, and the scoring join are
+    all keyed by (group, term) / group instead of term alone — still two
+    corpus tokenization scans and plain equi joins, with the per-group totals
+    a groups-sized relation that broadcasts."""
+    toks = df.select(
+        F.col(id_col), F.col(lm_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy(lm_col, "term").agg(F.count("*").alias("c"))
+    totals = vocab.groupBy(lm_col).agg(F.sum("c").cast("double").alias("_tot"))
+    nll_term = F.round(
+        -F.log(F.col("c").cast("double") / F.col("_tot")), 9
+    ).cast("decimal(28,9)")
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        toks.join(vocab, [lm_col, "term"])
+        .join(broadcast(totals), lm_col)
+        .select(F.col(id_col), F.col(lm_col), nll_term.alias("_nll"))
+    )
+    return (
+        scored.groupBy(id_col, lm_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("_nll").alias("_s"),
+        )
+        .select(
+            id_col,
+            lm_col,
+            "n_tokens",
+            (F.col("_s").cast("double") / F.col("n_tokens")).alias("avg_nll"),
+        )
+    )
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame, id_col: str, text_col: str, lm_col: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    within each language, rank documents by their LM score and cut the
+    ranking into ``n_buckets`` equal tiles — `head` (lowest perplexity,
+    cleanest) is what CCNet ships for pretraining, `tail` is discarded,
+    `middle` is the judgment call. Scoring model: the per-language unigram
+    LM of :func:`unigram_logprob_grouped` (KenLM stand-in). Ties break by
+    id so the assignment is deterministic.
+
+    Shape at 100 TB: the scoring is two linear scans + equi joins; the
+    bucketing is ONE row_number-free ntile window per language partition —
+    a single (lang)-keyed sort of the doc-level (not token-level) relation,
+    which is the corpus's smallest projection. Reference analog: the OVER
+    ranking machinery (StreamExecRank / batch windows, SURVEY §2.5) applied
+    to dataset curation."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_grouped(df, id_col, text_col, lm_col)
+    w = Window.partitionBy(lm_col).orderBy(F.col("avg_nll").asc(), F.col(id_col).asc())
+    tile = F.ntile(n_buckets).over(w)
+    return scored.select(
+        id_col,
+        lm_col,
+        "n_tokens",
+        "avg_nll",
+        F.when(tile == 1, "head")
+        .when(tile == n_buckets, "tail")
+        .otherwise("middle")
+        .alias("ppl_bucket"),
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution,
     H = Σ −(c/n)·ln(c/n) over the doc's own token frequencies — the

@@ -245,6 +245,10 @@ _R09_NEW = (
     "text_contamination_matrix",
     "pipeline_refinedweb_corpus",
     "stream_contamination_matrix",
+    "dedup_incremental_admit",
+    "dedup_minhash_calibration",
+    "pipeline_ccnet_buckets",
+    "text_source_diversity",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

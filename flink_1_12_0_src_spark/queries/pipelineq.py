@@ -2487,3 +2487,240 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "es_key")
         .orderBy(F.desc("es_key"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions: incremental admission, LSH calibration, CCNet buckets,
+# source diversity
+# ---------------------------------------------------------------------------
+
+INC_SPLIT_HEX = "c"  # md5('inc|'||id) first hex digit < 'c' => corpus (12/16 = 75%)
+
+
+def _incremental_oracle() -> str:
+    """Incremental-admission oracle: the corpus/batch split is a pure hash of
+    the id (leakage-safe, stable under re-runs), the banding machinery is the
+    SAME md5-minhash math as every other dedup oracle, and the combined
+    bucket stats (size, corpus membership, min batch id) drive the admission
+    rule — i-prefixed CTE names so it composes if ever embedded."""
+    nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
+    bands = nh // rows
+    hcols = ", ".join(
+        f"MIN(substr(md5('{s // 4}|' || sh), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(nh)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_corpus, {b} AS band, md5({key}) AS bk FROM isigs".format(
+            b=b, key=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH isplit AS (
+  SELECT doc_id, text,
+         substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 1) < '{INC_SPLIT_HEX}' AS is_corpus
+  FROM documents
+),
+itoks AS (SELECT doc_id, is_corpus, string_split(lower(text), ' ') AS w FROM isplit),
+ishingles AS (
+  SELECT DISTINCT doc_id, is_corpus,
+         unnest(list_transform(generate_series(0, len(w)-{k}),
+                               g -> array_to_string(w[g+1:g+{k}], ' '))) AS sh
+  FROM itoks WHERE len(w) >= {k}
+),
+isigs AS (SELECT doc_id, is_corpus, {hcols} FROM ishingles GROUP BY doc_id, is_corpus),
+ibands AS ({band_selects}),
+istats AS (SELECT band, bk, COUNT(*) AS sz,
+                  SUM(CASE WHEN is_corpus THEN 1 ELSE 0 END) AS n_corp,
+                  MIN(CASE WHEN NOT is_corpus THEN doc_id END) AS keep_bid
+           FROM ibands GROUP BY band, bk),
+bdup AS (SELECT b.doc_id,
+                COUNT(CASE WHEN s.n_corp > 0 THEN 1 END) AS n_corpus_dup,
+                COUNT(CASE WHEN s.keep_bid < b.doc_id THEN 1 END) AS n_batch_dup
+         FROM ibands b JOIN istats s USING (band, bk)
+         WHERE NOT b.is_corpus AND s.sz <= {MH_MAX_BUCKET}
+         GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_corpus_dup, 0) AS BIGINT) AS n_corpus_dup_buckets,
+       CAST(COALESCE(c.n_batch_dup, 0) AS BIGINT) AS n_batch_dup_buckets,
+       COALESCE(c.n_corpus_dup, 0) + COALESCE(c.n_batch_dup, 0) = 0 AS admitted
+FROM (SELECT doc_id FROM isplit WHERE NOT is_corpus) d
+LEFT JOIN bdup c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "dedup_incremental_admit",
+    oracle=_incremental_oracle(),
+    tags=("pipeline", "dedup", "bench"),
+    doc="Incremental near-dedup ADMISSION (pipeline/dedup.py "
+    "neardedup_incremental) — the continuous-curation production shape: an "
+    "incoming batch (25% hash split of the corpus, standing in for a new "
+    "crawl) is deduplicated against the existing corpus snapshot (the other "
+    "75%) AND against itself, without re-deduplicating the corpus. A batch "
+    "doc is admitted iff every capped band bucket it occupies holds no "
+    "corpus member and has it as the MIN batch id (order-free keep-first; "
+    "reference analog StreamExecDeduplicate keep-first with the corpus "
+    "bucket table as its keyed state). The corpus side is ONE (band, bk) "
+    "aggregate production would maintain incrementally; the batch side "
+    "re-bands only new data; the stats join broadcasts a small daily batch "
+    "so the 100-TB corpus state never shuffles. No pair generation, no "
+    "self-join.",
+)
+def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import neardedup_incremental
+
+    docs = table(spark, sf_dir, "documents")
+    is_corpus = (
+        F.substring(
+            F.md5(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < INC_SPLIT_HEX
+    )
+    return neardedup_incremental(
+        docs.filter(is_corpus),
+        docs.filter(~is_corpus),
+        "doc_id",
+        "text",
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+    ).orderBy("doc_id")
+
+
+def _calibration_oracle() -> str:
+    k = MH_SHINGLE_K
+    return f"""
+WITH mh AS (SELECT * FROM ({_minhash_oracle(ordered=False)})),
+ctoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+cshing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-{k}),
+                               g -> array_to_string(w[g+1:g+{k}], ' '))) AS sh
+  FROM ctoks WHERE len(w) >= {k}
+),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM cshing GROUP BY doc_id),
+cint AS (SELECT m.id_a, m.id_b, COUNT(*) AS i
+         FROM mh m
+         JOIN cshing a ON a.doc_id = m.id_a
+         JOIN cshing b ON b.doc_id = m.id_b AND b.sh = a.sh
+         GROUP BY m.id_a, m.id_b),
+j AS (SELECT m.id_a, m.id_b, m.est_jaccard,
+             round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS true_jaccard
+      FROM mh m
+      LEFT JOIN cint i ON i.id_a = m.id_a AND i.id_b = m.id_b
+      JOIN csz sa ON sa.doc_id = m.id_a
+      JOIN csz sb ON sb.doc_id = m.id_b)
+SELECT id_a, id_b, est_jaccard, true_jaccard,
+       round(abs(est_jaccard - true_jaccard), 6) AS abs_err
+FROM j ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_calibration_oracle(),
+    tags=("pipeline", "dedup"),
+    doc="MinHash calibration audit (pipeline/dedup.py "
+    "minhash_calibration_report) — estimated vs TRUE Jaccard for every LSH "
+    "candidate pair, the tuning report production dedup publishes when "
+    "choosing the band layout: est = agreeing signature components / "
+    f"{MH_NUM_HASHES}, true = |A∩B|/|A∪B| over distinct {MH_SHINGLE_K}-gram "
+    "sets, abs_err their gap. The exact-Jaccard join runs ONLY over the "
+    "LSH-bounded candidates (the standard LSH-then-verify topology with the "
+    "verify stage emitted as an audit) — the second join key includes the "
+    "shingle itself so the fan-out stays pair-local; never all pairs.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import minhash_calibration_report
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_calibration_report(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    ).orderBy("id_a", "id_b")
+
+
+CCNET_BUCKETS = 3
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    oracle=f"""
+WITH ltoks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+lt AS (SELECT doc_id, lang, term FROM ltoks WHERE term <> ''),
+lvocab AS (SELECT lang, term, COUNT(*) AS c FROM lt GROUP BY lang, term),
+ltot AS (SELECT lang, SUM(c) AS n FROM lvocab GROUP BY lang),
+lscored AS (
+  SELECT lt.doc_id, lt.lang,
+         CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS nll
+  FROM lt JOIN lvocab USING (lang, term) JOIN ltot USING (lang)
+),
+lppl AS (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+  FROM lscored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, avg_nll,
+       CASE NTILE({CCNET_BUCKETS}) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+            WHEN 1 THEN 'head' WHEN {CCNET_BUCKETS} THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM lppl ORDER BY doc_id
+""",
+    tags=("pipeline", "text", "sampling"),
+    doc="CCNet head/middle/tail perplexity bucketing (pipeline/text.py "
+    "ccnet_ppl_buckets; Wenzek et al. 2020): each document scored against "
+    "its OWN language's unigram LM (the per-lang KenLM stand-in, "
+    "unigram_logprob_grouped), then each language ranking cut into "
+    f"{CCNET_BUCKETS} equal ntiles — head ships for pretraining, tail is "
+    "discarded. 9-dp-rounded −ln(p) terms with DECIMAL accumulation "
+    "(partitioning-invariant), ties by id; the ntile window sorts only the "
+    "doc-level relation per language partition, never token-level data.",
+)
+def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "lang", CCNET_BUCKETS
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_source_diversity",
+    oracle="""
+WITH sc AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source),
+terms AS (
+  SELECT lang,
+         CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE) AS p,
+         CAST(round(-(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS th
+  FROM sc
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(th) AS DOUBLE) AS entropy_bits,
+       round(pow(2.0, CAST(SUM(th) AS DOUBLE)), 6) AS effective_sources,
+       round(MAX(p), 6) AS top_share
+FROM terms GROUP BY lang ORDER BY lang
+""",
+    tags=("pipeline", "text", "sampling"),
+    doc="Per-language source-diversity audit (pipeline/sampling.py "
+    "source_diversity) — the data-mixing health metric next to the raw "
+    "shares of source_mix_report: Shannon entropy in bits of the doc-count "
+    "distribution over sources, effective source count 2^H (the corpus-card "
+    "headline), and the top single-source share (concentration red flag). "
+    "9-dp-rounded −p·log2(p) terms, DECIMAL accumulation; one (lang, "
+    "source) count aggregate then a lang rollup of the sources-sized "
+    "relation — nothing downstream scales with the corpus.",
+)
+def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import source_diversity
+
+    return source_diversity(
+        table(spark, sf_dir, "documents"), "lang", "source"
+    ).orderBy("lang")

@@ -130,9 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (192 of 281 registered queries), plus seven ``report::*``
+    batch registry (196 of 285 registered queries), plus seven ``report::*``
     goldens pinning the streaming twins' report halves directly over
-    synthetic snapshot relations (199 goldens total).
+    synthetic snapshot relations (203 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). A handful of queries materialize internally
@@ -305,6 +305,49 @@ def golden_plan_providers() -> dict:
         )
         return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
 
+    def _lazy_incremental(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import neardedup_incremental
+        from flink_1_12_0_src_spark.queries.pipelineq import INC_SPLIT_HEX
+
+        docs = table(spark, sf_dir, "documents")
+        is_corpus = (
+            F.substring(
+                F.md5(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))), 1, 1
+            )
+            < INC_SPLIT_HEX
+        )
+        return neardedup_incremental(
+            docs.filter(is_corpus),
+            docs.filter(~is_corpus),
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("doc_id")
+
+    def _lazy_calibration(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import minhash_calibration_report
+
+        return minhash_calibration_report(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            MH_NUM_HASHES,
+            MH_SHINGLE_K,
+            MH_BAND_ROWS,
+            MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("id_a", "id_b")
+
+    providers["dedup_incremental_admit"] = _lazy_incremental
+    providers["dedup_minhash_calibration"] = _lazy_calibration
     providers["dedup_minhash_lsh"] = _lazy_minhash
     providers["dedup_exact_substring"] = _lazy_spans
     providers["graph_pagerank"] = _lazy_pagerank

@@ -406,6 +406,78 @@ def test_neardedup_keepfirst_matches_bruteforce(spark, texts):
     assert got == want
 
 
+@given(texts=PARA_TEXTS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neardedup_incremental_matches_bruteforce(spark, texts):
+    """Incremental admission (incoming batch vs corpus snapshot) vs a Python
+    twin — pins the two-part rule (a capped bucket with ANY corpus member
+    rejects; otherwise min-batch-id wins), the separate corpus/batch dup
+    counters, and that the combined bucket size drives the hot-bucket cap."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_1_12_0_src_spark.pipeline.dedup import neardedup_incremental
+
+    NH, K, ROWS, CAP = 12, 3, 4, 4  # tiny cap so hypothesis can hit it
+    docs = list(enumerate(texts))
+    corpus = [(i, t) for i, t in docs if i % 2 == 0]
+    batch = [(i, t) for i, t in docs if i % 2 == 1]
+    if not batch:
+        return
+    schema = "doc_id bigint, text string"
+    got = {
+        r["doc_id"]: (r["n_corpus_dup_buckets"], r["n_batch_dup_buckets"], r["admitted"])
+        for r in neardedup_incremental(
+            spark.createDataFrame(corpus or [(-(10**9), "")], schema),
+            spark.createDataFrame(batch, schema),
+            num_hashes=NH,
+            shingle_k=K,
+            band_rows=ROWS,
+            max_bucket=CAP,
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def keys(t: str):
+        w = t.lower().split(" ")
+        if len(w) < K:
+            return []
+        sh = {" ".join(w[g : g + K]) for g in range(len(w) - K + 1)}
+        sig = [
+            min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
+            for s in range(NH)
+        ]
+        return [
+            (b, md5("|".join(sig[b * ROWS : (b + 1) * ROWS])))
+            for b in range(NH // ROWS)
+        ]
+
+    corp_in, batch_in = defaultdict(int), defaultdict(list)
+    for i, t in corpus:
+        if i < 0:
+            continue  # placeholder row for the empty-corpus draw
+        for key in keys(t):
+            corp_in[key] += 1
+    bkeys = {i: keys(t) for i, t in batch}
+    for i, ks in bkeys.items():
+        for key in ks:
+            batch_in[key].append(i)
+    want = {}
+    for i, _ in batch:
+        nc = nb = 0
+        for key in bkeys[i]:
+            if corp_in[key] + len(batch_in[key]) > CAP:
+                continue
+            if corp_in[key] > 0:
+                nc += 1
+            if min(batch_in[key]) < i:
+                nb += 1
+        want[i] = (nc, nb, nc + nb == 0)
+    assert got == want
+
+
 # (user, stage-index-or-other, seconds) — a TINY time domain (0..20 s) forces
 # timestamp ties, and the 4th type value exercises non-funnel noise events;
 # repeated and missing stages arise naturally from random draws
