@@ -596,6 +596,18 @@ def source_diversity(
     partials), one group-keyed rollup over the sources-sized relation —
     nothing downstream of the first aggregate scales with the corpus."""
     counts = df.groupBy(group_col, source_col).agg(F.count(F.lit(1)).alias("c"))
+    return source_diversity_from_counts(counts, group_col, round_digits)
+
+
+def source_diversity_from_counts(
+    counts: DataFrame, group_col: str, round_digits: int = 6
+) -> DataFrame:
+    """The derived half of :func:`source_diversity` over PRE-AGGREGATED
+    (group, source, c) count rows — shared with the streaming twin
+    (``stream_source_diversity``), whose (group, source) counters a
+    streaming grouped aggregate maintains; entropy/effective-sources/top
+    share are pure functions of the counts, so the snapshot report equals
+    the batch report exactly."""
     w = Window.partitionBy(group_col)
     p = F.col("c").cast("double") / F.sum("c").over(w).cast("double")
     terms = counts.select(

@@ -249,6 +249,7 @@ _R09_NEW = (
     "dedup_minhash_calibration",
     "pipeline_ccnet_buckets",
     "text_source_diversity",
+    "stream_source_diversity",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

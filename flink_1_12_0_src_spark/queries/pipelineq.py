@@ -2690,9 +2690,11 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "text_source_diversity",
-    oracle="""
+# ONE constant shared by the batch audit (text_source_diversity) and its
+# streaming twin (stream_source_diversity, queries/streamingq.py) — same
+# pattern as SOURCE_MIX/PACK_EFFICIENCY_ORACLE, so operator and twin can
+# never drift.
+SOURCE_DIVERSITY_ORACLE = """
 WITH sc AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source),
 terms AS (
   SELECT lang,
@@ -2707,7 +2709,12 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
        round(pow(2.0, CAST(SUM(th) AS DOUBLE)), 6) AS effective_sources,
        round(MAX(p), 6) AS top_share
 FROM terms GROUP BY lang ORDER BY lang
-""",
+"""
+
+
+@register(
+    "text_source_diversity",
+    oracle=SOURCE_DIVERSITY_ORACLE,
     tags=("pipeline", "text", "sampling"),
     doc="Per-language source-diversity audit (pipeline/sampling.py "
     "source_diversity) — the data-mixing health metric next to the raw "

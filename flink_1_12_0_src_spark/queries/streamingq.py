@@ -1804,6 +1804,7 @@ from flink_1_12_0_src_spark.queries.pipelineq import (
     CONTAMINATION_MATRIX_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
+    SOURCE_DIVERSITY_ORACLE,
     SOURCE_MIX_ORACLE,
     TEXT_QUALITY_ORACLE,
     ZIPF_ORACLE,
@@ -2086,6 +2087,33 @@ def stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references through a memory-sink view (same as the other twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     return source_mix_from_lang_groups(snap).orderBy("source")
+
+
+@register(
+    "stream_source_diversity",
+    oracle=SOURCE_DIVERSITY_ORACLE,
+    tags=("streaming", "analytics"),
+    doc="Analytics-on-a-stream: the per-language source-diversity audit of "
+    "text_source_diversity continuously maintained — streaming state is one "
+    "(lang, source) doc counter updated as documents arrive, the entropy / "
+    "effective-sources / top-share report (pipeline/sampling.py "
+    "source_diversity_from_counts) applied to the final snapshot. The "
+    "snapshot is the exact count table (a pure function of the data "
+    "regardless of micro-batch boundaries), so the report equals the batch "
+    "audit's exactly — the live 'is the mix collapsing onto one domain' "
+    "dashboard. Scale: state is |langs| x |sources| counters.",
+)
+def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import source_diversity_from_counts
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = s.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint: the report windows over the snapshot, and Spark
+    # cannot deduplicate conflicting attribute references through a
+    # memory-sink view (same as the other twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    return source_diversity_from_counts(snap, "lang").orderBy("lang")
 
 
 

@@ -130,9 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (196 of 285 registered queries), plus seven ``report::*``
+    batch registry (196 of 286 registered queries), plus eight ``report::*``
     goldens pinning the streaming twins' report halves directly over
-    synthetic snapshot relations (203 goldens total).
+    synthetic snapshot relations (204 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). A handful of queries materialize internally
@@ -452,7 +452,18 @@ def _report_providers() -> dict:
             stats=stats,
         ).orderBy("doc_id")
 
+    def _source_diversity(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.sampling import (
+            source_diversity_from_counts,
+        )
+
+        snap = spark.createDataFrame(
+            [("en", "web", 3)], "lang string, source string, c bigint"
+        )
+        return source_diversity_from_counts(snap, "lang").orderBy("lang")
+
     return {
+        "report::source_diversity_from_counts": _source_diversity,
         "report::funnel_conversion": _funnel,
         "report::retention_from_activity": _retention,
         "report::zscore_report": _zscore,

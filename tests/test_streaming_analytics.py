@@ -30,6 +30,7 @@ def _rows(df):
         ("stream_pack_efficiency", "dataset_pack_efficiency"),
         ("stream_neardedup_keepfirst", "dedup_keepfirst_admit"),
         ("stream_contamination_matrix", "text_contamination_matrix"),
+        ("stream_source_diversity", "text_source_diversity"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
