@@ -287,6 +287,93 @@ def ivf_fit(
     return centroids
 
 
+def kmeans_fit_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Engine-exact Lloyd's k-means TRAINING, ``iters`` rounds unrolled into
+    one lazy plan — the oracle-checkable variant of :func:`ivf_fit` (which
+    optimizes for speed with plain float means): init = the vectors with id
+    < ``k`` (the fixed-seed convention of ``embedding_kmeans_assign``), each
+    round assigns every vector to the argmax of ``round_digits``-rounded
+    cosine (centroid-id tiebreak) and recomputes means with the package's
+    deterministic recipe (components 6-dp-rounded, DECIMAL-accumulated, one
+    exact divide, 6-dp-rounded mean) so every intermediate — assignment,
+    centroid, and the final table — is bit-identical across engines, merge
+    orders, and partitionings. Returns the LAST round's centroids long-form:
+    (cluster, dim, centroid, n_vectors).
+
+    Scale (100 TB of vectors): per round, the k centroids collapse to ONE
+    broadcast row of label-sorted structs and assignment is a row-local
+    F.aggregate argmax fold (the nearest_centroid_classify shape — no
+    crossJoin fan-out growth, no per-vector window Exchange, the corpus
+    never shuffles on data size); the mean recompute is one (cluster, dim)-
+    keyed aggregate with map-side partials. Driver loop only composes the
+    plan — no collect between rounds."""
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = vecs.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    neg_inf = F.lit(float("-inf"))
+    last_means = None
+    for _ in range(iters):
+        cents_row = cents.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+        j = vecs.crossJoin(F.broadcast(cents_row))
+        scored = F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                s["cid"].alias("cid"),
+                F.round(
+                    _dot(F.col("v"), s["cv"]) / (_norm(F.col("v")) * _norm(s["cv"])),
+                    round_digits,
+                ).alias("cos"),
+            ),
+        )
+        # label-sorted fold with strict > realizes the ASC-cid tiebreak;
+        # coalesce to -inf keeps NULL cosines losing to any non-NULL one
+        # (same contract as nearest_centroid_classify)
+        best = F.aggregate(
+            F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+            F.element_at(scored, 1),
+            lambda acc, s: F.when(
+                F.coalesce(s["cos"], neg_inf) > F.coalesce(acc["cos"], neg_inf), s
+            ).otherwise(acc),
+        )
+        assigned = j.select("vid", "v", best["cid"].alias("cid"))
+        last_means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round("x", round_digits).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    round_digits,
+                ).alias("m"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        cents = (
+            last_means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+    return last_means.select(
+        F.col("cid").cast("bigint").alias("cluster"),
+        F.col("pos").cast("int").alias("dim"),
+        F.col("m").alias("centroid"),
+        F.col("n").alias("n_vectors"),
+    )
+
+
 def _assign(vecs: DataFrame, centroids: DataFrame, n_best: int = 1) -> DataFrame:
     """Nearest-centroid assignment (or n_best nearest for probing)."""
     j = vecs.crossJoin(F.broadcast(centroids))

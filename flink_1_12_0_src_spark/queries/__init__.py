@@ -250,6 +250,7 @@ _R09_NEW = (
     "pipeline_ccnet_buckets",
     "text_source_diversity",
     "stream_source_diversity",
+    "embedding_kmeans_fit",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -2731,3 +2731,58 @@ def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_diversity(
         table(spark, sf_dir, "documents"), "lang", "source"
     ).orderBy("lang")
+
+
+KM_K, KM_ITERS = 4, 2
+
+
+def _kmeans_fit_oracle() -> str:
+    """Unrolled Lloyd iterations: each round is the embedding_kmeans_assign
+    oracle's QUALIFY-top-1 assignment followed by the label_centroids
+    oracle's 6-dp DECIMAL mean recipe — the two already-green kernels
+    composed ``KM_ITERS`` times."""
+    assign = """
+a{i} AS (SELECT e.vec_id, c.cid
+       FROM e CROSS JOIN c{p} c
+       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) = 1),
+m{i} AS (SELECT a{i}.cid, t.ord - 1 AS pos,
+              round(CAST(SUM(CAST(round(t.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS m,
+              COUNT(*) AS n
+       FROM a{i} JOIN t USING (vec_id)
+       GROUP BY a{i}.cid, pos),
+c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"""
+    rounds = ",".join(assign.format(i=i + 1, p=i) for i in range(KM_ITERS))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+t AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS ord FROM e),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),{rounds}
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(pos AS INTEGER) AS dim,
+       m AS centroid, CAST(n AS BIGINT) AS n_vectors
+FROM m{KM_ITERS} ORDER BY cluster, dim
+"""
+
+
+@register(
+    "embedding_kmeans_fit",
+    oracle=_kmeans_fit_oracle(),
+    tags=("pipeline", "similarity", "clustering"),
+    doc=f"Engine-exact Lloyd's k-means TRAINING (pipeline/similarity.py "
+    f"kmeans_fit_exact): {KM_ITERS} assign/recompute rounds over k={KM_K} "
+    "fixed seeds (lowest-id vectors) unrolled into ONE lazy plan — the "
+    "iterative-ML-training class oracle-checked end-to-end, composing the "
+    "two already-green kernels (embedding_kmeans_assign's rounded-cosine "
+    "argmax; embedding_centroid_by_label's 6-dp DECIMAL mean). Per round "
+    "the centroids collapse to one broadcast row and assignment is a "
+    "row-local argmax fold (nearest_centroid_classify shape — no "
+    "per-vector window Exchange, the corpus never shuffles on data size); "
+    "means are one (cluster, dim)-keyed aggregate. Final centroids "
+    "long-form (cluster, dim, centroid, n_vectors), types plain.",
+)
+def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import kmeans_fit_exact
+
+    return kmeans_fit_exact(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", KM_K, KM_ITERS
+    ).orderBy("cluster", "dim")
