@@ -251,6 +251,7 @@ _R09_NEW = (
     "text_source_diversity",
     "stream_source_diversity",
     "embedding_kmeans_fit",
+    "pipeline_curation_funnel",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -2786,3 +2786,163 @@ def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_exact(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", KM_K, KM_ITERS
     ).orderBy("cluster", "dim")
+
+
+FUNNEL_STAGES = (
+    "ingest",
+    "lang_bench_gate",
+    "quality_ge_05",
+    "exact_dedup",
+    "decontaminated",
+)
+
+
+def _curation_funnel_oracle() -> str:
+    stage_case = "CASE g.s " + " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(FUNNEL_STAGES)
+    ) + " END"
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS nt,
+         (doc_id % 41 <> 0 AND lang = 'en') AS s1,
+         round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '), {_EN!r}))
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6) AS quality
+  FROM documents
+),
+q2 AS (
+  SELECT *, (s1 AND quality >= 0.5) AS s2,
+         MIN(CASE WHEN s1 AND quality >= 0.5 THEN doc_id END)
+             OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS canon
+  FROM q
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(0, len(w)-3),
+                               g -> array_to_string(w[g+1:g+3], ' '))) AS sh
+  FROM toks WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 41 = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.sh = b.sh),
+staged AS (
+  SELECT q2.doc_id, q2.nt,
+         CAST(q2.s1 AS INT) + CAST(q2.s2 AS INT)
+         + CAST(q2.s2 AND q2.doc_id = q2.canon AS INT)
+         + CAST(q2.s2 AND q2.doc_id = q2.canon AND h.doc_id IS NULL AS INT) AS stage
+  FROM q2 LEFT JOIN hits h USING (doc_id)
+),
+reach AS (
+  SELECT g.s AS stage_idx,
+         CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(d.nt), 0) AS BIGINT) AS n_tokens
+  FROM generate_series(0, {len(FUNNEL_STAGES) - 1}) AS g(s)
+  LEFT JOIN staged d ON d.stage >= g.s
+  GROUP BY g.s
+)
+SELECT CAST(g.s AS INT) AS stage_idx, {stage_case} AS stage,
+       r.n_docs, r.n_tokens,
+       CASE WHEN g.s = 0 THEN 1.0
+            ELSE round(CAST(r.n_docs AS DOUBLE)
+                       / NULLIF(CAST(lag(r.n_docs) OVER (ORDER BY g.s) AS DOUBLE), 0.0), 6)
+       END AS kept_frac,
+       round(CAST(r.n_docs AS DOUBLE)
+             / NULLIF(CAST(first_value(r.n_docs) OVER (ORDER BY g.s) AS DOUBLE), 0.0),
+             6) AS cum_frac
+FROM generate_series(0, {len(FUNNEL_STAGES) - 1}) AS g(s)
+JOIN reach r ON r.stage_idx = g.s
+ORDER BY stage_idx
+"""
+
+
+@register(
+    "pipeline_curation_funnel",
+    oracle=_curation_funnel_oracle(),
+    tags=("pipeline", "text", "dedup", "composed"),
+    doc="Curation-funnel audit — the per-stage retention 'data card' every "
+    "production cleaning run publishes, over the SAME stages as "
+    "pipeline_clean_corpus (ingest → lang+benchmark gate → quality ≥ 0.5 → "
+    "exact-dedup survivor → decontaminated): docs, tokens, per-stage kept "
+    "fraction, cumulative fraction. Computed in ONE corpus pass: each doc "
+    "is tagged with its deepest surviving stage (the two cheap gates are "
+    "row expressions; the dedup survivor is a min-over-content-hash window "
+    "conditioned on the quality cohort; decontamination is the broadcast "
+    "benchmark-gram semi join), then a 5-row stage spine rolls reach "
+    "counts up with a tiny window — no per-stage corpus re-scan, nothing "
+    "after the per-doc tag scales with the corpus.",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "doc_id", "text", keep=["text", "lang"])
+    s1 = (F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")
+    s2 = s1 & (F.col("quality") >= 0.5)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    canon = F.min(F.when(s2, F.col("doc_id"))).over(W.partitionBy(h))
+    q2 = scored.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (s2 & (F.col("doc_id") == canon)).alias("s3"),
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("sh"))
+        .join(F.broadcast(bench_grams), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    staged = (
+        q2.join(hits.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .select(
+            "nt",
+            (
+                F.col("s1").cast("int")
+                + F.col("s2").cast("int")
+                + F.col("s3").cast("int")
+                + (F.col("s3") & F.col("_hit").isNull()).cast("int")
+            ).alias("stage"),
+        )
+    )
+    # roll the corpus up to <= n_stages rows FIRST, so the inequality spine
+    # join is a 5x5 nested loop over aggregates, never a corpus fan-out
+    per_stage = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("nt").alias("_t")
+    )
+    n_stages = len(FUNNEL_STAGES)
+    spine = spark.range(n_stages).select(F.col("id").cast("int").alias("stage_idx"))
+    reach = (
+        spine.join(per_stage, per_stage["stage"] >= spine["stage_idx"], "left")
+        .groupBy("stage_idx")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = W.orderBy("stage_idx")
+    stage_name = F.element_at(
+        F.array(*[F.lit(s) for s in FUNNEL_STAGES]), F.col("stage_idx") + 1
+    )
+    nd = F.col("n_docs").cast("double")
+    return reach.select(
+        "stage_idx",
+        stage_name.alias("stage"),
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("stage_idx") == 0, F.lit(1.0))
+        .otherwise(F.round(nd / F.nullif(F.lag(nd).over(w), F.lit(0.0)), 6))
+        .alias("kept_frac"),
+        F.round(nd / F.nullif(F.first(nd).over(w), F.lit(0.0)), 6).alias("cum_frac"),
+    ).orderBy("stage_idx")
