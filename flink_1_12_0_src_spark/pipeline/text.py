@@ -674,3 +674,101 @@ def quality_ensemble(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (composite > 0).alias("keep"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average bigram negative log-probability under the
+    corpus's own add-1-smoothed bigram LM — one step closer to the KenLM
+    n-gram filter of CCNet than :func:`unigram_logprob`:
+    nll(doc) = mean over the doc's adjacent word pairs of
+    −ln((c(w1,w2) + 1) / (c(w1) + V)), V = unigram vocabulary size.
+    Documents with < 2 tokens have no bigrams and drop from the output.
+
+    Determinism: the same recipe as every LM score here — each pair's
+    −ln(p) rounds to 9 dp and accumulates in DECIMAL(28,9); the mean is one
+    exact IEEE divide.
+
+    Shape at 100 TB: bigrams derive ROW-LOCALLY from the token array (no
+    positional self-join); one (w1, w2)-keyed count aggregate + one
+    unigram count aggregate (both map-side partial), scoring re-joins the
+    bigram stream on (w1, w2) then w1 — plain equi hash joins; the
+    vocabulary size is a one-row broadcast."""
+    w = F.filter(tokens(text_col), lambda x: x != "")
+    bg = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_w"), i).alias("w1"),
+                        F.element_at(F.col("_w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(w).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nll = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("_v"))), 9
+    ).cast("decimal(28,9)")
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), nll.alias("_nll"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"), F.sum("_nll").alias("_s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_s").cast("double") / F.col("n_bigrams")).alias("avg_nll"),
+        )
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """The first step of BPE tokenizer training at corpus scale: global
+    frequencies of ADJACENT CHARACTER PAIRS within words — the statistic the
+    first merge rule is chosen from (Sennrich et al. 2016). Returns the top
+    ``k`` pairs as (pair, freq, rank), deterministic via the lexicographic
+    tiebreak.
+
+    Shape at 100 TB: pairs derive row-locally (each word's pairs are its
+    2-char substrings — linear expansion), ONE pair-keyed count aggregate
+    with map-side partials, then orderBy+limit planning as
+    TakeOrderedAndProject so the pair vocabulary is never globally sorted;
+    the rank window runs over the k-row head only."""
+    from pyspark.sql import Window
+
+    w = F.filter(tokens(text_col), lambda x: x != "")
+    pairs = F.flatten(
+        F.transform(
+            w,
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
+                lambda i: F.substring(t, i, 2),
+            ),
+        )
+    )
+    counted = (
+        df.select(F.explode(pairs).alias("pair"))
+        .filter(F.length("pair") == 2)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(k)
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair")))
+    return counted.select("pair", "freq", rank.cast("bigint").alias("rank"))

@@ -252,6 +252,8 @@ _R09_NEW = (
     "stream_source_diversity",
     "embedding_kmeans_fit",
     "pipeline_curation_funnel",
+    "text_bigram_logppl",
+    "text_bpe_pair_stats",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

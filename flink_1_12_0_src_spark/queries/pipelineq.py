@@ -2946,3 +2946,82 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_frac"),
         F.round(nd / F.nullif(F.first(nd).over(w), F.lit(0.0)), 6).alias("cum_frac"),
     ).orderBy("stage_idx")
+
+
+@register(
+    "text_bigram_logppl",
+    oracle="""
+WITH btoks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[g+1] AS w1, w[g+2] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w)-2)) AS g
+        FROM btoks WHERE len(w) >= 2)
+),
+cbg AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+uni AS (SELECT term, COUNT(*) AS cu
+        FROM (SELECT unnest(w) AS term FROM btoks) GROUP BY term),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(round(-ln((cb + 1.0) / (cu + (SELECT vs FROM v))), 9)
+              AS DECIMAL(28,9)) AS nll
+  FROM bg JOIN cbg USING (w1, w2) JOIN uni ON uni.term = bg.w1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+    doc="Bigram-LM perplexity proxy (pipeline/text.py bigram_logprob) — one "
+    "step closer to CCNet's KenLM filter than text_unigram_logppl: per-doc "
+    "average −ln p under the corpus's own add-1-smoothed bigram LM, "
+    "p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Bigrams derive ROW-LOCALLY from "
+    "the token array (no positional self-join); one (w1,w2) count "
+    "aggregate + one unigram aggregate, scoring by plain equi joins, "
+    "vocabulary size a one-row broadcast; 9-dp DECIMAL-accumulated terms.",
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+BPE_TOP_K = 50
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+WITH ptoks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT substr(t, g, 2) AS pair
+  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS g
+        FROM ptoks WHERE length(t) >= 2)
+),
+counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM pairs GROUP BY pair)
+SELECT pair, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank
+FROM counts ORDER BY freq DESC, pair ASC LIMIT {BPE_TOP_K}
+""",
+    tags=("pipeline", "text"),
+    doc="BPE tokenizer-training step 1 (pipeline/text.py bpe_pair_counts; "
+    "Sennrich et al. 2016): global frequencies of adjacent character pairs "
+    f"within words, top {BPE_TOP_K} with lexicographic tiebreak — the "
+    "statistic the first merge rule is chosen from, at corpus scale. Pairs "
+    "derive row-locally (2-char substrings), ONE pair-keyed count "
+    "aggregate, orderBy+limit plans as TakeOrderedAndProject so the pair "
+    "vocabulary is never globally sorted; the rank window covers only the "
+    "k-row head.",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(table(spark, sf_dir, "documents"), "text", BPE_TOP_K)
