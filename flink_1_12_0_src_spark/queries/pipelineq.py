@@ -2767,7 +2767,7 @@ FROM m{KM_ITERS} ORDER BY cluster, dim
 @register(
     "embedding_kmeans_fit",
     oracle=_kmeans_fit_oracle(),
-    tags=("pipeline", "similarity", "clustering"),
+    tags=("pipeline", "similarity", "clustering", "bench"),
     doc=f"Engine-exact Lloyd's k-means TRAINING (pipeline/similarity.py "
     f"kmeans_fit_exact): {KM_ITERS} assign/recompute rounds over k={KM_K} "
     "fixed seeds (lowest-id vectors) unrolled into ONE lazy plan — the "

@@ -407,6 +407,57 @@ def test_neardedup_keepfirst_matches_bruteforce(spark, texts):
 
 
 @given(texts=PARA_TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_calibration_matches_bruteforce(spark, texts):
+    """LSH calibration audit vs a Python twin — pins that est_jaccard is the
+    signature-component agreement fraction, true_jaccard the exact distinct-
+    shingle-set Jaccard, and that exactly the LSH candidate pairs appear."""
+    import hashlib
+    from itertools import combinations
+
+    from flink_1_12_0_src_spark.pipeline.dedup import minhash_calibration_report
+
+    NH, K, ROWS, CAP = 12, 3, 4, 256
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["true_jaccard"], r["abs_err"])
+        for r in minhash_calibration_report(
+            sdf, num_hashes=NH, shingle_k=K, band_rows=ROWS, max_bucket=CAP
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sh_of, sig_of, buckets = {}, {}, {}
+    for i, t in docs:
+        w = t.lower().split(" ")
+        if len(w) < K:
+            continue
+        sh = {" ".join(w[g : g + K]) for g in range(len(w) - K + 1)}
+        sh_of[i] = sh
+        sig_of[i] = [
+            min(md5(f"{s // 4}|{x}")[(s % 4) * 8 : (s % 4) * 8 + 8] for x in sh)
+            for s in range(NH)
+        ]
+        for b in range(NH // ROWS):
+            bk = md5("|".join(sig_of[i][b * ROWS : (b + 1) * ROWS]))
+            buckets.setdefault((b, bk), []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        if len(ids) <= CAP:
+            cands.update((a, b) for a, b in combinations(sorted(ids), 2))
+    want = {}
+    for a, b in cands:
+        est = round(sum(x == y for x, y in zip(sig_of[a], sig_of[b])) / NH, 6)
+        inter = len(sh_of[a] & sh_of[b])
+        true = round(inter / (len(sh_of[a]) + len(sh_of[b]) - inter), 6)
+        want[(a, b)] = (est, true, round(abs(est - true), 6))
+    assert got == want
+
+
+@given(texts=PARA_TEXTS)
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_neardedup_incremental_matches_bruteforce(spark, texts):
     """Incremental admission (incoming batch vs corpus snapshot) vs a Python
