@@ -254,6 +254,7 @@ _R09_NEW = (
     "pipeline_curation_funnel",
     "text_bigram_logppl",
     "text_bpe_pair_stats",
+    "dedup_simhash_hamming",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

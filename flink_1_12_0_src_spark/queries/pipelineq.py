@@ -3025,3 +3025,74 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import bpe_pair_counts
 
     return bpe_pair_counts(table(spark, sf_dir, "documents"), "text", BPE_TOP_K)
+
+
+SH_BANDS, SH_MAX_HAMMING = 4, 3
+
+
+def _simhash_hamming_oracle() -> str:
+    """Manku-style banded Hamming pairs over the SAME md5-bit-vote simhash
+    math as _simhash_oracle (s-prefixed CTE names)."""
+    digit = (
+        lambda p: f"(position(substr(md5(tok), {p + 1}, 1) IN '0123456789abcdef') - 1)"
+    )
+    votes = ", ".join(
+        f"SUM(2 * (CAST(floor({digit(s // 4)} / {2 ** (s % 4)}) AS INTEGER) % 2) - 1) AS v{s}"
+        for s in range(64)
+    )
+    bits = " || ".join(f"(CASE WHEN v{s} >= 0 THEN '1' ELSE '0' END)" for s in range(64))
+    width = 64 // SH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, substr(simhash, {b * width + 1}, {width}) AS bk FROM ssig"
+        for b in range(SH_BANDS)
+    )
+    return f"""
+WITH stoks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+svotes AS (SELECT doc_id, {votes} FROM stoks GROUP BY doc_id),
+ssig AS (SELECT doc_id, {bits} AS simhash FROM svotes),
+sbands AS ({band_selects}),
+skept AS (SELECT b, bk FROM sbands GROUP BY b, bk HAVING COUNT(*) <= {MH_MAX_BUCKET}),
+sk AS (SELECT sbands.* FROM sbands JOIN skept USING (b, bk)),
+scand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM sk a JOIN sk b2 ON a.b = b2.b AND a.bk = b2.bk
+                                AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM scand c
+  JOIN ssig sa ON sa.doc_id = c.id_a
+  JOIN ssig sb ON sb.doc_id = c.id_b)
+WHERE hamming <= {SH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=_simhash_hamming_oracle(),
+    tags=("pipeline", "dedup"),
+    doc="SimHash near-dup pairs via band-bucketed Hamming search "
+    "(pipeline/dedup.py simhash_hamming_pairs) — the Google web-crawl dedup "
+    f"recipe, Manku et al. WWW 2007: the 64-bit simhash splits into "
+    f"{SH_BANDS} bands; by pigeonhole every pair within Hamming distance "
+    f"{SH_MAX_HAMMING} shares a band EXACTLY, so the banded bucket "
+    "self-join (same hot-bucket cap as the MinHash path) finds all such "
+    "pairs without any all-pairs scan, and the true Hamming distance "
+    "verifies candidates as a row-local zip_with fold over the two "
+    "bitstrings. Output (id_a, id_b, hamming).",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        SH_BANDS,
+        SH_MAX_HAMMING,
+        MH_MAX_BUCKET,
+    ).orderBy("id_a", "id_b")

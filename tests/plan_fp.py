@@ -130,9 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (200 of 290 registered queries), plus eight ``report::*``
+    batch registry (201 of 291 registered queries), plus eight ``report::*``
     goldens pinning the streaming twins' report halves directly over
-    synthetic snapshot relations (208 goldens total).
+    synthetic snapshot relations (209 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). A handful of queries materialize internally
@@ -346,6 +346,22 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("id_a", "id_b")
 
+    def _lazy_simhash_hamming(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import simhash_hamming_pairs
+        from flink_1_12_0_src_spark.queries.pipelineq import SH_BANDS, SH_MAX_HAMMING
+
+        return simhash_hamming_pairs(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            SH_BANDS,
+            SH_MAX_HAMMING,
+            MH_MAX_BUCKET,
+            materialize=False,
+        ).orderBy("id_a", "id_b")
+
+    providers["dedup_simhash_hamming"] = _lazy_simhash_hamming
     providers["dedup_incremental_admit"] = _lazy_incremental
     providers["dedup_minhash_calibration"] = _lazy_calibration
     providers["dedup_minhash_lsh"] = _lazy_minhash
