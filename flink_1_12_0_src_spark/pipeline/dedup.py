@@ -45,6 +45,24 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cap_hot_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Hot-bucket / hot-block skew guard shared by every quadratic verify
+    path in this module: drop rows whose group (by ``keys``) holds more than
+    ``cap`` rows, BEFORE any pairing. Implemented as a window count over the
+    exact keys the downstream self-join partitions on — one shuffle, no
+    extra join. ``None`` disables."""
+    if cap is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
 def _h(seed: int, col) -> any:
     """Portable 64-bit-ish hash as a 16-hex-char string: substr(md5(seed|x),1,16).
     Lexicographic min over these == numeric min over the implied uint64."""
@@ -124,6 +142,16 @@ def minhash_signatures(
     shingle cardinalities; lexicographic min over fixed-width hex == numeric
     min over the implied uint32."""
     sh = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
+    return _sigs_from_shingles(sh, id_col, num_hashes)
+
+
+def _sigs_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """The hash+MIN half of :func:`minhash_signatures` over an existing
+    (id, sh) shingle relation — split out so a caller that already owns a
+    (possibly distinct) shingle DataFrame (:func:`minhash_calibration_report`)
+    derives signatures from it without re-tokenizing the corpus. MIN over
+    the distinct set equals MIN over the multiset, so signatures are
+    identical either way."""
     digests = [
         F.md5(F.concat(F.lit(f"{g}|"), F.col("sh"))) for g in range((num_hashes + 3) // 4)
     ]
@@ -172,6 +200,7 @@ def minhash_lsh_pairs(
     band_rows: int = 4,
     max_bucket: int | None = 256,
     materialize: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH + estimated Jaccard
     (fraction of agreeing signature components). Returns (id_a, id_b,
@@ -190,23 +219,16 @@ def minhash_lsh_pairs(
     # ~#docs × num_hashes × 16 B — negligible next to the corpus at any scale.
     # ``materialize=False`` returns the lazy plan with no persists (plan
     # inspection / composition), trading recompute for zero cache residency.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # ``sigs`` lets a caller that already computed the signature table
+    # (:func:`minhash_calibration_report`, from its shared shingle relation)
+    # hand it in instead of re-deriving it from the corpus.
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     if materialize:
         sigs = sigs.persist()
     bands = _band_keys(sigs, id_col, num_hashes, band_rows)
 
-    if max_bucket is not None:
-        # Bucket-size guard as a window count over the exact keys the
-        # self-join partitions on — one shuffle, no extra join; rows in
-        # oversized buckets drop before any pairing.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bk")
-        bands = (
-            bands.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+    bands = _cap_hot_buckets(bands, ["band", "bk"], max_bucket)
     # two self-join references below; band table is ~#docs × n_bands tiny rows
     if materialize:
         bands = bands.persist()
@@ -385,9 +407,19 @@ def simhash_hamming_pairs(
     banded bucket self-join replaces any all-pairs scan, the same
     ``max_bucket`` hot-bucket guard bounds a boilerplate bucket's fan-out,
     and the Hamming verify runs only over the LSH-bounded candidates as a
-    row-local zip_with fold over the two 64-char strings."""
-    from pyspark.sql import Window
+    row-local zip_with fold over the two 64-char strings.
 
+    The pigeonhole exactness requires ``max_hamming <= n_bands - 1`` (a pair
+    differing in every band is never a candidate) — assert-checked so a
+    mis-tuned call fails fast instead of silently losing recall."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"simhash_hamming_pairs: max_hamming={max_hamming} needs "
+            f"n_bands >= {max_hamming + 1} for exact pigeonhole coverage "
+            f"(got n_bands={n_bands})"
+        )
+    if 64 % n_bands:
+        raise ValueError("simhash_hamming_pairs: n_bands must divide 64")
     sigs = simhash_signatures(df, id_col, text_col)
     if materialize:
         sigs = sigs.persist()
@@ -406,12 +438,7 @@ def simhash_hamming_pairs(
             )
         ).alias("x"),
     ).select(id_col, "x.b", "x.bk")
-    w = Window.partitionBy("b", "bk")
-    bands = (
-        bands.withColumn("_bsz", F.count("*").over(w))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
+    bands = _cap_hot_buckets(bands, ["b", "bk"], max_bucket)
     if materialize:
         bands = bands.persist()
     try:
@@ -487,15 +514,7 @@ def ngram_jaccard_pairs(
     grams = _spread(df).select(
         F.col(id_col), F.col(block_col).alias("blk"), F.explode(shingles(text_col, shingle_k)).alias("sh")
     ).distinct()
-    if max_shingle_freq is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("blk", "sh")
-        grams = (
-            grams.withColumn("_df", F.count("*").over(w))
-            .filter(F.col("_df") <= max_shingle_freq)
-            .drop("_df")
-        )
+    grams = _cap_hot_buckets(grams, ["blk", "sh"], max_shingle_freq)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -550,15 +569,7 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("blk"),
         _as_double(F.col(vec_col)).alias("v"),
     )
-    if max_block is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("blk")
-        e = (
-            e.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_block)
-            .drop("_bsz")
-        )
+    e = _cap_hot_buckets(e, ["blk"], max_block)
     a = e.select(F.col("vid").alias("id_a"), "blk", F.col("v").alias("va"))
     b = e.select(F.col("vid").alias("id_b"), "blk", F.col("v").alias("vb"))
     cos = F.round(
@@ -855,15 +866,7 @@ def embedding_neardup_pairs_np(
         F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    if max_block is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("blk")
-        e = (
-            e.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_block)
-            .drop("_bsz")
-        )
+    e = _cap_hot_buckets(e, ["blk"], max_block)
 
     def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy()
@@ -1241,26 +1244,30 @@ def minhash_calibration_report(
     (doc, shingle) relation on each endpoint, and the second join key
     includes the shingle itself, so the fan-out is pair-local. This is the
     standard LSH-then-verify topology with the verify stage emitted as an
-    audit instead of a filter."""
-    pairs = minhash_lsh_pairs(
-        df,
-        id_col,
-        text_col,
-        num_hashes,
-        shingle_k,
-        band_rows,
-        max_bucket,
-        materialize=materialize,
-    )
+    audit instead of a filter. The corpus is tokenized ONCE: the distinct
+    shingle relation is shared between the exact-Jaccard joins and the
+    signature derivation (MIN over the set == MIN over the multiset), which
+    minhash_lsh_pairs consumes via its ``sigs`` hand-in."""
     sh = (
         _spread(df)
         .select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
         .distinct()
     )
     if materialize:
-        # two plan references (both pair endpoints) + the size aggregate
+        # three plan references: signature derivation + both pair endpoints
         sh = sh.persist()
     try:
+        pairs = minhash_lsh_pairs(
+            df,
+            id_col,
+            text_col,
+            num_hashes,
+            shingle_k,
+            band_rows,
+            max_bucket,
+            materialize=materialize,
+            sigs=_sigs_from_shingles(sh, id_col, num_hashes),
+        )
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         inter = (
             pairs.select("id_a", "id_b")

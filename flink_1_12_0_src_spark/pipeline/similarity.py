@@ -114,6 +114,26 @@ def _cosine(a, b, round_digits: int) -> F.Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
 
 
+def _argmax_fold(scored, score_field: str):
+    """Row-local argmax over an array of structs sorted ascending by the
+    tiebreak key (struct order = first-field order): fold init = the first
+    (lowest-key) element so the accumulator's type always matches the
+    element type, strict > over the rest keeps the earliest element on
+    ties, and NULL scores coalesce to -inf so they lose to any non-NULL
+    score — the DESC-score/ASC-key window semantics with zero shuffle.
+    Shared by :func:`nearest_centroid_classify` and
+    :func:`kmeans_fit_exact` so the NULL/tiebreak contract cannot drift."""
+    neg_inf = F.lit(float("-inf"))
+    return F.aggregate(
+        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(
+            F.coalesce(s[score_field], neg_inf) > F.coalesce(acc[score_field], neg_inf),
+            s,
+        ).otherwise(acc),
+    )
+
+
 def nearest_centroid_classify(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -169,21 +189,7 @@ def nearest_centroid_classify(
             ).alias("cosine"),
         ),
     )
-    # Fold init = the first (lowest-label) element, so the accumulator's type
-    # always matches the element type whatever the label column's type is;
-    # strict > over the label-sorted rest realizes the ASC-label tiebreak.
-    # A zero-norm vector or centroid makes the division NULL; coalescing both
-    # sides to -inf keeps the DESC-window semantics (NULL cosines lose to any
-    # non-NULL one) instead of a NULL comparison silently keeping the
-    # accumulator.
-    neg_inf = F.lit(float("-inf"))
-    best = F.aggregate(
-        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
-        F.element_at(scored, 1),
-        lambda acc, s: F.when(
-            F.coalesce(s["cosine"], neg_inf) > F.coalesce(acc["cosine"], neg_inf), s
-        ).otherwise(acc),
-    )
+    best = _argmax_fold(scored, "cosine")
     return j.select(
         "vec_id",
         "true_label",
@@ -313,18 +319,37 @@ def kmeans_fit_exact(
     crossJoin fan-out growth, no per-vector window Exchange, the corpus
     never shuffles on data size); the mean recompute is one (cluster, dim)-
     keyed aggregate with map-side partials. Driver loop only composes the
-    plan — no collect between rounds."""
+    plan — no collect between rounds.
+
+    Contract: ids 0..k-1 must exist (they are the seeds — an empty seed set
+    would assign every vector a NULL cluster while a SQL oracle's empty
+    cross join returns no rows) and ``iters`` ≥ 1; both assert-checked."""
+    if iters < 1:
+        raise ValueError("kmeans_fit_exact: iters must be >= 1")
+    n_seeds = corpus.filter(F.col(id_col) < k).count()
+    if n_seeds != k:
+        raise ValueError(
+            f"kmeans_fit_exact: expected the {k} seed ids 0..{k - 1} in "
+            f"{id_col}, found {n_seeds}"
+        )
+    # the corpus vector's norm is constant across rounds — hoist it ONCE to
+    # a per-row column; centroid norms are precomputed into the broadcast
+    # structs each round, so the per-centroid fold does only the dot product
+    # (same no-redundant-norms discipline as nearest_centroid_classify)
     vecs = corpus.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     cents = vecs.filter(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
-    neg_inf = F.lit(float("-inf"))
     last_means = None
     for _ in range(iters):
         cents_row = cents.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cid", "cv", _norm(F.col("cv")).alias("cn"))
+                )
+            ).alias("cents")
         )
         j = vecs.crossJoin(F.broadcast(cents_row))
         scored = F.transform(
@@ -332,28 +357,21 @@ def kmeans_fit_exact(
             lambda s: F.struct(
                 s["cid"].alias("cid"),
                 F.round(
-                    _dot(F.col("v"), s["cv"]) / (_norm(F.col("v")) * _norm(s["cv"])),
+                    _dot(F.col("v"), s["cv"]) / (F.col("vn") * s["cn"]),
                     round_digits,
                 ).alias("cos"),
             ),
         )
-        # label-sorted fold with strict > realizes the ASC-cid tiebreak;
-        # coalesce to -inf keeps NULL cosines losing to any non-NULL one
-        # (same contract as nearest_centroid_classify)
-        best = F.aggregate(
-            F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
-            F.element_at(scored, 1),
-            lambda acc, s: F.when(
-                F.coalesce(s["cos"], neg_inf) > F.coalesce(acc["cos"], neg_inf), s
-            ).otherwise(acc),
-        )
+        best = _argmax_fold(scored, "cos")
         assigned = j.select("vid", "v", best["cid"].alias("cid"))
         last_means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
                 F.round(
-                    F.sum(F.round("x", round_digits).cast("decimal(18,6)"))
+                    F.sum(
+                        F.round("x", round_digits).cast(f"decimal(28,{round_digits})")
+                    )
                     .cast("double")
                     / F.count(F.lit(1)),
                     round_digits,

@@ -753,18 +753,22 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     from pyspark.sql import Window
 
     w = F.filter(tokens(text_col), lambda x: x != "")
+    # empty sequence for 1-char tokens: sequence(1, 0) would DESCEND ([1, 0])
+    # because Spark defaults the step to -1 when start > stop
     pairs = F.flatten(
         F.transform(
             w,
-            lambda t: F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
-                lambda i: F.substring(t, i, 2),
-            ),
+            lambda t: F.when(
+                F.length(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substring(t, i, 2),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         )
     )
     counted = (
         df.select(F.explode(pairs).alias("pair"))
-        .filter(F.length("pair") == 2)
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("pair"))

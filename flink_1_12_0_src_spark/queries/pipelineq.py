@@ -2805,7 +2805,7 @@ def _curation_funnel_oracle() -> str:
 WITH q AS (
   SELECT doc_id, lang, text,
          len(string_split(text, ' ')) AS nt,
-         (doc_id % 41 <> 0 AND lang = 'en') AS s1,
+         (doc_id % 41 <> 0 AND lang IS NOT DISTINCT FROM 'en') AS s1,
          round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
                + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
                                   / length(text), 6) * 5, 1.0)) * 0.3
@@ -2831,9 +2831,10 @@ bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 41 = 0),
 hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.sh = b.sh),
 staged AS (
   SELECT q2.doc_id, q2.nt,
-         CAST(q2.s1 AS INT) + CAST(q2.s2 AS INT)
-         + CAST(q2.s2 AND q2.doc_id = q2.canon AS INT)
-         + CAST(q2.s2 AND q2.doc_id = q2.canon AND h.doc_id IS NULL AS INT) AS stage
+         COALESCE(CAST(q2.s1 AS INT), 0) + COALESCE(CAST(q2.s2 AS INT), 0)
+         + COALESCE(CAST(q2.s2 AND q2.doc_id = q2.canon AS INT), 0)
+         + COALESCE(CAST(q2.s2 AND q2.doc_id = q2.canon AND h.doc_id IS NULL AS INT), 0)
+           AS stage
   FROM q2 LEFT JOIN hits h USING (doc_id)
 ),
 reach AS (
@@ -2882,7 +2883,10 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     scored = quality_score(docs, "doc_id", "text", keep=["text", "lang"])
-    s1 = (F.col("doc_id") % 41 != 0) & (F.col("lang") == "en")
+    # null-safe lang test + coalesced stage terms below: a NULL lang (or a
+    # NULL quality on pathological input) must land in stage 0, not drop the
+    # doc from the funnel's own ingest row
+    s1 = (F.col("doc_id") % 41 != 0) & F.col("lang").eqNullSafe("en")
     s2 = s1 & (F.col("quality") >= 0.5)
     h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
     canon = F.min(F.when(s2, F.col("doc_id"))).over(W.partitionBy(h))
@@ -2909,10 +2913,12 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nt",
             (
-                F.col("s1").cast("int")
-                + F.col("s2").cast("int")
-                + F.col("s3").cast("int")
-                + (F.col("s3") & F.col("_hit").isNull()).cast("int")
+                F.coalesce(F.col("s1").cast("int"), F.lit(0))
+                + F.coalesce(F.col("s2").cast("int"), F.lit(0))
+                + F.coalesce(F.col("s3").cast("int"), F.lit(0))
+                + F.coalesce(
+                    (F.col("s3") & F.col("_hit").isNull()).cast("int"), F.lit(0)
+                )
             ).alias("stage"),
         )
     )
