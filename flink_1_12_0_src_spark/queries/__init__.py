@@ -255,6 +255,7 @@ _R09_NEW = (
     "text_bigram_logppl",
     "text_bpe_pair_stats",
     "dedup_simhash_hamming",
+    "events_inter_arrival",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

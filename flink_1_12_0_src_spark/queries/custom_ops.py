@@ -727,3 +727,37 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return sessionize_stats(ev).orderBy("user_id", "session_seq")
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(MIN(gap_s), 6) AS min_value, round(MAX(gap_s), 6) AS max_value,
+       round(CAST(SUM(CAST(round(gap_s, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_value,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="Per-type inter-arrival cadence report (operators/analytics.py "
+    "inter_arrival_stats): gap seconds between consecutive events of the "
+    "same (user, type) — the rate-limiting / bot-detection / engagement "
+    "audit. Gaps are integer-microsecond differences divided once by 1e6 "
+    "(exact to 6 dp, engine-portable), ties break by event id, statistics "
+    "reuse the value_percentiles PERCENTILE_CONT contract. One (user, "
+    "type)-keyed window (single-lag state) then a types-sized aggregate.",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import inter_arrival_stats
+
+    ev = table(spark, sf_dir, "events")
+    return inter_arrival_stats(ev).orderBy("event_type")
