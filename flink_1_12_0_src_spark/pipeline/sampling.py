@@ -622,3 +622,39 @@ def source_diversity_from_counts(
         F.round(F.pow(F.lit(2.0), h), round_digits).alias("effective_sources"),
         F.round(F.max("_p"), round_digits).alias("top_share"),
     )
+
+
+def pack_boundary_audit(
+    df: DataFrame,
+    id_col: str,
+    stream_col: str,
+    token_col,
+    budget: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-document boundary audit of the concat-then-chunk pack layout —
+    the packing-quality metric next to :func:`pack_efficiency_report`'s fill
+    fraction: every extra document inside a pack adds one cross-document
+    boundary an attention window can straddle, so per stream the audit
+    reports docs, packs, tokens, mean docs per pack, and boundaries per 1k
+    tokens ((n_docs − n_packs) / total_tokens × 1000 — each pack's first
+    doc starts it, every later doc adds a boundary). High boundary density
+    means short documents are bleeding context into each other; the fix is
+    doc-length-aware packing or masked attention.
+
+    Shape at 100 TB: reuses :func:`pack_sequences`' one window cumsum, then
+    ONE stream-keyed aggregate (count + distinct pack ids + token sum) —
+    the distinct is over pack ids which are dense integers per stream."""
+    packed = pack_sequences(df, id_col, stream_col, token_col, budget)
+    nd = F.count(F.lit(1)).cast("bigint")
+    np_ = F.countDistinct("pack_id").cast("bigint")
+    nt = F.sum("n_tokens").cast("bigint")
+    return packed.groupBy(stream_col).agg(
+        nd.alias("n_docs"),
+        np_.alias("n_packs"),
+        nt.alias("total_tokens"),
+        F.round(nd.cast("double") / np_, round_digits).alias("avg_docs_per_pack"),
+        F.round((nd - np_).cast("double") / nt * 1000, round_digits).alias(
+            "boundaries_per_1k_tokens"
+        ),
+    )

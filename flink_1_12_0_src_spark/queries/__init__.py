@@ -256,6 +256,7 @@ _R09_NEW = (
     "text_bpe_pair_stats",
     "dedup_simhash_hamming",
     "events_inter_arrival",
+    "dataset_pack_boundary_audit",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

@@ -3102,3 +3102,40 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         SH_MAX_HAMMING,
         MH_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dataset_pack_boundary_audit",
+    oracle=f"""
+WITH packed AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor((SUM(len(string_split(text, ' '))) OVER w
+                     - len(string_split(text, ' '))) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT pack_id), 6) AS avg_docs_per_pack,
+       round(CAST(COUNT(*) - COUNT(DISTINCT pack_id) AS DOUBLE)
+             / SUM(n_tokens) * 1000, 6) AS boundaries_per_1k_tokens
+FROM packed GROUP BY lang ORDER BY lang
+""",
+    tags=("pipeline", "sampling"),
+    doc="Cross-document pack-boundary audit (pipeline/sampling.py "
+    "pack_boundary_audit) — the packing-quality metric next to the "
+    "fill-fraction audit: every extra document in a pack adds one "
+    "cross-document boundary an attention window can straddle; reports "
+    "per-stream docs, packs, tokens, mean docs per pack, boundaries per "
+    "1k tokens. Reuses pack_sequences' single window cumsum plus ONE "
+    "stream-keyed aggregate over dense per-stream pack ids.",
+)
+def dataset_pack_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import pack_boundary_audit
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_boundary_audit(
+        docs, "doc_id", "lang", F.size(F.split(F.col("text"), " ")), PACK_BUDGET
+    ).orderBy("lang")

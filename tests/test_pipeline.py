@@ -700,3 +700,25 @@ def test_rowlocal_band_keys_bit_identical_to_batch_path(spark, sf_dir):
     assert batch.exceptAll(rl).count() == 0
     assert rl.exceptAll(batch).count() == 0
     assert batch.count() == rl.count() > 0
+
+
+def test_kmeans_fit_partition_invariant(spark, sf_dir):
+    """kmeans_fit_exact's whole point is engine-/partitioning-exact
+    training: the DECIMAL mean accumulation and rounded-cosine argmax must
+    yield bit-identical centroids whatever the input partitioning. Also
+    pins the fail-fast seed/iters contract."""
+    import pytest
+
+    from flink_1_12_0_src_spark.pipeline.similarity import kmeans_fit_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = sorted(tuple(r) for r in kmeans_fit_exact(emb, k=4, iters=2).collect())
+    again = sorted(
+        tuple(r) for r in kmeans_fit_exact(emb.repartition(7), k=4, iters=2).collect()
+    )
+    assert base == again
+    assert len(base) > 0
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fit_exact(emb, k=4, iters=0)
+    with pytest.raises(ValueError, match="seed ids"):
+        kmeans_fit_exact(emb.filter(F.col("vec_id") >= 2), k=4, iters=1)
