@@ -257,6 +257,7 @@ _R09_NEW = (
     "dedup_simhash_hamming",
     "events_inter_arrival",
     "dataset_pack_boundary_audit",
+    "pipeline_filter_agreement",
 )
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real

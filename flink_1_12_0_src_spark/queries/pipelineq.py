@@ -3139,3 +3139,91 @@ def dataset_pack_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_boundary_audit(
         docs, "doc_id", "lang", F.size(F.split(F.col("text"), " ")), PACK_BUDGET
     ).orderBy("lang")
+
+
+@register(
+    "pipeline_filter_agreement",
+    oracle=f"""
+WITH fq AS (
+  SELECT doc_id, lang,
+         round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '), {_EN!r}))
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6) AS quality
+  FROM documents
+),
+ftoks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+ft AS (SELECT doc_id, term FROM ftoks WHERE term <> ''),
+fvocab AS (SELECT term, COUNT(*) AS c FROM ft GROUP BY term),
+ftotal AS (SELECT COUNT(*) AS n FROM ft),
+fscored AS (
+  SELECT ft.doc_id,
+         CAST(round(-ln(CAST(c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM ftotal)), 9)
+              AS DECIMAL(28,9)) AS nll
+  FROM ft JOIN fvocab USING (term)
+),
+fppl AS (SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+         FROM fscored GROUP BY doc_id),
+fr AS (
+  SELECT fq.lang,
+         row_number() OVER (PARTITION BY fq.lang ORDER BY fq.quality DESC, fq.doc_id) AS rq,
+         row_number() OVER (PARTITION BY fq.lang ORDER BY p.avg_nll ASC, fq.doc_id) AS rp
+  FROM fq JOIN fppl p USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(1 - 6.0 * CAST(SUM((rq - rp) * (rq - rp)) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE)
+                      * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1), 0.0), 6) AS spearman
+FROM fr GROUP BY lang ORDER BY lang
+""",
+    tags=("pipeline", "text", "composed"),
+    doc="Filter-agreement audit — the check a curation team runs before "
+    "choosing between filters: per-language Spearman rank correlation "
+    "between the heuristic quality score (text_quality_score) and the "
+    "unigram-LM perplexity score (text_unigram_logppl; low perplexity "
+    "ranks as high quality). Ranks are row_number with the id tiebreak "
+    "(deterministic first-rank ties, not average ranks), so Σd² is exact "
+    "integer arithmetic and the only float op is the final 1 − 6Σd²/"
+    "n(n²−1) divide — engine-exact by construction. Shape: the two "
+    "doc-level score relations join on id, two lang-partitioned windows "
+    "over the doc-level relation, one langs-sized aggregate.",
+)
+def pipeline_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flink_1_12_0_src_spark.pipeline.text import quality_score, unigram_logprob
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text", keep=["lang"]).select(
+        "doc_id", "lang", "quality"
+    )
+    ppl = unigram_logprob(docs, "doc_id", "text").select("doc_id", "avg_nll")
+    j = q.join(ppl, "doc_id")
+    rq = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    rp = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    )
+    r = j.select("lang", rq.alias("rq"), rp.alias("rp"))
+    d2 = (F.col("rq") - F.col("rp")) * (F.col("rq") - F.col("rp"))
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    return (
+        r.groupBy("lang")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(
+                1
+                - 6.0
+                * F.sum(d2).cast("double")
+                / F.nullif(nd * (nd * n - 1), F.lit(0.0)),
+                6,
+            ).alias("spearman"),
+        )
+        .orderBy("lang")
+    )

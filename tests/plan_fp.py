@@ -130,9 +130,9 @@ def golden_plan_providers() -> dict:
     """(spark, sf_dir) -> DataFrame provider per golden-pinned query:
     every registered query whose plan is lazy and non-degenerate — the
     bench-tagged headliners, the full TPC-H suite, and the rest of the
-    batch registry (203 of 293 registered queries), plus eight ``report::*``
+    batch registry (204 of 294 registered queries), plus eight ``report::*``
     goldens pinning the streaming twins' report halves directly over
-    synthetic snapshot relations (211 goldens total).
+    synthetic snapshot relations (212 goldens total).
 
     Most queries fingerprint their registry implementation unchanged (plan
     construction is lazy). A handful of queries materialize internally
