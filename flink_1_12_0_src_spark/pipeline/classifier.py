@@ -1,0 +1,145 @@
+"""Distributed quality-classifier TRAINING — the FineWeb-edu / fastText-style
+linear filter model trained engine-exact, entirely inside one lazy Spark plan.
+
+The production pattern this realizes: a cheap teacher (an LLM judgment, or
+here the repo's heuristic quality gate) labels documents, and a fast linear
+classifier over hashed unigram features is trained to reproduce that label so
+the FILTER itself can run at crawl scale (FineWeb-edu, Penedo et al. 2024;
+fastText, Joulin et al. 2017). This module trains the filter — the second
+member of the iterative-training class after
+:func:`~flink_1_12_0_src_spark.pipeline.similarity.kmeans_fit_exact`, using
+the same unrolled-round technique: no ``collect()`` between rounds, every
+intermediate bit-deterministic across engines, merge orders and
+partitionings.
+
+Reference scope note: the reference engine (flink-1.12.0-src) has no ML
+training operator — this is brief-driven LLM-pipeline surface; its nearest
+reference analog is the iterative-fixpoint machinery
+(flink-libraries/flink-gelly iteration drivers), realized here as plan
+unrolling exactly like the Gelly ports in operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_1_12_0_src_spark.pipeline.text import tokens
+
+
+def hashed_tf_features(text_col: str | Column, n_buckets: int) -> Column:
+    """Dense hashed-unigram term-frequency feature vector of a document,
+    computed ENTIRELY row-locally: array<double> of length ``n_buckets + 1``
+    — bucket b holds round(count(tokens hashing to b) / n_tokens, 6), the
+    last slot is the bias feature (constant 1.0). Bucket of a token is its
+    md5-prefix integer mod ``n_buckets`` (the dataset_dsir_weights hashing
+    idiom — engine-portable, no RNG state). NULL (by convention: all-zero
+    semantics never arise because callers filter empty docs) when the
+    document has no tokens.
+
+    md5 is computed ONCE per token (the bucket array is materialized before
+    the per-bucket counts fold), so the row-local cost is
+    O(tokens + n_buckets · tokens) integer work, not n_buckets md5 passes.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    bks = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    n = F.size(toks)
+    tf = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.round(F.size(F.filter(bks, lambda v: v == b)) / n, 6),
+    )
+    return F.concat(tf, F.array(F.lit(1.0)))
+
+
+def logreg_fit_exact(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Engine-exact logistic-regression TRAINING by full-batch gradient
+    descent, ``rounds`` iterations unrolled into ONE lazy plan: features are
+    :func:`hashed_tf_features` (n_buckets TF slots + bias), weights init to
+    zero, and each round computes p = sigmoid(w·x) per document and updates
+    w_b ← round(w_b − lr·Σ_docs round((p − y)·x_b, 9)/N, 6). Every float
+    that crosses an aggregation boundary is rounded then DECIMAL-accumulated
+    (order- and partitioning-invariant), mirroring the
+    :func:`~flink_1_12_0_src_spark.pipeline.similarity.kmeans_fit_exact`
+    recipe, so the final weight table is bit-identical across engines.
+    Returns (bucket, weight): n_buckets + 1 rows, bucket ``n_buckets`` is
+    the bias.
+
+    Scale (100 TB of labeled documents): per round the model collapses to
+    ONE broadcast row of weights, w·x is a row-local DECIMAL fold (no
+    per-document shuffle, the corpus never shuffles on data size), and the
+    gradient is a single (bucket)-keyed aggregate with map-side partials
+    whose output is n_buckets + 1 rows. The driver loop only composes the
+    plan — no collect between rounds. The feature subtree appears once per
+    round in the unrolled plan (same recompute-over-persist tradeoff as
+    kmeans_fit_exact — at production scale, checkpoint the feature relation
+    once and train many configurations against it).
+    """
+    if rounds < 1:
+        raise ValueError("logreg_fit_exact: rounds must be >= 1")
+    spark = df.sparkSession
+    nb1 = n_buckets + 1
+    feats = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("y"),
+        hashed_tf_features(text_col, n_buckets).alias("x"),
+    ).filter(F.size(F.filter(tokens(text_col), lambda x: x != "")) >= 1)
+    weights = spark.range(nb1).select(
+        F.col("id").alias("b"), F.lit(0.0).alias("w")
+    )
+    dec = "decimal(28,9)"
+    for _ in range(rounds):
+        w_row = (
+            weights.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("b", "w"))).alias("ws"))
+            .select(F.transform("ws", lambda s: s["w"]).alias("warr"))
+        )
+        j = feats.crossJoin(F.broadcast(w_row))
+        z = F.aggregate(
+            F.zip_with("warr", "x", lambda w, xx: F.round(w * xx, 9).cast(dec)),
+            F.lit(0).cast(dec),
+            # decimal + widens to (29,9); cast back — |terms| ≪ the 19
+            # integer digits, so the narrowing is lossless by construction
+            lambda acc, t: (acc + t).cast(dec),
+        ).cast("double")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        ex = j.select(
+            F.col("y"),
+            p.alias("p"),
+            F.posexplode(
+                F.zip_with(
+                    "warr", "x", lambda w, xx: F.struct(w.alias("w"), xx.alias("xx"))
+                )
+            ).alias("b", "s"),
+        )
+        weights = (
+            ex.select(
+                "b",
+                F.col("s.w").alias("w"),
+                F.round((F.col("p") - F.col("y")) * F.col("s.xx"), 9)
+                .cast(dec)
+                .alias("t"),
+            )
+            .groupBy("b")
+            .agg(F.max("w").alias("w"), F.sum("t").alias("g"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "b",
+                F.round(
+                    F.col("w") - F.lit(lr) * (F.col("g").cast("double") / F.col("n")),
+                    6,
+                ).alias("w"),
+            )
+        )
+    return weights.select(
+        F.col("b").cast("bigint").alias("bucket"), F.col("w").alias("weight")
+    )

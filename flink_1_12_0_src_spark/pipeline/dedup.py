@@ -390,7 +390,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     n_bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
     materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via band-bucketed Hamming search — the Google
@@ -405,9 +405,10 @@ def simhash_hamming_pairs(
 
     Scale (100 TB): identical topology to :func:`minhash_lsh_pairs` — the
     banded bucket self-join replaces any all-pairs scan, the same
-    ``max_bucket`` hot-bucket guard bounds a boilerplate bucket's fan-out,
-    and the Hamming verify runs only over the LSH-bounded candidates as a
-    row-local zip_with fold over the two 64-char strings.
+    ``max_bucket`` hot-bucket guard bounds a boilerplate bucket's fan-out
+    (``None`` disables the cap, as in the sibling pair generators), and the
+    Hamming verify runs only over the LSH-bounded candidates as a row-local
+    zip_with fold over the two 64-char strings.
 
     The pigeonhole exactness requires ``max_hamming <= n_bands - 1`` (a pair
     differing in every band is never a candidate) — assert-checked so a
@@ -1146,7 +1147,12 @@ def neardedup_incremental(
     document is admitted iff every (size ≤ ``max_bucket``) band bucket it
     occupies (a) holds no corpus member and (b) has it as the MIN batch id —
     the same order-free keep-first contract as :func:`neardedup_keep_first`,
-    extended with the corpus-collision test. Returns one row per batch doc:
+    extended with the corpus-collision test. Batch docs with fewer than
+    ``shingle_k`` tokens have no shingles, hence no band buckets, and are
+    admitted unconditionally — inherent to the MinHash family (the same
+    convention as :func:`neardedup_keep_first` and the oracle); apply a
+    length floor upstream if short docs should not bypass dedup. Returns
+    one row per batch doc:
     (id, n_corpus_dup_buckets, n_batch_dup_buckets, admitted). Reference
     analog: StreamExecDeduplicate keep-first
     (flink-table-planner-blink/.../stream/StreamExecDeduplicate.scala:58) —

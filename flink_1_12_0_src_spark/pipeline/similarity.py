@@ -326,7 +326,15 @@ def kmeans_fit_exact(
     cross join returns no rows) and ``iters`` ≥ 1; both assert-checked."""
     if iters < 1:
         raise ValueError("kmeans_fit_exact: iters must be >= 1")
-    n_seeds = corpus.filter(F.col(id_col) < k).count()
+    # explicit membership check: ids 0..k-1 must each be present (a plain
+    # `< k` count would accept e.g. negative ids and silently seed off the
+    # documented contract)
+    n_seeds = (
+        corpus.filter((F.col(id_col) >= 0) & (F.col(id_col) < k))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
     if n_seeds != k:
         raise ValueError(
             f"kmeans_fit_exact: expected the {k} seed ids 0..{k - 1} in "
@@ -339,7 +347,7 @@ def kmeans_fit_exact(
     vecs = corpus.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", _norm(F.col("v")))
-    cents = vecs.filter(F.col("vid") < k).select(
+    cents = vecs.filter((F.col("vid") >= 0) & (F.col("vid") < k)).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     last_means = None

@@ -227,38 +227,45 @@ _R08_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-9 driver-green rows (CORRECTNESS_r09.json — 50/50 green, the third
+# consecutive zero-red round): all 16 round-9-new queries on first
+# presentation plus 34 re-verified greens.
+_R09_DRIVER_GREEN = frozenset(
+    {
+        "dataset_pack_boundary_audit", "dedup_incremental_admit",
+        "dedup_keepfirst_admit", "dedup_minhash_calibration",
+        "dedup_simhash_hamming", "embedding_kmeans_fit",
+        "events_inter_arrival", "pipeline_ccnet_buckets",
+        "pipeline_curation_funnel", "pipeline_filter_agreement",
+        "pipeline_refinedweb_clean", "pipeline_refinedweb_corpus",
+        "stream_contamination_matrix", "stream_neardedup_keepfirst",
+        "stream_source_diversity", "text_bigram_logppl",
+        "text_bpe_pair_stats", "text_contamination_matrix",
+        "text_source_diversity",
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
-    | _R08_DRIVER_GREEN
+    | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN
 )
 
-# Round-8 had zero driver-red rows (second zero-red round in a row), so there
+# Round-9 had zero driver-red rows (third zero-red round in a row), so there
 # is nothing to re-verify at the front this round.
-_R09_FIXED_FIRST: tuple[str, ...] = ()
+_R10_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries first registered in round 9 — first possible driver row.
-_R09_NEW = (
-    "pipeline_refinedweb_clean",
-    "dedup_keepfirst_admit",
-    "stream_neardedup_keepfirst",
-    "text_contamination_matrix",
-    "pipeline_refinedweb_corpus",
-    "stream_contamination_matrix",
-    "dedup_incremental_admit",
-    "dedup_minhash_calibration",
-    "pipeline_ccnet_buckets",
-    "text_source_diversity",
-    "stream_source_diversity",
-    "embedding_kmeans_fit",
-    "pipeline_curation_funnel",
-    "text_bigram_logppl",
-    "text_bpe_pair_stats",
-    "dedup_simhash_hamming",
-    "events_inter_arrival",
-    "dataset_pack_boundary_audit",
-    "pipeline_filter_agreement",
+# Queries first registered in round 10 — first possible driver row.
+_R10_NEW = (
+    "pipeline_quality_fit",
 )
+
+# Round-agnostic aliases for the current round's tiers: tests and tools
+# import these instead of the round-numbered literals, so the per-round
+# rename (fold greens, start a fresh _NEW tuple) no longer requires editing
+# any test. Update ONLY the two assignments below at each round rollover.
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R10_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R10_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never
@@ -272,26 +279,26 @@ def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
     (0,i) = prior-round driver-red rows, fixed — re-verify first (EMPTY this
-        round: CORRECTNESS_r08 was 50/50 green, the second zero-red round);
+        round: CORRECTNESS_r09 was 50/50 green, the third zero-red round);
     (1,i) = any oracle-able query somehow never driver-tested (none known —
-        the round-over-round union is 272/272 — but the tier catches any
-        registration added outside _R09_NEW by mistake);
-    (2,i) = round-9-new queries (first possible driver row);
-    (3,_) = already driver-green in r01-r08 (272 rows — re-verify with the
-        remaining ~47 slots, registration order);
+        the round-over-round union is 291/291 — but the tier catches any
+        registration added outside CURRENT_NEW by mistake);
+    (2,i) = this round's new queries (first possible driver row);
+    (3,_) = already driver-green in r01-r09 (291 rows — re-verify with the
+        remaining slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
-    Tiers 0+1+2 = len(_R09_NEW), far inside the 50-slot window: every new
+    Tiers 0+1+2 = len(CURRENT_NEW), far inside the 50-slot window: every new
     query gets a driver row this round while the remaining slots re-verify
     greens, keeping the oracle-able union complete.
     """
-    if name in _R09_FIXED_FIRST:
-        return (0, _R09_FIXED_FIRST.index(name))
+    if name in CURRENT_FIXED_FIRST:
+        return (0, CURRENT_FIXED_FIRST.index(name))
     if name in _NO_ORACLE_LAST:
         return (4, _NO_ORACLE_LAST.index(name))
-    if name in _R09_NEW:
-        return (2, _R09_NEW.index(name))
+    if name in CURRENT_NEW:
+        return (2, CURRENT_NEW.index(name))
     if name in _DRIVER_GREEN:
         return (3, 0)
     return (1, 99)

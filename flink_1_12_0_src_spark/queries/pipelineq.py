@@ -3227,3 +3227,91 @@ def pipeline_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: quality-classifier training / BPE merge loop / URL dedup /
+# ANN recall rows
+# ---------------------------------------------------------------------------
+QF_NB, QF_ROUNDS, QF_LR = 32, 3, 0.5
+
+_QF_QUALITY = f"""round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+               + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
+                                  / length(text), 6) * 5, 1.0)) * 0.3
+               + least(round(len(list_intersect(string_split(lower(text), ' '), {_EN!r}))
+                             / len(string_split(lower(text), ' ')), 6) * 10, 1.0) * 0.3,
+               6)"""
+
+
+def _quality_fit_oracle() -> str:
+    """Unrolled logistic-GD oracle: round i joins the sparse feature table
+    with the previous weight vector (z = DECIMAL sum of rounded w·x terms —
+    zero-feature terms contribute exactly 0, so sparse ≡ the Spark side's
+    dense fold), sigmoids per doc, and re-aggregates the bucket-keyed
+    gradient. qf-prefixed CTE names so it composes if ever embedded."""
+    nb, lr = QF_NB, QF_LR
+    rnd = """
+qfz{i} AS (SELECT f.doc_id,
+               CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+        FROM qffx f JOIN qfw{p} w USING (b) GROUP BY f.doc_id),
+qfp{i} AS (SELECT d.doc_id, d.y, round(1.0 / (1.0 + exp(-z.z)), 9) AS p
+        FROM qfd d JOIN qfz{i} z USING (doc_id)),
+qfg{i} AS (SELECT f.b, SUM(CAST(round((p.p - p.y) * f.x, 9) AS DECIMAL(28,9))) AS g
+        FROM qffx f JOIN qfp{i} p USING (doc_id) GROUP BY f.b),
+qfw{i} AS (SELECT w.b,
+                round(w.w - {lr} * (CAST(COALESCE(g.g, 0) AS DOUBLE) / n.n), 6) AS w
+         FROM qfw{p} w LEFT JOIN qfg{i} g USING (b) CROSS JOIN qfn n)"""
+    rounds = ",".join(rnd.format(i=i + 1, p=i, lr=lr) for i in range(QF_ROUNDS))
+    return f"""
+WITH qftok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+qfnt AS (SELECT doc_id, COUNT(*) AS n FROM qftok GROUP BY doc_id),
+qfq AS (SELECT doc_id, {_QF_QUALITY} AS quality FROM documents),
+qfd AS (SELECT n.doc_id, CAST(q.quality >= 0.5 AS INT) AS y
+        FROM qfnt n JOIN qfq q USING (doc_id)),
+qffx AS (
+  SELECT t.doc_id, ('0x' || substr(md5(t.t), 1, 8))::BIGINT % {nb} AS b,
+         round(COUNT(*) / ANY_VALUE(n.n), 6) AS x
+  FROM qftok t JOIN qfnt n USING (doc_id)
+  GROUP BY t.doc_id, b
+  UNION ALL SELECT doc_id, {nb}, 1.0 FROM qfnt
+),
+qfw0 AS (SELECT unnest(generate_series(0, {nb})) AS b, 0.0 AS w),
+qfn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qfd),{rounds}
+SELECT CAST(b AS BIGINT) AS bucket, w AS weight
+FROM qfw{QF_ROUNDS} ORDER BY bucket
+"""
+
+
+@register(
+    "pipeline_quality_fit",
+    oracle=_quality_fit_oracle(),
+    tags=("pipeline", "text", "classifier", "bench"),
+    doc=f"Distributed quality-classifier TRAINING (pipeline/classifier.py "
+    f"logreg_fit_exact) — the FineWeb-edu/fastText-style filter model: a "
+    f"linear classifier over {QF_NB} hashed-unigram TF buckets + bias is "
+    "trained by full-batch logistic GD to reproduce the heuristic quality "
+    f"gate (quality ≥ 0.5 as the teacher label), {QF_ROUNDS} rounds "
+    "unrolled into ONE lazy plan exactly as embedding_kmeans_fit unrolls "
+    "Lloyd: per round the model collapses to one broadcast weight row, "
+    "w·x is a row-local DECIMAL fold (the corpus never shuffles on data "
+    "size), and the gradient is a single bucket-keyed aggregate emitting "
+    f"{QF_NB + 1} rows. Rounded-then-DECIMAL accumulation at every "
+    "aggregation boundary makes the final weight table bit-identical "
+    "across engines and partitionings. No collect between rounds.",
+)
+def pipeline_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.classifier import logreg_fit_exact
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= 0.5).alias("label")
+    )
+    return logreg_fit_exact(
+        labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR
+    ).orderBy("bucket")

@@ -260,21 +260,22 @@ def test_cep_bind_predicate_rejected_with_any_semantics():
 
 def test_gate_window_composition():
     """The driver verifies only the first 50 load_all() entries per round.
-    Round-9 policy: no reds to re-verify (CORRECTNESS_r08 was 50/50 green),
-    so the round-9-new queries lead — no prior-green query occupies a slot
-    while anything unevidenced waits, and the no-oracle ANN trio (which can
-    only ever produce `no_oracle` rows) sits dead last, outside any
-    window."""
+    Standing policy: fixed ex-reds lead (empty on zero-red rounds), then the
+    current round's new queries — no prior-green query occupies a slot while
+    anything unevidenced waits — and the no-oracle ANN trio (which can only
+    ever produce `no_oracle` rows) sits dead last, outside any window.
+    Imports the round-agnostic CURRENT_* aliases so the per-round tier
+    rename never requires editing this test."""
     from flink_1_12_0_src_spark.queries import (
         _DRIVER_GREEN,
         _NO_ORACLE_LAST,
-        _R09_FIXED_FIRST,
-        _R09_NEW,
+        CURRENT_FIXED_FIRST,
+        CURRENT_NEW,
         load_all,
     )
 
     names = list(load_all())
-    front = list(_R09_FIXED_FIRST) + list(_R09_NEW)
+    front = list(CURRENT_FIXED_FIRST) + list(CURRENT_NEW)
     assert names[: len(front)] == front
     # everything after the front tier and before the ANN trio is driver-green
     # already — round 9 has zero unevidenced oracle-able queries waiting

@@ -722,3 +722,81 @@ def test_kmeans_fit_partition_invariant(spark, sf_dir):
         kmeans_fit_exact(emb, k=4, iters=0)
     with pytest.raises(ValueError, match="seed ids"):
         kmeans_fit_exact(emb.filter(F.col("vec_id") >= 2), k=4, iters=1)
+
+
+def test_logreg_fit_partition_invariant_and_contract(spark, sf_dir):
+    """logreg_fit_exact's whole point is engine-/partitioning-exact
+    training: rounded-then-DECIMAL gradient accumulation must yield
+    bit-identical weights whatever the input partitioning. Also pins the
+    fail-fast rounds contract and the output shape (n_buckets + 1 rows,
+    bias last)."""
+    import pytest
+
+    from flink_1_12_0_src_spark.pipeline.classifier import logreg_fit_exact
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= 0.5).alias("label")
+    )
+    base = sorted(
+        tuple(r) for r in logreg_fit_exact(labeled, "label", n_buckets=16, rounds=2).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in logreg_fit_exact(
+            labeled.repartition(7), "label", n_buckets=16, rounds=2
+        ).collect()
+    )
+    assert base == again
+    assert len(base) == 17  # 16 TF buckets + bias
+    assert [b for b, _ in base] == list(range(17))
+    with pytest.raises(ValueError, match="rounds"):
+        logreg_fit_exact(labeled, "label", rounds=0)
+
+
+def test_logreg_fit_matches_numpy_twin(spark):
+    """Brute-force twin: the same hashed-TF features and full-batch
+    logistic GD (identical roundings) in numpy must reproduce
+    logreg_fit_exact's weights, and training must actually separate an
+    obviously separable corpus (positive docs share a marker token)."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_1_12_0_src_spark.pipeline.classifier import logreg_fit_exact
+
+    nb, rounds, lr = 8, 3, 0.5
+    rows = []
+    for i in range(60):
+        pos = i % 2 == 0
+        words = (["goodtok"] * 3 if pos else ["badtok"] * 3) + [
+            f"w{(i * 7 + j) % 13}" for j in range(5)
+        ]
+        rows.append((i, " ".join(words), pos))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    X = np.zeros((len(rows), nb + 1))
+    y = np.zeros(len(rows))
+    for r, (_, text, lab) in enumerate(rows):
+        toks = text.lower().split()
+        for t in toks:
+            X[r, bucket(t)] += 1
+        X[r, :nb] = np.round(X[r, :nb] / len(toks), 6)
+        X[r, nb] = 1.0
+        y[r] = 1.0 if lab else 0.0
+    w = np.zeros(nb + 1)
+    for _ in range(rounds):
+        z = np.round(w * X, 9).sum(axis=1)
+        p = np.round(1.0 / (1.0 + np.exp(-z)), 9)
+        g = np.round((p - y)[:, None] * X, 9).sum(axis=0)
+        w = np.round(w - lr * g / len(rows), 6)
+    got = dict(
+        logreg_fit_exact(df, "label", n_buckets=nb, rounds=rounds, lr=lr).collect()
+    )
+    assert np.allclose([got[b] for b in range(nb + 1)], w, atol=2e-6)
+    # the marker buckets separate: goodtok weight > badtok weight
+    assert got[bucket("goodtok")] > 0 > got[bucket("badtok")]
