@@ -1138,6 +1138,7 @@ def neardedup_incremental(
     shingle_k: int = 3,
     band_rows: int = 4,
     max_bucket: int = 256,
+    stats: DataFrame | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Incremental near-dedup ADMISSION of an incoming ``batch`` against an
@@ -1169,35 +1170,53 @@ def neardedup_incremental(
     ~2.3× faster than banding each side separately at bench SF). The stats
     join is a plain equi join AQE plans by actual sizes — with a
     small daily batch the batch-bands side broadcasts, so the 100-TB corpus
-    state is never shuffled. No pair generation, no self-join."""
-    u = corpus.select(
-        F.col(id_col), F.col(text_col), F.lit(1).alias("_corp")
-    ).unionByName(
-        batch.select(F.col(id_col), F.col(text_col), F.lit(0).alias("_corp"))
-    )
-    keyed = u.select(
-        F.struct(F.col("_corp").alias("c"), F.col(id_col).alias("i")).alias("_ukey"),
-        F.col(text_col),
-    )
-    bands = _band_keys(
-        minhash_signatures(keyed, "_ukey", text_col, num_hashes, shingle_k),
-        "_ukey",
-        num_hashes,
-        band_rows,
-    )
-    # the bands feed both the combined bucket stats and the marking join —
-    # persist so the shingle+hash pipeline runs once
-    if materialize:
-        bands = bands.persist()
+    state is never shuffled. No pair generation, no self-join.
+
+    ``stats`` — a precomputed (band, bk, sz, n_corp, keep_bid) combined
+    bucket-state table (sz = corpus + batch occupancy) — lets the STREAMING
+    twin hand in its continuously-maintained aggregate snapshot joined with
+    the static corpus state; when None it is derived here from the union
+    (``corpus`` is then the only reader of that argument — with ``stats``
+    supplied only ``batch`` is re-banded, the production shape)."""
+    own_stats = stats is None
+    cache = own_stats and materialize
+    if own_stats:
+        u = corpus.select(
+            F.col(id_col), F.col(text_col), F.lit(1).alias("_corp")
+        ).unionByName(
+            batch.select(F.col(id_col), F.col(text_col), F.lit(0).alias("_corp"))
+        )
+        keyed = u.select(
+            F.struct(F.col("_corp").alias("c"), F.col(id_col).alias("i")).alias("_ukey"),
+            F.col(text_col),
+        )
+        bands = _band_keys(
+            minhash_signatures(keyed, "_ukey", text_col, num_hashes, shingle_k),
+            "_ukey",
+            num_hashes,
+            band_rows,
+        )
+        # the bands feed both the combined bucket stats and the marking join
+        # — persist so the shingle+hash pipeline runs once
+        if cache:
+            bands = bands.persist()
     try:
-        stats = bands.groupBy("band", "bk").agg(
-            F.count(F.lit(1)).alias("sz"),
-            F.sum(F.col("_ukey.c")).alias("n_corp"),
-            F.min(F.when(F.col("_ukey.c") == 0, F.col("_ukey.i"))).alias("keep_bid"),
-        )
-        b_bands = bands.filter(F.col("_ukey.c") == 0).select(
-            F.col("_ukey.i").alias(id_col), "band", "bk"
-        )
+        if own_stats:
+            stats = bands.groupBy("band", "bk").agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.sum(F.col("_ukey.c")).alias("n_corp"),
+                F.min(F.when(F.col("_ukey.c") == 0, F.col("_ukey.i"))).alias("keep_bid"),
+            )
+            b_bands = bands.filter(F.col("_ukey.c") == 0).select(
+                F.col("_ukey.i").alias(id_col), "band", "bk"
+            )
+        else:
+            b_bands = _band_keys(
+                minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k),
+                id_col,
+                num_hashes,
+                band_rows,
+            )
         dup_counts = (
             b_bands.join(stats, ["band", "bk"])
             .filter(F.col("sz") <= max_bucket)
@@ -1217,11 +1236,11 @@ def neardedup_incremental(
                 (F.coalesce("_ncorp", F.lit(0)) + F.coalesce("_nbatch", F.lit(0))) == 0
             ).alias("admitted"),
         )
-        if not materialize:
-            return out  # lazy (plan inspection / composition)
+        if not cache:
+            return out  # lazy (twin-supplied stats, or plan inspection)
         return out.localCheckpoint(eager=True)
     finally:
-        if materialize:
+        if cache:
             bands.unpersist()
 
 
@@ -1378,4 +1397,92 @@ def contamination_report_from_hits(
                 6,
             ).alias("contamination_rate"),
         )
+    )
+
+
+def url_normalize(url_col: str | Column) -> Column:
+    """Canonical form of a URL — RefinedWeb's stage-0 dedup key (Penedo et
+    al. 2023 §3.1 run URL dedup BEFORE any content dedup): lowercase scheme
+    and authority, strip the scheme's default port (:80 http / :443 https),
+    strip the fragment, strip trailing path slashes (bare authority → '/'),
+    and sort query parameters. Pure built-ins (parse_url + regexp — one
+    row-local projection, no shuffle, no UDF); non-default ports are KEPT
+    (a :8080 origin is a different resource)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    qn = F.when(
+        q == "", F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&")))
+    return F.concat(proto, F.lit("://"), auth, path, qn)
+
+
+def url_dedup_report(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-granularity dedup report — per registrable host: how many crawled
+    docs collapse onto how many canonical URLs once :func:`url_normalize`
+    is applied, with keep-MIN-id admission (the same order-free keep-first
+    contract as every dedup in this package). Returns one row per host:
+    (host, n_docs, n_canonical_urls, n_dup_docs, dup_rate, sum_kept_ids,
+    max_raw_forms) — sum_kept_ids makes the keeper SELECTION hash-visible,
+    max_raw_forms the worst per-URL raw-variant fan-in.
+
+    Scale (100 TB crawl): normalization is a row-local projection inside
+    the scan; then ONE (normalized-url)-keyed aggregate (min + counts,
+    map-side partials) and one hosts-sized rollup — the cheapest dedup
+    stage there is, which is why production runs it first."""
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col(url_col), F.lit("AUTHORITY"))), ":[0-9]+$", ""
+    )
+    per_url = (
+        df.select(
+            F.col(id_col),
+            F.col(url_col),
+            host.alias("host"),
+            url_normalize(url_col).alias("norm_url"),
+        )
+        .groupBy("host", "norm_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(url_col).alias("n_raw_forms"),
+        )
+    )
+    n_docs = F.sum("n_docs")
+    n_canon = F.count(F.lit(1))
+    return per_url.groupBy("host").agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        n_canon.cast("bigint").alias("n_canonical_urls"),
+        (n_docs - n_canon).cast("bigint").alias("n_dup_docs"),
+        F.round((n_docs - n_canon) / n_docs, 6).alias("dup_rate"),
+        F.sum("keep_id").cast("bigint").alias("sum_kept_ids"),
+        F.max("n_raw_forms").cast("bigint").alias("max_raw_forms"),
+    )
+
+
+def url_keep_first(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Keep-MIN-id admission at URL granularity: returns ``df``'s rows whose
+    id is the minimum over their :func:`url_normalize` group — RefinedWeb's
+    stage 0, composable in front of content dedup. One normalized-url-keyed
+    window (the inherent dedup shuffle), nothing else."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(url_normalize(url_col))
+    return (
+        df.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
     )

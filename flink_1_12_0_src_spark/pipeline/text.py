@@ -776,3 +776,128 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
     rank = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair")))
     return counted.select("pair", "freq", rank.cast("bigint").alias("rank"))
+
+
+# Symbol delimiter for the BPE merge fold — a control char that cannot appear
+# in whitespace-split tokens of normal text; words containing it are excluded
+# from training (defensive, mirrored in the oracle).
+BPE_SEP = "\x1f"
+
+
+def _bpe_merge_fold(syms, a, b):
+    """Greedy left-to-right BPE merge of adjacent (a, b) → ab over a symbol
+    array, computed as ONE row-local fold into a BPE_SEP-delimited string:
+    for each symbol x, if the accumulator's last symbol is exactly ``a`` and
+    x == ``b``, replace that last symbol with ``a||b``; else append x. The
+    delimiter guarantees the ends-with test matches whole symbols only
+    (symbols never contain BPE_SEP), and a freshly merged symbol never
+    re-merges with a following ``b`` in the same pass (ab ≠ a for nonempty
+    b) — exactly the Sennrich et al. 2016 single-pass semantics. Returns
+    the delimited string; callers re-split and drop the leading empty."""
+    d = F.lit(BPE_SEP)
+    return F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == b) & F.endswith(acc, F.concat(d, a)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.length(a) - 1),
+                d,
+                a,
+                b,
+            ),
+        ).otherwise(F.concat(acc, d, x)),
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """BPE tokenizer TRAINING — the merge LOOP (Sennrich et al. 2016), the
+    tokenizer-training analog of the unrolled-rounds technique
+    (:func:`~flink_1_12_0_src_spark.pipeline.similarity.kmeans_fit_exact`):
+    :func:`bpe_pair_counts` computes merge step 1; this runs ``rounds``
+    merge steps. Per round: count adjacent symbol pairs weighted by word
+    frequency, pick the single most frequent pair (freq DESC, then
+    lexicographic — deterministic), and re-tokenize every word ROW-LOCALLY
+    with the merged symbol (:func:`_bpe_merge_fold` — no positional
+    self-join, no explode of symbol positions). Returns the merge table
+    (round, sym_a, sym_b, merged, freq) — exactly what a tokenizer ships.
+
+    Scale (100 TB): classic BPE trains on the WORD-FREQUENCY table, not the
+    corpus — the ONLY corpus-scale operation is the initial word count (one
+    token-keyed aggregate with map-side partials). Every merge round then
+    runs over the vocabulary-sized relation: one (a, b)-keyed pair
+    aggregate, one TakeOrderedAndProject(1) head, one broadcast of the
+    1-row winner into the re-tokenize projection. ``materialize``
+    checkpoints the (vocab-sized) symbol table each round — without it the
+    unrolled lineage doubles per round, since each round references the
+    previous symbols twice (pair stats + re-tokenize).
+
+    If fewer than ``rounds`` distinct pairs exist the merge table is
+    shorter than ``rounds`` rows (the fold over an empty winner is empty) —
+    same convention both engines."""
+    if rounds < 1:
+        raise ValueError("bpe_fit: rounds must be >= 1")
+    w = F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("word")
+    vocab = (
+        df.select(w)
+        .filter(~F.contains(F.col("word"), F.lit(BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ).alias("s"),
+        )
+    )
+    if materialize:
+        vocab = vocab.localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            vocab.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("a"),
+                            F.element_at("s", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        merges.append(
+            pairs.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("freq").cast("bigint").alias("freq"),
+            )
+        )
+        vocab = vocab.crossJoin(F.broadcast(pairs)).select(
+            "cnt",
+            F.filter(
+                F.split(_bpe_merge_fold(F.col("s"), F.col("a"), F.col("b")), BPE_SEP),
+                lambda x: x != "",
+            ).alias("s"),
+        )
+        if materialize and r < rounds:
+            vocab = vocab.localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

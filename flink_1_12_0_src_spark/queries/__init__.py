@@ -258,6 +258,9 @@ _R10_FIXED_FIRST: tuple[str, ...] = ()
 # Queries first registered in round 10 — first possible driver row.
 _R10_NEW = (
     "pipeline_quality_fit",
+    "text_bpe_fit",
+    "dedup_url_normalize",
+    "pipeline_refinedweb_url",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

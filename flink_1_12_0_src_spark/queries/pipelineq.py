@@ -422,12 +422,13 @@ def pipeline_refinedweb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _keepfirst_cte_body() -> str:
+def _keepfirst_cte_body(src: str = "documents") -> str:
     """Doc-level keep-first CTE chain (d-prefixed names so it composes with
     the paragraph CTEs without collision): dtoks → dshingles → dsigs →
     dbands0 → dstats → ddupc (per-doc count of capped buckets already owned
     by a lower id). Shared by the standalone admission oracle and the
-    composed curation flagship."""
+    composed curation flagships; ``src`` swaps the input relation (e.g. the
+    URL-kept subset in pipeline_refinedweb_url)."""
     nh, k, rows = MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS
     bands = nh // rows
     hcols = ", ".join(
@@ -440,7 +441,7 @@ def _keepfirst_cte_body() -> str:
         )
         for b in range(bands)
     )
-    return f"""dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    return f"""dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM {src}),
 dshingles AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(0, len(w)-{k}),
@@ -3315,3 +3316,279 @@ def pipeline_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_fit_exact(
         labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR
     ).orderBy("bucket")
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_fit_oracle() -> str:
+    """Unrolled BPE merge rounds: the merge re-tokenize is the SAME greedy
+    left-to-right fold as the Spark side (DuckDB list_reduce over a
+    chr(31)-delimited string accumulator — whole-symbol ends_with match,
+    freshly merged symbols never re-merge in the same pass)."""
+    rnd = """
+bpp{i} AS (SELECT split_part(pr, chr(31), 1) AS a, split_part(pr, chr(31), 2) AS b,
+                SUM(cnt) AS freq
+         FROM (SELECT cnt,
+                      unnest(list_transform(generate_series(1, len(s)-1),
+                                            j -> s[j] || chr(31) || s[j+1])) AS pr
+               FROM bpv{p} WHERE len(s) >= 2)
+         GROUP BY 1, 2),
+bpt{i} AS (SELECT a, b, freq FROM bpp{i} ORDER BY freq DESC, a, b LIMIT 1),
+bpv{i} AS (SELECT v.cnt,
+                list_filter(string_split(
+                  list_reduce(list_prepend('', v.s),
+                    (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, chr(31) || t.a)
+                                     THEN substr(acc, 1, length(acc) - length(t.a) - 1)
+                                          || chr(31) || t.a || t.b
+                                     ELSE acc || chr(31) || x END),
+                  chr(31)), y -> y <> '') AS s
+         FROM bpv{p} v CROSS JOIN bpt{i} t)"""
+    rounds = ",".join(rnd.format(i=i, p=i - 1) for i in range(1, BPE_ROUNDS + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM bpt{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH bptok AS (
+  SELECT t AS word
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+  WHERE t <> '' AND NOT contains(t, chr(31))
+),
+bpv0 AS (SELECT COUNT(*) AS cnt,
+                list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS s
+         FROM bptok GROUP BY word),{rounds}
+SELECT * FROM ({unions}) ORDER BY round
+"""
+
+
+@register(
+    "text_bpe_fit",
+    oracle=_bpe_fit_oracle(),
+    tags=("pipeline", "text", "tokenizer"),
+    doc=f"BPE tokenizer TRAINING — the merge LOOP (pipeline/text.py "
+    f"bpe_fit; Sennrich et al. 2016): {BPE_ROUNDS} merge rounds unrolled, "
+    "each counting adjacent symbol pairs weighted by word frequency, "
+    "picking the deterministic top pair, and re-tokenizing every word "
+    "ROW-LOCALLY with a greedy delimited-string fold (no positional "
+    "self-join). text_bpe_pair_stats is step 1 of this loop. The only "
+    "corpus-scale operation is the initial word count; every round runs "
+    "over the vocabulary-sized word-frequency relation — one pair-keyed "
+    "aggregate, one TakeOrderedAndProject(1) head, one 1-row broadcast "
+    "into the re-tokenize projection. Output is the merge table a "
+    "tokenizer ships: (round, sym_a, sym_b, merged, freq).",
+)
+def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import bpe_fit
+
+    return bpe_fit(table(spark, sf_dir, "documents"), "text", BPE_ROUNDS).orderBy(
+        "round"
+    )
+
+
+# --- URL-granularity dedup (RefinedWeb stage 0) ----------------------------
+# The documents table has no URL column, so the queries SYNTHESIZE a
+# deterministic messy crawl URL per doc from (doc_id, source): the page
+# identity is (source, doc_id % URL_PAGES, http|https), and md5-nibble-driven
+# cosmetic variants (scheme/host case, explicit default port, trailing slash,
+# query-param order, fragment) are exactly what url_normalize must erase.
+# Same expression in both engines — the OPERATOR under test is the
+# normalizer + keep-first report in pipeline/dedup.py.
+URL_PAGES = 17
+
+
+def _synth_url_col() -> F.Column:
+    h = F.md5(F.concat(F.lit("url|"), F.col("doc_id").cast("string")))
+
+    def n(i: int):
+        return F.conv(F.substring(h, i, 1), 16, 10).cast("int")
+
+    pg = F.col("doc_id") % URL_PAGES
+    pgs = pg.cast("string")
+    sb = F.when(pg % 3 == 0, F.lit("https")).otherwise(F.lit("http"))
+    hostbase = F.concat(F.col("source"), F.lit(".example.com"))
+    return F.concat(
+        F.when(n(1) % 2 == 0, sb).otherwise(F.upper(sb)),
+        F.lit("://"),
+        F.when(n(2) % 2 == 0, hostbase).otherwise(F.upper(hostbase)),
+        F.when(
+            n(3) % 3 == 0,
+            F.when(sb == "https", F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/docs/page-"),
+        pgs,
+        F.when(n(4) % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(n(5) % 2 == 0, F.concat(F.lit("id="), pgs, F.lit("&v=2"))).otherwise(
+            F.concat(F.lit("v=2&id="), pgs)
+        ),
+        F.when(n(6) % 2 == 0, F.concat(F.lit("#s"), n(6).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _synth_url_sql() -> str:
+    """The SQL twin of :func:`_synth_url_col` — a CTE `uu(doc_id, url)`."""
+
+    def n(i: int) -> str:
+        return f"(('0x' || substr(h, {i}, 1))::BIGINT)"
+
+    url = f"""(CASE WHEN {n(1)} % 2 = 0 THEN sb ELSE upper(sb) END)
+      || '://'
+      || (CASE WHEN {n(2)} % 2 = 0 THEN hb ELSE upper(hb) END)
+      || (CASE WHEN {n(3)} % 3 = 0
+               THEN (CASE WHEN sb = 'https' THEN ':443' ELSE ':80' END)
+               ELSE '' END)
+      || '/docs/page-' || CAST(pg AS VARCHAR)
+      || (CASE WHEN {n(4)} % 2 = 0 THEN '/' ELSE '' END)
+      || '?'
+      || (CASE WHEN {n(5)} % 2 = 0 THEN 'id=' || CAST(pg AS VARCHAR) || '&v=2'
+               ELSE 'v=2&id=' || CAST(pg AS VARCHAR) END)
+      || (CASE WHEN {n(6)} % 2 = 0 THEN '#s' || CAST({n(6)} AS VARCHAR)
+               ELSE '' END)"""
+    return f"""uu0 AS (
+  SELECT doc_id,
+         md5('url|' || CAST(doc_id AS VARCHAR)) AS h,
+         doc_id % {URL_PAGES} AS pg,
+         CASE WHEN doc_id % {URL_PAGES} % 3 = 0 THEN 'https' ELSE 'http' END AS sb,
+         source || '.example.com' AS hb
+  FROM documents
+),
+uu AS (SELECT doc_id, {url} AS url FROM uu0)"""
+
+
+# Normalization in the oracle: regex extraction equivalent to Spark's
+# parse_url over well-formed http(s) URLs (no userinfo) — the language the
+# synthesizer emits.
+_URL_NORM_SQL = """parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM uu
+),
+normed AS (
+  SELECT doc_id, url,
+         regexp_replace(auth, ':[0-9]+$', '') AS host,
+         proto || '://'
+         || (CASE WHEN proto = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN proto = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END)
+         || (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(pth, '/+$', '') END)
+         || (CASE WHEN q = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+           AS norm_url
+  FROM parsed
+)"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=f"""
+WITH {_synth_url_sql()},
+{_URL_NORM_SQL},
+pu AS (SELECT host, norm_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs,
+              COUNT(DISTINCT url) AS n_raw
+       FROM normed GROUP BY 1, 2)
+SELECT host,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical_urls,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       round((SUM(n_docs) - COUNT(*)) / SUM(n_docs), 6) AS dup_rate,
+       CAST(SUM(keep_id) AS BIGINT) AS sum_kept_ids,
+       CAST(MAX(n_raw) AS BIGINT) AS max_raw_forms
+FROM pu GROUP BY host ORDER BY host
+""",
+    tags=("pipeline", "dedup"),
+    doc="URL-granularity dedup (pipeline/dedup.py url_normalize + "
+    "url_dedup_report) — RefinedWeb's stage 0, run BEFORE any content "
+    "dedup: canonicalize each crawl URL (lowercase scheme/authority, strip "
+    "default port, fragment, trailing slashes, sort query params — pure "
+    "parse_url built-ins, a row-local projection inside the scan), keep "
+    "the MIN doc id per canonical URL, and report per-host dup rates plus "
+    "the keeper-id checksum. ONE normalized-url-keyed aggregate and a "
+    "hosts-sized rollup — the cheapest dedup stage there is, which is why "
+    "production runs it first. URLs are synthesized deterministically from "
+    "(doc_id, source) with md5-nibble cosmetic variants (case, :80/:443, "
+    "trailing slash, param order, fragment) — exactly what normalization "
+    "must erase; the same expression feeds both engines.",
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import url_dedup_report
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return url_dedup_report(docs, "doc_id", "url").orderBy("host")
+
+
+def _refinedweb_url_oracle() -> str:
+    return (
+        f"\nWITH {_synth_url_sql()},\n{_URL_NORM_SQL},\n"
+        "ukept AS (SELECT d.doc_id, d.text FROM documents d\n"
+        "          JOIN (SELECT MIN(doc_id) AS doc_id FROM normed GROUP BY norm_url) k\n"
+        "          USING (doc_id)),\n"
+        + _keepfirst_cte_body(src="ukept")
+        + ",\n"
+        "admitted AS (SELECT d.doc_id, d.text FROM ukept d\n"
+        "             LEFT JOIN ddupc c USING (doc_id)\n"
+        "             WHERE COALESCE(c.n_dup_buckets, 0) = 0),"
+        + _paragraph_bands_cte(src="admitted", lead="")
+        + _rewrite_tail(where=f"WHERE COALESCE(r.n_kept, 0) >= {RW_MIN_KEPT}")
+    )
+
+
+@register(
+    "pipeline_refinedweb_url",
+    oracle=_refinedweb_url_oracle(),
+    tags=("pipeline", "dedup", "composed"),
+    doc="THREE-level RefinedWeb curation variant — pipeline_refinedweb_corpus "
+    "with the true stage 0 in front: (0) URL-granularity keep-first over "
+    "canonicalized crawl URLs (pipeline/dedup.py url_keep_first — the "
+    "cheapest stage, run first so content hashing never touches recrawls), "
+    "(1) doc-level keep-first near-dedup admission, (2) paragraph-survivor "
+    "rewrite, (3) minimum-content floor. The oracle composes the SAME "
+    "shared CTE constants as the flagship (_keepfirst_cte_body over the "
+    "URL-kept set + _paragraph_bands_cte + _rewrite_tail) plus the "
+    "synthesized-URL/normalizer pair of dedup_url_normalize — no "
+    "building-block drift possible. Scale: one normalized-url window, two "
+    "linear banded passes, one doc-keyed semi join; each stage strictly "
+    "shrinks the relation the next stage scans.",
+)
+def pipeline_refinedweb_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        neardedup_keep_first,
+        paragraph_dedup_rewrite,
+        url_keep_first,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ukept = url_keep_first(
+        docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
+    ).select("doc_id", "text")
+    adm = neardedup_keep_first(
+        ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    )
+    # same scoped stage barrier as pipeline_refinedweb_corpus: the rewrite
+    # references its input three times
+    survivors = ukept.join(
+        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    try:
+        cleaned = paragraph_dedup_rewrite(
+            survivors,
+            "doc_id",
+            "text",
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+        )
+    finally:
+        survivors.unpersist()
+    return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")

@@ -800,3 +800,27 @@ def test_logreg_fit_matches_numpy_twin(spark):
     assert np.allclose([got[b] for b in range(nb + 1)], w, atol=2e-6)
     # the marker buckets separate: goodtok weight > badtok weight
     assert got[bucket("goodtok")] > 0 > got[bucket("badtok")]
+
+
+def test_bpe_fit_greedy_merge_semantics(spark):
+    """Pins the merge fold against hand-computed greedy BPE: on a corpus of
+    'aaaa' words the first merge is (a,a) and re-tokenization is greedy
+    left-to-right non-overlapping ([a,a,a,a] → [aa,aa], [a,a,a] → [aa,a]),
+    so round 2 must see [aa,aa] pairs — NOT the overlap-missed sequences a
+    string-replace implementation would produce. Also pins the rounds
+    contract."""
+    import pytest
+
+    from flink_1_12_0_src_spark.pipeline.text import bpe_fit
+
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa"), (1, "aaaa bb")], ["doc_id", "text"]
+    )
+    got = {r["round"]: (r["sym_a"], r["sym_b"], r["merged"], r["freq"]) for r in bpe_fit(df, "text", 2).collect()}
+    # round 1: (a,a) appears 3+3+2+3=11 times across words (aaaa×3 has 3 each)
+    assert got[1] == ("a", "a", "aa", 11)
+    # after greedy merge: aaaa→[aa,aa] (×3 words), aaa→[aa,a], bb→[b,b]
+    # round-2 pairs: (aa,aa)×3, (aa,a)×1, (b,b)×1 → top is (aa,aa)
+    assert got[2] == ("aa", "aa", "aaaa", 3)
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_fit(df, "text", 0)
