@@ -261,6 +261,7 @@ _R10_NEW = (
     "text_bpe_fit",
     "dedup_url_normalize",
     "pipeline_refinedweb_url",
+    "stream_incremental_admit",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

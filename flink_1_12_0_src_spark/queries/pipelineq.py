@@ -2551,9 +2551,16 @@ ORDER BY d.doc_id
 """
 
 
+# ONE constant shared by the batch incremental-admission operator
+# (dedup_incremental_admit) and its streaming twin (stream_incremental_admit,
+# queries/streamingq.py) — the NEARDEDUP_KEEPFIRST_ORACLE pattern, so
+# operator and twin can never drift.
+INCREMENTAL_ADMIT_ORACLE = _incremental_oracle()
+
+
 @register(
     "dedup_incremental_admit",
-    oracle=_incremental_oracle(),
+    oracle=INCREMENTAL_ADMIT_ORACLE,
     tags=("pipeline", "dedup", "bench"),
     doc="Incremental near-dedup ADMISSION (pipeline/dedup.py "
     "neardedup_incremental) — the continuous-curation production shape: an "

@@ -1802,6 +1802,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
     CONTAMINATION_MATRIX_ORACLE,
+    INCREMENTAL_ADMIT_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
     SOURCE_DIVERSITY_ORACLE,
@@ -2315,3 +2316,96 @@ def stream_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report_from_hits(bench_sizes, hits, n_train_row).orderBy(
         "benchmark"
     )
+
+
+@register(
+    "stream_incremental_admit",
+    oracle=INCREMENTAL_ADMIT_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="Streaming INCREMENTAL near-dedup admission — the continuous-"
+    "curation loop closed end to end: the corpus snapshot's (band, bk) "
+    "bucket state is STATIC (computed once, exactly what production "
+    "maintains incrementally between crawls), the incoming batch streams "
+    "in micro-batches, and its bucket occupancy (count + MIN batch id per "
+    "bucket) is maintained INCREMENTALLY by a streaming grouped aggregate "
+    "over ROW-LOCAL band keys (pipeline/dedup.py rowlocal_band_keys — the "
+    "single streaming-aggregate budget goes to the bucket state, as in "
+    "stream_neardedup_keepfirst; reference analog StreamExecDeduplicate "
+    "keep-first with a two-tier state table). Admission applies the batch "
+    "operator (neardedup_incremental, stats= hand-in) to the combined "
+    "snapshot: both occupancy count and MIN are order-free, so the "
+    "admitted set is IDENTICAL whatever the delivery order or micro-batch "
+    "boundaries — pinned batch-equal, boundary- and order-invariant in "
+    "tests/test_streaming_analytics.py. Shares INCREMENTAL_ADMIT_ORACLE "
+    "with dedup_incremental_admit, so operator and twin can never drift. "
+    "Scale: streaming state is 3 buckets per batch doc; the static corpus "
+    "state joins the (small) batch bucket snapshot by equi join.",
+)
+def stream_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        neardedup_incremental,
+        rowlocal_band_keys,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        INC_SPLIT_HEX,
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    is_corpus = (
+        F.substring(
+            F.md5(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < INC_SPLIT_HEX
+    )
+    docs = table(spark, sf_dir, "documents")
+    corpus, batch = docs.filter(is_corpus), docs.filter(~is_corpus)
+    # static corpus bucket state — ONE (band, bk) aggregate, precomputed
+    corpus_stats = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                rowlocal_band_keys("text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS)
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.band").alias("band"), F.col("x.bk").alias("bk"))
+        .groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n_corp"))
+    )
+    # streaming batch bucket state — the one streaming aggregate
+    s = documents_stream(spark, sf_dir, n_files=4).filter(~is_corpus)
+    b = s.select(
+        "doc_id",
+        F.explode(
+            rowlocal_band_keys("text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS)
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bk").alias("bk"))
+    b_stats = b.groupBy("band", "bk").agg(
+        F.count(F.lit(1)).alias("sz_b"), F.min("doc_id").alias("keep_bid")
+    )
+    # localCheckpoint: the admission report joins batch-derived bands against
+    # this snapshot (same conflicting-attribute hazard as the other twins);
+    # the checkpoint holds the batch bucket state, nothing larger
+    snap = run_to_batch(b_stats, "complete").localCheckpoint(eager=True)
+    combined = snap.join(corpus_stats, ["band", "bk"], "left").select(
+        "band",
+        "bk",
+        (F.col("sz_b") + F.coalesce("n_corp", F.lit(0))).alias("sz"),
+        F.coalesce("n_corp", F.lit(0)).alias("n_corp"),
+        "keep_bid",
+    )
+    return neardedup_incremental(
+        corpus,
+        batch,
+        "doc_id",
+        "text",
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+        MH_BAND_ROWS,
+        MH_MAX_BUCKET,
+        stats=combined,
+    ).orderBy("doc_id")

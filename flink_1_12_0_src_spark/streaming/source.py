@@ -289,3 +289,36 @@ def documents_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def documents_stream_scrambled(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, order: tuple = (3, 1, 0, 2)
+) -> DataFrame:
+    """The SAME document files as :func:`documents_stream`, delivered in a
+    SCRAMBLED trigger order (mtime permutation, one file per trigger) — the
+    out-of-order fixture for the dedup twins: their bucket-state snapshots
+    (occupancy count + MIN id) are pure functions of the corpus, so ANY
+    delivery permutation must yield the identical admission set."""
+    assert len(order) == n_files and sorted(order) == list(range(n_files))
+    import shutil
+
+    documents_stream(spark, sf_dir, n_files)  # ensure the base staging exists
+    tag = sf_dir.strip("/").replace("/", "_")
+    base_dir = os.path.join(_CACHE_ROOT, f"{tag}_documents_{n_files}")
+    path = base_dir + "_scram_" + "".join(str(i) for i in order)
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        parts = sorted(f for f in os.listdir(base_dir) if f.startswith("part-"))
+        for f in parts:
+            shutil.copy2(os.path.join(base_dir, f), os.path.join(path, f))
+        base = os.path.getmtime(os.path.join(path, parts[-1]))
+        for rank, idx in enumerate(order):
+            os.utime(os.path.join(path, parts[idx]), (base + rank, base + rank))
+        open(marker, "w").close()
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )

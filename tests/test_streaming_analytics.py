@@ -29,6 +29,7 @@ def _rows(df):
         ("stream_wordcount_zipf", "text_zipf_rank_report"),
         ("stream_pack_efficiency", "dataset_pack_efficiency"),
         ("stream_neardedup_keepfirst", "dedup_keepfirst_admit"),
+        ("stream_incremental_admit", "dedup_incremental_admit"),
         ("stream_contamination_matrix", "text_contamination_matrix"),
         ("stream_source_diversity", "text_source_diversity"),
     ],
@@ -121,3 +122,50 @@ def test_neardedup_bucket_state_is_boundary_invariant(spark):
         return _rows(run_to_batch(stats, "complete"))
 
     assert snapshot(1) == snapshot(4)
+
+
+def test_incremental_admit_state_is_boundary_and_order_invariant(spark):
+    """The incremental-admission twin's streaming state — the batch-split
+    (band, bk) → (occupancy, min id) bucket table — is a pure function of
+    the batch data: replaying the document files as one trigger, four
+    triggers, or in a scrambled delivery order yields identical state
+    (count and MIN are order- and batching-insensitive), so the admitted
+    set is deterministic under any delivery schedule."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import rowlocal_band_keys
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        INC_SPLIT_HEX,
+        MH_BAND_ROWS,
+        MH_NUM_HASHES,
+        MH_SHINGLE_K,
+    )
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    is_batch = ~(
+        F.substring(
+            F.md5(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < INC_SPLIT_HEX
+    )
+
+    def snapshot(src):
+        b = src.filter(is_batch).select(
+            "doc_id",
+            F.explode(
+                rowlocal_band_keys("text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS)
+            ).alias("x"),
+        ).select("doc_id", "x.band", "x.bk")
+        stats = b.groupBy("band", "bk").agg(
+            F.count(F.lit(1)).alias("sz_b"), F.min("doc_id").alias("keep_bid")
+        )
+        return _rows(run_to_batch(stats, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(2, 0, 3, 1)))
+    assert one == four == scrambled
