@@ -109,11 +109,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
+    stage_medians: dict[str, dict[str, float]] = {}
+    from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
+
     for name, q in bench_qs.items():
         for _ in range(warmups):
             spark.catalog.clearCache()
             q.spark(spark, sf_dir).count()
         samples = []
+        stage_runs: list[dict[str, float]] = []
         n = 0
 
         def timed_run():
@@ -122,10 +126,13 @@ def main() -> None:
             # does its own full compute (JIT stays warm; data caches do not
             # carry over)
             spark.catalog.clearCache()
+            stages: dict[str, float] = {}
             t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            n = df.count()
+            with record_stages(stages):
+                df = q.spark(spark, sf_dir)
+                n = df.count()
             samples.append(time.perf_counter() - t0)
+            stage_runs.append(stages)
 
         for _ in range(runs):
             timed_run()
@@ -139,8 +146,19 @@ def main() -> None:
             timed_run()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
+        # Per-stage wall times for the composed flagships (the operators'
+        # eager stage barriers report through pipeline/stageclock.py):
+        # median per stage across the timed runs, so a future mover
+        # localizes to a stage instead of costing an adjudication cycle.
+        stage_keys = sorted({k for sr in stage_runs for k in sr})
+        if stage_keys:
+            stage_medians[name] = {
+                k: round(sorted(sr.get(k, 0.0) for sr in stage_runs)[len(stage_runs) // 2], 4)
+                for k in stage_keys
+            }
         print(
-            f"# {name}: median {timings[name]:.3f}s of {[round(s, 3) for s in samples]} rows={n}",
+            f"# {name}: median {timings[name]:.3f}s of {[round(s, 3) for s in samples]} rows={n}"
+            + (f" stages={stage_medians[name]}" if stage_keys else ""),
             file=sys.stderr,
         )
 
@@ -156,6 +174,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if stage_medians:
+        payload["stages"] = stage_medians
     # Self-adjudication context: loadavg at start/end (1/5/15-min). With 3
     # runs per query this process alone settles near `cpus` while executing,
     # so the 1-min START value (taken before the session spins up) and the

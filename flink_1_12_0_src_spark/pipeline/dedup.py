@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_1_12_0_src_spark.pipeline.stageclock import stage
 from flink_1_12_0_src_spark.pipeline.text import shingles, tokens
 
 HEX_DIGITS = "0123456789abcdef"
@@ -1008,7 +1009,8 @@ def paragraph_dedup_rewrite(
             return out  # fully lazy plan (inspection / composition)
         # materialize before releasing the band cache (scoped persist, same
         # discipline as minhash_lsh_pairs / paragraph_dedup_report)
-        return out.localCheckpoint(eager=True)
+        with stage('paragraph_rewrite'):
+            return out.localCheckpoint(eager=True)
     finally:
         if materialize:
             bands.unpersist()
@@ -1123,7 +1125,8 @@ def neardedup_keep_first(
         )
         if not cache:
             return out  # lazy (twin-supplied stats, or inspection)
-        return out.localCheckpoint(eager=True)
+        with stage('doc_admission'):
+            return out.localCheckpoint(eager=True)
     finally:
         if cache:
             bands.unpersist()
@@ -1238,7 +1241,8 @@ def neardedup_incremental(
         )
         if not cache:
             return out  # lazy (twin-supplied stats, or plan inspection)
-        return out.localCheckpoint(eager=True)
+        with stage('union_band_admit'):
+            return out.localCheckpoint(eager=True)
     finally:
         if cache:
             bands.unpersist()

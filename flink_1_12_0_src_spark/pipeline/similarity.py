@@ -801,3 +801,292 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _d2_fold(a, b, round_digits: int = 9):
+    """Engine-exact squared L2 distance between two equal-length arrays:
+    per-component (x−y)² rounded then DECIMAL-accumulated (order- and
+    partitioning-invariant), cast to DOUBLE — the distance recipe of the
+    exact PQ/IVF paths, mirroring the kmeans_fit_exact mean recipe."""
+    dec = f"decimal(28,{round_digits})"
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.round((x - y) * (x - y), round_digits).cast(dec)),
+        F.lit(0).cast(dec),
+        lambda acc, t: (acc + t).cast(dec),
+    ).cast("double")
+
+
+def centroids_wide(centroids_long: DataFrame) -> DataFrame:
+    """(cluster, dim, centroid, …) long-form — the kmeans_fit_exact output —
+    reassembled to (cid, cv array<double>)."""
+    return (
+        centroids_long.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dm"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform("dm", lambda s: s["centroid"]).alias("cv"),
+        )
+    )
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_long: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate cosine top-k over ENGINE-EXACT centroids (the
+    :func:`kmeans_fit_exact` long-form output): every comparison uses
+    ``round_digits``-rounded cosine with the lowest-id tiebreak, so list
+    assignment, probe choice, and the final ranking are bit-identical
+    across engines — the oracle-checkable variant of :func:`ivf_topk`
+    (which optimizes for speed with a window over raw cosine).
+
+    Scale: centroids collapse to ONE broadcast row; corpus assignment and
+    query probing are row-local folds (the corpus never shuffles on data
+    size — same shape as kmeans_fit_exact's assign); candidates come from
+    the probed-list equi join only."""
+    cents_row = (
+        centroids_wide(centroids_long)
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cv", _norm(F.col("cv")).alias("cn")))
+            ).alias("cents")
+        )
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+
+    def scored_col():
+        return F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                s["cid"].alias("cid"),
+                F.round(
+                    _dot(F.col("v"), s["cv"]) / (F.col("vn") * s["cn"]), round_digits
+                ).alias("cos"),
+            ),
+        )
+
+    j = vecs.crossJoin(F.broadcast(cents_row))
+    lists = j.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        _argmax_fold(scored_col(), "cos")["cid"].alias("cluster"),
+    )
+    qj = (
+        queries.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cents_row))
+    )
+    # top-nprobe probes: row-local sort by (cos DESC, cid ASC) via the
+    # struct-field order trick (-cos ascending), then slice — no window
+    probes = qj.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        scored_col(),
+                        lambda s: F.struct((-s["cos"]).alias("nc"), s["cid"].alias("cid")),
+                    )
+                ),
+                1,
+                nprobe,
+            )["cid"]
+        ).alias("cluster"),
+    )
+    cand = probes.join(lists, "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        round_digits,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_d: int) -> DataFrame:
+    """(vid, sub, sv): the m contiguous sub_d-wide subspace slices of each
+    vector — a row-local explode (linear expansion)."""
+    return df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "vid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("v"), s * sub_d + 1, sub_d),
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def pq_fit_exact(
+    train: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ENGINE-EXACT product-quantization codebook training (Jégou et al.
+    2011) — the oracle-checkable variant of :func:`pq_fit` (which collects
+    a bounded sample into one numpy kernel): ``m`` independent Lloyd
+    problems over the contiguous subspaces, trained DISTRIBUTED with the
+    kmeans_fit_exact recipe (init = lowest-id sub-vectors, argmin of the
+    rounded-DECIMAL squared-L2 fold with lowest-code tiebreak, 6-dp DECIMAL
+    means), all subspaces in ONE unrolled plan keyed by (sub, code). Raw
+    (unnormalized) vectors — normalization would put a cross-engine float
+    sqrt inside every component, and the final re-rank is exact cosine
+    anyway. Returns (sub, code, cv array<double>): m × ksub rows.
+
+    Scale: per round the whole codebook collapses to m broadcast rows;
+    assignment is a row-local fold over ksub codes (the corpus never
+    shuffles on data size); means are one (sub, code, pos)-keyed aggregate."""
+    if dim % m:
+        raise ValueError(f"pq_fit_exact: dim {dim} not divisible by m={m}")
+    if iters < 1:
+        raise ValueError("pq_fit_exact: iters must be >= 1")
+    subs = _subvectors(train, id_col, vec_col, m, dim // m)
+    cb = subs.filter(F.col("vid") < ksub).select(
+        "sub", F.col("vid").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        cb_rows = cb.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
+        )
+        j = subs.join(F.broadcast(cb_rows), "sub")
+        scored = F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                c["code"].alias("code"),
+                (-_d2_fold(F.col("sv"), c["cv"])).alias("nd"),
+            ),
+        )
+        assigned = j.select(
+            "vid", "sub", "sv", _argmax_fold(scored, "nd")["code"].alias("code")
+        )
+        cb = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round("x", round_digits).cast(f"decimal(18,{round_digits})")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    round_digits,
+                ).alias("mm")
+            )
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
+            .select(
+                "sub", "code", F.transform("pm", lambda s: s["mm"]).alias("cv")
+            )
+        )
+    return cb
+
+
+def pq_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 5,
+    shortlist: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ENGINE-EXACT PQ ADC top-k over :func:`pq_fit_exact` codebooks: the
+    corpus is encoded map-side to m one-byte codes (the PQ memory story),
+    per-query LUTs of rounded subspace distances broadcast, approximate
+    distance = DECIMAL sum of m LUT entries, deterministic shortlist
+    (approx ASC, id ASC), exact rounded-cosine re-rank of the shortlist.
+    Every comparison is on rounded-then-DECIMAL-accumulated values, so the
+    result is bit-identical across engines."""
+    sub_d = dim // m
+    subs = _subvectors(corpus, id_col, vec_col, m, sub_d)
+    cb_rows = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
+    )
+    scored = F.transform(
+        F.col("cbs"),
+        lambda c: F.struct(
+            c["code"].alias("code"), (-_d2_fold(F.col("sv"), c["cv"])).alias("nd")
+        ),
+    )
+    enc = (
+        subs.join(F.broadcast(cb_rows), "sub")
+        .select("vid", "sub", _argmax_fold(scored, "nd")["code"].alias("code"))
+        .withColumnRenamed("vid", "neighbor_id")
+    )
+    lut = (
+        _subvectors(queries, id_col, vec_col, m, sub_d)
+        .join(F.broadcast(cb_rows), "sub")
+        .select(
+            F.col("vid").alias("query_id"),
+            "sub",
+            F.explode(
+                F.transform(
+                    F.col("cbs"),
+                    lambda c: F.struct(
+                        c["code"].alias("code"),
+                        F.round(_d2_fold(F.col("sv"), c["cv"]), round_digits).alias("lu"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "sub", F.col("e.code").alias("code"), F.col("e.lu").alias("lu"))
+    )
+    dec = f"decimal(18,{round_digits})"
+    approx = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("lu").cast(dec)).cast("double").alias("ad"))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.asc("ad"), F.asc("neighbor_id"))
+    short = (
+        approx.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        round_digits,
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

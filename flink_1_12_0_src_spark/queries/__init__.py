@@ -262,6 +262,9 @@ _R10_NEW = (
     "dedup_url_normalize",
     "pipeline_refinedweb_url",
     "stream_incremental_admit",
+    "knn_lsh_recall",
+    "knn_ivf_recall",
+    "knn_pq_recall",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

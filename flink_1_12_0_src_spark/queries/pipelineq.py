@@ -2744,11 +2744,13 @@ def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K, KM_ITERS = 4, 2
 
 
-def _kmeans_fit_oracle() -> str:
-    """Unrolled Lloyd iterations: each round is the embedding_kmeans_assign
-    oracle's QUALIFY-top-1 assignment followed by the label_centroids
-    oracle's 6-dp DECIMAL mean recipe — the two already-green kernels
-    composed ``KM_ITERS`` times."""
+def _kmeans_cte_body() -> str:
+    """Unrolled-Lloyd CTE chain (e, t, c0, a{i}/m{i}/c{i} per round): each
+    round is the embedding_kmeans_assign oracle's QUALIFY-top-1 assignment
+    followed by the label_centroids oracle's 6-dp DECIMAL mean recipe — the
+    two already-green kernels composed ``KM_ITERS`` times. Shared by the
+    training oracle (reads m{KM_ITERS}) and the IVF recall oracle (reads
+    the final centroid vectors c{KM_ITERS})."""
     assign = """
 a{i} AS (SELECT e.vec_id, c.cid
        FROM e CROSS JOIN c{p} c
@@ -2762,10 +2764,14 @@ m{i} AS (SELECT a{i}.cid, t.ord - 1 AS pos,
        GROUP BY a{i}.cid, pos),
 c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"""
     rounds = ",".join(assign.format(i=i + 1, p=i) for i in range(KM_ITERS))
-    return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 t AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS ord FROM e),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),{rounds}
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),{rounds}"""
+
+
+def _kmeans_fit_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_body()}
 SELECT CAST(cid AS BIGINT) AS cluster, CAST(pos AS INTEGER) AS dim,
        m AS centroid, CAST(n AS BIGINT) AS n_vectors
 FROM m{KM_ITERS} ORDER BY cluster, dim
@@ -3599,3 +3605,236 @@ def pipeline_refinedweb_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         survivors.unpersist()
     return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
+
+
+# --- ANN recall driver rows -------------------------------------------------
+# The knn_*_topk queries are rows-only by design (approximate neighbor
+# lists); these companions make the ANN family hash-verifiable: recall@k of
+# the (deterministic, md5-seeded) ANN result against the exact brute-force
+# top-k, one row per query vector. The oracle reimplements the SAME
+# algorithm in SQL — every comparison on rounded / DECIMAL-accumulated
+# values so the two engines rank identically.
+IVFX_NPROBE = 2
+PQX_M, PQX_KSUB, PQX_ITERS, PQX_SHORTLIST = 8, 8, 1, 64
+EMB_DIM = 64
+
+
+def _recall_vs_brute(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, recall): |approx ∩ brute| / ANN_K per query — brute always
+    has exactly ANN_K rows per query, so grouping it keeps 0-hit queries."""
+    return (
+        brute.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id").withColumn("_h", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce("_h", F.lit(0))) / F.lit(float(ANN_K)), 6).alias(
+                "recall"
+            )
+        )
+    )
+
+
+_EQ_CTES = f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {ANN_QUERY_MAX})"""
+
+_BRUTE_CTE = f"""brute AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) <= {ANN_K})"""
+
+_RECALL_TAIL = f"""SELECT b.query_id,
+       round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / {ANN_K}.0, 6) AS recall
+FROM brute b LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY b.query_id ORDER BY b.query_id"""
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH {_EQ_CTES},
+pl AS (SELECT p, d,
+              (('0x' || substr(md5('7|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0) AS c
+       FROM (SELECT unnest(generate_series(0, 23)) AS p),
+            (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS d)),
+ex AS (SELECT vec_id, d, v[d + 1] AS x
+       FROM e, (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS d)),
+dots AS (SELECT ex.vec_id, pl.p, SUM(ex.x * pl.c) AS s
+         FROM ex JOIN pl USING (d) GROUP BY 1, 2),
+codes AS (SELECT vec_id, CAST(p // 3 AS VARCHAR) || ':' ||
+                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
+          FROM dots GROUP BY vec_id, p // 3),
+cc AS (SELECT * FROM codes
+       WHERE code NOT IN (SELECT code FROM codes GROUP BY code HAVING COUNT(*) > 1024)),
+cand AS (SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+         FROM cc JOIN (SELECT * FROM codes WHERE vec_id < {ANN_QUERY_MAX}) qc USING (code)
+         WHERE cc.vec_id <> qc.vec_id),
+approx AS (SELECT c.query_id, c.neighbor_id
+           FROM cand c JOIN e ne ON ne.vec_id = c.neighbor_id
+                       JOIN q qq ON qq.vec_id = c.query_id
+           QUALIFY row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY round(list_cosine_similarity(qq.v, ne.v), 6) DESC, c.neighbor_id) <= {ANN_K}),
+{_BRUTE_CTE}
+{_RECALL_TAIL}
+"""
+
+
+@register(
+    "knn_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    tags=("pipeline", "similarity"),
+    doc="Recall@5 of knn_lsh_topk against the exact brute-force top-5 — the "
+    "driver row that makes the sign-LSH ANN path hash-verifiable (the "
+    "neighbor-list query stays rows-only): per query vector, |approx ∩ "
+    "exact| / 5. The oracle re-derives the SAME md5-seeded hyperplanes "
+    "(pipeline/similarity.py lsh_hyperplanes), sign band codes, hot-bucket "
+    "cap and rounded-cosine re-rank in SQL. Sign bits compare a raw float "
+    "dot against 0 in both engines — summation-order divergence flips a "
+    "sign only within ~1e-15 of zero, vanishing for random 64-dim data.",
+)
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    approx = lsh_topk(emb, q, "vec_id", "embedding", dim=EMB_DIM, k=ANN_K)
+    brute = cosine_topk(emb, q, "vec_id", "embedding", ANN_K)
+    return _recall_vs_brute(brute, approx).orderBy("query_id")
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_body()},
+q AS (SELECT * FROM e WHERE vec_id < {ANN_QUERY_MAX}),
+lists AS (SELECT e.vec_id AS neighbor_id, e.v AS nv, c.cid AS cluster
+          FROM e CROSS JOIN c{KM_ITERS} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) = 1),
+probes AS (SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cluster
+           FROM q CROSS JOIN c{KM_ITERS} c
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cid) <= {IVFX_NPROBE}),
+approx AS (SELECT p.query_id, l.neighbor_id
+           FROM probes p JOIN lists l USING (cluster)
+           WHERE l.neighbor_id <> p.query_id
+           QUALIFY row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_cosine_similarity(p.qv, l.nv), 6) DESC, l.neighbor_id) <= {ANN_K}),
+{_BRUTE_CTE}
+{_RECALL_TAIL}
+"""
+
+
+@register(
+    "knn_ivf_recall",
+    oracle=_ivf_recall_oracle(),
+    tags=("pipeline", "similarity", "clustering"),
+    doc=f"Recall@5 of an ENGINE-EXACT IVF search against brute force — the "
+    "hash-verifiable companion of knn_ivf_topk: centroids from "
+    f"embedding_kmeans_fit (k={KM_K}, {KM_ITERS} exact Lloyd rounds), "
+    f"corpus assigned by rounded-cosine argmax fold, nprobe={IVFX_NPROBE} "
+    "probing, rounded-cosine re-rank (pipeline/similarity.py "
+    "ivf_topk_exact). The oracle composes the SAME unrolled-kmeans CTE "
+    "body as the training oracle plus QUALIFY windows for "
+    "assign/probe/re-rank. Scale: centroids collapse to one broadcast row, "
+    "assignment and probing are row-local folds — the corpus never "
+    "shuffles on data size; candidates come from the probed-list equi "
+    "join only.",
+)
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import (
+        ivf_topk_exact,
+        kmeans_fit_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    cents = kmeans_fit_exact(emb, "vec_id", "embedding", KM_K, KM_ITERS)
+    approx = ivf_topk_exact(
+        emb, q, cents, "vec_id", "embedding", ANN_K, IVFX_NPROBE
+    )
+    brute = cosine_topk(emb, q, "vec_id", "embedding", ANN_K)
+    return _recall_vs_brute(brute, approx).orderBy("query_id")
+
+
+def _pq_recall_oracle() -> str:
+    sd = EMB_DIM // PQX_M
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform(generate_series(1, {sd}), "
+            f"i -> CAST(round(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]), 9) AS DECIMAL(28,9))), "
+            f"'sum') AS DOUBLE)"
+        )
+
+    return f"""
+WITH {_EQ_CTES},
+ss AS (SELECT vec_id, sub, v[sub * {sd} + 1 : sub * {sd} + {sd}] AS sv
+       FROM e, (SELECT unnest(generate_series(0, {PQX_M - 1})) AS sub)),
+cb0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM ss WHERE vec_id < {PQX_KSUB}),
+pa1 AS (SELECT s.vec_id, s.sub, s.sv, c.code
+        FROM ss s JOIN cb0 c USING (sub)
+        QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                  ORDER BY {d2('s.sv', 'c.cv')} ASC, c.code) = 1),
+pm1 AS (SELECT sub, code, pos,
+               round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mm
+        FROM (SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+              FROM pa1)
+        GROUP BY sub, code, pos),
+cb1 AS (SELECT sub, code, list(mm ORDER BY pos) AS cv FROM pm1 GROUP BY sub, code),
+enc AS (SELECT s.vec_id AS neighbor_id, s.sub, c.code
+        FROM ss s JOIN cb1 c USING (sub)
+        QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                  ORDER BY {d2('s.sv', 'c.cv')} ASC, c.code) = 1),
+lut AS (SELECT s.vec_id AS query_id, s.sub, c.code, round({d2('s.sv', 'c.cv')}, 6) AS lu
+        FROM (SELECT * FROM ss WHERE vec_id < {ANN_QUERY_MAX}) s JOIN cb1 c USING (sub)),
+ap0 AS (SELECT l.query_id, en.neighbor_id,
+               CAST(SUM(CAST(l.lu AS DECIMAL(18,6))) AS DOUBLE) AS ad
+        FROM enc en JOIN lut l ON l.sub = en.sub AND l.code = en.code
+        WHERE en.neighbor_id <> l.query_id
+        GROUP BY 1, 2),
+short AS (SELECT query_id, neighbor_id FROM ap0
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY ad ASC, neighbor_id) <= {PQX_SHORTLIST}),
+approx AS (SELECT s.query_id, s.neighbor_id
+           FROM short s JOIN e ne ON ne.vec_id = s.neighbor_id
+                        JOIN q qq ON qq.vec_id = s.query_id
+           QUALIFY row_number() OVER (PARTITION BY s.query_id
+                     ORDER BY round(list_cosine_similarity(qq.v, ne.v), 6) DESC, s.neighbor_id) <= {ANN_K}),
+{_BRUTE_CTE}
+{_RECALL_TAIL}
+"""
+
+
+@register(
+    "knn_pq_recall",
+    oracle=_pq_recall_oracle(),
+    tags=("pipeline", "similarity"),
+    doc=f"Recall@5 of an ENGINE-EXACT PQ ADC search against brute force — "
+    "the hash-verifiable companion of knn_pq_topk: codebooks trained "
+    f"DISTRIBUTED with the kmeans_fit_exact recipe ({PQX_M} subspaces × "
+    f"{PQX_KSUB} codes, {PQX_ITERS} Lloyd round, rounded-DECIMAL squared-L2 "
+    "argmin), corpus encoded map-side, broadcast per-query LUTs, "
+    f"DECIMAL-summed approximate distances, deterministic {PQX_SHORTLIST}-"
+    "candidate shortlist, rounded-cosine re-rank (pipeline/similarity.py "
+    "pq_fit_exact / pq_topk_exact). The oracle unrolls the identical "
+    "training round and ADC pipeline in SQL. Scale: per round the codebook "
+    f"collapses to {PQX_M} broadcast rows; assignment/encoding are "
+    "row-local folds; the ADC join fans each corpus code row into |Q| LUT "
+    "hits — the documented PQ scan shape (m bytes per vector).",
+)
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit_exact, pq_topk_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    books = pq_fit_exact(emb, "vec_id", "embedding", EMB_DIM, PQX_M, PQX_KSUB, PQX_ITERS)
+    approx = pq_topk_exact(
+        emb, q, books, "vec_id", "embedding", EMB_DIM, PQX_M, ANN_K, PQX_SHORTLIST
+    )
+    brute = cosine_topk(emb, q, "vec_id", "embedding", ANN_K)
+    return _recall_vs_brute(brute, approx).orderBy("query_id")
