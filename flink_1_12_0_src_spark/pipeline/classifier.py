@@ -27,14 +27,15 @@ from flink_1_12_0_src_spark.pipeline.text import tokens
 
 
 def hashed_tf_features(text_col: str | Column, n_buckets: int) -> Column:
-    """Dense hashed-unigram term-frequency feature vector of a document,
-    computed ENTIRELY row-locally: array<double> of length ``n_buckets + 1``
-    — bucket b holds round(count(tokens hashing to b) / n_tokens, 6), the
-    last slot is the bias feature (constant 1.0). Bucket of a token is its
+    """Dense feature vector of a document, computed ENTIRELY row-locally:
+    array<double> of length ``n_buckets + 2`` — bucket b holds
+    round(count(tokens hashing to b) / n_tokens, 6), slot ``n_buckets`` is
+    the saturating length feature round(least(n_tokens / 50, 1), 6) (TF is
+    length-normalized, so without it a linear model is blind to document
+    length — the dominant signal of every length-gated quality rule), and
+    the last slot is the bias (constant 1.0). Bucket of a token is its
     md5-prefix integer mod ``n_buckets`` (the dataset_dsir_weights hashing
-    idiom — engine-portable, no RNG state). NULL (by convention: all-zero
-    semantics never arise because callers filter empty docs) when the
-    document has no tokens.
+    idiom — engine-portable, no RNG state).
 
     md5 is computed ONCE per token (the bucket array is materialized before
     the per-bucket counts fold), so the row-local cost is
@@ -51,7 +52,8 @@ def hashed_tf_features(text_col: str | Column, n_buckets: int) -> Column:
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
         lambda b: F.round(F.size(F.filter(bks, lambda v: v == b)) / n, 6),
     )
-    return F.concat(tf, F.array(F.lit(1.0)))
+    len_feat = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
+    return F.concat(tf, F.array(len_feat, F.lit(1.0)))
 
 
 def logreg_fit_exact(
@@ -65,21 +67,21 @@ def logreg_fit_exact(
 ) -> DataFrame:
     """Engine-exact logistic-regression TRAINING by full-batch gradient
     descent, ``rounds`` iterations unrolled into ONE lazy plan: features are
-    :func:`hashed_tf_features` (n_buckets TF slots + bias), weights init to
-    zero, and each round computes p = sigmoid(w·x) per document and updates
+    :func:`hashed_tf_features` (n_buckets TF slots + length + bias), weights
+    init to zero, and each round computes p = sigmoid(w·x) per document and updates
     w_b ← round(w_b − lr·Σ_docs round((p − y)·x_b, 9)/N, 6). Every float
     that crosses an aggregation boundary is rounded then DECIMAL-accumulated
     (order- and partitioning-invariant), mirroring the
     :func:`~flink_1_12_0_src_spark.pipeline.similarity.kmeans_fit_exact`
     recipe, so the final weight table is bit-identical across engines.
-    Returns (bucket, weight): n_buckets + 1 rows, bucket ``n_buckets`` is
-    the bias.
+    Returns (bucket, weight): n_buckets + 2 rows — bucket ``n_buckets`` is
+    the length feature, ``n_buckets + 1`` the bias.
 
     Scale (100 TB of labeled documents): per round the model collapses to
     ONE broadcast row of weights, w·x is a row-local DECIMAL fold (no
     per-document shuffle, the corpus never shuffles on data size), and the
     gradient is a single (bucket)-keyed aggregate with map-side partials
-    whose output is n_buckets + 1 rows. The driver loop only composes the
+    whose output is n_buckets + 2 rows. The driver loop only composes the
     plan — no collect between rounds. The feature subtree appears once per
     round in the unrolled plan (same recompute-over-persist tradeoff as
     kmeans_fit_exact — at production scale, checkpoint the feature relation
@@ -88,7 +90,7 @@ def logreg_fit_exact(
     if rounds < 1:
         raise ValueError("logreg_fit_exact: rounds must be >= 1")
     spark = df.sparkSession
-    nb1 = n_buckets + 1
+    nb1 = n_buckets + 2
     feats = df.select(
         F.col(id_col),
         F.col(label_col).cast("int").alias("y"),
@@ -142,4 +144,42 @@ def logreg_fit_exact(
         )
     return weights.select(
         F.col("b").cast("bigint").alias("bucket"), F.col("w").alias("weight")
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """SERVE the trained filter: score every document with a
+    :func:`logreg_fit_exact` weight table — (id, p, predicted). The crawl-
+    scale path the training run exists for: weights collapse to ONE
+    broadcast row, features and the w·x fold are row-local, p is the
+    round-9 sigmoid and ``predicted`` its 0.5 threshold. The corpus never
+    shuffles — classification happens inside the scan projection. Docs
+    with no tokens are excluded (no features), matching training."""
+    w_row = (
+        weights.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket").alias("b"), F.col("weight").alias("w")))
+            ).alias("ws")
+        )
+        .select(F.transform("ws", lambda s: s["w"]).alias("warr"))
+    )
+    dec = "decimal(28,9)"
+    feats = df.select(
+        F.col(id_col), hashed_tf_features(text_col, n_buckets).alias("x")
+    ).filter(F.size(F.filter(tokens(text_col), lambda x: x != "")) >= 1)
+    z = F.aggregate(
+        F.zip_with("warr", "x", lambda w, xx: F.round(w * xx, 9).cast(dec)),
+        F.lit(0).cast(dec),
+        lambda acc, t: (acc + t).cast(dec),
+    ).cast("double")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return feats.crossJoin(F.broadcast(w_row)).select(
+        F.col(id_col), p.alias("p"), (p >= 0.5).alias("predicted")
     )

@@ -1463,6 +1463,14 @@ def url_dedup_report(
             F.countDistinct(url_col).alias("n_raw_forms"),
         )
     )
+    return url_report_from_per_url(per_url)
+
+
+def url_report_from_per_url(per_url: DataFrame) -> DataFrame:
+    """The per-host rollup half of :func:`url_dedup_report` over a
+    (host, norm_url, keep_id, n_docs, n_raw_forms) relation — shared with
+    the streaming twin (which maintains the per-URL state incrementally and
+    reports on the snapshot), so operator and twin can never drift."""
     n_docs = F.sum("n_docs")
     n_canon = F.count(F.lit(1))
     return per_url.groupBy("host").agg(

@@ -840,6 +840,20 @@ def bpe_fit(
     If fewer than ``rounds`` distinct pairs exist the merge table is
     shorter than ``rounds`` rows (the fold over an empty winner is empty) —
     same convention both engines."""
+    merges, _ = _bpe_train(df, text_col, rounds, materialize)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str, rounds: int, materialize: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared BPE training loop: returns (one-row merge DataFrames per
+    round, the final word-level symbol table (word, cnt, s)). :func:`bpe_fit`
+    publishes the merge table; :func:`bpe_encode_report` joins documents
+    against the final vocabulary tokenization."""
     if rounds < 1:
         raise ValueError("bpe_fit: rounds must be >= 1")
     w = F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("word")
@@ -849,6 +863,7 @@ def bpe_fit(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "word",
             "cnt",
             F.transform(
                 F.sequence(F.lit(1), F.length("word")),
@@ -889,6 +904,7 @@ def bpe_fit(
             )
         )
         vocab = vocab.crossJoin(F.broadcast(pairs)).select(
+            "word",
             "cnt",
             F.filter(
                 F.split(_bpe_merge_fold(F.col("s"), F.col("a"), F.col("b")), BPE_SEP),
@@ -897,7 +913,44 @@ def bpe_fit(
         )
         if materialize and r < rounds:
             vocab = vocab.localCheckpoint(eager=True)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, vocab
+
+
+def bpe_encode_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """APPLY the trained tokenizer — the serving half of :func:`bpe_fit`:
+    re-train the ``rounds``-merge vocabulary (word → symbol sequence), then
+    tokenize every document by joining its words against it and report per
+    doc (id, n_words, n_chars, n_bpe_tokens, chars_per_token) — the
+    compression audit a tokenizer-training run publishes (chars/token is
+    the headline number tokenizers are compared by).
+
+    Scale: tokenization is WORD-level, so the corpus-side cost is one
+    explode + one equi join against the vocabulary-sized symbol table
+    (hash join; at web scale the vocab is still millions of rows — far
+    below the corpus — and AQE picks the broadcast side) + one doc-keyed
+    aggregate. Words filtered from training (the BPE_SEP guard) are
+    excluded from the report symmetrically."""
+    _, vocab = _bpe_train(df, text_col, rounds, materialize)
+    wl = vocab.select("word", F.size("s").alias("n_tok"))
+    dw = df.select(
+        F.col(id_col),
+        F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("word"),
+    ).filter(~F.contains(F.col("word"), F.lit(BPE_SEP)))
+    nch = F.sum(F.length("word"))
+    ntk = F.sum("n_tok")
+    return (
+        dw.join(wl, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            nch.cast("bigint").alias("n_chars"),
+            ntk.cast("bigint").alias("n_bpe_tokens"),
+            F.round(nch / ntk.cast("double"), 6).alias("chars_per_token"),
+        )
+    )

@@ -265,6 +265,9 @@ _R10_NEW = (
     "knn_lsh_recall",
     "knn_ivf_recall",
     "knn_pq_recall",
+    "pipeline_quality_eval",
+    "text_bpe_encode",
+    "stream_url_admit",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

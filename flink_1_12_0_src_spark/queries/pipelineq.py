@@ -3247,7 +3247,11 @@ def pipeline_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 10: quality-classifier training / BPE merge loop / URL dedup /
 # ANN recall rows
 # ---------------------------------------------------------------------------
-QF_NB, QF_ROUNDS, QF_LR = 32, 3, 0.5
+QF_NB, QF_ROUNDS, QF_LR = 32, 8, 5.0
+# Teacher-label threshold: quality >= 0.75 splits this corpus ~60/40, so the
+# trained filter has a real decision boundary to learn (at the clean-corpus
+# gate of 0.5 the corpus is ~94% positive and always-yes is near-optimal).
+QF_LABEL_THR = 0.75
 
 _QF_QUALITY = f"""round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
                + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))
@@ -3257,13 +3261,15 @@ _QF_QUALITY = f"""round(least(len(string_split(lower(text), ' ')) / 50.0, 1.0) *
                6)"""
 
 
-def _quality_fit_oracle() -> str:
-    """Unrolled logistic-GD oracle: round i joins the sparse feature table
-    with the previous weight vector (z = DECIMAL sum of rounded w·x terms —
-    zero-feature terms contribute exactly 0, so sparse ≡ the Spark side's
-    dense fold), sigmoids per doc, and re-aggregates the bucket-keyed
-    gradient. qf-prefixed CTE names so it composes if ever embedded."""
-    nb, lr = QF_NB, QF_LR
+def _quality_fit_cte_body() -> str:
+    """Unrolled logistic-GD CTE chain (qftok/qfnt/qfq/qfd/qffx/qfw{i}):
+    round i joins the sparse feature table with the previous weight vector
+    (z = DECIMAL sum of rounded w·x terms — zero-feature terms contribute
+    exactly 0, so sparse ≡ the Spark side's dense fold), sigmoids per doc,
+    and re-aggregates the bucket-keyed gradient. Shared by the training
+    oracle (reads qfw{QF_ROUNDS}) and the serving/eval oracle (scores with
+    those weights)."""
+    nb, lr, thr = QF_NB, QF_LR, QF_LABEL_THR
     rnd = """
 qfz{i} AS (SELECT f.doc_id,
                CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
@@ -3276,8 +3282,7 @@ qfw{i} AS (SELECT w.b,
                 round(w.w - {lr} * (CAST(COALESCE(g.g, 0) AS DOUBLE) / n.n), 6) AS w
          FROM qfw{p} w LEFT JOIN qfg{i} g USING (b) CROSS JOIN qfn n)"""
     rounds = ",".join(rnd.format(i=i + 1, p=i, lr=lr) for i in range(QF_ROUNDS))
-    return f"""
-WITH qftok AS (
+    return f"""qftok AS (
   SELECT doc_id, t
   FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
         FROM documents)
@@ -3285,17 +3290,23 @@ WITH qftok AS (
 ),
 qfnt AS (SELECT doc_id, COUNT(*) AS n FROM qftok GROUP BY doc_id),
 qfq AS (SELECT doc_id, {_QF_QUALITY} AS quality FROM documents),
-qfd AS (SELECT n.doc_id, CAST(q.quality >= 0.5 AS INT) AS y
+qfd AS (SELECT n.doc_id, CAST(q.quality >= {thr} AS INT) AS y
         FROM qfnt n JOIN qfq q USING (doc_id)),
 qffx AS (
   SELECT t.doc_id, ('0x' || substr(md5(t.t), 1, 8))::BIGINT % {nb} AS b,
          round(COUNT(*) / ANY_VALUE(n.n), 6) AS x
   FROM qftok t JOIN qfnt n USING (doc_id)
   GROUP BY t.doc_id, b
-  UNION ALL SELECT doc_id, {nb}, 1.0 FROM qfnt
+  UNION ALL SELECT doc_id, {nb}, round(least(n / 50.0, 1.0), 6) FROM qfnt
+  UNION ALL SELECT doc_id, {nb} + 1, 1.0 FROM qfnt
 ),
-qfw0 AS (SELECT unnest(generate_series(0, {nb})) AS b, 0.0 AS w),
-qfn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qfd),{rounds}
+qfw0 AS (SELECT unnest(generate_series(0, {nb} + 1)) AS b, 0.0 AS w),
+qfn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qfd),{rounds}"""
+
+
+def _quality_fit_oracle() -> str:
+    return f"""
+WITH {_quality_fit_cte_body()}
 SELECT CAST(b AS BIGINT) AS bucket, w AS weight
 FROM qfw{QF_ROUNDS} ORDER BY bucket
 """
@@ -3307,14 +3318,16 @@ FROM qfw{QF_ROUNDS} ORDER BY bucket
     tags=("pipeline", "text", "classifier", "bench"),
     doc=f"Distributed quality-classifier TRAINING (pipeline/classifier.py "
     f"logreg_fit_exact) — the FineWeb-edu/fastText-style filter model: a "
-    f"linear classifier over {QF_NB} hashed-unigram TF buckets + bias is "
+    f"linear classifier over {QF_NB} hashed-unigram TF buckets + a "
+    "saturating length feature + bias is "
     "trained by full-batch logistic GD to reproduce the heuristic quality "
-    f"gate (quality ≥ 0.5 as the teacher label), {QF_ROUNDS} rounds "
+    f"teacher label (quality ≥ {QF_LABEL_THR} — a ~60/40 class split, so "
+    f"there is a real boundary to learn), {QF_ROUNDS} rounds "
     "unrolled into ONE lazy plan exactly as embedding_kmeans_fit unrolls "
     "Lloyd: per round the model collapses to one broadcast weight row, "
     "w·x is a row-local DECIMAL fold (the corpus never shuffles on data "
     "size), and the gradient is a single bucket-keyed aggregate emitting "
-    f"{QF_NB + 1} rows. Rounded-then-DECIMAL accumulation at every "
+    f"{QF_NB + 2} rows. Rounded-then-DECIMAL accumulation at every "
     "aggregation boundary makes the final weight table bit-identical "
     "across engines and partitionings. No collect between rounds.",
 )
@@ -3324,7 +3337,7 @@ def pipeline_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
-        "doc_id", "text", (F.col("quality") >= 0.5).alias("label")
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
     )
     return logreg_fit_exact(
         labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR
@@ -3334,11 +3347,14 @@ def pipeline_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_fit_oracle() -> str:
-    """Unrolled BPE merge rounds: the merge re-tokenize is the SAME greedy
+def _bpe_cte_body() -> str:
+    """Unrolled BPE merge-round CTE chain (bptok/bpv0, then bpp{i}/bpt{i}/
+    bpv{i} per round): the merge re-tokenize is the SAME greedy
     left-to-right fold as the Spark side (DuckDB list_reduce over a
     chr(31)-delimited string accumulator — whole-symbol ends_with match,
-    freshly merged symbols never re-merge in the same pass)."""
+    freshly merged symbols never re-merge in the same pass). Shared by the
+    fit oracle (reads the bpt{i} winners) and the encode oracle (reads the
+    final symbol table bpv{BPE_ROUNDS})."""
     rnd = """
 bpp{i} AS (SELECT split_part(pr, chr(31), 1) AS a, split_part(pr, chr(31), 2) AS b,
                 SUM(cnt) AS freq
@@ -3348,7 +3364,7 @@ bpp{i} AS (SELECT split_part(pr, chr(31), 1) AS a, split_part(pr, chr(31), 2) AS
                FROM bpv{p} WHERE len(s) >= 2)
          GROUP BY 1, 2),
 bpt{i} AS (SELECT a, b, freq FROM bpp{i} ORDER BY freq DESC, a, b LIMIT 1),
-bpv{i} AS (SELECT v.cnt,
+bpv{i} AS (SELECT v.word, v.cnt,
                 list_filter(string_split(
                   list_reduce(list_prepend('', v.s),
                     (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, chr(31) || t.a)
@@ -3358,20 +3374,24 @@ bpv{i} AS (SELECT v.cnt,
                   chr(31)), y -> y <> '') AS s
          FROM bpv{p} v CROSS JOIN bpt{i} t)"""
     rounds = ",".join(rnd.format(i=i, p=i - 1) for i in range(1, BPE_ROUNDS + 1))
+    return f"""bptok AS (
+  SELECT t AS word
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+  WHERE t <> '' AND NOT contains(t, chr(31))
+),
+bpv0 AS (SELECT word, COUNT(*) AS cnt,
+                list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS s
+         FROM bptok GROUP BY word),{rounds}"""
+
+
+def _bpe_fit_oracle() -> str:
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS round, a AS sym_a, b AS sym_b, "
         f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM bpt{i}"
         for i in range(1, BPE_ROUNDS + 1)
     )
     return f"""
-WITH bptok AS (
-  SELECT t AS word
-  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
-  WHERE t <> '' AND NOT contains(t, chr(31))
-),
-bpv0 AS (SELECT COUNT(*) AS cnt,
-                list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS s
-         FROM bptok GROUP BY word),{rounds}
+WITH {_bpe_cte_body()}
 SELECT * FROM ({unions}) ORDER BY round
 """
 
@@ -3499,9 +3519,10 @@ normed AS (
 )"""
 
 
-@register(
-    "dedup_url_normalize",
-    oracle=f"""
+# ONE constant shared by the batch URL-dedup report (dedup_url_normalize)
+# and its streaming twin (stream_url_admit, queries/streamingq.py) — the
+# NEARDEDUP_KEEPFIRST_ORACLE pattern, so operator and twin can never drift.
+URL_DEDUP_ORACLE = f"""
 WITH {_synth_url_sql()},
 {_URL_NORM_SQL},
 pu AS (SELECT host, norm_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs,
@@ -3515,7 +3536,12 @@ SELECT host,
        CAST(SUM(keep_id) AS BIGINT) AS sum_kept_ids,
        CAST(MAX(n_raw) AS BIGINT) AS max_raw_forms
 FROM pu GROUP BY host ORDER BY host
-""",
+"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=URL_DEDUP_ORACLE,
     tags=("pipeline", "dedup"),
     doc="URL-granularity dedup (pipeline/dedup.py url_normalize + "
     "url_dedup_report) — RefinedWeb's stage 0, run BEFORE any content "
@@ -3838,3 +3864,109 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brute = cosine_topk(emb, q, "vec_id", "embedding", ANN_K)
     return _recall_vs_brute(brute, approx).orderBy("query_id")
+
+
+@register(
+    "pipeline_quality_eval",
+    oracle=f"""
+WITH {{body}},
+qfsc AS (SELECT f.doc_id,
+                CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+         FROM qffx f JOIN qfw{QF_ROUNDS} w USING (b) GROUP BY 1),
+qfpred AS (SELECT d.doc_id, d.y = 1 AS label,
+                  round(1.0 / (1.0 + exp(-s.z)), 9) >= 0.5 AS pred
+           FROM qfd d JOIN qfsc s USING (doc_id)),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       FROM qfpred)
+SELECT n_docs, tp, fp, fn, tn,
+       round((tp + tn) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
+       round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision_,
+       round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall_
+FROM cm
+""".replace("{body}", "%s") % _quality_fit_cte_body(),
+    tags=("pipeline", "text", "classifier"),
+    doc="SERVE + EVALUATE the trained quality filter (pipeline/classifier.py "
+    "logreg_score) — the other half of pipeline_quality_fit's "
+    "train-the-filter story: the learned weight table scores the corpus "
+    "(one broadcast weight row, row-local features and w·x fold — "
+    "classification inside the scan, no corpus shuffle) and the confusion "
+    "report vs the heuristic teacher label is the filter's launch review: "
+    "(n_docs, tp, fp, fn, tn, accuracy, precision_, recall_). The oracle "
+    "composes the SAME unrolled-GD CTE body as the training oracle plus "
+    "the scoring tail, so fit and eval can never drift.",
+)
+def pipeline_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        logreg_fit_exact,
+        logreg_score,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
+    scored = logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    tp = F.sum((F.col("predicted") & F.col("label")).cast("int"))
+    fp = F.sum((F.col("predicted") & ~F.col("label")).cast("int"))
+    fn = F.sum((~F.col("predicted") & F.col("label")).cast("int"))
+    tn = F.sum((~F.col("predicted") & ~F.col("label")).cast("int"))
+    n = F.count(F.lit(1))
+    return scored.groupBy().agg(
+        n.cast("bigint").alias("n_docs"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.round((tp + tn) / n.cast("double"), 6).alias("accuracy"),
+        F.round(tp / F.nullif(tp + fp, F.lit(0)).cast("double"), 6).alias("precision_"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)).cast("double"), 6).alias("recall_"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+WITH {_bpe_cte_body()},
+bpdw AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> '' AND NOT contains(t, chr(31))
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.t)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(length(d.t)) / CAST(SUM(len(v.s)) AS DOUBLE), 6) AS chars_per_token
+FROM bpdw d JOIN bpv{BPE_ROUNDS} v ON v.word = d.t
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("pipeline", "text", "tokenizer"),
+    doc=f"APPLY the trained BPE tokenizer (pipeline/text.py "
+    f"bpe_encode_report) — the serving half of text_bpe_fit: every document "
+    f"tokenized with the {BPE_ROUNDS}-merge vocabulary and reported as "
+    "(n_words, n_chars, n_bpe_tokens, chars_per_token) — the compression "
+    "audit tokenizers are compared by. Tokenization is WORD-level: the "
+    "corpus side is one explode + one equi join against the "
+    "vocabulary-sized symbol table + one doc-keyed aggregate; the oracle "
+    "composes the SAME unrolled merge-round CTE body as the fit oracle, so "
+    "trainer and encoder can never drift.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import bpe_encode_report
+
+    return bpe_encode_report(
+        table(spark, sf_dir, "documents"), "doc_id", "text", BPE_ROUNDS
+    ).orderBy("doc_id")

@@ -1803,6 +1803,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
 from flink_1_12_0_src_spark.queries.pipelineq import (
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
+    URL_DEDUP_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
     SOURCE_DIVERSITY_ORACLE,
@@ -2409,3 +2410,53 @@ def stream_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         MH_MAX_BUCKET,
         stats=combined,
     ).orderBy("doc_id")
+
+
+@register(
+    "stream_url_admit",
+    oracle=URL_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="Streaming URL-granularity dedup — RefinedWeb stage 0 as a live "
+    "ingest gate: URL canonicalization (pipeline/dedup.py url_normalize) "
+    "is a row-local projection on the stream, and the per-URL state "
+    "(MIN doc id + doc count per distinct (host, canonical url, raw url) "
+    "triple) is maintained INCREMENTALLY by a streaming grouped aggregate "
+    "— min and count are order-free, so the per-host report on the final "
+    "snapshot is IDENTICAL whatever the delivery order or micro-batch "
+    "boundaries. The report half (url_report_from_per_url) and the oracle "
+    "constant are SHARED with the batch operator, so operator and twin "
+    "can never drift. The 10th streaming twin. Scale: state is one "
+    "counter per distinct raw URL — the inherent URL-dedup state floor; "
+    "production bounds it with TTL (recrawl horizons).",
+)
+def stream_url_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        url_normalize,
+        url_report_from_per_url,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import _synth_url_col
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4).select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col("url"), F.lit("AUTHORITY"))), ":[0-9]+$", ""
+    )
+    triples = (
+        s.select(
+            "doc_id", "url", host.alias("host"), url_normalize("url").alias("norm_url")
+        )
+        .groupBy("host", "norm_url", "url")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mid"))
+    )
+    # localCheckpoint: the report aggregates the snapshot twice removed from
+    # the memory-sink view (same conflicting-attribute hazard as the other
+    # twins); the checkpoint holds the per-raw-URL state, nothing larger
+    snap = run_to_batch(triples, "complete").localCheckpoint(eager=True)
+    per_url = snap.groupBy("host", "norm_url").agg(
+        F.min("mid").alias("keep_id"),
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_raw_forms"),
+    )
+    return url_report_from_per_url(per_url).orderBy("host")

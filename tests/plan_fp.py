@@ -366,6 +366,30 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("id_a", "id_b")
 
+    def _lazy_bpe_fit(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.text import bpe_fit
+        from flink_1_12_0_src_spark.queries.pipelineq import BPE_ROUNDS
+
+        return bpe_fit(
+            table(spark, sf_dir, "documents"), "text", BPE_ROUNDS, materialize=False
+        ).orderBy("round")
+
+    def _lazy_bpe_encode(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.text import bpe_encode_report
+        from flink_1_12_0_src_spark.queries.pipelineq import BPE_ROUNDS
+
+        return bpe_encode_report(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            BPE_ROUNDS,
+            materialize=False,
+        ).orderBy("doc_id")
+
+    providers["text_bpe_fit"] = _lazy_bpe_fit
+    providers["text_bpe_encode"] = _lazy_bpe_encode
     providers["dedup_simhash_hamming"] = _lazy_simhash_hamming
     providers["dedup_incremental_admit"] = _lazy_incremental
     providers["dedup_minhash_calibration"] = _lazy_calibration

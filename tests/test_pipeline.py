@@ -749,8 +749,8 @@ def test_logreg_fit_partition_invariant_and_contract(spark, sf_dir):
         ).collect()
     )
     assert base == again
-    assert len(base) == 17  # 16 TF buckets + bias
-    assert [b for b, _ in base] == list(range(17))
+    assert len(base) == 18  # 16 TF buckets + length + bias
+    assert [b for b, _ in base] == list(range(18))
     with pytest.raises(ValueError, match="rounds"):
         logreg_fit_exact(labeled, "label", rounds=0)
 
@@ -779,16 +779,17 @@ def test_logreg_fit_matches_numpy_twin(spark):
     def bucket(t):
         return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
 
-    X = np.zeros((len(rows), nb + 1))
+    X = np.zeros((len(rows), nb + 2))
     y = np.zeros(len(rows))
     for r, (_, text, lab) in enumerate(rows):
         toks = text.lower().split()
         for t in toks:
             X[r, bucket(t)] += 1
         X[r, :nb] = np.round(X[r, :nb] / len(toks), 6)
-        X[r, nb] = 1.0
+        X[r, nb] = round(min(len(toks) / 50.0, 1.0), 6)
+        X[r, nb + 1] = 1.0
         y[r] = 1.0 if lab else 0.0
-    w = np.zeros(nb + 1)
+    w = np.zeros(nb + 2)
     for _ in range(rounds):
         z = np.round(w * X, 9).sum(axis=1)
         p = np.round(1.0 / (1.0 + np.exp(-z)), 9)
@@ -797,7 +798,7 @@ def test_logreg_fit_matches_numpy_twin(spark):
     got = dict(
         logreg_fit_exact(df, "label", n_buckets=nb, rounds=rounds, lr=lr).collect()
     )
-    assert np.allclose([got[b] for b in range(nb + 1)], w, atol=2e-6)
+    assert np.allclose([got[b] for b in range(nb + 2)], w, atol=2e-6)
     # the marker buckets separate: goodtok weight > badtok weight
     assert got[bucket("goodtok")] > 0 > got[bucket("badtok")]
 
