@@ -112,9 +112,14 @@ def main() -> None:
     stage_medians: dict[str, dict[str, float]] = {}
     from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
 
+    def _reset_caches():
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     for name, q in bench_qs.items():
         for _ in range(warmups):
-            spark.catalog.clearCache()
+            _reset_caches()
             q.spark(spark, sf_dir).count()
         samples = []
         stage_runs: list[dict[str, float]] = []
@@ -125,7 +130,13 @@ def main() -> None:
             # drop any DataFrames a previous run persisted so each timed run
             # does its own full compute (JIT stays warm; data caches do not
             # carry over)
-            spark.catalog.clearCache()
+            # clearCache only clears the SQL cache; every materializing
+            # operator run also leaves its localCheckpoint RDD pinned
+            # MEMORY_AND_DISK — ~150 runs into the set the accumulated
+            # blocks squeeze execution memory and later queries read 5-10×
+            # slower (observed: pipeline_clean_corpus 2 s fresh-session vs
+            # 24 s late-session on identical code)
+            _reset_caches()
             stages: dict[str, float] = {}
             t0 = time.perf_counter()
             with record_stages(stages):

@@ -3247,7 +3247,7 @@ def pipeline_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 10: quality-classifier training / BPE merge loop / URL dedup /
 # ANN recall rows
 # ---------------------------------------------------------------------------
-QF_NB, QF_ROUNDS, QF_LR = 32, 8, 5.0
+QF_NB, QF_ROUNDS, QF_LR = 32, 4, 5.0
 # Teacher-label threshold: quality >= 0.75 splits this corpus ~60/40, so the
 # trained filter has a real decision boundary to learn (at the clean-corpus
 # gate of 0.5 the corpus is ~94% positive and always-yes is near-optimal).

@@ -388,6 +388,48 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("doc_id")
 
+    def _labeled_docs(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.text import quality_score
+        from flink_1_12_0_src_spark.queries.pipelineq import QF_LABEL_THR
+
+        docs = table(spark, sf_dir, "documents")
+        return quality_score(docs, "doc_id", "text", keep=["text"]).select(
+            "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+        )
+
+    def _lazy_quality_fit(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.classifier import logreg_fit_exact
+        from flink_1_12_0_src_spark.queries.pipelineq import QF_LR, QF_NB
+
+        # 1 round, materialize=False: pins the full training-round interior
+        # (featurization shuffle, broadcast weight row, bucket-keyed
+        # gradient) without the checkpoint stubs; further rounds repeat the
+        # identical shape
+        return logreg_fit_exact(
+            _labeled_docs(spark, sf_dir), "label", "doc_id", "text",
+            QF_NB, 1, QF_LR, materialize=False,
+        ).orderBy("bucket")
+
+    def _lazy_quality_score(spark, sf_dir):
+        from flink_1_12_0_src_spark.pipeline.classifier import logreg_score
+        from flink_1_12_0_src_spark.queries.pipelineq import QF_NB
+
+        # the SERVING plan over an already-trained weight relation (a
+        # LocalRelation stand-in): one broadcast weight row, featurization
+        # aggregate, row-local fold — no corpus-size-dependent exchange
+        # beyond the featurization shuffle
+        w = spark.createDataFrame(
+            [(b, 0.01 * b) for b in range(QF_NB + 2)], "bucket long, weight double"
+        )
+        return logreg_score(
+            _labeled_docs(spark, sf_dir), w, "doc_id", "text", QF_NB
+        ).orderBy("doc_id")
+
+    providers["pipeline_quality_fit"] = _lazy_quality_fit
+    providers["pipeline_quality_eval"] = _lazy_quality_score
     providers["text_bpe_fit"] = _lazy_bpe_fit
     providers["text_bpe_encode"] = _lazy_bpe_encode
     providers["dedup_simhash_hamming"] = _lazy_simhash_hamming
