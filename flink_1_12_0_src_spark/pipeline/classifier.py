@@ -219,3 +219,74 @@ def logreg_score(
     return feats.crossJoin(F.broadcast(w_row)).select(
         F.col(id_col), p.alias("p"), (p >= 0.5).alias("predicted")
     )
+
+
+def hashed_tf_features(text_col, n_buckets: int):
+    """Row-local Column twin of :func:`hashed_tf_matrix`'s feature vector —
+    the STREAMING serving path: per-event scoring cannot shuffle, so the
+    histogram folds inside the projection (interpreted higher-order
+    functions — the measured 5×-slower path at batch scale, irrelevant on
+    micro-batch-sized inputs; batch featurization keeps the codegen'd
+    two-stage aggregate). Bit-identical to the matrix path by construction
+    (same md5 bucketing, same round(c/n, 6) TF, same length/bias slots) —
+    pinned by tests/test_pipeline.py. NULL semantics: callers filter docs
+    with no tokens, matching the matrix path's explode behavior."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    bks = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    n = F.size(toks)
+    tf = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.round(F.size(F.filter(bks, lambda v: v == b)) / n, 6),
+    )
+    len_feat = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
+    return F.concat(tf, F.array(len_feat, F.lit(1.0)))
+
+
+def logreg_score_stream(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """:func:`logreg_score` for a STREAMING DataFrame: features via the
+    row-local :func:`hashed_tf_features` (no shuffle — a streaming query
+    cannot spend its aggregate budget on featurization), weights broadcast
+    as one static row (stream-static cross join). Returns
+    (id, p, predicted) rows as they arrive — the live ingest filter;
+    ``keep`` carries extra input columns through (a streaming consumer
+    cannot re-join them — stream-stream joins need append mode)."""
+    w_row = (
+        weights.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("bucket").alias("b"), F.col("weight").alias("w"))
+                )
+            ).alias("ws")
+        )
+        .select(F.transform("ws", lambda s: s["w"]).alias("warr"))
+    )
+    dec = "decimal(28,9)"
+    feats = df.select(
+        F.col(id_col),
+        hashed_tf_features(text_col, n_buckets).alias("x"),
+        *[F.col(c) for c in (keep or [])],
+    ).filter(F.size(F.filter(tokens(text_col), lambda x: x != "")) >= 1)
+    z = F.aggregate(
+        F.zip_with("warr", "x", lambda w, xx: F.round(w * xx, 9).cast(dec)),
+        F.lit(0).cast(dec),
+        lambda acc, t: (acc + t).cast(dec),
+    ).cast("double")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return feats.crossJoin(F.broadcast(w_row)).select(
+        F.col(id_col),
+        p.alias("p"),
+        (p >= 0.5).alias("predicted"),
+        *[F.col(c) for c in (keep or [])],
+    )

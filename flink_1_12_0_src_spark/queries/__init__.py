@@ -268,6 +268,7 @@ _R10_NEW = (
     "pipeline_quality_eval",
     "text_bpe_encode",
     "stream_url_admit",
+    "stream_quality_filter",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -3866,9 +3866,9 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(brute, approx).orderBy("query_id")
 
 
-@register(
-    "pipeline_quality_eval",
-    oracle=f"""
+# ONE constant shared by the batch filter eval (pipeline_quality_eval) and
+# its streaming twin (stream_quality_filter, queries/streamingq.py).
+QUALITY_EVAL_ORACLE = f"""
 WITH {{body}},
 qfsc AS (SELECT f.doc_id,
                 CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
@@ -3887,7 +3887,12 @@ SELECT n_docs, tp, fp, fn, tn,
        round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision_,
        round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall_
 FROM cm
-""".replace("{body}", "%s") % _quality_fit_cte_body(),
+""".replace("{body}", "%s") % _quality_fit_cte_body()
+
+
+@register(
+    "pipeline_quality_eval",
+    oracle=QUALITY_EVAL_ORACLE,
     tags=("pipeline", "text", "classifier"),
     doc="SERVE + EVALUATE the trained quality filter (pipeline/classifier.py "
     "logreg_score) — the other half of pipeline_quality_fit's "

@@ -1803,6 +1803,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
 from flink_1_12_0_src_spark.queries.pipelineq import (
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
+    QUALITY_EVAL_ORACLE,
     URL_DEDUP_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
@@ -2460,3 +2461,68 @@ def stream_url_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_raw_forms"),
     )
     return url_report_from_per_url(per_url).orderBy("host")
+
+
+@register(
+    "stream_quality_filter",
+    oracle=QUALITY_EVAL_ORACLE,
+    tags=("streaming", "pipeline", "classifier"),
+    doc="Streaming quality FILTER — the trained model deployed on the "
+    "ingest stream, the production shape pipeline_quality_fit exists for: "
+    "weights train batch-side on the corpus snapshot (logreg_fit_exact), "
+    "broadcast as one static row, and every arriving document is scored "
+    "ROW-LOCALLY (pipeline/classifier.py logreg_score_stream — "
+    "featurization folds inside the projection, no shuffle, bit-identical "
+    "to the batch matrix path), so the single streaming-aggregate budget "
+    "goes to the live confusion state: one counter per (predicted, label) "
+    "cell via a streaming grouped aggregate. The snapshot is a pure "
+    "function of the data — the report equals pipeline_quality_eval's "
+    "exactly, whatever the delivery order or micro-batch boundaries — and "
+    "shares QUALITY_EVAL_ORACLE with it. The 11th streaming twin. Scale: "
+    "state is 4 counters; scoring is stateless.",
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        logreg_fit_exact,
+        logreg_score_stream,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        QF_LABEL_THR,
+        QF_LR,
+        QF_NB,
+        QF_ROUNDS,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    s_labeled = quality_score(s, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    scored = logreg_score_stream(
+        s_labeled, w, "doc_id", "text", QF_NB, keep=["label"]
+    )
+    cells = scored.groupBy("predicted", "label").agg(F.count(F.lit(1)).alias("c"))
+    snap = run_to_batch(cells, "complete").localCheckpoint(eager=True)
+    tp = F.sum(F.when(F.col("predicted") & F.col("label"), F.col("c")).otherwise(0))
+    fp = F.sum(F.when(F.col("predicted") & ~F.col("label"), F.col("c")).otherwise(0))
+    fn = F.sum(F.when(~F.col("predicted") & F.col("label"), F.col("c")).otherwise(0))
+    tn = F.sum(F.when(~F.col("predicted") & ~F.col("label"), F.col("c")).otherwise(0))
+    n = F.sum("c")
+    return snap.groupBy().agg(
+        n.cast("bigint").alias("n_docs"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.round((tp + tn) / n.cast("double"), 6).alias("accuracy"),
+        F.round(tp / F.nullif(tp + fp, F.lit(0)).cast("double"), 6).alias("precision_"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)).cast("double"), 6).alias("recall_"),
+    )

@@ -825,3 +825,25 @@ def test_bpe_fit_greedy_merge_semantics(spark):
     assert got[2] == ("aa", "aa", "aaaa", 3)
     with pytest.raises(ValueError, match="rounds"):
         bpe_fit(df, "text", 0)
+
+
+def test_hashed_tf_rowlocal_bit_identical_to_matrix(spark, sf_dir):
+    """The streaming serving path's row-local feature fold must produce
+    BIT-identical vectors to the batch explode/aggregate matrix path — the
+    contract that lets stream_quality_filter share the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        hashed_tf_features,
+        hashed_tf_matrix,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import tokens
+
+    docs = table(spark, sf_dir, "documents").limit(150)
+    m = hashed_tf_matrix(docs, "doc_id", "text", 16)
+    r = docs.select(
+        "doc_id", hashed_tf_features("text", 16).alias("x")
+    ).filter(F.size(F.filter(tokens("text"), lambda x: x != "")) >= 1)
+    got_m = {row["doc_id"]: tuple(row["x"]) for row in m.collect()}
+    got_r = {row["doc_id"]: tuple(row["x"]) for row in r.collect()}
+    assert got_m == got_r and len(got_m) > 0

@@ -588,3 +588,118 @@ def test_funnel_conversion_matches_bruteforce(spark, rows):
             counts,
             got,
         )
+
+
+URL_PARTS = st.tuples(
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"]),
+    st.sampled_from(["a.com", "A.Com", "sub.ex.org", "SUB.EX.ORG"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/x", "/x/", "/x/y", "/x/y//"]),
+    st.lists(st.sampled_from(["a=1", "b=2", "c=", "z=9"]), max_size=3, unique=True),
+    st.sampled_from(["", "#f", "#s2"]),
+)
+
+
+@given(parts=st.lists(URL_PARTS, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_normalize_properties(spark, parts):
+    """url_normalize over generated messy URLs: (a) IDEMPOTENT — normalizing
+    a normalized URL is a fixpoint (the defining property of a canonical
+    form; a normalizer that isn't idempotent silently splits dup groups),
+    (b) case/default-port/fragment/trailing-slash/param-order variants of
+    the same resource collapse to ONE canonical form, (c) non-default ports
+    are preserved."""
+    from flink_1_12_0_src_spark.pipeline.dedup import url_normalize
+
+    urls = [
+        f"{sch}://{host}{port}{path}" + ("?" + "&".join(q) if q else "?a=1") + frag
+        for sch, host, port, path, q, frag in parts
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    one = df.select(url_normalize("url").alias("n1"))
+    two = one.select(F.col("n1").alias("url")).select(
+        url_normalize("url").alias("n2")
+    )
+    n1 = [r["n1"] for r in one.collect()]
+    n2 = [r["n2"] for r in two.collect()]
+    assert n1 == n2  # idempotence
+    for u, n in zip(urls, n1):
+        assert "#" not in n
+        sch = u.split("://")[0].lower()
+        assert n.startswith(sch + "://")
+        if ":8080" in u:
+            assert ":8080" in n  # non-default port preserved
+        elif f"{sch}:" == "http:" and ":80" in u:
+            assert ":80" not in n  # scheme default stripped
+        elif f"{sch}:" == "https:" and ":443" in u:
+            assert ":443" not in n
+        elif ":80" in u or ":443" in u:
+            # a default-looking port on the OTHER scheme is non-default
+            assert ":80" in n or ":443" in n
+
+
+def test_url_normalize_collapses_cosmetic_variants(spark):
+    """All cosmetic spellings of one resource → one canonical URL."""
+    from flink_1_12_0_src_spark.pipeline.dedup import url_normalize
+
+    variants = [
+        "http://A.com/x/y?b=2&a=1#frag",
+        "HTTP://a.COM:80/x/y/?a=1&b=2",
+        "Http://a.com/x/y//?b=2&a=1#other",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    got = {r[0] for r in df.select(url_normalize("url")).collect()}
+    assert got == {"http://a.com/x/y?a=1&b=2"}
+
+
+def _py_bpe_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right single-pass BPE merge."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    pair=st.tuples(st.text(alphabet="abc", min_size=1, max_size=2),
+                   st.text(alphabet="abc", min_size=1, max_size=2)),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_fold_matches_python_reference(spark, pair, words):
+    """The delimited-string merge fold (pipeline/text.py _bpe_merge_fold)
+    must equal the plain-Python greedy single-pass merge on arbitrary
+    symbol sequences and an arbitrary merge pair — including overlapping
+    chains (aaa + (a,a) → [aa, a]) and pairs where the merged symbol
+    equals a following symbol."""
+    from flink_1_12_0_src_spark.pipeline.text import BPE_SEP, _bpe_merge_fold
+
+    a, b = pair
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = (
+        df.select(
+            "w",
+            F.filter(
+                F.split(
+                    _bpe_merge_fold(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("w")),
+                            lambda i: F.substring(F.col("w"), i, 1),
+                        ),
+                        F.lit(a),
+                        F.lit(b),
+                    ),
+                    BPE_SEP,
+                ),
+                lambda x: x != "",
+            ).alias("s"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["s"] == _py_bpe_merge(list(r["w"]), a, b), (r["w"], a, b)

@@ -31,6 +31,7 @@ def _rows(df):
         ("stream_neardedup_keepfirst", "dedup_keepfirst_admit"),
         ("stream_incremental_admit", "dedup_incremental_admit"),
         ("stream_url_admit", "dedup_url_normalize"),
+        ("stream_quality_filter", "pipeline_quality_eval"),
         ("stream_contamination_matrix", "text_contamination_matrix"),
         ("stream_source_diversity", "text_source_diversity"),
     ],
