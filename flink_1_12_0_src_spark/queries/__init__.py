@@ -269,6 +269,7 @@ _R10_NEW = (
     "text_bpe_encode",
     "stream_url_admit",
     "stream_quality_filter",
+    "pipeline_quality_roc",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -3975,3 +3975,109 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_report(
         table(spark, sf_dir, "documents"), "doc_id", "text", BPE_ROUNDS
     ).orderBy("doc_id")
+
+
+def _quality_roc_oracle() -> str:
+    return f"""
+WITH {_quality_fit_cte_body()},
+rsc AS (SELECT f.doc_id,
+               CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+        FROM qffx f JOIN qfw{QF_ROUNDS} w USING (b) GROUP BY 1),
+rp AS (SELECT d.doc_id, d.y = 1 AS label,
+              CAST(round(round(1.0 / (1.0 + exp(-s.z)), 9) * 1000000000, 0) AS BIGINT)
+                // 100000000 AS bk
+       FROM qfd d JOIN rsc s USING (doc_id)),
+rbins AS (SELECT label, bk, COUNT(*) AS c FROM rp GROUP BY 1, 2),
+rtot AS (SELECT CAST(SUM(CASE WHEN label THEN c ELSE 0 END) AS BIGINT) AS pos,
+                CAST(SUM(CASE WHEN NOT label THEN c ELSE 0 END) AS BIGINT) AS neg
+         FROM rbins),
+rk AS (SELECT g.k,
+              CAST(COALESCE(SUM(CASE WHEN b.label THEN b.c END), 0) AS BIGINT) AS tp,
+              CAST(COALESCE(SUM(CASE WHEN NOT b.label THEN b.c END), 0) AS BIGINT) AS fp
+       FROM generate_series(1, 9) g(k)
+       LEFT JOIN rbins b ON b.bk >= g.k
+       GROUP BY g.k)
+SELECT round(rk.k / 10.0, 1) AS thr, rk.tp, rk.fp,
+       CAST(rtot.pos - rk.tp AS BIGINT) AS fn,
+       CAST(rtot.neg - rk.fp AS BIGINT) AS tn,
+       round(rk.tp / CAST(NULLIF(rk.tp + rk.fp, 0) AS DOUBLE), 6) AS precision_,
+       round(rk.tp / CAST(NULLIF(rtot.pos, 0) AS DOUBLE), 6) AS recall_
+FROM rk CROSS JOIN rtot ORDER BY thr
+"""
+
+
+@register(
+    "pipeline_quality_roc",
+    oracle=_quality_roc_oracle(),
+    tags=("pipeline", "text", "classifier"),
+    doc="Threshold-sweep TUNING audit for the trained quality filter — the "
+    "precision/recall operating-curve table a team reads before choosing "
+    "the deployment threshold: per threshold 0.1 … 0.9, the confusion "
+    "counts and precision/recall of `predicted = p ≥ thr` against the "
+    "teacher label. The corpus is scored ONCE and collapsed to a ≤ 22-row "
+    "(label, decile-bucket) histogram — bucketing on integer nano-units of "
+    "the round-9 probability, so the ≥-threshold comparison is exact "
+    "integer arithmetic in both engines — and the 9-row threshold spine "
+    "inequality-joins THAT aggregate, never the corpus (the "
+    "pipeline_curation_funnel spine pattern). Completes the classifier "
+    "family: fit → serve → eval → tune.",
+)
+def pipeline_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        logreg_fit_exact,
+        logreg_score,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
+    scored = logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    bk = (
+        F.round(F.col("p") * F.lit(1000000000.0), 0).cast("bigint")
+        / F.lit(100000000)
+    ).cast("bigint")
+    bins = (
+        scored.select("label", bk.alias("bk"))
+        .groupBy("label", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bins.groupBy().agg(
+        F.sum(F.when(F.col("label"), F.col("c")).otherwise(0)).alias("pos"),
+        F.sum(F.when(~F.col("label"), F.col("c")).otherwise(0)).alias("neg"),
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("k"))
+    rk = (
+        spine.join(F.broadcast(bins), F.col("bk") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("label"), F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.coalesce(F.sum(F.when(~F.col("label"), F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("k") / 10.0, 1).alias("thr"),
+            "tp",
+            "fp",
+            (F.col("pos") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.col("neg") - F.col("fp")).cast("bigint").alias("tn"),
+            F.round(
+                F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision_"),
+            F.round(F.col("tp") / F.nullif(F.col("pos"), F.lit(0)).cast("double"), 6).alias(
+                "recall_"
+            ),
+        )
+        .orderBy("thr")
+    )
