@@ -270,6 +270,7 @@ _R10_NEW = (
     "stream_url_admit",
     "stream_quality_filter",
     "pipeline_quality_roc",
+    "pipeline_pretrain_corpus",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -4081,3 +4081,105 @@ def pipeline_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+def _pretrain_corpus_oracle() -> str:
+    return f"""
+WITH fin AS (SELECT doc_id, clean_text FROM ({_refinedweb_url_oracle()})),
+psrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_in FROM documents GROUP BY source),
+pout AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_out,
+                CAST(SUM(len(string_split(f.clean_text, ' '))) AS BIGINT) AS n_tokens_out
+         FROM fin f JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT psrc.source, psrc.n_docs_in,
+       CAST(COALESCE(pout.n_docs_out, 0) AS BIGINT) AS n_docs_out,
+       CAST(COALESCE(pout.n_tokens_out, 0) AS BIGINT) AS n_tokens_out,
+       CAST(ceil(COALESCE(pout.n_tokens_out, 0) / {PACK_BUDGET}.0) AS BIGINT) AS n_packs,
+       round(CAST(COALESCE(pout.n_tokens_out, 0) AS DOUBLE)
+             / NULLIF(CAST(ceil(COALESCE(pout.n_tokens_out, 0) / {PACK_BUDGET}.0)
+                           * {PACK_BUDGET} AS DOUBLE), 0.0), 6) AS fill_frac,
+       round(COALESCE(pout.n_docs_out, 0) / CAST(psrc.n_docs_in AS DOUBLE), 6) AS kept_frac
+FROM psrc LEFT JOIN pout USING (source) ORDER BY psrc.source
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=_pretrain_corpus_oracle(),
+    tags=("pipeline", "dedup", "sampling", "composed"),
+    doc="End-to-end PRETRAIN-CORPUS assembly capstone — crawl to packed "
+    "training tokens in ONE oracle-checked plan: (0) URL keep-first over "
+    "canonicalized crawl URLs, (1) doc-level keep-first near-dedup "
+    "admission, (2) paragraph-survivor rewrite, (3) minimum-content floor "
+    "(the pipeline_refinedweb_url chain), then (4) the per-source packing "
+    f"ledger over the CLEANED text: docs in/out, surviving tokens, "
+    f"{PACK_BUDGET}-token pack count, fill fraction and kept fraction — "
+    "the final per-source data card a pretraining run ships with. The "
+    "oracle nests the flagship-variant oracle verbatim (one shared "
+    "definition) and adds only the ledger rollup. Scale: everything after "
+    "the rewrite is one doc-keyed join to recover the source + one "
+    "sources-sized aggregate; each curation stage strictly shrinks what "
+    "the next scans.",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        neardedup_keep_first,
+        paragraph_dedup_rewrite,
+        url_keep_first,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ukept = url_keep_first(
+        docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
+    ).select("doc_id", "text")
+    adm = neardedup_keep_first(
+        ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    )
+    survivors = ukept.join(
+        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    try:
+        cleaned = paragraph_dedup_rewrite(
+            survivors,
+            "doc_id",
+            "text",
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+        )
+    finally:
+        survivors.unpersist()
+    fin = cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).select(
+        "doc_id", F.size(F.split("clean_text", " ")).alias("nt")
+    )
+    out = (
+        fin.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_out"),
+            F.sum("nt").cast("bigint").alias("n_tokens_out"),
+        )
+    )
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in"))
+    toks = F.coalesce("n_tokens_out", F.lit(0))
+    packs = F.ceil(toks / F.lit(float(PACK_BUDGET))).cast("bigint")
+    return (
+        src.join(out, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            F.coalesce("n_docs_out", F.lit(0)).cast("bigint").alias("n_docs_out"),
+            toks.cast("bigint").alias("n_tokens_out"),
+            packs.alias("n_packs"),
+            F.round(
+                toks.cast("double")
+                / F.nullif((packs * PACK_BUDGET).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("fill_frac"),
+            F.round(
+                F.coalesce("n_docs_out", F.lit(0)) / F.col("n_docs_in").cast("double"), 6
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -310,6 +310,85 @@ def golden_plan_providers() -> dict:
         )
         return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
 
+    def _lazy_url_chain(spark, sf_dir):
+        """The pipeline_refinedweb_url chain fully lazy: URL keep-first →
+        doc admission → paragraph rewrite → floor, returning the cleaned
+        relation (shared by the url-variant and pretrain-corpus goldens)."""
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import (
+            neardedup_keep_first,
+            paragraph_dedup_rewrite,
+            url_keep_first,
+        )
+        from flink_1_12_0_src_spark.queries.pipelineq import (
+            PARA_BLOCK,
+            RW_MIN_KEPT,
+            _synth_url_col,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        ukept = url_keep_first(
+            docs.select("doc_id", "text", _synth_url_col().alias("url")),
+            "doc_id",
+            "url",
+        ).select("doc_id", "text")
+        adm = neardedup_keep_first(
+            ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K,
+            MH_BAND_ROWS, MH_MAX_BUCKET, materialize=False,
+        )
+        survivors = ukept.join(
+            adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+        )
+        cleaned = paragraph_dedup_rewrite(
+            survivors, "doc_id", "text", block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES, shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS, max_bucket=MH_MAX_BUCKET,
+            materialize=False,
+        )
+        return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT)
+
+    def _lazy_refinedweb_url(spark, sf_dir):
+        return _lazy_url_chain(spark, sf_dir).orderBy("doc_id")
+
+    def _lazy_pretrain_corpus(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.queries.pipelineq import PACK_BUDGET
+
+        docs = table(spark, sf_dir, "documents")
+        fin = _lazy_url_chain(spark, sf_dir).select(
+            "doc_id", F.size(F.split("clean_text", " ")).alias("nt")
+        )
+        out = (
+            fin.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_out"),
+                F.sum("nt").cast("bigint").alias("n_tokens_out"),
+            )
+        )
+        src = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_in")
+        )
+        toks = F.coalesce("n_tokens_out", F.lit(0))
+        packs = F.ceil(toks / F.lit(float(PACK_BUDGET))).cast("bigint")
+        return (
+            src.join(out, "source", "left")
+            .select(
+                "source", "n_docs_in",
+                F.coalesce("n_docs_out", F.lit(0)).cast("bigint").alias("n_docs_out"),
+                toks.cast("bigint").alias("n_tokens_out"),
+                packs.alias("n_packs"),
+            )
+            .orderBy("source")
+        )
+
+    providers["pipeline_refinedweb_url"] = _lazy_refinedweb_url
+    providers["pipeline_pretrain_corpus"] = _lazy_pretrain_corpus
+
     def _lazy_incremental(spark, sf_dir):
         from pyspark.sql import functions as F
 
