@@ -271,6 +271,7 @@ _R10_NEW = (
     "stream_quality_filter",
     "pipeline_quality_roc",
     "pipeline_pretrain_corpus",
+    "dataset_pack_bpe",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -4183,3 +4183,61 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dataset_pack_bpe",
+    oracle=f"""
+WITH {{body}},
+bpdw AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> '' AND NOT contains(t, chr(31))
+),
+bpdoc AS (SELECT d.doc_id, COUNT(*) AS nw, SUM(len(v.s)) AS nb
+          FROM bpdw d JOIN bpv{BPE_ROUNDS} v ON v.word = d.t
+          GROUP BY d.doc_id)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.nw) AS BIGINT) AS ws_tokens,
+       CAST(SUM(b.nb) AS BIGINT) AS bpe_tokens,
+       CAST(ceil(SUM(b.nw) / {PACK_BUDGET}.0) AS BIGINT) AS ws_packs,
+       CAST(ceil(SUM(b.nb) / {PACK_BUDGET}.0) AS BIGINT) AS bpe_packs,
+       round(CAST(SUM(b.nb) AS DOUBLE) / SUM(b.nw), 6) AS bpe_per_ws
+FROM bpdoc b JOIN documents s USING (doc_id)
+GROUP BY s.source ORDER BY s.source
+""".replace("{body}", "%s") % _bpe_cte_body(),
+    tags=("pipeline", "sampling", "tokenizer"),
+    doc=f"Tokenizer-aware packing ledger — the audit a team runs after "
+    "switching tokenizers, because pack counts and token budgets are "
+    "TOKENIZER-dependent: per source, doc count, whitespace-token vs "
+    f"trained-BPE-token volumes (text_bpe_fit's {BPE_ROUNDS}-merge vocab "
+    f"via the shared unrolled CTE body), {PACK_BUDGET}-token pack counts "
+    "under each, and the BPE-per-whitespace expansion ratio (> 1: the "
+    "early-merge vocabulary still splits most words into several symbols, "
+    "so a whitespace-budgeted packing plan under-provisions). Word-level "
+    "tokenization join + one doc-keyed aggregate + one sources-sized "
+    "rollup.",
+)
+def dataset_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import bpe_encode_report
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = bpe_encode_report(docs, "doc_id", "text", BPE_ROUNDS).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    nw, nb = F.sum("n_words"), F.sum("n_bpe_tokens")
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            nw.cast("bigint").alias("ws_tokens"),
+            nb.cast("bigint").alias("bpe_tokens"),
+            F.ceil(nw / F.lit(float(PACK_BUDGET))).cast("bigint").alias("ws_packs"),
+            F.ceil(nb / F.lit(float(PACK_BUDGET))).cast("bigint").alias("bpe_packs"),
+            F.round(nb.cast("double") / nw, 6).alias("bpe_per_ws"),
+        )
+        .orderBy("source")
+    )
