@@ -272,6 +272,10 @@ _R10_NEW = (
     "pipeline_quality_roc",
     "pipeline_pretrain_corpus",
     "dataset_pack_bpe",
+    "pipeline_quality_calibration",
+    "text_langid_confusion",
+    "stream_langid_confusion",
+    "dataset_curriculum_pack",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -752,7 +752,11 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_cte(key: str) -> str:
+    """Shared marker-lexicon language-ID CTE chain (toks/hits/lpred with the
+    argmax CASE), keyed by ``key`` — doc_id for the per-document report,
+    lang for the confusion matrix. ONE definition of the lexicon + argmax
+    spec feeds every langid oracle, so report and matrix can never drift."""
     langs = sorted(LANG_MARKERS)
     hits = {
         lg: f"len(list_intersect(w, {LANG_MARKERS[lg]!r}))".replace("'", "'")
@@ -763,11 +767,16 @@ def _langid_oracle() -> str:
     pred = "CASE WHEN " + best + " <= 0 THEN 'unknown' " + " ".join(
         f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
     ) + " END"
+    return f"""toks AS (SELECT {key}, string_split(lower(text), ' ') AS w FROM documents),
+hits AS (SELECT {key}, {hit_cols} FROM toks),
+lpred AS (SELECT {key}, hits_de, hits_en, hits_es, hits_fr, {pred} AS predicted_lang FROM hits)"""
+
+
+def _langid_oracle() -> str:
     return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-hits AS (SELECT doc_id, {hit_cols} FROM toks)
-SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {pred} AS predicted_lang
-FROM hits ORDER BY doc_id
+WITH {_langid_cte("doc_id")}
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, predicted_lang
+FROM lpred ORDER BY doc_id
 """
 
 
@@ -780,6 +789,57 @@ FROM hits ORDER BY doc_id
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(table(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+# ONE constant shared by the batch confusion matrix (text_langid_confusion)
+# and its streaming twin (stream_langid_confusion, queries/streamingq.py):
+# the matrix is a pure function of per-(lang, predicted) counts, so the
+# continuously-maintained twin matches it exactly.
+LANGID_CONFUSION_ORACLE = f"""
+WITH {_langid_cte("lang")},
+cm AS (SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM lpred GROUP BY 1, 2)
+SELECT lang, predicted_lang, n_docs,
+       round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         AS lang_frac
+FROM cm ORDER BY lang, predicted_lang
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=LANGID_CONFUSION_ORACLE,
+    tags=("pipeline", "text"),
+    doc="Language-ID CONFUSION MATRIX vs the corpus ground-truth lang column "
+    "— the accuracy audit a curation team runs before trusting the "
+    "classifier's routing (CCNet routes documents to per-language LMs, so "
+    "a confusable pair silently contaminates a monolingual corpus): per "
+    "(true lang, predicted lang) cell, the document count and the "
+    "row-normalized fraction (the per-language recall diagonal). The "
+    "classifier is the SAME row-local marker-argmax as text_language_id "
+    "(pipeline/text.py language_id keyed by lang instead of doc_id — no "
+    "join needed), collapsed to a |langs| x (|langs|+1) histogram; the "
+    "row-normalizing window runs over that histogram, never the corpus. "
+    "Oracle shares the langid CTE with the per-doc report.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    pred = language_id(docs.select("lang", "text"), "lang", "text")
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return cm.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(W.partitionBy("lang")).cast("double"),
+            6,
+        ).alias("lang_frac"),
+    ).orderBy("lang", "predicted_lang")
 
 
 _EN = LANG_MARKERS["en"]
@@ -4083,6 +4143,112 @@ def pipeline_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_calibration_oracle() -> str:
+    return f"""
+WITH {_quality_fit_cte_body()},
+csc AS (SELECT f.doc_id,
+               CAST(SUM(CAST(round(w.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+        FROM qffx f JOIN qfw{QF_ROUNDS} w USING (b) GROUP BY 1),
+cp AS (SELECT d.doc_id, d.y, round(1.0 / (1.0 + exp(-s.z)), 9) AS p
+       FROM qfd d JOIN csc s USING (doc_id)),
+cbins AS (SELECT least(CAST(round(p * 1000000000, 0) AS BIGINT) // 100000000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(CAST(round(p, 9) AS DECIMAL(28,9))) AS sum_p,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM cp GROUP BY 1),
+cgap AS (SELECT bin, n_docs,
+                round(CAST(sum_p AS DOUBLE) / n_docs, 6) AS mean_p,
+                round(n_pos / CAST(n_docs AS DOUBLE), 6) AS frac_pos,
+                round(abs(round(CAST(sum_p AS DOUBLE) / n_docs, 6)
+                          - round(n_pos / CAST(n_docs AS DOUBLE), 6)), 6) AS abs_gap
+         FROM cbins),
+ctot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                SUM(CAST(round(n_docs * abs_gap, 6) AS DECIMAL(28,6))) AS werr
+         FROM cgap)
+SELECT g.bin, g.n_docs, g.mean_p, g.frac_pos, g.abs_gap,
+       round(CAST(t.werr AS DOUBLE) / t.total, 6) AS ece
+FROM cgap g CROSS JOIN ctot t ORDER BY g.bin
+"""
+
+
+@register(
+    "pipeline_quality_calibration",
+    oracle=_quality_calibration_oracle(),
+    tags=("pipeline", "text", "classifier"),
+    doc="CALIBRATION audit for the trained quality filter — the reliability "
+    "diagram (Guo et al. 2017's ECE recipe) a team reads before trusting "
+    "the filter's probabilities as sampling weights rather than as a hard "
+    "threshold: the corpus is scored ONCE (same broadcast-weights "
+    "logreg_score as pipeline_quality_eval), each document lands in one of "
+    "10 probability deciles (integer nano-unit bucketing, p = 1.0 clamped "
+    "into the top bin), and per occupied bin the report shows (n_docs, "
+    "mean predicted p, empirical positive fraction, |gap|) plus the "
+    "n-weighted expected calibration error repeated on every row. "
+    "Mean-p accumulates rounded-then-DECIMAL, so the report is "
+    "bit-identical across engines and partitionings. Completes the "
+    "classifier lifecycle: fit -> serve -> eval -> tune -> calibrate. "
+    "Scale: one corpus-scoring pass collapses to a <= 10-row histogram; "
+    "the ECE join is a broadcast of one total row.",
+)
+def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        logreg_fit_exact,
+        logreg_score,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
+    scored = logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    bin_col = F.least(
+        (
+            F.round(F.col("p") * F.lit(1000000000.0), 0).cast("bigint")
+            / F.lit(100000000)
+        ).cast("bigint"),
+        F.lit(9),
+    )
+    bins = (
+        scored.select(bin_col.alias("bin"), "p", "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).alias("sum_p"),
+            F.sum(F.col("label").cast("int")).cast("bigint").alias("n_pos"),
+        )
+    )
+    gap = bins.select(
+        "bin",
+        "n_docs",
+        F.round(F.col("sum_p").cast("double") / F.col("n_docs"), 6).alias("mean_p"),
+        F.round(F.col("n_pos") / F.col("n_docs").cast("double"), 6).alias("frac_pos"),
+    ).withColumn(
+        "abs_gap", F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6)
+    )
+    tot = gap.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.sum(
+            F.round(F.col("n_docs") * F.col("abs_gap"), 6).cast("decimal(28,6)")
+        ).alias("werr"),
+    )
+    return (
+        gap.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "mean_p",
+            "frac_pos",
+            "abs_gap",
+            F.round(F.col("werr").cast("double") / F.col("total"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
 def _pretrain_corpus_oracle() -> str:
     return f"""
 WITH fin AS (SELECT doc_id, clean_text FROM ({_refinedweb_url_oracle()})),
@@ -4240,4 +4406,81 @@ def dataset_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nb.cast("double") / nw, 6).alias("bpe_per_ws"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "dataset_curriculum_pack",
+    oracle=f"""
+WITH tq AS (SELECT doc_id, n_words, quality FROM ({{body}})),
+cd AS (SELECT d.lang, t.n_words, t.quality,
+              SUM(t.n_words) OVER (PARTITION BY d.lang
+                                   ORDER BY t.quality, t.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+       FROM tq t JOIN documents d USING (doc_id)),
+pk AS (SELECT lang, quality, n_words,
+              CAST(round(quality * 1000000, 0) AS BIGINT) AS q_e6,
+              CAST((cum - n_words) // {PACK_BUDGET} AS BIGINT) AS pack_id
+       FROM cd)
+SELECT lang, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(q_e6) // COUNT(*) AS BIGINT) / 1000000.0 AS mean_quality,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM pk GROUP BY 1, 2 ORDER BY lang, pack_id
+""".replace("{body}", "%s") % TEXT_QUALITY_ORACLE,
+    tags=("pipeline", "sampling", "composed"),
+    doc=f"CURRICULUM-ordered sequence packing ledger (Bengio et al. 2009 "
+    "curricula applied to pretraining data order): within each language "
+    "stream, documents are packed in ascending heuristic-quality order "
+    "(quality, doc_id — a deterministic total order), so early packs hold "
+    "the noisiest documents and the run finishes on the cleanest — the "
+    f"quality-annealed loader layout. Output is the per-({PACK_BUDGET}"
+    "-token) pack ledger (n_docs, n_tokens, mean/min/max quality) whose "
+    "monotone quality gradient across pack_id IS the curriculum audit. "
+    "Reuses pack_sequences' concat-then-chunk cumsum (pipeline/sampling.py) "
+    "with the quality sort key replacing the id order; the oracle nests "
+    "the shared TEXT_QUALITY_ORACLE constant, so scorer and curriculum can "
+    "never drift. Scale: the per-stream window sort is the inherent cost "
+    "of a curriculum (a global order is the SPEC); shard within a stream "
+    "via shuffle_shard for per-file parallelism as pack_sequences "
+    "documents. Mean-quality is computed in exact integer micro-units "
+    "(floor division), so the ledger is bit-identical across engines.",
+)
+def dataset_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text", keep=["lang"]).select(
+        "doc_id", "lang", "n_words", "quality"
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("quality", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_words").over(w)
+    packed = q.select(
+        "lang",
+        "quality",
+        "n_words",
+        F.round(F.col("quality") * 1000000, 0).cast("bigint").alias("q_e6"),
+        F.floor((cum - F.col("n_words")) / PACK_BUDGET).cast("bigint").alias("pack_id"),
+    )
+    # mean in exact integer micro-units with floor division — a DOUBLE mean
+    # can land exactly on a .5 rounding tie (it did at sf0.01), which the
+    # two engines break differently
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            (
+                F.expr("CAST(sum(q_e6) DIV count(1) AS BIGINT)") / F.lit(1000000.0)
+            ).alias("mean_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("lang", "pack_id")
     )

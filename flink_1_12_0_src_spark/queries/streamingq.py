@@ -1803,6 +1803,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
 from flink_1_12_0_src_spark.queries.pipelineq import (
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
+    LANGID_CONFUSION_ORACLE,
     QUALITY_EVAL_ORACLE,
     URL_DEDUP_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
@@ -2117,6 +2118,46 @@ def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view (same as the other twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     return source_diversity_from_counts(snap, "lang").orderBy("lang")
+
+
+@register(
+    "stream_langid_confusion",
+    oracle=LANGID_CONFUSION_ORACLE,
+    tags=("streaming", "pipeline", "text"),
+    doc="Classifier-audit-on-a-stream: the language-ID confusion matrix of "
+    "text_langid_confusion continuously maintained — the row-local "
+    "marker-argmax classifier (pipeline/text.py language_id) runs inside "
+    "the streaming scan and a streaming grouped aggregate keeps one "
+    "counter per (true lang, predicted lang) cell (reference analog: "
+    "StreamExecGroupAggregate), the live 'is the router drifting' "
+    "dashboard during ingest. The matrix is a pure function of the cell "
+    "counts, so the snapshot report (row-normalized fractions over the "
+    "<= |langs| x (|langs|+1) histogram) equals the batch audit exactly, "
+    "independent of micro-batch boundaries. Shares ONE oracle constant "
+    "with the batch half. Scale: state is |langs|^2 counters.",
+)
+def stream_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import language_id
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    pred = language_id(s.select("lang", "text"), "lang", "text")
+    g = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # localCheckpoint: the report windows over the snapshot (same
+    # memory-sink-view limitation as the other twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    return snap.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy("lang")).cast("double"),
+            6,
+        ).alias("lang_frac"),
+    ).orderBy("lang", "predicted_lang")
 
 
 

@@ -847,3 +847,56 @@ def test_hashed_tf_rowlocal_bit_identical_to_matrix(spark, sf_dir):
     got_m = {row["doc_id"]: tuple(row["x"]) for row in m.collect()}
     got_r = {row["doc_id"]: tuple(row["x"]) for row in r.collect()}
     assert got_m == got_r and len(got_m) > 0
+
+
+def test_curriculum_pack_quality_is_monotone_across_packs(spark, sf_dir):
+    """Curriculum packing's defining property, pinned directly: documents are
+    packed in ascending (quality, doc_id) order within each language stream,
+    so the packs PARTITION the sorted order — every document in pack k has
+    quality <= every document in pack k+1, hence max_quality[k] <=
+    min_quality[k+1] for consecutive packs of one lang."""
+    from flink_1_12_0_src_spark.queries import load_all
+
+    rows = (
+        load_all()["dataset_curriculum_pack"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) > 4
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, packs in by_lang.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # contiguous pack ids from 0 (concat-then-chunk leaves no gaps)
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for a, b in zip(packs, packs[1:]):
+            assert a["max_quality"] <= b["min_quality"], (lang, a, b)
+        for p in packs:
+            assert p["min_quality"] <= p["mean_quality"] + 1e-6
+            assert p["mean_quality"] <= p["max_quality"] + 1e-6
+
+
+def test_calibration_report_is_internally_consistent(spark, sf_dir):
+    """The reliability-diagram report must agree with itself: each bin's
+    mean_p lies inside the bin's decile bounds, frac_pos is a valid
+    fraction, and the repeated ECE column equals the n-weighted mean of the
+    per-bin gaps recomputed from the report's own rows."""
+    from flink_1_12_0_src_spark.queries import load_all
+
+    rows = (
+        load_all()["pipeline_quality_calibration"].spark(spark, sf_dir).collect()
+    )
+    assert rows, "no occupied calibration bins"
+    total = sum(r["n_docs"] for r in rows)
+    ece = {round(r["ece"], 6) for r in rows}
+    assert len(ece) == 1  # repeated on every row by construction
+    want_ece = round(
+        sum(r["n_docs"] * r["abs_gap"] for r in rows) / total, 6
+    )
+    assert abs(ece.pop() - want_ece) <= 1e-6
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        # p is bucketed on integer nano-units of its 9dp rounding, so a
+        # boundary doc can sit half an ulp outside the open interval
+        assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, r
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(r["abs_gap"] - round(abs(r["mean_p"] - r["frac_pos"]), 6)) <= 1e-6

@@ -34,6 +34,7 @@ def _rows(df):
         ("stream_quality_filter", "pipeline_quality_eval"),
         ("stream_contamination_matrix", "text_contamination_matrix"),
         ("stream_source_diversity", "text_source_diversity"),
+        ("stream_langid_confusion", "text_langid_confusion"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -170,4 +171,33 @@ def test_incremental_admit_state_is_boundary_and_order_invariant(spark):
     one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(2, 0, 3, 1)))
+    assert one == four == scrambled
+
+
+def test_langid_confusion_state_is_boundary_and_order_invariant(spark):
+    """The langid-confusion twin's streaming state — one counter per
+    (true lang, predicted lang) cell — is a pure function of the corpus:
+    the classifier is row-local (no cross-row dependence), and COUNT is
+    order- and batching-insensitive, so replaying the document files as
+    one trigger, four triggers, or in a scrambled delivery order yields an
+    identical matrix."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.text import language_id
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        pred = language_id(src.select("lang", "text"), "lang", "text")
+        g = pred.groupBy("lang", "predicted_lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        return _rows(run_to_batch(g, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(1, 3, 0, 2)))
     assert one == four == scrambled
