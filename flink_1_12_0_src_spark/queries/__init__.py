@@ -276,6 +276,7 @@ _R10_NEW = (
     "text_langid_confusion",
     "stream_langid_confusion",
     "dataset_curriculum_pack",
+    "dedup_family_agreement",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

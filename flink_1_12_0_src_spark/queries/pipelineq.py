@@ -614,9 +614,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+def _ngram_jaccard_oracle() -> str:
+    """Exact lang-blocked n-gram Jaccard pairs (nj-prefixed top CTEs) —
+    shared by dedup_ngram_jaccard and the family-agreement audit."""
+    return f"""
 WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
 grams0 AS (
   SELECT DISTINCT doc_id, lang,
@@ -637,7 +638,12 @@ SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) > {NJ_THRESHOLD}
 ORDER BY id_a, id_b
-""",
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_jaccard_oracle(),
     tags=("pipeline", "dedup"),
     doc=f"Exact {NJ_SHINGLE_K}-gram Jaccard pairs above {NJ_THRESHOLD}, blocked by "
     "lang (at scale the block is an LSH band; this is the verify stage). "
@@ -3176,6 +3182,113 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         SH_MAX_HAMMING,
         MH_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
+
+
+def _family_agreement_oracle() -> str:
+    """Nests the three pair-family oracles verbatim (one definition each),
+    tags each family with a bit, folds every flagged pair to a 3-bit
+    membership mask, and reads the three pairwise overlaps off the <= 7-row
+    mask histogram."""
+    return f"""
+WITH fmh AS (SELECT id_a, id_b, 1 AS bit FROM ({_minhash_oracle(ordered=False)})),
+fsh AS (SELECT id_a, id_b, 2 AS bit FROM ({_simhash_hamming_oracle()})),
+fnj AS (SELECT id_a, id_b, 4 AS bit FROM ({_ngram_jaccard_oracle()})),
+fams AS (SELECT * FROM fmh UNION ALL SELECT * FROM fsh UNION ALL SELECT * FROM fnj),
+masks AS (SELECT id_a, id_b, CAST(SUM(DISTINCT bit) AS INTEGER) AS mask
+          FROM fams GROUP BY 1, 2),
+mcnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM masks GROUP BY mask),
+spine(fam_a, fam_b, bit_a, bit_b) AS (
+  VALUES ('minhash', 'ngram', 1, 4),
+         ('minhash', 'simhash', 1, 2),
+         ('simhash', 'ngram', 2, 4)),
+rep AS (
+  SELECT s.fam_a, s.fam_b,
+         CAST(COALESCE(SUM(CASE WHEN (m.mask & s.bit_a) > 0 THEN m.c END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN (m.mask & s.bit_b) > 0 THEN m.c END), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(CASE WHEN (m.mask & s.bit_a) > 0
+                                 AND (m.mask & s.bit_b) > 0 THEN m.c END), 0) AS BIGINT) AS n_both
+  FROM spine s CROSS JOIN mcnt m GROUP BY 1, 2)
+SELECT fam_a, fam_b, n_a, n_b, n_both,
+       round(n_both / CAST(NULLIF(n_a + n_b - n_both, 0) AS DOUBLE), 6) AS pair_jaccard
+FROM rep ORDER BY fam_a, fam_b
+"""
+
+
+@register(
+    "dedup_family_agreement",
+    oracle=_family_agreement_oracle(),
+    tags=("pipeline", "dedup", "composed"),
+    doc="Cross-FAMILY agreement audit over the three near-dup pair "
+    "detectors — the measurement a curation team runs before picking "
+    "which detector to deploy (and the known result it should reproduce: "
+    "MinHash and exact n-gram Jaccard approximate the same set statistic, "
+    "so they overlap heavily; SimHash's Hamming ball is a different "
+    "geometry and flags a partly disjoint set): for each family pair, the "
+    "flagged-pair set sizes, their intersection, and the Jaccard of the "
+    "SETS OF PAIRS. Each family runs its production banded/capped "
+    "pipeline (pipeline/dedup.py minhash_lsh_pairs / simhash_hamming_pairs "
+    "/ ngram_jaccard_pairs — never all-pairs); membership folds to one "
+    "3-bit mask per flagged pair (one pair-keyed aggregate over the "
+    "already-sparse union), and the 3-row report reads off the <= 7-row "
+    "mask histogram — integer-exact until the final divide. The oracle "
+    "nests the three family oracles verbatim, so the audit can never "
+    "drift from the detectors it audits.",
+)
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    ).select("id_a", "id_b", F.lit(1).alias("bit"))
+    sh = simhash_hamming_pairs(
+        docs, "doc_id", "text", SH_BANDS, SH_MAX_HAMMING, MH_MAX_BUCKET
+    ).select("id_a", "id_b", F.lit(2).alias("bit"))
+    nj = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
+    ).select("id_a", "id_b", F.lit(4).alias("bit"))
+    masks = (
+        mh.unionByName(sh)
+        .unionByName(nj)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum_distinct("bit").cast("int").alias("mask"))
+    )
+    mcnt = masks.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    spine = spark.createDataFrame(
+        [("minhash", "ngram", 1, 4), ("minhash", "simhash", 1, 2), ("simhash", "ngram", 2, 4)],
+        "fam_a string, fam_b string, bit_a int, bit_b int",
+    )
+    in_a = F.col("mask").bitwiseAND(F.col("bit_a")) > 0
+    in_b = F.col("mask").bitwiseAND(F.col("bit_b")) > 0
+    rep = (
+        spine.crossJoin(F.broadcast(mcnt))
+        .groupBy("fam_a", "fam_b")
+        .agg(
+            F.coalesce(F.sum(F.when(in_a, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.coalesce(F.sum(F.when(in_b, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.coalesce(F.sum(F.when(in_a & in_b, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    return rep.select(
+        "fam_a",
+        "fam_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both")
+            / F.nullif(F.col("n_a") + F.col("n_b") - F.col("n_both"), F.lit(0)).cast(
+                "double"
+            ),
+            6,
+        ).alias("pair_jaccard"),
+    ).orderBy("fam_a", "fam_b")
 
 
 @register(
