@@ -23,7 +23,7 @@ required — topology unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from flink_1_12_0_src_spark.pipeline.stageclock import stage
 from flink_1_12_0_src_spark.pipeline.text import shingles, tokens

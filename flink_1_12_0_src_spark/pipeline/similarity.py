@@ -965,8 +965,22 @@ def pq_fit_exact(
         raise ValueError(f"pq_fit_exact: dim {dim} not divisible by m={m}")
     if iters < 1:
         raise ValueError("pq_fit_exact: iters must be >= 1")
+    # same fail-fast seed contract as kmeans_fit_exact: ids 0..ksub-1 must
+    # each be present (a bare `< ksub` filter would silently accept a
+    # partial or negative-id seed set and return an empty/short codebook)
+    n_seeds = (
+        train.filter((F.col(id_col) >= 0) & (F.col(id_col) < ksub))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if n_seeds != ksub:
+        raise ValueError(
+            f"pq_fit_exact: expected the {ksub} seed ids 0..{ksub - 1} in "
+            f"{id_col}, found {n_seeds}"
+        )
     subs = _subvectors(train, id_col, vec_col, m, dim // m)
-    cb = subs.filter(F.col("vid") < ksub).select(
+    cb = subs.filter((F.col("vid") >= 0) & (F.col("vid") < ksub)).select(
         "sub", F.col("vid").cast("int").alias("code"), F.col("sv").alias("cv")
     )
     for _ in range(iters):

@@ -903,7 +903,12 @@ def _bpe_train(
                 F.col("freq").cast("bigint").alias("freq"),
             )
         )
-        vocab = vocab.crossJoin(F.broadcast(pairs)).select(
+        # LEFT join, not crossJoin: when the corpus is fully merged before
+        # `rounds` rounds, `pairs` is EMPTY and a cross join would
+        # annihilate the vocabulary (silently emptying every downstream
+        # encode report); the left join keeps the vocab with NULL (a, b),
+        # which the merge fold treats as a no-op pass
+        vocab = vocab.join(F.broadcast(pairs), F.lit(True), "left").select(
             "word",
             "cnt",
             F.filter(

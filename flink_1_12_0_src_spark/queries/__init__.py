@@ -228,8 +228,9 @@ _R08_DRIVER_GREEN = frozenset(
 )
 
 # Round-9 driver-green rows (CORRECTNESS_r09.json — 50/50 green, the third
-# consecutive zero-red round): all 16 round-9-new queries on first
-# presentation plus 34 re-verified greens.
+# consecutive zero-red round): all 19 round-9-new queries on first
+# presentation; the other 31 rows were re-verified greens already present
+# in earlier tiers.
 _R09_DRIVER_GREEN = frozenset(
     {
         "dataset_pack_boundary_audit", "dedup_incremental_admit",

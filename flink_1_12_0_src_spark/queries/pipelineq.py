@@ -2832,7 +2832,7 @@ c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"""
     rounds = ",".join(assign.format(i=i + 1, p=i) for i in range(KM_ITERS))
     return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 t AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS ord FROM e),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),{rounds}"""
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 0 AND vec_id < {KM_K}),{rounds}"""
 
 
 def _kmeans_fit_oracle() -> str:
@@ -3235,14 +3235,24 @@ FROM rep ORDER BY fam_a, fam_b
     "drift from the detectors it audits.",
 )
 def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return family_agreement_report(spark, table(spark, sf_dir, "documents"))
+
+
+def family_agreement_report(
+    spark: SparkSession, docs: DataFrame, materialize: bool = True
+) -> DataFrame:
+    """dedup_family_agreement's full topology over an explicit docs
+    relation — ``materialize=False`` keeps the three pair pipelines lazy
+    for the golden plan provider (tests/plan_fp.py)."""
     from flink_1_12_0_src_spark.pipeline.dedup import simhash_hamming_pairs
 
-    docs = table(spark, sf_dir, "documents")
     mh = minhash_lsh_pairs(
-        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+        docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS,
+        MH_MAX_BUCKET, materialize=materialize,
     ).select("id_a", "id_b", F.lit(1).alias("bit"))
     sh = simhash_hamming_pairs(
-        docs, "doc_id", "text", SH_BANDS, SH_MAX_HAMMING, MH_MAX_BUCKET
+        docs, "doc_id", "text", SH_BANDS, SH_MAX_HAMMING, MH_MAX_BUCKET,
+        materialize=materialize,
     ).select("id_a", "id_b", F.lit(2).alias("bit"))
     nj = ngram_jaccard_pairs(
         docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
@@ -3545,7 +3555,7 @@ bpv{i} AS (SELECT v.word, v.cnt,
                                           || chr(31) || t.a || t.b
                                      ELSE acc || chr(31) || x END),
                   chr(31)), y -> y <> '') AS s
-         FROM bpv{p} v CROSS JOIN bpt{i} t)"""
+         FROM bpv{p} v LEFT JOIN bpt{i} t ON true)"""
     rounds = ",".join(rnd.format(i=i, p=i - 1) for i in range(1, BPE_ROUNDS + 1))
     return f"""bptok AS (
   SELECT t AS word
@@ -3973,7 +3983,8 @@ def _pq_recall_oracle() -> str:
 WITH {_EQ_CTES},
 ss AS (SELECT vec_id, sub, v[sub * {sd} + 1 : sub * {sd} + {sd}] AS sv
        FROM e, (SELECT unnest(generate_series(0, {PQX_M - 1})) AS sub)),
-cb0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM ss WHERE vec_id < {PQX_KSUB}),
+cb0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+        FROM ss WHERE vec_id >= 0 AND vec_id < {PQX_KSUB}),
 pa1 AS (SELECT s.vec_id, s.sub, s.sv, c.code
         FROM ss s JOIN cb0 c USING (sub)
         QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
@@ -4210,6 +4221,15 @@ def pipeline_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
         labeled.select("doc_id", "label"), "doc_id"
     )
+    return roc_from_scored(spark, scored)
+
+
+def roc_from_scored(spark: SparkSession, scored: DataFrame) -> DataFrame:
+    """The threshold-sweep tail of pipeline_quality_roc over an
+    already-scored (label, p) relation — shared with the lazy golden
+    provider (tests/plan_fp.py), which feeds it a stand-in weight scoring
+    so the golden pins the real interior plan instead of checkpoint
+    stubs."""
     bk = (
         F.round(F.col("p") * F.lit(1000000000.0), 0).cast("bigint")
         / F.lit(100000000)
@@ -4318,6 +4338,13 @@ def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
         labeled.select("doc_id", "label"), "doc_id"
     )
+    return calibration_from_scored(scored)
+
+
+def calibration_from_scored(scored: DataFrame) -> DataFrame:
+    """The reliability-bin/ECE tail of pipeline_quality_calibration over an
+    already-scored (label, p) relation — shared with the lazy golden
+    provider (tests/plan_fp.py), same split as roc_from_scored."""
     bin_col = F.least(
         (
             F.round(F.col("p") * F.lit(1000000000.0), 0).cast("bigint")

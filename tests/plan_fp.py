@@ -507,8 +507,46 @@ def golden_plan_providers() -> dict:
             _labeled_docs(spark, sf_dir), w, "doc_id", "text", QF_NB
         ).orderBy("doc_id")
 
+    def _standin_scored(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.pipeline.classifier import logreg_score
+        from flink_1_12_0_src_spark.queries.pipelineq import QF_NB
+
+        # scoring over a LocalRelation stand-in weight table (same shape as
+        # _lazy_quality_score) so the ROC/calibration tails fingerprint
+        # their real interior instead of training-checkpoint stubs
+        w = spark.createDataFrame(
+            [(b, 0.01 * b) for b in range(QF_NB + 2)], "bucket long, weight double"
+        )
+        labeled = _labeled_docs(spark, sf_dir)
+        return logreg_score(labeled, w, "doc_id", "text", QF_NB).join(
+            labeled.select("doc_id", "label"), "doc_id"
+        )
+
+    def _lazy_quality_roc(spark, sf_dir):
+        from flink_1_12_0_src_spark.queries.pipelineq import roc_from_scored
+
+        return roc_from_scored(spark, _standin_scored(spark, sf_dir))
+
+    def _lazy_quality_calibration(spark, sf_dir):
+        from flink_1_12_0_src_spark.queries.pipelineq import calibration_from_scored
+
+        return calibration_from_scored(_standin_scored(spark, sf_dir))
+
+    def _lazy_family_agreement(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.queries.pipelineq import family_agreement_report
+
+        return family_agreement_report(
+            spark, table(spark, sf_dir, "documents"), materialize=False
+        )
+
     providers["pipeline_quality_fit"] = _lazy_quality_fit
     providers["pipeline_quality_eval"] = _lazy_quality_score
+    providers["pipeline_quality_roc"] = _lazy_quality_roc
+    providers["pipeline_quality_calibration"] = _lazy_quality_calibration
+    providers["dedup_family_agreement"] = _lazy_family_agreement
     providers["text_bpe_fit"] = _lazy_bpe_fit
     providers["text_bpe_encode"] = _lazy_bpe_encode
     providers["dedup_simhash_hamming"] = _lazy_simhash_hamming

@@ -728,8 +728,8 @@ def test_logreg_fit_partition_invariant_and_contract(spark, sf_dir):
     """logreg_fit_exact's whole point is engine-/partitioning-exact
     training: rounded-then-DECIMAL gradient accumulation must yield
     bit-identical weights whatever the input partitioning. Also pins the
-    fail-fast rounds contract and the output shape (n_buckets + 1 rows,
-    bias last)."""
+    fail-fast rounds contract and the output shape (n_buckets + 2 rows:
+    TF buckets, then the length feature, bias last)."""
     import pytest
 
     from flink_1_12_0_src_spark.pipeline.classifier import logreg_fit_exact
@@ -900,3 +900,36 @@ def test_calibration_report_is_internally_consistent(spark, sf_dir):
         assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, r
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert abs(r["abs_gap"] - round(abs(r["mean_p"] - r["frac_pos"]), 6)) <= 1e-6
+
+
+def test_bpe_fit_survives_merge_exhaustion(spark):
+    """A corpus whose words are fully merged before `rounds` rounds must NOT
+    lose its vocabulary (the merge join is a left join, not a cross join
+    against the empty top-pair relation): the fit emits one merge row per
+    productive round only, and the encode report still covers every doc."""
+    from flink_1_12_0_src_spark.pipeline.text import bpe_encode_report, bpe_fit
+
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab")], "doc_id bigint, text string"
+    )
+    merges = bpe_fit(df, "text", 3).collect()
+    # round 1 merges (a,b), round 2 merges (c,d); round 3 finds no pair
+    assert [(r["round"], r["merged"]) for r in merges] == [(1, "ab"), (2, "cd")]
+    rep = {r["doc_id"]: r for r in bpe_encode_report(df, "doc_id", "text", 3).collect()}
+    assert rep[1]["n_bpe_tokens"] == 3 and rep[2]["n_bpe_tokens"] == 1
+
+
+def test_pq_fit_exact_rejects_bad_seed_ids(spark):
+    """pq_fit_exact must fail fast (like kmeans_fit_exact) when ids 0..ksub-1
+    are not all present — a bare `< ksub` filter would silently train an
+    empty or short codebook and every query would get zero neighbors."""
+    import pytest
+
+    from flink_1_12_0_src_spark.pipeline.similarity import pq_fit_exact
+
+    vecs = spark.createDataFrame(
+        [(i + 100, [float(i)] * 8) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="seed ids"):
+        pq_fit_exact(vecs, dim=8, m=2, ksub=4)
