@@ -937,6 +937,122 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_d: int) ->
     )
 
 
+def pca_power_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """ENGINE-EXACT power iteration toward the top principal direction of
+    an embedding corpus — ``iters`` unrolled rounds over the (uncentered)
+    Gram matrix. Convergence to the eigenvector is spectrum-dependent
+    (rate (λ2/λ1)^t): on a corpus with a dominant direction a few rounds
+    suffice; on a near-isotropic corpus raise ``iters`` (each extra round
+    costs one tiny dim²-relation stage, never a corpus re-scan). The
+    Rayleigh estimate ``eigval`` is monotone in t and bounded by λ1
+    regardless. This is the
+    whitening/denoising primitive semantic-dedup pipelines run before
+    clustering (SemDeDup-family preprocessing), and the fourth member of
+    the iterative-training class (kmeans_fit_exact = Lloyd,
+    logreg_fit_exact = logistic GD, bpe_fit = merge loop): every iteration
+    is declared into ONE lazy plan, no collect between rounds.
+
+    Numerics: every rounding boundary uses explicit NANO-UNIT integers —
+    term = round(x · 10⁹, 0) as BIGINT, accumulated in exact integer
+    arithmetic and divided back by 10⁹ at use sites. A plain
+    ``round(x, 9)`` on a raw double is NOT engine-stable (Spark rounds
+    the exact decimal expansion of the double, DuckDB multiplies by 10⁹
+    first — they differ by one 10⁻⁹ ulp near boundaries, observed at
+    sf0.01); doing the 10⁹ multiply EXPLICITLY makes both engines round
+    the identical IEEE double to an integer. sqrt and divides are
+    correctly-rounded IEEE doubles, so loadings and eigenvalue are
+    bit-identical across engines and partitionings. Seed vector is the
+    uniform unit vector round(1/sqrt(dim), 9) — deterministic, and never
+    orthogonal to the top eigenvector of a Gram matrix (all-nonnegative
+    diagonal mass).
+
+    Scale (100 TB): the ONLY corpus-scale operation is the Gram aggregate
+    — outer-product terms derive ROW-LOCALLY (dim² structs per row, no
+    self-join of the exploded relation) and partial-aggregate map-side, so
+    the shuffle carries at most dim² rows per partition; every iteration
+    after that runs over the dim²-row Gram relation with one broadcast
+    vector row. Returns (pos, loading, eigval) with the Rayleigh-quotient
+    eigenvalue estimate repeated per row."""
+    if iters < 1:
+        raise ValueError("pca_power_exact: iters must be >= 1")
+    spark = df.sparkSession
+    scale = float(10**round_digits)
+
+    def nano(c):  # engine-stable round-to-9dp as an exact integer
+        return F.round(c * F.lit(scale), 0).cast("bigint")
+
+    v = _as_double(F.col(vec_col))
+    cells = F.explode(
+        F.flatten(
+            F.transform(
+                v,
+                lambda xi, i: F.transform(
+                    v,
+                    lambda xj, j: F.struct(
+                        i.alias("i"), j.alias("j"), nano(xi * xj).alias("xy")
+                    ),
+                ),
+            )
+        )
+    )
+    # integer nano-unit sums: decimal(28,0) keeps the sum exact far past
+    # int64 (DuckDB's HUGEINT equivalent)
+    gram = (
+        df.select(cells.alias("c"))
+        .select("c.i", "c.j", "c.xy")
+        .groupBy("i", "j")
+        .agg(
+            (F.sum(F.col("xy").cast("decimal(28,0)")).cast("double") / F.lit(scale))
+            .alias("g")
+        )
+    )
+    vcur = spark.range(dim).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(round(1.0 / dim**0.5, round_digits)).alias("v"),
+    )
+    w = nrm = None
+    for _ in range(iters):
+        vj = vcur.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+        w = (
+            gram.join(F.broadcast(vj), "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(nano(F.col("g") * F.col("vj")).cast("decimal(28,0)")).cast(
+                        "double"
+                    )
+                    / F.lit(scale)
+                ).alias("w")
+            )
+        )
+        nrm = w.groupBy().agg(
+            F.sqrt(
+                F.sum(nano(F.col("w") * F.col("w")).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / F.lit(scale)
+            ).alias("nrm")
+        )
+        vcur = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (nano(F.col("w") / F.col("nrm")) / F.lit(scale)).alias("v")
+        )
+    return w.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").cast("bigint").alias("pos"),
+        (nano(F.col("w") / F.col("nrm")) / F.lit(scale)).alias("loading"),
+        (
+            F.round(F.col("nrm") * F.lit(1000000.0), 0).cast("bigint")
+            / F.lit(1000000.0)
+        ).alias("eigval"),
+    )
+
+
 def pq_fit_exact(
     train: DataFrame,
     id_col: str = "vec_id",

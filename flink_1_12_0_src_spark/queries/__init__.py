@@ -278,6 +278,7 @@ _R10_NEW = (
     "stream_langid_confusion",
     "dataset_curriculum_pack",
     "dedup_family_agreement",
+    "embedding_pca_power",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -2868,6 +2868,70 @@ def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "dim")
 
 
+PCA_DIM, PCA_ITERS = 64, 8
+
+
+def _pca_power_oracle() -> str:
+    # nano-unit integer rounding everywhere (see pca_power_exact's numerics
+    # note): term = CAST(round(x * 1e9, 0) AS BIGINT), exact integer sums,
+    # /1e9 at use sites — a bare round(x, 9) on a double is not
+    # engine-stable
+    nano = "CAST(round(({x}) * 1000000000, 0) AS BIGINT)"
+    rnd = f"""
+pw{{i}} AS (SELECT g.i,
+                CAST(SUM({nano.format(x='g.g * v.v')}) AS DOUBLE) / 1000000000.0 AS w
+          FROM pg g JOIN pv{{p}} v ON g.j = v.i GROUP BY g.i),
+pn{{i}} AS (SELECT sqrt(CAST(SUM({nano.format(x='w * w')}) AS DOUBLE) / 1000000000.0) AS nrm
+          FROM pw{{i}}),
+pv{{i}} AS (SELECT i, {nano.format(x='w / nrm')} / 1000000000.0 AS v
+          FROM pw{{i}} CROSS JOIN pn{{i}})"""
+    rounds = ",".join(rnd.format(i=i + 1, p=i) for i in range(PCA_ITERS))
+    v0 = round(1.0 / PCA_DIM**0.5, 9)
+    return f"""
+WITH pt AS (SELECT vec_id, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings),
+pg AS (SELECT CAST(a.ord - 1 AS INTEGER) AS i, CAST(b.ord - 1 AS INTEGER) AS j,
+              CAST(SUM({nano.format(x='a.x * b.x')}) AS DOUBLE) / 1000000000.0 AS g
+       FROM pt a JOIN pt b USING (vec_id) GROUP BY 1, 2),
+pv0 AS (SELECT CAST(unnest(generate_series(0, {PCA_DIM - 1})) AS INTEGER) AS i, {v0} AS v),{rounds}
+SELECT CAST(w.i AS BIGINT) AS pos,
+       {nano.format(x='w.w / n.nrm')} / 1000000000.0 AS loading,
+       CAST(round(n.nrm * 1000000, 0) AS BIGINT) / 1000000.0 AS eigval
+FROM pw{PCA_ITERS} w CROSS JOIN pn{PCA_ITERS} n ORDER BY pos
+"""
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_power_oracle(),
+    tags=("pipeline", "similarity", "clustering"),
+    doc=f"Engine-exact POWER ITERATION toward the top principal direction "
+    f"(pipeline/similarity.py pca_power_exact): {PCA_ITERS} Gram "
+    "matrix-vector rounds from the uniform unit seed, declared into ONE "
+    "lazy plan — the fourth member of the iterative-training class "
+    "(Lloyd, logistic GD, BPE merges), and the whitening/denoising "
+    "primitive SemDeDup-style embedding pipelines run before clustering. "
+    "Convergence is spectrum-dependent ((λ2/λ1)^t); extra rounds cost one "
+    "dim²-relation stage each, never a corpus re-scan. "
+    f"The only corpus-scale operation is the {PCA_DIM}x{PCA_DIM} Gram "
+    "aggregate — outer-product cells derive ROW-LOCALLY (no self-join of "
+    "the exploded relation) and partial-aggregate map-side, so the "
+    "shuffle carries at most dim² rows per partition; every iteration "
+    "then runs over the dim²-row Gram with one broadcast vector row. "
+    "Rounded-then-DECIMAL Gram/matvec/norm accumulation plus "
+    "correctly-rounded IEEE sqrt/divide make loadings and the Rayleigh "
+    "eigenvalue bit-identical across engines and partitionings. Output "
+    "(pos, loading, eigval).",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.similarity import pca_power_exact
+
+    return pca_power_exact(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", PCA_DIM, PCA_ITERS
+    ).orderBy("pos")
+
+
 FUNNEL_STAGES = (
     "ingest",
     "lang_bench_gate",

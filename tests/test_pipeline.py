@@ -933,3 +933,39 @@ def test_pq_fit_exact_rejects_bad_seed_ids(spark):
     )
     with pytest.raises(ValueError, match="seed ids"):
         pq_fit_exact(vecs, dim=8, m=2, ksub=4)
+
+
+def test_pca_power_matches_numpy_twin_and_is_partition_invariant(spark, sf_dir):
+    """pca_power_exact's contract is t ENGINE-EXACT power rounds (like
+    kmeans_fit_exact's fixed Lloyd rounds — convergence is the caller's
+    spectrum-dependent knob), so the pin is: (a) loadings/eigval match a
+    float64 numpy twin of the SAME rounds to within the nano-rounding
+    budget, (b) the Rayleigh eigval never exceeds the true top eigenvalue,
+    and (c) the result is BIT-identical under repartitioning — the
+    nano-unit integer accumulation contract."""
+    import numpy as np
+
+    from flink_1_12_0_src_spark.pipeline.similarity import pca_power_exact
+    from flink_1_12_0_src_spark.queries.pipelineq import PCA_DIM, PCA_ITERS
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = pca_power_exact(emb, "vec_id", "embedding", PCA_DIM, PCA_ITERS).collect()
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["pos"])])
+    eig = rows[0]["eigval"]
+
+    X = np.array([list(r["embedding"]) for r in emb.collect()], dtype=np.float64)
+    G = X.T @ X
+    v = np.full(PCA_DIM, round(1.0 / PCA_DIM**0.5, 9))
+    for _ in range(PCA_ITERS):
+        w = G @ v
+        n = float(np.linalg.norm(w))
+        v = w / n
+    assert np.allclose(got, v, atol=1e-4), np.max(np.abs(got - v))
+    assert abs(eig - n) <= 1e-4 * n
+    top_val = float(np.linalg.eigh(G)[0][-1])
+    assert eig <= top_val * (1 + 1e-9)
+
+    re_rows = pca_power_exact(
+        emb.repartition(7), "vec_id", "embedding", PCA_DIM, PCA_ITERS
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, re_rows))
