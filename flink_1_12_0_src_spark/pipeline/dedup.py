@@ -540,6 +540,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 2,
+    num: int = 4,
+    den: int = 5,
+    max_shingle_freq: int | None = 64,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs within a blocking key — the
+    quotation/superset duplication class Jaccard misses (Broder 1997
+    separates resemblance from containment; Lee et al. 2022 §4 note
+    near-superset docs survive NearDup): C(A→B) = |A∩B| / |A| is high when
+    A is mostly quoted inside a much larger B even though Jaccard
+    |A∩B|/|A∪B| stays low. Same distinct-shingle space, hot-shingle df cap
+    and block-bounded intersect join as :func:`ngram_jaccard_pairs`; a
+    pair is kept when EITHER direction's containment reaches ``num/den``
+    (default 4/5 = 0.8), tested in EXACT integer cross-multiplication
+    (den·i ≥ num·|A|) so both engines make identical keep decisions.
+    Returns (id_a, id_b, c_ab, c_ba, jaccard) — c high with jaccard low is
+    the asymmetric class worth a different rewrite policy (drop the
+    contained doc, keep the superset)."""
+    grams = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.explode(shingles(text_col, shingle_k)).alias("sh"),
+        )
+        .distinct()
+    )
+    grams = _cap_hot_buckets(grams, ["blk", "sh"], max_shingle_freq)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    keep = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) | (
+        F.lit(den) * F.col("i") >= F.lit(num) * F.col("nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(keep)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
+            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -279,6 +279,7 @@ _R10_NEW = (
     "dataset_curriculum_pack",
     "dedup_family_agreement",
     "embedding_pca_power",
+    "dedup_ngram_containment",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -614,11 +614,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_oracle() -> str:
-    """Exact lang-blocked n-gram Jaccard pairs (nj-prefixed top CTEs) —
-    shared by dedup_ngram_jaccard and the family-agreement audit."""
-    return f"""
-WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+def _ngram_base_cte() -> str:
+    """Shared WITH-body of the exact lang-blocked n-gram machinery
+    (toks/grams0/freq/grams/sizes/inter) — one definition feeds the
+    Jaccard oracle, the containment oracle, and (nested) the
+    family-agreement audit."""
+    return f"""toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
 grams0 AS (
   SELECT DISTINCT doc_id, lang,
          unnest(list_transform(generate_series(0, len(w)-{NJ_SHINGLE_K}),
@@ -633,7 +634,14 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM grams a JOIN grams b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Exact lang-blocked n-gram Jaccard pairs — shared by
+    dedup_ngram_jaccard and the family-agreement audit."""
+    return f"""
+WITH {_ngram_base_cte()}
 SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) > {NJ_THRESHOLD}
@@ -655,6 +663,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
+    ).orderBy("id_a", "id_b")
+
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # keep when either containment >= 4/5
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH {{body}}
+SELECT id_a, id_b,
+       round(i / CAST(sa.n AS DOUBLE), 6) AS c_ab,
+       round(i / CAST(sb.n AS DOUBLE), 6) AS c_ba,
+       round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * sa.n
+   OR {CONTAIN_DEN} * i >= {CONTAIN_NUM} * sb.n
+ORDER BY id_a, id_b
+""".replace("{body}", "%s") % _ngram_base_cte(),
+    tags=("pipeline", "dedup"),
+    doc=f"Asymmetric n-gram CONTAINMENT pairs (pipeline/dedup.py "
+    "ngram_containment_pairs; Broder 1997 separates resemblance from "
+    "containment) — the quotation/superset duplication class Jaccard "
+    "misses: C(A->B) = |A∩B|/|A| is high when a small doc is mostly "
+    "quoted inside a much larger one even though |A∩B|/|A∪B| stays low, "
+    "so such pairs survive NearDup-style filters (Lee et al. 2022). Same "
+    f"lang-blocked distinct {NJ_SHINGLE_K}-gram space, hot-shingle df cap "
+    "and block-bounded intersect join as dedup_ngram_jaccard (one shared "
+    f"oracle CTE body); keep when either direction reaches "
+    f"{CONTAIN_NUM}/{CONTAIN_DEN}, tested in EXACT integer "
+    "cross-multiplication so both engines make identical keep decisions. "
+    "Output (id_a, id_b, c_ab, c_ba, jaccard) — c high with jaccard low "
+    "marks drop-the-contained-doc candidates.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, CONTAIN_NUM, CONTAIN_DEN,
+        NJ_MAX_DF,
     ).orderBy("id_a", "id_b")
 
 

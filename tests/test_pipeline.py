@@ -969,3 +969,31 @@ def test_pca_power_matches_numpy_twin_and_is_partition_invariant(spark, sf_dir):
         emb.repartition(7), "vec_id", "embedding", PCA_DIM, PCA_ITERS
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, re_rows))
+
+
+def test_ngram_containment_flags_quoted_superset_pair(spark):
+    """The asymmetric class, pinned directly: a small doc fully quoted
+    inside a much larger one has containment 1.0 in the small->large
+    direction but a LOW Jaccard — ngram_containment_pairs must flag it
+    while ngram_jaccard_pairs (threshold 0.3) misses it."""
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote, "en"), (2, quote + " " + filler, "en"),
+         (3, "totally unrelated words here truly", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(docs, "doc_id", "text", "lang").collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["c_ab"] == 1.0 and r["c_ba"] < 0.2 and r["jaccard"] < 0.2
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", "lang").collect()
+    assert all((p["id_a"], p["id_b"]) != (1, 2) for p in jac), "Jaccard should miss it"
