@@ -562,7 +562,104 @@ def ngram_containment_pairs(
     (den·i ≥ num·|A|) so both engines make identical keep decisions.
     Returns (id_a, id_b, c_ab, c_ba, jaccard) — c high with jaccard low is
     the asymmetric class worth a different rewrite policy (drop the
-    contained doc, keep the superset)."""
+    contained doc, keep the superset; :func:`containment_prune_report`)."""
+    keep = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) | (
+        F.lit(den) * F.col("i") >= F.lit(num) * F.col("nb")
+    )
+    return (
+        _containment_inter(df, id_col, text_col, block_col, shingle_k, max_shingle_freq)
+        .filter(keep)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
+            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def containment_prune_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    source_col: str,
+    shingle_k: int = 2,
+    num: int = 4,
+    den: int = 5,
+    max_shingle_freq: int | None = 64,
+) -> DataFrame:
+    """KEEP-SUPERSET pruning policy over :func:`ngram_containment_pairs` —
+    the curation stage the containment detector exists for: when a doc is
+    ``num/den``-contained in another doc with a STRICTLY larger shingle
+    set, drop the contained doc and keep the superset (the quote loses to
+    the document that quotes it); when two mutually-contained docs have
+    EQUAL shingle sets, keep the MIN id. Pairwise-greedy (a doc dropped
+    for being inside B is dropped even if B itself loses to C — the
+    standard one-pass policy; a fixpoint would need iteration for no
+    curation benefit). Returns the per-``source_col`` ledger
+    (source, n_docs, n_dropped, drop_rate, dropped_id_sum) —
+    dropped_id_sum is the exact checksum that pins WHICH docs were
+    dropped, not just how many.
+
+    Scale: identical join topology to the detector (block-bounded,
+    df-capped — never all-pairs); the drop set is a DISTINCT over flagged
+    ids and the ledger one sources-sized aggregate."""
+    pairs_i = (
+        _containment_inter(df, id_col, text_col, block_col, shingle_k, max_shingle_freq)
+    )
+    drop_a = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) & (
+        (F.col("na") < F.col("nb"))
+    )
+    drop_b = (
+        (F.lit(den) * F.col("i") >= F.lit(num) * F.col("nb"))
+        & (F.col("nb") < F.col("na"))
+    ) | (
+        (F.col("na") == F.col("nb"))
+        & (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na"))
+    )
+    dropped = (
+        pairs_i.select(F.when(drop_a, F.col("id_a")).alias("d1"),
+                       F.when(drop_b, F.col("id_b")).alias("d2"))
+        .select(F.explode(F.array("d1", "d2")).alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+    )
+    flagged = df.select(F.col(id_col), F.col(source_col).alias("src")).join(
+        dropped, id_col, "left_semi"
+    )
+    per_src = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    agg = flagged.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped"),
+        F.sum(id_col).cast("bigint").alias("dropped_id_sum"),
+    )
+    return per_src.join(agg, "src", "left").select(
+        F.col("src").alias("source"),
+        "n_docs",
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.coalesce("n_dropped", F.lit(0)) / F.col("n_docs").cast("double"), 6
+        ).alias("drop_rate"),
+        F.coalesce("dropped_id_sum", F.lit(0)).cast("bigint").alias("dropped_id_sum"),
+    )
+
+
+def _containment_inter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Shared (id_a, id_b, i, na, nb) intersect relation of the containment
+    family (detector + prune policy): distinct shingles, df cap, sizes,
+    block-bounded self-join."""
     grams = (
         _spread(df)
         .select(
@@ -587,23 +684,7 @@ def ngram_containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    keep = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) | (
-        F.lit(den) * F.col("i") >= F.lit(num) * F.col("nb")
-    )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(keep)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
-            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
-            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
-                "jaccard"
-            ),
-        )
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def embedding_neardup_pairs(

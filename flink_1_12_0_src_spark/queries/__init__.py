@@ -280,6 +280,7 @@ _R10_NEW = (
     "dedup_family_agreement",
     "embedding_pca_power",
     "dedup_ngram_containment",
+    "dedup_containment_prune",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

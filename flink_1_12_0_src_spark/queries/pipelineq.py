@@ -707,6 +707,56 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_containment_prune",
+    oracle=f"""
+WITH {{body}},
+pr AS (SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+       FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b),
+dropped AS (
+  SELECT DISTINCT did FROM (
+    SELECT CASE WHEN {CONTAIN_DEN} * i >= {CONTAIN_NUM} * na AND na < nb
+                THEN id_a END AS did FROM pr
+    UNION ALL
+    SELECT CASE WHEN ({CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb AND nb < na)
+                  OR (na = nb AND {CONTAIN_DEN} * i >= {CONTAIN_NUM} * na)
+                THEN id_b END FROM pr)
+  WHERE did IS NOT NULL),
+psrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+pdrop AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+                 CAST(SUM(dr.did) AS BIGINT) AS dropped_id_sum
+          FROM dropped dr JOIN documents s ON s.doc_id = dr.did GROUP BY s.source)
+SELECT psrc.source, psrc.n_docs,
+       CAST(COALESCE(pdrop.n_dropped, 0) AS BIGINT) AS n_dropped,
+       round(COALESCE(pdrop.n_dropped, 0) / CAST(psrc.n_docs AS DOUBLE), 6) AS drop_rate,
+       CAST(COALESCE(pdrop.dropped_id_sum, 0) AS BIGINT) AS dropped_id_sum
+FROM psrc LEFT JOIN pdrop USING (source) ORDER BY psrc.source
+""".replace("{body}", "%s") % _ngram_base_cte(),
+    tags=("pipeline", "dedup", "composed"),
+    doc="KEEP-SUPERSET pruning policy over the containment detector "
+    "(pipeline/dedup.py containment_prune_report) — the curation stage "
+    "dedup_ngram_containment exists for: a doc 4/5-contained in another "
+    "doc with a STRICTLY larger shingle set is dropped (the quote loses "
+    "to the document that quotes it); mutually-contained docs with equal "
+    "shingle sets keep the MIN id. Pairwise-greedy one-pass policy "
+    "(documented; a fixpoint would need iteration for no curation "
+    "benefit). Per-source ledger (n_docs, n_dropped, drop_rate, "
+    "dropped_id_sum) — the exact id-sum checksum pins WHICH docs were "
+    "dropped, not just how many. Same block-bounded df-capped join "
+    "topology as the detector; oracle shares the same CTE body, drop "
+    "decisions in exact integer cross-multiplication.",
+)
+def dedup_containment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import containment_prune_report
+
+    docs = table(spark, sf_dir, "documents")
+    return containment_prune_report(
+        docs, "doc_id", "text", "lang", "source", NJ_SHINGLE_K, CONTAIN_NUM,
+        CONTAIN_DEN, NJ_MAX_DF,
+    ).orderBy("source")
+
+
 def _fingerprint_oracle() -> str:
     mins = ", ".join(
         f"MIN(substr(md5('{s}|' || g), 1, 16)) AS m{s}" for s in range(FP_NUM_MINS)

@@ -997,3 +997,32 @@ def test_ngram_containment_flags_quoted_superset_pair(spark):
     assert r["c_ab"] == 1.0 and r["c_ba"] < 0.2 and r["jaccard"] < 0.2
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", "lang").collect()
     assert all((p["id_a"], p["id_b"]) != (1, 2) for p in jac), "Jaccard should miss it"
+
+
+def test_containment_prune_keeps_superset_and_min_id(spark):
+    """The pruning policy, pinned on a hand fixture: the quoted doc loses
+    to its superset; two identical-set docs keep the MIN id; unrelated
+    docs survive; the ledger's dropped_id_sum pins WHICH ids dropped."""
+    from flink_1_12_0_src_spark.pipeline.dedup import containment_prune_report
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote, "en", "s1"),              # contained in 2 -> dropped
+            (2, quote + " " + filler, "en", "s1"),  # superset -> kept
+            (5, "mirror twin words here now", "en", "s2"),  # equal sets:
+            (6, "mirror twin words here now", "en", "s2"),  # 5 kept, 6 dropped
+            (9, "totally unrelated content words", "en", "s3"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dropped"], r["dropped_id_sum"])
+        for r in containment_prune_report(
+            docs, "doc_id", "text", "lang", "source"
+        ).collect()
+    }
+    assert got["s1"] == (2, 1, 1)   # doc 1 dropped
+    assert got["s2"] == (2, 1, 6)   # MIN id 5 kept, 6 dropped
+    assert got["s3"] == (1, 0, 0)
