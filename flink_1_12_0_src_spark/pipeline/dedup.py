@@ -847,6 +847,98 @@ def duplicated_spans(
     return out
 
 
+def exact_substring_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """ExactSubstr SURVIVOR REWRITE — remove all but one copy of every
+    cross-doc duplicated token window (Lee et al. 2022 §4.1 remove the
+    duplicated substring itself rather than dropping documents), the
+    rewrite stage :func:`duplicated_spans` is the audit for: per
+    duplicated window hash the (MIN doc, then MIN pos) occurrence is the
+    KEEPER, every other occurrence's covered positions are removed, and
+    each document is reassembled from its surviving tokens in position
+    order. Per-hash keepers approximate the paper's maximal-span suffix
+    array walk: a keeper-of-X position overlapped by a non-keeper-of-Y
+    occurrence is still removed (conservative, deterministic, and
+    engine-portable). A fully-duplicated non-keeper doc rewrites to ''.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Scale: same linear window-hash topology as duplicated_spans (one
+    hash-keyed aggregate for keepers — MIN is decomposable — one equi
+    join to flag occurrences, one (id, pos)-keyed distinct, one anti join,
+    one per-doc reassembly aggregate; no self-join anywhere)."""
+    base = (
+        _spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("w"))
+        .select(id_col, "w", F.size("w").alias("n_tokens"))
+    )
+    base_stats = base.select(id_col, "n_tokens")
+    if materialize:
+        base_stats = base_stats.localCheckpoint(eager=True)
+    m = F.col("n_tokens") - F.lit(window - 1)
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.array_join(F.slice("w", i, F.lit(window)), " ")).alias(
+                            "gh"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    keepers = (
+        wins.groupBy("gh")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias("k"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "k.kid", "k.kpos")
+    )
+    flagged = wins.join(keepers, "gh").filter(
+        ~((F.col(id_col) == F.col("kid")) & (F.col("pos") == F.col("kpos")))
+    )
+    rm = (
+        flagged.select(
+            id_col, F.explode(F.sequence("pos", F.col("pos") + window - 1)).alias("ti")
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode("w").alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("ti"), "tok")
+    kept = toks.join(rm, [id_col, "ti"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return base_stats.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def semantic_prune(
     df: DataFrame,
     id_col: str,

@@ -281,6 +281,7 @@ _R10_NEW = (
     "embedding_pca_power",
     "dedup_ngram_containment",
     "dedup_containment_prune",
+    "dedup_substring_rewrite",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1859,6 +1859,64 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_rewrite",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+wp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(w) - {SPAN_WINDOW - 1}, 0))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(w) - {SPAN_WINDOW - 1}, 0)),
+                i -> md5(array_to_string(w[i:i+{SPAN_WINDOW - 1}], ' ')))) AS gh
+  FROM base
+),
+dgh AS (SELECT gh FROM wp GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT wp.* FROM wp JOIN dgh USING (gh)),
+keep1 AS (SELECT gh, MIN(doc_id) AS kid FROM occ GROUP BY gh),
+keep2 AS (SELECT o.gh, k.kid, MIN(o.pos) AS kpos
+          FROM occ o JOIN keep1 k ON o.gh = k.gh AND o.doc_id = k.kid
+          GROUP BY 1, 2),
+flag AS (SELECT o.doc_id, o.pos FROM occ o JOIN keep2 k USING (gh)
+         WHERE NOT (o.doc_id = k.kid AND o.pos = k.kpos)),
+rm AS (SELECT DISTINCT doc_id, ti
+       FROM (SELECT doc_id, unnest(generate_series(pos, pos + {SPAN_WINDOW - 1})) AS ti
+             FROM flag)),
+toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS ti FROM base),
+keptt AS (SELECT t.doc_id, t.ti, t.tok FROM toks t
+          LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.ti = t.ti
+          WHERE rm.ti IS NULL),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY ti) AS clean_text
+        FROM keptt GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+""",
+    tags=("pipeline", "dedup", "composed"),
+    doc=f"ExactSubstr SURVIVOR REWRITE (pipeline/dedup.py "
+    "exact_substring_rewrite; Lee et al. 2022 §4.1 remove the duplicated "
+    "substring itself, not the document) — the rewrite stage "
+    "dedup_exact_substring is the audit for: per cross-doc duplicated "
+    f"{SPAN_WINDOW}-token window hash, the (MIN doc, MIN pos) occurrence "
+    "is the KEEPER; every other occurrence's covered positions are "
+    "removed and each document reassembles from its surviving tokens in "
+    "position order (a fully-duplicated non-keeper doc rewrites to ''). "
+    "Per-hash keepers approximate the paper's maximal-span suffix-array "
+    "walk — conservative, deterministic, engine-portable. Linear "
+    "topology: one hash-keyed keeper aggregate (MIN is decomposable), "
+    "one flag join, one coverage distinct, one anti join, one per-doc "
+    "reassembly — no self-join anywhere.",
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
+
+    return exact_substring_rewrite(
+        table(spark, sf_dir, "documents"), "doc_id", "text", window=SPAN_WINDOW
+    ).orderBy("doc_id")
+
+
+@register(
     "dataset_temperature_mix",
     oracle="""
 WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

@@ -544,6 +544,19 @@ def golden_plan_providers() -> dict:
 
     providers["pipeline_quality_fit"] = _lazy_quality_fit
     providers["pipeline_quality_eval"] = _lazy_quality_score
+    def _lazy_substring_rewrite(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
+
+        return exact_substring_rewrite(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            window=SPAN_WINDOW,
+            materialize=False,
+        ).orderBy("doc_id")
+
+    providers["dedup_substring_rewrite"] = _lazy_substring_rewrite
     providers["pipeline_quality_roc"] = _lazy_quality_roc
     providers["pipeline_quality_calibration"] = _lazy_quality_calibration
     providers["dedup_family_agreement"] = _lazy_family_agreement

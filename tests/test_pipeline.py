@@ -1026,3 +1026,31 @@ def test_containment_prune_keeps_superset_and_min_id(spark):
     assert got["s1"] == (2, 1, 1)   # doc 1 dropped
     assert got["s2"] == (2, 1, 6)   # MIN id 5 kept, 6 dropped
     assert got["s3"] == (1, 0, 0)
+
+
+def test_exact_substring_rewrite_keeps_one_copy(spark):
+    """The ExactSubstr rewrite policy on a hand fixture: the MIN-doc copy
+    of a shared 8-token span survives verbatim, the other copy loses
+    exactly the span, a doc that IS the span rewrites to '', and unique
+    docs pass through unchanged."""
+    from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
+
+    span = " ".join(f"s{i}" for i in range(8))
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + uniq),  # keeper: survives whole
+            (2, "pre1 pre2 " + span + " post1"),  # loses the span only
+            (3, span),  # entirely the span -> ''
+            (4, "wholly unrelated words only here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_rewrite(docs, "doc_id", "text", window=8).collect()
+    }
+    assert got[1] == (16, 0, span + " " + uniq)
+    assert got[2] == (11, 8, "pre1 pre2 post1")
+    assert got[3] == (8, 8, "")
+    assert got[4] == (5, 0, "wholly unrelated words only here")
