@@ -703,3 +703,40 @@ def test_bpe_merge_fold_matches_python_reference(spark, pair, words):
     )
     for r in got:
         assert r["s"] == _py_bpe_merge(list(r["w"]), a, b), (r["w"], a, b)
+
+
+@given(texts=DOC_TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_substring_rewrite_matches_bruteforce(spark, texts):
+    """Brute-force twin of the ExactSubstr survivor rewrite: per cross-doc
+    duplicated W-window, the (MIN doc, MIN pos) occurrence keeps its
+    positions; every other occurrence's positions are removed; survivors
+    reassemble in order."""
+    from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
+
+    W = 3
+    docs = list(enumerate(texts))
+    wins: dict[str, list[tuple[int, int]]] = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - W + 1):
+            wins.setdefault(" ".join(toks[p : p + W]), []).append((i, p))
+    removed: dict[int, set[int]] = {i: set() for i, _ in docs}
+    for occ in wins.values():
+        if len({d for d, _ in occ}) < 2:
+            continue
+        keeper = min(occ)
+        for d, p in occ:
+            if (d, p) != keeper:
+                removed[d].update(range(p, p + W))
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        kept = [w for p, w in enumerate(toks) if p not in removed[i]]
+        expect[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_rewrite(df, "doc_id", "text", window=W).collect()
+    }
+    assert got == expect
