@@ -880,8 +880,27 @@ def exact_substring_rewrite(
     base_stats = base.select(id_col, "n_tokens")
     if materialize:
         base_stats = base_stats.localCheckpoint(eager=True)
+    wins = window_occurrences(df, id_col, text_col, window)
+    return substring_rewrite_from_occurrences(
+        wins, base, base_stats, id_col, window
+    )
+
+
+def window_occurrences(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, gh) row per ``window``-token window occurrence — row-local
+    derivation (runs unchanged on a streaming scan), the state shape the
+    ExactSubstr twin maintains incrementally. Same hashing as
+    :func:`duplicated_spans`."""
+    # _spread probes df.rdd, which a streaming frame forbids; the streaming
+    # scan's micro-batch splits already provide the parallelism
+    src = df if df.isStreaming else _spread(df)
+    base = src.select(F.col(id_col), tokens(text_col).alias("w")).select(
+        id_col, "w", F.size("w").alias("n_tokens")
+    )
     m = F.col("n_tokens") - F.lit(window - 1)
-    wins = base.select(
+    return base.select(
         id_col,
         F.explode(
             F.when(
@@ -898,6 +917,18 @@ def exact_substring_rewrite(
             ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
         ).alias("s"),
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+
+
+def substring_rewrite_from_occurrences(
+    wins: DataFrame,
+    base: DataFrame,
+    base_stats: DataFrame,
+    id_col: str,
+    window: int,
+) -> DataFrame:
+    """The keeper/removal/reassembly TAIL of :func:`exact_substring_rewrite`
+    over an explicit occurrence relation — shared with the streaming twin,
+    whose grouped-aggregate snapshot IS the occurrence set."""
     keepers = (
         wins.groupBy("gh")
         .agg(

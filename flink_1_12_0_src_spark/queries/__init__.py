@@ -282,6 +282,7 @@ _R10_NEW = (
     "dedup_ngram_containment",
     "dedup_containment_prune",
     "dedup_substring_rewrite",
+    "stream_substring_rewrite",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1858,9 +1858,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "dedup_substring_rewrite",
-    oracle=f"""
+# ONE constant shared by the batch rewrite (dedup_substring_rewrite) and its
+# streaming twin (stream_substring_rewrite, queries/streamingq.py): the
+# occurrence set is a pure function of the corpus, so the twin's snapshot
+# rewrite equals the batch rewrite exactly.
+SUBSTRING_REWRITE_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
 wp AS (
@@ -1892,7 +1894,12 @@ SELECT b.doc_id, b.n_tokens,
        CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(a.clean_text, '') AS clean_text
 FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_substring_rewrite",
+    oracle=SUBSTRING_REWRITE_ORACLE,
     tags=("pipeline", "dedup", "composed"),
     doc=f"ExactSubstr SURVIVOR REWRITE (pipeline/dedup.py "
     "exact_substring_rewrite; Lee et al. 2022 §4.1 remove the duplicated "

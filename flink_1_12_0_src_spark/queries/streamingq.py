@@ -1805,6 +1805,7 @@ from flink_1_12_0_src_spark.queries.pipelineq import (
     INCREMENTAL_ADMIT_ORACLE,
     LANGID_CONFUSION_ORACLE,
     QUALITY_EVAL_ORACLE,
+    SUBSTRING_REWRITE_ORACLE,
     URL_DEDUP_ORACLE,
     NEARDEDUP_KEEPFIRST_ORACLE,
     PACK_EFFICIENCY_ORACLE,
@@ -2118,6 +2119,57 @@ def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view (same as the other twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     return source_diversity_from_counts(snap, "lang").orderBy("lang")
+
+
+@register(
+    "stream_substring_rewrite",
+    oracle=SUBSTRING_REWRITE_ORACLE,
+    tags=("streaming", "pipeline", "dedup"),
+    doc="ExactSubstr-rewrite-on-a-stream — the 13th streaming twin: the "
+    "window OCCURRENCE SET of dedup_substring_rewrite ((doc, pos, "
+    "window-hash) triples, derived ROW-LOCALLY inside the streaming scan "
+    "via window_occurrences) is maintained incrementally by a streaming "
+    "grouped aggregate (the distinct-triple-set pattern of "
+    "stream_retention_cohorts — the occurrence set is the MINIMAL exact "
+    "state for keeper election, since a late-arriving lower-(doc,pos) "
+    "occurrence can retroactively re-elect any hash's keeper), and the "
+    "shared keeper/removal/reassembly tail "
+    "(substring_rewrite_from_occurrences) runs on the final snapshot "
+    "against the static documents relation. The occurrence set is a pure "
+    "function of the corpus — COUNT over (doc,pos,gh) keys is order- and "
+    "batching-insensitive — so the rewrite equals the batch operator "
+    "exactly under any delivery schedule; shares ONE oracle constant "
+    "with the batch half.",
+)
+def stream_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        substring_rewrite_from_occurrences,
+        window_occurrences,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import tokens
+    from flink_1_12_0_src_spark.queries.pipelineq import SPAN_WINDOW
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    occ = window_occurrences(s, "doc_id", "text", SPAN_WINDOW)
+    g = occ.groupBy("doc_id", "pos", "gh").agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: the rewrite tail joins/aggregates over the snapshot
+    # several times (same memory-sink-view limitation as the other twins)
+    snap = (
+        run_to_batch(g, "complete")
+        .select("doc_id", "pos", "gh")
+        .localCheckpoint(eager=True)
+    )
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n_tokens")
+    )
+    return substring_rewrite_from_occurrences(
+        snap, base, base.select("doc_id", "n_tokens"), "doc_id", SPAN_WINDOW
+    ).orderBy("doc_id")
 
 
 @register(

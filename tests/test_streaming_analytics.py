@@ -35,6 +35,7 @@ def _rows(df):
         ("stream_contamination_matrix", "text_contamination_matrix"),
         ("stream_source_diversity", "text_source_diversity"),
         ("stream_langid_confusion", "text_langid_confusion"),
+        ("stream_substring_rewrite", "dedup_substring_rewrite"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -200,4 +201,31 @@ def test_langid_confusion_state_is_boundary_and_order_invariant(spark):
     one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(1, 3, 0, 2)))
+    assert one == four == scrambled
+
+
+def test_substring_occurrence_state_is_boundary_and_order_invariant(spark):
+    """The ExactSubstr twin's streaming state — the distinct (doc, pos,
+    window-hash) occurrence set — is a pure function of the corpus: the
+    derivation is row-local and COUNT over the triple keys is order- and
+    batching-insensitive, so one trigger, four triggers, and scrambled
+    delivery yield identical state (hence identical keeper election)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import window_occurrences
+    from flink_1_12_0_src_spark.queries.pipelineq import SPAN_WINDOW
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        occ = window_occurrences(src, "doc_id", "text", SPAN_WINDOW)
+        g = occ.groupBy("doc_id", "pos", "gh").agg(F.count(F.lit(1)).alias("n"))
+        return _rows(run_to_batch(g, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 0, 2, 1)))
     assert one == four == scrambled
