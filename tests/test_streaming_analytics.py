@@ -229,3 +229,83 @@ def test_substring_occurrence_state_is_boundary_and_order_invariant(spark):
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 0, 2, 1)))
     assert one == four == scrambled
+
+
+def test_url_admit_state_is_boundary_and_order_invariant(spark):
+    """The URL-admission twin's streaming state — per (host, canonical url,
+    raw url) triple the MIN doc id and doc count — is a pure function of
+    the corpus (MIN and COUNT are order- and batching-insensitive), so one
+    trigger, four triggers, and scrambled delivery yield identical state,
+    hence identical keep-first admission."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import url_normalize
+    from flink_1_12_0_src_spark.queries.pipelineq import _synth_url_col
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        s = src.select("doc_id", _synth_url_col().alias("url"))
+        host = F.regexp_replace(
+            F.lower(F.parse_url(F.col("url"), F.lit("AUTHORITY"))), ":[0-9]+$", ""
+        )
+        g = s.select(
+            "doc_id", host.alias("host"), url_normalize("url").alias("curl"), "url"
+        ).groupBy("host", "curl", "url").agg(
+            F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+        )
+        return _rows(run_to_batch(g, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(2, 3, 0, 1)))
+    assert one == four == scrambled
+
+
+def test_quality_filter_state_is_boundary_and_order_invariant(spark):
+    """The deployed-filter twin's streaming state — the 4 confusion
+    counters over row-locally scored documents — is a pure function of the
+    corpus (the score is row-local, the counters order-free), so delivery
+    schedule cannot move the confusion report."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.classifier import (
+        logreg_fit_exact,
+        logreg_score_stream,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import quality_score
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        QF_LABEL_THR,
+        QF_LR,
+        QF_NB,
+        QF_ROUNDS,
+    )
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    docs = table(spark, SF, "documents")
+    labeled = quality_score(docs, "doc_id", "text", keep=["text"]).select(
+        "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+    )
+    w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
+
+    def snapshot(src):
+        s_labeled = quality_score(src, "doc_id", "text", keep=["text"]).select(
+            "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
+        )
+        scored = logreg_score_stream(
+            s_labeled, w, "doc_id", "text", QF_NB, keep=["label"]
+        )
+        g = scored.groupBy("predicted", "label").agg(F.count(F.lit(1)).alias("c"))
+        return _rows(run_to_batch(g, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(1, 0, 3, 2)))
+    assert one == scrambled
