@@ -283,6 +283,7 @@ _R10_NEW = (
     "dedup_containment_prune",
     "dedup_substring_rewrite",
     "stream_substring_rewrite",
+    "pipeline_refinedweb_substr",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

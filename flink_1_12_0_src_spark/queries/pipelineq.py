@@ -1858,12 +1858,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# ONE constant shared by the batch rewrite (dedup_substring_rewrite) and its
-# streaming twin (stream_substring_rewrite, queries/streamingq.py): the
-# occurrence set is a pure function of the corpus, so the twin's snapshot
-# rewrite equals the batch rewrite exactly.
-SUBSTRING_REWRITE_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+def _substring_cte_body(src: str = "documents", text: str = "text") -> str:
+    """WITH-body of the ExactSubstr rewrite chain (t/base/wp/dgh/occ/keep1/
+    keep2/flag/rm/toks/keptt/agg) over relation ``src``'s ``text`` column —
+    shared by the standalone rewrite oracle, its streaming twin, and the
+    composed RefinedWeb+substring capstone."""
+    return f"""t AS (SELECT doc_id, string_split(lower({text}), ' ') AS w FROM {src}),
 base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
 wp AS (
   SELECT doc_id,
@@ -1889,7 +1889,15 @@ keptt AS (SELECT t.doc_id, t.ti, t.tok FROM toks t
           WHERE rm.ti IS NULL),
 agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
                string_agg(tok, ' ' ORDER BY ti) AS clean_text
-        FROM keptt GROUP BY doc_id)
+        FROM keptt GROUP BY doc_id)"""
+
+
+# ONE constant shared by the batch rewrite (dedup_substring_rewrite) and its
+# streaming twin (stream_substring_rewrite, queries/streamingq.py): the
+# occurrence set is a pure function of the corpus, so the twin's snapshot
+# rewrite equals the batch rewrite exactly.
+SUBSTRING_REWRITE_ORACLE = f"""
+WITH {_substring_cte_body()}
 SELECT b.doc_id, b.n_tokens,
        CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(a.clean_text, '') AS clean_text
@@ -4614,6 +4622,120 @@ def calibration_from_scored(scored: DataFrame) -> DataFrame:
             F.round(F.col("werr").cast("double") / F.col("total"), 6).alias("ece"),
         )
         .orderBy("bin")
+    )
+
+
+def _refinedweb_substr_oracle() -> str:
+    return f"""
+WITH fin AS (SELECT doc_id, clean_text FROM ({_refinedweb_url_oracle()})),
+{_substring_cte_body(src="fin", text="clean_text")},
+sdoc AS (SELECT b.doc_id, b.n_tokens,
+                CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+         FROM base b LEFT JOIN agg a USING (doc_id)),
+xsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_in FROM documents GROUP BY source),
+xout AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_out,
+                CAST(SUM(s.n_tokens) AS BIGINT) AS clean_tokens,
+                CAST(SUM(s.n_removed) AS BIGINT) AS substr_removed,
+                CAST(SUM(s.n_tokens - s.n_removed) AS BIGINT) AS final_tokens
+         FROM sdoc s JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT xsrc.source, xsrc.n_docs_in,
+       CAST(COALESCE(xout.n_docs_out, 0) AS BIGINT) AS n_docs_out,
+       CAST(COALESCE(xout.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+       CAST(COALESCE(xout.substr_removed, 0) AS BIGINT) AS substr_removed,
+       CAST(COALESCE(xout.final_tokens, 0) AS BIGINT) AS final_tokens,
+       round(COALESCE(xout.substr_removed, 0)
+             / CAST(NULLIF(xout.clean_tokens, 0) AS DOUBLE), 6) AS removed_frac
+FROM xsrc LEFT JOIN xout USING (source) ORDER BY xsrc.source
+"""
+
+
+@register(
+    "pipeline_refinedweb_substr",
+    oracle=_refinedweb_substr_oracle(),
+    tags=("pipeline", "dedup", "composed"),
+    doc="FOUR-level curation capstone — the pipeline_refinedweb_url chain "
+    "(URL keep-first -> doc-level near-dedup admission -> paragraph-"
+    "survivor rewrite -> content floor) with the ExactSubstr SURVIVOR "
+    "REWRITE as the final polish pass over the CLEANED text (Lee et al. "
+    "2022 run ExactSubstr alongside NearDup precisely because banded "
+    "near-dedup misses short verbatim spans inside otherwise-distinct "
+    "documents): per source, docs in/out, clean-stage tokens, tokens the "
+    "substring stage removed, final tokens, and the removed fraction — "
+    "the marginal-value report of adding ExactSubstr to an "
+    "already-deduplicated corpus. The oracle nests the flagship-variant "
+    "oracle verbatim and the shared substring CTE body "
+    "(_substring_cte_body over fin/clean_text), so no stage can drift "
+    "from its standalone operator. Scale: each stage strictly shrinks "
+    "what the next scans; the substring pass is linear (no self-join).",
+)
+def pipeline_refinedweb_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        exact_substring_rewrite,
+        neardedup_keep_first,
+        paragraph_dedup_rewrite,
+        url_keep_first,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ukept = url_keep_first(
+        docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
+    ).select("doc_id", "text")
+    adm = neardedup_keep_first(
+        ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
+    )
+    survivors = ukept.join(
+        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    try:
+        cleaned = paragraph_dedup_rewrite(
+            survivors,
+            "doc_id",
+            "text",
+            block=PARA_BLOCK,
+            num_hashes=MH_NUM_HASHES,
+            shingle_k=MH_SHINGLE_K,
+            band_rows=MH_BAND_ROWS,
+            max_bucket=MH_MAX_BUCKET,
+        )
+    finally:
+        survivors.unpersist()
+    fin = cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).select("doc_id", "clean_text")
+    sdoc = exact_substring_rewrite(
+        fin, "doc_id", "clean_text", window=SPAN_WINDOW
+    ).select("doc_id", "n_tokens", "n_removed")
+    xout = (
+        sdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_out"),
+            F.sum("n_tokens").cast("bigint").alias("clean_tokens"),
+            F.sum("n_removed").cast("bigint").alias("substr_removed"),
+            F.sum(F.col("n_tokens") - F.col("n_removed"))
+            .cast("bigint")
+            .alias("final_tokens"),
+        )
+    )
+    xsrc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in")
+    )
+    return (
+        xsrc.join(xout, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            F.coalesce("n_docs_out", F.lit(0)).cast("bigint").alias("n_docs_out"),
+            F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias("clean_tokens"),
+            F.coalesce("substr_removed", F.lit(0))
+            .cast("bigint")
+            .alias("substr_removed"),
+            F.coalesce("final_tokens", F.lit(0)).cast("bigint").alias("final_tokens"),
+            F.round(
+                F.coalesce("substr_removed", F.lit(0))
+                / F.nullif(F.col("clean_tokens"), F.lit(0)).cast("double"),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
     )
 
 

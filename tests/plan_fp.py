@@ -556,6 +556,32 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("doc_id")
 
+    def _lazy_refinedweb_substr(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
+
+        docs = table(spark, sf_dir, "documents")
+        fin = _lazy_url_chain(spark, sf_dir).select("doc_id", "clean_text")
+        sdoc = exact_substring_rewrite(
+            fin, "doc_id", "clean_text", window=SPAN_WINDOW, materialize=False
+        ).select("doc_id", "n_tokens", "n_removed")
+        xout = (
+            sdoc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_out"),
+                F.sum("n_tokens").cast("bigint").alias("clean_tokens"),
+                F.sum("n_removed").cast("bigint").alias("substr_removed"),
+            )
+        )
+        xsrc = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_in")
+        )
+        return xsrc.join(xout, "source", "left").orderBy("source")
+
+    providers["pipeline_refinedweb_substr"] = _lazy_refinedweb_substr
     providers["dedup_substring_rewrite"] = _lazy_substring_rewrite
     providers["pipeline_quality_roc"] = _lazy_quality_roc
     providers["pipeline_quality_calibration"] = _lazy_quality_calibration
