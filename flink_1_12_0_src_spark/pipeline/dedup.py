@@ -608,9 +608,28 @@ def containment_prune_report(
     Scale: identical join topology to the detector (block-bounded,
     df-capped — never all-pairs); the drop set is a DISTINCT over flagged
     ids and the ledger one sources-sized aggregate."""
-    pairs_i = (
-        _containment_inter(df, id_col, text_col, block_col, shingle_k, max_shingle_freq)
+    grams = gram_rows(df, id_col, text_col, block_col, shingle_k).distinct()
+    return containment_prune_from_grams(
+        grams, df, id_col, source_col, num, den, max_shingle_freq
     )
+
+
+def containment_prune_from_grams(
+    grams: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    num: int = 4,
+    den: int = 5,
+    max_shingle_freq: int | None = 64,
+) -> DataFrame:
+    """:func:`containment_prune_report`'s policy/ledger TAIL over an
+    explicit distinct (id, blk, sh) gram relation — shared with the
+    streaming twin, whose grouped-aggregate snapshot IS the gram set (the
+    df cap applies to the final set here, so batch and twin cap
+    identically)."""
+    df = docs
+    pairs_i = _inter_from_grams(grams, id_col, max_shingle_freq)
     drop_a = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) & (
         (F.col("na") < F.col("nb"))
     )
@@ -649,6 +668,20 @@ def containment_prune_report(
     )
 
 
+def gram_rows(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, blk, sh) row per shingle occurrence — ROW-LOCAL derivation
+    (runs unchanged on a streaming scan; the caller deduplicates, either
+    via .distinct() in batch or a grouped-aggregate state in the twin)."""
+    src = df if df.isStreaming else _spread(df)
+    return src.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.explode(shingles(text_col, shingle_k)).alias("sh"),
+    )
+
+
 def _containment_inter(
     df: DataFrame,
     id_col: str,
@@ -660,15 +693,16 @@ def _containment_inter(
     """Shared (id_a, id_b, i, na, nb) intersect relation of the containment
     family (detector + prune policy): distinct shingles, df cap, sizes,
     block-bounded self-join."""
-    grams = (
-        _spread(df)
-        .select(
-            F.col(id_col),
-            F.col(block_col).alias("blk"),
-            F.explode(shingles(text_col, shingle_k)).alias("sh"),
-        )
-        .distinct()
+    return _inter_from_grams(
+        gram_rows(df, id_col, text_col, block_col, shingle_k).distinct(),
+        id_col,
+        max_shingle_freq,
     )
+
+
+def _inter_from_grams(
+    grams: DataFrame, id_col: str, max_shingle_freq: int | None
+) -> DataFrame:
     grams = _cap_hot_buckets(grams, ["blk", "sh"], max_shingle_freq)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")

@@ -284,6 +284,7 @@ _R10_NEW = (
     "dedup_substring_rewrite",
     "stream_substring_rewrite",
     "pipeline_refinedweb_substr",
+    "stream_containment_prune",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -707,9 +707,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_containment_prune",
-    oracle=f"""
+# ONE constant shared by the batch prune ledger (dedup_containment_prune)
+# and its streaming twin (stream_containment_prune, queries/streamingq.py):
+# the distinct gram set is a pure function of the corpus, so the twin's
+# snapshot ledger equals the batch ledger exactly.
+CONTAINMENT_PRUNE_ORACLE = f"""
 WITH {{body}},
 pr AS (SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
        FROM inter JOIN sizes sa ON sa.doc_id = id_a
@@ -732,7 +734,12 @@ SELECT psrc.source, psrc.n_docs,
        round(COALESCE(pdrop.n_dropped, 0) / CAST(psrc.n_docs AS DOUBLE), 6) AS drop_rate,
        CAST(COALESCE(pdrop.dropped_id_sum, 0) AS BIGINT) AS dropped_id_sum
 FROM psrc LEFT JOIN pdrop USING (source) ORDER BY psrc.source
-""".replace("{body}", "%s") % _ngram_base_cte(),
+""".replace("{body}", "%s") % _ngram_base_cte()
+
+
+@register(
+    "dedup_containment_prune",
+    oracle=CONTAINMENT_PRUNE_ORACLE,
     tags=("pipeline", "dedup", "composed"),
     doc="KEEP-SUPERSET pruning policy over the containment detector "
     "(pipeline/dedup.py containment_prune_report) — the curation stage "

@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
     LANGID_CONFUSION_ORACLE,
@@ -2119,6 +2120,61 @@ def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view (same as the other twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     return source_diversity_from_counts(snap, "lang").orderBy("lang")
+
+
+@register(
+    "stream_containment_prune",
+    oracle=CONTAINMENT_PRUNE_ORACLE,
+    tags=("streaming", "pipeline", "dedup"),
+    doc="Containment-prune-on-a-stream — the 14th streaming twin: the "
+    "distinct (doc, block, shingle) GRAM SET of dedup_containment_prune "
+    "(derived ROW-LOCALLY inside the streaming scan via gram_rows) is "
+    "maintained incrementally by a streaming grouped aggregate, and the "
+    "shared keep-superset policy/ledger tail "
+    "(containment_prune_from_grams — hot-shingle df cap, block-bounded "
+    "intersect join, integer-exact drop decisions) runs on the final "
+    "snapshot against the static documents relation. The gram set is a "
+    "pure function of the corpus (COUNT over the triple keys is order- "
+    "and batching-insensitive) and the df cap applies to the FINAL set, "
+    "so the ledger equals the batch operator exactly under any delivery "
+    "schedule; shares ONE oracle constant with the batch half.",
+)
+def stream_containment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        containment_prune_from_grams,
+        gram_rows,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        NJ_MAX_DF,
+        NJ_SHINGLE_K,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = (
+        gram_rows(s, "doc_id", "text", "lang", NJ_SHINGLE_K)
+        .groupBy("doc_id", "blk", "sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # localCheckpoint: the prune tail self-joins the snapshot (same
+    # memory-sink-view limitation as the other twins)
+    snap = (
+        run_to_batch(g, "complete")
+        .select("doc_id", "blk", "sh")
+        .localCheckpoint(eager=True)
+    )
+    return containment_prune_from_grams(
+        snap,
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        CONTAIN_NUM,
+        CONTAIN_DEN,
+        NJ_MAX_DF,
+    ).orderBy("source")
 
 
 @register(

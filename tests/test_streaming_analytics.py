@@ -36,6 +36,7 @@ def _rows(df):
         ("stream_source_diversity", "text_source_diversity"),
         ("stream_langid_confusion", "text_langid_confusion"),
         ("stream_substring_rewrite", "dedup_substring_rewrite"),
+        ("stream_containment_prune", "dedup_containment_prune"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -309,3 +310,34 @@ def test_quality_filter_state_is_boundary_and_order_invariant(spark):
     one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(1, 0, 3, 2)))
     assert one == scrambled
+
+
+def test_containment_gram_state_is_boundary_and_order_invariant(spark):
+    """The containment-prune twin's streaming state — the distinct
+    (doc, block, shingle) gram set — is a pure function of the corpus:
+    derivation is row-local and COUNT over the triple keys is order- and
+    batching-insensitive, so one trigger, four triggers, and scrambled
+    delivery yield identical state (hence identical drop decisions, since
+    the df cap applies to the final set)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import gram_rows
+    from flink_1_12_0_src_spark.queries.pipelineq import NJ_SHINGLE_K
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = (
+            gram_rows(src, "doc_id", "text", "lang", NJ_SHINGLE_K)
+            .groupBy("doc_id", "blk", "sh")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return _rows(run_to_batch(g, "complete"))
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(0, 3, 1, 2)))
+    assert one == four == scrambled
