@@ -669,10 +669,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_NUM, CONTAIN_DEN = 4, 5  # keep when either containment >= 4/5
 
 
-@register(
-    "dedup_ngram_containment",
-    oracle=f"""
-WITH {{body}}
+def _ngram_containment_oracle() -> str:
+    """Containment-pair oracle over the shared n-gram CTE body — reused by
+    the family-agreement audit as its fourth detector."""
+    return f"""
+WITH {_ngram_base_cte()}
 SELECT id_a, id_b,
        round(i / CAST(sa.n AS DOUBLE), 6) AS c_ab,
        round(i / CAST(sb.n AS DOUBLE), 6) AS c_ba,
@@ -681,7 +682,12 @@ FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * sa.n
    OR {CONTAIN_DEN} * i >= {CONTAIN_NUM} * sb.n
 ORDER BY id_a, id_b
-""".replace("{body}", "%s") % _ngram_base_cte(),
+"""
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=_ngram_containment_oracle(),
     tags=("pipeline", "dedup"),
     doc=f"Asymmetric n-gram CONTAINMENT pairs (pipeline/dedup.py "
     "ngram_containment_pairs; Broder 1997 separates resemblance from "
@@ -3428,20 +3434,25 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _family_agreement_oracle() -> str:
-    """Nests the three pair-family oracles verbatim (one definition each),
-    tags each family with a bit, folds every flagged pair to a 3-bit
-    membership mask, and reads the three pairwise overlaps off the <= 7-row
+    """Nests the four pair-family oracles verbatim (one definition each),
+    tags each family with a bit, folds every flagged pair to a 4-bit
+    membership mask, and reads the six pairwise overlaps off the <= 15-row
     mask histogram."""
     return f"""
 WITH fmh AS (SELECT id_a, id_b, 1 AS bit FROM ({_minhash_oracle(ordered=False)})),
 fsh AS (SELECT id_a, id_b, 2 AS bit FROM ({_simhash_hamming_oracle()})),
 fnj AS (SELECT id_a, id_b, 4 AS bit FROM ({_ngram_jaccard_oracle()})),
-fams AS (SELECT * FROM fmh UNION ALL SELECT * FROM fsh UNION ALL SELECT * FROM fnj),
+fco AS (SELECT id_a, id_b, 8 AS bit FROM ({_ngram_containment_oracle()})),
+fams AS (SELECT * FROM fmh UNION ALL SELECT * FROM fsh
+         UNION ALL SELECT * FROM fnj UNION ALL SELECT * FROM fco),
 masks AS (SELECT id_a, id_b, CAST(SUM(DISTINCT bit) AS INTEGER) AS mask
           FROM fams GROUP BY 1, 2),
 mcnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM masks GROUP BY mask),
 spine(fam_a, fam_b, bit_a, bit_b) AS (
-  VALUES ('minhash', 'ngram', 1, 4),
+  VALUES ('containment', 'minhash', 8, 1),
+         ('containment', 'ngram', 8, 4),
+         ('containment', 'simhash', 8, 2),
+         ('minhash', 'ngram', 1, 4),
          ('minhash', 'simhash', 1, 2),
          ('simhash', 'ngram', 2, 4)),
 rep AS (
@@ -3461,20 +3472,22 @@ FROM rep ORDER BY fam_a, fam_b
     "dedup_family_agreement",
     oracle=_family_agreement_oracle(),
     tags=("pipeline", "dedup", "composed"),
-    doc="Cross-FAMILY agreement audit over the three near-dup pair "
+    doc="Cross-FAMILY agreement audit over the four near-dup pair "
     "detectors — the measurement a curation team runs before picking "
-    "which detector to deploy (and the known result it should reproduce: "
+    "which detector to deploy (and the known results it should reproduce: "
     "MinHash and exact n-gram Jaccard approximate the same set statistic, "
     "so they overlap heavily; SimHash's Hamming ball is a different "
-    "geometry and flags a partly disjoint set): for each family pair, the "
-    "flagged-pair set sizes, their intersection, and the Jaccard of the "
-    "SETS OF PAIRS. Each family runs its production banded/capped "
-    "pipeline (pipeline/dedup.py minhash_lsh_pairs / simhash_hamming_pairs "
-    "/ ngram_jaccard_pairs — never all-pairs); membership folds to one "
-    "3-bit mask per flagged pair (one pair-keyed aggregate over the "
-    "already-sparse union), and the 3-row report reads off the <= 7-row "
+    "geometry and flags a partly disjoint set; containment flags the "
+    "asymmetric quoted-superset class the symmetric detectors miss): for "
+    "each of the six family pairs, the flagged-pair set sizes, their "
+    "intersection, and the Jaccard of the SETS OF PAIRS. Each family runs "
+    "its production banded/capped pipeline (pipeline/dedup.py "
+    "minhash_lsh_pairs / simhash_hamming_pairs / ngram_jaccard_pairs / "
+    "ngram_containment_pairs — never all-pairs); membership folds to one "
+    "4-bit mask per flagged pair (one pair-keyed aggregate over the "
+    "already-sparse union), and the 6-row report reads off the <= 15-row "
     "mask histogram — integer-exact until the final divide. The oracle "
-    "nests the three family oracles verbatim, so the audit can never "
+    "nests the four family oracles verbatim, so the audit can never "
     "drift from the detectors it audits.",
 )
 def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3500,15 +3513,29 @@ def family_agreement_report(
     nj = ngram_jaccard_pairs(
         docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
     ).select("id_a", "id_b", F.lit(4).alias("bit"))
+    from flink_1_12_0_src_spark.pipeline.dedup import ngram_containment_pairs as _ncp
+
+    co = _ncp(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, CONTAIN_NUM, CONTAIN_DEN,
+        NJ_MAX_DF,
+    ).select("id_a", "id_b", F.lit(8).alias("bit"))
     masks = (
         mh.unionByName(sh)
         .unionByName(nj)
+        .unionByName(co)
         .groupBy("id_a", "id_b")
         .agg(F.sum_distinct("bit").cast("int").alias("mask"))
     )
     mcnt = masks.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     spine = spark.createDataFrame(
-        [("minhash", "ngram", 1, 4), ("minhash", "simhash", 1, 2), ("simhash", "ngram", 2, 4)],
+        [
+            ("containment", "minhash", 8, 1),
+            ("containment", "ngram", 8, 4),
+            ("containment", "simhash", 8, 2),
+            ("minhash", "ngram", 1, 4),
+            ("minhash", "simhash", 1, 2),
+            ("simhash", "ngram", 2, 4),
+        ],
         "fam_a string, fam_b string, bit_a int, bit_b int",
     )
     in_a = F.col("mask").bitwiseAND(F.col("bit_a")) > 0
