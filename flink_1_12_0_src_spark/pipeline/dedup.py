@@ -1140,6 +1140,78 @@ def bloom_membership(
     )
 
 
+def bloom_state_rows(
+    corpus: DataFrame, text_col: str, n_slices: int = 4, hex_chars: int = 2
+) -> DataFrame:
+    """(i, v) row per Bloom slice-bit occurrence plus (-1, md5) per full
+    hash — ROW-LOCAL derivation (runs unchanged on a streaming scan). The
+    DISTINCT set of these rows IS :func:`bloom_membership`'s filter +
+    exact-set state: a set-union sketch, so it merges associatively and a
+    streaming grouped aggregate maintains it incrementally (the
+    mergeable-sketch twin class, vs the counter/MIN classes)."""
+    full = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    entries = F.array(
+        F.struct(F.lit(-1).alias("i"), full.alias("v")),
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(full, 1 + i * hex_chars, hex_chars).alias("v"),
+            )
+            for i in range(n_slices)
+        ],
+    )
+    src = corpus if corpus.isStreaming else _spread(corpus)
+    return src.select(F.explode(entries).alias("e")).select("e.i", "e.v")
+
+
+def bloom_membership_from_state(
+    state: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_slices: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """:func:`bloom_membership`'s probe tail over an explicit
+    :func:`bloom_state_rows` state relation — shared with the streaming
+    twin, whose grouped-aggregate snapshot IS the state. Same broadcast
+    per-slice joins and exact-set semi-check as the batch operator."""
+    full = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    probe_pos = probes.select(
+        F.col(id_col),
+        full.alias("_full"),
+        *[
+            F.substring(full, 1 + i * hex_chars, hex_chars).alias(f"p{i}")
+            for i in range(n_slices)
+        ],
+    )
+    out = probe_pos
+    for i in range(n_slices):
+        bits = (
+            state.filter(F.col("i") == i)
+            .select(F.col("v").alias(f"p{i}"))
+            .distinct()
+            .withColumn(f"h{i}", F.lit(1))
+        )
+        out = out.join(F.broadcast(bits), f"p{i}", "left")
+    maybe = F.lit(True)
+    for i in range(n_slices):
+        maybe = maybe & F.col(f"h{i}").isNotNull()
+    exact = (
+        state.filter(F.col("i") == -1)
+        .select(F.col("v").alias("_full"))
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    out = out.join(F.broadcast(exact), "_full", "left")
+    return out.select(
+        F.col(id_col),
+        maybe.alias("maybe_member"),
+        F.col("_ex").isNotNull().alias("actual_member"),
+        (maybe & F.col("_ex").isNull()).alias("false_positive"),
+    )
+
+
 def embedding_neardup_pairs_np(
     df: DataFrame,
     id_col: str,

@@ -285,6 +285,7 @@ _R10_NEW = (
     "stream_substring_rewrite",
     "pipeline_refinedweb_substr",
     "stream_containment_prune",
+    "stream_bloom_membership",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1650,9 +1650,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_bloom_membership",
-    oracle="""
+# ONE constant shared by the batch membership test (dedup_bloom_membership)
+# and its streaming twin (stream_bloom_membership, queries/streamingq.py):
+# the Bloom filter is a set-union sketch, so the twin's snapshot state
+# equals the batch filter exactly.
+BLOOM_MEMBERSHIP_ORACLE = """
 WITH n AS (
   SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
   FROM documents
@@ -1675,7 +1677,12 @@ SELECT p.doc_id,
        (COALESCE(hits.k, 0) = 4 AND e.h IS NULL) AS false_positive
 FROM probe p LEFT JOIN hits USING (doc_id) LEFT JOIN exact e ON p.h = e.h
 ORDER BY p.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_bloom_membership",
+    oracle=BLOOM_MEMBERSHIP_ORACLE,
     tags=("pipeline", "dedup"),
     doc="Partitioned Bloom-filter membership (pipeline.dedup.bloom_membership): "
     "4 slices × 256 bits from md5 hex slices of normalized text; even doc_ids "

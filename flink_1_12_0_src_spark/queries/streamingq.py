@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    BLOOM_MEMBERSHIP_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
@@ -2120,6 +2121,46 @@ def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view (same as the other twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     return source_diversity_from_counts(snap, "lang").orderBy("lang")
+
+
+@register(
+    "stream_bloom_membership",
+    oracle=BLOOM_MEMBERSHIP_ORACLE,
+    tags=("streaming", "pipeline", "dedup"),
+    doc="Bloom-filter-on-a-stream — the 15th streaming twin, and the "
+    "MERGEABLE-SKETCH state class (vs the counter/MIN classes): the "
+    "partitioned Bloom filter of dedup_bloom_membership is a SET-UNION "
+    "sketch — its state (distinct slice-bit rows + the exact hash set, "
+    "pipeline/dedup.py bloom_state_rows) merges associatively, so a "
+    "streaming grouped aggregate maintains the filter incrementally as "
+    "corpus documents arrive, and the shared probe tail "
+    "(bloom_membership_from_state — per-slice broadcast joins, exact-set "
+    "check) runs the static probe half against the final snapshot. "
+    "Union is order- and batching-insensitive, so the membership report "
+    "equals the batch operator exactly under any delivery schedule; "
+    "shares ONE oracle constant with the batch half. Scale: state is "
+    "<= n_slices*256 bit rows + the exact hash set (the part a production "
+    "deployment would drop, keeping only the constant-size filter).",
+)
+def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        bloom_membership_from_state,
+        bloom_state_rows,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4).filter(F.col("doc_id") % 2 == 0)
+    g = bloom_state_rows(s, "text", 4, 2).groupBy("i", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # localCheckpoint: the probe tail reads the snapshot once per slice
+    # (same memory-sink-view limitation as the other twins)
+    snap = run_to_batch(g, "complete").select("i", "v").localCheckpoint(eager=True)
+    probes = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return bloom_membership_from_state(snap, probes, "doc_id", "text", 4, 2).orderBy(
+        "doc_id"
+    )
 
 
 @register(

@@ -37,6 +37,7 @@ def _rows(df):
         ("stream_langid_confusion", "text_langid_confusion"),
         ("stream_substring_rewrite", "dedup_substring_rewrite"),
         ("stream_containment_prune", "dedup_containment_prune"),
+        ("stream_bloom_membership", "dedup_bloom_membership"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -340,4 +341,33 @@ def test_containment_gram_state_is_boundary_and_order_invariant(spark):
     one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(0, 3, 1, 2)))
+    assert one == four == scrambled
+
+
+def test_bloom_state_is_boundary_and_order_invariant(spark):
+    """The Bloom twin's streaming state — the distinct (slice, bit) rows
+    plus the exact hash set — is a SET-UNION sketch: union is associative,
+    commutative and idempotent, so one trigger, four triggers, and
+    scrambled delivery yield the identical filter (hence identical
+    membership verdicts and false-positive set)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import bloom_state_rows
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = (
+            bloom_state_rows(src.filter(F.col("doc_id") % 2 == 0), "text", 4, 2)
+            .groupBy("i", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return sorted((r["i"], r["v"]) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
     assert one == four == scrambled
