@@ -633,13 +633,13 @@ def containment_prune_from_grams(
     drop_a = (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na")) & (
         (F.col("na") < F.col("nb"))
     )
+    # equal-size branch requires EQUAL SETS (i == na == nb), not merely
+    # mutual 4/5-overlap: with na == nb and 0.8 <= c < 1 neither doc is a
+    # superset, so keep-superset drops neither (the documented policy)
     drop_b = (
         (F.lit(den) * F.col("i") >= F.lit(num) * F.col("nb"))
         & (F.col("nb") < F.col("na"))
-    ) | (
-        (F.col("na") == F.col("nb"))
-        & (F.lit(den) * F.col("i") >= F.lit(num) * F.col("na"))
-    )
+    ) | ((F.col("na") == F.col("nb")) & (F.col("i") == F.col("na")))
     dropped = (
         pairs_i.select(F.when(drop_a, F.col("id_a")).alias("d1"),
                        F.when(drop_b, F.col("id_b")).alias("d2"))
@@ -914,7 +914,9 @@ def exact_substring_rewrite(
     base_stats = base.select(id_col, "n_tokens")
     if materialize:
         base_stats = base_stats.localCheckpoint(eager=True)
-    wins = window_occurrences(df, id_col, text_col, window)
+    # derive occurrences FROM base (not from df) so the corpus is tokenized
+    # once, not twice (duplicated_spans' discipline)
+    wins = _occurrences_from_base(base, id_col, window)
     return substring_rewrite_from_occurrences(
         wins, base, base_stats, id_col, window
     )
@@ -933,6 +935,10 @@ def window_occurrences(
     base = src.select(F.col(id_col), tokens(text_col).alias("w")).select(
         id_col, "w", F.size("w").alias("n_tokens")
     )
+    return _occurrences_from_base(base, id_col, window)
+
+
+def _occurrences_from_base(base: DataFrame, id_col: str, window: int) -> DataFrame:
     m = F.col("n_tokens") - F.lit(window - 1)
     return base.select(
         id_col,

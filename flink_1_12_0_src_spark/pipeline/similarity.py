@@ -1004,8 +1004,14 @@ def pca_power_exact(
     )
     # integer nano-unit sums: decimal(28,0) keeps the sum exact far past
     # int64 (DuckDB's HUGEINT equivalent)
+    from flink_1_12_0_src_spark.pipeline.dedup import _spread
+
+    # the dim^2-per-row outer-product expansion is the heaviest row-local
+    # stage in this module — guard against an under-partitioned local scan
+    # exactly like the other explode-heavy corpus ops
     gram = (
-        df.select(cells.alias("c"))
+        _spread(df)
+        .select(cells.alias("c"))
         .select("c.i", "c.j", "c.xy")
         .groupBy("i", "j")
         .agg(

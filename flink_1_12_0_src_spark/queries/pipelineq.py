@@ -728,7 +728,7 @@ dropped AS (
                 THEN id_a END AS did FROM pr
     UNION ALL
     SELECT CASE WHEN ({CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb AND nb < na)
-                  OR (na = nb AND {CONTAIN_DEN} * i >= {CONTAIN_NUM} * na)
+                  OR (na = nb AND i = na)
                 THEN id_b END FROM pr)
   WHERE did IS NOT NULL),
 psrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
@@ -4059,13 +4059,22 @@ def _refinedweb_url_oracle() -> str:
     "shrinks the relation the next stage scans.",
 )
 def pipeline_refinedweb_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _refinedweb_fin(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _refinedweb_fin(docs: DataFrame) -> DataFrame:
+    """ONE definition of the RefinedWeb curation chain (URL keep-first ->
+    doc-level near-dedup admission -> paragraph-survivor rewrite ->
+    content floor) — shared by the url variant, the pretrain-corpus
+    capstone, and the substring capstone, so the composed queries can
+    never desynchronize from the flagship's stage parameters. Returns the
+    cleaned relation with every rewrite column (callers project)."""
     from flink_1_12_0_src_spark.pipeline.dedup import (
         neardedup_keep_first,
         paragraph_dedup_rewrite,
         url_keep_first,
     )
 
-    docs = table(spark, sf_dir, "documents")
     ukept = url_keep_first(
         docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
     ).select("doc_id", "text")
@@ -4090,7 +4099,7 @@ def pipeline_refinedweb_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         survivors.unpersist()
-    return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).orderBy("doc_id")
+    return cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT)
 
 
 # --- ANN recall driver rows -------------------------------------------------
@@ -4710,37 +4719,10 @@ FROM xsrc LEFT JOIN xout USING (source) ORDER BY xsrc.source
     "what the next scans; the substring pass is linear (no self-join).",
 )
 def pipeline_refinedweb_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_12_0_src_spark.pipeline.dedup import (
-        exact_substring_rewrite,
-        neardedup_keep_first,
-        paragraph_dedup_rewrite,
-        url_keep_first,
-    )
+    from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
 
     docs = table(spark, sf_dir, "documents")
-    ukept = url_keep_first(
-        docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
-    ).select("doc_id", "text")
-    adm = neardedup_keep_first(
-        ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
-    )
-    survivors = ukept.join(
-        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
-    try:
-        cleaned = paragraph_dedup_rewrite(
-            survivors,
-            "doc_id",
-            "text",
-            block=PARA_BLOCK,
-            num_hashes=MH_NUM_HASHES,
-            shingle_k=MH_SHINGLE_K,
-            band_rows=MH_BAND_ROWS,
-            max_bucket=MH_MAX_BUCKET,
-        )
-    finally:
-        survivors.unpersist()
-    fin = cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).select("doc_id", "clean_text")
+    fin = _refinedweb_fin(docs).select("doc_id", "clean_text")
     sdoc = exact_substring_rewrite(
         fin, "doc_id", "clean_text", window=SPAN_WINDOW
     ).select("doc_id", "n_tokens", "n_removed")
@@ -4818,36 +4800,8 @@ FROM psrc LEFT JOIN pout USING (source) ORDER BY psrc.source
     "the next scans.",
 )
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_12_0_src_spark.pipeline.dedup import (
-        neardedup_keep_first,
-        paragraph_dedup_rewrite,
-        url_keep_first,
-    )
-
     docs = table(spark, sf_dir, "documents")
-    ukept = url_keep_first(
-        docs.select("doc_id", "text", _synth_url_col().alias("url")), "doc_id", "url"
-    ).select("doc_id", "text")
-    adm = neardedup_keep_first(
-        ukept, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS, MH_MAX_BUCKET
-    )
-    survivors = ukept.join(
-        adm.filter(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
-    try:
-        cleaned = paragraph_dedup_rewrite(
-            survivors,
-            "doc_id",
-            "text",
-            block=PARA_BLOCK,
-            num_hashes=MH_NUM_HASHES,
-            shingle_k=MH_SHINGLE_K,
-            band_rows=MH_BAND_ROWS,
-            max_bucket=MH_MAX_BUCKET,
-        )
-    finally:
-        survivors.unpersist()
-    fin = cleaned.filter(F.col("n_kept") >= RW_MIN_KEPT).select(
+    fin = _refinedweb_fin(docs).select(
         "doc_id", F.size(F.split("clean_text", " ")).alias("nt")
     )
     out = (

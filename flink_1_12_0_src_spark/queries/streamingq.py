@@ -2264,8 +2264,11 @@ def stream_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", tokens("text").alias("w")).select(
         "doc_id", "w", F.size("w").alias("n_tokens")
     )
+    # checkpoint the 2-column stats branch like the batch half does, so the
+    # final left join does not re-run the tokenize scan
+    base_stats = base.select("doc_id", "n_tokens").localCheckpoint(eager=True)
     return substring_rewrite_from_occurrences(
-        snap, base, base.select("doc_id", "n_tokens"), "doc_id", SPAN_WINDOW
+        snap, base, base_stats, "doc_id", SPAN_WINDOW
     ).orderBy("doc_id")
 
 

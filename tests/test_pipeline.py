@@ -963,7 +963,10 @@ def test_pca_power_matches_numpy_twin_and_is_partition_invariant(spark, sf_dir):
     assert np.allclose(got, v, atol=1e-4), np.max(np.abs(got - v))
     assert abs(eig - n) <= 1e-4 * n
     top_val = float(np.linalg.eigh(G)[0][-1])
-    assert eig <= top_val * (1 + 1e-9)
+    # eigval carries +5e-7 absolute quantization (round to 1e-6 units) and
+    # the nano-rounded unit vector allows ~1e-9 relative excess — bound
+    # with both slacks so a converged run cannot flake the Rayleigh bound
+    assert eig <= top_val * (1 + 1e-8) + 5e-7
 
     re_rows = pca_power_exact(
         emb.repartition(7), "vec_id", "embedding", PCA_DIM, PCA_ITERS
