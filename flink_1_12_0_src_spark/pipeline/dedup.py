@@ -911,9 +911,15 @@ def exact_substring_rewrite(
         .select(F.col(id_col), tokens(text_col).alias("w"))
         .select(id_col, "w", F.size("w").alias("n_tokens"))
     )
-    base_stats = base.select(id_col, "n_tokens")
     if materialize:
-        base_stats = base_stats.localCheckpoint(eager=True)
+        # checkpoint the tokenized corpus ITSELF, not just the stats: both
+        # the window-occurrence branch and the token-reassembly branch read
+        # `base`, so an unpersisted subtree would re-execute the tokenize
+        # scan — and any expensive upstream chain (pipeline_refinedweb_substr
+        # feeds the whole 3-level RefinedWeb pipeline in here) — once per
+        # branch. base_stats derives from the checkpointed node for free.
+        base = base.localCheckpoint(eager=True)
+    base_stats = base.select(id_col, "n_tokens")
     # derive occurrences FROM base (not from df) so the corpus is tokenized
     # once, not twice (duplicated_spans' discipline)
     wins = _occurrences_from_base(base, id_col, window)

@@ -576,6 +576,201 @@ def dsir_weights(
     )
 
 
+def doremi_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    rounds: int = 4,
+    eta: float = 0.5,
+    smoothing: float = 0.02,
+    materialize: bool = True,
+) -> DataFrame:
+    """DoReMi domain-weight training (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining", Algorithm 1) —
+    the FIFTH member of the iterative-training class (kmeans_fit_exact =
+    Lloyd, logreg_fit_exact = logistic GD, text_bpe_fit = merge loop,
+    pca_power_exact = power iteration): ``rounds`` exponentiated-gradient
+    updates over the per-domain EXCESS LOSS, unrolled into ONE lazy plan,
+    no ``collect()`` between rounds.
+
+    The published recipe: a small PROXY model trains under the current
+    domain weights while a fixed REFERENCE model supplies per-domain
+    baseline losses; domains where the proxy's loss exceeds the
+    reference's (excess loss) are upweighted multiplicatively, and the
+    RETURNED mixture is the AVERAGE of the per-round iterates smoothed
+    with uniform (Algorithm 1's output step — NOT the last iterate). Here
+    the proxy is the corpus-trained unigram LM and the reference the
+    stronger add-1-smoothed bigram LM (the repo's two engine-exact
+    perplexity scorers, pipeline/text.py): excess_d =
+    max(0, L_unigram(d) − L_bigram(d)) measures how much of domain d's
+    difficulty a weak model cannot close — the static-scorer stand-in for
+    the paper's trained proxy (documented simplification: the excess is
+    fixed across rounds, so the loop converges toward the argmax-excess
+    corner and the iterate AVERAGE — the genuine unrolled computation —
+    is what carries the recipe's signal).
+
+    Per round t: α_t(d) = round(α_{t-1}(d)·e(d) in exact NANO-UNIT
+    integers, normalized by the exact integer sum, 6 dp), with
+    e(d) = round(exp(η·excess_d), 6) — ``exp`` is a transcendental whose
+    last ULP differs across libms, so it is rounded to 6 dp once
+    (the dsir_weights ``ln`` discipline) and every normalization works on
+    round(α·e·10⁹, 0) BIGINTs whose sum is exact — partitioning- and
+    engine-invariant. Final weight_d = round((1−s)·avg_t α_t(d) + s/K, 6)
+    with uniform smoothing s and K domains.
+
+    Scale (100 TB): the ONLY corpus-scale work is the two LM scoring
+    passes — one (domain, term)-keyed count joined to the vocab relation
+    and one (domain, bigram)-keyed count joined to the bigram counts,
+    both map-side partial, both collapsing to domains-sized relations
+    BEFORE any weight math; every round then runs over the K-row domain
+    relation with one-row exact-integer normalizers. ``materialize``
+    (default True) localCheckpoints the domain-loss relation once (cuts
+    the corpus subtree out of the 2-references-per-round lazy chain,
+    which would otherwise re-execute it 2^rounds times) and the K-row
+    iterate per round; ``materialize=False`` keeps the plan fully lazy
+    for golden pinning.
+
+    Returns (domain, n_docs, proxy_nll, ref_nll, excess_loss, weight).
+    Reference scope note: the reference engine has no training operator —
+    brief-driven LLM-pipeline surface; nearest analog is the iterative
+    fixpoint machinery (flink-libraries/flink-gelly iteration drivers),
+    realized as plan unrolling like operators/graph.py."""
+    if rounds < 1:
+        raise ValueError("doremi_weights: rounds must be >= 1")
+    toks = df.select(
+        F.col(domain_col).alias("domain"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+
+    # proxy loss: corpus-global unigram LM, token-level mean per domain.
+    # nll terms round to 6 dp (ln ULP discipline, see dsir_weights) and
+    # multiply exact per-(domain, term) counts in DECIMAL — order-invariant.
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("_t"))
+    dterm = toks.groupBy("domain", "term").agg(
+        F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
+    )
+    nll_u = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 6).cast(
+        "decimal(20,6)"
+    )
+    lp = (
+        dterm.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("domain")
+        .agg(
+            (
+                F.sum(F.col("n") * nll_u).cast("double")
+                / F.sum(F.col("n").cast("bigint")).cast("double")
+            ).alias("lp")
+        )
+    )
+
+    # reference loss: add-1-smoothed bigram LM (bigram_logprob's LM), the
+    # stronger model — bigrams derive row-locally, counts aggregate before
+    # any join (the (domain, bigram) relation is vocab-bounded, far below
+    # the token stream)
+    w = F.filter(tokens(text_col), lambda x: x != "")
+    bg = (
+        df.select(F.col(domain_col).alias("domain"), w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            "domain",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_w"), i).alias("w1"),
+                        F.element_at(F.col("_w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("domain", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    dbg = bg.groupBy("domain", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
+    )
+    cbg = dbg.groupBy("w1", "w2").agg(F.sum(F.col("n").cast("bigint")).alias("cb"))
+    uni = vocab.select(F.col("term").alias("w1"), F.col("c").alias("cu"))
+    v = vocab.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    nll_b = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("_v"))), 6
+    ).cast("decimal(20,6)")
+    lr_ = (
+        dbg.join(cbg, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("domain")
+        .agg(
+            (
+                F.sum(F.col("n") * nll_b).cast("double")
+                / F.sum(F.col("n").cast("bigint")).cast("double")
+            ).alias("lr")
+        )
+    )
+
+    nd = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    dom = (
+        nd.join(lp, "domain")
+        .join(lr_, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "lp",
+            "lr",
+            F.round(F.greatest(F.lit(0.0), F.col("lp") - F.col("lr")), 6).alias(
+                "excess"
+            ),
+        )
+        .select(
+            "*", F.round(F.exp(F.lit(eta) * F.col("excess")), 6).alias("e")
+        )
+    )
+    if materialize:
+        # cut the corpus-scale loss subtree out of the chain: each round
+        # references the previous iterate twice (normalizer + update), so an
+        # unpersisted domain relation would re-execute the two LM passes
+        # 2^rounds times
+        dom = dom.localCheckpoint(eager=True)
+
+    kk = dom.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+    dec = "decimal(28,9)"
+    cur = dom.crossJoin(F.broadcast(kk)).select(
+        "domain", "n_docs", "lp", "lr", "excess", "e", "_k",
+        F.round(F.lit(1.0) / F.col("_k"), 9).alias("alpha"),
+        F.lit(0).cast(dec).alias("acc"),
+    )
+    for _ in range(rounds):
+        numn = F.round(F.col("alpha") * F.col("e") * F.lit(1e9), 0).cast("bigint")
+        stepped = cur.select("*", numn.alias("numn"))
+        z = stepped.agg(F.sum("numn").alias("_z"))
+        alpha1 = F.round(F.col("numn").cast("double") / F.col("_z"), 6)
+        cur = (
+            stepped.crossJoin(F.broadcast(z))
+            .select(
+                "domain", "n_docs", "lp", "lr", "excess", "e", "_k",
+                alpha1.alias("alpha"),
+                (F.col("acc") + alpha1.cast(dec)).cast(dec).alias("acc"),
+            )
+        )
+        if materialize:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        "domain",
+        "n_docs",
+        F.round("lp", 6).alias("proxy_nll"),
+        F.round("lr", 6).alias("ref_nll"),
+        F.col("excess").alias("excess_loss"),
+        F.round(
+            F.lit(1.0 - smoothing) * (F.col("acc").cast("double") / F.lit(float(rounds)))
+            + F.lit(smoothing) * (F.lit(1.0) / F.col("_k")),
+            6,
+        ).alias("weight"),
+    )
+
+
 def source_diversity(
     df: DataFrame, group_col: str, source_col: str, round_digits: int = 6
 ) -> DataFrame:

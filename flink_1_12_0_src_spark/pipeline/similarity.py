@@ -951,8 +951,10 @@ def pca_power_exact(
     (rate (λ2/λ1)^t): on a corpus with a dominant direction a few rounds
     suffice; on a near-isotropic corpus raise ``iters`` (each extra round
     costs one tiny dim²-relation stage, never a corpus re-scan). The
-    Rayleigh estimate ``eigval`` is monotone in t and bounded by λ1
-    regardless. This is the
+    norm estimate ``eigval`` = ‖G·v‖ (v the previous unit iterate — NOT
+    the Rayleigh quotient vᵀGv; both converge to λ1 from below and are
+    bounded by λ1, the matvec norm is simply what the last round already
+    computed) is monotone in t regardless. This is the
     whitening/denoising primitive semantic-dedup pipelines run before
     clustering (SemDeDup-family preprocessing), and the fourth member of
     the iterative-training class (kmeans_fit_exact = Lloyd,
@@ -978,8 +980,8 @@ def pca_power_exact(
     self-join of the exploded relation) and partial-aggregate map-side, so
     the shuffle carries at most dim² rows per partition; every iteration
     after that runs over the dim²-row Gram relation with one broadcast
-    vector row. Returns (pos, loading, eigval) with the Rayleigh-quotient
-    eigenvalue estimate repeated per row."""
+    vector row. Returns (pos, loading, eigval) with the ‖G·v‖ eigenvalue
+    estimate repeated per row."""
     if iters < 1:
         raise ValueError("pca_power_exact: iters must be >= 1")
     spark = df.sparkSession

@@ -246,54 +246,60 @@ _R09_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-10 driver-green rows (CORRECTNESS_r10.json — 50/50 green, the fourth
+# consecutive zero-red round): all 28 round-10-new queries on first
+# presentation plus 22 re-verified greens.
+_R10_DRIVER_GREEN = frozenset(
+    {
+        "agg_distinct_multi", "agg_function_suite", "agg_listagg_collect",
+        "agg_min_by_max_by", "agg_multiset", "agg_stddev_var",
+        "calc_project_filter", "correlate_unnest",
+        "dataset_curriculum_pack", "dataset_pack_bpe",
+        "dedup_containment_prune", "dedup_family_agreement",
+        "dedup_ngram_containment", "dedup_substring_rewrite",
+        "dedup_url_normalize", "embedding_pca_power", "expand_cube",
+        "expand_grouping_sets", "expand_rollup_grouping_id",
+        "interval_join_batch", "join_anti_not_in", "join_broadcast_hint",
+        "join_cross", "join_full_outer", "join_left_outer",
+        "join_right_outer", "join_scalar_subquery", "join_semi_in",
+        "join_theta_nonequi", "knn_ivf_recall", "knn_lsh_recall",
+        "knn_pq_recall", "pipeline_pretrain_corpus",
+        "pipeline_quality_calibration", "pipeline_quality_eval",
+        "pipeline_quality_fit", "pipeline_quality_roc",
+        "pipeline_refinedweb_substr", "pipeline_refinedweb_url",
+        "stream_bloom_membership", "stream_containment_prune",
+        "stream_incremental_admit", "stream_langid_confusion",
+        "stream_quality_filter", "stream_substring_rewrite",
+        "stream_url_admit", "text_bpe_encode", "text_bpe_fit",
+        "text_langid_confusion", "values_inline",
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
-    | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN
+    | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN | _R10_DRIVER_GREEN
 )
 
-# Round-9 had zero driver-red rows (third zero-red round in a row), so there
-# is nothing to re-verify at the front this round.
-_R10_FIXED_FIRST: tuple[str, ...] = ()
+# Round-10 had zero driver-red rows (fourth zero-red round in a row), so
+# there is nothing to re-verify at the front this round.
+_R11_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries first registered in round 10 — first possible driver row.
-_R10_NEW = (
-    "pipeline_quality_fit",
-    "text_bpe_fit",
-    "dedup_url_normalize",
-    "pipeline_refinedweb_url",
-    "stream_incremental_admit",
-    "knn_lsh_recall",
-    "knn_ivf_recall",
-    "knn_pq_recall",
-    "pipeline_quality_eval",
-    "text_bpe_encode",
-    "stream_url_admit",
-    "stream_quality_filter",
-    "pipeline_quality_roc",
-    "pipeline_pretrain_corpus",
-    "dataset_pack_bpe",
-    "pipeline_quality_calibration",
-    "text_langid_confusion",
-    "stream_langid_confusion",
-    "dataset_curriculum_pack",
-    "dedup_family_agreement",
-    "embedding_pca_power",
-    "dedup_ngram_containment",
-    "dedup_containment_prune",
-    "dedup_substring_rewrite",
-    "stream_substring_rewrite",
-    "pipeline_refinedweb_substr",
-    "stream_containment_prune",
-    "stream_bloom_membership",
+# Queries first registered in round 11 — first possible driver row.
+_R11_NEW = (
+    "dataset_doremi_weights",
+    "dedup_substring_spans",
+    "events_value_percentiles_approx",
+    "pipeline_corpus_card",
+    "stream_bloom_filter_only",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round
 # rename (fold greens, start a fresh _NEW tuple) no longer requires editing
 # any test. Update ONLY the two assignments below at each round rollover.
-CURRENT_FIXED_FIRST: tuple[str, ...] = _R10_FIXED_FIRST
-CURRENT_NEW: tuple[str, ...] = _R10_NEW
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R11_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R11_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never
@@ -307,12 +313,12 @@ def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
     (0,i) = prior-round driver-red rows, fixed — re-verify first (EMPTY this
-        round: CORRECTNESS_r09 was 50/50 green, the third zero-red round);
+        round: CORRECTNESS_r10 was 50/50 green, the fourth zero-red round);
     (1,i) = any oracle-able query somehow never driver-tested (none known —
-        the round-over-round union is 291/291 — but the tier catches any
+        the round-over-round union is 319/319 — but the tier catches any
         registration added outside CURRENT_NEW by mistake);
     (2,i) = this round's new queries (first possible driver row);
-    (3,_) = already driver-green in r01-r09 (291 rows — re-verify with the
+    (3,_) = already driver-green in r01-r10 (319 rows — re-verify with the
         remaining slots, registration order);
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.

@@ -2191,6 +2191,107 @@ def dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+DOREMI_ROUNDS = 4
+DOREMI_ETA = 0.5
+DOREMI_SMOOTH = 0.02
+
+
+def _doremi_oracle(rounds: int = DOREMI_ROUNDS) -> str:
+    """Unrolled-round DuckDB twin of pipeline/sampling.py doremi_weights —
+    one CTE pair per exponentiated-gradient round, exact nano-unit integer
+    normalizers, 6-dp ln/exp rounding (the dsir_weights libm discipline)."""
+    steps = []
+    prev = "r0"
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+r{t}n AS (SELECT *, CAST(round(alpha * e * 1000000000.0, 0) AS BIGINT) AS numn FROM {prev}),
+r{t}z AS (SELECT SUM(numn) AS z FROM r{t}n),
+r{t} AS (SELECT domain, n_docs, lp, lr, excess, e, k,
+               round(CAST(numn AS DOUBLE) / z, 6) AS alpha,
+               CAST(acc + CAST(round(CAST(numn AS DOUBLE) / z, 6) AS DECIMAL(28,9))
+                    AS DECIMAL(28,9)) AS acc
+         FROM r{t}n, r{t}z)""")
+        prev = f"r{t}"
+    return f"""
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab),
+dterm AS (SELECT domain, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+lpd AS (SELECT domain,
+               CAST(SUM(CAST(n AS DECIMAL(15,0)) *
+                        CAST(round(-ln(c / (SELECT t FROM tot)), 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS lp
+        FROM dterm JOIN vocab USING (term) GROUP BY domain),
+btoks AS (SELECT source AS domain,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          FROM documents),
+bg AS (SELECT domain, w[g+1] AS w1, w[g+2] AS w2
+       FROM (SELECT domain, w, unnest(generate_series(0, len(w)-2)) AS g
+             FROM btoks WHERE len(w) >= 2)),
+dbg AS (SELECT domain, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+cbg AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS cb FROM dbg GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM vocab),
+lrd AS (SELECT domain,
+               CAST(SUM(CAST(n AS DECIMAL(15,0)) *
+                        CAST(round(-ln((cb + 1.0) / (c + (SELECT vs FROM v))), 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS lr
+        FROM dbg JOIN cbg USING (w1, w2) JOIN vocab ON vocab.term = dbg.w1
+        GROUP BY domain),
+nd AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+dom AS (SELECT nd.domain, nd.n_docs, lpd.lp, lrd.lr,
+               round(greatest(0.0, lpd.lp - lrd.lr), 6) AS excess
+        FROM nd JOIN lpd USING (domain) JOIN lrd USING (domain)),
+dome AS (SELECT *, round(exp({DOREMI_ETA} * excess), 6) AS e FROM dom),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dome),
+r0 AS (SELECT domain, n_docs, lp, lr, excess, e, k,
+              round(1.0 / k, 9) AS alpha,
+              CAST(0 AS DECIMAL(28,9)) AS acc
+       FROM dome, kk),{",".join(steps)}
+SELECT domain, n_docs, round(lp, 6) AS proxy_nll, round(lr, 6) AS ref_nll,
+       excess AS excess_loss,
+       round({1.0 - DOREMI_SMOOTH} * (CAST(acc AS DOUBLE) / {float(rounds)})
+             + {DOREMI_SMOOTH} * (1.0 / k), 6) AS weight
+FROM {prev} ORDER BY domain
+"""
+
+
+@register(
+    "dataset_doremi_weights",
+    oracle=_doremi_oracle(),
+    tags=("pipeline", "sampling", "iterative"),
+    doc="DoReMi domain-weight training (Xie et al. 2023, Algorithm 1; "
+    "pipeline/sampling.py doremi_weights) — the fifth unrolled "
+    "iterative-training member: per-domain excess loss = "
+    "max(0, unigram-LM loss − bigram-LM loss) from the repo's two "
+    f"engine-exact perplexity scorers, then {DOREMI_ROUNDS} "
+    "exponentiated-gradient rounds α ∝ α·exp(η·excess) normalized by "
+    "exact nano-unit integer sums, returning the SMOOTHED ITERATE "
+    "AVERAGE (the paper's output step, not the last iterate). Composes "
+    "with dataset_temperature_mix / dataset_dsir_weights as the third "
+    "published mixing recipe. Scale: two LM scoring passes collapse the "
+    "corpus to domains-sized relations before any weight math; every "
+    "round runs over the K-row domain relation with one-row exact "
+    "normalizers — the corpus never shuffles on rounds.",
+)
+def dataset_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_weights
+
+    return doremi_weights(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        rounds=DOREMI_ROUNDS,
+        eta=DOREMI_ETA,
+        smoothing=DOREMI_SMOOTH,
+    ).orderBy("domain")
+
+
 def _ensemble_oracle() -> str:
     sigs = ("quality", "dup_bigram_frac", "entropy", "avg_nll")
     stat_cols = ", ".join(

@@ -542,8 +542,23 @@ def golden_plan_providers() -> dict:
             spark, table(spark, sf_dir, "documents"), materialize=False
         )
 
+    def _lazy_doremi(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.sampling import doremi_weights
+        from flink_1_12_0_src_spark.queries.pipelineq import DOREMI_ETA, DOREMI_SMOOTH
+
+        # 1 round, materialize=False: pins the two LM scoring passes, the
+        # domains-sized loss join, and the broadcast one-row exact-integer
+        # normalizer; further rounds repeat the identical shape
+        return doremi_weights(
+            table(spark, sf_dir, "documents"), "doc_id", "text", "source",
+            rounds=1, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+            materialize=False,
+        ).orderBy("domain")
+
     providers["pipeline_quality_fit"] = _lazy_quality_fit
     providers["pipeline_quality_eval"] = _lazy_quality_score
+    providers["dataset_doremi_weights"] = _lazy_doremi
     def _lazy_substring_rewrite(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
         from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite
@@ -574,12 +589,40 @@ def golden_plan_providers() -> dict:
                 F.count(F.lit(1)).cast("bigint").alias("n_docs_out"),
                 F.sum("n_tokens").cast("bigint").alias("clean_tokens"),
                 F.sum("n_removed").cast("bigint").alias("substr_removed"),
+                F.sum(F.col("n_tokens") - F.col("n_removed"))
+                .cast("bigint")
+                .alias("final_tokens"),
             )
         )
         xsrc = docs.groupBy("source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs_in")
         )
-        return xsrc.join(xout, "source", "left").orderBy("source")
+        # mirror the registered query's FULL final projection (coalesces +
+        # removed_frac) so the golden pins the whole plan tail, not just the
+        # join topology
+        return (
+            xsrc.join(xout, "source", "left")
+            .select(
+                "source",
+                "n_docs_in",
+                F.coalesce("n_docs_out", F.lit(0)).cast("bigint").alias("n_docs_out"),
+                F.coalesce("clean_tokens", F.lit(0))
+                .cast("bigint")
+                .alias("clean_tokens"),
+                F.coalesce("substr_removed", F.lit(0))
+                .cast("bigint")
+                .alias("substr_removed"),
+                F.coalesce("final_tokens", F.lit(0))
+                .cast("bigint")
+                .alias("final_tokens"),
+                F.round(
+                    F.coalesce("substr_removed", F.lit(0))
+                    / F.nullif(F.col("clean_tokens"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("removed_frac"),
+            )
+            .orderBy("source")
+        )
 
     providers["pipeline_refinedweb_substr"] = _lazy_refinedweb_substr
     providers["dedup_substring_rewrite"] = _lazy_substring_rewrite

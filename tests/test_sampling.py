@@ -281,3 +281,120 @@ def test_weighted_sample_biases_toward_weight(spark, sf_dir):
         (r["es_key"] for r in weighted_sample(docs, k=10**9).collect()), reverse=True
     )
     assert sorted((r["es_key"] for r in got), reverse=True) == all_keys[:100]
+
+
+def test_doremi_weights_partition_invariant_and_contract(spark, docs):
+    """doremi_weights' whole point is engine-/partitioning-exact mixture
+    training: 6-dp-rounded LM losses, exact nano-unit integer normalizers
+    and DECIMAL iterate accumulation must yield bit-identical weights
+    whatever the input partitioning. Also pins the distribution contract
+    (weights positive, summing to ~1 up to the per-domain 6-dp rounding)
+    and the fail-fast rounds contract."""
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_weights
+
+    sub = docs.filter(F.col("doc_id") < 300)
+    base = sorted(
+        tuple(r) for r in doremi_weights(sub, "doc_id", "text", "source", rounds=2).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in doremi_weights(
+            sub.repartition(7), "doc_id", "text", "source", rounds=2
+        ).collect()
+    )
+    assert base == again
+    assert len(base) > 1
+    weights = [r[-1] for r in base]
+    assert all(w > 0 for w in weights)
+    assert abs(sum(weights) - 1.0) < 1e-4
+    with pytest.raises(ValueError, match="rounds"):
+        doremi_weights(docs, "doc_id", "text", "source", rounds=0)
+
+
+def test_doremi_weights_matches_python_twin(spark):
+    """Brute-force twin: the same unigram/bigram LM losses, excess, and
+    exponentiated-gradient rounds (identical roundings, Decimal iterate
+    accumulation) in plain Python must reproduce doremi_weights' output,
+    and the domain with the largest excess loss must get the largest
+    weight (the recipe's whole point: upweight what the proxy can't
+    learn)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_weights
+
+    texts = {
+        # heavy repetition: unigram LM does nearly as well as bigram
+        "easy": "the the the cat sat on the mat the cat",
+        # mid-entropy
+        "med": "alpha beta gamma delta alpha beta epsilon zeta",
+        # all-rare unigrams in fixed bigram order: big unigram-vs-bigram gap
+        "hard": "qq ww ee rr tt yy uu ii oo pp",
+    }
+    rows = []
+    i = 0
+    for dom, base_text in texts.items():
+        for j in range(8):
+            rows.append((i, base_text + f" tail{j % 3}", dom))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rounds, eta, s = 3, 0.5, 0.02
+
+    def toks(t):
+        return [x for x in t.lower().split(" ") if x != ""]
+
+    doms: dict = {}
+    for _, t, d in rows:
+        doms.setdefault(d, []).append(toks(t))
+    c = Counter(t for ds in doms.values() for doc in ds for t in doc)
+    total = float(sum(c.values()))
+    bgs = Counter(
+        (a, b) for ds in doms.values() for doc in ds for a, b in zip(doc, doc[1:])
+    )
+    vs = float(len(c))
+    lp, lr = {}, {}
+    for d, ds in doms.items():
+        su, nu = Decimal(0), 0
+        sb, nb = Decimal(0), 0
+        for doc in ds:
+            for t in doc:
+                su += Decimal(str(round(-math.log(c[t] / total), 6)))
+                nu += 1
+            for a, b in zip(doc, doc[1:]):
+                sb += Decimal(str(round(-math.log((bgs[(a, b)] + 1.0) / (c[a] + vs)), 6)))
+                nb += 1
+        lp[d] = float(su) / nu
+        lr[d] = float(sb) / nb
+    k = len(doms)
+    ex = {d: round(max(0.0, lp[d] - lr[d]), 6) for d in doms}
+    ee = {d: round(math.exp(eta * ex[d]), 6) for d in doms}
+    alpha = {d: round(1.0 / k, 9) for d in doms}
+    acc = {d: Decimal(0) for d in doms}
+    for _ in range(rounds):
+        numn = {d: int(round(alpha[d] * ee[d] * 1e9)) for d in doms}
+        z = float(sum(numn.values()))
+        for d in doms:
+            alpha[d] = round(numn[d] / z, 6)
+            acc[d] += Decimal(str(alpha[d]))
+    want = {
+        d: round((1.0 - s) * (float(acc[d]) / float(rounds)) + s * (1.0 / k), 6)
+        for d in doms
+    }
+
+    got = {
+        r["domain"]: r
+        for r in doremi_weights(
+            df, "doc_id", "text", "source", rounds=rounds, eta=eta, smoothing=s
+        ).collect()
+    }
+    assert set(got) == set(doms)
+    for d in doms:
+        assert abs(got[d]["proxy_nll"] - round(lp[d], 6)) < 5e-6, d
+        assert abs(got[d]["ref_nll"] - round(lr[d], 6)) < 5e-6, d
+        assert abs(got[d]["excess_loss"] - ex[d]) < 5e-6, d
+        assert abs(got[d]["weight"] - want[d]) < 5e-6, d
+        assert got[d]["n_docs"] == 8
+    # the hardest domain (largest excess) wins the mixture
+    top = max(got.values(), key=lambda r: r["excess_loss"])
+    assert top["weight"] == max(r["weight"] for r in got.values())
