@@ -965,16 +965,14 @@ def _occurrences_from_base(base: DataFrame, id_col: str, window: int) -> DataFra
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
 
 
-def substring_rewrite_from_occurrences(
-    wins: DataFrame,
-    base: DataFrame,
-    base_stats: DataFrame,
-    id_col: str,
-    window: int,
-) -> DataFrame:
-    """The keeper/removal/reassembly TAIL of :func:`exact_substring_rewrite`
-    over an explicit occurrence relation — shared with the streaming twin,
-    whose grouped-aggregate snapshot IS the occurrence set."""
+def removed_positions(wins: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, ti): the DISTINCT token positions the ExactSubstr rewrite
+    removes — keeper election (per duplicated window hash the (MIN doc,
+    MIN pos) occurrence survives), coverage expansion of every non-keeper
+    occurrence, one distinct. Shared by the rewrite tail and the
+    maximal-span audit so the two can never disagree on what is removed.
+    Linear: one hash-keyed aggregate (MIN is decomposable), one equi join,
+    one (id, ti)-keyed distinct — no self-join."""
     keepers = (
         wins.groupBy("gh")
         .agg(
@@ -987,12 +985,85 @@ def substring_rewrite_from_occurrences(
     flagged = wins.join(keepers, "gh").filter(
         ~((F.col(id_col) == F.col("kid")) & (F.col("pos") == F.col("kpos")))
     )
-    rm = (
+    return (
         flagged.select(
             id_col, F.explode(F.sequence("pos", F.col("pos") + window - 1)).alias("ti")
         )
         .distinct()
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """MAXIMAL-SPAN ExactSubstr audit — merges the rewrite's removed token
+    positions into maximal contiguous spans and reports span-level stats
+    per document: Lee et al. 2022's suffix-array walk removes MAXIMAL
+    duplicated byte spans, while :func:`exact_substring_rewrite` elects
+    keepers per fixed-width window hash (a documented conservative
+    approximation); merging the removed positions with gaps-and-islands
+    recovers the span-level view — how many maximal spans, how long —
+    without a suffix array. Derives from :func:`removed_positions`, the
+    SAME relation the rewrite consumes, so total removed tokens here equal
+    the rewrite's ``n_removed`` by construction (property-pinned).
+
+    Returns (id, n_tokens, n_spans, n_removed, max_span_len,
+    avg_span_len) for EVERY document (zeros for untouched docs).
+
+    Scale: the islands step is ONE doc-keyed window (ti − row_number
+    grouping key, the events_session_stats gaps-and-islands idiom) over
+    the removed-position relation — already far smaller than the token
+    stream — then two hash aggregates; everything upstream is the
+    rewrite's linear topology. Reference analog: OVER-window ranking
+    (flink-table planner StreamExecOverAggregate lineage)."""
+    from pyspark.sql import Window
+
+    base = (
+        _spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("w"))
+        .select(id_col, "w", F.size("w").alias("n_tokens"))
+    )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+    base_stats = base.select(id_col, "n_tokens")
+    wins = _occurrences_from_base(base, id_col, window)
+    rm = removed_positions(wins, id_col, window)
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("ti"))
+    islands = rm.select(F.col(id_col), F.col("ti"), (F.col("ti") - rn).alias("grp"))
+    spans = islands.groupBy(id_col, "grp").agg(F.count(F.lit(1)).alias("len"))
+    st = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("len").cast("bigint").alias("n_removed"),
+        F.max("len").cast("bigint").alias("max_span_len"),
+        F.round(F.sum("len").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_span_len"
+        ),
+    )
+    return base_stats.join(st, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        F.coalesce("max_span_len", F.lit(0)).cast("bigint").alias("max_span_len"),
+        F.coalesce("avg_span_len", F.lit(0.0)).alias("avg_span_len"),
+    )
+
+
+def substring_rewrite_from_occurrences(
+    wins: DataFrame,
+    base: DataFrame,
+    base_stats: DataFrame,
+    id_col: str,
+    window: int,
+) -> DataFrame:
+    """The keeper/removal/reassembly TAIL of :func:`exact_substring_rewrite`
+    over an explicit occurrence relation — shared with the streaming twin,
+    whose grouped-aggregate snapshot IS the occurrence set."""
+    rm = removed_positions(wins, id_col, window)
     toks = base.select(
         id_col, F.posexplode("w").alias("p0", "tok")
     ).select(id_col, (F.col("p0") + 1).alias("ti"), "tok")

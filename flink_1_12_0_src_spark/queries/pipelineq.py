@@ -1952,6 +1952,48 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH {_substring_cte_body()},
+isl AS (SELECT doc_id, ti,
+               ti - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+        FROM rm),
+spans AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(len) AS BIGINT) AS n_removed,
+              CAST(MAX(len) AS BIGINT) AS max_span_len,
+              round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6) AS avg_span_len
+       FROM spans GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(st.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(st.max_span_len, 0) AS BIGINT) AS max_span_len,
+       COALESCE(st.avg_span_len, 0.0) AS avg_span_len
+FROM base b LEFT JOIN st USING (doc_id) ORDER BY b.doc_id
+""",
+    tags=("pipeline", "dedup", "composed"),
+    doc="MAXIMAL-SPAN ExactSubstr audit (pipeline/dedup.py "
+    "substring_span_stats) — merges the rewrite's removed token positions "
+    "into maximal contiguous spans via gaps-and-islands (ti − row_number "
+    "over one doc-keyed window, the events_session_stats idiom) and "
+    "reports per-doc span counts and lengths: the span-level view of Lee "
+    "et al. 2022's suffix-array semantics, recovered without a suffix "
+    "array. Shares removed_positions with dedup_substring_rewrite (the "
+    "oracle nests the same CTE body), so total removed tokens equal the "
+    "rewrite's n_removed by construction — property-pinned. Scale: the "
+    "islands window runs over the removed-position relation (already far "
+    "below the token stream); everything upstream is the rewrite's linear "
+    "topology.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import substring_span_stats
+
+    return substring_span_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text", window=SPAN_WINDOW
+    ).orderBy("doc_id")
+
+
+@register(
     "dataset_temperature_mix",
     oracle="""
 WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

@@ -624,8 +624,21 @@ def golden_plan_providers() -> dict:
             .orderBy("source")
         )
 
+    def _lazy_substring_spans(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import substring_span_stats
+
+        return substring_span_stats(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            window=SPAN_WINDOW,
+            materialize=False,
+        ).orderBy("doc_id")
+
     providers["pipeline_refinedweb_substr"] = _lazy_refinedweb_substr
     providers["dedup_substring_rewrite"] = _lazy_substring_rewrite
+    providers["dedup_substring_spans"] = _lazy_substring_spans
     providers["pipeline_quality_roc"] = _lazy_quality_roc
     providers["pipeline_quality_calibration"] = _lazy_quality_calibration
     providers["dedup_family_agreement"] = _lazy_family_agreement

@@ -740,3 +740,60 @@ def test_exact_substring_rewrite_matches_bruteforce(spark, texts):
         for r in exact_substring_rewrite(df, "doc_id", "text", window=W).collect()
     }
     assert got == expect
+
+
+@given(texts=DOC_TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_span_stats_matches_bruteforce(spark, texts):
+    """Brute-force twin of the maximal-span ExactSubstr audit: the removed
+    position set is the rewrite's (keeper = (MIN doc, MIN pos) per
+    duplicated W-window, coverage union of the rest); spans are its maximal
+    contiguous runs. n_removed must equal the rewrite's by construction
+    (shared removed_positions relation)."""
+    from flink_1_12_0_src_spark.pipeline.dedup import substring_span_stats
+
+    W = 3
+    docs = list(enumerate(texts))
+    wins: dict[str, list[tuple[int, int]]] = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - W + 1):
+            wins.setdefault(" ".join(toks[p : p + W]), []).append((i, p))
+    removed: dict[int, set[int]] = {i: set() for i, _ in docs}
+    for occ in wins.values():
+        if len({d for d, _ in occ}) < 2:
+            continue
+        keeper = min(occ)
+        for d, p in occ:
+            if (d, p) != keeper:
+                removed[d].update(range(p, p + W))
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        spans: list[int] = []
+        prev = None
+        for p in sorted(removed[i]):
+            if prev is not None and p == prev + 1:
+                spans[-1] += 1
+            else:
+                spans.append(1)
+            prev = p
+        expect[i] = (
+            len(toks),
+            len(spans),
+            sum(spans),
+            max(spans, default=0),
+            (sum(spans) / len(spans)) if spans else 0.0,
+        )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in substring_span_stats(df, "doc_id", "text", window=W).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (nt, ns, nr, mx, avg) in expect.items():
+        r = got[i]
+        assert (r["n_tokens"], r["n_spans"], r["n_removed"], r["max_span_len"]) == (
+            nt, ns, nr, mx,
+        ), i
+        assert abs(r["avg_span_len"] - avg) < 1e-6, i
