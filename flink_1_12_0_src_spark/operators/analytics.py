@@ -311,6 +311,77 @@ def value_percentiles(
     return agg.select(*cols)
 
 
+def value_percentiles_approx_check(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The 100-TB percentile path, CONTRACT-CHECKED: ``approx_percentile``
+    (Spark's mergeable Greenwald-Khanna sketch — constant executor state,
+    map-side mergeable, the documented scale path of
+    :func:`value_percentiles` for unbounded-cardinality measures) with its
+    rank-error guarantee made executable. For each (group, p) the sketch's
+    answer v is re-ranked against the data: with n values and
+    ε = 1/accuracy, approx_percentile guarantees an element whose rank r
+    satisfies floor((p−ε)·n) ≤ r ≤ ceil((p+ε)·n) (the documented bound —
+    floor/ceil included); ``within_tol`` checks exactly that via
+    count(value ≤ v) ≥ floor((p−ε)·n) and count(value < v) ≤ ceil((p+ε)·n).
+    The exact PERCENTILE_CONT value rides along for reference.
+
+    Returns (group, q, n_events, exact_p, within_tol) — the oracle pins
+    the booleans (the guarantee says they are all TRUE) and the exact
+    values; the approx value itself is sketch-internal and deliberately
+    NOT in the output (it is engine-specific, which is the whole reason
+    the contract row exists).
+
+    Scale: the sketch aggregate is one corpus pass with constant-size
+    mergeable state; the verification re-rank broadcasts the
+    (groups × |percentiles|)-row answer relation back onto one more
+    corpus pass — a check you run at audit time, not per query."""
+    ps = list(percentiles)
+    eps = 1.0 / accuracy
+    agg = events.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.percentile(F.col(value_col), F.lit(ps)).alias("ex"),
+        F.percentile_approx(F.col(value_col), F.lit(ps), F.lit(accuracy)).alias("ap"),
+    )
+    answers = agg.select(
+        F.col(group_col),
+        "n_events",
+        F.posexplode(F.arrays_zip(F.col("ex").alias("ex"), F.col("ap").alias("ap"))).alias(
+            "i", "s"
+        ),
+    ).select(
+        F.col(group_col),
+        "n_events",
+        F.element_at(F.lit(ps), F.col("i") + 1).alias("q"),
+        F.col("s.ex").alias("exv"),
+        F.col("s.ap").alias("apv"),
+    )
+    ranked = (
+        events.select(F.col(group_col), F.col(value_col).alias("_v"))
+        .join(F.broadcast(answers), group_col)
+        .groupBy(group_col, "q", "n_events", "exv", "apv")
+        .agg(
+            F.sum((F.col("_v") <= F.col("apv")).cast("bigint")).alias("n_le"),
+            F.sum((F.col("_v") < F.col("apv")).cast("bigint")).alias("n_lt"),
+        )
+    )
+    return ranked.select(
+        F.col(group_col),
+        F.col("q"),
+        F.col("n_events"),
+        F.round(F.col("exv"), round_digits).alias("exact_p"),
+        (
+            (F.col("n_le") >= F.floor((F.col("q") - F.lit(eps)) * F.col("n_events")))
+            & (F.col("n_lt") <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_events")))
+        ).alias("within_tol"),
+    )
+
+
 def inter_arrival_stats(
     events: DataFrame,
     user_col: str = "user_id",

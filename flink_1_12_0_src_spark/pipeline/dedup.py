@@ -1295,6 +1295,47 @@ def bloom_membership_from_state(
     )
 
 
+def bloom_filter_report(
+    state: DataFrame, n_slices: int = 4, hex_chars: int = 2
+) -> DataFrame:
+    """PRODUCTION Bloom state report — the constant-size half of
+    :func:`bloom_state_rows` alone (slice-bit rows, i ≥ 0; the exact md5
+    set the membership twin carries exists ONLY for oracle observability —
+    a deployment drops it, and this report is what it monitors instead):
+    per slice the number of set bits and the load factor, plus the
+    closed-form expected false-positive rate of the partitioned filter —
+    a uniformly-hashed non-member probe hits slice i with probability
+    load_i, so FP = Π_i load_i = (Π_i bits_set_i) / bits^n_slices,
+    computed as an EXACT integer product over the slices-sized relation
+    (no float accumulation anywhere). Returns
+    (slice, bits_set, load, expected_fp_rate) with the rate repeated per
+    row (the pca_power eigval idiom).
+
+    Scale: the state is ≤ n_slices·16^hex_chars rows regardless of corpus
+    size; this report is two tiny aggregates and a one-row broadcast."""
+    nbits = 16 ** hex_chars
+    bs = (
+        state.filter(F.col("i") >= 0)
+        .groupBy("i")
+        .agg(F.count_distinct("v").cast("bigint").alias("bits_set"))
+    )
+    prod = bs.agg(
+        F.aggregate(
+            F.collect_list(F.col("bits_set")),
+            F.lit(1).cast("bigint"),
+            lambda a, x: a * x,
+        ).alias("_prod")
+    )
+    return bs.crossJoin(F.broadcast(prod)).select(
+        F.col("i").cast("bigint").alias("slice"),
+        F.col("bits_set"),
+        F.round(F.col("bits_set") / F.lit(float(nbits)), 6).alias("load"),
+        F.round(
+            F.col("_prod").cast("double") / F.lit(float(nbits) ** n_slices), 6
+        ).alias("expected_fp_rate"),
+    )
+
+
 def embedding_neardup_pairs_np(
     df: DataFrame,
     id_col: str,

@@ -574,6 +574,42 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles(ev).orderBy("event_type")
 
 
+@register(
+    "events_value_percentiles_approx",
+    oracle="""
+WITH ex AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS ps
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(qs.q AS DOUBLE) AS q, n_events,
+       round(ps[qs.i], 6) AS exact_p,
+       TRUE AS within_tol
+FROM ex, (VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) qs(i, q)
+ORDER BY event_type, q
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="approx_percentile CONTRACT row (operators/analytics.py "
+    "value_percentiles_approx_check): events_value_percentiles' docstring "
+    "names the mergeable quantile sketch as the 100-TB path for "
+    "unbounded-cardinality measures — this row makes that claim "
+    "driver-checked. Per (event_type, p), Spark's approx_percentile "
+    "answer is re-ranked against the data and within_tol asserts the "
+    "published rank-error bound ε = 1/accuracy; the oracle pins every "
+    "boolean TRUE (the guarantee) plus the exact PERCENTILE_CONT values. "
+    "The sketch answer itself stays out of the output — it is "
+    "engine-specific, which is why the contract is rank-based. Scale: "
+    "one constant-state sketch pass + one broadcast re-rank pass.",
+)
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import (
+        value_percentiles_approx_check,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return value_percentiles_approx_check(ev).orderBy("event_type", "q")
+
+
 # Shared with the streaming twin (stream_funnel_rates) — one definition.
 FUNNEL_ORACLE = """
 WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),

@@ -1680,6 +1680,25 @@ ORDER BY p.doc_id
 """
 
 
+# The production Bloom variant's report half — shared constant so the
+# streaming filter-only row (queries/streamingq.py) and any batch audit can
+# never drift. Same corpus (even doc_ids), same 4×256 partitioned layout.
+BLOOM_FILTER_ONLY_ORACLE = """
+WITH n AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+slices AS (SELECT unnest(generate_series(0, 3)) AS i),
+bits AS (SELECT DISTINCT s.i, substr(n.h, 1 + s.i * 2, 2) AS p FROM n, slices s),
+bs AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits GROUP BY i),
+pr AS (SELECT product(bits_set) AS prod FROM bs)
+SELECT CAST(bs.i AS BIGINT) AS slice, bs.bits_set,
+       round(bs.bits_set / 256.0, 6) AS load,
+       round(pr.prod / 4294967296.0, 6) AS expected_fp_rate
+FROM bs, pr ORDER BY slice
+"""
+
+
 @register(
     "dedup_bloom_membership",
     oracle=BLOOM_MEMBERSHIP_ORACLE,

@@ -1801,6 +1801,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
+    BLOOM_FILTER_ONLY_ORACLE,
     BLOOM_MEMBERSHIP_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
@@ -2161,6 +2162,45 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership_from_state(snap, probes, "doc_id", "text", 4, 2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "stream_bloom_filter_only",
+    oracle=BLOOM_FILTER_ONLY_ORACLE,
+    tags=("streaming", "pipeline", "dedup"),
+    doc="PRODUCTION Bloom deployment — stream_bloom_membership's docstring "
+    "says a deployment drops the exact md5 set and keeps only the "
+    "constant-size filter; this row makes that claim executable: the "
+    "streaming grouped aggregate maintains ONLY the slice-bit rows "
+    "(state <= 4*256 rows REGARDLESS of corpus size — the i >= 0 half of "
+    "pipeline/dedup.py bloom_state_rows, filtered inside the streaming "
+    "scan), and the snapshot report (bloom_filter_report) emits per-slice "
+    "set-bit counts, load factors, and the CLOSED-FORM expected "
+    "false-positive rate Pi load_i via an exact integer product — what a "
+    "deployment monitors instead of per-probe ground truth (which needs "
+    "the exact set it just dropped). Pinned against the exact twin's "
+    "measured FP rate in tests/test_streaming_analytics.py. Union state "
+    "is order- and batching-insensitive, so the report is exact under "
+    "any delivery schedule.",
+)
+def stream_bloom_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        bloom_filter_report,
+        bloom_state_rows,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4).filter(F.col("doc_id") % 2 == 0)
+    g = (
+        bloom_state_rows(s, "text", 4, 2)
+        .filter(F.col("i") >= 0)
+        .groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # localCheckpoint: the report crosses the snapshot with its own product
+    # aggregate (same memory-sink-view limitation as the other twins)
+    snap = run_to_batch(g, "complete").select("i", "v").localCheckpoint(eager=True)
+    return bloom_filter_report(snap, 4, 2).orderBy("slice")
 
 
 @register(

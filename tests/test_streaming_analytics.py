@@ -371,3 +371,46 @@ def test_bloom_state_is_boundary_and_order_invariant(spark):
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
     assert one == four == scrambled
+
+
+def test_bloom_filter_only_report_pins_load_and_fp_rate(spark):
+    """The production (constant-state) Bloom variant's report must be
+    honest: per-slice bits_set equals the filter the exact twin builds,
+    load = bits_set/256, expected_fp_rate = the exact product of loads —
+    and the closed-form rate must predict the exact twin's MEASURED
+    false-positive rate among true non-members within binomial noise
+    (sf0.01: 250 probes, ~2.7 sigma tolerance). This is the executable
+    form of 'production drops the exact set': everything the report says
+    is computable from the filter alone."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        bloom_filter_report,
+        bloom_membership,
+        bloom_state_rows,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    rep = sorted(
+        (
+            tuple(r)
+            for r in bloom_filter_report(
+                bloom_state_rows(corpus, "text", 4, 2), 4, 2
+            ).collect()
+        ),
+    )
+    assert [r[0] for r in rep] == [0, 1, 2, 3]
+    prod = 1.0
+    for _, bits_set, load, _fp in rep:
+        assert 0 < bits_set <= 256
+        assert abs(load - round(bits_set / 256.0, 6)) < 1e-9
+        prod *= bits_set
+    expected = rep[0][3]
+    assert all(r[3] == expected for r in rep)  # repeated per row
+    assert abs(expected - round(prod / 256.0**4, 6)) < 1e-9
+    mem = bloom_membership(corpus, probes, "doc_id", "text", 4, 2).collect()
+    non = [r for r in mem if not r["actual_member"]]
+    measured = sum(r["false_positive"] for r in non) / len(non)
+    assert abs(measured - expected) < 0.06, (measured, expected)
