@@ -5131,3 +5131,93 @@ def dataset_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card — the release-time multi-section report
+
+
+# (section, registered query, row-key column, value columns). The value
+# columns are pinned here on purpose: each family's schema is already pinned
+# by its own oracle, and the card must fail loudly (hash mismatch) if one
+# drifts rather than silently re-deriving.
+_CARD_SPECS: tuple[tuple[str, str, str, tuple[str, ...]], ...] = (
+    ("calibration", "pipeline_quality_calibration", "bin",
+     ("n_docs", "mean_p", "frac_pos", "abs_gap", "ece")),
+    ("clusters", "dedup_cluster_size_histogram", "cluster_size",
+     ("n_clusters", "n_docs")),
+    ("contamination", "text_contamination_matrix", "benchmark",
+     ("n_bench_docs", "n_contaminated", "contamination_rate")),
+    ("diversity", "text_source_diversity", "lang",
+     ("n_sources", "entropy_bits", "effective_sources", "top_share")),
+    ("funnel", "pipeline_curation_funnel", "stage",
+     ("n_docs", "n_tokens", "kept_frac", "cum_frac")),
+    ("packing", "dataset_pack_boundary_audit", "lang",
+     ("n_docs", "n_packs", "total_tokens", "avg_docs_per_pack",
+      "boundaries_per_1k_tokens")),
+)
+
+
+def _card_oracle() -> str:
+    """UNION of every family's own registered oracle, unpivoted to the
+    card's (section, metric, value) long form — each section nests the
+    shared oracle VERBATIM (one definition per family repo-wide), so no
+    section can drift from its standalone audit."""
+    from flink_1_12_0_src_spark.queries import REGISTRY
+
+    parts = []
+    for section, qname, key, vals in _CARD_SPECS:
+        nested = REGISTRY[qname].oracle
+        casts = ", ".join(
+            f"COALESCE(CAST({c} AS DOUBLE), 0.0) AS {c}" for c in vals
+        )
+        cols = ", ".join(vals)
+        parts.append(
+            f"SELECT '{section}' AS section, k || ':' || m AS metric, value\n"
+            f"FROM (SELECT CAST({key} AS VARCHAR) AS k, {casts}\n"
+            f"      FROM ({nested})) UNPIVOT (value FOR m IN ({cols}))"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY section, metric"
+
+
+def _card_section(
+    df: DataFrame, section: str, key: str, vals: tuple[str, ...]
+) -> DataFrame:
+    rows = df.select(
+        F.col(key).cast("string").alias("k"),
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in vals],
+    )
+    # coalesce BEFORE the unpivot on both sides: Spark's unpivot keeps NULL
+    # values, DuckDB's UNPIVOT drops them — with no NULLs the semantics agree
+    return rows.unpivot(["k"], list(vals), "m", "value").select(
+        F.lit(section).alias("section"),
+        F.concat_ws(":", "k", "m").alias("metric"),
+        F.col("value"),
+    )
+
+
+@register(
+    "pipeline_corpus_card",
+    oracle=_card_oracle(),
+    tags=("pipeline", "composed", "report"),
+    doc="CORPUS DATA CARD capstone — the single multi-section report a data "
+    "team publishes with a corpus release, composing six shipped audit "
+    "families into one (section, metric, value) long-form table: curation "
+    "funnel (per-stage retention), source diversity (entropy / effective "
+    "sources per language), benchmark contamination matrix, near-dup "
+    "cluster-size histogram, classifier calibration (per-decile gap + "
+    "ECE), and pack/boundary stats. Pure composition: each section IS the "
+    "registered audit query (REGISTRY lookup on the Spark side, the same "
+    "oracle nested VERBATIM on the DuckDB side), unpivoted to the long "
+    "form — no section can drift from its standalone operator. Scale: one "
+    "pass per family (each already collapses the corpus to a report-sized "
+    "relation before any join); the unpivot and union are report-sized.",
+)
+def pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.queries import REGISTRY
+
+    out = None
+    for section, qname, key, vals in _CARD_SPECS:
+        part = _card_section(REGISTRY[qname].spark(spark, sf_dir), section, key, vals)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("section", "metric")

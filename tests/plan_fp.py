@@ -177,6 +177,10 @@ def golden_plan_providers() -> dict:
         "graph_connected_components", "graph_jaccard_similarity",
         "graph_label_propagation", "graph_sssp", "graph_triadic_census",
         "graph_triangle_count", "join_cross",
+        # composed-of-composed: unions six materializing audit families
+        # (the cluster histogram checkpoints), each of which has its own
+        # golden — nothing extra to pin here
+        "pipeline_corpus_card",
     }
     # Rule-based inclusion (the reference pins 182 golden plan XMLs —
     # breadth is the point): every registered query whose plan is lazy and
