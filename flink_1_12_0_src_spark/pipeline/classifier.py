@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_1_12_0_src_spark.pipeline.stageclock import stage
 from flink_1_12_0_src_spark.pipeline.text import tokens
 
 
@@ -125,9 +126,13 @@ def logreg_fit_exact(
         df.select(F.col(id_col), F.col(label_col).cast("int").alias("y")), id_col
     )
     if materialize:
-        feats = feats.repartition(
-            spark.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
+        # stage probe: the eager checkpoint IS the featurization barrier —
+        # bench.py records it as its own wall-time entry so a future mover
+        # localizes to featurize-vs-GD-rounds without re-profiling
+        with stage("featurize"):
+            feats = feats.repartition(
+                spark.sparkContext.defaultParallelism
+            ).localCheckpoint(eager=True)
     weights = spark.range(nb1).select(
         F.col("id").alias("b"), F.lit(0.0).alias("w")
     )
@@ -179,7 +184,8 @@ def logreg_fit_exact(
             # round: without it the lazy chain re-executes every earlier
             # round each time a later round broadcasts it — O(rounds²)
             # gradient jobs (measured 17 s → ~4 s at bench SF for 8 rounds)
-            weights = weights.localCheckpoint(eager=True)
+            with stage("gd_rounds"):
+                weights = weights.localCheckpoint(eager=True)
     return weights.select(
         F.col("b").cast("bigint").alias("bucket"), F.col("w").alias("weight")
     )

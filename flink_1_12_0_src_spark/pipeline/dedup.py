@@ -918,7 +918,8 @@ def exact_substring_rewrite(
         # scan — and any expensive upstream chain (pipeline_refinedweb_substr
         # feeds the whole 3-level RefinedWeb pipeline in here) — once per
         # branch. base_stats derives from the checkpointed node for free.
-        base = base.localCheckpoint(eager=True)
+        with stage("tokenize"):
+            base = base.localCheckpoint(eager=True)
     base_stats = base.select(id_col, "n_tokens")
     # derive occurrences FROM base (not from df) so the corpus is tokenized
     # once, not twice (duplicated_spans' discipline)

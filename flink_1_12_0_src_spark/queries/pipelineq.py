@@ -1947,7 +1947,7 @@ FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 @register(
     "dedup_substring_rewrite",
     oracle=SUBSTRING_REWRITE_ORACLE,
-    tags=("pipeline", "dedup", "composed"),
+    tags=("pipeline", "dedup", "composed", "bench"),
     doc=f"ExactSubstr SURVIVOR REWRITE (pipeline/dedup.py "
     "exact_substring_rewrite; Lee et al. 2022 §4.1 remove the duplicated "
     "substring itself, not the document) — the rewrite stage "
@@ -4946,7 +4946,7 @@ FROM psrc LEFT JOIN pout USING (source) ORDER BY psrc.source
 @register(
     "pipeline_pretrain_corpus",
     oracle=_pretrain_corpus_oracle(),
-    tags=("pipeline", "dedup", "sampling", "composed"),
+    tags=("pipeline", "dedup", "sampling", "composed", "bench"),
     doc="End-to-end PRETRAIN-CORPUS assembly capstone — crawl to packed "
     "training tokens in ONE oracle-checked plan: (0) URL keep-first over "
     "canonicalized crawl URLs, (1) doc-level keep-first near-dedup "
