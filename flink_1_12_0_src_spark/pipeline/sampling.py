@@ -771,6 +771,75 @@ def doremi_weights(
     )
 
 
+def doremi_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    rounds: int = 4,
+    eta: float = 0.5,
+    smoothing: float = 0.02,
+    seed: int = 13,
+    materialize: bool = True,
+) -> DataFrame:
+    """APPLY the trained DoReMi mixture: deterministically downsample each
+    domain so the kept corpus realizes :func:`doremi_weights`' target
+    shares — the train-time half the weights exist for (DoReMi's output is
+    the mixture the FINAL model trains under). A domain's per-doc keep
+    probability is proportional to weight_d / n_docs_d, normalized so the
+    bottleneck domain (largest ratio) keeps everything — the same
+    no-replacement realization rule as :func:`temperature_sample`, with
+    the learned weights in place of the sqrt law.
+
+    Bit-determinism: the ratio uses the engine-exact weight and an exact
+    count with IEEE divides only (no floating SUM); the keep decision is
+    the package's fixed-width hex-threshold idiom — floor(keep_p·16⁸)
+    compared against the salted md5 prefix, with the sentinel 'g' for
+    keep_p = 1 groups (a numeric cap would still drop the one-in-2³²
+    'ffffffff' ids). Membership is a pure function of
+    (seed, id, trained weights) — reproducible in any engine, invariant
+    to partitioning.
+
+    Scale: everything after doremi_weights' two LM passes is a K-row
+    relation; the threshold table broadcasts and the keep decision is a
+    stateless filter inside the scan — no corpus shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    w = doremi_weights(
+        df, id_col, text_col, domain_col, rounds, eta, smoothing, materialize
+    ).select("domain", "n_docs", "weight")
+    r = F.col("weight") / F.col("n_docs")
+    mx = w.agg(F.max(F.col("weight") / F.col("n_docs")).alias("_mx"))
+    thr = w.crossJoin(broadcast(mx)).select(
+        "domain",
+        F.when(r >= F.col("_mx"), F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(r / F.col("_mx") * F.lit(4294967296.0)).cast(
+                                "bigint"
+                            ),
+                            F.lit(4294967295),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("_thr"),
+    )
+    h = F.substring(_salted_hash(id_col, seed), 1, 8)
+    return (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .join(broadcast(thr), "domain")
+        .filter(h < F.col("_thr"))
+        .select(id_col, "domain")
+    )
+
+
 def source_diversity(
     df: DataFrame, group_col: str, source_col: str, round_digits: int = 6
 ) -> DataFrame:

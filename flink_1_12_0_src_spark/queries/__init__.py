@@ -292,6 +292,7 @@ _R11_NEW = (
     "events_value_percentiles_approx",
     "pipeline_corpus_card",
     "stream_bloom_filter_only",
+    "dataset_doremi_sample",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -2353,6 +2353,52 @@ def dataset_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+DOREMI_SEED = 13
+
+
+@register(
+    "dataset_doremi_sample",
+    oracle=f"""
+WITH w AS (SELECT domain, n_docs, weight FROM ({_doremi_oracle()})),
+mx AS (SELECT MAX(weight / n_docs) AS mx FROM w),
+thr AS (SELECT domain,
+               CASE WHEN weight / n_docs >= mx THEN 'g'
+                    ELSE lpad(lower(to_hex(least(CAST(floor(weight / n_docs / mx * 4294967296.0) AS BIGINT),
+                                                 4294967295))), 8, '0') END AS t
+        FROM w, mx)
+SELECT d.doc_id, d.source AS domain
+FROM documents d JOIN thr ON thr.domain = d.source
+WHERE substr(md5('{DOREMI_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t
+ORDER BY d.doc_id
+""",
+    tags=("pipeline", "sampling", "composed"),
+    doc="APPLY the DoReMi mixture (pipeline/sampling.py doremi_sample) — "
+    "the train-time half dataset_doremi_weights exists for: per-domain "
+    "keep probability proportional to weight/n_docs, normalized so the "
+    "bottleneck domain keeps everything, realized with the package's "
+    "deterministic fixed-width hex-threshold idiom (temperature_sample's "
+    "no-replacement rule with the LEARNED weights in place of the sqrt "
+    "law). The oracle nests the unrolled-round DoReMi oracle verbatim, so "
+    "the sampler can never drift from the trainer. Scale: the threshold "
+    "table is K rows and broadcasts; the keep decision is a stateless "
+    "filter inside the scan — no corpus shuffle beyond the trainer's two "
+    "LM passes.",
+)
+def dataset_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_sample
+
+    return doremi_sample(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        rounds=DOREMI_ROUNDS,
+        eta=DOREMI_ETA,
+        smoothing=DOREMI_SMOOTH,
+        seed=DOREMI_SEED,
+    ).orderBy("doc_id")
+
+
 def _ensemble_oracle() -> str:
     sigs = ("quality", "dup_bigram_frac", "entropy", "avg_nll")
     stat_cols = ", ".join(

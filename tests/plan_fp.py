@@ -560,9 +560,28 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("domain")
 
+    def _lazy_doremi_sample(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.sampling import doremi_sample
+        from flink_1_12_0_src_spark.queries.pipelineq import (
+            DOREMI_ETA,
+            DOREMI_SEED,
+            DOREMI_SMOOTH,
+        )
+
+        # 1 round, materialize=False (the _lazy_doremi convention): pins the
+        # broadcast K-row threshold table and the stateless hash filter on
+        # top of the trainer's interior
+        return doremi_sample(
+            table(spark, sf_dir, "documents"), "doc_id", "text", "source",
+            rounds=1, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+            seed=DOREMI_SEED, materialize=False,
+        ).orderBy("doc_id")
+
     providers["pipeline_quality_fit"] = _lazy_quality_fit
     providers["pipeline_quality_eval"] = _lazy_quality_score
     providers["dataset_doremi_weights"] = _lazy_doremi
+    providers["dataset_doremi_sample"] = _lazy_doremi_sample
     def _lazy_substring_rewrite(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
         from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite

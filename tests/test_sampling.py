@@ -398,3 +398,32 @@ def test_doremi_weights_matches_python_twin(spark):
     # the hardest domain (largest excess) wins the mixture
     top = max(got.values(), key=lambda r: r["excess_loss"])
     assert top["weight"] == max(r["weight"] for r in got.values())
+
+
+def test_doremi_sample_realizes_learned_mixture(spark, docs):
+    """The sampler must realize the trainer's mixture: the bottleneck
+    domain (largest weight/n_docs) keeps every doc, every other domain's
+    realized kept count tracks keep_p·n within binomial noise, and
+    membership is a pure hash function — identical under repartitioning."""
+    from collections import Counter
+
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_sample, doremi_weights
+
+    kept = doremi_sample(docs, "doc_id", "text", "source", rounds=2).collect()
+    w = {
+        r["domain"]: r
+        for r in doremi_weights(docs, "doc_id", "text", "source", rounds=2).collect()
+    }
+    kc = Counter(r["domain"] for r in kept)
+    ratios = {d: r["weight"] / r["n_docs"] for d, r in w.items()}
+    top = max(ratios, key=lambda d: ratios[d])
+    assert kc[top] == w[top]["n_docs"]
+    mx = ratios[top]
+    for d, r in w.items():
+        exp = min(1.0, ratios[d] / mx) * r["n_docs"]
+        tol = max(6.0, 4.0 * exp**0.5)
+        assert abs(kc.get(d, 0) - exp) <= tol, (d, kc.get(d), exp)
+    again = doremi_sample(
+        docs.repartition(7), "doc_id", "text", "source", rounds=2
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
