@@ -636,39 +636,12 @@ def doremi_weights(
     brief-driven LLM-pipeline surface; nearest analog is the iterative
     fixpoint machinery (flink-libraries/flink-gelly iteration drivers),
     realized as plan unrolling like operators/graph.py."""
-    if rounds < 1:
-        raise ValueError("doremi_weights: rounds must be >= 1")
     toks = df.select(
         F.col(domain_col).alias("domain"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
-
-    # proxy loss: corpus-global unigram LM, token-level mean per domain.
-    # nll terms round to 6 dp (ln ULP discipline, see dsir_weights) and
-    # multiply exact per-(domain, term) counts in DECIMAL — order-invariant.
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(F.sum("c").cast("double").alias("_t"))
     dterm = toks.groupBy("domain", "term").agg(
         F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
     )
-    nll_u = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 6).cast(
-        "decimal(20,6)"
-    )
-    lp = (
-        dterm.join(vocab, "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("domain")
-        .agg(
-            (
-                F.sum(F.col("n") * nll_u).cast("double")
-                / F.sum(F.col("n").cast("bigint")).cast("double")
-            ).alias("lp")
-        )
-    )
-
-    # reference loss: add-1-smoothed bigram LM (bigram_logprob's LM), the
-    # stronger model — bigrams derive row-locally, counts aggregate before
-    # any join (the (domain, bigram) relation is vocab-bounded, far below
-    # the token stream)
     w = F.filter(tokens(text_col), lambda x: x != "")
     bg = (
         df.select(F.col(domain_col).alias("domain"), w.alias("_w"))
@@ -690,6 +663,119 @@ def doremi_weights(
     dbg = bg.groupBy("domain", "w1", "w2").agg(
         F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
     )
+    nd = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return doremi_weights_from_counts(
+        dterm, dbg, nd, rounds, eta, smoothing, materialize
+    )
+
+
+def doremi_state_rows(df: DataFrame, text_col: str, domain_col: str) -> DataFrame:
+    """(kind, domain, k1, k2) row per DoReMi sufficient-statistic event —
+    ROW-LOCAL derivation (runs unchanged on a streaming scan): kind 't' per
+    token (k1 = term), 'b' per adjacent bigram (k1, k2), 'd' once per
+    document. The grouped COUNT over these keys IS the exact sufficient
+    statistic set of :func:`doremi_weights` — (domain, term) counts,
+    (domain, bigram) counts, per-domain doc counts; everything else (the
+    global vocabulary, totals, V) derives from them by rollup, so a
+    streaming grouped aggregate maintains the whole training input
+    incrementally (the mergeable counter-class state of the twins)."""
+    toks = F.filter(F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+                    lambda x: x != "")
+    dcol = F.col(domain_col)
+    t_entries = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.lit("t").alias("kind"), dcol.alias("dom"),
+            t.alias("k1"), F.lit("").alias("k2"),
+        ),
+    )
+    b_entries = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.lit("b").alias("kind"), dcol.alias("dom"),
+                F.element_at(toks, i).alias("k1"),
+                F.element_at(toks, i + 1).alias("k2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<kind:string,dom:string,k1:string,k2:string>>")
+    )
+    d_entry = F.array(
+        F.struct(
+            F.lit("d").alias("kind"), dcol.alias("dom"),
+            F.lit("").alias("k1"), F.lit("").alias("k2"),
+        )
+    )
+    return df.select(
+        F.explode(F.concat(t_entries, b_entries, d_entry)).alias("e")
+    ).select(
+        F.col("e.kind").alias("kind"), F.col("e.dom").alias("domain"),
+        F.col("e.k1").alias("k1"), F.col("e.k2").alias("k2"),
+    )
+
+
+def doremi_counts_from_state(state: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split a counted :func:`doremi_state_rows` snapshot (kind, domain,
+    k1, k2, n) back into the three relations
+    :func:`doremi_weights_from_counts` consumes — shared with the
+    streaming twin, whose grouped-aggregate snapshot IS the state."""
+    dterm = state.filter(F.col("kind") == "t").select(
+        "domain", F.col("k1").alias("term"), F.col("n").cast("decimal(15,0)").alias("n")
+    )
+    dbg = state.filter(F.col("kind") == "b").select(
+        "domain", F.col("k1").alias("w1"), F.col("k2").alias("w2"),
+        F.col("n").cast("decimal(15,0)").alias("n"),
+    )
+    nd = state.filter(F.col("kind") == "d").select(
+        "domain", F.col("n").cast("bigint").alias("n_docs")
+    )
+    return dterm, dbg, nd
+
+
+def doremi_weights_from_counts(
+    dterm: DataFrame,
+    dbg: DataFrame,
+    nd: DataFrame,
+    rounds: int = 4,
+    eta: float = 0.5,
+    smoothing: float = 0.02,
+    materialize: bool = True,
+) -> DataFrame:
+    """The loss + exponentiated-gradient TAIL of :func:`doremi_weights`
+    over explicit sufficient-statistic relations — (domain, term, n),
+    (domain, w1, w2, n), (domain, n_docs) — shared with the streaming
+    twin. The global unigram LM, its total, the bigram counts and the
+    vocabulary size all derive from the hand-ins by rollup (counts are
+    decomposable), so the statistics are the COMPLETE training input and
+    the tail is a pure function of them."""
+    if rounds < 1:
+        raise ValueError("doremi_weights: rounds must be >= 1")
+    # proxy loss: corpus-global unigram LM, token-level mean per domain.
+    # nll terms round to 6 dp (ln ULP discipline, see dsir_weights) and
+    # multiply exact per-(domain, term) counts in DECIMAL — order-invariant.
+    vocab = dterm.groupBy("term").agg(F.sum(F.col("n").cast("bigint")).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("_t"))
+    nll_u = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 6).cast(
+        "decimal(20,6)"
+    )
+    lp = (
+        dterm.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("domain")
+        .agg(
+            (
+                F.sum(F.col("n") * nll_u).cast("double")
+                / F.sum(F.col("n").cast("bigint")).cast("double")
+            ).alias("lp")
+        )
+    )
+    # reference loss: add-1-smoothed bigram LM (bigram_logprob's LM), the
+    # stronger model — counts aggregate before any join (the (domain,
+    # bigram) relation is vocab-bounded, far below the token stream)
     cbg = dbg.groupBy("w1", "w2").agg(F.sum(F.col("n").cast("bigint")).alias("cb"))
     uni = vocab.select(F.col("term").alias("w1"), F.col("c").alias("cu"))
     v = vocab.agg(F.count(F.lit(1)).cast("double").alias("_v"))
@@ -707,10 +793,6 @@ def doremi_weights(
                 / F.sum(F.col("n").cast("bigint")).cast("double")
             ).alias("lr")
         )
-    )
-
-    nd = df.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     dom = (
         nd.join(lp, "domain")

@@ -293,6 +293,7 @@ _R11_NEW = (
     "pipeline_corpus_card",
     "stream_bloom_filter_only",
     "dataset_doremi_sample",
+    "stream_doremi_weights",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -2321,9 +2321,16 @@ FROM {prev} ORDER BY domain
 """
 
 
+# ONE constant shared by the batch trainer (dataset_doremi_weights) and its
+# streaming twin (stream_doremi_weights, queries/streamingq.py): the
+# sufficient statistics are a pure function of the corpus, so the twin's
+# snapshot training run equals the batch run exactly.
+DOREMI_ORACLE = _doremi_oracle()
+
+
 @register(
     "dataset_doremi_weights",
-    oracle=_doremi_oracle(),
+    oracle=DOREMI_ORACLE,
     tags=("pipeline", "sampling", "iterative"),
     doc="DoReMi domain-weight training (Xie et al. 2023, Algorithm 1; "
     "pipeline/sampling.py doremi_weights) — the fifth unrolled "

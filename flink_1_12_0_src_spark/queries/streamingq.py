@@ -1803,6 +1803,7 @@ from flink_1_12_0_src_spark.queries.custom_ops import (
 from flink_1_12_0_src_spark.queries.pipelineq import (
     BLOOM_FILTER_ONLY_ORACLE,
     BLOOM_MEMBERSHIP_ORACLE,
+    DOREMI_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
@@ -2162,6 +2163,53 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership_from_state(snap, probes, "doc_id", "text", 4, 2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "stream_doremi_weights",
+    oracle=DOREMI_ORACLE,
+    tags=("streaming", "pipeline", "sampling", "iterative"),
+    doc="DoReMi-on-a-stream — the 16th streaming twin, and the first of "
+    "the ITERATIVE-TRAINING-ON-MAINTAINED-STATE shape: the trainer's "
+    "complete sufficient-statistic set ((domain, term) counts, (domain, "
+    "bigram) counts, per-domain doc counts — pipeline/sampling.py "
+    "doremi_state_rows, derived ROW-LOCALLY inside the streaming scan) is "
+    "maintained incrementally by ONE streaming grouped aggregate, and the "
+    "shared loss + exponentiated-gradient tail "
+    "(doremi_weights_from_counts) re-trains the mixture from the final "
+    "snapshot — continuous mixture re-weighting as data arrives, the "
+    "production loop where domain weights refresh per ingest window "
+    "without a corpus re-scan. Counts over the (kind, domain, k1, k2) "
+    "keys are order- and batching-insensitive, so the trained weights "
+    "equal the batch trainer's exactly under any delivery schedule; "
+    "shares DOREMI_ORACLE with the batch half, batch-equality + boundary/"
+    "scramble invariance pinned.",
+)
+def stream_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        doremi_counts_from_state,
+        doremi_state_rows,
+        doremi_weights_from_counts,
+    )
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        DOREMI_ETA,
+        DOREMI_ROUNDS,
+        DOREMI_SMOOTH,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = doremi_state_rows(s, "text", "source").groupBy(
+        "kind", "domain", "k1", "k2"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: the training tail reads the snapshot once per
+    # statistic relation (same memory-sink-view limitation as the other
+    # twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    dterm, dbg, nd = doremi_counts_from_state(snap)
+    return doremi_weights_from_counts(
+        dterm, dbg, nd, rounds=DOREMI_ROUNDS, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH
+    ).orderBy("domain")
 
 
 @register(

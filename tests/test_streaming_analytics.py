@@ -38,6 +38,7 @@ def _rows(df):
         ("stream_substring_rewrite", "dedup_substring_rewrite"),
         ("stream_containment_prune", "dedup_containment_prune"),
         ("stream_bloom_membership", "dedup_bloom_membership"),
+        ("stream_doremi_weights", "dataset_doremi_weights"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -414,3 +415,30 @@ def test_bloom_filter_only_report_pins_load_and_fp_rate(spark):
     non = [r for r in mem if not r["actual_member"]]
     measured = sum(r["false_positive"] for r in non) / len(non)
     assert abs(measured - expected) < 0.06, (measured, expected)
+
+
+def test_doremi_state_is_boundary_and_order_invariant(spark):
+    """The DoReMi twin's streaming state — counts over (kind, domain, k1,
+    k2) sufficient-statistic keys — is a mergeable counter set: counts are
+    associative and commutative, so one trigger, four triggers, and
+    scrambled delivery yield the identical statistics (hence identical
+    trained weights)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_state_rows
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = doremi_state_rows(src, "text", "source").groupBy(
+            "kind", "domain", "k1", "k2"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
+    assert one == four == scrambled
