@@ -1296,6 +1296,72 @@ def bloom_membership_from_state(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """SOFT deduplication — reweight instead of remove (He et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training"): hard dedup discards borderline
+    documents outright; SoftDeDup keeps everything and DOWN-WEIGHTS high-
+    commonness samples in the training sampler. Commonness here is the
+    per-document mean ``k``-gram log-probability under the corpus's own
+    n-gram frequencies (the paper's data-frequency measure in log space,
+    the repo's established logppl recipe); the emitted training weight is
+    the document's 6-dp mean nll relative to the corpus mean — ≥ 1 for
+    rare/fresh documents, < 1 for duplicated or boilerplate-heavy ones
+    (documented simplification: a linear map of relative log-commonness
+    in place of the paper's tunable power map — transcendental-free, so
+    every value is engine-exact). Downstream samplers consume the weight
+    exactly like :func:`~flink_1_12_0_src_spark.pipeline.sampling.weighted_sample`'s
+    key. Documents with fewer than ``k`` tokens have no grams and drop
+    (the shared shingle guard).
+
+    Returns (id, n_grams, log_commonness, weight); corpus-mean weight = 1
+    by construction.
+
+    Determinism: per-gram −ln p rounds to 9 dp and accumulates in
+    DECIMAL; the per-doc mean is one exact IEEE divide rounded to 6 dp;
+    the corpus mean accumulates those 6-dp values in DECIMAL — order- and
+    partitioning-invariant end to end. Scale: one gram-count aggregate
+    (map-side partials), one equi-join scoring scan, a one-row broadcast
+    total and a one-row broadcast corpus mean — the linear logppl
+    topology, no pair space anywhere."""
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+
+    g = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+    gc = g.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    tot = gc.agg(F.sum("c").cast("double").alias("_t"))
+    nll = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 9).cast(
+        "decimal(28,9)"
+    )
+    per = (
+        g.join(gc, "sh")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(nll).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.round(F.col("_s").cast("double") / F.col("n_grams"), 6).alias("a6"),
+        )
+    )
+    m = per.agg(
+        (
+            F.sum(F.col("a6").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_cm")
+    )
+    return per.crossJoin(F.broadcast(m)).select(
+        F.col(id_col),
+        "n_grams",
+        (-F.col("a6")).alias("log_commonness"),
+        F.round(F.col("a6") / F.col("_cm"), 6).alias("weight"),
+    )
+
+
 def bloom_filter_report(
     state: DataFrame, n_slices: int = 4, hex_chars: int = 2
 ) -> DataFrame:

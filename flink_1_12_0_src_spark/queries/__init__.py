@@ -294,6 +294,7 @@ _R11_NEW = (
     "stream_bloom_filter_only",
     "dataset_doremi_sample",
     "stream_doremi_weights",
+    "dedup_soft_weights",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1680,6 +1680,50 @@ ORDER BY p.doc_id
 """
 
 
+SOFT_K = 3
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(w)-{SOFT_K}),
+                                   i -> array_to_string(w[i+1:i+{SOFT_K}], ' '))) AS sh
+      FROM toks WHERE len(w) >= {SOFT_K}),
+gc AS (SELECT sh, COUNT(*) AS c FROM g GROUP BY sh),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM gc),
+per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CAST(round(-ln(c / (SELECT t FROM tot)), 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) / COUNT(*) AS avg_nll
+        FROM g JOIN gc USING (sh) GROUP BY g.doc_id),
+p6 AS (SELECT doc_id, n_grams, round(avg_nll, 6) AS a6 FROM per),
+m AS (SELECT CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cm FROM p6)
+SELECT doc_id, n_grams, -a6 AS log_commonness, round(a6 / cm, 6) AS weight
+FROM p6, m ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup", "sampling"),
+    doc="SOFT deduplication (He et al. 2024, SoftDedup; pipeline/dedup.py "
+    f"soft_dedup_weights) — reweight instead of remove: per-doc mean "
+    f"{SOFT_K}-gram log-probability under the corpus's own gram "
+    "frequencies measures commonness, and the emitted training weight is "
+    "the doc's 6-dp mean nll relative to the corpus mean — < 1 for "
+    "duplicated/boilerplate docs, ≥ 1 for rare ones, corpus-mean 1 by "
+    "construction (linear map of relative log-commonness in place of the "
+    "paper's power map — transcendental-free, documented). The sampling "
+    "complement of the hard-removal family: downstream consumes the "
+    "weight like dataset_weighted_sample's key. Scale: one gram-count "
+    "aggregate + one equi-join scoring scan + two one-row broadcasts — "
+    "the linear logppl topology, no pair space.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=SOFT_K
+    ).orderBy("doc_id")
+
+
 # The production Bloom variant's report half — shared constant so the
 # streaming filter-only row (queries/streamingq.py) and any batch audit can
 # never drift. Same corpus (even doc_ids), same 4×256 partitioned layout.

@@ -1057,3 +1057,33 @@ def test_exact_substring_rewrite_keeps_one_copy(spark):
     assert got[2] == (11, 8, "pre1 pre2 post1")
     assert got[3] == (8, 8, "")
     assert got[4] == (5, 0, "wholly unrelated words only here")
+
+
+def test_soft_dedup_weights_downweight_duplicates(spark):
+    """SoftDeDup's whole point: duplicated/boilerplate docs get weight < 1,
+    rare docs > 1, corpus-mean weight = 1 by construction, and the weights
+    are partitioning-invariant (rounded-then-DECIMAL recipe)."""
+    from flink_1_12_0_src_spark.pipeline.dedup import soft_dedup_weights
+
+    dup = "the exact same duplicated boilerplate paragraph repeated verbatim here"
+    rows = [(i, dup) for i in range(8)] + [
+        (
+            100 + i,
+            f"unique{i} rare{i * 7} tokens{i * 13} never{i * 3} "
+            f"seen{i * 11} elsewhere{i} once{i * 5}",
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in soft_dedup_weights(df, "doc_id", "text").collect()}
+    assert len(got) == 16
+    dup_w = [got[i]["weight"] for i in range(8)]
+    uniq_w = [got[100 + i]["weight"] for i in range(8)]
+    assert max(dup_w) < 1.0 < min(uniq_w)
+    allw = [r["weight"] for r in got.values()]
+    assert abs(sum(allw) / len(allw) - 1.0) < 1e-3
+    again = {
+        r["doc_id"]: tuple(r)
+        for r in soft_dedup_weights(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == again
