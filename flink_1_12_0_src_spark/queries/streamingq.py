@@ -1804,6 +1804,7 @@ from flink_1_12_0_src_spark.queries.pipelineq import (
     BLOOM_FILTER_ONLY_ORACLE,
     BLOOM_MEMBERSHIP_ORACLE,
     DOREMI_ORACLE,
+    HEAVY_HITTERS_CMS_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
@@ -2210,6 +2211,55 @@ def stream_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weights_from_counts(
         dterm, dbg, nd, rounds=DOREMI_ROUNDS, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH
     ).orderBy("domain")
+
+
+@register(
+    "stream_heavy_hitters_cms",
+    oracle=HEAVY_HITTERS_CMS_ORACLE,
+    tags=("streaming", "pipeline", "text", "dedup"),
+    doc="Count-Min-sketch-on-a-stream — the 17th streaming twin, second "
+    "member of the mergeable-sketch state class: the CONSTANT-SIZE "
+    "(slices x 256 counters, regardless of corpus size) Count-Min sketch "
+    "of text_heavy_hitters_cms is maintained incrementally by a "
+    "streaming grouped aggregate over row-local (i, v) slice rows "
+    "(pipeline/dedup.py cms_state_rows — counter ADDITION merges "
+    "associatively), and the shared contract tail (cms_topk_contract) "
+    "re-estimates the static exact top-k phrases from the final "
+    "snapshot — the live 'which boilerplate is flooding ingest' monitor "
+    "with production-grade constant state, the frequency sibling of "
+    "stream_bloom_filter_only. Counter sums are order- and "
+    "batching-insensitive, so the contract equals the batch row exactly; "
+    "shares HEAVY_HITTERS_CMS_ORACLE with the batch half.",
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        cms_state_rows,
+        cms_topk_contract,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        CMS_HEX,
+        CMS_K,
+        CMS_SLICES,
+        CMS_TOPK,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = cms_state_rows(s, "text", CMS_K, CMS_SLICES, CMS_HEX).groupBy("i", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # localCheckpoint: the contract tail reads the snapshot for both the
+    # probe join and the total (same memory-sink-view limitation as the
+    # other twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    grams = table(spark, sf_dir, "documents").select(
+        F.explode(shingles("text", CMS_K)).alias("sh")
+    )
+    return cms_topk_contract(
+        snap, grams, "sh", CMS_TOPK, CMS_SLICES, CMS_HEX
+    ).orderBy("rank")
 
 
 @register(

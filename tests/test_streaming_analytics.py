@@ -39,6 +39,7 @@ def _rows(df):
         ("stream_containment_prune", "dedup_containment_prune"),
         ("stream_bloom_membership", "dedup_bloom_membership"),
         ("stream_doremi_weights", "dataset_doremi_weights"),
+        ("stream_heavy_hitters_cms", "text_heavy_hitters_cms"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -436,6 +437,33 @@ def test_doremi_state_is_boundary_and_order_invariant(spark):
         g = doremi_state_rows(src, "text", "source").groupBy(
             "kind", "domain", "k1", "k2"
         ).agg(F.count(F.lit(1)).alias("n"))
+        return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
+    assert one == four == scrambled
+
+
+def test_cms_state_is_boundary_and_order_invariant(spark):
+    """The Count-Min twin's streaming state — counter sums over (slice,
+    bucket) keys — is a mergeable sketch: addition is associative and
+    commutative, so one trigger, four triggers, and scrambled delivery
+    yield the identical sketch (hence identical estimates and contract
+    booleans)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import cms_state_rows
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = cms_state_rows(src, "text", 3, 4, 2).groupBy("i", "v").agg(
+            F.count(F.lit(1)).alias("n")
+        )
         return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
 
     one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
