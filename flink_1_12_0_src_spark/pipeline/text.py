@@ -738,6 +738,109 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def slm_token_select(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 1.0
+) -> DataFrame:
+    """Selective Language Modeling token triage (Lin et al. 2024, "Rho-1:
+    Not All Tokens Are What You Need"): not every token deserves a
+    gradient — Rho-1 scores each token by the EXCESS LOSS between the
+    training model and a reference model and trains only on the
+    high-excess tokens (the ones the reference understands but the
+    proxy hasn't learned). Here the proxy is the corpus unigram LM and
+    the reference the add-1-smoothed bigram LM (the repo's two
+    engine-exact scorers, the :func:`~flink_1_12_0_src_spark.pipeline.sampling.doremi_weights`
+    pairing at token granularity): position i scores
+    excess_i = nll_uni(w_i) − nll_bigram(w_i | w_{i−1}) — how many nats
+    the one-token context buys — and a token is SELECTED when
+    excess ≥ ``threshold``. Returns the per-document triage ledger
+    (id, n_scored, n_selected, selected_frac, mean_excess); docs with
+    < 2 tokens have no scored positions and drop (the bigram guard).
+
+    Determinism: both nll terms round to 6 dp (ln ULP discipline), their
+    difference is an exact DECIMAL, the threshold compare is exact
+    decimal arithmetic, and the per-doc mean is DECIMAL-accumulated then
+    one IEEE divide — partitioning- and engine-invariant.
+
+    Scale: bigrams derive row-locally (no positional self-join); one
+    (w1, w2) count aggregate + one unigram aggregate, scoring re-joins
+    the bigram stream on (w1, w2), then w1, then w2 — plain equi hash
+    joins against vocabulary-sized relations; the only doc-keyed shuffle
+    is the final ledger aggregate."""
+    w = F.filter(tokens(text_col), lambda x: x != "")
+    bg = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_w"), i).alias("w1"),
+                        F.element_at(F.col("_w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(w).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("_t"))
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    dec = "decimal(20,6)"
+    nll_u = F.round(-F.log(F.col("cu2").cast("double") / F.col("_t")), 6).cast(dec)
+    nll_b = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("_v"))), 6
+    ).cast(dec)
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .join(
+            uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), (nll_u - nll_b).alias("_ex"))
+    )
+    thr = F.lit(threshold).cast(dec)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum((F.col("_ex") >= thr).cast("bigint")).cast("bigint").alias(
+                "n_selected"
+            ),
+            F.sum(F.col("_ex").cast("decimal(28,9)")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_scored",
+            "n_selected",
+            # explicit MICRO-UNIT rounding (the pca_power nano discipline at
+            # 6 dp): a bare round(x, 6) is not engine-stable — the mean here
+            # actually landed on a .5 boundary at sf0.01 and the two engines
+            # rounded it apart
+            (
+                F.round(
+                    F.col("n_selected") / F.col("n_scored").cast("double") * 1e6, 0
+                ).cast("bigint")
+                / F.lit(1e6)
+            ).alias("selected_frac"),
+            (
+                F.round(F.col("_s").cast("double") / F.col("n_scored") * 1e6, 0).cast(
+                    "bigint"
+                )
+                / F.lit(1e6)
+            ).alias("mean_excess"),
+        )
+    )
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     """The first step of BPE tokenizer training at corpus scale: global
     frequencies of ADJACENT CHARACTER PAIRS within words — the statistic the

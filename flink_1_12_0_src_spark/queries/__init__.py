@@ -297,6 +297,7 @@ _R11_NEW = (
     "dedup_soft_weights",
     "text_heavy_hitters_cms",
     "stream_heavy_hitters_cms",
+    "text_slm_select",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1724,6 +1724,60 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SLM_THR = 0.2
+
+
+@register(
+    "text_slm_select",
+    oracle=f"""
+WITH btoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+               FROM documents),
+bg AS (SELECT doc_id, w[g+1] AS w1, w[g+2] AS w2
+       FROM (SELECT doc_id, w, unnest(generate_series(0, len(w)-2)) AS g
+             FROM btoks WHERE len(w) >= 2)),
+uni AS (SELECT term, COUNT(*) AS cu
+        FROM (SELECT unnest(w) AS term FROM btoks) GROUP BY term),
+tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+cbg AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(round(-ln(u2.cu / (SELECT t FROM tot)), 6) AS DECIMAL(20,6))
+         - CAST(round(-ln((cb + 1.0) / (u1.cu + (SELECT vs FROM v))), 6) AS DECIMAL(20,6)) AS ex
+  FROM bg JOIN cbg USING (w1, w2)
+       JOIN uni u1 ON u1.term = bg.w1
+       JOIN uni u2 ON u2.term = bg.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN ex >= CAST({SLM_THR} AS DECIMAL(20,6)) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(round(CAST(SUM(CASE WHEN ex >= CAST({SLM_THR} AS DECIMAL(20,6)) THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0, 0) AS BIGINT) / 1000000.0 AS selected_frac,
+       CAST(round(CAST(SUM(CAST(ex AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) * 1000000.0, 0) AS BIGINT)
+           / 1000000.0 AS mean_excess
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "text", "sampling"),
+    doc="Selective Language Modeling token triage (Lin et al. 2024, Rho-1; "
+    "pipeline/text.py slm_token_select) — not every token deserves a "
+    "gradient: per position the EXCESS LOSS between the weak unigram "
+    "proxy and the stronger bigram reference (how many nats one token of "
+    f"context buys) selects tokens at excess ≥ {SLM_THR}; the per-doc "
+    "ledger (scored/selected counts, selected fraction, mean excess) is "
+    "what a Rho-1-style run uses to budget its token-level loss mask. "
+    "The doremi_weights scorer pairing at token granularity. 6-dp nll "
+    "terms, exact DECIMAL differences and threshold compares, "
+    "DECIMAL-accumulated means. Scale: row-local bigrams, "
+    "vocabulary-sized equi joins, one doc-keyed ledger aggregate.",
+)
+def text_slm_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.text import slm_token_select
+
+    return slm_token_select(
+        table(spark, sf_dir, "documents"), "doc_id", "text", threshold=SLM_THR
+    ).orderBy("doc_id")
+
+
 CMS_K = 3
 CMS_SLICES = 4
 CMS_HEX = 2

@@ -1087,3 +1087,75 @@ def test_soft_dedup_weights_downweight_duplicates(spark):
         for r in soft_dedup_weights(df.repartition(7), "doc_id", "text").collect()
     }
     assert {k: tuple(v) for k, v in got.items()} == again
+
+
+def test_slm_select_matches_python_twin(spark):
+    """Brute-force twin of the Rho-1 token triage: the same unigram/bigram
+    nll terms (identical 6-dp roundings), exact DECIMAL excess differences
+    and threshold compares in plain Python must reproduce the per-doc
+    ledger exactly; also pins the observed selection direction on this
+    smoothing (add-1 caps the bigram cost, so rare-unigram targets earn
+    the largest excess) and partition invariance."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from flink_1_12_0_src_spark.pipeline.text import slm_token_select
+
+    rows = [
+        (1, ("alpha beta " * 30).strip()),
+        (2, " ".join(f"w{i} alpha" if i % 2 else f"beta w{i}" for i in range(30))),
+        (3, "gamma delta gamma delta gamma epsilon"),
+    ]
+    thr = 0.7
+    docs = {i: t.lower().split() for i, t in rows}
+    uni = Counter(t for ws in docs.values() for t in ws)
+    tot = float(sum(uni.values()))
+    vs = float(len(uni))
+    bgs = Counter((a, b) for ws in docs.values() for a, b in zip(ws, ws[1:]))
+    expect = {}
+    for i, ws in docs.items():
+        if len(ws) < 2:
+            continue
+        n_sc, n_sel, s = 0, 0, Decimal(0)
+        for a, b in zip(ws, ws[1:]):
+            ex = Decimal(str(round(-math.log(uni[b] / tot), 6))) - Decimal(
+                str(round(-math.log((bgs[(a, b)] + 1.0) / (uni[a] + vs)), 6))
+            )
+            n_sc += 1
+            n_sel += ex >= Decimal(str(thr))
+            s += ex
+        expect[i] = (
+            n_sc,
+            n_sel,
+            round(n_sel / n_sc * 1e6) / 1e6,
+            round(float(s) / n_sc * 1e6) / 1e6,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_scored"], r["n_selected"], r["selected_frac"], r["mean_excess"]
+        )
+        for r in slm_token_select(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", thr
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i][:2] == expect[i][:2], i
+        assert abs(got[i][2] - expect[i][2]) < 2e-6, i
+        assert abs(got[i][3] - expect[i][3]) < 2e-6, i
+    # rare-unigram targets (doc 2) out-select the pure collocation (doc 1)
+    assert got[2][2] > got[1][2]
+    again = {
+        r["doc_id"]: tuple(r)
+        for r in slm_token_select(
+            spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5),
+            "doc_id", "text", thr,
+        ).collect()
+    }
+    assert {
+        r["doc_id"]: tuple(r)
+        for r in slm_token_select(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", thr
+        ).collect()
+    } == again
