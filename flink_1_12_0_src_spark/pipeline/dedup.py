@@ -1325,22 +1325,42 @@ def soft_dedup_weights(
     partitioning-invariant end to end. Scale: one gram-count aggregate
     (map-side partials), one equi-join scoring scan, a one-row broadcast
     total and a one-row broadcast corpus mean — the linear logppl
-    topology, no pair space anywhere."""
+    topology, no pair space anywhere.
+
+    Reference scope note: the reference engine has no data-reweighting
+    operator — brief-driven LLM-pipeline surface; its aggregation shape
+    is the reference's two-stage hash aggregate
+    (flink-table planner StreamExecGroupAggregate lineage)."""
     from flink_1_12_0_src_spark.pipeline.text import shingles
 
     g = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
-    gc = g.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    gcount = g.groupBy(id_col, "sh").agg(
+        F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
+    )
+    return soft_dedup_weights_from_grams(gcount, id_col)
+
+
+def soft_dedup_weights_from_grams(gcount: DataFrame, id_col: str) -> DataFrame:
+    """The commonness + reweighting TAIL of :func:`soft_dedup_weights`
+    over an explicit (id, sh, n) per-document gram-count relation — shared
+    with the streaming twin, whose grouped-aggregate snapshot IS that
+    relation (the corpus gram frequencies, the total, and every weight
+    derive from it by rollup, so the counts are the complete sufficient
+    statistic)."""
+    gc = gcount.groupBy("sh").agg(F.sum(F.col("n").cast("bigint")).alias("c"))
     tot = gc.agg(F.sum("c").cast("double").alias("_t"))
+    # (20,9) × (15,0) stays at precision 36, inside Spark's 38-digit cap
+    # with the scale intact (28,9 would overflow and silently truncate)
     nll = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 9).cast(
-        "decimal(28,9)"
+        "decimal(20,9)"
     )
     per = (
-        g.join(gc, "sh")
+        gcount.join(gc, "sh")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(nll).alias("_s"),
+            F.sum(F.col("n").cast("bigint")).cast("bigint").alias("n_grams"),
+            F.sum(F.col("n") * nll).cast("decimal(38,9)").alias("_s"),
         )
         .select(
             F.col(id_col),
@@ -1418,7 +1438,12 @@ def cms_state_rows(
     counters, mergeable by ADDITION (sums are associative/commutative),
     so a streaming grouped aggregate maintains it incrementally and two
     shards' sketches combine by adding counters. ROW-LOCAL derivation
-    (two nested explodes — runs unchanged on a streaming scan)."""
+    (two nested explodes — runs unchanged on a streaming scan).
+    Reference analog: the runtime Bloom filter the reference's hybrid
+    hash join spills with (flink-runtime/src/main/java/org/apache/flink/
+    runtime/operators/util/BloomFilter.java:45) is the EXISTS half of
+    this exact layout; the counting generalization is brief-driven
+    pipeline surface."""
     from flink_1_12_0_src_spark.pipeline.text import shingles
 
     src = corpus if corpus.isStreaming else _spread(corpus)

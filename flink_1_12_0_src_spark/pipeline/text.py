@@ -765,7 +765,11 @@ def slm_token_select(
     (w1, w2) count aggregate + one unigram aggregate, scoring re-joins
     the bigram stream on (w1, w2), then w1, then w2 — plain equi hash
     joins against vocabulary-sized relations; the only doc-keyed shuffle
-    is the final ledger aggregate."""
+    is the final ledger aggregate.
+
+    Reference scope note: the reference engine has no token-selection
+    operator — brief-driven LLM-pipeline surface; the scoring topology is
+    the same equi-join chain as :func:`bigram_logprob`."""
     w = F.filter(tokens(text_col), lambda x: x != "")
     bg = (
         df.select(F.col(id_col), w.alias("_w"))

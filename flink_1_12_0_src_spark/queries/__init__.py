@@ -298,6 +298,7 @@ _R11_NEW = (
     "text_heavy_hitters_cms",
     "stream_heavy_hitters_cms",
     "text_slm_select",
+    "stream_soft_weights",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -1682,10 +1682,11 @@ ORDER BY p.doc_id
 
 SOFT_K = 3
 
-
-@register(
-    "dedup_soft_weights",
-    oracle=f"""
+# ONE constant shared by the batch reweighter (dedup_soft_weights) and its
+# streaming twin (stream_soft_weights): the per-doc gram counts are a pure
+# function of the corpus, so the twin's snapshot weights equal the batch
+# weights exactly.
+SOFT_DEDUP_ORACLE = f"""
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 g AS (SELECT doc_id,
              unnest(list_transform(generate_series(0, len(w)-{SOFT_K}),
@@ -1701,7 +1702,12 @@ p6 AS (SELECT doc_id, n_grams, round(avg_nll, 6) AS a6 FROM per),
 m AS (SELECT CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cm FROM p6)
 SELECT doc_id, n_grams, -a6 AS log_commonness, round(a6 / cm, 6) AS weight
 FROM p6, m ORDER BY doc_id
-""",
+"""
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=SOFT_DEDUP_ORACLE,
     tags=("pipeline", "dedup", "sampling"),
     doc="SOFT deduplication (He et al. 2024, SoftDedup; pipeline/dedup.py "
     f"soft_dedup_weights) — reweight instead of remove: per-doc mean "

@@ -1805,6 +1805,7 @@ from flink_1_12_0_src_spark.queries.pipelineq import (
     BLOOM_MEMBERSHIP_ORACLE,
     DOREMI_ORACLE,
     HEAVY_HITTERS_CMS_ORACLE,
+    SOFT_DEDUP_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
     INCREMENTAL_ADMIT_ORACLE,
@@ -2211,6 +2212,49 @@ def stream_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weights_from_counts(
         dterm, dbg, nd, rounds=DOREMI_ROUNDS, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH
     ).orderBy("domain")
+
+
+@register(
+    "stream_soft_weights",
+    oracle=SOFT_DEDUP_ORACLE,
+    tags=("streaming", "pipeline", "dedup", "sampling"),
+    doc="SoftDeDup-on-a-stream — the 18th streaming twin: the per-document "
+    "(doc, gram) count relation of dedup_soft_weights (grams derive "
+    "ROW-LOCALLY inside the streaming scan via the shared shingles "
+    "expression) is maintained incrementally by a streaming grouped "
+    "aggregate — the corpus gram frequencies, the total, and every "
+    "training weight derive from that snapshot by rollup, so it is the "
+    "complete sufficient statistic — and the shared reweighting tail "
+    "(soft_dedup_weights_from_grams) re-prices the whole corpus's "
+    "sampling weights from the final snapshot: continuous "
+    "duplication-aware reweighting as documents arrive, the soft "
+    "counterpart of the keep-first admission twins. Counts are order- "
+    "and batching-insensitive, so the weights equal the batch operator "
+    "exactly under any delivery schedule; shares SOFT_DEDUP_ORACLE with "
+    "the batch half, batch-equality + boundary/scramble invariance "
+    "pinned.",
+)
+def stream_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import soft_dedup_weights_from_grams
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.queries.pipelineq import SOFT_K
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = (
+        s.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # localCheckpoint: the reweighting tail reads the snapshot for the
+    # frequency rollup, the scoring join and the corpus mean (same
+    # memory-sink-view limitation as the other twins)
+    snap = (
+        run_to_batch(g, "complete")
+        .select("doc_id", "sh", F.col("n").cast("decimal(15,0)").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return soft_dedup_weights_from_grams(snap, "doc_id").orderBy("doc_id")
 
 
 @register(

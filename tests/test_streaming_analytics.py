@@ -40,6 +40,7 @@ def _rows(df):
         ("stream_bloom_membership", "dedup_bloom_membership"),
         ("stream_doremi_weights", "dataset_doremi_weights"),
         ("stream_heavy_hitters_cms", "text_heavy_hitters_cms"),
+        ("stream_soft_weights", "dedup_soft_weights"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -463,6 +464,34 @@ def test_cms_state_is_boundary_and_order_invariant(spark):
     def snapshot(src):
         g = cms_state_rows(src, "text", 3, 4, 2).groupBy("i", "v").agg(
             F.count(F.lit(1)).alias("n")
+        )
+        return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
+    assert one == four == scrambled
+
+
+def test_soft_weights_state_is_boundary_and_order_invariant(spark):
+    """The SoftDeDup twin's streaming state — counts over (doc, gram)
+    keys — is a mergeable counter set: one trigger, four triggers, and
+    scrambled delivery yield the identical per-doc gram statistics (hence
+    identical corpus frequencies and training weights)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = (
+            src.select(F.col("doc_id"), F.explode(shingles("text", 3)).alias("sh"))
+            .groupBy("doc_id", "sh")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
 
