@@ -300,6 +300,7 @@ _R11_NEW = (
     "text_slm_select",
     "stream_soft_weights",
     "events_distinct_users_approx",
+    "dataset_mix_compare",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

@@ -2585,6 +2585,88 @@ def dataset_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+MIXCMP_SEED = 7
+
+
+@register(
+    "dataset_mix_compare",
+    oracle=f"""
+WITH dw AS (SELECT domain, n_docs, weight FROM ({DOREMI_ORACLE})),
+tn AS (SELECT source AS domain, COUNT(*) AS n FROM documents GROUP BY 1),
+tmn AS (SELECT MIN(n) AS mn FROM tn),
+tthr AS (SELECT domain,
+                CASE WHEN n <= mn THEN 'g'
+                     ELSE lpad(lower(to_hex(least(CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * 4294967296.0) AS BIGINT),
+                                                  4294967295))), 8, '0') END AS t
+         FROM tn, tmn),
+tkept AS (SELECT d.source AS domain, CAST(COUNT(*) AS BIGINT) AS kept
+          FROM documents d JOIN tthr ON tthr.domain = d.source
+          WHERE substr(md5('{MIXCMP_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t
+          GROUP BY 1),
+tot AS (SELECT CAST(SUM(kept) AS DOUBLE) AS tk, CAST(COUNT(*) AS DOUBLE) AS k FROM tkept)
+SELECT dw.domain, dw.n_docs,
+       CAST(round(1.0 / (SELECT k FROM tot) * 1000000.0, 0) AS BIGINT) / 1000000.0
+           AS share_uniform,
+       CAST(round(CAST(tkept.kept AS DOUBLE) / (SELECT tk FROM tot) * 1000000.0, 0) AS BIGINT)
+           / 1000000.0 AS share_temperature,
+       dw.weight AS share_doremi
+FROM dw JOIN tkept USING (domain) ORDER BY dw.domain
+""",
+    tags=("pipeline", "sampling", "composed"),
+    doc="MIXING-RECIPE comparison — the 'which mixture do we ship' table a "
+    "data team builds before a pretraining run: per domain the realized "
+    "share under (a) uniform, (b) temperature sampling at α=0.5 "
+    "(temperature_sample's sqrt law, the mBERT/XLM-R recipe, realized on "
+    "the source axis with the shared hex-threshold idiom), and (c) the "
+    "trained DoReMi weights (dataset_doremi_weights' smoothed iterate "
+    "average) — three published recipes side by side on one axis. The "
+    "oracle nests the DoReMi oracle verbatim and mirrors the "
+    "temperature threshold CTE, so neither column can drift from its "
+    "standalone operator. Scale: both recipes collapse the corpus to "
+    "domains-sized relations before any share math; the kept-count pass "
+    "is one broadcast-threshold filter + one aggregate.",
+)
+def dataset_mix_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.sampling import (
+        doremi_weights,
+        temperature_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    dw = doremi_weights(
+        docs, "doc_id", "text", "source",
+        rounds=DOREMI_ROUNDS, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+    ).select("domain", "n_docs", F.col("weight").alias("share_doremi"))
+    tkept = (
+        temperature_sample(docs, "doc_id", "source", seed=MIXCMP_SEED)
+        .groupBy(F.col("source").alias("domain"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
+    )
+    tot = tkept.agg(
+        F.sum("kept").cast("double").alias("_tk"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+
+    def micro(c):
+        return F.round(c * F.lit(1e6), 0).cast("bigint") / F.lit(1e6)
+
+    return (
+        dw.join(tkept, "domain")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            micro(F.lit(1.0) / F.col("_k")).alias("share_uniform"),
+            micro(F.col("kept").cast("double") / F.col("_tk")).alias(
+                "share_temperature"
+            ),
+            F.col("share_doremi"),
+        )
+        .orderBy("domain")
+    )
+
+
 def _ensemble_oracle() -> str:
     sigs = ("quality", "dup_bigram_frac", "entropy", "avg_nll")
     stat_cols = ", ".join(
