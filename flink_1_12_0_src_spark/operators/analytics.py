@@ -327,8 +327,11 @@ def value_percentiles_approx_check(
     answer v is re-ranked against the data: with n values and
     ε = 1/accuracy, approx_percentile guarantees an element whose rank r
     satisfies floor((p−ε)·n) ≤ r ≤ ceil((p+ε)·n) (the documented bound —
-    floor/ceil included); ``within_tol`` checks exactly that via
-    count(value ≤ v) ≥ floor((p−ε)·n) and count(value < v) ≤ ceil((p+ε)·n).
+    floor/ceil included); v's ranks span [count(value < v) + 1,
+    count(value ≤ v)], so ``within_tol`` checks the band intersection
+    exactly: count(value ≤ v) ≥ floor((p−ε)·n) and
+    count(value < v) + 1 ≤ ceil((p+ε)·n) (the +1 matters — without it an
+    answer one rank past the band still passes).
     The exact PERCENTILE_CONT value rides along for reference.
 
     Returns (group, q, n_events, exact_p, within_tol) — the oracle pins
@@ -377,7 +380,10 @@ def value_percentiles_approx_check(
         F.round(F.col("exv"), round_digits).alias("exact_p"),
         (
             (F.col("n_le") >= F.floor((F.col("q") - F.lit(eps)) * F.col("n_events")))
-            & (F.col("n_lt") <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_events")))
+            & (
+                F.col("n_lt") + 1
+                <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_events"))
+            )
         ).alias("within_tol"),
     )
 

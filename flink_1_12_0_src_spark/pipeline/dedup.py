@@ -1040,9 +1040,14 @@ def substring_span_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum("len").cast("bigint").alias("n_removed"),
         F.max("len").cast("bigint").alias("max_span_len"),
-        F.round(F.sum("len").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_span_len"
-        ),
+        # explicit micro-unit rounding: a bare round(ratio, 6) is not
+        # engine-stable on .5 boundaries (the slm_token_select lesson)
+        (
+            F.round(F.sum("len").cast("double") / F.count(F.lit(1)) * 1e6, 0).cast(
+                "bigint"
+            )
+            / F.lit(1e6)
+        ).alias("avg_span_len"),
     )
     return base_stats.join(st, id_col, "left").select(
         id_col,
@@ -1297,7 +1302,7 @@ def bloom_membership_from_state(
 
 
 def soft_dedup_weights(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, materialize: bool = True
 ) -> DataFrame:
     """SOFT deduplication — reweight instead of remove (He et al. 2024,
     "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
@@ -1331,16 +1336,16 @@ def soft_dedup_weights(
     operator — brief-driven LLM-pipeline surface; its aggregation shape
     is the reference's two-stage hash aggregate
     (flink-table planner StreamExecGroupAggregate lineage)."""
-    from flink_1_12_0_src_spark.pipeline.text import shingles
-
     g = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
     gcount = g.groupBy(id_col, "sh").agg(
         F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
     )
-    return soft_dedup_weights_from_grams(gcount, id_col)
+    return soft_dedup_weights_from_grams(gcount, id_col, materialize)
 
 
-def soft_dedup_weights_from_grams(gcount: DataFrame, id_col: str) -> DataFrame:
+def soft_dedup_weights_from_grams(
+    gcount: DataFrame, id_col: str, materialize: bool = True
+) -> DataFrame:
     """The commonness + reweighting TAIL of :func:`soft_dedup_weights`
     over an explicit (id, sh, n) per-document gram-count relation — shared
     with the streaming twin, whose grouped-aggregate snapshot IS that
@@ -1365,9 +1370,21 @@ def soft_dedup_weights_from_grams(gcount: DataFrame, id_col: str) -> DataFrame:
         .select(
             F.col(id_col),
             "n_grams",
-            F.round(F.col("_s").cast("double") / F.col("n_grams"), 6).alias("a6"),
+            # explicit micro-unit rounding: a bare round(ratio, 6) is not
+            # engine-stable on .5 boundaries (the slm_token_select lesson)
+            (
+                F.round(F.col("_s").cast("double") / F.col("n_grams") * 1e6, 0).cast(
+                    "bigint"
+                )
+                / F.lit(1e6)
+            ).alias("a6"),
         )
     )
+    if materialize:
+        # the per-doc relation feeds both the one-row corpus mean and the
+        # returned projection: without the checkpoint the corpus-scale gram
+        # join + doc aggregate executes once per consumer
+        per = per.localCheckpoint(eager=True)
     m = per.agg(
         (
             F.sum(F.col("a6").cast("decimal(18,6)")).cast("double")
@@ -1378,7 +1395,9 @@ def soft_dedup_weights_from_grams(gcount: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col),
         "n_grams",
         (-F.col("a6")).alias("log_commonness"),
-        F.round(F.col("a6") / F.col("_cm"), 6).alias("weight"),
+        (
+            F.round(F.col("a6") / F.col("_cm") * 1e6, 0).cast("bigint") / F.lit(1e6)
+        ).alias("weight"),
     )
 
 
@@ -1444,8 +1463,6 @@ def cms_state_rows(
     runtime/operators/util/BloomFilter.java:45) is the EXISTS half of
     this exact layout; the counting generalization is brief-driven
     pipeline surface."""
-    from flink_1_12_0_src_spark.pipeline.text import shingles
-
     src = corpus if corpus.isStreaming else _spread(corpus)
     g = src.select(F.explode(shingles(text_col, k)).alias("sh"))
     hh = F.md5(F.col("sh"))

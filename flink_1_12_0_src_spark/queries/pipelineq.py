@@ -1698,9 +1698,12 @@ per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM(CAST(round(-ln(c / (SELECT t FROM tot)), 9) AS DECIMAL(28,9)))
                     AS DOUBLE) / COUNT(*) AS avg_nll
         FROM g JOIN gc USING (sh) GROUP BY g.doc_id),
-p6 AS (SELECT doc_id, n_grams, round(avg_nll, 6) AS a6 FROM per),
+p6 AS (SELECT doc_id, n_grams,
+             CAST(round(avg_nll * 1000000.0, 0) AS BIGINT) / 1000000.0 AS a6
+      FROM per),
 m AS (SELECT CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cm FROM p6)
-SELECT doc_id, n_grams, -a6 AS log_commonness, round(a6 / cm, 6) AS weight
+SELECT doc_id, n_grams, -a6 AS log_commonness,
+       CAST(round(a6 / cm * 1000000.0, 0) AS BIGINT) / 1000000.0 AS weight
 FROM p6, m ORDER BY doc_id
 """
 
@@ -2160,7 +2163,8 @@ spans AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
 st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
               CAST(SUM(len) AS BIGINT) AS n_removed,
               CAST(MAX(len) AS BIGINT) AS max_span_len,
-              round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6) AS avg_span_len
+              CAST(round(CAST(SUM(len) AS DOUBLE) / COUNT(*) * 1000000.0, 0) AS BIGINT)
+                  / 1000000.0 AS avg_span_len
        FROM spans GROUP BY doc_id)
 SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
        CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
@@ -2604,14 +2608,15 @@ tkept AS (SELECT d.source AS domain, CAST(COUNT(*) AS BIGINT) AS kept
           FROM documents d JOIN tthr ON tthr.domain = d.source
           WHERE substr(md5('{MIXCMP_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t
           GROUP BY 1),
-tot AS (SELECT CAST(SUM(kept) AS DOUBLE) AS tk, CAST(COUNT(*) AS DOUBLE) AS k FROM tkept)
+tot AS (SELECT (SELECT CAST(SUM(kept) AS DOUBLE) FROM tkept) AS tk,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM dw) AS k)
 SELECT dw.domain, dw.n_docs,
        CAST(round(1.0 / (SELECT k FROM tot) * 1000000.0, 0) AS BIGINT) / 1000000.0
            AS share_uniform,
-       CAST(round(CAST(tkept.kept AS DOUBLE) / (SELECT tk FROM tot) * 1000000.0, 0) AS BIGINT)
+       CAST(round(CAST(COALESCE(tkept.kept, 0) AS DOUBLE) / (SELECT tk FROM tot) * 1000000.0, 0) AS BIGINT)
            / 1000000.0 AS share_temperature,
        dw.weight AS share_doremi
-FROM dw JOIN tkept USING (domain) ORDER BY dw.domain
+FROM dw LEFT JOIN tkept USING (domain) ORDER BY dw.domain
 """,
     tags=("pipeline", "sampling", "composed"),
     doc="MIXING-RECIPE comparison — the 'which mixture do we ship' table a "
@@ -2628,39 +2633,52 @@ FROM dw JOIN tkept USING (domain) ORDER BY dw.domain
     "is one broadcast-threshold filter + one aggregate.",
 )
 def dataset_mix_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_compare_report(
+        table(spark, sf_dir, "documents"), rounds=DOREMI_ROUNDS, materialize=True
+    )
+
+
+def mix_compare_report(
+    docs: DataFrame, rounds: int = DOREMI_ROUNDS, materialize: bool = True
+) -> DataFrame:
+    """The dataset_mix_compare plan — ONE builder shared by the registered
+    query and its golden-plan provider (tests/plan_fp.py), so the pinned
+    plan can never drift from what ships. LEFT join from the trained
+    weights: a domain whose temperature sample keeps zero docs must still
+    appear (share_temperature 0), and the uniform share divides by the
+    weight-table domain count, not the kept-domain count."""
     from flink_1_12_0_src_spark.pipeline.sampling import (
         doremi_weights,
         temperature_sample,
     )
 
-    docs = table(spark, sf_dir, "documents")
     dw = doremi_weights(
         docs, "doc_id", "text", "source",
-        rounds=DOREMI_ROUNDS, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+        rounds=rounds, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+        materialize=materialize,
     ).select("domain", "n_docs", F.col("weight").alias("share_doremi"))
     tkept = (
         temperature_sample(docs, "doc_id", "source", seed=MIXCMP_SEED)
         .groupBy(F.col("source").alias("domain"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
     )
-    tot = tkept.agg(
-        F.sum("kept").cast("double").alias("_tk"),
-        F.count(F.lit(1)).cast("double").alias("_k"),
+    tot = tkept.agg(F.sum("kept").cast("double").alias("_tk")).crossJoin(
+        dw.agg(F.count(F.lit(1)).cast("double").alias("_k"))
     )
 
     def micro(c):
         return F.round(c * F.lit(1e6), 0).cast("bigint") / F.lit(1e6)
 
     return (
-        dw.join(tkept, "domain")
+        dw.join(tkept, "domain", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "domain",
             "n_docs",
             micro(F.lit(1.0) / F.col("_k")).alias("share_uniform"),
-            micro(F.col("kept").cast("double") / F.col("_tk")).alias(
-                "share_temperature"
-            ),
+            micro(
+                F.coalesce("kept", F.lit(0)).cast("double") / F.col("_tk")
+            ).alias("share_temperature"),
             F.col("share_doremi"),
         )
         .orderBy("domain")

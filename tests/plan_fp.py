@@ -581,58 +581,32 @@ def golden_plan_providers() -> dict:
     providers["pipeline_quality_fit"] = _lazy_quality_fit
     providers["pipeline_quality_eval"] = _lazy_quality_score
     def _lazy_mix_compare(spark, sf_dir):
-        from pyspark.sql import functions as F
-
         from flink_1_12_0_src_spark.catalog import table
-        from flink_1_12_0_src_spark.pipeline.sampling import (
-            doremi_weights,
-            temperature_sample,
-        )
-        from flink_1_12_0_src_spark.queries.pipelineq import (
-            DOREMI_ETA,
-            DOREMI_SMOOTH,
-            MIXCMP_SEED,
+        from flink_1_12_0_src_spark.queries.pipelineq import mix_compare_report
+
+        # 1 round, materialize=False (the _lazy_doremi convention) through
+        # the SAME builder the registered query ships — no drift channel
+        return mix_compare_report(
+            table(spark, sf_dir, "documents"), rounds=1, materialize=False
         )
 
-        # 1 round, materialize=False (the _lazy_doremi convention): pins the
-        # two-recipe share join and the broadcast one-row totals on top of
-        # the trainer's interior
-        docs = table(spark, sf_dir, "documents")
-        dw = doremi_weights(
-            docs, "doc_id", "text", "source",
-            rounds=1, eta=DOREMI_ETA, smoothing=DOREMI_SMOOTH,
+    def _lazy_soft_weights(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import soft_dedup_weights
+        from flink_1_12_0_src_spark.queries.pipelineq import SOFT_K
+
+        # materialize=False: pins the gram-count aggregate, the frequency
+        # rollup + scoring join, and the one-row corpus-mean broadcast
+        # without the checkpoint stub
+        return soft_dedup_weights(
+            table(spark, sf_dir, "documents"), "doc_id", "text", k=SOFT_K,
             materialize=False,
-        ).select("domain", "n_docs", F.col("weight").alias("share_doremi"))
-        tkept = (
-            temperature_sample(docs, "doc_id", "source", seed=MIXCMP_SEED)
-            .groupBy(F.col("source").alias("domain"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
-        )
-        tot = tkept.agg(
-            F.sum("kept").cast("double").alias("_tk"),
-            F.count(F.lit(1)).cast("double").alias("_k"),
-        )
-
-        def micro(c):
-            return F.round(c * F.lit(1e6), 0).cast("bigint") / F.lit(1e6)
-
-        return (
-            dw.join(tkept, "domain")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "domain", "n_docs",
-                micro(F.lit(1.0) / F.col("_k")).alias("share_uniform"),
-                micro(F.col("kept").cast("double") / F.col("_tk")).alias(
-                    "share_temperature"
-                ),
-                F.col("share_doremi"),
-            )
-            .orderBy("domain")
-        )
+        ).orderBy("doc_id")
 
     providers["dataset_doremi_weights"] = _lazy_doremi
     providers["dataset_doremi_sample"] = _lazy_doremi_sample
     providers["dataset_mix_compare"] = _lazy_mix_compare
+    providers["dedup_soft_weights"] = _lazy_soft_weights
     def _lazy_substring_rewrite(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
         from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite

@@ -393,7 +393,9 @@ def test_bloom_filter_only_report_pins_load_and_fp_rate(spark):
         bloom_state_rows,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probes = docs.filter(F.col("doc_id") % 2 == 1)
     rep = sorted(
