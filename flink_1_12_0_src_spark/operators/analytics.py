@@ -346,20 +346,26 @@ def value_percentiles_approx_check(
     corpus pass — a check you run at audit time, not per query."""
     ps = list(percentiles)
     eps = 1.0 / accuracy
+    # The rank band must be sized by the NON-NULL value count (the sketch and
+    # the re-rank only ever see non-NULL values); n_events = COUNT(*) stays in
+    # the output as the reported group size.
     agg = events.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.col(value_col)).cast("bigint").alias("n_vals"),
         F.percentile(F.col(value_col), F.lit(ps)).alias("ex"),
         F.percentile_approx(F.col(value_col), F.lit(ps), F.lit(accuracy)).alias("ap"),
     )
     answers = agg.select(
         F.col(group_col),
         "n_events",
+        "n_vals",
         F.posexplode(F.arrays_zip(F.col("ex").alias("ex"), F.col("ap").alias("ap"))).alias(
             "i", "s"
         ),
     ).select(
         F.col(group_col),
         "n_events",
+        "n_vals",
         F.element_at(F.lit(ps), F.col("i") + 1).alias("q"),
         F.col("s.ex").alias("exv"),
         F.col("s.ap").alias("apv"),
@@ -367,7 +373,7 @@ def value_percentiles_approx_check(
     ranked = (
         events.select(F.col(group_col), F.col(value_col).alias("_v"))
         .join(F.broadcast(answers), group_col)
-        .groupBy(group_col, "q", "n_events", "exv", "apv")
+        .groupBy(group_col, "q", "n_events", "n_vals", "exv", "apv")
         .agg(
             F.sum((F.col("_v") <= F.col("apv")).cast("bigint")).alias("n_le"),
             F.sum((F.col("_v") < F.col("apv")).cast("bigint")).alias("n_lt"),
@@ -379,10 +385,10 @@ def value_percentiles_approx_check(
         F.col("n_events"),
         F.round(F.col("exv"), round_digits).alias("exact_p"),
         (
-            (F.col("n_le") >= F.floor((F.col("q") - F.lit(eps)) * F.col("n_events")))
+            (F.col("n_le") >= F.floor((F.col("q") - F.lit(eps)) * F.col("n_vals")))
             & (
                 F.col("n_lt") + 1
-                <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_events"))
+                <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_vals"))
             )
         ).alias("within_tol"),
     )
@@ -422,11 +428,18 @@ def distinct_count_approx_check(
             F.col(group_col),
             "n_events",
             "exact_distinct",
-            (
+            # exact_distinct = 0 (a group whose keys are all NULL) would make
+            # the relative error NULL; the sketch sees no keys either, so the
+            # contract degenerates to "the sketch also says 0".
+            F.when(
+                F.col("exact_distinct") == 0, F.col("_ap") == 0
+            )
+            .otherwise(
                 F.abs(F.col("_ap") - F.col("exact_distinct"))
                 / F.col("exact_distinct").cast("double")
                 <= F.lit(tol_mult * rsd)
-            ).alias("within_tol"),
+            )
+            .alias("within_tol"),
         )
     )
 

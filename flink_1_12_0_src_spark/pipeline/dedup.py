@@ -1029,7 +1029,11 @@ def substring_span_stats(
         .select(id_col, "w", F.size("w").alias("n_tokens"))
     )
     if materialize:
-        base = base.localCheckpoint(eager=True)
+        # same two-consumer checkpoint as exact_substring_rewrite, and the
+        # same stage probe so the bench ledger attributes the tokenize
+        # barrier identically for both siblings.
+        with stage("tokenize"):
+            base = base.localCheckpoint(eager=True)
     base_stats = base.select(id_col, "n_tokens")
     wins = _occurrences_from_base(base, id_col, window)
     rm = removed_positions(wins, id_col, window)

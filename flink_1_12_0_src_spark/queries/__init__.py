@@ -275,14 +275,42 @@ _R10_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-11 driver-green rows (CORRECTNESS_r11.json — 50/50 green, the fifth
+# consecutive zero-red round): all 14 round-11-new queries on first
+# presentation plus 36 re-verified greens.
+_R11_DRIVER_GREEN = frozenset(
+    {
+        "agg_distinct_multi", "agg_filter_clause", "agg_function_suite",
+        "agg_listagg_collect", "agg_min_by_max_by", "agg_multiset",
+        "agg_single_value", "agg_stddev_var", "agg_two_stage_salted",
+        "calc_project_filter", "correlate_unnest", "dataset_doremi_sample",
+        "dataset_doremi_weights", "dataset_mix_compare",
+        "dedup_soft_weights", "dedup_substring_spans",
+        "events_distinct_users_approx", "events_value_percentiles_approx",
+        "expand_cube", "expand_grouping_sets", "expand_rollup_grouping_id",
+        "interval_join_batch", "join_anti_not_in", "join_broadcast_hint",
+        "join_bucketed_coloc", "join_cross", "join_full_outer",
+        "join_left_outer", "join_right_outer", "join_salted_skew",
+        "join_scalar_subquery", "join_semi_in", "join_theta_nonequi",
+        "over_rows_frame", "over_sliding_rows", "pipeline_corpus_card",
+        "setop_except", "setop_except_all", "setop_intersect",
+        "setop_intersect_all", "setop_union_all", "setop_union_distinct",
+        "sort_limit_offset", "stream_bloom_filter_only",
+        "stream_doremi_weights", "stream_heavy_hitters_cms",
+        "stream_soft_weights", "text_heavy_hitters_cms", "text_slm_select",
+        "values_inline"
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
     | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN | _R10_DRIVER_GREEN
+    | _R11_DRIVER_GREEN
 )
 
 # Round-10 had zero driver-red rows (fourth zero-red round in a row), so
-# there is nothing to re-verify at the front this round.
+# there was nothing to re-verify at the front in round 11.
 _R11_FIXED_FIRST: tuple[str, ...] = ()
 
 # Queries first registered in round 11 — first possible driver row.
@@ -303,12 +331,19 @@ _R11_NEW = (
     "dataset_mix_compare",
 )
 
+# Round-11 had zero driver-red rows (fifth zero-red round in a row), so
+# there is nothing to re-verify at the front this round.
+_R12_FIXED_FIRST: tuple[str, ...] = ()
+
+# Queries first registered in round 12 — first possible driver row.
+_R12_NEW: tuple[str, ...] = ()
+
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round
 # rename (fold greens, start a fresh _NEW tuple) no longer requires editing
 # any test. Update ONLY the two assignments below at each round rollover.
-CURRENT_FIXED_FIRST: tuple[str, ...] = _R11_FIXED_FIRST
-CURRENT_NEW: tuple[str, ...] = _R11_NEW
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R12_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R12_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never
@@ -322,19 +357,27 @@ def _gate_rank(name: str) -> tuple[int, int]:
     """Gate-budget rank: lower runs earlier in the driver's 50-slot window.
 
     (0,i) = prior-round driver-red rows, fixed — re-verify first (EMPTY this
-        round: CORRECTNESS_r10 was 50/50 green, the fourth zero-red round);
+        round: CORRECTNESS_r11 was 50/50 green, the fifth zero-red round);
     (1,i) = any oracle-able query somehow never driver-tested (none known —
-        the round-over-round union is 319/319 — but the tier catches any
+        the round-over-round union is 333/333 — but the tier catches any
         registration added outside CURRENT_NEW by mistake);
     (2,i) = this round's new queries (first possible driver row);
-    (3,_) = already driver-green in r01-r10 (319 rows — re-verify with the
-        remaining slots, registration order);
+    (3,r) = already driver-green (333 rows) — re-verify with the remaining
+        slots in LRU order: r = the last round the driver hashed this query
+        green (queries/_last_green.py, regenerated per round by
+        tools/gen_last_green.py), ascending, so the STALEST evidence
+        refreshes first. Before round 12 this tier ran in registration
+        order, which re-checked the same ~22 early-registered relational
+        rows in both r10 and r11 while 105 queries (CEP, CDC, flinkddl_*,
+        graph) sat last driver-verified in rounds 1-3 — 8+ rounds stale at
+        the rendered-hash layer where every historical red lived;
     (4,i) = the no-oracle ANN trio — can only ever produce `no_oracle`
         rows, so they must never consume an evidence slot.
 
     Tiers 0+1+2 = len(CURRENT_NEW), far inside the 50-slot window: every new
     query gets a driver row this round while the remaining slots re-verify
-    greens, keeping the oracle-able union complete.
+    the stalest greens, keeping the oracle-able union complete AND rotating
+    its evidence freshness.
     """
     if name in CURRENT_FIXED_FIRST:
         return (0, CURRENT_FIXED_FIRST.index(name))
@@ -343,7 +386,9 @@ def _gate_rank(name: str) -> tuple[int, int]:
     if name in CURRENT_NEW:
         return (2, CURRENT_NEW.index(name))
     if name in _DRIVER_GREEN:
-        return (3, 0)
+        from flink_1_12_0_src_spark.queries._last_green import LAST_GREEN
+
+        return (3, LAST_GREEN.get(name, 0))
     return (1, 99)
 
 

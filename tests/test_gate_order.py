@@ -1,0 +1,75 @@
+"""Pins the round-12 LRU rotation of the driver re-verification tier.
+
+The driver's correctness gate truncates at ~50 rows per round; the slots left
+after the current round's new queries re-verify prior greens. Round-11 judge
+finding: in registration order the same ~22 early-registered relational rows
+burned re-green slots in both r10 and r11 while 105 queries sat last
+driver-verified in rounds 1-3. Tier 3 now orders by last-green round
+ascending (queries/_last_green.py, regenerated per round by
+tools/gen_last_green.py) so the stalest evidence refreshes first.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from flink_1_12_0_src_spark.queries import (
+    _DRIVER_GREEN,
+    _NO_ORACLE_LAST,
+    CURRENT_FIXED_FIRST,
+    CURRENT_NEW,
+    load_all,
+)
+from flink_1_12_0_src_spark.queries._last_green import LAST_GREEN
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_gen_tool():
+    path = os.path.join(ROOT, "tools", "gen_last_green.py")
+    spec = importlib.util.spec_from_file_location("gen_last_green", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_last_green_matches_artifacts():
+    """The embedded map is exactly what tools/gen_last_green.py derives from
+    the CORRECTNESS_r*.json history on disk — a stale module (fold done,
+    regen forgotten) fails here, not in the driver."""
+    mod = _load_gen_tool()
+    assert LAST_GREEN == mod.build_map(ROOT)
+
+
+def test_last_green_covers_green_union():
+    """Every gate-green query has a last-green round; nothing else does."""
+    assert set(LAST_GREEN) == set(_DRIVER_GREEN)
+
+
+def test_tier3_is_staleness_sorted():
+    """In load_all() order, the re-verification tier (after fixed-first and
+    CURRENT_NEW, before the no-oracle trio) is sorted by last-green round
+    ascending — the LRU rotation itself."""
+    names = list(load_all())
+    front = list(CURRENT_FIXED_FIRST) + list(CURRENT_NEW)
+    tier3 = [
+        n for n in names[len(front):]
+        if n in _DRIVER_GREEN and n not in _NO_ORACLE_LAST and n not in front
+    ]
+    rounds = [LAST_GREEN[n] for n in tier3]
+    assert rounds == sorted(rounds), "tier 3 must re-verify stalest greens first"
+
+
+def test_window_regreens_come_from_stale_cohort():
+    """The ~50-slot window's re-green slots all come from the r<=3-stale
+    cohort this round (105 queries are that stale, far more than the window
+    can hold) — the concrete 'done' criterion of round-11 verdict task #2."""
+    names = list(load_all())
+    front = list(CURRENT_FIXED_FIRST) + list(CURRENT_NEW)
+    window_regreens = [n for n in names[len(front):50] if n in _DRIVER_GREEN]
+    stale = {n for n, r in LAST_GREEN.items() if r <= 3}
+    assert len(stale) >= 50 - len(front)
+    assert set(window_regreens) <= stale, [
+        (n, LAST_GREEN[n]) for n in window_regreens if n not in stale
+    ]
