@@ -109,6 +109,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     stage_medians: dict[str, dict[str, float]] = {}
     from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
 
@@ -157,6 +158,11 @@ def main() -> None:
             timed_run()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
+        # Per-query min/max across the timed runs: additive host noise shows
+        # as a wide uniform spread, so a future mover self-adjudicates
+        # host-drift vs plan-regression from the artifact alone (the r11
+        # uniform +0.08 s drift cost an adjudication cycle).
+        spreads[name] = [round(samples[0], 4), round(samples[-1], 4)]
         # Per-stage wall times for the composed flagships (the operators'
         # eager stage barriers report through pipeline/stageclock.py):
         # median per stage across the timed runs, so a future mover
@@ -185,6 +191,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if spreads:
+        payload["spread"] = spreads
     if stage_medians:
         payload["stages"] = stage_medians
     # Self-adjudication context: loadavg at start/end (1/5/15-min). With 3

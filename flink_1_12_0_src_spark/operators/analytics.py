@@ -444,6 +444,129 @@ def distinct_count_approx_check(
     )
 
 
+def percentile_state_rows(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """(group, cv) row per event for the QUANTILE-HISTOGRAM streaming
+    state — cv = round(value·scale) BIGINT (NULL for NULL values), a
+    ROW-LOCAL derivation that runs unchanged on a streaming scan. The
+    grouped COUNT over (group, cv) IS a mergeable fixed-bucket quantile
+    histogram (the counter state class of the streaming twins — exact
+    integer adds, no sketch-internal nondeterminism): bucket width
+    1/scale, value error ≤ 1/(2·scale) for arbitrary doubles. The event
+    feed quantizes value at 2 dp, so at scale=100 the histogram is
+    LOSSLESS here (cv/scale reconstructs each value bit-exactly — integer
+    division is correctly rounded to the same nearest double the feed
+    stored) and every rank statistic derives exactly from the state."""
+    return events.select(
+        F.col(group_col),
+        F.round(F.col(value_col) * F.lit(scale), 0).cast("bigint").alias("cv"),
+    )
+
+
+def value_percentiles_from_hist(
+    hist: DataFrame,
+    probes: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The rank-error contract of :func:`value_percentiles_approx_check`
+    applied to a maintained quantile-HISTOGRAM snapshot — the tail of the
+    19th streaming twin, completing the sketch-contract family's streaming
+    side (Bloom, Count-Min, HLL-adjacent counts, now quantiles). ``hist``
+    is the counted :func:`percentile_state_rows` state (group, cv, n);
+    from it derive, per group: n_events (all rows, NULL bucket included),
+    the EXACT percentiles (Spark's ``percentile`` with the frequency
+    argument over the reconstructed values — the identical multiset, so
+    identical to the batch row's exact_p), and the histogram's RANK ANSWER
+    v*(q) = the smallest bucket whose cumulative count reaches
+    ceil(q·n_vals). The answer is then RE-RANKED against ``probes`` (the
+    exact corpus, the Bloom-twin probe pattern) and ``within_tol`` asserts
+    the same floor/ceil rank-error band as the batch contract
+    (ε = 1/accuracy): any lost, duplicated, or mis-bucketed streaming
+    count shifts v* off the band and flips the boolean. Output
+    (group, q, n_events, exact_p, within_tol) — column-identical to the
+    batch contract row, so the ONE oracle constant is shared.
+
+    Scale: the histogram snapshot is buckets-sized (constant per group);
+    the cumulative walk is ONE group-keyed window over it; the re-rank
+    broadcasts the (groups × |percentiles|)-row answer relation onto one
+    corpus pass — audit-time work, exactly the batch check's shape."""
+    ps = list(percentiles)
+    eps = 1.0 / accuracy
+    agg = hist.groupBy(F.col(group_col)).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("cv").isNotNull(), F.col("n"))).cast("bigint").alias(
+            "n_vals"
+        ),
+        F.percentile(
+            F.col("cv").cast("double") / F.lit(float(scale)), F.lit(ps), F.col("n")
+        ).alias("ex"),
+    )
+    targets = agg.select(
+        F.col(group_col),
+        "n_events",
+        "n_vals",
+        F.posexplode(F.col("ex")).alias("i", "exv"),
+    ).select(
+        F.col(group_col),
+        "n_events",
+        "n_vals",
+        F.element_at(F.lit(ps), F.col("i") + 1).alias("q"),
+        "exv",
+        F.ceil(F.element_at(F.lit(ps), F.col("i") + 1) * F.col("n_vals")).alias("_r"),
+    )
+    cum = hist.filter(F.col("cv").isNotNull()).select(
+        F.col(group_col),
+        "cv",
+        "n",
+        F.sum("n").over(W.partitionBy(group_col).orderBy("cv")).alias("_cum"),
+    )
+    # the bucket containing the target rank: cum >= r and cum - n < r —
+    # exactly one row per (group, q)
+    answers = (
+        targets.join(cum, group_col)
+        .filter((F.col("_cum") >= F.col("_r")) & (F.col("_cum") - F.col("n") < F.col("_r")))
+        .select(
+            F.col(group_col),
+            "q",
+            "n_events",
+            "n_vals",
+            "exv",
+            (F.col("cv").cast("double") / F.lit(float(scale))).alias("apv"),
+        )
+    )
+    ranked = (
+        probes.select(F.col(group_col), F.col(value_col).alias("_v"))
+        .join(F.broadcast(answers), group_col)
+        .groupBy(group_col, "q", "n_events", "n_vals", "exv", "apv")
+        .agg(
+            F.sum((F.col("_v") <= F.col("apv")).cast("bigint")).alias("n_le"),
+            F.sum((F.col("_v") < F.col("apv")).cast("bigint")).alias("n_lt"),
+        )
+    )
+    return ranked.select(
+        F.col(group_col),
+        F.col("q"),
+        F.col("n_events"),
+        F.round(F.col("exv"), round_digits).alias("exact_p"),
+        (
+            (F.col("n_le") >= F.floor((F.col("q") - F.lit(eps)) * F.col("n_vals")))
+            & (
+                F.col("n_lt") + 1
+                <= F.ceil((F.col("q") + F.lit(eps)) * F.col("n_vals"))
+            )
+        ).alias("within_tol"),
+    )
+
+
 def inter_arrival_stats(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1405,6 +1405,137 @@ def soft_dedup_weights_from_grams(
     )
 
 
+def soft_dedup_cms_weights(
+    gcount: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    n_slices: int = 4,
+    hex_chars: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """CONSTANT-STATE SoftDeDup — the production shape of
+    :func:`soft_dedup_weights`: gram commonness estimated from the
+    Count-Min sketch (``state`` = a counted :func:`cms_state_rows`
+    relation, n_slices × 16^hex_chars counters REGARDLESS of corpus
+    size) instead of the exact per-gram counts, priced through the
+    identical nll → per-doc mean → corpus-relative-weight tail, and
+    CONTRACT-CHECKED against the exact pricing per document. The
+    streaming twin's per-(doc, gram) count state is corpus-sized (fine
+    for the twin class); this row makes the documented constant-state
+    trade executable — what a deployment maintains when the gram space
+    itself no longer fits.
+
+    Per document: weight (the exact :func:`soft_dedup_weights_from_grams`
+    price), weight_cms (the sketch price), drift = |Δ| at exact micro
+    resolution, and two booleans — ``cms_conservative``: the sketch only
+    OVERcounts (est ≥ true), every pricing step is monotone (−ln, the
+    9-dp round, the DECIMAL mean, the micro round), so the sketch mean
+    nll can never exceed the exact mean nll — deterministic, holds
+    ALWAYS; ``within_bound``: the mean-nll gap ≤ ln(1 + (e/width)·N),
+    the per-gram Count-Min error bound (ĉ − c ≤ (e/width)·N w.p.
+    ≥ 1 − e^(−depth), and c ≥ 1 for every scored gram) pushed through
+    the mean — probabilistic like every CMS guarantee, but COMPUTED
+    identically on both engines (the oracle re-derives the sketch from
+    md5, it does not pin constants), so a legitimate flip can never red
+    the driver row.
+
+    Scale: the sketch broadcasts by construction; the probe side is the
+    DISTINCT gram vocabulary (once, not per occurrence); the pricing
+    tail is the exact variant's linear topology. Returns
+    (id, n_grams, weight, weight_cms, drift, cms_conservative,
+    within_bound)."""
+    import math
+
+    nbits = 16 ** hex_chars
+    exact = soft_dedup_weights_from_grams(gcount, id_col, materialize)
+    # sketch estimate per DISTINCT gram: min over the slice counters it
+    # hashes to (the cms_topk_contract probe shape, vocabulary-sized)
+    hh = F.md5(F.col("sh"))
+    probes = gcount.select("sh").distinct().select(
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
+                    )
+                    for i in range(n_slices)
+                ]
+            )
+        ).alias("e"),
+    ).select("sh", F.col("e.i").alias("i"), F.col("e.v").alias("v"))
+    est = (
+        probes.join(F.broadcast(state), ["i", "v"])
+        .groupBy("sh")
+        .agg(F.min("n").cast("bigint").alias("_c"))
+    )
+    # slice 0 holds every occurrence exactly once: its counter sum IS N
+    tot = state.filter(F.col("i") == 0).agg(F.sum("n").cast("double").alias("_t"))
+    nll = F.round(-F.log(F.col("_c").cast("double") / F.col("_t")), 9).cast(
+        "decimal(20,9)"
+    )
+    per = (
+        gcount.join(est, "sh")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n").cast("bigint")).cast("bigint").alias("n_grams"),
+            F.sum(F.col("n") * nll).cast("decimal(38,9)").alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            (
+                F.round(F.col("_s").cast("double") / F.col("n_grams") * 1e6, 0).cast(
+                    "bigint"
+                )
+                / F.lit(1e6)
+            ).alias("a6"),
+        )
+    )
+    if materialize:
+        # same two-consumer shape as the exact tail: the per-doc relation
+        # feeds the one-row corpus mean and the returned projection
+        per = per.localCheckpoint(eager=True)
+    m = per.agg(
+        (
+            F.sum(F.col("a6").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_cm")
+    )
+    cms = per.crossJoin(F.broadcast(m)).select(
+        F.col(id_col),
+        F.col("a6").alias("_a6c"),
+        (
+            F.round(F.col("a6") / F.col("_cm") * 1e6, 0).cast("bigint") / F.lit(1e6)
+        ).alias("weight_cms"),
+    )
+    wmicro = F.round(F.col("weight") * 1e6, 0).cast("bigint")
+    wcmicro = F.round(F.col("weight_cms") * 1e6, 0).cast("bigint")
+    return (
+        exact.select(
+            id_col, "n_grams", (-F.col("log_commonness")).alias("_a6e"), "weight"
+        )
+        .join(cms, id_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "weight",
+            "weight_cms",
+            (
+                F.abs(wcmicro - wmicro).cast("double") / F.lit(1e6)
+            ).alias("drift"),
+            (F.col("_a6c") <= F.col("_a6e")).alias("cms_conservative"),
+            (
+                F.col("_a6e") - F.col("_a6c")
+                <= F.log(F.lit(1.0) + F.lit(math.e) / F.lit(float(nbits)) * F.col("_t"))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def bloom_filter_report(
     state: DataFrame, n_slices: int = 4, hex_chars: int = 2
 ) -> DataFrame:

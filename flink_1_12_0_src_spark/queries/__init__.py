@@ -335,8 +335,19 @@ _R11_NEW = (
 # there is nothing to re-verify at the front this round.
 _R12_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries first registered in round 12 — first possible driver row.
-_R12_NEW: tuple[str, ...] = ()
+# Queries needing a first driver row for their CURRENT semantics: the two
+# round-12-new registrations, plus the DoReMi family re-presented because
+# the round-12 coupling (mixture-dependent proxy loss, verdict task #4)
+# changed their VALUES — their r11 green evidenced the static-scorer
+# outputs, not these.
+_R12_NEW: tuple[str, ...] = (
+    "dedup_soft_weights_cms",
+    "stream_value_percentiles",
+    "dataset_doremi_weights",
+    "dataset_doremi_sample",
+    "dataset_mix_compare",
+    "stream_doremi_weights",
+)
 
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round

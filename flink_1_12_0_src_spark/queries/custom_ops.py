@@ -574,9 +574,12 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles(ev).orderBy("event_type")
 
 
-@register(
-    "events_value_percentiles_approx",
-    oracle="""
+# ONE constant shared by the batch contract row (events_value_percentiles_
+# approx) and its streaming-histogram twin (stream_value_percentiles,
+# queries/streamingq.py): the maintained (group, centi-value) counts are a
+# lossless sufficient statistic of the value multiset, so the twin's exact_p
+# equals the batch row's and both pin the same rank-error booleans.
+PCT_APPROX_ORACLE = """
 WITH ex AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS ps
@@ -587,7 +590,12 @@ SELECT event_type, CAST(qs.q AS DOUBLE) AS q, n_events,
        TRUE AS within_tol
 FROM ex, (VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) qs(i, q)
 ORDER BY event_type, q
-""",
+"""
+
+
+@register(
+    "events_value_percentiles_approx",
+    oracle=PCT_APPROX_ORACLE,
     tags=("batch", "analytics", "custom_op"),
     doc="approx_percentile CONTRACT row (operators/analytics.py "
     "value_percentiles_approx_check): events_value_percentiles' docstring "

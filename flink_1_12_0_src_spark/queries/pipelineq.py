@@ -1711,7 +1711,7 @@ FROM p6, m ORDER BY doc_id
 @register(
     "dedup_soft_weights",
     oracle=SOFT_DEDUP_ORACLE,
-    tags=("pipeline", "dedup", "sampling"),
+    tags=("pipeline", "dedup", "sampling", "bench"),
     doc="SOFT deduplication (He et al. 2024, SoftDedup; pipeline/dedup.py "
     f"soft_dedup_weights) — reweight instead of remove: per-doc mean "
     f"{SOFT_K}-gram log-probability under the corpus's own gram "
@@ -1860,6 +1860,107 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_topk_contract(
         state, grams, "sh", CMS_TOPK, CMS_SLICES, CMS_HEX
     ).orderBy("rank")
+
+
+_CMS_VALUES = ", ".join(f"({i})" for i in range(CMS_SLICES))
+
+# CMS-priced SoftDeDup: the same gram space and pricing tail as
+# SOFT_DEDUP_ORACLE, with commonness estimated from the Count-Min sketch
+# (HEAVY_HITTERS_CMS_ORACLE's state idiom) and the exact price kept
+# alongside for the drift contract. The oracle RE-DERIVES the sketch from
+# md5 — nothing is pinned, so a probabilistic bound can never red the row.
+SOFT_CMS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(w)-{SOFT_K}),
+                                   i -> array_to_string(w[i+1:i+{SOFT_K}], ' '))) AS sh
+      FROM toks WHERE len(w) >= {SOFT_K}),
+gc AS (SELECT sh, COUNT(*) AS c FROM g GROUP BY sh),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM gc),
+per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CAST(round(-ln(c / (SELECT t FROM tot)), 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) / COUNT(*) AS avg_nll
+        FROM g JOIN gc USING (sh) GROUP BY g.doc_id),
+p6 AS (SELECT doc_id, n_grams,
+             CAST(round(avg_nll * 1000000.0, 0) AS BIGINT) / 1000000.0 AS a6
+      FROM per),
+m AS (SELECT CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cm FROM p6),
+we AS (SELECT doc_id, n_grams, a6 AS a6e,
+              CAST(round(a6 / cm * 1000000.0, 0) AS BIGINT) / 1000000.0 AS weight
+       FROM p6, m),
+stt AS (SELECT s.i, substr(md5(sh), 1 + s.i * {CMS_HEX}, {CMS_HEX}) AS v, COUNT(*) AS n
+        FROM g CROSS JOIN (VALUES {_CMS_VALUES}) s(i)
+        GROUP BY 1, 2),
+nn AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM stt WHERE i = 0),
+vocabg AS (SELECT DISTINCT sh FROM g),
+est AS (SELECT h.sh, CAST(MIN(st.n) AS BIGINT) AS ec
+        FROM vocabg h CROSS JOIN (VALUES {_CMS_VALUES}) s(i)
+        JOIN stt st ON st.i = s.i
+                   AND st.v = substr(md5(h.sh), 1 + s.i * {CMS_HEX}, {CMS_HEX})
+        GROUP BY h.sh),
+perc AS (SELECT g.doc_id,
+                CAST(SUM(CAST(round(-ln(ec / (SELECT t FROM nn)), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*) AS avg_nll
+         FROM g JOIN est USING (sh) GROUP BY g.doc_id),
+pc6 AS (SELECT doc_id,
+               CAST(round(avg_nll * 1000000.0, 0) AS BIGINT) / 1000000.0 AS a6
+        FROM perc),
+mc AS (SELECT CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cm FROM pc6),
+wc AS (SELECT doc_id, a6 AS a6c,
+              CAST(round(a6 / cm * 1000000.0, 0) AS BIGINT) / 1000000.0 AS weight_cms
+       FROM pc6, mc)
+SELECT we.doc_id, we.n_grams, we.weight, wc.weight_cms,
+       CAST(ABS(CAST(round(wc.weight_cms * 1000000.0, 0) AS BIGINT)
+                - CAST(round(we.weight * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS drift,
+       (wc.a6c <= we.a6e) AS cms_conservative,
+       ((we.a6e - wc.a6c)
+        <= ln(1.0 + exp(1) / {float(16 ** CMS_HEX)} * (SELECT t FROM nn)))
+           AS within_bound
+FROM we JOIN wc USING (doc_id) ORDER BY we.doc_id
+"""
+
+
+@register(
+    "dedup_soft_weights_cms",
+    oracle=SOFT_CMS_ORACLE,
+    tags=("pipeline", "dedup", "sampling"),
+    doc="CONSTANT-STATE SoftDeDup (pipeline/dedup.py soft_dedup_cms_weights) "
+    "— the production shape of dedup_soft_weights: gram commonness "
+    f"estimated from the {CMS_SLICES}×{16 ** CMS_HEX}-counter Count-Min "
+    "sketch (constant regardless of corpus size — what a deployment "
+    "maintains when the gram space no longer fits) through the identical "
+    "nll → per-doc mean → corpus-relative-weight tail, with the exact "
+    "price alongside and the drift CONTRACT per document: "
+    "cms_conservative pins the deterministic direction (the sketch only "
+    "overcounts and every pricing step is monotone, so the sketch can "
+    "only make a doc look MORE common), within_bound the per-gram "
+    "(e/width)·N Count-Min bound pushed through the mean. The sketch "
+    "side of the trade stream_soft_weights documents. Scale: the sketch "
+    "broadcasts; the probe is the distinct gram vocabulary; the pricing "
+    "tail is the exact variant's linear topology.",
+)
+def dedup_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        cms_state_rows,
+        soft_dedup_cms_weights,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    gcount = (
+        docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+    )
+    state = (
+        cms_state_rows(docs, "text", SOFT_K, CMS_SLICES, CMS_HEX)
+        .groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return soft_dedup_cms_weights(
+        gcount, state, "doc_id", CMS_SLICES, CMS_HEX
+    ).orderBy("doc_id")
 
 
 # The production Bloom variant's report half — shared constant so the
@@ -2442,15 +2543,33 @@ DOREMI_SMOOTH = 0.02
 
 def _doremi_oracle(rounds: int = DOREMI_ROUNDS) -> str:
     """Unrolled-round DuckDB twin of pipeline/sampling.py doremi_weights —
-    one CTE pair per exponentiated-gradient round, exact nano-unit integer
-    normalizers, 6-dp ln/exp rounding (the dsir_weights libm discipline)."""
+    COUPLED rounds (round-12): each round retrains the proxy unigram LM on
+    the previous iterate's mixture (pico-unit exact-integer mixture
+    probabilities, 6-dp ln rounding) before the exponentiated-gradient
+    step with exact nano-unit integer normalizers (the dsir_weights libm
+    discipline). One CTE chain per round: mixture LM → per-domain loss →
+    excess/step → normalize."""
     steps = []
     prev = "r0"
     for t in range(1, rounds + 1):
         steps.append(f"""
-r{t}n AS (SELECT *, CAST(round(alpha * e * 1000000000.0, 0) AS BIGINT) AS numn FROM {prev}),
+p{t} AS MATERIALIZED (SELECT term,
+               GREATEST(SUM(CAST(round(alpha * CAST(n AS DOUBLE) / CAST(ntok AS DOUBLE)
+                                        * 1000000000000000.0, 0) AS BIGINT)), 1) AS pm
+         FROM dtn JOIN {prev} USING (domain) GROUP BY term),
+lp{t} AS MATERIALIZED (SELECT domain,
+                CAST(SUM(CAST(n AS DECIMAL(15,0)) *
+                         CAST(round(-ln(CAST(pm AS DOUBLE) / 1000000000000000.0), 6)
+                              AS DECIMAL(20,6))) AS DOUBLE)
+                / CAST(SUM(n) AS DOUBLE) AS lp
+          FROM dtn JOIN p{t} USING (term) GROUP BY domain),
+s{t} AS (SELECT r.domain, r.n_docs, r.lr, r.k, r.alpha, r.acc, l.lp,
+                round(greatest(0.0, l.lp - r.lr), 6) AS excess
+         FROM {prev} r JOIN lp{t} l USING (domain)),
+e{t} AS (SELECT *, round(exp({DOREMI_ETA} * excess), 6) AS e FROM s{t}),
+r{t}n AS (SELECT *, CAST(round(alpha * e * 1000000000.0, 0) AS BIGINT) AS numn FROM e{t}),
 r{t}z AS (SELECT SUM(numn) AS z FROM r{t}n),
-r{t} AS (SELECT domain, n_docs, lp, lr, excess, e, k,
+r{t} AS MATERIALIZED (SELECT domain, n_docs, lp, lr, excess, e, k,
                round(CAST(numn AS DOUBLE) / z, 6) AS alpha,
                CAST(acc + CAST(round(CAST(numn AS DOUBLE) / z, 6) AS DECIMAL(28,9))
                     AS DECIMAL(28,9)) AS acc
@@ -2462,14 +2581,10 @@ WITH toks AS (
          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
   FROM documents
 ),
-vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
-tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab),
 dterm AS (SELECT domain, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
-lpd AS (SELECT domain,
-               CAST(SUM(CAST(n AS DECIMAL(15,0)) *
-                        CAST(round(-ln(c / (SELECT t FROM tot)), 6) AS DECIMAL(20,6))) AS DOUBLE)
-               / CAST(SUM(n) AS DOUBLE) AS lp
-        FROM dterm JOIN vocab USING (term) GROUP BY domain),
+ntokd AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS ntok FROM dterm GROUP BY domain),
+dtn AS MATERIALIZED (SELECT domain, term, n, ntok FROM dterm JOIN ntokd USING (domain)),
+vocab AS (SELECT term, CAST(SUM(n) AS BIGINT) AS c FROM dterm GROUP BY term),
 btoks AS (SELECT source AS domain,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
           FROM documents),
@@ -2487,15 +2602,14 @@ lrd AS (SELECT domain,
         GROUP BY domain),
 nd AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
        FROM documents GROUP BY 1),
-dom AS (SELECT nd.domain, nd.n_docs, lpd.lp, lrd.lr,
-               round(greatest(0.0, lpd.lp - lrd.lr), 6) AS excess
-        FROM nd JOIN lpd USING (domain) JOIN lrd USING (domain)),
-dome AS (SELECT *, round(exp({DOREMI_ETA} * excess), 6) AS e FROM dom),
-kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dome),
-r0 AS (SELECT domain, n_docs, lp, lr, excess, e, k,
+dom AS (SELECT nd.domain, nd.n_docs, lrd.lr
+        FROM nd JOIN lrd USING (domain)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom),
+r0 AS MATERIALIZED (SELECT domain, n_docs, CAST(0.0 AS DOUBLE) AS lp, lr,
+              CAST(0.0 AS DOUBLE) AS excess, CAST(0.0 AS DOUBLE) AS e, k,
               round(1.0 / k, 9) AS alpha,
               CAST(0 AS DECIMAL(28,9)) AS acc
-       FROM dome, kk),{",".join(steps)}
+       FROM dom, kk),{",".join(steps)}
 SELECT domain, n_docs, round(lp, 6) AS proxy_nll, round(lr, 6) AS ref_nll,
        excess AS excess_loss,
        round({1.0 - DOREMI_SMOOTH} * (CAST(acc AS DOUBLE) / {float(rounds)})
@@ -2514,7 +2628,7 @@ DOREMI_ORACLE = _doremi_oracle()
 @register(
     "dataset_doremi_weights",
     oracle=DOREMI_ORACLE,
-    tags=("pipeline", "sampling", "iterative"),
+    tags=("pipeline", "sampling", "iterative", "bench"),
     doc="DoReMi domain-weight training (Xie et al. 2023, Algorithm 1; "
     "pipeline/sampling.py doremi_weights) — the fifth unrolled "
     "iterative-training member: per-domain excess loss = "

@@ -1798,6 +1798,7 @@ def stream_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flink_1_12_0_src_spark.queries.custom_ops import (
     DAILY_ANOMALY_ORACLE,
     FUNNEL_ORACLE,
+    PCT_APPROX_ORACLE,
     RETENTION_ORACLE,
 )
 from flink_1_12_0_src_spark.queries.pipelineq import (
@@ -2901,3 +2902,43 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp / F.nullif(tp + fp, F.lit(0)).cast("double"), 6).alias("precision_"),
         F.round(tp / F.nullif(tp + fn, F.lit(0)).cast("double"), 6).alias("recall_"),
     )
+
+
+@register(
+    "stream_value_percentiles",
+    oracle=PCT_APPROX_ORACLE,
+    tags=("streaming", "analytics", "custom_op"),
+    doc="Quantile-histogram-on-a-stream — the 19th streaming twin, "
+    "completing the sketch-contract family's streaming side (Bloom "
+    "membership, Count-Min frequency, HLL-adjacent counts, now "
+    "quantiles): a fixed-bucket value histogram (operators/analytics.py "
+    "percentile_state_rows — centi-unit BIGINT buckets, lossless at this "
+    "feed's 2-dp quantization, counter ADDITION merges associatively) is "
+    "maintained incrementally by ONE streaming grouped aggregate, and "
+    "the contract tail (value_percentiles_from_hist) derives the exact "
+    "percentiles plus the histogram's rank answer from the final "
+    "snapshot, re-ranks that answer against the exact corpus, and pins "
+    "the same floor/ceil rank-error band as the batch contract row — "
+    "the live latency/size-percentile dashboard with mergeable state. "
+    "Counts are order- and batching-insensitive, so the output equals "
+    "the batch row exactly; shares PCT_APPROX_ORACLE with the batch "
+    "half, batch-equality + boundary/scramble invariance pinned.",
+)
+def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.operators.analytics import (
+        percentile_state_rows,
+        value_percentiles_from_hist,
+    )
+    from flink_1_12_0_src_spark.streaming.source import events_stream
+
+    s = events_stream(spark, sf_dir, n_files=4)
+    g = percentile_state_rows(s).groupBy("event_type", "cv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # localCheckpoint: the contract tail reads the snapshot for the exact
+    # percentiles, the cumulative walk and the answer join (same
+    # memory-sink-view limitation as the other twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    probes = table(spark, sf_dir, "events")
+    return value_percentiles_from_hist(snap, probes).orderBy("event_type", "q")

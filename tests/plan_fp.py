@@ -603,10 +603,44 @@ def golden_plan_providers() -> dict:
             materialize=False,
         ).orderBy("doc_id")
 
+    def _lazy_soft_weights_cms(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import (
+            cms_state_rows,
+            soft_dedup_cms_weights,
+        )
+        from flink_1_12_0_src_spark.pipeline.text import shingles
+        from flink_1_12_0_src_spark.queries.pipelineq import (
+            CMS_HEX,
+            CMS_SLICES,
+            SOFT_K,
+        )
+
+        # materialize=False: pins the vocabulary probe join against the
+        # broadcast constant-size sketch, both pricing tails, and the
+        # per-doc drift join without the checkpoint stubs
+        docs = table(spark, sf_dir, "documents")
+        gcount = (
+            docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
+            .groupBy("doc_id", "sh")
+            .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+        )
+        state = (
+            cms_state_rows(docs, "text", SOFT_K, CMS_SLICES, CMS_HEX)
+            .groupBy("i", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return soft_dedup_cms_weights(
+            gcount, state, "doc_id", CMS_SLICES, CMS_HEX, materialize=False
+        ).orderBy("doc_id")
+
     providers["dataset_doremi_weights"] = _lazy_doremi
     providers["dataset_doremi_sample"] = _lazy_doremi_sample
     providers["dataset_mix_compare"] = _lazy_mix_compare
     providers["dedup_soft_weights"] = _lazy_soft_weights
+    providers["dedup_soft_weights_cms"] = _lazy_soft_weights_cms
     def _lazy_substring_rewrite(spark, sf_dir):
         from flink_1_12_0_src_spark.catalog import table
         from flink_1_12_0_src_spark.pipeline.dedup import exact_substring_rewrite

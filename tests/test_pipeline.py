@@ -1089,6 +1089,92 @@ def test_soft_dedup_weights_downweight_duplicates(spark):
     assert {k: tuple(v) for k, v in got.items()} == again
 
 
+def test_soft_dedup_cms_matches_python_twin(spark):
+    """Brute-force twin of the CMS-priced SoftDeDup: build the Count-Min
+    sketch (md5 slice layout), estimate each gram as the min over its
+    slice counters, and push the estimate through the identical pricing
+    tail (9-dp nll, DECIMAL mean, micro rounding) in plain Python — must
+    reproduce weight_cms exactly; also pins the deterministic direction
+    (cms_conservative TRUE: the sketch only overcounts and every pricing
+    step is monotone) and that the exact-side weight equals
+    soft_dedup_weights' on the same corpus."""
+    import hashlib
+    from collections import Counter
+    from decimal import Decimal
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        cms_state_rows,
+        soft_dedup_cms_weights,
+        soft_dedup_weights,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+
+    k, n_slices, hex_chars = 3, 4, 2
+    dup = "the exact same duplicated boilerplate paragraph repeated verbatim here"
+    rows = [(i, dup) for i in range(6)] + [
+        (100 + i, f"unique{i} rare{i * 7} tokens{i * 13} never{i * 3} seen{i * 11}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    gcount = (
+        df.select(F.col("doc_id"), F.explode(shingles("text", k)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+    )
+    state = (
+        cms_state_rows(df, "text", k, n_slices, hex_chars)
+        .groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r["doc_id"]: r
+        for r in soft_dedup_cms_weights(
+            gcount, state, "doc_id", n_slices, hex_chars
+        ).collect()
+    }
+
+    # python twin
+    def grams(t):
+        w = [x for x in t.lower().split(" ")]
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)] if len(w) >= k else []
+
+    per_doc = {d: grams(t) for d, t in rows}
+    allg = [g for gs in per_doc.values() for g in gs]
+    n_total = len(allg)
+    sketch: Counter = Counter()
+    for g in allg:
+        hh = hashlib.md5(g.encode()).hexdigest()
+        for i in range(n_slices):
+            sketch[(i, hh[i * hex_chars : (i + 1) * hex_chars])] += 1
+    def est(g):
+        hh = hashlib.md5(g.encode()).hexdigest()
+        return min(sketch[(i, hh[i * hex_chars : (i + 1) * hex_chars])] for i in range(n_slices))
+    a6 = {}
+    for d, gs in per_doc.items():
+        s = sum(
+            (Decimal(str(round(-math.log(est(g) / n_total), 9))) for g in gs),
+            Decimal(0),
+        )
+        a6[d] = round(float(s) / len(gs) * 1e6) / 1e6
+    cm = float(sum(Decimal(str(a)) for a in a6.values())) / len(a6)
+    want_wc = {d: round(a / cm * 1e6) / 1e6 for d, a in a6.items()}
+
+    exact = {
+        r["doc_id"]: r["weight"]
+        for r in soft_dedup_weights(df, "doc_id", "text", k=k).collect()
+    }
+    assert set(got) == set(want_wc)
+    for d in got:
+        assert got[d]["weight_cms"] == want_wc[d], d
+        assert got[d]["weight"] == exact[d], d
+        assert got[d]["cms_conservative"] is True, d
+        micro = round(abs(got[d]["weight_cms"] - got[d]["weight"]) * 1e6)
+        assert round(got[d]["drift"] * 1e6) == micro, d
+
+
 def test_slm_select_matches_python_twin(spark):
     """Brute-force twin of the Rho-1 token triage: the same unigram/bigram
     nll terms (identical 6-dp roundings), exact DECIMAL excess differences

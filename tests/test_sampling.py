@@ -312,12 +312,14 @@ def test_doremi_weights_partition_invariant_and_contract(spark, docs):
 
 
 def test_doremi_weights_matches_python_twin(spark):
-    """Brute-force twin: the same unigram/bigram LM losses, excess, and
-    exponentiated-gradient rounds (identical roundings, Decimal iterate
-    accumulation) in plain Python must reproduce doremi_weights' output,
-    and the domain with the largest excess loss must get the largest
-    weight (the recipe's whole point: upweight what the proxy can't
-    learn)."""
+    """Brute-force twin of the COUPLED trainer: per round, retrain the
+    proxy unigram LM on the previous iterate's mixture (pico-unit integer
+    mixture probabilities, 6-dp ln rounding), re-score each domain's
+    excess against the fixed bigram reference, then the exponentiated-
+    gradient step (identical roundings, Decimal iterate accumulation) in
+    plain Python must reproduce doremi_weights' output, and the domain
+    with the largest excess loss must get the largest weight (the
+    recipe's whole point: upweight what the proxy can't learn)."""
     import math
     from collections import Counter
     from decimal import Decimal
@@ -347,31 +349,52 @@ def test_doremi_weights_matches_python_twin(spark):
     doms: dict = {}
     for _, t, d in rows:
         doms.setdefault(d, []).append(toks(t))
+    # sufficient statistics: per-(domain, term) counts + per-domain totals
+    dterm: dict = {}
+    ntok: dict = {}
+    for d, ds in doms.items():
+        cnt = Counter(t for doc in ds for t in doc)
+        dterm[d] = cnt
+        ntok[d] = sum(cnt.values())
     c = Counter(t for ds in doms.values() for doc in ds for t in doc)
-    total = float(sum(c.values()))
     bgs = Counter(
         (a, b) for ds in doms.values() for doc in ds for a, b in zip(doc, doc[1:])
     )
     vs = float(len(c))
-    lp, lr = {}, {}
+    # fixed reference loss: add-1-smoothed bigram LM
+    lr = {}
     for d, ds in doms.items():
-        su, nu = Decimal(0), 0
         sb, nb = Decimal(0), 0
         for doc in ds:
-            for t in doc:
-                su += Decimal(str(round(-math.log(c[t] / total), 6)))
-                nu += 1
             for a, b in zip(doc, doc[1:]):
                 sb += Decimal(str(round(-math.log((bgs[(a, b)] + 1.0) / (c[a] + vs)), 6)))
                 nb += 1
-        lp[d] = float(su) / nu
         lr[d] = float(sb) / nb
     k = len(doms)
-    ex = {d: round(max(0.0, lp[d] - lr[d]), 6) for d in doms}
-    ee = {d: round(math.exp(eta * ex[d]), 6) for d in doms}
     alpha = {d: round(1.0 / k, 9) for d in doms}
     acc = {d: Decimal(0) for d in doms}
+    lp, ex = {}, {}
     for _ in range(rounds):
+        # retrain the proxy on the current mixture: pico-unit integer
+        # probabilities summed across domains (order-invariant)
+        pm = {
+            t: max(
+                sum(
+                    int(round(alpha[d] * float(dterm[d][t]) / float(ntok[d]) * 1e15))
+                    for d in doms
+                    if t in dterm[d]
+                ),
+                1,
+            )
+            for t in c
+        }
+        for d in doms:
+            su = Decimal(0)
+            for t, n in dterm[d].items():
+                su += Decimal(n) * Decimal(str(round(-math.log(pm[t] / 1e15), 6)))
+            lp[d] = float(su) / ntok[d]
+            ex[d] = round(max(0.0, lp[d] - lr[d]), 6)
+        ee = {d: round(math.exp(eta * ex[d]), 6) for d in doms}
         numn = {d: int(round(alpha[d] * ee[d] * 1e9)) for d in doms}
         z = float(sum(numn.values()))
         for d in doms:
@@ -398,6 +421,43 @@ def test_doremi_weights_matches_python_twin(spark):
     # the hardest domain (largest excess) wins the mixture
     top = max(got.values(), key=lambda r: r["excess_loss"])
     assert top["weight"] == max(r["weight"] for r in got.values())
+
+
+def test_doremi_rounds_are_coupled(spark):
+    """The round-12 coupling's observable signature: the per-round excess
+    is MIXTURE-DEPENDENT, so on a skewed fixture the round-2 state differs
+    from the round-1 state (rounds=1 vs rounds=2 report different final
+    excess_loss) — under the pre-coupling static scorer the excess was
+    identical across rounds by construction. Also pins the self-correcting
+    direction: upweighting the hard domain makes its terms more probable
+    under the proxy, so its round-2 excess drops below its round-1
+    excess."""
+    from flink_1_12_0_src_spark.pipeline.sampling import doremi_weights
+
+    texts = {
+        "easy": "the the the cat sat on the mat the cat",
+        "hard": "qq ww ee rr tt yy uu ii oo pp",
+    }
+    rows = []
+    i = 0
+    for dom, base_text in texts.items():
+        for j in range(6):
+            rows.append((i, base_text + f" tail{j % 2}", dom))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r1 = {
+        r["domain"]: r
+        for r in doremi_weights(df, "doc_id", "text", "source", rounds=1).collect()
+    }
+    r2 = {
+        r["domain"]: r
+        for r in doremi_weights(df, "doc_id", "text", "source", rounds=2).collect()
+    }
+    assert r1["hard"]["excess_loss"] > 0
+    # coupled: the round-2 re-score differs from round 1's
+    assert r2["hard"]["excess_loss"] != r1["hard"]["excess_loss"]
+    # and in the self-correcting direction
+    assert r2["hard"]["excess_loss"] < r1["hard"]["excess_loss"]
 
 
 def test_doremi_sample_realizes_learned_mixture(spark, docs):

@@ -41,6 +41,7 @@ def _rows(df):
         ("stream_doremi_weights", "dataset_doremi_weights"),
         ("stream_heavy_hitters_cms", "text_heavy_hitters_cms"),
         ("stream_soft_weights", "dedup_soft_weights"),
+        ("stream_value_percentiles", "events_value_percentiles_approx"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -446,6 +447,52 @@ def test_doremi_state_is_boundary_and_order_invariant(spark):
     four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
     scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
     assert one == four == scrambled
+
+
+def test_percentile_hist_state_is_boundary_and_order_invariant(spark):
+    """The quantile twin's streaming state — counts over (group,
+    centi-value bucket) keys — is a mergeable fixed-bucket histogram:
+    counter addition is associative and commutative, so one trigger, four
+    triggers, and scrambled delivery yield the identical histogram (hence
+    identical percentiles and contract booleans)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.operators.analytics import percentile_state_rows
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        events_stream,
+        events_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = percentile_state_rows(src).groupBy("event_type", "cv").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(events_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(events_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(events_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
+    assert one == four == scrambled
+
+
+def test_percentile_hist_is_lossless_at_feed_quantization(spark):
+    """percentile_state_rows' docstring claim, pinned: the feed quantizes
+    value at 2 dp, so centi-unit buckets reconstruct every value
+    bit-exactly — the histogram is a lossless sufficient statistic of the
+    value multiset, which is what lets the twin share the batch oracle's
+    exact_p."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.catalog import table
+
+    ev = table(spark, SF, "events")
+    # the function's bucket expression (scale=100), round-tripped: any
+    # value the centi bucket cannot reconstruct bit-exactly would make the
+    # twin's exact_p drift off the batch oracle's
+    cv = F.round(F.col("value") * 100, 0).cast("bigint")
+    bad = ev.filter(cv.cast("double") / 100.0 != F.col("value")).count()
+    assert bad == 0
 
 
 def test_cms_state_is_boundary_and_order_invariant(spark):

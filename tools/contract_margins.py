@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Record the OBSERVED margin of every probabilistic sketch-contract row.
+
+The sketch contracts (Bloom expected-FP, approx_percentile rank band, HLL++
+4-sigma band, Count-Min (e/width)·N, CMS-priced SoftDeDup drift) pin
+booleans that hold with high probability — a dataset regen, SF change, or
+Spark sketch-implementation bump can legitimately flip one and surface as a
+driver red that looks like an engine bug (round-11 ADVICE). This tool
+records how far inside each bound the data actually sits, so a future red
+is triaged as contract-flake vs regression from the artifact alone.
+
+Usage: python tools/contract_margins.py   # writes CONTRACT_MARGINS.json
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_1_12_0_src_spark.catalog import table  # noqa: E402
+from flink_1_12_0_src_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    out: dict = {"sf": float(m.group(1)) if m else None, "contracts": {}}
+    spark = get_spark(app_name="contract_margins", cpus=cpus, shuffle_partitions=cpus)
+
+    # approx_percentile rank band: slack (in ranks, normalized by n) between
+    # the sketch answer's rank interval and the floor/ceil band edges.
+    ev = table(spark, sf_dir, "events")
+    ps, acc = [0.25, 0.5, 0.9, 0.99], 1000
+    eps = 1.0 / acc
+    agg = ev.groupBy("event_type").agg(
+        F.count("value").cast("bigint").alias("n"),
+        F.percentile_approx("value", F.lit(ps), F.lit(acc)).alias("ap"),
+    )
+    ans = agg.select(
+        "event_type", "n", F.posexplode("ap").alias("i", "apv")
+    ).select(
+        "event_type", "n", F.element_at(F.lit(ps), F.col("i") + 1).alias("q"), "apv"
+    )
+    ranked = (
+        ev.select("event_type", F.col("value").alias("_v"))
+        .join(F.broadcast(ans), "event_type")
+        .groupBy("event_type", "q", "n", "apv")
+        .agg(
+            F.sum((F.col("_v") <= F.col("apv")).cast("bigint")).alias("n_le"),
+            F.sum((F.col("_v") < F.col("apv")).cast("bigint")).alias("n_lt"),
+        )
+    )
+    rows = ranked.select(
+        (
+            (F.col("n_le") - F.floor((F.col("q") - eps) * F.col("n")))
+            / F.col("n").cast("double")
+        ).alias("lo_slack"),
+        (
+            (F.ceil((F.col("q") + eps) * F.col("n")) - (F.col("n_lt") + 1))
+            / F.col("n").cast("double")
+        ).alias("hi_slack"),
+    ).collect()
+    out["contracts"]["events_value_percentiles_approx"] = {
+        "bound": "floor((p-eps)n) <= rank <= ceil((p+eps)n), eps=0.001",
+        "min_lo_slack_frac": round(min(r["lo_slack"] for r in rows), 6),
+        "min_hi_slack_frac": round(min(r["hi_slack"] for r in rows), 6),
+        "note": "slack as fraction of n; a flip needs a slack to go negative",
+    }
+
+    # HLL++ 4-sigma band: observed relative error vs 4*rsd.
+    rsd = 0.02
+    hll = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("double").alias("ex"),
+            F.approx_count_distinct("user_id", rsd).cast("double").alias("ap"),
+        )
+        .select((F.abs(F.col("ap") - F.col("ex")) / F.col("ex")).alias("rel"))
+        .collect()
+    )
+    worst = max(r["rel"] for r in hll)
+    out["contracts"]["events_distinct_users_approx"] = {
+        "bound": "rel_err <= 4*rsd = 0.08",
+        "max_rel_err": round(worst, 6),
+        "margin_used_frac": round(worst / (4 * rsd), 4),
+    }
+
+    # Count-Min heavy hitters: worst overestimate vs (e/width)*N.
+    from flink_1_12_0_src_spark.pipeline.dedup import cms_state_rows, cms_topk_contract
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        CMS_HEX,
+        CMS_K,
+        CMS_SLICES,
+        CMS_TOPK,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    state = (
+        cms_state_rows(docs, "text", CMS_K, CMS_SLICES, CMS_HEX)
+        .groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grams = docs.select(F.explode(shingles("text", CMS_K)).alias("sh"))
+    cms = cms_topk_contract(state, grams, "sh", CMS_TOPK, CMS_SLICES, CMS_HEX).collect()
+    n_total = grams.count()
+    bound = math.e / float(16 ** CMS_HEX) * n_total
+    worst_over = max(r["overestimate"] for r in cms)
+    out["contracts"]["text_heavy_hitters_cms"] = {
+        "bound": f"overestimate <= (e/width)*N = {round(bound, 1)}",
+        "max_overestimate": int(worst_over),
+        "margin_used_frac": round(worst_over / bound, 4),
+    }
+
+    # CMS-priced SoftDeDup: worst mean-nll gap vs ln(1 + (e/width)*N_grams).
+    from flink_1_12_0_src_spark.queries import load_all
+
+    reg = load_all()
+    soft = reg["dedup_soft_weights_cms"].spark(spark, sf_dir).collect()
+    out["contracts"]["dedup_soft_weights_cms"] = {
+        "bound": "mean-nll gap <= ln(1+(e/width)*N); drift reported",
+        "max_weight_drift": round(max(r["drift"] for r in soft), 6),
+        "all_within_bound": all(r["within_bound"] for r in soft),
+        "all_conservative": all(r["cms_conservative"] for r in soft),
+    }
+
+    # Bloom: measured probe FP rate vs the closed-form expectation.
+    blm = reg["dedup_bloom_membership"].spark(spark, sf_dir).collect()
+    non = [r for r in blm if not r["actual_member"]]
+    measured = sum(1 for r in non if r["false_positive"]) / max(len(non), 1)
+    rep = reg["stream_bloom_filter_only"].spark(spark, sf_dir).collect()
+    expected = rep[0]["expected_fp_rate"]
+    out["contracts"]["bloom_membership"] = {
+        "bound": "measured FP ~= closed-form expected FP (binomial noise)",
+        "measured_fp": round(measured, 6),
+        "expected_fp": round(float(expected), 6),
+    }
+
+    spark.stop()
+    path = Path(__file__).resolve().parent.parent / "CONTRACT_MARGINS.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
