@@ -343,6 +343,7 @@ _R12_FIXED_FIRST: tuple[str, ...] = ()
 _R12_NEW: tuple[str, ...] = (
     "dedup_soft_weights_cms",
     "stream_value_percentiles",
+    "stream_soft_weights_cms",
     "dataset_doremi_weights",
     "dataset_doremi_sample",
     "dataset_mix_compare",

@@ -1806,6 +1806,7 @@ from flink_1_12_0_src_spark.queries.pipelineq import (
     BLOOM_MEMBERSHIP_ORACLE,
     DOREMI_ORACLE,
     HEAVY_HITTERS_CMS_ORACLE,
+    SOFT_CMS_ORACLE,
     SOFT_DEDUP_ORACLE,
     CONTAINMENT_PRUNE_ORACLE,
     CONTAMINATION_MATRIX_ORACLE,
@@ -2942,3 +2943,54 @@ def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     probes = table(spark, sf_dir, "events")
     return value_percentiles_from_hist(snap, probes).orderBy("event_type", "q")
+
+
+@register(
+    "stream_soft_weights_cms",
+    oracle=SOFT_CMS_ORACLE,
+    tags=("streaming", "pipeline", "dedup", "sampling"),
+    doc="CONSTANT-STATE SoftDeDup-on-a-stream — the 20th streaming twin, "
+    "the production counterpart of stream_soft_weights the way "
+    "stream_bloom_filter_only is of stream_bloom_membership: the "
+    "streaming grouped aggregate maintains ONLY the Count-Min sketch "
+    "counters (slices x 256 regardless of corpus size — the exact "
+    "per-(doc, gram) relation the 18th twin carries exists for oracle "
+    "observability; a deployment drops it), and the contract tail "
+    "(soft_dedup_cms_weights) re-prices the corpus from the snapshot "
+    "sketch with the per-document drift contract against the exact "
+    "price — continuous duplication-aware reweighting whose state no "
+    "longer grows with the gram space. Counter sums are order- and "
+    "batching-insensitive, so the output equals dedup_soft_weights_cms "
+    "exactly; shares SOFT_CMS_ORACLE with the batch half.",
+)
+def stream_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.catalog import table
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        cms_state_rows,
+        soft_dedup_cms_weights,
+    )
+    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.queries.pipelineq import (
+        CMS_HEX,
+        CMS_SLICES,
+        SOFT_K,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    g = cms_state_rows(s, "text", SOFT_K, CMS_SLICES, CMS_HEX).groupBy("i", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # localCheckpoint: the pricing tail reads the snapshot for the probe
+    # join and the total (same memory-sink-view limitation as the other
+    # twins)
+    snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
+    docs = table(spark, sf_dir, "documents")
+    gcount = (
+        docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+    )
+    return soft_dedup_cms_weights(
+        gcount, snap, "doc_id", CMS_SLICES, CMS_HEX
+    ).orderBy("doc_id")

@@ -42,6 +42,7 @@ def _rows(df):
         ("stream_heavy_hitters_cms", "text_heavy_hitters_cms"),
         ("stream_soft_weights", "dedup_soft_weights"),
         ("stream_value_percentiles", "events_value_percentiles_approx"),
+        ("stream_soft_weights_cms", "dedup_soft_weights_cms"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
