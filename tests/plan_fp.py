@@ -843,6 +843,50 @@ def _report_providers() -> dict:
         )
         return source_diversity_from_counts(snap, "lang").orderBy("lang")
 
+    def _pct_from_hist(spark, sf_dir):
+        # the quantile twin's contract tail over a synthetic histogram
+        # snapshot: pins the group-keyed cumulative window, the
+        # percentile-with-frequency aggregate, and the broadcast answer
+        # re-rank against the probe corpus
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.operators.analytics import (
+            value_percentiles_from_hist,
+        )
+
+        snap = spark.createDataFrame(
+            [("view", 655, 3)], "event_type string, cv bigint, n bigint"
+        )
+        return value_percentiles_from_hist(
+            snap, table(spark, sf_dir, "events")
+        ).orderBy("event_type", "q")
+
+    def _soft_cms_from_state(spark, sf_dir):
+        # the sketch-only SoftDeDup twin's pricing tail over a synthetic
+        # sketch snapshot: pins the broadcast sketch probe join, both
+        # pricing aggregates and the per-doc drift join (materialize=False
+        # — the lazy mirror convention)
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.dedup import soft_dedup_cms_weights
+        from flink_1_12_0_src_spark.pipeline.text import shingles
+        from flink_1_12_0_src_spark.queries.pipelineq import (
+            CMS_HEX,
+            CMS_SLICES,
+            SOFT_K,
+        )
+
+        snap = spark.createDataFrame([(0, "aa", 5)], "i int, v string, n bigint")
+        gcount = (
+            table(spark, sf_dir, "documents")
+            .select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
+            .groupBy("doc_id", "sh")
+            .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+        )
+        return soft_dedup_cms_weights(
+            gcount, snap, "doc_id", CMS_SLICES, CMS_HEX, materialize=False
+        ).orderBy("doc_id")
+
     return {
         "report::source_diversity_from_counts": _source_diversity,
         "report::funnel_conversion": _funnel,
@@ -852,4 +896,6 @@ def _report_providers() -> dict:
         "report::source_mix_from_lang_groups": _source_mix,
         "report::pack_fill_from_volumes": _pack_fill,
         "report::neardedup_admission": _neardedup_admission,
+        "report::value_percentiles_from_hist": _pct_from_hist,
+        "report::soft_cms_from_state": _soft_cms_from_state,
     }
