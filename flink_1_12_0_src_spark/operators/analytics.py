@@ -31,6 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+# Contract parameters — module-level so the margins tool
+# (tools/contract_margins.py) measures the SAME bound the registered
+# contract rows assert; a parameter change propagates to both or neither.
+PCT_PERCENTILES: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99)
+PCT_ACCURACY = 1000
+HLL_RSD = 0.02
+HLL_TOL_MULT = 4.0
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",
@@ -315,8 +324,8 @@ def value_percentiles_approx_check(
     events: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
-    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
-    accuracy: int = 1000,
+    percentiles: tuple[float, ...] = PCT_PERCENTILES,
+    accuracy: int = PCT_ACCURACY,
     round_digits: int = 6,
 ) -> DataFrame:
     """The 100-TB percentile path, CONTRACT-CHECKED: ``approx_percentile``
@@ -398,8 +407,8 @@ def distinct_count_approx_check(
     events: DataFrame,
     group_col: str = "event_type",
     key_col: str = "user_id",
-    rsd: float = 0.02,
-    tol_mult: float = 4.0,
+    rsd: float = HLL_RSD,
+    tol_mult: float = HLL_TOL_MULT,
 ) -> DataFrame:
     """The 100-TB COUNT(DISTINCT) path, CONTRACT-CHECKED — the cardinality
     corner of the sketch-contract family (Bloom membership, quantile
@@ -472,8 +481,8 @@ def value_percentiles_from_hist(
     probes: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
-    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
-    accuracy: int = 1000,
+    percentiles: tuple[float, ...] = PCT_PERCENTILES,
+    accuracy: int = PCT_ACCURACY,
     scale: int = 100,
     round_digits: int = 6,
 ) -> DataFrame:

@@ -1305,6 +1305,38 @@ def bloom_membership_from_state(
     )
 
 
+def soft_gram_counts(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """The per-(doc, gram) count relation (id, sh, n DECIMAL(15,0)) every
+    SoftDeDup variant consumes — ONE definition shared by the exact
+    reweighter, the CMS-priced variant, their query registrations and the
+    plan-golden providers, so the gram-count shape (the shingle expression,
+    the decimal cast) can never desynchronize between them."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        .groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
+    )
+
+
+def _cms_slice_entries(hh, n_slices: int, hex_chars: int):
+    """(i, v) struct array for the partitioned md5 slice layout — slice i
+    reads hex chars [i*hc, (i+1)*hc) of ``hh``. ONE definition shared by
+    the sketch builder (cms_state_rows), the contract probe
+    (cms_topk_contract) and the CMS pricing probe (soft_dedup_cms_weights):
+    a layout change propagates to every consumer or none."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
+            )
+            for i in range(n_slices)
+        ]
+    )
+
+
 def soft_dedup_weights(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, materialize: bool = True
 ) -> DataFrame:
@@ -1340,11 +1372,9 @@ def soft_dedup_weights(
     operator — brief-driven LLM-pipeline surface; its aggregation shape
     is the reference's two-stage hash aggregate
     (flink-table planner StreamExecGroupAggregate lineage)."""
-    g = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
-    gcount = g.groupBy(id_col, "sh").agg(
-        F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
+    return soft_dedup_weights_from_grams(
+        soft_gram_counts(df, id_col, text_col, k), id_col, materialize
     )
-    return soft_dedup_weights_from_grams(gcount, id_col, materialize)
 
 
 def soft_dedup_weights_from_grams(
@@ -1447,22 +1477,20 @@ def soft_dedup_cms_weights(
     import math
 
     nbits = 16 ** hex_chars
+    if materialize:
+        # gcount feeds FOUR consumers (the exact tail's frequency rollup and
+        # scoring join, the probe vocabulary, the CMS pricing join): without
+        # this checkpoint the corpus-scale gram tokenize+aggregate would
+        # re-execute once per consumer
+        with stage("grams"):
+            gcount = gcount.localCheckpoint(eager=True)
     exact = soft_dedup_weights_from_grams(gcount, id_col, materialize)
     # sketch estimate per DISTINCT gram: min over the slice counters it
     # hashes to (the cms_topk_contract probe shape, vocabulary-sized)
-    hh = F.md5(F.col("sh"))
     probes = gcount.select("sh").distinct().select(
         "sh",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
-                    )
-                    for i in range(n_slices)
-                ]
-            )
+            _cms_slice_entries(F.md5(F.col("sh")), n_slices, hex_chars)
         ).alias("e"),
     ).select("sh", F.col("e.i").alias("i"), F.col("e.v").alias("v"))
     est = (
@@ -1528,9 +1556,18 @@ def soft_dedup_cms_weights(
                 F.abs(wcmicro - wmicro).cast("double") / F.lit(1e6)
             ).alias("drift"),
             (F.col("_a6c") <= F.col("_a6e")).alias("cms_conservative"),
+            # the bound's ln output rounds to 6 dp once (the transcendental
+            # discipline — a raw libm ln can differ in the last ULP between
+            # engines and flip the pinned boolean); e is injected as the
+            # same double literal on both sides
             (
                 F.col("_a6e") - F.col("_a6c")
-                <= F.log(F.lit(1.0) + F.lit(math.e) / F.lit(float(nbits)) * F.col("_t"))
+                <= F.round(
+                    F.log(
+                        F.lit(1.0) + F.lit(math.e) / F.lit(float(nbits)) * F.col("_t")
+                    ),
+                    6,
+                )
             ).alias("within_bound"),
         )
     )
@@ -1600,16 +1637,7 @@ def cms_state_rows(
     pipeline surface."""
     src = corpus if corpus.isStreaming else _spread(corpus)
     g = src.select(F.explode(shingles(text_col, k)).alias("sh"))
-    hh = F.md5(F.col("sh"))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
-            )
-            for i in range(n_slices)
-        ]
-    )
+    entries = _cms_slice_entries(F.md5(F.col("sh")), n_slices, hex_chars)
     return g.select(F.explode(entries).alias("e")).select("e.i", "e.v")
 
 
@@ -1653,21 +1681,12 @@ def cms_topk_contract(
         .over(Window.orderBy(F.desc("true_count"), F.asc(gram_col)))
         .cast("bigint"),
     )
-    hh = F.md5(F.col(gram_col))
     probes = top.select(
         "rank",
         F.col(gram_col).alias("gram"),
         "true_count",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.substring(hh, 1 + i * hex_chars, hex_chars).alias("v"),
-                    )
-                    for i in range(n_slices)
-                ]
-            )
+            _cms_slice_entries(F.md5(F.col(gram_col)), n_slices, hex_chars)
         ).alias("e"),
     ).select("rank", "gram", "true_count", F.col("e.i").alias("i"), F.col("e.v").alias("v"))
     est = (

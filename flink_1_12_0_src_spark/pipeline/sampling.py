@@ -832,11 +832,22 @@ def doremi_weights_from_counts(
 
     kk = dom.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
     dec = "decimal(28,9)"
+
+    # explicit micro/nano-unit rounding for every computed-double render: a
+    # bare round(x, d) is not engine-stable on .5 boundaries (the
+    # slm_token_select lesson); transcendental OUTPUTS (ln/exp) keep the
+    # established bare 6-dp round — their inputs are unit-quantized here.
+    def _u6(c):
+        return F.round(c * F.lit(1e6), 0).cast("bigint") / F.lit(1e6)
+
+    def _u9(c):
+        return F.round(c * F.lit(1e9), 0).cast("bigint") / F.lit(1e9)
+
     cur = dom.crossJoin(F.broadcast(kk)).select(
         "domain", "n_docs", "lr", "_k",
         F.lit(0.0).alias("lp"),
         F.lit(0.0).alias("excess"),
-        F.round(F.lit(1.0) / F.col("_k"), 9).alias("alpha"),
+        _u9(F.lit(1.0) / F.col("_k")).alias("alpha"),
         F.lit(0).cast(dec).alias("acc"),
     )
     pico = F.round(
@@ -872,9 +883,9 @@ def doremi_weights_from_counts(
             .select(
                 "domain", "n_docs", "lr", "_k", "alpha", "acc",
                 F.col("_lp").alias("lp"),
-                F.round(
-                    F.greatest(F.lit(0.0), F.col("_lp") - F.col("lr")), 6
-                ).alias("excess"),
+                _u6(F.greatest(F.lit(0.0), F.col("_lp") - F.col("lr"))).alias(
+                    "excess"
+                ),
             )
             .select(
                 "*", F.round(F.exp(F.lit(eta) * F.col("excess")), 6).alias("e")
@@ -883,7 +894,7 @@ def doremi_weights_from_counts(
         numn = F.round(F.col("alpha") * F.col("e") * F.lit(1e9), 0).cast("bigint")
         stepped = stepped.select("*", numn.alias("numn"))
         z = stepped.agg(F.sum("numn").alias("_z"))
-        alpha1 = F.round(F.col("numn").cast("double") / F.col("_z"), 6)
+        alpha1 = _u6(F.col("numn").cast("double") / F.col("_z"))
         cur = (
             stepped.crossJoin(F.broadcast(z))
             .select(
@@ -901,13 +912,12 @@ def doremi_weights_from_counts(
     return cur.select(
         "domain",
         "n_docs",
-        F.round("lp", 6).alias("proxy_nll"),
-        F.round("lr", 6).alias("ref_nll"),
+        _u6(F.col("lp")).alias("proxy_nll"),
+        _u6(F.col("lr")).alias("ref_nll"),
         F.col("excess").alias("excess_loss"),
-        F.round(
+        _u6(
             F.lit(1.0 - smoothing) * (F.col("acc").cast("double") / F.lit(float(rounds)))
-            + F.lit(smoothing) * (F.lit(1.0) / F.col("_k")),
-            6,
+            + F.lit(smoothing) * (F.lit(1.0) / F.col("_k"))
         ).alias("weight"),
     )
 

@@ -6,6 +6,8 @@ layout) — two independent implementations of one spec.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_1_12_0_src_spark.catalog import table
@@ -1915,7 +1917,7 @@ SELECT we.doc_id, we.n_grams, we.weight, wc.weight_cms,
            / 1000000.0 AS drift,
        (wc.a6c <= we.a6e) AS cms_conservative,
        ((we.a6e - wc.a6c)
-        <= ln(1.0 + exp(1) / {float(16 ** CMS_HEX)} * (SELECT t FROM nn)))
+        <= round(ln(1.0 + {math.e!r} / {float(16 ** CMS_HEX)} * (SELECT t FROM nn)), 6))
            AS within_bound
 FROM we JOIN wc USING (doc_id) ORDER BY we.doc_id
 """
@@ -1944,22 +1946,21 @@ def dedup_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import (
         cms_state_rows,
         soft_dedup_cms_weights,
+        soft_gram_counts,
     )
-    from flink_1_12_0_src_spark.pipeline.text import shingles
 
     docs = table(spark, sf_dir, "documents")
-    gcount = (
-        docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
-        .groupBy("doc_id", "sh")
-        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
-    )
     state = (
         cms_state_rows(docs, "text", SOFT_K, CMS_SLICES, CMS_HEX)
         .groupBy("i", "v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return soft_dedup_cms_weights(
-        gcount, state, "doc_id", CMS_SLICES, CMS_HEX
+        soft_gram_counts(docs, "doc_id", "text", SOFT_K),
+        state,
+        "doc_id",
+        CMS_SLICES,
+        CMS_HEX,
     ).orderBy("doc_id")
 
 
@@ -2564,14 +2565,17 @@ lp{t} AS MATERIALIZED (SELECT domain,
                 / CAST(SUM(n) AS DOUBLE) AS lp
           FROM dtn JOIN p{t} USING (term) GROUP BY domain),
 s{t} AS (SELECT r.domain, r.n_docs, r.lr, r.k, r.alpha, r.acc, l.lp,
-                round(greatest(0.0, l.lp - r.lr), 6) AS excess
+                CAST(round(greatest(0.0, l.lp - r.lr) * 1000000.0, 0) AS BIGINT)
+                    / 1000000.0 AS excess
          FROM {prev} r JOIN lp{t} l USING (domain)),
 e{t} AS (SELECT *, round(exp({DOREMI_ETA} * excess), 6) AS e FROM s{t}),
 r{t}n AS (SELECT *, CAST(round(alpha * e * 1000000000.0, 0) AS BIGINT) AS numn FROM e{t}),
 r{t}z AS (SELECT SUM(numn) AS z FROM r{t}n),
 r{t} AS MATERIALIZED (SELECT domain, n_docs, lp, lr, excess, e, k,
-               round(CAST(numn AS DOUBLE) / z, 6) AS alpha,
-               CAST(acc + CAST(round(CAST(numn AS DOUBLE) / z, 6) AS DECIMAL(28,9))
+               CAST(round(CAST(numn AS DOUBLE) / z * 1000000.0, 0) AS BIGINT)
+                   / 1000000.0 AS alpha,
+               CAST(acc + CAST(CAST(round(CAST(numn AS DOUBLE) / z * 1000000.0, 0) AS BIGINT)
+                               / 1000000.0 AS DECIMAL(28,9))
                     AS DECIMAL(28,9)) AS acc
          FROM r{t}n, r{t}z)""")
         prev = f"r{t}"
@@ -2607,13 +2611,16 @@ dom AS (SELECT nd.domain, nd.n_docs, lrd.lr
 kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom),
 r0 AS MATERIALIZED (SELECT domain, n_docs, CAST(0.0 AS DOUBLE) AS lp, lr,
               CAST(0.0 AS DOUBLE) AS excess, CAST(0.0 AS DOUBLE) AS e, k,
-              round(1.0 / k, 9) AS alpha,
+              CAST(round(1.0 / k * 1000000000.0, 0) AS BIGINT) / 1000000000.0 AS alpha,
               CAST(0 AS DECIMAL(28,9)) AS acc
        FROM dom, kk),{",".join(steps)}
-SELECT domain, n_docs, round(lp, 6) AS proxy_nll, round(lr, 6) AS ref_nll,
+SELECT domain, n_docs,
+       CAST(round(lp * 1000000.0, 0) AS BIGINT) / 1000000.0 AS proxy_nll,
+       CAST(round(lr * 1000000.0, 0) AS BIGINT) / 1000000.0 AS ref_nll,
        excess AS excess_loss,
-       round({1.0 - DOREMI_SMOOTH} * (CAST(acc AS DOUBLE) / {float(rounds)})
-             + {DOREMI_SMOOTH} * (1.0 / k), 6) AS weight
+       CAST(round(({1.0 - DOREMI_SMOOTH} * (CAST(acc AS DOUBLE) / {float(rounds)})
+                   + {DOREMI_SMOOTH} * (1.0 / k)) * 1000000.0, 0) AS BIGINT)
+           / 1000000.0 AS weight
 FROM {prev} ORDER BY domain
 """
 

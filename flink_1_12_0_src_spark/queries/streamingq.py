@@ -2968,8 +2968,8 @@ def stream_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.dedup import (
         cms_state_rows,
         soft_dedup_cms_weights,
+        soft_gram_counts,
     )
-    from flink_1_12_0_src_spark.pipeline.text import shingles
     from flink_1_12_0_src_spark.queries.pipelineq import (
         CMS_HEX,
         CMS_SLICES,
@@ -2986,11 +2986,10 @@ def stream_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twins)
     snap = run_to_batch(g, "complete").localCheckpoint(eager=True)
     docs = table(spark, sf_dir, "documents")
-    gcount = (
-        docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
-        .groupBy("doc_id", "sh")
-        .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
-    )
     return soft_dedup_cms_weights(
-        gcount, snap, "doc_id", CMS_SLICES, CMS_HEX
+        soft_gram_counts(docs, "doc_id", "text", SOFT_K),
+        snap,
+        "doc_id",
+        CMS_SLICES,
+        CMS_HEX,
     ).orderBy("doc_id")

@@ -610,8 +610,8 @@ def golden_plan_providers() -> dict:
         from flink_1_12_0_src_spark.pipeline.dedup import (
             cms_state_rows,
             soft_dedup_cms_weights,
+            soft_gram_counts,
         )
-        from flink_1_12_0_src_spark.pipeline.text import shingles
         from flink_1_12_0_src_spark.queries.pipelineq import (
             CMS_HEX,
             CMS_SLICES,
@@ -622,18 +622,14 @@ def golden_plan_providers() -> dict:
         # broadcast constant-size sketch, both pricing tails, and the
         # per-doc drift join without the checkpoint stubs
         docs = table(spark, sf_dir, "documents")
-        gcount = (
-            docs.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
-            .groupBy("doc_id", "sh")
-            .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
-        )
         state = (
             cms_state_rows(docs, "text", SOFT_K, CMS_SLICES, CMS_HEX)
             .groupBy("i", "v")
             .agg(F.count(F.lit(1)).alias("n"))
         )
         return soft_dedup_cms_weights(
-            gcount, state, "doc_id", CMS_SLICES, CMS_HEX, materialize=False
+            soft_gram_counts(docs, "doc_id", "text", SOFT_K),
+            state, "doc_id", CMS_SLICES, CMS_HEX, materialize=False,
         ).orderBy("doc_id")
 
     providers["dataset_doremi_weights"] = _lazy_doremi

@@ -371,7 +371,9 @@ def test_doremi_weights_matches_python_twin(spark):
                 nb += 1
         lr[d] = float(sb) / nb
     k = len(doms)
-    alpha = {d: round(1.0 / k, 9) for d in doms}
+    # unit-scaled roundings mirror the operator's engine-stable forms
+    u6 = lambda x: round(x * 1e6) / 1e6  # noqa: E731
+    alpha = {d: round(1.0 / k * 1e9) / 1e9 for d in doms}
     acc = {d: Decimal(0) for d in doms}
     lp, ex = {}, {}
     for _ in range(rounds):
@@ -393,15 +395,15 @@ def test_doremi_weights_matches_python_twin(spark):
             for t, n in dterm[d].items():
                 su += Decimal(n) * Decimal(str(round(-math.log(pm[t] / 1e15), 6)))
             lp[d] = float(su) / ntok[d]
-            ex[d] = round(max(0.0, lp[d] - lr[d]), 6)
+            ex[d] = u6(max(0.0, lp[d] - lr[d]))
         ee = {d: round(math.exp(eta * ex[d]), 6) for d in doms}
         numn = {d: int(round(alpha[d] * ee[d] * 1e9)) for d in doms}
         z = float(sum(numn.values()))
         for d in doms:
-            alpha[d] = round(numn[d] / z, 6)
+            alpha[d] = u6(numn[d] / z)
             acc[d] += Decimal(str(alpha[d]))
     want = {
-        d: round((1.0 - s) * (float(acc[d]) / float(rounds)) + s * (1.0 / k), 6)
+        d: u6((1.0 - s) * (float(acc[d]) / float(rounds)) + s * (1.0 / k))
         for d in doms
     }
 

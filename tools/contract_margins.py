@@ -39,8 +39,18 @@ def main() -> None:
 
     # approx_percentile rank band: slack (in ranks, normalized by n) between
     # the sketch answer's rank interval and the floor/ceil band edges.
+    # Parameters come from the SAME constants the contract rows assert
+    # (operators/analytics.py) — a parameter change there retargets this
+    # tool automatically.
+    from flink_1_12_0_src_spark.operators.analytics import (
+        HLL_RSD,
+        HLL_TOL_MULT,
+        PCT_ACCURACY,
+        PCT_PERCENTILES,
+    )
+
     ev = table(spark, sf_dir, "events")
-    ps, acc = [0.25, 0.5, 0.9, 0.99], 1000
+    ps, acc = list(PCT_PERCENTILES), PCT_ACCURACY
     eps = 1.0 / acc
     agg = ev.groupBy("event_type").agg(
         F.count("value").cast("bigint").alias("n"),
@@ -71,14 +81,14 @@ def main() -> None:
         ).alias("hi_slack"),
     ).collect()
     out["contracts"]["events_value_percentiles_approx"] = {
-        "bound": "floor((p-eps)n) <= rank <= ceil((p+eps)n), eps=0.001",
+        "bound": f"floor((p-eps)n) <= rank <= ceil((p+eps)n), eps={eps}",
         "min_lo_slack_frac": round(min(r["lo_slack"] for r in rows), 6),
         "min_hi_slack_frac": round(min(r["hi_slack"] for r in rows), 6),
         "note": "slack as fraction of n; a flip needs a slack to go negative",
     }
 
     # HLL++ 4-sigma band: observed relative error vs 4*rsd.
-    rsd = 0.02
+    rsd = HLL_RSD
     hll = (
         ev.groupBy("event_type")
         .agg(
@@ -90,9 +100,9 @@ def main() -> None:
     )
     worst = max(r["rel"] for r in hll)
     out["contracts"]["events_distinct_users_approx"] = {
-        "bound": "rel_err <= 4*rsd = 0.08",
+        "bound": f"rel_err <= {HLL_TOL_MULT}*rsd = {HLL_TOL_MULT * rsd}",
         "max_rel_err": round(worst, 6),
-        "margin_used_frac": round(worst / (4 * rsd), 4),
+        "margin_used_frac": round(worst / (HLL_TOL_MULT * rsd), 4),
     }
 
     # Count-Min heavy hitters: worst overestimate vs (e/width)*N.
