@@ -111,6 +111,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     stage_medians: dict[str, dict[str, float]] = {}
+    # Session-health sentinel: the same tiny stable query re-timed every few
+    # queries. Per-query spread exposes WITHIN-query bursts, but in-session
+    # degradation (accumulated JVM/shuffle state inflating late-position
+    # queries ~2x on some runs, observed round 12: pipeline_refinedweb_corpus
+    # 8.1 s in-session vs 4.2 s fresh-session on identical code) is only
+    # visible against a fixed yardstick. A drifting sentinel tells the
+    # reader to fresh-session re-time late movers before adjudicating.
+    sentinel_q = bench_qs.get("tpch_q6")
+    sentinel: dict[str, float] = {}
+
+    def probe_sentinel(after: str):
+        if sentinel_q is None:
+            return
+        t0 = time.perf_counter()
+        sentinel_q.spark(spark, sf_dir).count()
+        sentinel[after] = round(time.perf_counter() - t0, 4)
     from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
 
     def _reset_caches():
@@ -118,7 +134,9 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
-    for name, q in bench_qs.items():
+    for qi, (name, q) in enumerate(bench_qs.items()):
+        if qi % 5 == 0:
+            probe_sentinel(f"before_{name}")
         for _ in range(warmups):
             _reset_caches()
             q.spark(spark, sf_dir).count()
@@ -191,8 +209,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    probe_sentinel("end")
     if spreads:
         payload["spread"] = spreads
+    if sentinel:
+        payload["sentinel"] = sentinel
     if stage_medians:
         payload["stages"] = stage_medians
     # Self-adjudication context: loadavg at start/end (1/5/15-min). With 3
