@@ -1372,6 +1372,16 @@ def soft_dedup_weights(
     operator — brief-driven LLM-pipeline surface; its aggregation shape
     is the reference's two-stage hash aggregate
     (flink-table planner StreamExecGroupAggregate lineage)."""
+    # gcount feeds two consumers in the tail (frequency rollup + scoring
+    # join) and is deliberately NOT checkpointed here: its upstream is one
+    # codegen-fused parquet scan, and re-executing two COMPRESSED scans is
+    # cheaper than writing the uncompressed corpus-sized (doc, gram)
+    # relation to executor storage (A/B-measured a wash-to-worse at sf0.1;
+    # at 100 TB the write dominates). soft_dedup_cms_weights differs — four
+    # consumers tip the trade, and its checkpoint also serves the probe
+    # vocabulary — and exact_substring_rewrite's corpus-sized checkpoint is
+    # justified by EXPENSIVE upstream chains (refinedweb feeds in), not by
+    # the scan itself.
     return soft_dedup_weights_from_grams(
         soft_gram_counts(df, id_col, text_col, k), id_col, materialize
     )
