@@ -1,11 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Queries tagged "bench" in the registry are the headline set (TPC-H-style scan/agg,
-multi-join, top-k + window/dedup/pipeline once implemented). Each is timed to full
-materialization (count + a cheap checksum collect) after a warm-up of the session.
+Output contract (round-13 hardening — the r12 driver artifact lost its
+medians to tail truncation of one huge JSON line):
+
+- the FULL payload (medians + spread + sentinel + stages + retimed + loadavg)
+  is written to BENCH_local.json in the repo root, committed per round;
+- stdout's LAST line is a COMPACT medians-only JSON object
+  {"metric", "value", "unit", "queries", "sf", "full"} (~700 chars for 34
+  queries) so a tail-truncating capture always preserves a parseable line.
+
+Queries tagged "bench" in the registry are the headline set (TPC-H-style
+scan/agg, multi-join, top-k + window/dedup/pipeline flagships). Each is timed
+to full materialization after warm-ups; see _time_one for the protocol.
+
+`python bench.py --retime q1,q2` is the fresh-session adjudication mode: a
+NEW process/JVM times just those queries (same warm-up + median-of-3
+protocol) and prints {"retimed": {...}} — used automatically by the main run
+for burst-suspect movers, and manually when adjudicating round-over-round
+movers on a quiet host.
 """
 
 from __future__ import annotations
@@ -13,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -21,6 +36,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from flink_1_12_0_src_spark.queries import load_all  # noqa: E402
 from flink_1_12_0_src_spark.session import get_spark  # noqa: E402
+
+REPO = Path(__file__).resolve().parent
 
 
 def preflight_load_gate(cpus: int) -> tuple[tuple | None, bool]:
@@ -65,6 +82,104 @@ def preflight_load_gate(cpus: int) -> tuple[tuple | None, bool]:
     return loadavg_start, contaminated
 
 
+def _reset_caches(spark) -> None:
+    # clearCache only clears the SQL cache; every materializing operator run
+    # also leaves its localCheckpoint RDD pinned MEMORY_AND_DISK — ~150 runs
+    # into the set the accumulated blocks squeeze execution memory and later
+    # queries read 5-10× slower (observed: pipeline_clean_corpus 2 s
+    # fresh-session vs 24 s late-session on identical code).
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def _warm_session(spark) -> None:
+    """Warm up the JVM + whole-stage-codegen paths the headline queries use
+    (agg, shuffle, window, join, explode+hash) on tiny synthetic data, so the
+    first timed query measures steady-state throughput, not JIT compilation."""
+    warm = spark.range(100_000).selectExpr(
+        "id", "id % 97 AS k", "md5(concat('x', id)) AS s"
+    )
+    warm.groupBy("k").count().count()
+    warm.selectExpr(
+        "k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn"
+    ).where("rn <= 3").count()
+    warm.alias("a").join(warm.alias("b"), "k").count()
+    warm.selectExpr("explode(split(s, '')) AS c").groupBy("c").count().count()
+
+
+def _time_one(
+    spark, q, sf_dir: str, runs: int, warmups: int
+) -> tuple[list[float], list[dict[str, float]], int]:
+    """Per-query timing protocol: TWO untimed warm-up runs (pays
+    plan-shape-specific codegen/JIT, which at bench SF can exceed the actual
+    work), then runs timed samples — steady-state throughput, the regime a
+    long-lived 100 TB job operates in, robust to transient host load (this
+    machine shows up to 20× timing variance under co-tenant pressure; a
+    single sample recorded a phantom regression in round 3). Two warm-ups,
+    not one: queries with deep multi-stage plans (dedup_minhash_lsh runs ~36
+    stages) measurably still pay JIT in the first 1-2 post-warm-up runs —
+    settling only from run 3, which inflated the r07 median ~1.4× on
+    unchanged code. When the spread is pathological (max > 3× min — a
+    co-tenant spike poisoning one sample), takes two extra runs so the
+    median re-centers on the steady state. Returns (sorted samples,
+    per-run stage dicts, last row count)."""
+    from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
+
+    for _ in range(warmups):
+        _reset_caches(spark)
+        q.spark(spark, sf_dir).count()
+    samples: list[float] = []
+    stage_runs: list[dict[str, float]] = []
+    n = 0
+
+    def timed_run():
+        nonlocal n
+        _reset_caches(spark)
+        stages: dict[str, float] = {}
+        t0 = time.perf_counter()
+        with record_stages(stages):
+            df = q.spark(spark, sf_dir)
+            n = df.count()
+        samples.append(time.perf_counter() - t0)
+        stage_runs.append(stages)
+
+    for _ in range(runs):
+        timed_run()
+    if max(samples) > 3 * min(samples):
+        timed_run()
+        timed_run()
+    samples.sort()
+    return samples, stage_runs, n
+
+
+def retime_main(names: list[str]) -> None:
+    """Fresh-session adjudication: time just `names` in this (new) process
+    and print {"retimed": {name: {"median", "spread"}}} as the last stdout
+    line. The parent bench run (or a human adjudicating a mover) reads it."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    reg = load_all()
+    spark = get_spark(app_name="bench-retime", cpus=cpus, shuffle_partitions=cpus)
+    _warm_session(spark)
+    out: dict[str, dict] = {}
+    for name in names:
+        q = reg.get(name)
+        if q is None:
+            print(f"# retime: unknown query {name!r}, skipping", file=sys.stderr)
+            continue
+        samples, _, n = _time_one(spark, q, sf_dir, runs, warmups)
+        out[name] = {
+            "median": round(samples[len(samples) // 2], 4),
+            "spread": [round(samples[0], 4), round(samples[-1], 4)],
+        }
+        print(f"# retime {name}: {out[name]} rows={n}", file=sys.stderr)
+    spark.stop()
+    print(json.dumps({"retimed": out}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -82,30 +197,8 @@ def main() -> None:
     bench_qs = {name: q for name, q in sorted(reg.items()) if "bench" in q.tags}
 
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
-    # Warm up the JVM + whole-stage-codegen paths the headline queries use
-    # (agg, shuffle, window, join, explode+hash) on tiny synthetic data, so the
-    # first timed query measures steady-state throughput, not JIT compilation.
-    warm = spark.range(100_000).selectExpr(
-        "id", "id % 97 AS k", "md5(concat('x', id)) AS s"
-    )
-    warm.groupBy("k").count().count()
-    warm.selectExpr(
-        "k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn"
-    ).where("rn <= 3").count()
-    warm.alias("a").join(warm.alias("b"), "k").count()
-    warm.selectExpr("explode(split(s, '')) AS c").groupBy("c").count().count()
+    _warm_session(spark)
 
-    # Per query: TWO untimed warm-up runs (pays plan-shape-specific
-    # codegen/JIT, which at bench SF can exceed the actual work), then MEDIAN
-    # OF 3 timed runs — steady-state throughput, the regime a long-lived
-    # 100 TB job operates in, robust to transient host load (this machine
-    # shows up to 20× timing variance under co-tenant pressure; a single
-    # sample recorded a phantom regression in round 3). Two warm-ups, not
-    # one: queries with deep multi-stage plans (dedup_minhash_lsh runs ~36
-    # stages) measurably still pay JIT in the first 1-2 post-warm-up runs —
-    # in-order samples after one warm-up read 2.87/2.22/1.95/1.99/1.90/...,
-    # settling only from run 3, which inflated the r07 median ~1.4× on
-    # unchanged code (the round-7 watch item; adjudicated on a quiet host).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
@@ -120,61 +213,30 @@ def main() -> None:
     # reader to fresh-session re-time late movers before adjudicating.
     sentinel_q = bench_qs.get("tpch_q6")
     sentinel: dict[str, float] = {}
+    # sentinel probe name -> index of the query it fired before (len(bench_qs)
+    # for the end probe); used to attribute a burst to the queries timed
+    # between two probes.
+    sentinel_pos: dict[str, int] = {}
 
-    def probe_sentinel(after: str):
+    def probe_sentinel(after: str, pos: int):
         if sentinel_q is None:
             return
         t0 = time.perf_counter()
         sentinel_q.spark(spark, sf_dir).count()
         sentinel[after] = round(time.perf_counter() - t0, 4)
-    from flink_1_12_0_src_spark.pipeline.stageclock import record_stages
+        sentinel_pos[after] = pos
 
-    def _reset_caches():
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+    # The generic warm block doesn't execute the sentinel's own plan, so the
+    # first recorded probe would measure its cold codegen, not host health —
+    # one untimed run first makes every probe measure the same warmed state
+    # (r12 ADVICE).
+    if sentinel_q is not None:
+        sentinel_q.spark(spark, sf_dir).count()
 
     for qi, (name, q) in enumerate(bench_qs.items()):
         if qi % 5 == 0:
-            probe_sentinel(f"before_{name}")
-        for _ in range(warmups):
-            _reset_caches()
-            q.spark(spark, sf_dir).count()
-        samples = []
-        stage_runs: list[dict[str, float]] = []
-        n = 0
-
-        def timed_run():
-            nonlocal n
-            # drop any DataFrames a previous run persisted so each timed run
-            # does its own full compute (JIT stays warm; data caches do not
-            # carry over)
-            # clearCache only clears the SQL cache; every materializing
-            # operator run also leaves its localCheckpoint RDD pinned
-            # MEMORY_AND_DISK — ~150 runs into the set the accumulated
-            # blocks squeeze execution memory and later queries read 5-10×
-            # slower (observed: pipeline_clean_corpus 2 s fresh-session vs
-            # 24 s late-session on identical code)
-            _reset_caches()
-            stages: dict[str, float] = {}
-            t0 = time.perf_counter()
-            with record_stages(stages):
-                df = q.spark(spark, sf_dir)
-                n = df.count()
-            samples.append(time.perf_counter() - t0)
-            stage_runs.append(stages)
-
-        for _ in range(runs):
-            timed_run()
-        # Spread guard: this host shows up to 20× co-tenant variance, and a
-        # spike during one query poisons its median for the whole artifact
-        # (observed: samples 2.15/7.12/24.1 on unchanged code). When the
-        # spread is pathological, take two extra runs and let the median
-        # re-center on the steady state.
-        if max(samples) > 3 * min(samples):
-            timed_run()
-            timed_run()
-        samples.sort()
+            probe_sentinel(f"before_{name}", qi)
+        samples, stage_runs, n = _time_one(spark, q, sf_dir, runs, warmups)
         timings[name] = round(samples[len(samples) // 2], 4)
         # Per-query min/max across the timed runs: additive host noise shows
         # as a wide uniform spread, so a future mover self-adjudicates
@@ -202,6 +264,45 @@ def main() -> None:
         loadavg_end: tuple[float, float, float] | None = os.getloadavg()
     except OSError:
         loadavg_end = None
+    probe_sentinel("end", len(bench_qs))
+
+    # Auto-adjudication (r12 verdict task #4): a query whose in-session
+    # spread is wide (max/min > 1.5) while an adjacent sentinel probe shows a
+    # host burst (> 2× the best probe) is a burst suspect — three rounds
+    # running, such movers cost a judge-side re-run. Re-time them in a FRESH
+    # process (new JVM, quiet protocol) after the main session stops, and
+    # record the result in the artifact as `retimed` so it self-adjudicates.
+    retimed: dict[str, dict] = {}
+    suspects: list[str] = []
+    if sentinel and os.environ.get("SPARK_GRAFT_BENCH_RETIME", "1") == "1":
+        yardstick = min(sentinel.values())
+        probes = sorted(sentinel_pos.items(), key=lambda kv: kv[1])
+        for qi, name in enumerate(bench_qs):
+            lo, hi = spreads[name]
+            if lo <= 0 or hi / lo <= 1.5:
+                continue
+            # probes bracketing this query: last at pos <= qi, first after
+            before = [sentinel[k] for k, p in probes if p <= qi]
+            after = [sentinel[k] for k, p in probes if p > qi]
+            near = before[-1:] + after[:1]
+            if near and max(near) > 2 * yardstick:
+                suspects.append(name)
+    spark.stop()
+    if suspects:
+        print(f"# burst suspects, fresh-session retiming: {suspects}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--retime", ",".join(suspects)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            sys.stderr.write(proc.stderr)
+            last = proc.stdout.strip().splitlines()[-1]
+            retimed = json.loads(last).get("retimed", {})
+        except Exception as ex:  # adjudication is best-effort; never fail the bench
+            print(f"# retime subprocess failed: {ex}", file=sys.stderr)
+
     payload = {
         "metric": "headline_query_set_total_runtime",
         "value": total,
@@ -209,13 +310,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    probe_sentinel("end")
     if spreads:
         payload["spread"] = spreads
     if sentinel:
         payload["sentinel"] = sentinel
     if stage_medians:
         payload["stages"] = stage_medians
+    if retimed:
+        payload["retimed"] = retimed
     # Self-adjudication context: loadavg at start/end (1/5/15-min). With 3
     # runs per query this process alone settles near `cpus` while executing,
     # so the 1-min START value (taken before the session spins up) and the
@@ -226,9 +328,31 @@ def main() -> None:
         payload["loadavg_end"] = [round(x, 2) for x in loadavg_end]
     if contaminated:
         payload["contaminated"] = True
-    print(json.dumps(payload))
-    spark.stop()
+
+    # Full payload → committed file; compact medians-only line → LAST stdout
+    # line. The r12 driver capture kept only the TAIL of stdout and the
+    # single huge JSON line lost its front (medians unrecoverable, judge fell
+    # back to spread midpoints). The compact line is ~700 chars for 34
+    # queries, so any tail window preserves it whole; `full` points at the
+    # committed artifact carrying spread/sentinel/stages/retimed.
+    full_path = REPO / "BENCH_local.json"
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# full payload written to {full_path}", file=sys.stderr)
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "full": "BENCH_local.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--retime":
+        retime_main([s for s in sys.argv[2].split(",") if s])
+    else:
+        main()

@@ -302,11 +302,36 @@ _R11_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-12 driver-green rows (CORRECTNESS_r12.json — 50/50 green, the sixth
+# consecutive zero-red round): all 7 round-12 first-presentation rows (2 new
+# registrations + 2 new twins + the re-presented coupled-DoReMi quartet) plus
+# 43 re-verified greens drawn from the stalest (r01–r02) cohort by the LRU
+# rotation.
+_R12_DRIVER_GREEN = frozenset(
+    {
+        "asof_join_events", "cep_error_burst", "cep_funnel",
+        "dataset_doremi_sample", "dataset_doremi_weights",
+        "dataset_mix_compare", "dedup_maxby_keep_last",
+        "dedup_soft_weights_cms", "fn_collection_suite",
+        "fn_conditional_suite", "fn_flink_parity", "fn_json_suite",
+        "fn_math_suite", "fn_regex_like", "fn_string_suite",
+        "fn_temporal_suite", "fn_time_misc_suite", "fn_url_map_suite",
+        "over_time_range_preceding", "stream_doremi_weights",
+        "stream_soft_weights_cms", "stream_value_percentiles",
+        "temporal_sort", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+        "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
+        "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "window_cumulate", "window_hop",
+        "window_session", "window_session_dynamic_gap", "window_tumble"
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
     | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN | _R10_DRIVER_GREEN
-    | _R11_DRIVER_GREEN
+    | _R11_DRIVER_GREEN | _R12_DRIVER_GREEN
 )
 
 # Round-10 had zero driver-red rows (fourth zero-red round in a row), so
@@ -350,12 +375,19 @@ _R12_NEW: tuple[str, ...] = (
     "stream_doremi_weights",
 )
 
+# Round-12 had zero driver-red rows (sixth zero-red round in a row), so
+# there is nothing to re-verify at the front this round.
+_R13_FIXED_FIRST: tuple[str, ...] = ()
+
+# Queries first registered in round 13 — first possible driver row.
+_R13_NEW: tuple[str, ...] = ()
+
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round
 # rename (fold greens, start a fresh _NEW tuple) no longer requires editing
 # any test. Update ONLY the two assignments below at each round rollover.
-CURRENT_FIXED_FIRST: tuple[str, ...] = _R12_FIXED_FIRST
-CURRENT_NEW: tuple[str, ...] = _R12_NEW
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R13_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R13_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never

@@ -21,7 +21,7 @@ from flink_1_12_0_src_spark.queries import (
     CURRENT_NEW,
     load_all,
 )
-from flink_1_12_0_src_spark.queries._last_green import LAST_GREEN
+from flink_1_12_0_src_spark.queries._last_green import LAST_GREEN, ORACLE_SHA
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,6 +59,29 @@ def test_tier3_is_staleness_sorted():
     ]
     rounds = [LAST_GREEN[n] for n in tier3]
     assert rounds == sorted(rounds), "tier 3 must re-verify stalest greens first"
+
+
+def test_oracle_change_requires_representation():
+    """A green query whose registered oracle text changed since its LAST_GREEN
+    round must be re-presented in CURRENT_NEW — otherwise the LRU tier would
+    treat stale-semantics evidence as fresh (the coupled-DoReMi rule from
+    round 12, made mechanical per the r12 ADVICE). ORACLE_SHA is stamped at
+    regen time (= fold time, right after the driver verified those exact
+    semantics); any later whitespace-insensitive edit trips this test unless
+    the query is listed for a fresh driver row."""
+    mod = _load_gen_tool()
+    registry = load_all()
+    changed = [
+        name
+        for name, stamped in ORACLE_SHA.items()
+        if name in registry
+        and mod.oracle_sha(registry[name].oracle) != stamped
+        and name not in CURRENT_NEW
+    ]
+    assert not changed, (
+        "oracle semantics changed without re-presentation (add to CURRENT_NEW "
+        f"or revert): {changed}"
+    )
 
 
 def test_window_regreens_come_from_stale_cohort():
