@@ -380,7 +380,10 @@ _R12_NEW: tuple[str, ...] = (
 _R13_FIXED_FIRST: tuple[str, ...] = ()
 
 # Queries first registered in round 13 — first possible driver row.
-_R13_NEW: tuple[str, ...] = ()
+_R13_NEW: tuple[str, ...] = (
+    "multimodal_header_parse",
+    "multimodal_resolution_audit",
+)
 
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round

@@ -1092,6 +1092,176 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_blob_features(attach_blob(docs, "doc_id", "text")).orderBy("doc_id")
 
 
+# Shared CTE prefix for the two header-parse oracles: re-SYNTHESIZE the same
+# container bytes the Spark fixture builds (PNG signature+IHDR / GIF89a LSD /
+# BMP BITMAPFILEHEADER+INFOHEADER from doc_id), then re-PARSE them from the
+# hex rendering of the blob — a genuine second implementation of both the
+# byte layout and the fixed-offset/endianness decode, meeting at the bytes.
+_MM_HEADER_PARSED_CTES = """
+params AS (
+  SELECT doc_id,
+         16 + (doc_id * 37) % 2048 AS w,
+         16 + (doc_id * 53) % 2048 AS h,
+         doc_id % 3 AS fmtc
+  FROM documents),
+be AS (
+  SELECT doc_id, fmtc,
+         lpad(to_hex(w), 8, '0') AS wbe,
+         lpad(to_hex(h), 8, '0') AS hbe,
+         lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h), 8, '0') AS ibe,
+         lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h + 54), 8, '0') AS fbe
+  FROM params),
+blobs AS (
+  SELECT doc_id, unhex(CASE
+    WHEN fmtc = 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+         || wbe || hbe || '0806000000' || '5AA5C3D2'
+    WHEN fmtc = 1 THEN '474946383961'
+         || substring(wbe, 7, 2) || substring(wbe, 5, 2)
+         || substring(hbe, 7, 2) || substring(hbe, 5, 2) || 'F70000'
+    ELSE '424D'
+         || substring(fbe, 7, 2) || substring(fbe, 5, 2) || substring(fbe, 3, 2) || substring(fbe, 1, 2)
+         || '00000000' || '36000000' || '28000000'
+         || substring(wbe, 7, 2) || substring(wbe, 5, 2) || substring(wbe, 3, 2) || substring(wbe, 1, 2)
+         || substring(hbe, 7, 2) || substring(hbe, 5, 2) || substring(hbe, 3, 2) || substring(hbe, 1, 2)
+         || '0100' || '1800' || '00000000'
+         || substring(ibe, 7, 2) || substring(ibe, 5, 2) || substring(ibe, 3, 2) || substring(ibe, 1, 2)
+         || '130B0000' || '130B0000' || '00000000' || '00000000'
+  END) AS blob
+  FROM be),
+hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
+parsed AS (
+  SELECT doc_id,
+    CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         WHEN substring(hx, 1, 12) = '474946383961' THEN 'gif'
+         WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
+         ELSE 'unknown' END AS fmt,
+    CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+           THEN ('0x' || substring(hx, 33, 8))::BIGINT
+         WHEN substring(hx, 1, 12) = '474946383961'
+           THEN ('0x' || substring(hx, 15, 2) || substring(hx, 13, 2))::BIGINT
+         WHEN substring(hx, 1, 4) = '424D'
+           THEN ('0x' || substring(hx, 43, 2) || substring(hx, 41, 2)
+                 || substring(hx, 39, 2) || substring(hx, 37, 2))::BIGINT
+    END AS width,
+    CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+           THEN ('0x' || substring(hx, 41, 8))::BIGINT
+         WHEN substring(hx, 1, 12) = '474946383961'
+           THEN ('0x' || substring(hx, 19, 2) || substring(hx, 17, 2))::BIGINT
+         WHEN substring(hx, 1, 4) = '424D'
+           THEN ('0x' || substring(hx, 51, 2) || substring(hx, 49, 2)
+                 || substring(hx, 47, 2) || substring(hx, 45, 2))::BIGINT
+    END AS height,
+    CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+           THEN ('0x' || substring(hx, 49, 2))::BIGINT
+                * (CASE ('0x' || substring(hx, 51, 2))::BIGINT
+                   WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 1 END)
+         WHEN substring(hx, 1, 12) = '474946383961'
+           THEN ('0x' || substring(hx, 21, 2))::BIGINT % 8 + 1
+         WHEN substring(hx, 1, 4) = '424D'
+           THEN ('0x' || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT
+    END AS bpp,
+    CAST(octet_length(blob) AS BIGINT) AS n_bytes
+  FROM hx)
+"""
+
+
+def _mm_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_image_headers,
+        synth_image_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_image_headers(synth_image_blobs(docs))
+
+
+@register(
+    "multimodal_header_parse",
+    oracle=f"""
+WITH {_MM_HEADER_PARSED_CTES}
+SELECT doc_id, fmt, width, height, bpp, n_bytes,
+       (width * 1000) // height AS aspect_milli,
+       (width * height * bpp) // 8 AS pixel_bytes
+FROM parsed ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Codec-free image metadata: sniff PNG/GIF/BMP magic bytes and parse "
+    "width/height/bpp from the real header layouts (IHDR big-endian, GIF "
+    "LSD + BMP INFOHEADER little-endian) with pure JVM binary built-ins "
+    "over BinaryType — the triage pass a 100 TB crawl runs BEFORE paying "
+    "any decode. pipeline/multimodal.py parse_image_headers.",
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _mm_parsed(spark, sf_dir)
+    return parsed.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "bpp",
+        "n_bytes",
+        F.expr("width * 1000 DIV height").alias("aspect_milli"),
+        F.expr("width * height * bpp DIV 8").alias("pixel_bytes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resolution_audit",
+    oracle=f"""
+WITH {_MM_HEADER_PARSED_CTES}
+SELECT fmt,
+       (width * height) // 250000 AS mp_bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(width) AS min_width, max(width) AS max_width,
+       min(height) AS min_height, max(height) AS max_height,
+       CAST(round(CAST(sum((width * 1000) // height) AS BIGINT) * 1000000.0
+                  / count(*), 0) AS BIGINT) / 1000000.0 AS avg_aspect_milli,
+       CAST(sum((width * height * bpp) // 8) AS BIGINT) AS total_pixel_bytes
+FROM parsed
+GROUP BY fmt, mp_bucket
+ORDER BY fmt, mp_bucket
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Resolution-histogram audit over parsed container headers: images "
+    "per (format, quarter-megapixel bucket) with width/height ranges, mean "
+    "aspect (milli-units, micro-rounded), and decoded-size accounting — the "
+    "corpus-shape report that sizes a decode fleet. One grouped aggregate "
+    "over the per-row header parse; ~3 formats x ~18 buckets of state.",
+)
+def multimodal_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _mm_parsed(spark, sf_dir).withColumn(
+        "aspect_milli", F.expr("width * 1000 DIV height")
+    )
+    return (
+        parsed.groupBy("fmt", F.expr("width * height DIV 250000").alias("mp_bucket"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.min("height").alias("min_height"),
+            F.max("height").alias("max_height"),
+            F.sum("aspect_milli").alias("_sum_aspect"),
+            F.sum(F.expr("width * height * bpp DIV 8")).alias("total_pixel_bytes"),
+        )
+        .select(
+            "fmt",
+            "mp_bucket",
+            "n_images",
+            "min_width",
+            "max_width",
+            "min_height",
+            "max_height",
+            (
+                F.round(F.col("_sum_aspect") * 1000000.0 / F.col("n_images"), 0)
+                .cast("bigint")
+                / F.lit(1e6)
+            ).alias("avg_aspect_milli"),
+            "total_pixel_bytes",
+        )
+        .orderBy("fmt", "mp_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunking / PII masking / embedding near-dup
 # ---------------------------------------------------------------------------

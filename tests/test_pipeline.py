@@ -108,6 +108,75 @@ def test_multimodal_decode_is_explicit_stub():
         decode_image(b"\x89PNG")
 
 
+def _py_image_blob(i: int) -> bytes:
+    """Third implementation of the header fixture (pure-Python struct
+    packing) — independent of both the Spark expressions and the DuckDB
+    oracle CTEs, so a shared layout mistake can't self-verify."""
+    import struct
+
+    w, h, f = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048, i % 3
+    if f == 0:  # PNG signature + IHDR (RGBA8), placeholder CRC
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+            + bytes.fromhex("5AA5C3D2")
+        )
+    if f == 1:  # GIF89a logical screen descriptor
+        return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    row = (w * 3 + 3) // 4 * 4  # 24bpp rows padded to 4 bytes
+    img = row * h
+    return (
+        b"BM" + struct.pack("<I", 54 + img) + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54) + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+        + struct.pack("<HH", 1, 24) + struct.pack("<I", 0) + struct.pack("<I", img)
+        + struct.pack("<ii", 2835, 2835) + struct.pack("<II", 0, 0)
+    )
+
+
+def test_image_header_synth_matches_python_struct(spark):
+    """The Spark fixture emits byte-identical real container headers to the
+    struct-packed reference, across all 3 formats and multi-byte widths."""
+    from flink_1_12_0_src_spark.pipeline.multimodal import synth_image_blobs
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    blobs = {r["doc_id"]: bytes(r["blob"]) for r in synth_image_blobs(ids).collect()}
+    assert len(blobs) == 40
+    for i in range(40):
+        assert blobs[i] == _py_image_blob(i), f"doc {i} blob mismatch"
+
+
+def test_image_header_parse_from_bytes_alone(spark):
+    """parse_image_headers recovers dims from the BYTES, including hand-built
+    headers the fixture formula never emits (PNG >65535 wide, RGB16; GIF with
+    a different GCT depth) and an unknown magic."""
+    import struct
+
+    from flink_1_12_0_src_spark.pipeline.multimodal import parse_image_headers
+
+    png_rgb16 = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 70000, 3) + bytes([16, 2, 0, 0, 0]) + b"\x00" * 4
+    )
+    gif_small = b"GIF89a" + struct.pack("<HH", 4095, 1) + bytes([0xF2, 0, 0])
+    rows = [
+        (1, bytearray(png_rgb16)),
+        (2, bytearray(gif_small)),
+        (3, bytearray(_py_image_blob(5))),  # BMP (5 % 3 == 2)
+        (4, bytearray(b"JUNKJUNKJUNK")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r.asDict() for r in parse_image_headers(df).collect()}
+    assert (got[1]["fmt"], got[1]["width"], got[1]["height"], got[1]["bpp"]) == (
+        "png", 70000, 3, 48)  # bit depth 16 x 3 channels (color type 2)
+    assert (got[2]["fmt"], got[2]["width"], got[2]["height"], got[2]["bpp"]) == (
+        "gif", 4095, 1, 3)  # packed 0xF2 -> GCT size 2 -> 3 bpp
+    w5, h5 = 16 + 5 * 37, 16 + 5 * 53
+    assert (got[3]["fmt"], got[3]["width"], got[3]["height"], got[3]["bpp"]) == (
+        "bmp", w5, h5, 24)
+    assert got[4]["fmt"] == "unknown" and got[4]["width"] is None
+    assert got[4]["n_bytes"] == 12
+
+
 def test_cosine_topk_np_equals_expression_path(spark, sf_dir):
     """The numpy/mapInPandas brute-force path (large-corpus variant) must be
     result-identical to the pure-expression path — same rounding, same
