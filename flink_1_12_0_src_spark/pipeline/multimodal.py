@@ -187,6 +187,51 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resolution_audit_state(parsed: DataFrame) -> DataFrame:
+    """The resolution audit's aggregate STATE: per (format, quarter-megapixel
+    bucket) — image count, width/height ranges, exact integer aspect and
+    decoded-byte sums. Counter/MIN/MAX/SUM state class: mergeable and
+    micro-batch-boundary-invariant, so the same expression runs as a batch
+    aggregate or a continuously-maintained streaming grouped aggregate
+    (stream_multimodal_audit) over a parsed-header relation
+    (:func:`parse_image_headers` output). State is ~|formats|·|buckets| rows
+    regardless of corpus size."""
+    p = parsed.withColumn("aspect_milli", F.expr("width * 1000 DIV height"))
+    return p.groupBy(
+        "fmt", F.expr("width * height DIV 250000").alias("mp_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.min("height").alias("min_height"),
+        F.max("height").alias("max_height"),
+        F.sum("aspect_milli").alias("_sum_aspect"),
+        F.sum(F.expr("width * height * bpp DIV 8")).alias("total_pixel_bytes"),
+    )
+
+
+def resolution_audit_from_state(snap: DataFrame) -> DataFrame:
+    """Render tail shared by the batch audit and its streaming twin: the
+    report is a pure function of the aggregate state (mean aspect in
+    milli-units, micro-unit-rounded — the cross-engine-stable form), so the
+    twin's snapshot report equals the batch row's exactly."""
+    return snap.select(
+        "fmt",
+        "mp_bucket",
+        "n_images",
+        "min_width",
+        "max_width",
+        "min_height",
+        "max_height",
+        (
+            F.round(F.col("_sum_aspect") * 1000000.0 / F.col("n_images"), 0)
+            .cast("bigint")
+            / F.lit(1e6)
+        ).alias("avg_aspect_milli"),
+        "total_pixel_bytes",
+    ).orderBy("fmt", "mp_bucket")
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 100, stride: int = 2
 ) -> DataFrame:

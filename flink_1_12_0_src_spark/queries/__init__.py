@@ -379,10 +379,18 @@ _R12_NEW: tuple[str, ...] = (
 # there is nothing to re-verify at the front this round.
 _R13_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries first registered in round 13 — first possible driver row.
+# Queries needing a first driver row for their CURRENT semantics: the two
+# round-13-new registrations, plus the quantile-contract pair re-presented
+# because the r12 ADVICE fixes changed their oracle (within_tol NULL for
+# no-non-NULL-values groups — the latent row-count red closed on both
+# halves; the shared PCT_APPROX_ORACLE text changed, which the new
+# ORACLE_SHA gate test enforces ending up here).
 _R13_NEW: tuple[str, ...] = (
     "multimodal_header_parse",
     "multimodal_resolution_audit",
+    "stream_multimodal_audit",
+    "events_value_percentiles_approx",
+    "stream_value_percentiles",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

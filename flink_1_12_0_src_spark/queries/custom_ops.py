@@ -582,12 +582,13 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCT_APPROX_ORACLE = """
 WITH ex AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(value) AS BIGINT) AS n_vals,
          quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS ps
   FROM events GROUP BY event_type
 )
 SELECT event_type, CAST(qs.q AS DOUBLE) AS q, n_events,
        round(ps[qs.i], 6) AS exact_p,
-       TRUE AS within_tol
+       CASE WHEN n_vals = 0 THEN NULL ELSE TRUE END AS within_tol
 FROM ex, (VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) qs(i, q)
 ORDER BY event_type, q
 """

@@ -1205,9 +1205,11 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "multimodal_resolution_audit",
-    oracle=f"""
+# ONE constant shared by the batch audit and its streaming twin
+# (stream_multimodal_audit, queries/streamingq.py): the maintained
+# (fmt, mp_bucket) count/min/max/sum state is a pure function of the data,
+# so the twin's snapshot report equals the batch row's.
+MM_AUDIT_ORACLE = f"""
 WITH {_MM_HEADER_PARSED_CTES}
 SELECT fmt,
        (width * height) // 250000 AS mp_bucket,
@@ -1220,7 +1222,12 @@ SELECT fmt,
 FROM parsed
 GROUP BY fmt, mp_bucket
 ORDER BY fmt, mp_bucket
-""",
+"""
+
+
+@register(
+    "multimodal_resolution_audit",
+    oracle=MM_AUDIT_ORACLE,
     tags=("pipeline", "multimodal"),
     doc="Resolution-histogram audit over parsed container headers: images "
     "per (format, quarter-megapixel bucket) with width/height ranges, mean "
@@ -1229,37 +1236,12 @@ ORDER BY fmt, mp_bucket
     "over the per-row header parse; ~3 formats x ~18 buckets of state.",
 )
 def multimodal_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = _mm_parsed(spark, sf_dir).withColumn(
-        "aspect_milli", F.expr("width * 1000 DIV height")
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        resolution_audit_from_state,
+        resolution_audit_state,
     )
-    return (
-        parsed.groupBy("fmt", F.expr("width * height DIV 250000").alias("mp_bucket"))
-        .agg(
-            F.count("*").alias("n_images"),
-            F.min("width").alias("min_width"),
-            F.max("width").alias("max_width"),
-            F.min("height").alias("min_height"),
-            F.max("height").alias("max_height"),
-            F.sum("aspect_milli").alias("_sum_aspect"),
-            F.sum(F.expr("width * height * bpp DIV 8")).alias("total_pixel_bytes"),
-        )
-        .select(
-            "fmt",
-            "mp_bucket",
-            "n_images",
-            "min_width",
-            "max_width",
-            "min_height",
-            "max_height",
-            (
-                F.round(F.col("_sum_aspect") * 1000000.0 / F.col("n_images"), 0)
-                .cast("bigint")
-                / F.lit(1e6)
-            ).alias("avg_aspect_milli"),
-            "total_pixel_bytes",
-        )
-        .orderBy("fmt", "mp_bucket")
-    )
+
+    return resolution_audit_from_state(resolution_audit_state(_mm_parsed(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------

@@ -2993,3 +2993,41 @@ def stream_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         CMS_SLICES,
         CMS_HEX,
     ).orderBy("doc_id")
+
+
+from flink_1_12_0_src_spark.queries.pipelineq import MM_AUDIT_ORACLE  # noqa: E402
+
+
+@register(
+    "stream_multimodal_audit",
+    oracle=MM_AUDIT_ORACLE,
+    tags=("streaming", "pipeline", "multimodal"),
+    doc="Resolution-audit-on-a-stream — the 21st streaming twin, giving the "
+    "round-13 header-parse family its continuously-maintained form: the "
+    "codec-free PNG/GIF/BMP header parse (pipeline/multimodal.py "
+    "parse_image_headers — pure row-local binary built-ins) runs inside "
+    "the streaming scan, and a streaming grouped aggregate maintains the "
+    "(format x quarter-megapixel bucket) count/min/max/sum state "
+    "(reference analog: StreamExecGroupAggregate) — the live corpus-shape "
+    "dashboard a 100 TB ingest watches while deciding decode capacity. "
+    "Counter/MIN/MAX/SUM state is mergeable and micro-batch-boundary-"
+    "invariant, and the report (resolution_audit_from_state) is a pure "
+    "function of that state, so the snapshot report equals "
+    "multimodal_resolution_audit exactly; shares MM_AUDIT_ORACLE with the "
+    "batch half. Scale: state is ~|formats|x|buckets| rows regardless of "
+    "corpus size.",
+)
+def stream_multimodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_image_headers,
+        resolution_audit_from_state,
+        resolution_audit_state,
+        synth_image_blobs,
+    )
+    from flink_1_12_0_src_spark.streaming.source import documents_stream
+
+    s = documents_stream(spark, sf_dir, n_files=4)
+    parsed = parse_image_headers(synth_image_blobs(s.select("doc_id")))
+    g = resolution_audit_state(parsed)
+    snap = run_to_batch(g, "complete")
+    return resolution_audit_from_state(snap)

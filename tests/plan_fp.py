@@ -883,6 +883,22 @@ def _report_providers() -> dict:
             gcount, snap, "doc_id", CMS_SLICES, CMS_HEX, materialize=False
         ).orderBy("doc_id")
 
+    def _mm_audit_from_state(spark, sf_dir):
+        # the multimodal-audit twin's report tail over a synthetic
+        # state-shaped snapshot: pins the micro-rounded mean-aspect render
+        # and the (fmt, mp_bucket) ordering
+        from flink_1_12_0_src_spark.pipeline.multimodal import (
+            resolution_audit_from_state,
+        )
+
+        snap = spark.createDataFrame(
+            [("png", 1, 2, 16, 32, 16, 32, 2000, 4096)],
+            "fmt string, mp_bucket bigint, n_images bigint, min_width bigint,"
+            " max_width bigint, min_height bigint, max_height bigint,"
+            " _sum_aspect bigint, total_pixel_bytes bigint",
+        )
+        return resolution_audit_from_state(snap)
+
     return {
         "report::source_diversity_from_counts": _source_diversity,
         "report::funnel_conversion": _funnel,
@@ -894,4 +910,5 @@ def _report_providers() -> dict:
         "report::neardedup_admission": _neardedup_admission,
         "report::value_percentiles_from_hist": _pct_from_hist,
         "report::soft_cms_from_state": _soft_cms_from_state,
+        "report::resolution_audit_from_state": _mm_audit_from_state,
     }

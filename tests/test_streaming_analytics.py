@@ -43,6 +43,7 @@ def _rows(df):
         ("stream_soft_weights", "dedup_soft_weights"),
         ("stream_value_percentiles", "events_value_percentiles_approx"),
         ("stream_soft_weights_cms", "dedup_soft_weights_cms"),
+        ("stream_multimodal_audit", "multimodal_resolution_audit"),
     ],
 )
 def test_stream_twin_equals_batch(spark, stream_name, batch_name):
@@ -494,6 +495,75 @@ def test_percentile_hist_is_lossless_at_feed_quantization(spark):
     cv = F.round(F.col("value") * 100, 0).cast("bigint")
     bad = ev.filter(cv.cast("double") / 100.0 != F.col("value")).count()
     assert bad == 0
+
+
+def test_multimodal_audit_state_is_boundary_and_order_invariant(spark):
+    """The 21st twin's streaming state — count/MIN/MAX/SUM per (format,
+    megapixel bucket) over row-locally parsed image headers — is mergeable
+    and commutative, so one trigger, four triggers, and scrambled delivery
+    yield the identical state (hence identical audit report)."""
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_image_headers,
+        resolution_audit_state,
+        synth_image_blobs,
+    )
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.streaming.source import (
+        documents_stream,
+        documents_stream_scrambled,
+    )
+
+    def snapshot(src):
+        g = resolution_audit_state(
+            parse_image_headers(synth_image_blobs(src.select("doc_id")))
+        )
+        return sorted(tuple(r) for r in run_to_batch(g, "complete").collect())
+
+    one = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=4))
+    four = snapshot(documents_stream(spark, SF, n_files=4, max_files_per_trigger=1))
+    scrambled = snapshot(documents_stream_scrambled(spark, SF, 4, order=(3, 2, 1, 0)))
+    assert one == four == scrambled
+
+
+def test_percentile_contracts_keep_all_null_groups(spark):
+    """A group whose values are ALL NULL must still emit its |percentiles|
+    contract rows — exact_p and within_tol NULL (no answer to bound) — from
+    BOTH the batch sketch check and the histogram twin tail, matching the
+    shared oracle's group domain. Previously such groups vanished from the
+    Spark side while the oracle still emitted their rows: a latent
+    row-count red the r12 ADVICE flagged."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_src_spark.operators.analytics import (
+        PCT_PERCENTILES,
+        value_percentiles_approx_check,
+        value_percentiles_from_hist,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 41)] + [("b", None)] * 5
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+
+    def check(out):
+        got = {(r["event_type"], r["q"]): r for r in out}
+        assert len(out) == 2 * len(PCT_PERCENTILES), sorted(got)
+        for q in PCT_PERCENTILES:
+            rb = got[("b", q)]
+            assert rb["exact_p"] is None and rb["within_tol"] is None
+            assert rb["n_events"] == 5
+            ra = got[("a", q)]
+            assert ra["within_tol"] is True and ra["exact_p"] is not None
+
+    check(value_percentiles_approx_check(ev).collect())
+    # the histogram half: the same (group, centi-bucket) counts the twin
+    # maintains (NULL bucket included — it carries n_events)
+    hist = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cv")
+        )
+        .groupBy("event_type", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    check(value_percentiles_from_hist(hist, ev).collect())
 
 
 def test_cms_state_is_boundary_and_order_invariant(spark):

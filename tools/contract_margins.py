@@ -50,7 +50,12 @@ def main() -> None:
     )
 
     ev = table(spark, sf_dir, "events")
+    from flink_1_12_0_src_spark.operators.analytics import PCT_BAND_MULT
+
     ps, acc = list(PCT_PERCENTILES), PCT_ACCURACY
+    # STRICT sketch bound (the published ε); the registered rows pin the
+    # wider PCT_BAND_MULT·ε band, so strict-slack here is the early-warning
+    # signal — it can go negative without the pinned boolean flipping.
     eps = 1.0 / acc
     agg = ev.groupBy("event_type").agg(
         F.count("value").cast("bigint").alias("n"),
@@ -81,10 +86,13 @@ def main() -> None:
         ).alias("hi_slack"),
     ).collect()
     out["contracts"]["events_value_percentiles_approx"] = {
-        "bound": f"floor((p-eps)n) <= rank <= ceil((p+eps)n), eps={eps}",
+        "bound": f"strict sketch bound eps={eps}; pinned boolean uses "
+        f"{PCT_BAND_MULT}x this band",
         "min_lo_slack_frac": round(min(r["lo_slack"] for r in rows), 6),
         "min_hi_slack_frac": round(min(r["hi_slack"] for r in rows), 6),
-        "note": "slack as fraction of n; a flip needs a slack to go negative",
+        "note": "slack vs the STRICT band as fraction of n; the pinned "
+        "boolean flips only past the wider band, so strict slack going "
+        "negative is the early warning, not a red",
     }
 
     # HLL++ 4-sigma band: observed relative error vs 4*rsd.
@@ -153,6 +161,98 @@ def main() -> None:
     out["contracts"]["bloom_membership"] = {
         "bound": "measured FP ~= closed-form expected FP (binomial noise)",
         "measured_fp": round(measured, 6),
+        "expected_fp": round(float(expected), 6),
+    }
+
+    # ----- streaming halves (r12 verdict task #8) -----------------------
+    # The twins assert the SAME bounds on their maintained snapshot state;
+    # recording their observed margins makes a twin-side contract red
+    # triageable from the artifact alone. Margin fields come from the
+    # registered twins' own outputs (each runs its real Structured Streaming
+    # job to completion internally).
+    out["streaming"] = {}
+
+    # Quantile-histogram twin: the rank answer v*(q) comes from the
+    # histogram, not approx_percentile, so its slack is genuinely different
+    # from the batch row's. The snapshot equals the batch-derived counts
+    # (pinned by the order/boundary-invariance and losslessness tests), so
+    # derive the slack from the batch-equivalent state.
+    from flink_1_12_0_src_spark.operators.analytics import percentile_state_rows
+
+    hist = (
+        percentile_state_rows(ev)
+        .groupBy("event_type", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hn = hist.filter(F.col("cv").isNotNull())
+    from pyspark.sql import Window as W
+
+    cum = hn.select(
+        "event_type",
+        "cv",
+        "n",
+        F.sum("n").over(W.partitionBy("event_type").orderBy("cv")).alias("_cum"),
+    )
+    nv = hn.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nvals"))
+    tq = nv.select(
+        "event_type", "nvals", F.explode(F.lit(ps)).alias("q")
+    ).select("event_type", "nvals", "q", F.ceil(F.col("q") * F.col("nvals")).alias("_r"))
+    hans = tq.join(cum.withColumnRenamed("event_type", "_g"),
+                   (F.col("event_type") == F.col("_g"))
+                   & (F.col("_cum") >= F.col("_r"))
+                   & (F.col("_cum") - F.col("n") < F.col("_r"))
+                   ).select("event_type", "q", F.col("nvals").alias("nv"),
+                            (F.col("cv").cast("double") / 100.0).alias("apv"))
+    hranked = (
+        ev.select("event_type", F.col("value").alias("_v"))
+        .join(F.broadcast(hans), "event_type")
+        .groupBy("event_type", "q", "nv", "apv")
+        .agg(
+            F.sum((F.col("_v") <= F.col("apv")).cast("bigint")).alias("n_le"),
+            F.sum((F.col("_v") < F.col("apv")).cast("bigint")).alias("n_lt"),
+        )
+    )
+    hrows = hranked.select(
+        ((F.col("n_le") - F.floor((F.col("q") - eps) * F.col("nv")))
+         / F.col("nv").cast("double")).alias("lo_slack"),
+        ((F.ceil((F.col("q") + eps) * F.col("nv")) - (F.col("n_lt") + 1))
+         / F.col("nv").cast("double")).alias("hi_slack"),
+    ).collect()
+    out["streaming"]["stream_value_percentiles"] = {
+        "bound": f"strict sketch bound eps={eps}; pinned boolean uses "
+        f"{PCT_BAND_MULT}x this band",
+        "min_lo_slack_frac": round(min(r["lo_slack"] for r in hrows), 6),
+        "min_hi_slack_frac": round(min(r["hi_slack"] for r in hrows), 6),
+        "note": "histogram rank answer on the twin's snapshot state "
+        "(batch-equivalent counts; equality pinned by the invariance tests)",
+    }
+
+    # CMS twin: same (e/width)*N bound, overestimates read from the twin's
+    # own streaming output.
+    scms = reg["stream_heavy_hitters_cms"].spark(spark, sf_dir).collect()
+    worst_s = max(r["overestimate"] for r in scms)
+    out["streaming"]["stream_heavy_hitters_cms"] = {
+        "bound": f"overestimate <= (e/width)*N = {round(bound, 1)}",
+        "max_overestimate": int(worst_s),
+        "margin_used_frac": round(worst_s / bound, 4),
+    }
+
+    # Sketch-only SoftDeDup twin: drift contract fields are in the output.
+    ssoft = reg["stream_soft_weights_cms"].spark(spark, sf_dir).collect()
+    out["streaming"]["stream_soft_weights_cms"] = {
+        "bound": "mean-nll gap <= ln(1+(e/width)*N); drift reported",
+        "max_weight_drift": round(max(r["drift"] for r in ssoft), 6),
+        "all_within_bound": all(r["within_bound"] for r in ssoft),
+        "all_conservative": all(r["cms_conservative"] for r in ssoft),
+    }
+
+    # Bloom twin: measured FP on the streamed filter state vs closed form.
+    sblm = reg["stream_bloom_membership"].spark(spark, sf_dir).collect()
+    snon = [r for r in sblm if not r["actual_member"]]
+    smeasured = sum(1 for r in snon if r["false_positive"]) / max(len(snon), 1)
+    out["streaming"]["stream_bloom_membership"] = {
+        "bound": "measured FP ~= closed-form expected FP (binomial noise)",
+        "measured_fp": round(smeasured, 6),
         "expected_fp": round(float(expected), 6),
     }
 
