@@ -187,6 +187,197 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+MP4_BRANDS = ("isom", "mp42", "avc1")
+MP4_BRAND_HEX = ("69736F6D", "6D703432", "61766331")  # ascii-hex of MP4_BRANDS
+
+
+def synth_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AUDIO fixture: a byte-exact canonical 44-byte PCM WAV
+    header (RIFF chunk + fmt subchunk + data subchunk descriptor) per row.
+    channels = 1 + id mod 2, bits = 8·(1 + id mod 3), sample rate from
+    WAV_RATES by id mod 5, frames = 1000 + id·31 mod 50000 — all re-derivable
+    by the oracle; the parse path reads only the bytes."""
+    ident = F.col(id_col)
+    channels = (F.lit(1) + ident % 2).cast("bigint")
+    bits = (F.lit(8) * (F.lit(1) + ident % 3)).cast("bigint")
+    rate = F.lit(None).cast("bigint")
+    for i, r in enumerate(WAV_RATES):
+        rate = F.when(ident % len(WAV_RATES) == i, F.lit(r)).otherwise(rate)
+    rate = rate.cast("bigint")
+    n_frames = (F.lit(1000) + (ident * 31) % 50000).cast("bigint")
+    block_align = (channels * bits / 8).cast("bigint")
+    byte_rate = (rate * block_align).cast("bigint")
+    data_size = (n_frames * block_align).cast("bigint")
+    hexstr = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645" + "666D7420" + "10000000" + "0100"),  # "WAVE","fmt ",16,PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block_align, 2),
+        _le_hex(bits, 2),
+        F.lit("64617461"),  # "data"
+        _le_hex(data_size, 4),
+    )
+    return df.select(ident.alias(id_col), F.unhex(hexstr).alias("blob"))
+
+
+def parse_wav_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Codec-free audio metadata from the bytes alone: verify the RIFF/WAVE
+    magic, then read the fmt subchunk's fixed-offset little-endian fields
+    (channels @22, sample rate @24, byte rate @28, block align @32, bits
+    @34) and the data subchunk size @40; duration and frame count derive
+    from data_size / byte_rate — the triage an audio pipeline runs (drop
+    sub-second clips, bucket by rate/width) before any sample decoding.
+    Same execution shape as :func:`parse_image_headers`: one hex rendering,
+    fixed-offset substring + conv, all inside whole-stage codegen."""
+    hx = F.hex(F.col("blob"))
+
+    def le(byte_off: int, nbytes: int):
+        p = 2 * byte_off + 1
+        return F.conv(
+            F.concat(*[F.substring(hx, p + 2 * i, 2) for i in reversed(range(nbytes))]),
+            16,
+            10,
+        ).cast("bigint")
+
+    is_wav = (F.substring(hx, 1, 8) == "52494646") & (
+        F.substring(hx, 17, 16) == "57415645666D7420"
+    )
+    fields = df.select(
+        F.col(id_col),
+        F.when(is_wav, "wav").otherwise("unknown").alias("fmt"),
+        F.when(is_wav, le(22, 2)).alias("channels"),
+        F.when(is_wav, le(24, 4)).alias("sample_rate"),
+        F.when(is_wav, le(34, 2)).alias("bits_per_sample"),
+        F.when(is_wav, le(40, 4)).alias("_data_size"),
+        F.when(is_wav, le(28, 4)).alias("_byte_rate"),
+        F.when(is_wav, le(32, 2)).alias("_block_align"),
+        F.octet_length(F.col("blob")).cast("bigint").alias("n_bytes"),
+    )
+    # integer DIV (not float-divide-then-cast): exact and engine-identical.
+    # nullif guards: a malformed-but-magic-valid header with a zero block
+    # align / byte rate yields NULL, not an ANSI divide-by-zero job failure.
+    return fields.select(
+        id_col,
+        "fmt",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        F.expr("_data_size DIV nullif(_block_align, 0)").alias("n_frames"),
+        F.expr("_data_size * 1000 DIV nullif(_byte_rate, 0)").alias("duration_ms"),
+        "n_bytes",
+    )
+
+
+def synth_mp4_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VIDEO fixture: a byte-exact minimal ISO-BMFF (MP4)
+    prefix — an `ftyp` box whose SIZE VARIES with the row (major brand from
+    MP4_BRANDS by id mod 3, 1 + id mod 3 compatible brands, so the moov
+    offset is data-dependent and the parser must do a real size-directed box
+    walk) followed by a `moov` box containing a version-0 `mvhd` (timescale
+    from {600, 1000, 24000, 90000} by id mod 4, duration ticks
+    timescale + id·773 mod 100000, identity matrix, next-track-id 2)."""
+    ident = F.col(id_col)
+    n_compat = (F.lit(1) + ident % 3).cast("bigint")
+    brand_idx = ident % 3
+    major = F.lit(None).cast("string")
+    for i, bh in enumerate(MP4_BRAND_HEX):
+        major = F.when(brand_idx == i, F.lit(bh)).otherwise(major)
+    compat = F.concat(
+        F.lit(MP4_BRAND_HEX[0]),
+        F.when(n_compat >= 2, F.lit(MP4_BRAND_HEX[1])).otherwise(F.lit("")),
+        F.when(n_compat >= 3, F.lit(MP4_BRAND_HEX[2])).otherwise(F.lit("")),
+    )
+    ftyp_size = (F.lit(16) + 4 * n_compat).cast("bigint")
+    timescale = F.lit(None).cast("bigint")
+    for i, ts in enumerate((600, 1000, 24000, 90000)):
+        timescale = F.when(ident % 4 == i, F.lit(ts)).otherwise(timescale)
+    timescale = timescale.cast("bigint")
+    duration = (timescale + (ident * 773) % 100000).cast("bigint")
+    mvhd = F.concat(
+        F.lit("0000006C" + "6D766864" + "00000000"),  # size 108, 'mvhd', v0+flags
+        F.lit("00000000" + "00000000"),  # creation/modification time
+        _be_hex(timescale, 4),
+        _be_hex(duration, 4),
+        F.lit("00010000" + "0100" + "0000"),  # rate 1.0, volume 1.0, reserved
+        F.lit("00000000" * 2),  # reserved
+        F.lit("00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+              + "40000000"),  # identity matrix (9 x 4B fixed-point)
+        F.lit("00000000" * 6),  # pre_defined
+        F.lit("00000002"),  # next_track_ID
+    )
+    hexstr = F.concat(
+        _be_hex(ftyp_size, 4),
+        F.lit("66747970"),  # 'ftyp'
+        major,
+        F.lit("00000200"),  # minor_version
+        compat,
+        F.lit("00000074" + "6D6F6F76"),  # moov box: size 116, 'moov'
+        mvhd,
+    )
+    return df.select(ident.alias(id_col), F.unhex(hexstr).alias("blob"))
+
+
+def parse_mp4_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Codec-free video metadata via a real size-directed ISO-BMFF box walk,
+    from the bytes alone: read the `ftyp` box size at offset 0, JUMP to that
+    data-dependent offset, verify the `moov`/`mvhd` box types there, then
+    read the movie header's big-endian timescale/duration at their fixed
+    offsets within mvhd. Dynamic substring starts (computed from the parsed
+    ftyp size) are plain expressions in both engines — the walk stays inside
+    whole-stage codegen, no Python.
+
+    Output: (id, fmt, major_brand, n_compat_brands, timescale,
+    duration_ticks, duration_ms, n_bytes)."""
+    hx = F.hex(F.col("blob"))
+
+    def be(byte_off: int, nbytes: int):
+        return F.conv(F.substring(hx, 2 * byte_off + 1, 2 * nbytes), 16, 10).cast("bigint")
+
+    s1 = be(0, 4)  # ftyp box size -> byte offset of the next (moov) box
+    is_ftyp = F.substring(hx, 9, 8) == "66747970"
+    # data-dependent jump: moov type at bytes [s1+4, s1+8), mvhd at [s1+12, ...)
+    moov_type = F.expr("substring(hx, 2 * s1 + 9, 8)")
+    mvhd_type = F.expr("substring(hx, 2 * s1 + 25, 8)")
+    is_mp4 = is_ftyp & (moov_type == F.lit("6D6F6F76")) & (mvhd_type == F.lit("6D766864"))
+    brand_hex = F.substring(hx, 17, 8)
+    major = F.lit(None).cast("string")
+    for b, bh in zip(MP4_BRANDS, MP4_BRAND_HEX):
+        major = F.when(brand_hex == bh, F.lit(b)).otherwise(major)
+    timescale = F.expr(
+        "CAST(conv(substring(hx, 2 * s1 + 57, 8), 16, 10) AS BIGINT)"
+    )
+    duration = F.expr(
+        "CAST(conv(substring(hx, 2 * s1 + 65, 8), 16, 10) AS BIGINT)"
+    )
+    base = df.select(F.col(id_col), F.col("blob"), hx.alias("hx"), s1.alias("s1"))
+    fields = base.select(
+        F.col(id_col),
+        F.when(is_mp4, "mp4").otherwise("unknown").alias("fmt"),
+        F.when(is_mp4, major).alias("major_brand"),
+        F.when(is_mp4, F.expr("(s1 - 16) DIV 4")).alias("n_compat_brands"),
+        F.when(is_mp4, timescale).alias("timescale"),
+        F.when(is_mp4, duration).alias("duration_ticks"),
+        F.octet_length(F.col("blob")).cast("bigint").alias("n_bytes"),
+    )
+    # integer DIV (not float-divide-then-cast): exact and engine-identical.
+    # nullif guard: a zero-timescale mvhd yields NULL duration, not an ANSI
+    # divide-by-zero job failure.
+    return fields.select(
+        id_col,
+        "fmt",
+        "major_brand",
+        "n_compat_brands",
+        "timescale",
+        "duration_ticks",
+        F.expr("duration_ticks * 1000 DIV nullif(timescale, 0)").alias("duration_ms"),
+        "n_bytes",
+    )
+
+
 def resolution_audit_state(parsed: DataFrame) -> DataFrame:
     """The resolution audit's aggregate STATE: per (format, quarter-megapixel
     bucket) — image count, width/height ranges, exact integer aspect and
@@ -196,7 +387,9 @@ def resolution_audit_state(parsed: DataFrame) -> DataFrame:
     (stream_multimodal_audit) over a parsed-header relation
     (:func:`parse_image_headers` output). State is ~|formats|·|buckets| rows
     regardless of corpus size."""
-    p = parsed.withColumn("aspect_milli", F.expr("width * 1000 DIV height"))
+    # nullif: a malformed zero-height header yields NULL aspect, not an ANSI
+    # divide-by-zero job failure
+    p = parsed.withColumn("aspect_milli", F.expr("width * 1000 DIV nullif(height, 0)"))
     return p.groupBy(
         "fmt", F.expr("width * height DIV 250000").alias("mp_bucket")
     ).agg(

@@ -389,6 +389,8 @@ _R13_NEW: tuple[str, ...] = (
     "multimodal_header_parse",
     "multimodal_resolution_audit",
     "stream_multimodal_audit",
+    "multimodal_audio_header",
+    "multimodal_video_header",
     "events_value_percentiles_approx",
     "stream_value_percentiles",
 )

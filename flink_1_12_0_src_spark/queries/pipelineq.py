@@ -1200,7 +1200,7 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "bpp",
         "n_bytes",
-        F.expr("width * 1000 DIV height").alias("aspect_milli"),
+        F.expr("width * 1000 DIV nullif(height, 0)").alias("aspect_milli"),
         F.expr("width * height * bpp DIV 8").alias("pixel_bytes"),
     ).orderBy("doc_id")
 
@@ -1242,6 +1242,157 @@ def multimodal_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return resolution_audit_from_state(resolution_audit_state(_mm_parsed(spark, sf_dir)))
+
+
+@register(
+    "multimodal_audio_header",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         8 * (1 + doc_id % 3) AS bits,
+         ([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 AS INTEGER) + 1] AS rate,
+         1000 + (doc_id * 31) % 50000 AS nf
+  FROM documents),
+d AS (
+  SELECT doc_id, ch, bits, rate, nf,
+         (ch * bits) // 8 AS ba,
+         rate * ((ch * bits) // 8) AS br,
+         nf * ((ch * bits) // 8) AS ds
+  FROM params),
+be AS (
+  SELECT doc_id,
+         lpad(to_hex(ds + 36), 8, '0') AS csbe,
+         lpad(to_hex(ch), 4, '0') AS chbe,
+         lpad(to_hex(rate), 8, '0') AS ratebe,
+         lpad(to_hex(br), 8, '0') AS brbe,
+         lpad(to_hex(ba), 4, '0') AS babe,
+         lpad(to_hex(bits), 4, '0') AS bitsbe,
+         lpad(to_hex(ds), 8, '0') AS dsbe
+  FROM d),
+blobs AS (
+  SELECT doc_id, unhex('52494646'
+    || substring(csbe, 7, 2) || substring(csbe, 5, 2) || substring(csbe, 3, 2) || substring(csbe, 1, 2)
+    || '57415645' || '666D7420' || '10000000' || '0100'
+    || substring(chbe, 3, 2) || substring(chbe, 1, 2)
+    || substring(ratebe, 7, 2) || substring(ratebe, 5, 2) || substring(ratebe, 3, 2) || substring(ratebe, 1, 2)
+    || substring(brbe, 7, 2) || substring(brbe, 5, 2) || substring(brbe, 3, 2) || substring(brbe, 1, 2)
+    || substring(babe, 3, 2) || substring(babe, 1, 2)
+    || substring(bitsbe, 3, 2) || substring(bitsbe, 1, 2)
+    || '64617461'
+    || substring(dsbe, 7, 2) || substring(dsbe, 5, 2) || substring(dsbe, 3, 2) || substring(dsbe, 1, 2)) AS blob
+  FROM be),
+hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
+parsed AS (
+  SELECT doc_id,
+    CASE WHEN substring(hx, 1, 8) = '52494646'
+          AND substring(hx, 17, 16) = '57415645666D7420'
+         THEN 'wav' ELSE 'unknown' END AS fmt,
+    ('0x' || substring(hx, 47, 2) || substring(hx, 45, 2))::BIGINT AS channels,
+    ('0x' || substring(hx, 55, 2) || substring(hx, 53, 2)
+          || substring(hx, 51, 2) || substring(hx, 49, 2))::BIGINT AS sample_rate,
+    ('0x' || substring(hx, 71, 2) || substring(hx, 69, 2))::BIGINT AS bits_per_sample,
+    ('0x' || substring(hx, 87, 2) || substring(hx, 85, 2)
+          || substring(hx, 83, 2) || substring(hx, 81, 2))::BIGINT AS data_size,
+    ('0x' || substring(hx, 63, 2) || substring(hx, 61, 2)
+          || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT AS byte_rate,
+    ('0x' || substring(hx, 67, 2) || substring(hx, 65, 2))::BIGINT AS block_align,
+    CAST(octet_length(blob) AS BIGINT) AS n_bytes
+  FROM hx)
+SELECT doc_id, fmt, channels, sample_rate, bits_per_sample,
+       data_size // block_align AS n_frames,
+       (data_size * 1000) // byte_rate AS duration_ms,
+       n_bytes
+FROM parsed ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Codec-free AUDIO metadata: verify the RIFF/WAVE magic and read the "
+    "canonical PCM WAV header's little-endian fmt-chunk fields (channels, "
+    "sample rate, bit width, block align) plus the data-chunk size; frame "
+    "count and duration derive by integer division — the sub-second-clip / "
+    "rate-bucket triage an audio pipeline runs before decoding samples. "
+    "pipeline/multimodal.py parse_wav_headers; same whole-stage-codegen "
+    "hex/substring/conv shape as the image parse.",
+)
+def multimodal_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_wav_headers,
+        synth_wav_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_wav_headers(synth_wav_blobs(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_header",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS nc,
+         CAST(doc_id % 3 AS INTEGER) AS bi,
+         (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                          WHEN 2 THEN 24000 ELSE 90000 END) AS ts
+  FROM documents),
+d AS (
+  SELECT doc_id, nc, bi, ts, ts + (doc_id * 773) % 100000 AS dur
+  FROM params),
+blobs AS (
+  SELECT doc_id, unhex(
+    lpad(to_hex(16 + 4 * nc), 8, '0') || '66747970'
+    || (['69736F6D', '6D703432', '61766331'])[bi + 1]
+    || '00000200'
+    || '69736F6D'
+    || CASE WHEN nc >= 2 THEN '6D703432' ELSE '' END
+    || CASE WHEN nc >= 3 THEN '61766331' ELSE '' END
+    || '00000074' || '6D6F6F76'
+    || '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000'
+    || lpad(to_hex(ts), 8, '0')
+    || lpad(to_hex(dur), 8, '0')
+    || '00010000' || '0100' || '0000'
+    || repeat('00000000', 2)
+    || '00010000' || repeat('00000000', 3) || '00010000' || repeat('00000000', 3)
+    || '40000000'
+    || repeat('00000000', 6)
+    || '00000002') AS blob
+  FROM d),
+hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
+p1 AS (SELECT doc_id, blob, hx, ('0x' || substring(hx, 1, 8))::BIGINT AS s1 FROM hx),
+parsed AS (
+  SELECT doc_id,
+    CASE WHEN substring(hx, 9, 8) = '66747970'
+          AND substring(hx, 2 * s1 + 9, 8) = '6D6F6F76'
+          AND substring(hx, 2 * s1 + 25, 8) = '6D766864'
+         THEN 'mp4' ELSE 'unknown' END AS fmt,
+    CASE substring(hx, 17, 8) WHEN '69736F6D' THEN 'isom'
+         WHEN '6D703432' THEN 'mp42' WHEN '61766331' THEN 'avc1' END AS major_brand,
+    (s1 - 16) // 4 AS n_compat_brands,
+    ('0x' || substring(hx, 2 * s1 + 57, 8))::BIGINT AS timescale,
+    ('0x' || substring(hx, 2 * s1 + 65, 8))::BIGINT AS duration_ticks,
+    CAST(octet_length(blob) AS BIGINT) AS n_bytes
+  FROM p1)
+SELECT doc_id, fmt, major_brand, n_compat_brands, timescale, duration_ticks,
+       (duration_ticks * 1000) // timescale AS duration_ms, n_bytes
+FROM parsed ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Codec-free VIDEO metadata via a real size-directed ISO-BMFF box "
+    "walk: read the ftyp box size at offset 0, JUMP to that data-dependent "
+    "offset (the fixture varies ftyp length per row, so a fixed-offset "
+    "cheat cannot pass), verify moov/mvhd there, and read the movie "
+    "header's big-endian timescale/duration — wall-clock duration by "
+    "integer division. Dynamic substring starts are plain expressions in "
+    "both engines; no Python in the hot path. pipeline/multimodal.py "
+    "parse_mp4_headers.",
+)
+def multimodal_video_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_mp4_headers,
+        synth_mp4_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_mp4_headers(synth_mp4_blobs(docs)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,119 @@ def test_image_header_synth_matches_python_struct(spark):
         assert blobs[i] == _py_image_blob(i), f"doc {i} blob mismatch"
 
 
+def _py_wav_blob(i: int) -> bytes:
+    """Struct-packed third implementation of the WAV fixture."""
+    import struct
+
+    ch, bits = 1 + i % 2, 8 * (1 + i % 3)
+    rate = [8000, 16000, 22050, 44100, 48000][i % 5]
+    nf = 1000 + (i * 31) % 50000
+    ba = ch * bits // 8
+    ds = nf * ba
+    return (
+        b"RIFF" + struct.pack("<I", 36 + ds) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ba, ba, bits)
+        + b"data" + struct.pack("<I", ds)
+    )
+
+
+def _py_mp4_blob(i: int) -> bytes:
+    """Struct-packed third implementation of the MP4 fixture (ftyp of
+    varying size + moov/mvhd v0)."""
+    import struct
+
+    nc = 1 + i % 3
+    brands = [b"isom", b"mp42", b"avc1"]
+    ts = [600, 1000, 24000, 90000][i % 4]
+    dur = ts + (i * 773) % 100000
+    ftyp_body = brands[i % 3] + struct.pack(">I", 0x200) + b"".join(brands[:nc])
+    ftyp = struct.pack(">I", 8 + len(ftyp_body)) + b"ftyp" + ftyp_body
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + struct.pack(">IIIII", 0, 0, 0, ts, dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + struct.pack(">II", 0, 0)
+        + matrix + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2)
+    )
+    return ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+
+def test_av_header_synth_matches_python_struct(spark):
+    """The WAV and MP4 fixtures emit byte-identical containers to the
+    struct-packed references across channel/rate/brand/timescale variants."""
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        synth_mp4_blobs,
+        synth_wav_blobs,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    wavs = {r["doc_id"]: bytes(r["blob"]) for r in synth_wav_blobs(ids).collect()}
+    mp4s = {r["doc_id"]: bytes(r["blob"]) for r in synth_mp4_blobs(ids).collect()}
+    for i in range(24):
+        assert wavs[i] == _py_wav_blob(i), f"wav {i} mismatch"
+        assert mp4s[i] == _py_mp4_blob(i), f"mp4 {i} mismatch"
+
+
+def test_av_header_parse_from_bytes_alone(spark):
+    """parse_wav_headers / parse_mp4_headers recover metadata from BYTES,
+    including hand-built containers off the fixture grid (a 6-channel
+    96 kHz float-width WAV; an MP4 with five compatible brands, shifting
+    the moov offset the box walk must follow) and unknown magics."""
+    import struct
+
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_mp4_headers,
+        parse_wav_headers,
+    )
+
+    ch, rate, bits, nf = 6, 96000, 32, 96000  # exactly 1 s
+    ba = ch * bits // 8
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + nf * ba) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ba, ba, bits)
+        + b"data" + struct.pack("<I", nf * ba)
+    )
+    # magic-valid but malformed: zero block align / byte rate must yield
+    # NULL frames/duration, not an ANSI divide-by-zero job failure
+    broken = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 0, 0, 0, 0, 0)
+        + b"data" + struct.pack("<I", 0)
+    )
+    dfw = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"NOTAWAVE" + b"\x00" * 36)),
+         (3, bytearray(broken))],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in parse_wav_headers(dfw).collect()}
+    assert (
+        got[1]["fmt"], got[1]["channels"], got[1]["sample_rate"],
+        got[1]["bits_per_sample"], got[1]["n_frames"], got[1]["duration_ms"],
+    ) == ("wav", 6, 96000, 32, 96000, 1000)
+    assert got[2]["fmt"] == "unknown" and got[2]["channels"] is None
+    assert got[3]["fmt"] == "wav" and got[3]["n_frames"] is None
+    assert got[3]["duration_ms"] is None
+
+    brands = b"isomiso2mp41mp42avc1"  # 5 compat brands -> ftyp size 36
+    ftyp = struct.pack(">I", 16 + 20) + b"ftyp" + b"mp42" + struct.pack(">I", 0) + brands
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + struct.pack(">IIIII", 0, 0, 0, 48000, 120000)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + struct.pack(">II", 0, 0)
+        + matrix + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2)
+    )
+    mp4 = ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    dfm = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"\x00\x00\x00\x08free"))],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in parse_mp4_headers(dfm).collect()}
+    assert (
+        got[1]["fmt"], got[1]["major_brand"], got[1]["n_compat_brands"],
+        got[1]["timescale"], got[1]["duration_ticks"], got[1]["duration_ms"],
+    ) == ("mp4", "mp42", 5, 48000, 120000, 2500)
+    assert got[2]["fmt"] == "unknown" and got[2]["timescale"] is None
+
+
 def test_image_header_parse_from_bytes_alone(spark):
     """parse_image_headers recovers dims from the BYTES, including hand-built
     headers the fixture formula never emits (PNG >65535 wide, RGB16; GIF with
