@@ -348,11 +348,19 @@ def main() -> None:
         "sf": sf,
         "full": "BENCH_local.json",
     }
+    # the contamination verdict must survive a stdout-tail-only capture too —
+    # a consumer that never sees BENCH_local.json must not take a busy-host
+    # run's medians at face value
+    if contaminated:
+        compact["contaminated"] = True
     print(json.dumps(compact))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--retime":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--retime":
+        if len(sys.argv) < 3 or not sys.argv[2].strip(","):
+            sys.exit("usage: bench.py --retime q1[,q2,...]  (no names given; "
+                     "refusing to fall through to the full benchmark)")
         retime_main([s for s in sys.argv[2].split(",") if s])
     else:
         main()

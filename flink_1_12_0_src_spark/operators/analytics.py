@@ -54,6 +54,9 @@ PCT_ACCURACY = 100
 # round so a real regression stays visible long before the boolean flips.
 # (q + band ≥ 1 rows are structurally un-floppable: the answer is the max.)
 PCT_BAND_MULT = 2.0
+# Centi-unit histogram bucket scale for the quantile twin's state — lossless
+# at the event feed's 2-dp value quantization (see percentile_state_rows).
+PCT_SCALE = 100
 HLL_RSD = 0.02
 HLL_TOL_MULT = 4.0
 
@@ -355,10 +358,15 @@ def value_percentiles_approx_check(
     ε = 1/accuracy, approx_percentile guarantees an element whose rank r
     satisfies floor((p−ε)·n) ≤ r ≤ ceil((p+ε)·n) (the documented bound —
     floor/ceil included); v's ranks span [count(value < v) + 1,
-    count(value ≤ v)], so ``within_tol`` checks the band intersection
-    exactly: count(value ≤ v) ≥ floor((p−ε)·n) and
-    count(value < v) + 1 ≤ ceil((p+ε)·n) (the +1 matters — without it an
-    answer one rank past the band still passes).
+    count(value ≤ v)], and ``within_tol`` checks the band intersection:
+    count(value ≤ v) ≥ floor((p−band)·n) and
+    count(value < v) + 1 ≤ ceil((p+band)·n) (the +1 matters — without it
+    an answer one rank past the band still passes). The PINNED band is
+    band = PCT_BAND_MULT·ε, i.e. 2× the strict documented bound — see the
+    PCT_BAND_MULT comment: the implementation hugs the strict band's edge
+    (0-3 ranks of slack at every accuracy tried), so pinning strict-ε as
+    a boolean flips on legitimate sketch-internal nudges; the strict-ε
+    slack is recorded per round in CONTRACT_MARGINS.json instead.
     The exact PERCENTILE_CONT value rides along for reference.
 
     Returns (group, q, n_events, exact_p, within_tol) — the oracle pins
@@ -485,7 +493,7 @@ def percentile_state_rows(
     events: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
-    scale: int = 100,
+    scale: int = PCT_SCALE,
 ) -> DataFrame:
     """(group, cv) row per event for the QUANTILE-HISTOGRAM streaming
     state — cv = round(value·scale) BIGINT (NULL for NULL values), a
@@ -504,6 +512,33 @@ def percentile_state_rows(
     )
 
 
+def hist_bucket_answers(
+    hist: DataFrame, targets: DataFrame, group_col: str, scale: int = PCT_SCALE
+) -> DataFrame:
+    """Locate, per ``targets`` row, the histogram bucket containing rank
+    ``_r`` — the smallest bucket whose cumulative count reaches the target
+    rank — and return it as ``apv`` = cv/scale. ``targets`` must carry
+    ``group_col`` and a BIGINT ``_r``; every other targets column rides
+    through. LEFT join: a group with no non-NULL buckets (all values NULL)
+    rides through with apv NULL. Shared by :func:`value_percentiles_from_hist`
+    (the registered twin) and tools/contract_margins.py, so the margins
+    artifact measures the SAME walk the contract row asserts."""
+    cum = hist.filter(F.col("cv").isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        "cv",
+        "n",
+        F.sum("n").over(W.partitionBy(group_col).orderBy("cv")).alias("_cum"),
+    )
+    out_cols = [c for c in targets.columns if c != "_r"]
+    return targets.join(
+        cum,
+        (F.col(group_col) == F.col("_g"))
+        & (F.col("_cum") >= F.col("_r"))
+        & (F.col("_cum") - F.col("n") < F.col("_r")),
+        "left",
+    ).select(*out_cols, (F.col("cv").cast("double") / F.lit(float(scale))).alias("apv"))
+
+
 def value_percentiles_from_hist(
     hist: DataFrame,
     probes: DataFrame,
@@ -511,7 +546,7 @@ def value_percentiles_from_hist(
     value_col: str = "value",
     percentiles: tuple[float, ...] = PCT_PERCENTILES,
     accuracy: int = PCT_ACCURACY,
-    scale: int = 100,
+    scale: int = PCT_SCALE,
     round_digits: int = 6,
 ) -> DataFrame:
     """The rank-error contract of :func:`value_percentiles_approx_check`
@@ -526,9 +561,12 @@ def value_percentiles_from_hist(
     v*(q) = the smallest bucket whose cumulative count reaches
     ceil(q·n_vals). The answer is then RE-RANKED against ``probes`` (the
     exact corpus, the Bloom-twin probe pattern) and ``within_tol`` asserts
-    the same floor/ceil rank-error band as the batch contract
-    (ε = 1/accuracy): any lost, duplicated, or mis-bucketed streaming
-    count shifts v* off the band and flips the boolean. Output
+    the same floor/ceil rank-error band as the batch contract (the PINNED
+    PCT_BAND_MULT·ε band — see the module-constant comment; the
+    histogram's rank answer sits ~ε·n inside even the strict band, its
+    slack recorded in CONTRACT_MARGINS.json): any lost, duplicated, or
+    mis-bucketed streaming count shifts v* off the band and flips the
+    boolean. Output
     (group, q, n_events, exact_p, within_tol) — column-identical to the
     batch contract row, so the ONE oracle constant is shared; like the
     batch row, a group with no non-NULL values still emits its rows with
@@ -567,29 +605,9 @@ def value_percentiles_from_hist(
         F.element_at(F.col("ex"), F.col("i") + 1).alias("exv"),
         F.ceil(F.col("q") * F.col("n_vals")).alias("_r"),
     )
-    cum = hist.filter(F.col("cv").isNotNull()).select(
-        F.col(group_col).alias("_g"),
-        "cv",
-        "n",
-        F.sum("n").over(W.partitionBy(group_col).orderBy("cv")).alias("_cum"),
-    )
-    # the bucket containing the target rank: cum >= r and cum - n < r —
-    # exactly one row per (group, q). LEFT join: an all-NULL-values group has
-    # no cum rows at all and rides through with apv NULL.
-    answers = targets.join(
-        cum,
-        (F.col(group_col) == F.col("_g"))
-        & (F.col("_cum") >= F.col("_r"))
-        & (F.col("_cum") - F.col("n") < F.col("_r")),
-        "left",
-    ).select(
-        F.col(group_col),
-        "q",
-        "n_events",
-        "n_vals",
-        "exv",
-        (F.col("cv").cast("double") / F.lit(float(scale))).alias("apv"),
-    )
+    # exactly one bucket matches per (group, q); see hist_bucket_answers for
+    # the all-NULL-values group ride-through
+    answers = hist_bucket_answers(hist, targets, group_col, scale)
     ranked = (
         probes.select(F.col(group_col), F.col(value_col).alias("_v"))
         .join(F.broadcast(answers), group_col)

@@ -165,8 +165,15 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fmt = (
         F.when(is_png, "png").when(is_gif, "gif").when(is_bmp, "bmp").otherwise("unknown")
     )
-    width = F.when(is_png, be(16, 4)).when(is_gif, le(6, 2)).when(is_bmp, le(18, 4))
-    height = F.when(is_png, be(20, 4)).when(is_gif, le(8, 2)).when(is_bmp, le(22, 4))
+    def le_i32(byte_off: int):
+        # BITMAPINFOHEADER width/height are SIGNED int32; a negative height
+        # is the common top-down-DIB variant, so decode two's complement and
+        # report magnitude (orientation doesn't change the dimensions)
+        raw = le(byte_off, 4)
+        return F.abs(F.when(raw >= 2**31, raw - 2**32).otherwise(raw))
+
+    width = F.when(is_png, be(16, 4)).when(is_gif, le(6, 2)).when(is_bmp, le_i32(18))
+    height = F.when(is_png, be(20, 4)).when(is_gif, le(8, 2)).when(is_bmp, le_i32(22))
     # PNG channels per color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
     png_channels = (
         F.when(be(25, 1) == 2, 3).when(be(25, 1) == 4, 2).when(be(25, 1) == 6, 4).otherwise(1)
@@ -422,7 +429,10 @@ def resolution_audit_from_state(snap: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("avg_aspect_milli"),
         "total_pixel_bytes",
-    ).orderBy("fmt", "mp_bucket")
+        # NULLS LAST explicitly: a magic-valid blob with unparseable dims
+        # yields an mp_bucket-NULL group, and Spark defaults NULLS FIRST
+        # while DuckDB (the oracle engine) defaults NULLS LAST
+    ).orderBy("fmt", F.col("mp_bucket").asc_nulls_last())
 
 
 def sample_frames(

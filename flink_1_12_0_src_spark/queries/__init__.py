@@ -379,9 +379,11 @@ _R12_NEW: tuple[str, ...] = (
 # there is nothing to re-verify at the front this round.
 _R13_FIXED_FIRST: tuple[str, ...] = ()
 
-# Queries needing a first driver row for their CURRENT semantics: the two
-# round-13-new registrations, plus the quantile-contract pair re-presented
-# because the r12 ADVICE fixes changed their oracle (within_tol NULL for
+# Queries needing a first driver row for their CURRENT semantics: the FIVE
+# round-13-new registrations (the codec-free multimodal family — image
+# header parse, resolution audit + its streaming twin, WAV audio header,
+# MP4 video header), plus the quantile-contract pair re-presented because
+# the r12 ADVICE fixes changed their oracle (within_tol NULL for
 # no-non-NULL-values groups — the latent row-count red closed on both
 # halves; the shared PCT_APPROX_ORACLE text changed, which the new
 # ORACLE_SHA gate test enforces ending up here).

@@ -1221,7 +1221,7 @@ SELECT fmt,
        CAST(sum((width * height * bpp) // 8) AS BIGINT) AS total_pixel_bytes
 FROM parsed
 GROUP BY fmt, mp_bucket
-ORDER BY fmt, mp_bucket
+ORDER BY fmt, mp_bucket NULLS LAST
 """
 
 

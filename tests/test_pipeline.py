@@ -288,6 +288,16 @@ def test_image_header_parse_from_bytes_alone(spark):
         "bmp", w5, h5, 24)
     assert got[4]["fmt"] == "unknown" and got[4]["width"] is None
     assert got[4]["n_bytes"] == 12
+    # top-down DIB: BITMAPINFOHEADER height is SIGNED; -600 means 600 rows
+    # stored top-first — dimensions must come back as magnitudes
+    topdown = (
+        b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00" + struct.pack("<I", 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+        + struct.pack("<HH", 1, 24) + b"\x00" * 24
+    )
+    df2 = spark.createDataFrame([(5, bytearray(topdown))], "doc_id long, blob binary")
+    r5 = parse_image_headers(df2).collect()[0]
+    assert (r5["fmt"], r5["width"], r5["height"], r5["bpp"]) == ("bmp", 800, 600, 24)
 
 
 def test_cosine_topk_np_equals_expression_path(spark, sf_dir):

@@ -177,32 +177,28 @@ def main() -> None:
     # from the batch row's. The snapshot equals the batch-derived counts
     # (pinned by the order/boundary-invariance and losslessness tests), so
     # derive the slack from the batch-equivalent state.
-    from flink_1_12_0_src_spark.operators.analytics import percentile_state_rows
+    # state + bucket walk via the SAME operator code the registered twin
+    # runs (hist_bucket_answers / PCT_SCALE) — a scale or walk change there
+    # retargets this measurement automatically instead of silently diverging
+    from flink_1_12_0_src_spark.operators.analytics import (
+        hist_bucket_answers,
+        percentile_state_rows,
+    )
 
     hist = (
         percentile_state_rows(ev)
         .groupBy("event_type", "cv")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    hn = hist.filter(F.col("cv").isNotNull())
-    from pyspark.sql import Window as W
-
-    cum = hn.select(
-        "event_type",
-        "cv",
-        "n",
-        F.sum("n").over(W.partitionBy("event_type").orderBy("cv")).alias("_cum"),
+    nv = (
+        hist.filter(F.col("cv").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("nv"))
     )
-    nv = hn.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nvals"))
     tq = nv.select(
-        "event_type", "nvals", F.explode(F.lit(ps)).alias("q")
-    ).select("event_type", "nvals", "q", F.ceil(F.col("q") * F.col("nvals")).alias("_r"))
-    hans = tq.join(cum.withColumnRenamed("event_type", "_g"),
-                   (F.col("event_type") == F.col("_g"))
-                   & (F.col("_cum") >= F.col("_r"))
-                   & (F.col("_cum") - F.col("n") < F.col("_r"))
-                   ).select("event_type", "q", F.col("nvals").alias("nv"),
-                            (F.col("cv").cast("double") / 100.0).alias("apv"))
+        "event_type", "nv", F.explode(F.lit(ps)).alias("q")
+    ).withColumn("_r", F.ceil(F.col("q") * F.col("nv")))
+    hans = hist_bucket_answers(hist, tq, "event_type")
     hranked = (
         ev.select("event_type", F.col("value").alias("_v"))
         .join(F.broadcast(hans), "event_type")
