@@ -393,6 +393,7 @@ _R13_NEW: tuple[str, ...] = (
     "stream_multimodal_audit",
     "multimodal_audio_header",
     "multimodal_video_header",
+    "multimodal_media_catalog",
     "events_value_percentiles_approx",
     "stream_value_percentiles",
 )

@@ -1244,23 +1244,24 @@ def multimodal_resolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolution_audit_from_state(resolution_audit_state(_mm_parsed(spark, sf_dir)))
 
 
-@register(
-    "multimodal_audio_header",
-    oracle="""
-WITH params AS (
+# WAV construct-and-reparse CTE chain, shared by the audio-header oracle and
+# the cross-modality media-catalog oracle (CTE names w-prefixed so they
+# compose with the image and MP4 chains in one WITH clause).
+_MM_WAV_PARSED_CTES = """
+wparams AS (
   SELECT doc_id,
          1 + doc_id % 2 AS ch,
          8 * (1 + doc_id % 3) AS bits,
          ([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 AS INTEGER) + 1] AS rate,
          1000 + (doc_id * 31) % 50000 AS nf
   FROM documents),
-d AS (
+wd AS (
   SELECT doc_id, ch, bits, rate, nf,
          (ch * bits) // 8 AS ba,
          rate * ((ch * bits) // 8) AS br,
          nf * ((ch * bits) // 8) AS ds
-  FROM params),
-be AS (
+  FROM wparams),
+wbe AS (
   SELECT doc_id,
          lpad(to_hex(ds + 36), 8, '0') AS csbe,
          lpad(to_hex(ch), 4, '0') AS chbe,
@@ -1269,8 +1270,8 @@ be AS (
          lpad(to_hex(ba), 4, '0') AS babe,
          lpad(to_hex(bits), 4, '0') AS bitsbe,
          lpad(to_hex(ds), 8, '0') AS dsbe
-  FROM d),
-blobs AS (
+  FROM wd),
+wblobs AS (
   SELECT doc_id, unhex('52494646'
     || substring(csbe, 7, 2) || substring(csbe, 5, 2) || substring(csbe, 3, 2) || substring(csbe, 1, 2)
     || '57415645' || '666D7420' || '10000000' || '0100'
@@ -1281,9 +1282,9 @@ blobs AS (
     || substring(bitsbe, 3, 2) || substring(bitsbe, 1, 2)
     || '64617461'
     || substring(dsbe, 7, 2) || substring(dsbe, 5, 2) || substring(dsbe, 3, 2) || substring(dsbe, 1, 2)) AS blob
-  FROM be),
-hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
-parsed AS (
+  FROM wbe),
+whx AS (SELECT doc_id, blob, hex(blob) AS hx FROM wblobs),
+wparsed AS (
   SELECT doc_id,
     CASE WHEN substring(hx, 1, 8) = '52494646'
           AND substring(hx, 17, 16) = '57415645666D7420'
@@ -1298,12 +1299,19 @@ parsed AS (
           || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT AS byte_rate,
     ('0x' || substring(hx, 67, 2) || substring(hx, 65, 2))::BIGINT AS block_align,
     CAST(octet_length(blob) AS BIGINT) AS n_bytes
-  FROM hx)
+  FROM whx)
+"""
+
+
+@register(
+    "multimodal_audio_header",
+    oracle=f"""
+WITH {_MM_WAV_PARSED_CTES}
 SELECT doc_id, fmt, channels, sample_rate, bits_per_sample,
        data_size // block_align AS n_frames,
        (data_size * 1000) // byte_rate AS duration_ms,
        n_bytes
-FROM parsed ORDER BY doc_id
+FROM wparsed ORDER BY doc_id
 """,
     tags=("pipeline", "multimodal"),
     doc="Codec-free AUDIO metadata: verify the RIFF/WAVE magic and read the "
@@ -1324,20 +1332,20 @@ def multimodal_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wav_headers(synth_wav_blobs(docs)).orderBy("doc_id")
 
 
-@register(
-    "multimodal_video_header",
-    oracle="""
-WITH params AS (
+# MP4 construct-and-box-walk CTE chain, shared by the video-header oracle and
+# the cross-modality media-catalog oracle (CTE names v-prefixed).
+_MM_MP4_PARSED_CTES = """
+vparams AS (
   SELECT doc_id,
          1 + doc_id % 3 AS nc,
          CAST(doc_id % 3 AS INTEGER) AS bi,
          (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
                           WHEN 2 THEN 24000 ELSE 90000 END) AS ts
   FROM documents),
-d AS (
+vd AS (
   SELECT doc_id, nc, bi, ts, ts + (doc_id * 773) % 100000 AS dur
-  FROM params),
-blobs AS (
+  FROM vparams),
+vblobs AS (
   SELECT doc_id, unhex(
     lpad(to_hex(16 + 4 * nc), 8, '0') || '66747970'
     || (['69736F6D', '6D703432', '61766331'])[bi + 1]
@@ -1355,10 +1363,10 @@ blobs AS (
     || '40000000'
     || repeat('00000000', 6)
     || '00000002') AS blob
-  FROM d),
-hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
-p1 AS (SELECT doc_id, blob, hx, ('0x' || substring(hx, 1, 8))::BIGINT AS s1 FROM hx),
-parsed AS (
+  FROM vd),
+vhx AS (SELECT doc_id, blob, hex(blob) AS hx FROM vblobs),
+vp1 AS (SELECT doc_id, blob, hx, ('0x' || substring(hx, 1, 8))::BIGINT AS s1 FROM vhx),
+vparsed AS (
   SELECT doc_id,
     CASE WHEN substring(hx, 9, 8) = '66747970'
           AND substring(hx, 2 * s1 + 9, 8) = '6D6F6F76'
@@ -1370,10 +1378,17 @@ parsed AS (
     ('0x' || substring(hx, 2 * s1 + 57, 8))::BIGINT AS timescale,
     ('0x' || substring(hx, 2 * s1 + 65, 8))::BIGINT AS duration_ticks,
     CAST(octet_length(blob) AS BIGINT) AS n_bytes
-  FROM p1)
+  FROM vp1)
+"""
+
+
+@register(
+    "multimodal_video_header",
+    oracle=f"""
+WITH {_MM_MP4_PARSED_CTES}
 SELECT doc_id, fmt, major_brand, n_compat_brands, timescale, duration_ticks,
        (duration_ticks * 1000) // timescale AS duration_ms, n_bytes
-FROM parsed ORDER BY doc_id
+FROM vparsed ORDER BY doc_id
 """,
     tags=("pipeline", "multimodal"),
     doc="Codec-free VIDEO metadata via a real size-directed ISO-BMFF box "
@@ -1393,6 +1408,92 @@ def multimodal_video_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return parse_mp4_headers(synth_mp4_blobs(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_media_catalog",
+    oracle=f"""
+WITH {_MM_HEADER_PARSED_CTES},
+{_MM_WAV_PARSED_CTES},
+{_MM_MP4_PARSED_CTES},
+un AS (
+  SELECT 'image' AS modality, fmt, n_bytes,
+         (width * height * bpp) // 8 AS pixel_bytes,
+         CAST(NULL AS BIGINT) AS duration_ms
+  FROM parsed
+  UNION ALL
+  SELECT 'audio', fmt, n_bytes, CAST(NULL AS BIGINT),
+         (data_size * 1000) // byte_rate
+  FROM wparsed
+  UNION ALL
+  SELECT 'video', fmt, n_bytes, CAST(NULL AS BIGINT),
+         (duration_ticks * 1000) // timescale
+  FROM vparsed
+)
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats,
+       CAST(sum(n_bytes) AS BIGINT) AS total_header_bytes,
+       CAST(sum(pixel_bytes) AS BIGINT) AS total_pixel_bytes,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+FROM un GROUP BY modality ORDER BY modality
+""",
+    tags=("pipeline", "multimodal"),
+    doc="Cross-modality MEDIA CATALOG — the manifest a multimodal "
+    "training-data pipeline publishes before provisioning decoders: all "
+    "three codec-free header parsers (PNG/GIF/BMP, WAV, MP4 box walk) run "
+    "in ONE plan, union row-locally, and aggregate per modality to asset "
+    "counts, distinct container formats, header byte totals, decoded-pixel "
+    "bytes (images) and wall-clock duration (audio/video). Scale: three "
+    "parallel row-local scans -> unionByName -> one 3-group aggregate; no "
+    "join, no corpus-sized state.",
+)
+def multimodal_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_image_headers,
+        parse_mp4_headers,
+        parse_wav_headers,
+        synth_image_blobs,
+        synth_mp4_blobs,
+        synth_wav_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    nul = F.lit(None).cast("bigint")
+    img = parse_image_headers(synth_image_blobs(docs)).select(
+        F.lit("image").alias("modality"),
+        "fmt",
+        "n_bytes",
+        F.expr("width * height * bpp DIV 8").alias("pixel_bytes"),
+        nul.alias("duration_ms"),
+    )
+    wav = parse_wav_headers(synth_wav_blobs(docs)).select(
+        F.lit("audio").alias("modality"),
+        "fmt",
+        "n_bytes",
+        nul.alias("pixel_bytes"),
+        "duration_ms",
+    )
+    mp4 = parse_mp4_headers(synth_mp4_blobs(docs)).select(
+        F.lit("video").alias("modality"),
+        "fmt",
+        "n_bytes",
+        nul.alias("pixel_bytes"),
+        "duration_ms",
+    )
+    return (
+        img.unionByName(wav)
+        .unionByName(mp4)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.count_distinct("fmt").cast("bigint").alias("n_formats"),
+            F.sum("n_bytes").alias("total_header_bytes"),
+            F.sum("pixel_bytes").alias("total_pixel_bytes"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+        .orderBy("modality")
+    )
 
 
 # ---------------------------------------------------------------------------
