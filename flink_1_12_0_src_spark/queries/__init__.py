@@ -394,6 +394,8 @@ _R13_NEW: tuple[str, ...] = (
     "multimodal_audio_header",
     "multimodal_video_header",
     "multimodal_media_catalog",
+    "flinkddl_avro_source",
+    "avro_record_sizes",
     "events_value_percentiles_approx",
     "stream_value_percentiles",
 )

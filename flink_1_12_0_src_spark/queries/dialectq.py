@@ -345,6 +345,122 @@ def flinkddl_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flinkddl_avro_source",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("dialect", "ddl", "source", "avro"),
+    doc="Flink filesystem+avro connector DDL (flink-formats/flink-avro, "
+    "AvroFormatFactory.java): orders staged as Avro OBJECT CONTAINER FILES "
+    "by the in-repo pure-Python OCF writer (sources/avro_py.py — "
+    "varint/zigzag longs, length-prefixed UTF-8, sync-marked blocks, null "
+    "codec; spark-avro is not bundled in this environment, so the format "
+    "row previously stood as the one documented-unfixable seam), registered "
+    "via CREATE TABLE ... WITH ('format'='avro'), and aggregated. The read "
+    "path (table_env -> avro_py.load_avro) prefers native spark-avro when "
+    "present and falls back to the Arrow-batched binaryFile+mapInPandas "
+    "decoder; the decoder takes the schema from the embedded avro.schema "
+    "header, not from the DDL.",
+)
+def flinkddl_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_12_0_src_spark.sources.avro_py import write_avro_dir
+
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_orders_avro")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_avro_dir(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            path,
+            [
+                ("o_orderkey", "long"),
+                ("o_orderpriority", "string"),
+                ("o_totalprice", "double"),
+            ],
+        )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE orders_avro (
+            o_orderkey BIGINT,
+            o_orderpriority STRING,
+            o_totalprice DOUBLE
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'avro'
+        )
+    """)
+    return env.sql_query("""
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders_avro GROUP BY o_orderpriority
+    """)
+
+
+# varint byte length of an unsigned value, as a SQL fragment — the oracle's
+# half of the Avro wire-format law (long = zigzag then little-endian base-128
+# varint; all sized values here are non-negative, so zigzag(v) = 2v)
+def _avro_varint_len_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN {expr} < 128 THEN 1 WHEN {expr} < 16384 THEN 2 "
+        f"WHEN {expr} < 2097152 THEN 3 WHEN {expr} < 268435456 THEN 4 "
+        f"WHEN {expr} < 34359738368 THEN 5 ELSE 6 END"
+    )
+
+
+@register(
+    "avro_record_sizes",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars, octet_length(encode(lang)) AS lang_bytes
+  FROM documents)
+SELECT doc_id,
+       CAST({_avro_varint_len_sql('2 * doc_id')}
+            + {_avro_varint_len_sql('2 * lang_bytes')} + lang_bytes
+            + {_avro_varint_len_sql('2 * n_chars')} AS BIGINT) AS record_bytes
+FROM d ORDER BY doc_id
+""",
+    tags=("dialect", "avro", "format"),
+    doc="Avro wire-format law, cross-engine: the ACTUAL byte length of each "
+    "document's binary-encoded (doc_id long, lang string, n_chars long) "
+    "record — produced by sources/avro_py.encode_record inside an "
+    "Arrow-batched mapInPandas — must equal the DuckDB oracle's arithmetic "
+    "derivation (zigzag-varint width classes + UTF-8 length-prefix + "
+    "payload). A varint off-by-one, a missed zigzag, or a length-prefix bug "
+    "shifts every affected row; the sizing law is also what a capacity "
+    "planner uses to budget Avro ingest without encoding anything.",
+)
+def avro_record_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flink_1_12_0_src_spark.sources.avro_py import encode_record
+
+    fields = [("doc_id", "long"), ("lang", "string"), ("n_chars", "long")]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _sizes(batches):
+        for pdf in batches:
+            sizes = [
+                len(encode_record(fields, t))
+                for t in pdf[["doc_id", "lang", "n_chars"]].itertuples(
+                    index=False, name=None
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "record_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(_sizes, "doc_id bigint, record_bytes bigint").orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "partition_pruned_read",
     oracle=f"""
 SELECT user_id, COUNT(*) AS cnt, {_SQL_TOTAL} AS total

@@ -9,11 +9,15 @@ Reference connector factories (SURVEY.md §2.1):
   UpsertKafkaDynamicTableFactory.java:72;
 - datagen / print / blackhole test connectors.
 
-Spark side: every format here is a built-in DSv2 source, so filter/projection/
-partition pushdown and vectorized parquet/orc reads come for free. Kafka
-needs the spark-sql-kafka package on the classpath — the option mapping is
-implemented and unit-tested; reads are gated on availability. The avro
-*format* likewise requires spark-avro (not bundled in this environment).
+Spark side: csv/json/parquet/orc are built-in DSv2 sources, so filter/
+projection/partition pushdown and vectorized parquet/orc reads come for
+free. Kafka needs the spark-sql-kafka package on the classpath — the option
+mapping is implemented and unit-tested; reads are gated on availability.
+The avro *format* prefers spark-avro when present and otherwise reads/writes
+through the in-repo pure-Python Object Container File codec
+(sources/avro_py.py — varint/zigzag wire format, sync-marked blocks, null
+codec; Arrow-batched via binaryFile + mapInPandas), so
+``'format' = 'avro'`` works even without the package.
 
 At 100 TB the interesting knobs are files.maxPartitionBytes (split sizing)
 and partitioned layout (PARTITIONED BY → directory partitioning → partition

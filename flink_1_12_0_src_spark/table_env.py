@@ -482,12 +482,18 @@ class TableEnvironment:
                 )
             tbl = self._tables[name]
             cfg = reader_config({**tbl.options, **opts})
-            reader = self.spark.read.format(cfg["format"])
-            if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
-                reader = reader.schema(tbl.schema_ddl)
-            for k, v in cfg["options"].items():
-                reader = reader.option(k, v)
-            df = self._apply_metadata(reader.load(cfg["path"]), tbl, cfg["format"])
+            if cfg["format"] == "avro":
+                from flink_1_12_0_src_spark.sources.avro_py import load_avro
+
+                loaded = load_avro(self.spark, cfg["path"])
+            else:
+                reader = self.spark.read.format(cfg["format"])
+                if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
+                    reader = reader.schema(tbl.schema_ddl)
+                for k, v in cfg["options"].items():
+                    reader = reader.option(k, v)
+                loaded = reader.load(cfg["path"])
+            df = self._apply_metadata(loaded, tbl, cfg["format"])
             df = self._apply_computed(df, tbl)
             hinted = f"_hinted_{name}_{abs(hash(tuple(sorted(opts.items())))) % 10**8}"
             df.createOrReplaceTempView(hinted)
@@ -1036,12 +1042,20 @@ class TableEnvironment:
 
     def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
         cfg = reader_config(tbl.options)
-        reader = self.spark.read.format(cfg["format"])
-        if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
-            reader = reader.schema(tbl.schema_ddl)
-        for k, v in cfg["options"].items():
-            reader = reader.option(k, v)
-        df = reader.load(cfg["path"])
+        if cfg["format"] == "avro":
+            # native spark-avro when on the classpath, else the in-repo
+            # pure-Python OCF reader (sources/avro_py.py) — the format row
+            # is no longer environment-gated
+            from flink_1_12_0_src_spark.sources.avro_py import load_avro
+
+            df = load_avro(self.spark, cfg["path"])
+        else:
+            reader = self.spark.read.format(cfg["format"])
+            if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
+                reader = reader.schema(tbl.schema_ddl)
+            for k, v in cfg["options"].items():
+                reader = reader.option(k, v)
+            df = reader.load(cfg["path"])
         df = self._apply_metadata(df, tbl, cfg["format"])
         df = self._apply_computed(df, tbl)
         df.createOrReplaceTempView(tbl.name)
