@@ -315,8 +315,8 @@ FROM orders GROUP BY o_orderpriority
     doc="Flink filesystem+orc connector DDL (flink-formats/flink-orc, "
     "OrcFileFormatFactory): orders staged as ORC, registered via CREATE TABLE "
     "… WITH ('format'='orc'), aggregated. Spark's vectorized ORC reader serves "
-    "the scan; avro remains gated (spark-avro not bundled — sources/"
-    "connectors.py documents the seam).",
+    "the scan; the avro format has its own row (flinkddl_avro_source) via the "
+    "in-repo pure-Python OCF codec.",
 )
 def flinkddl_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_CACHE, f"{_tag(sf_dir)}_orders_orc")

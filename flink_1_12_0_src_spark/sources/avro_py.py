@@ -115,15 +115,10 @@ def encode_record(fields: list[tuple[str, str]], row) -> bytes:
     return bytes(out)
 
 
-def encode_ocf(
-    rows,
-    fields: list[tuple[str, str]],
-    name: str = "row",
-    sync: bytes = DEFAULT_SYNC,
-    records_per_block: int = 4096,
+def encode_header(
+    fields: list[tuple[str, str]], name: str = "row", sync: bytes = DEFAULT_SYNC
 ) -> bytes:
-    """Object Container File: magic, metadata map (schema + codec), sync
-    marker, then (count, byte-size, records..., sync) blocks."""
+    """OCF header: magic, metadata map (schema + codec), sync marker."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     out = bytearray(MAGIC)
@@ -136,17 +131,40 @@ def encode_ocf(
         out += vb
     out.append(0)  # map terminator (long 0)
     out += sync
+    return bytes(out)
+
+
+def encode_block(
+    rows, fields: list[tuple[str, str]], sync: bytes = DEFAULT_SYNC
+) -> bytes:
+    """One sync-marked OCF block: (count, byte size, records..., sync).
+    Blocks are independent, so a writer can append one per Arrow batch —
+    O(batch) memory, never O(partition)."""
     rows = list(rows)
+    body = bytearray()
+    for row in rows:
+        for (_, typ), val in zip(fields, row):
+            _append_value(body, typ, val)
+    out = bytearray()
+    _append_long(out, len(rows))
+    _append_long(out, len(body))
+    out += body
+    out += sync
+    return bytes(out)
+
+
+def encode_ocf(
+    rows,
+    fields: list[tuple[str, str]],
+    name: str = "row",
+    sync: bytes = DEFAULT_SYNC,
+    records_per_block: int = 4096,
+) -> bytes:
+    """Whole-file convenience form: header + blocks."""
+    rows = list(rows)
+    out = bytearray(encode_header(fields, name, sync))
     for start in range(0, len(rows), records_per_block):
-        chunk = rows[start : start + records_per_block]
-        body = bytearray()
-        for row in chunk:
-            for (_, typ), val in zip(fields, row):
-                _append_value(body, typ, val)
-        _append_long(out, len(chunk))
-        _append_long(out, len(body))
-        out += body
-        out += sync
+        out += encode_block(rows[start : start + records_per_block], fields, sync)
     return bytes(out)
 
 
@@ -247,26 +265,86 @@ def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
 # Spark glue: Arrow-batched write/read over BinaryType files
 # ---------------------------------------------------------------------------
 
-def write_avro_dir(df, path: str, fields: list[tuple[str, str]]) -> int:
-    """Stage a DataFrame as ``.avro`` OCF files, ONE per input partition
-    (each mapInPandas task drains its partition's Arrow batches into one
-    container) — the FileSystem-sink shape. Returns the row count written;
-    drops a ``_SUCCESS`` marker like Spark's own file sinks."""
+_SPARK_TO_AVRO = {v: k for k, v in AVRO_TO_SPARK.items()}
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def fields_from_spark_schema(schema) -> list[tuple[str, str]]:
+    """Map a Spark StructType onto the supported avro field subset."""
+    out: list[tuple[str, str]] = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s not in _SPARK_TO_AVRO:
+            raise NotImplementedError(
+                f"column {f.name!r}: spark type {s} has no mapping in the "
+                f"pure-Python avro subset ({sorted(_SPARK_TO_AVRO)})"
+            )
+        out.append((f.name, _SPARK_TO_AVRO[s]))
+    return out
+
+
+def write_avro_dir(
+    df, path: str, fields: list[tuple[str, str]], mode: str = "overwrite"
+) -> int:
+    """Stage a DataFrame as ``.avro`` OCF files, ONE per input partition.
+    Each mapInPandas task streams its Arrow batches straight into
+    sync-marked blocks of an open file — O(batch) memory, never
+    O(partition) — under an ATTEMPT-SAFE naming scheme: the final name is
+    deterministic per (write call, partition), written via temp-file +
+    atomic rename, so a retried or speculative task REPLACES its own output
+    instead of duplicating rows (the poor man's commit protocol; Spark's
+    own sinks do the directory-level equivalent). ``mode='overwrite'``
+    clears prior ``.avro`` files first (the staging/cache shape);
+    ``'append'`` is the INSERT INTO shape — each call's fresh job id keeps
+    its files distinct from prior inserts. Returns rows written and drops
+    ``_SUCCESS`` like Spark's file sinks."""
+    import glob as _glob
+
     import pandas as pd
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(path, exist_ok=True)
+    if mode == "overwrite":
+        for f in _glob.glob(os.path.join(path, "*.avro")):
+            os.remove(f)
+        marker = os.path.join(path, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
     cols = [f for f, _ in fields]
+    job = uuid.uuid4().hex[:12]  # chosen once, driver-side
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[tuple] = []
-        for pdf in batches:
-            rows.extend(pdf[cols].itertuples(index=False, name=None))
-        if rows:
-            blob = encode_ocf(rows, fields)
-            fn = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-            with open(fn, "wb") as f:
-                f.write(blob)
-        yield pd.DataFrame({"n": pd.Series([len(rows)], dtype="int64")})
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        final = os.path.join(path, f"part-{job}-{pid:05d}.avro")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        n = 0
+        out = None
+        try:
+            for pdf in batches:
+                rows = list(pdf[cols].itertuples(index=False, name=None))
+                if not rows:
+                    continue
+                if out is None:
+                    out = open(tmp, "wb")
+                    out.write(encode_header(fields))
+                out.write(encode_block(rows, fields))
+                n += len(rows)
+            if out is not None:
+                out.close()
+                os.replace(tmp, final)
+        finally:
+            if out is not None and not out.closed:
+                out.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        yield pd.DataFrame({"n": pd.Series([n], dtype="int64")})
 
     total = (
         df.select(*cols)
@@ -279,49 +357,156 @@ def write_avro_dir(df, path: str, fields: list[tuple[str, str]]) -> int:
     return int(total or 0)
 
 
-def read_avro_dir(spark, path: str):
-    """Read a directory of ``.avro`` OCF files as a typed DataFrame: the
-    schema comes from ONE file's header (driver-side, header bytes only);
-    record decoding runs distributed via binaryFile + mapInPandas (Arrow
-    moves the blobs zero-copy into the Python workers). Per-file
-    parallelism — the split unit of a filesystem scan."""
+def _probe_fields(path: str) -> list[tuple[str, str]]:
+    """Schema from ONE file's header, driver-side. Reads the whole file —
+    the header is tiny relative to any real container, and a fixed-size
+    probe would truncate a wide schema's metadata mid-JSON."""
     import glob as _glob
-
-    import pandas as pd
 
     files = sorted(_glob.glob(os.path.join(path, "*.avro")))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as f:
-        fields, _, _ = read_header(f.read(4096))
-    ddl = ", ".join(f"{n} {AVRO_TO_SPARK[t]}" for n, t in fields)
+        fields, _, _ = read_header(f.read())
+    return fields
+
+
+def _decode_mapper(fields: list[tuple[str, str]], with_metadata: bool):
+    import pandas as pd
+
     pd_dtype = {"long": "int64", "double": "float64", "boolean": "bool", "string": "object"}
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {n: [] for n, _ in fields}
-            for blob in pdf["content"]:
+            meta: list[dict] = []
+            for blob, p, mt, ln in zip(
+                pdf["content"], pdf["path"], pdf["modificationTime"], pdf["length"]
+            ):
                 _, rows = decode_ocf(bytes(blob))
                 for r in rows:
                     for n, _ in fields:
                         cols[n].append(r[n])
-            yield pd.DataFrame(
-                {n: pd.Series(cols[n], dtype=pd_dtype[t]) for n, t in fields}
-            )
+                if with_metadata:
+                    meta.extend(
+                        {
+                            "file_path": p,
+                            "file_name": os.path.basename(p),
+                            "file_size": int(ln),
+                            "file_modification_time": mt,
+                        }
+                        for _ in rows
+                    )
+            data = {n: pd.Series(cols[n], dtype=pd_dtype[t]) for n, t in fields}
+            if with_metadata:
+                data["_metadata"] = pd.Series(meta, dtype="object")
+            yield pd.DataFrame(data)
 
+    return _read
+
+
+def _decode_ddl(fields: list[tuple[str, str]], with_metadata: bool) -> str:
+    ddl = ", ".join(f"{n} {AVRO_TO_SPARK[t]}" for n, t in fields)
+    if with_metadata:
+        # mirrors the hidden _metadata struct of Spark's native file
+        # sources, so FLIP-107 METADATA columns resolve identically on the
+        # fallback path (table_env drops the visible struct after applying)
+        ddl += (
+            ", _metadata struct<file_path:string,file_name:string,"
+            "file_size:bigint,file_modification_time:timestamp>"
+        )
+    return ddl
+
+
+def read_avro_dir(spark, path: str, with_metadata: bool = False):
+    """Read a directory of ``.avro`` OCF files as a typed DataFrame: the
+    schema comes from one file's header (:func:`_probe_fields`); record
+    decoding runs distributed via binaryFile + mapInPandas (Arrow moves the
+    blobs zero-copy into the Python workers). Per-file parallelism — the
+    split unit of a filesystem scan. ``with_metadata`` appends a
+    ``_metadata`` struct built from the binaryFile columns (path, length,
+    modificationTime) for FLIP-107 METADATA resolution."""
+    fields = _probe_fields(path)
     bin_df = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
-    return bin_df.select("content").mapInPandas(_read, ddl)
+    return bin_df.select("path", "modificationTime", "length", "content").mapInPandas(
+        _decode_mapper(fields, with_metadata), _decode_ddl(fields, with_metadata)
+    )
 
 
-def load_avro(spark, path: str):
+def read_avro_stream(spark, path: str, options: dict | None = None):
+    """STREAMING read of an ``.avro`` directory: binaryFile file-stream
+    source (explicit schema — streaming sources require one) + the same
+    Arrow-batched decode. Like every file-stream schema story, at least one
+    file must exist at start so the record schema can be probed."""
+    fields = _probe_fields(path)
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    bin_df = reader.load(os.path.join(path, "*.avro"))
+    return bin_df.select("path", "modificationTime", "length", "content").mapInPandas(
+        _decode_mapper(fields, False), _decode_ddl(fields, False)
+    )
+
+
+def _spark_avro_unavailable(exc: Exception) -> bool:
+    """True only for the missing-package class of errors — anything else
+    (bad path, permissions, corrupt files) must propagate with its real
+    cause instead of being masked by a fallback retry."""
+    msg = str(exc)
+    return (
+        "AVRO_NOT_LOADED" in msg
+        or "Failed to find data source: avro" in msg
+        or "Failed to find the data source: avro" in msg
+    )
+
+
+def load_avro(spark, path: str, with_metadata: bool = False):
     """Batch avro load with graceful degradation: Spark's native avro reader
-    (vectorized, full pushdown) when the spark-avro package is on the
-    classpath, else this module's pure-Python OCF reader. The connector DDL
-    path (table_env) calls this, so ``'format' = 'avro'`` works in both
-    environments."""
+    (vectorized, full pushdown, hidden ``_metadata``) when the spark-avro
+    package is on the classpath, else this module's pure-Python OCF reader.
+    The connector DDL path (table_env) calls this, so
+    ``'format' = 'avro'`` works in both environments."""
     try:
         df = spark.read.format("avro").load(path)
         df.schema  # force resolution so a missing package surfaces here
         return df
-    except Exception:
-        return read_avro_dir(spark, path)
+    except Exception as e:
+        if not _spark_avro_unavailable(e):
+            raise
+        return read_avro_dir(spark, path, with_metadata=with_metadata)
+
+
+def stream_avro(spark, path: str, options: dict | None = None):
+    """Streaming counterpart of :func:`load_avro`: native readStream avro
+    when available, else the binaryFile + mapInPandas decoder."""
+    try:
+        df = spark.readStream.format("avro").load(path)
+        df.schema
+        return df
+    except Exception as e:
+        if not _spark_avro_unavailable(e):
+            raise
+        return read_avro_stream(spark, path, options)
+
+
+def save_avro(df, path: str, mode: str = "append", partition_by=None) -> None:
+    """Write counterpart of :func:`load_avro`: native spark-avro writer when
+    on the classpath, else :func:`write_avro_dir` over the DataFrame's own
+    schema (supported-subset types only). Partitioned layout needs the
+    native writer — the fallback refuses loudly rather than flattening."""
+    try:
+        writer = df.write.format("avro").mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return
+    except Exception as e:
+        if not _spark_avro_unavailable(e):
+            raise
+    if partition_by:
+        raise NotImplementedError(
+            "PARTITIONED BY with 'format'='avro' needs the native spark-avro "
+            "writer (not on this classpath); the pure-Python fallback writes "
+            "flat directories only"
+        )
+    write_avro_dir(df, path, fields_from_spark_schema(df.schema), mode=mode)

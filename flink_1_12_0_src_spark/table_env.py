@@ -482,19 +482,7 @@ class TableEnvironment:
                 )
             tbl = self._tables[name]
             cfg = reader_config({**tbl.options, **opts})
-            if cfg["format"] == "avro":
-                from flink_1_12_0_src_spark.sources.avro_py import load_avro
-
-                loaded = load_avro(self.spark, cfg["path"])
-            else:
-                reader = self.spark.read.format(cfg["format"])
-                if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
-                    reader = reader.schema(tbl.schema_ddl)
-                for k, v in cfg["options"].items():
-                    reader = reader.option(k, v)
-                loaded = reader.load(cfg["path"])
-            df = self._apply_metadata(loaded, tbl, cfg["format"])
-            df = self._apply_computed(df, tbl)
+            df = self._load_table_df(cfg, tbl)
             hinted = f"_hinted_{name}_{abs(hash(tuple(sorted(opts.items())))) % 10**8}"
             df.createOrReplaceTempView(hinted)
             return f"{kw} {hinted}"
@@ -509,13 +497,20 @@ class TableEnvironment:
         cfg = reader_config(tbl.options)
         if not cfg["streaming_capable"]:
             raise ValueError(f"table {name} is not streaming-capable")
-        reader = self.spark.readStream.format(cfg["format"])
-        # rate/kafka define their own fixed schemas and reject a user one
-        if tbl.schema_ddl and cfg["format"] not in ("rate", "kafka"):
-            reader = reader.schema(tbl.schema_ddl)
-        for k, v in {**cfg["options"], **(extra_options or {})}.items():
-            reader = reader.option(k, v)
-        df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
+        if cfg["format"] == "avro":
+            from flink_1_12_0_src_spark.sources.avro_py import stream_avro
+
+            df = stream_avro(
+                self.spark, cfg["path"], {**cfg["options"], **(extra_options or {})}
+            )
+        else:
+            reader = self.spark.readStream.format(cfg["format"])
+            # rate/kafka define their own fixed schemas and reject a user one
+            if tbl.schema_ddl and cfg["format"] not in ("rate", "kafka"):
+                reader = reader.schema(tbl.schema_ddl)
+            for k, v in {**cfg["options"], **(extra_options or {})}.items():
+                reader = reader.option(k, v)
+            df = reader.load(cfg["path"]) if cfg["path"] else reader.load()
         if cfg["format"] == "rate" and tbl.schema_ddl:
             # datagen: project the rate source's monotonically increasing
             # ``value`` onto the DECLARED columns (sequence = start + value,
@@ -876,14 +871,21 @@ class TableEnvironment:
         if cfg["format"] == "noop":
             df.write.format("noop").mode("overwrite").save()
             return None
-        writer = df.write.format(cfg["format"]).mode(mode)
-        if mode == "overwrite" and tbl.partition_by:
-            writer = writer.option("partitionOverwriteMode", "dynamic")
-        for k, v in cfg["options"].items():
-            writer = writer.option(k, v)
-        if tbl.partition_by:
-            writer = writer.partitionBy(*tbl.partition_by)
-        writer.save(cfg["path"])
+        if cfg["format"] == "avro":
+            # native spark-avro writer when present, pure-Python OCF writer
+            # otherwise — INSERT INTO an avro table works in both envs
+            from flink_1_12_0_src_spark.sources.avro_py import save_avro
+
+            save_avro(df, cfg["path"], mode=mode, partition_by=tbl.partition_by or None)
+        else:
+            writer = df.write.format(cfg["format"]).mode(mode)
+            if mode == "overwrite" and tbl.partition_by:
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+            for k, v in cfg["options"].items():
+                writer = writer.option(k, v)
+            if tbl.partition_by:
+                writer = writer.partitionBy(*tbl.partition_by)
+            writer.save(cfg["path"])
         if cfg.get("auto_compaction"):
             self._compact_sink(tbl, cfg)
         # partition-commit success-file policy (FileSystemOptions.java:
@@ -956,16 +958,21 @@ class TableEnvironment:
             if n >= len(data):
                 continue  # already at or below the target file count
             tmp = d + "__compact_tmp"
-            (
-                self.spark.read.format(cfg["format"])
-                .options(**cfg["options"])
-                .load(d)
-                .repartition(n)
-                .write.format(cfg["format"])
-                .options(**cfg["options"])
-                .mode("overwrite")
-                .save(tmp)
-            )
+            if cfg["format"] == "avro":
+                from flink_1_12_0_src_spark.sources.avro_py import load_avro, save_avro
+
+                save_avro(load_avro(self.spark, d).repartition(n), tmp, mode="append")
+            else:
+                (
+                    self.spark.read.format(cfg["format"])
+                    .options(**cfg["options"])
+                    .load(d)
+                    .repartition(n)
+                    .write.format(cfg["format"])
+                    .options(**cfg["options"])
+                    .mode("overwrite")
+                    .save(tmp)
+                )
             swap = d + "__compact_old"
             os.rename(d, swap)
             os.rename(tmp, d)
@@ -1040,15 +1047,17 @@ class TableEnvironment:
         ).createOrReplaceTempView(tbl.name)
         return True
 
-    def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
-        cfg = reader_config(tbl.options)
+    def _load_table_df(self, cfg: dict, tbl: CatalogTable) -> DataFrame:
+        """Batch scan for a connector table: format dispatch (avro routes
+        through sources/avro_py.load_avro — native spark-avro when the
+        package is on the classpath, the in-repo pure-Python OCF reader
+        otherwise), then FLIP-107 metadata and computed columns. Shared by
+        the OPTIONS-hint path and the view refresh so the dispatch cannot
+        drift between the two sites."""
         if cfg["format"] == "avro":
-            # native spark-avro when on the classpath, else the in-repo
-            # pure-Python OCF reader (sources/avro_py.py) — the format row
-            # is no longer environment-gated
             from flink_1_12_0_src_spark.sources.avro_py import load_avro
 
-            df = load_avro(self.spark, cfg["path"])
+            df = load_avro(self.spark, cfg["path"], with_metadata=bool(tbl.metadata))
         else:
             reader = self.spark.read.format(cfg["format"])
             if tbl.schema_ddl and cfg["format"] in ("csv", "json"):
@@ -1057,8 +1066,16 @@ class TableEnvironment:
                 reader = reader.option(k, v)
             df = reader.load(cfg["path"])
         df = self._apply_metadata(df, tbl, cfg["format"])
-        df = self._apply_computed(df, tbl)
-        df.createOrReplaceTempView(tbl.name)
+        if "_metadata" in df.columns:
+            # the avro fallback materializes _metadata as a visible struct
+            # (native file sources keep theirs hidden) — drop it once the
+            # declared METADATA columns are resolved
+            df = df.drop("_metadata")
+        return self._apply_computed(df, tbl)
+
+    def _create_table_view_refresh(self, tbl: CatalogTable) -> None:
+        cfg = reader_config(tbl.options)
+        self._load_table_df(cfg, tbl).createOrReplaceTempView(tbl.name)
 
     def _apply_metadata(self, df: DataFrame, tbl: CatalogTable, fmt: str) -> DataFrame:
         """Append FLIP-107 metadata columns (SupportsReadingMetadata): each

@@ -125,6 +125,90 @@ def test_corrupt_sync_and_truncation_raise():
         decode_ocf(b"PAR1" + b"\x00" * 32)
 
 
+def test_write_modes_and_task_safe_naming(spark, tmp_path):
+    """overwrite clears prior .avro files; append adds a fresh job's files;
+    final names are deterministic per (job, partition) and land via atomic
+    rename — no .tmp files survive a successful write."""
+    import glob
+    import os
+
+    df = spark.range(0, 10).selectExpr("id AS k").repartition(2)
+    fields = [("k", "long")]
+    path = str(tmp_path / "modes")
+    assert write_avro_dir(df, path, fields, mode="overwrite") == 10
+    first = sorted(glob.glob(os.path.join(path, "*.avro")))
+    assert len(first) == 2
+    assert write_avro_dir(df, path, fields, mode="append") == 10
+    assert len(glob.glob(os.path.join(path, "*.avro"))) == 4
+    assert len(read_avro_dir(spark, path).collect()) == 20
+    assert write_avro_dir(df, path, fields, mode="overwrite") == 10
+    assert len(glob.glob(os.path.join(path, "*.avro"))) == 2
+    assert not glob.glob(os.path.join(path, "*.tmp-*"))
+    with pytest.raises(ValueError, match="mode"):
+        write_avro_dir(df, path, fields, mode="errorifexists")
+
+
+def test_avro_ddl_insert_select_and_metadata(spark, tmp_path):
+    """The connector DDL surface on the no-spark-avro path: CREATE TABLE
+    (with a FLIP-107 METADATA column) over a not-yet-existing path, INSERT
+    INTO through save_avro's fallback, then SELECT — metadata resolves from
+    the fallback's _metadata struct and the struct itself stays hidden."""
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    path = str(tmp_path / "t_avro")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE t_avro (
+            k BIGINT,
+            s STRING,
+            fname STRING METADATA FROM 'file.name' VIRTUAL
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'avro'
+        )
+    """)
+    env.execute_sql(
+        "INSERT INTO t_avro SELECT id AS k, concat('r', id) AS s FROM range(5)"
+    )
+    rows = env.sql_query("SELECT k, s, fname FROM t_avro ORDER BY k").collect()
+    assert [(r["k"], r["s"]) for r in rows] == [(i, f"r{i}") for i in range(5)]
+    assert all(r["fname"].endswith(".avro") for r in rows)
+    assert "_metadata" not in env.sql_query("SELECT * FROM t_avro").columns
+    # second INSERT appends
+    env.execute_sql(
+        "INSERT INTO t_avro SELECT id + 10 AS k, concat('x', id) AS s FROM range(2)"
+    )
+    assert env.sql_query("SELECT COUNT(*) AS n FROM t_avro").collect()[0]["n"] == 7
+
+
+def test_avro_stream_table_matches_batch(spark, tmp_path):
+    """stream_table over an avro DDL table (binaryFile stream + Arrow decode
+    fallback) drains to the same rows the batch scan serves."""
+    from flink_1_12_0_src_spark.streaming.run import run_to_batch
+    from flink_1_12_0_src_spark.table_env import TableEnvironment
+
+    df = spark.range(0, 30).selectExpr("id AS k", "id * 2.5 AS x").repartition(3)
+    path = str(tmp_path / "s_avro")
+    write_avro_dir(df, path, [("k", "long"), ("x", "double")])
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE s_avro (k BIGINT, x DOUBLE) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'avro'
+        )
+    """)
+    got = sorted(
+        tuple(r)
+        for r in run_to_batch(
+            env.stream_table("s_avro", {"maxFilesPerTrigger": "1"}), "append"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+
 def test_spark_write_read_roundtrip(spark, tmp_path):
     """write_avro_dir stages one OCF per partition; read_avro_dir decodes
     them back typed — and load_avro's fallback path (spark-avro absent in
