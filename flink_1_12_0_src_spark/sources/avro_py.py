@@ -29,8 +29,8 @@ Scale notes: encode/decode are Arrow-batched (``mapInPandas`` — one OCF
 file per partition on write, per-file decode on read via ``binaryFile``),
 so the Python cost is per-batch, not per-row-trip; blocks are sync-marked
 per spec, so a future DataSourceV2 split reader could seek block
-boundaries. The ``null`` codec only — deflate needs zlib (available) but
-the reference's default is null and the driver fixtures use it.
+boundaries. Both spec codecs: ``null`` (the driver fixtures' default —
+byte-reproducible) and ``deflate`` (raw RFC-1951 per block via zlib).
 """
 
 from __future__ import annotations
@@ -116,13 +116,18 @@ def encode_record(fields: list[tuple[str, str]], row) -> bytes:
 
 
 def encode_header(
-    fields: list[tuple[str, str]], name: str = "row", sync: bytes = DEFAULT_SYNC
+    fields: list[tuple[str, str]],
+    name: str = "row",
+    sync: bytes = DEFAULT_SYNC,
+    codec: str = "null",
 ) -> bytes:
     """OCF header: magic, metadata map (schema + codec), sync marker."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
     out = bytearray(MAGIC)
-    meta = {"avro.schema": schema_json(fields, name), "avro.codec": "null"}
+    meta = {"avro.schema": schema_json(fields, name), "avro.codec": codec}
     _append_long(out, len(meta))
     for k in sorted(meta):
         _append_string(out, k)
@@ -135,16 +140,27 @@ def encode_header(
 
 
 def encode_block(
-    rows, fields: list[tuple[str, str]], sync: bytes = DEFAULT_SYNC
+    rows,
+    fields: list[tuple[str, str]],
+    sync: bytes = DEFAULT_SYNC,
+    codec: str = "null",
 ) -> bytes:
-    """One sync-marked OCF block: (count, byte size, records..., sync).
-    Blocks are independent, so a writer can append one per Arrow batch —
-    O(batch) memory, never O(partition)."""
+    """One sync-marked OCF block: (count, byte size, body, sync) — with
+    ``deflate``, the body is the record bytes compressed as RAW RFC-1951
+    (no zlib header), per spec. Blocks are independent, so a writer can
+    append one per Arrow batch — O(batch) memory, never O(partition)."""
     rows = list(rows)
     body = bytearray()
     for row in rows:
         for (_, typ), val in zip(fields, row):
             _append_value(body, typ, val)
+    if codec == "deflate":
+        import zlib
+
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = c.compress(bytes(body)) + c.flush()
+    elif codec != "null":
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
     out = bytearray()
     _append_long(out, len(rows))
     _append_long(out, len(body))
@@ -159,12 +175,15 @@ def encode_ocf(
     name: str = "row",
     sync: bytes = DEFAULT_SYNC,
     records_per_block: int = 4096,
+    codec: str = "null",
 ) -> bytes:
     """Whole-file convenience form: header + blocks."""
     rows = list(rows)
-    out = bytearray(encode_header(fields, name, sync))
+    out = bytearray(encode_header(fields, name, sync, codec))
     for start in range(0, len(rows), records_per_block):
-        out += encode_block(rows[start : start + records_per_block], fields, sync)
+        out += encode_block(
+            rows[start : start + records_per_block], fields, sync, codec
+        )
     return bytes(out)
 
 
@@ -207,57 +226,68 @@ def _read_meta(buf: bytes, i: int) -> tuple[dict[str, bytes], int]:
     return meta, i
 
 
-def read_header(blob: bytes) -> tuple[list[tuple[str, str]], bytes, int]:
-    """Parse just the OCF header: returns (fields, sync marker, body offset).
-    Used by the Spark reader to learn the schema from ONE file driver-side
-    without decoding any record block."""
+def read_header(blob: bytes) -> tuple[list[tuple[str, str]], bytes, int, str]:
+    """Parse just the OCF header: returns (fields, sync marker, body offset,
+    codec). Used by the Spark reader to learn the schema from ONE file
+    driver-side without decoding any record block."""
     if blob[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta, i = _read_meta(blob, 4)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec != "null":
-        raise NotImplementedError(f"avro codec {codec!r} not supported (null only)")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     for _, t in fields:
         if t not in AVRO_TO_SPARK:
             raise NotImplementedError(f"avro type not in the supported subset: {t}")
     sync = blob[i : i + 16]
-    return fields, sync, i + 16
+    return fields, sync, i + 16, codec
 
 
 def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
     """Full decode: (fields, record dicts). Verifies block byte sizes and
     sync markers — a corrupt or truncated block raises, it does not yield
-    silently wrong rows."""
-    fields, sync, i = read_header(blob)
+    silently wrong rows. Handles both spec codecs: ``null`` and ``deflate``
+    (raw RFC-1951, inflated per block before record parsing)."""
+    fields, sync, i, codec = read_header(blob)
     rows: list[dict] = []
     while i < len(blob):
         cnt, i = _read_long(blob, i)
         size, i = _read_long(blob, i)
-        end = i + size
+        body = blob[i : i + size]
+        if len(body) != size:
+            raise ValueError(f"avro block truncated at {i}: {len(body)} < {size}")
+        i += size
+        if blob[i : i + 16] != sync:
+            raise ValueError(f"avro sync marker mismatch at {i}")
+        i += 16
+        if codec == "deflate":
+            import zlib
+
+            body = zlib.decompressobj(-15).decompress(body)
+        j = 0
         for _ in range(cnt):
             rec: dict = {}
             for fname, typ in fields:
                 if typ == "long":
-                    v, i = _read_long(blob, i)
+                    v, j = _read_long(body, j)
                 elif typ == "string":
-                    ln, i = _read_long(blob, i)
-                    v = blob[i : i + ln].decode("utf-8")
-                    i += ln
+                    ln, j = _read_long(body, j)
+                    v = body[j : j + ln].decode("utf-8")
+                    j += ln
                 elif typ == "double":
-                    (v,) = struct.unpack_from("<d", blob, i)
-                    i += 8
+                    (v,) = struct.unpack_from("<d", body, j)
+                    j += 8
                 elif typ == "boolean":
-                    v = blob[i] == 1
-                    i += 1
+                    v = body[j] == 1
+                    j += 1
                 rec[fname] = v
             rows.append(rec)
-        if i != end:
-            raise ValueError(f"avro block size mismatch: at {i}, expected {end}")
-        if blob[i : i + 16] != sync:
-            raise ValueError(f"avro sync marker mismatch at {i}")
-        i += 16
+        if j != len(body):
+            raise ValueError(
+                f"avro block size mismatch: consumed {j} of {len(body)} body bytes"
+            )
     return fields, rows
 
 
@@ -367,7 +397,7 @@ def _probe_fields(path: str) -> list[tuple[str, str]]:
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as f:
-        fields, _, _ = read_header(f.read())
+        fields, _, _, _ = read_header(f.read())
     return fields
 
 

@@ -108,10 +108,26 @@ def test_multi_block_roundtrip_and_header_probe():
     blob = encode_ocf(rows, FIELDS, records_per_block=2)  # 3 blocks
     fields, recs = decode_ocf(blob)
     assert [(r["id"], r["name"]) for r in recs] == rows
-    hfields, sync, off = read_header(blob)
-    assert hfields == FIELDS and sync == DEFAULT_SYNC
+    hfields, sync, off, codec = read_header(blob)
+    assert hfields == FIELDS and sync == DEFAULT_SYNC and codec == "null"
     # 3 sync-marked blocks follow the header
     assert blob[off:].count(DEFAULT_SYNC) == 3
+
+
+def test_deflate_codec_roundtrip():
+    """deflate blocks (raw RFC-1951 per spec) inflate back to the identical
+    record set; the compressed container is smaller on repetitive data and
+    its header advertises the codec."""
+    rows = [(i, "repetitive-payload-" * 10) for i in range(50)]
+    null_blob = encode_ocf(rows, FIELDS, records_per_block=16)
+    defl_blob = encode_ocf(rows, FIELDS, records_per_block=16, codec="deflate")
+    assert len(defl_blob) < len(null_blob) // 2
+    assert read_header(defl_blob)[3] == "deflate"
+    fields, recs = decode_ocf(defl_blob)
+    assert fields == FIELDS
+    assert [(r["id"], r["name"]) for r in recs] == rows
+    with pytest.raises(NotImplementedError, match="snappy"):
+        encode_ocf(rows, FIELDS, codec="snappy")
 
 
 def test_corrupt_sync_and_truncation_raise():
