@@ -327,11 +327,43 @@ _R12_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-13 driver-green rows (CORRECTNESS_r13.json — 50/50 green, the
+# seventh consecutive zero-red round): all 10 round-13 first-presentation
+# rows (the codec-free multimodal family + twin #21 + the in-env avro pair
+# + the re-presented percentile contract pair) plus 40 re-verified greens
+# drawn from the stalest (r02–r03) cohort by the LRU rotation.
+_R13_DRIVER_GREEN = frozenset(
+    {
+        "async_lookup_enrich", "avro_record_sizes", "cdc_canal_normalize",
+        "cdc_debezium_normalize", "cdc_foreachbatch_upsert",
+        "cep_times_range_burst", "cep_until_errors_before_purchase",
+        "cep_view_purchase_no_error", "events_value_percentiles_approx",
+        "flinkddl_avro_source", "flinkddl_csv_source",
+        "flinkddl_json_source", "flinkddl_orc_source",
+        "flinkddl_partitioned_sink", "flinksql_hop",
+        "flinksql_match_recognize", "flinksql_session",
+        "flinksql_stream_tumble", "flinksql_tumble", "fn_decimal_suite",
+        "graph_connected_components", "graph_degrees", "graph_hits",
+        "graph_label_propagation", "graph_pagerank", "graph_sssp",
+        "graph_summarization", "graph_triangle_count",
+        "multimodal_audio_header", "multimodal_header_parse",
+        "multimodal_media_catalog", "multimodal_resolution_audit",
+        "multimodal_video_header", "partition_pruned_read",
+        "stream_dedup_keep_first", "stream_dedup_keep_last",
+        "stream_global_agg", "stream_hop_agg", "stream_interval_join",
+        "stream_lookup_join", "stream_multimodal_audit",
+        "stream_over_running_sum", "stream_session_agg",
+        "stream_session_agg_append", "stream_topn", "stream_tumble_agg",
+        "stream_value_percentiles", "tableagg_top2_emit",
+        "udaf_weighted_avg", "udtf_lateral_tokens"
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
     | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN | _R10_DRIVER_GREEN
-    | _R11_DRIVER_GREEN | _R12_DRIVER_GREEN
+    | _R11_DRIVER_GREEN | _R12_DRIVER_GREEN | _R13_DRIVER_GREEN
 )
 
 # Round-10 had zero driver-red rows (fourth zero-red round in a row), so
@@ -400,12 +432,24 @@ _R13_NEW: tuple[str, ...] = (
     "stream_value_percentiles",
 )
 
+# Round-13 had zero driver-red rows (seventh zero-red round in a row), so
+# there is nothing to re-verify at the front this round.
+_R14_FIXED_FIRST: tuple[str, ...] = ()
+
+# Queries needing a first driver row for their CURRENT semantics this
+# round (populated as round-14 work lands): the JPEG extension re-presents
+# the multimodal image family (oracle text changes — the ORACLE_SHA gate
+# enforces the listing), the nullable-union avro round-trip is brand new,
+# and `knn_ivf_topk` gets its first (rows-only) presentation — the one
+# registered name never driver-checked (verdict r13 task #8).
+_R14_NEW: tuple[str, ...] = ()
+
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round
 # rename (fold greens, start a fresh _NEW tuple) no longer requires editing
 # any test. Update ONLY the two assignments below at each round rollover.
-CURRENT_FIXED_FIRST: tuple[str, ...] = _R13_FIXED_FIRST
-CURRENT_NEW: tuple[str, ...] = _R13_NEW
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R14_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R14_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never

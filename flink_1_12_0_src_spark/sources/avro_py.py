@@ -280,7 +280,15 @@ def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
                     (v,) = struct.unpack_from("<d", body, j)
                     j += 8
                 elif typ == "boolean":
-                    v = body[j] == 1
+                    bb = body[j]
+                    if bb not in (0, 1):
+                        # keep the decoder's strict corrupt-data posture: a
+                        # nonzero-but-not-1 byte is a framing error, not False
+                        raise ValueError(
+                            f"avro boolean byte must be 0 or 1, got {bb} at "
+                            f"body offset {j}"
+                        )
+                    v = bb == 1
                     j += 1
                 rec[fname] = v
             rows.append(rec)
@@ -383,6 +391,15 @@ def write_avro_dir(
         .sum("n")
         .collect()[0][0]
     )
+    if not _glob.glob(os.path.join(path, "*.avro")):
+        # Zero rows written (and, under append, no prior files either):
+        # emit ONE header-only OCF file so the directory stays a readable
+        # empty typed relation — the native spark-avro writer does the
+        # schema-bearing-file equivalent; without this, the next
+        # _probe_fields would raise FileNotFoundError on a directory that
+        # legitimately holds an empty table.
+        with open(os.path.join(path, f"part-{job}-00000.avro"), "wb") as f:
+            f.write(encode_header(fields))
     open(os.path.join(path, "_SUCCESS"), "w").close()
     return int(total or 0)
 
@@ -413,7 +430,17 @@ def _decode_mapper(fields: list[tuple[str, str]], with_metadata: bool):
             for blob, p, mt, ln in zip(
                 pdf["content"], pdf["path"], pdf["modificationTime"], pdf["length"]
             ):
-                _, rows = decode_ocf(bytes(blob))
+                ffields, rows = decode_ocf(bytes(blob))
+                if ffields != fields:
+                    # A later file with evolved/renamed fields would
+                    # otherwise surface as an opaque executor KeyError;
+                    # name the file and both schemas instead.
+                    raise ValueError(
+                        f"avro schema drift in {p}: file declares "
+                        f"{ffields}, reader was bound to {fields} (probed "
+                        "at scan start) — re-create the scan to pick up "
+                        "the evolved schema"
+                    )
                 for r in rows:
                     for n, _ in fields:
                         cols[n].append(r[n])
@@ -490,14 +517,20 @@ def _spark_avro_unavailable(exc: Exception) -> bool:
     )
 
 
-def load_avro(spark, path: str, with_metadata: bool = False):
+def load_avro(spark, path: str, with_metadata: bool = False, options: dict | None = None):
     """Batch avro load with graceful degradation: Spark's native avro reader
     (vectorized, full pushdown, hidden ``_metadata``) when the spark-avro
     package is on the classpath, else this module's pure-Python OCF reader.
     The connector DDL path (table_env) calls this, so
-    ``'format' = 'avro'`` works in both environments."""
+    ``'format' = 'avro'`` works in both environments. DDL-declared reader
+    ``options`` are applied to the native reader (avroSchema,
+    datetimeRebaseMode, ...); the fallback's OCF framing defines no reader
+    options for the supported flat subset, so they are no-ops there."""
     try:
-        df = spark.read.format("avro").load(path)
+        reader = spark.read.format("avro")
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
         df.schema  # force resolution so a missing package surfaces here
         return df
     except Exception as e:
@@ -508,9 +541,14 @@ def load_avro(spark, path: str, with_metadata: bool = False):
 
 def stream_avro(spark, path: str, options: dict | None = None):
     """Streaming counterpart of :func:`load_avro`: native readStream avro
-    when available, else the binaryFile + mapInPandas decoder."""
+    when available (with the DDL options applied), else the binaryFile +
+    mapInPandas decoder (options forwarded to its file-stream source —
+    maxFilesPerTrigger and friends)."""
     try:
-        df = spark.readStream.format("avro").load(path)
+        reader = spark.readStream.format("avro")
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
         df.schema
         return df
     except Exception as e:
@@ -519,13 +557,19 @@ def stream_avro(spark, path: str, options: dict | None = None):
         return read_avro_stream(spark, path, options)
 
 
-def save_avro(df, path: str, mode: str = "append", partition_by=None) -> None:
+def save_avro(
+    df, path: str, mode: str = "append", partition_by=None, options: dict | None = None
+) -> None:
     """Write counterpart of :func:`load_avro`: native spark-avro writer when
-    on the classpath, else :func:`write_avro_dir` over the DataFrame's own
-    schema (supported-subset types only). Partitioned layout needs the
-    native writer — the fallback refuses loudly rather than flattening."""
+    on the classpath (DDL ``options`` applied — compression and friends),
+    else :func:`write_avro_dir` over the DataFrame's own schema
+    (supported-subset types only; write options are no-ops on the fallback,
+    whose block layout is fixed). Partitioned layout needs the native
+    writer — the fallback refuses loudly rather than flattening."""
     try:
         writer = df.write.format("avro").mode(mode)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)

@@ -876,7 +876,13 @@ class TableEnvironment:
             # otherwise — INSERT INTO an avro table works in both envs
             from flink_1_12_0_src_spark.sources.avro_py import save_avro
 
-            save_avro(df, cfg["path"], mode=mode, partition_by=tbl.partition_by or None)
+            save_avro(
+                df,
+                cfg["path"],
+                mode=mode,
+                partition_by=tbl.partition_by or None,
+                options=cfg["options"],
+            )
         else:
             writer = df.write.format(cfg["format"]).mode(mode)
             if mode == "overwrite" and tbl.partition_by:
@@ -961,7 +967,12 @@ class TableEnvironment:
             if cfg["format"] == "avro":
                 from flink_1_12_0_src_spark.sources.avro_py import load_avro, save_avro
 
-                save_avro(load_avro(self.spark, d).repartition(n), tmp, mode="append")
+                save_avro(
+                    load_avro(self.spark, d, options=cfg["options"]).repartition(n),
+                    tmp,
+                    mode="append",
+                    options=cfg["options"],
+                )
             else:
                 (
                     self.spark.read.format(cfg["format"])
@@ -1057,7 +1068,12 @@ class TableEnvironment:
         if cfg["format"] == "avro":
             from flink_1_12_0_src_spark.sources.avro_py import load_avro
 
-            df = load_avro(self.spark, cfg["path"], with_metadata=bool(tbl.metadata))
+            df = load_avro(
+                self.spark,
+                cfg["path"],
+                with_metadata=bool(tbl.metadata),
+                options=cfg["options"],
+            )
         else:
             reader = self.spark.read.format(cfg["format"])
             if tbl.schema_ddl and cfg["format"] in ("csv", "json"):

@@ -252,3 +252,62 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     assert got == want
     via_load = sorted(tuple(r) for r in load_avro(spark, path).collect())
     assert via_load == want
+
+def test_boolean_decode_is_strict():
+    """A nonzero-but-not-1 boolean byte is a framing error, not False —
+    matching the decoder's corrupt-data posture everywhere else."""
+    blob = bytearray(encode_ocf([(1, True)], [("k", "long"), ("b", "boolean")]))
+    # locate the boolean byte: last block body is [k varint][bool byte],
+    # followed by the 16-byte sync — so it sits at -17.
+    assert blob[-17] == 1
+    blob[-17] = 2
+    with pytest.raises(ValueError, match="boolean byte"):
+        decode_ocf(bytes(blob))
+
+
+def test_empty_write_leaves_readable_typed_dir(spark, tmp_path):
+    """A write that produces zero rows still leaves a schema-bearing
+    header-only OCF file (like the native writer), so the next read returns
+    an empty TYPED relation instead of FileNotFoundError."""
+    import glob
+    import os
+
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").filter("k < 0")
+    fields = [("k", "long"), ("x", "double")]
+    path = str(tmp_path / "empty_avro")
+    assert write_avro_dir(df, path, fields, mode="overwrite") == 0
+    files = glob.glob(os.path.join(path, "*.avro"))
+    assert len(files) == 1 and os.path.exists(os.path.join(path, "_SUCCESS"))
+    back = read_avro_dir(spark, path)
+    assert dict(back.dtypes) == {"k": "bigint", "x": "double"}
+    assert back.count() == 0
+
+
+def test_schema_drift_names_the_file(spark, tmp_path):
+    """A directory whose files disagree on schema fails with a descriptive
+    schema-drift error naming the offending file, not an executor KeyError."""
+    import os
+
+    path = str(tmp_path / "drift")
+    os.makedirs(path)
+    with open(os.path.join(path, "a.avro"), "wb") as f:
+        f.write(encode_ocf([(1, "x")], FIELDS))
+    with open(os.path.join(path, "b.avro"), "wb") as f:
+        f.write(encode_ocf([(2.5,)], [("renamed", "double")]))
+    with pytest.raises(Exception, match="schema drift"):
+        read_avro_dir(spark, path).collect()
+
+
+def test_avro_options_are_accepted_on_fallback(spark, tmp_path):
+    """DDL-declared format options thread through load_avro/save_avro (the
+    native path applies them; the fallback's OCF framing has none, so they
+    are accepted as no-ops rather than dropped with an error)."""
+    from flink_1_12_0_src_spark.sources.avro_py import save_avro
+
+    df = spark.range(0, 4).selectExpr("id AS k")
+    path = str(tmp_path / "opts")
+    save_avro(df, path, mode="append", options={"compression": "deflate"})
+    got = sorted(
+        r["k"] for r in load_avro(spark, path, options={"ignoreExtension": "true"}).collect()
+    )
+    assert got == [0, 1, 2, 3]

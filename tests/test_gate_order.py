@@ -85,14 +85,22 @@ def test_oracle_change_requires_representation():
 
 
 def test_window_regreens_come_from_stale_cohort():
-    """The ~50-slot window's re-green slots all come from the r<=3-stale
-    cohort this round (105 queries are that stale, far more than the window
-    can hold) — the concrete 'done' criterion of round-11 verdict task #2."""
+    """The ~50-slot window's re-green slots all come from the stalest
+    last-green cohort (round-11 verdict task #2, made round-agnostic in
+    round 14 once the rotation had advanced past the original r<=3
+    hard-code). The boundary round is derived: the smallest R such that
+    the queries with LAST_GREEN <= R fill every re-green slot."""
     names = list(load_all())
     front = list(CURRENT_FIXED_FIRST) + list(CURRENT_NEW)
+    slots = 50 - len(front)
     window_regreens = [n for n in names[len(front):50] if n in _DRIVER_GREEN]
-    stale = {n for n, r in LAST_GREEN.items() if r <= 3}
-    assert len(stale) >= 50 - len(front)
+    boundary = min(
+        r
+        for r in sorted(set(LAST_GREEN.values()))
+        if sum(1 for rr in LAST_GREEN.values() if rr <= r) >= slots
+    )
+    stale = {n for n, r in LAST_GREEN.items() if r <= boundary}
+    assert len(stale) >= slots
     assert set(window_regreens) <= stale, [
         (n, LAST_GREEN[n]) for n in window_regreens if n not in stale
     ]
