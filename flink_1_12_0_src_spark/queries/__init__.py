@@ -442,7 +442,12 @@ _R14_FIXED_FIRST: tuple[str, ...] = ()
 # enforces the listing), the nullable-union avro round-trip is brand new,
 # and `knn_ivf_topk` gets its first (rows-only) presentation — the one
 # registered name never driver-checked (verdict r13 task #8).
-_R14_NEW: tuple[str, ...] = ()
+_R14_NEW: tuple[str, ...] = (
+    "multimodal_header_parse",
+    "multimodal_resolution_audit",
+    "stream_multimodal_audit",
+    "multimodal_media_catalog",
+)
 
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round

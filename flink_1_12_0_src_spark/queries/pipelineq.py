@@ -1094,22 +1094,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE prefix for the two header-parse oracles: re-SYNTHESIZE the same
 # container bytes the Spark fixture builds (PNG signature+IHDR / GIF89a LSD /
-# BMP BITMAPFILEHEADER+INFOHEADER from doc_id), then re-PARSE them from the
-# hex rendering of the blob — a genuine second implementation of both the
-# byte layout and the fixed-offset/endianness decode, meeting at the bytes.
-_MM_HEADER_PARSED_CTES = """
+# BMP BITMAPFILEHEADER+INFOHEADER / JPEG SOI+segment-chain+SOFn from doc_id),
+# then re-PARSE them from the hex rendering of a bounded 256-byte blob prefix
+# (mirroring the parser's IMG_SCAN_BYTES discipline) — a genuine second
+# implementation of both the byte layout and the fixed-offset/endianness
+# decode, meeting at the bytes. The JPEG branch re-implements the
+# marker-segment walk as a chain of eight absorbing-step CTEs (w1..w8), the
+# SQL rendering of the unrolled data-dependent jump.
+
+
+def _jpeg_walk_ctes(n: int) -> str:
+    """w1..wN: each step sits on a SOF marker or a non-FF byte (absorbs), or
+    hops over one length-prefixed segment. Linear CTE chain — each referenced
+    exactly once, so DuckDB's CTE inlining cannot re-execute subtrees."""
+    steps = ["w0 AS (SELECT doc_id, blob, hx, CAST(2 AS BIGINT) AS j0 FROM hx)"]
+    for i in range(n):
+        steps.append(
+            f"""w{i + 1} AS (
+  SELECT doc_id, blob, hx,
+    CASE WHEN substring(hx, 2*j{i} + 1, 4) IN ('FFC0','FFC1','FFC2')
+           OR substring(hx, 2*j{i} + 1, 2) <> 'FF' THEN j{i}
+         ELSE j{i} + 2 + ('0x' || substring(hx, 2*j{i} + 5, 4))::BIGINT END AS j{i + 1}
+  FROM w{i})"""
+        )
+    return ",\n".join(steps)
+
+
+_MM_HEADER_PARSED_CTES = f"""
 params AS (
   SELECT doc_id,
          16 + (doc_id * 37) % 2048 AS w,
          16 + (doc_id * 53) % 2048 AS h,
-         doc_id % 3 AS fmtc
+         doc_id % 4 AS fmtc,
+         1 + (doc_id // 4) % 4 AS nseg,
+         CASE WHEN doc_id % 3 = 1 THEN 'FFC2' ELSE 'FFC0' END AS sofmk,
+         CASE WHEN doc_id % 9 < 3 THEN 1 ELSE 3 END AS ncomp
   FROM documents),
 be AS (
-  SELECT doc_id, fmtc,
+  SELECT doc_id, fmtc, nseg, sofmk, ncomp,
          lpad(to_hex(w), 8, '0') AS wbe,
          lpad(to_hex(h), 8, '0') AS hbe,
          lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h), 8, '0') AS ibe,
-         lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h + 54), 8, '0') AS fbe
+         lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h + 54), 8, '0') AS fbe,
+         'FFE0' || lpad(to_hex(4 + (doc_id * 13) % 29), 4, '0')
+                || repeat('4A', 2 + (doc_id * 13) % 29) AS s0,
+         CASE WHEN 1 + (doc_id // 4) % 4 >= 2
+              THEN 'FFE1' || lpad(to_hex(4 + (doc_id * 13 + 7) % 29), 4, '0')
+                   || repeat('4A', 2 + (doc_id * 13 + 7) % 29) ELSE '' END AS s1,
+         CASE WHEN 1 + (doc_id // 4) % 4 >= 3
+              THEN 'FFFE' || lpad(to_hex(4 + (doc_id * 13 + 14) % 29), 4, '0')
+                   || repeat('4A', 2 + (doc_id * 13 + 14) % 29) ELSE '' END AS s2,
+         CASE WHEN 1 + (doc_id // 4) % 4 >= 4
+              THEN 'FFED' || lpad(to_hex(4 + (doc_id * 13 + 21) % 29), 4, '0')
+                   || repeat('4A', 2 + (doc_id * 13 + 21) % 29) ELSE '' END AS s3
   FROM params),
 blobs AS (
   SELECT doc_id, unhex(CASE
@@ -1118,7 +1155,7 @@ blobs AS (
     WHEN fmtc = 1 THEN '474946383961'
          || substring(wbe, 7, 2) || substring(wbe, 5, 2)
          || substring(hbe, 7, 2) || substring(hbe, 5, 2) || 'F70000'
-    ELSE '424D'
+    WHEN fmtc = 2 THEN '424D'
          || substring(fbe, 7, 2) || substring(fbe, 5, 2) || substring(fbe, 3, 2) || substring(fbe, 1, 2)
          || '00000000' || '36000000' || '28000000'
          || substring(wbe, 7, 2) || substring(wbe, 5, 2) || substring(wbe, 3, 2) || substring(wbe, 1, 2)
@@ -1126,14 +1163,21 @@ blobs AS (
          || '0100' || '1800' || '00000000'
          || substring(ibe, 7, 2) || substring(ibe, 5, 2) || substring(ibe, 3, 2) || substring(ibe, 1, 2)
          || '130B0000' || '130B0000' || '00000000' || '00000000'
+    ELSE 'FFD8' || s0 || s1 || s2 || s3 || sofmk
+         || lpad(to_hex(8 + 3 * ncomp), 4, '0') || '08'
+         || substring(hbe, 5, 4) || substring(wbe, 5, 4)
+         || lpad(to_hex(ncomp), 2, '0')
+         || CASE WHEN ncomp = 1 THEN '011100' ELSE '011100021100031100' END
   END) AS blob
   FROM be),
-hx AS (SELECT doc_id, blob, hex(blob) AS hx FROM blobs),
+hx AS (SELECT doc_id, blob, substring(hex(blob), 1, 512) AS hx FROM blobs),
+{_jpeg_walk_ctes(8)},
 parsed AS (
   SELECT doc_id,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
          WHEN substring(hx, 1, 12) = '474946383961' THEN 'gif'
          WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
+         WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
          ELSE 'unknown' END AS fmt,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 33, 8))::BIGINT
@@ -1142,6 +1186,9 @@ parsed AS (
          WHEN substring(hx, 1, 4) = '424D'
            THEN ('0x' || substring(hx, 43, 2) || substring(hx, 41, 2)
                  || substring(hx, 39, 2) || substring(hx, 37, 2))::BIGINT
+         WHEN substring(hx, 1, 6) = 'FFD8FF'
+              AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
+           THEN ('0x' || substring(hx, 2*j8 + 15, 4))::BIGINT
     END AS width,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 41, 8))::BIGINT
@@ -1150,6 +1197,9 @@ parsed AS (
          WHEN substring(hx, 1, 4) = '424D'
            THEN ('0x' || substring(hx, 51, 2) || substring(hx, 49, 2)
                  || substring(hx, 47, 2) || substring(hx, 45, 2))::BIGINT
+         WHEN substring(hx, 1, 6) = 'FFD8FF'
+              AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
+           THEN ('0x' || substring(hx, 2*j8 + 11, 4))::BIGINT
     END AS height,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 49, 2))::BIGINT
@@ -1159,9 +1209,13 @@ parsed AS (
            THEN ('0x' || substring(hx, 21, 2))::BIGINT % 8 + 1
          WHEN substring(hx, 1, 4) = '424D'
            THEN ('0x' || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT
+         WHEN substring(hx, 1, 6) = 'FFD8FF'
+              AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
+           THEN ('0x' || substring(hx, 2*j8 + 9, 2))::BIGINT
+                * ('0x' || substring(hx, 2*j8 + 19, 2))::BIGINT
     END AS bpp,
     CAST(octet_length(blob) AS BIGINT) AS n_bytes
-  FROM hx)
+  FROM w8)
 """
 
 

@@ -114,7 +114,7 @@ def _py_image_blob(i: int) -> bytes:
     oracle CTEs, so a shared layout mistake can't self-verify."""
     import struct
 
-    w, h, f = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048, i % 3
+    w, h, f = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048, i % 4
     if f == 0:  # PNG signature + IHDR (RGBA8), placeholder CRC
         return (
             b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
@@ -123,6 +123,19 @@ def _py_image_blob(i: int) -> bytes:
         )
     if f == 1:  # GIF89a logical screen descriptor
         return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    if f == 3:  # JPEG: SOI, 1-4 var-length APPn/COM segments, SOF0/SOF2
+        markers = [0xE0, 0xE1, 0xFE, 0xED]
+        out = b"\xff\xd8"
+        for k in range(1 + (i // 4) % 4):
+            pay = 2 + (i * 13 + k * 7) % 29
+            out += bytes([0xFF, markers[k]]) + struct.pack(">H", pay + 2) + b"\x4a" * pay
+        ncomp = 1 if i % 9 < 3 else 3
+        sof = 0xC2 if i % 3 == 1 else 0xC0
+        out += bytes([0xFF, sof]) + struct.pack(">H", 8 + 3 * ncomp)
+        out += bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        for c in range(1, ncomp + 1):
+            out += bytes([c, 0x11, 0x00])
+        return out
     row = (w * 3 + 3) // 4 * 4  # 24bpp rows padded to 4 bytes
     img = row * h
     return (
@@ -135,13 +148,14 @@ def _py_image_blob(i: int) -> bytes:
 
 def test_image_header_synth_matches_python_struct(spark):
     """The Spark fixture emits byte-identical real container headers to the
-    struct-packed reference, across all 3 formats and multi-byte widths."""
+    struct-packed reference, across all 4 formats, multi-byte widths, and
+    every (segment count, component count, SOF marker) JPEG variant."""
     from flink_1_12_0_src_spark.pipeline.multimodal import synth_image_blobs
 
-    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 80).withColumnRenamed("id", "doc_id")
     blobs = {r["doc_id"]: bytes(r["blob"]) for r in synth_image_blobs(ids).collect()}
-    assert len(blobs) == 40
-    for i in range(40):
+    assert len(blobs) == 80
+    for i in range(80):
         assert blobs[i] == _py_image_blob(i), f"doc {i} blob mismatch"
 
 
@@ -271,11 +285,32 @@ def test_image_header_parse_from_bytes_alone(spark):
         + struct.pack(">II", 70000, 3) + bytes([16, 2, 0, 0, 0]) + b"\x00" * 4
     )
     gif_small = b"GIF89a" + struct.pack("<HH", 4095, 1) + bytes([0xF2, 0, 0])
+    # JPEG off the fixture grid: SOF1 (extended sequential — never emitted
+    # by the fixture), 12-bit precision, 4 components, behind a 180-byte
+    # APP1 segment (longer than any fixture segment)
+    jpeg_sof1 = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", 180 + 2) + b"\x00" * 180
+        + b"\xff\xc1" + struct.pack(">H", 8 + 3 * 4)
+        + bytes([12]) + struct.pack(">HH", 99, 321) + bytes([4])
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+    )
+    # JPEG whose SOF sits past the walk budget: 9 segments of 20 bytes each
+    # -> fmt sniffs but dims are NULL (the documented envelope, not a wrong
+    # answer)
+    jpeg_deep = b"\xff\xd8" + (
+        b"\xff\xe0" + struct.pack(">H", 20) + b"\x00" * 18
+    ) * 9 + (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 10, 10)
+        + bytes([1, 1, 0x11, 0])
+    )
     rows = [
         (1, bytearray(png_rgb16)),
         (2, bytearray(gif_small)),
-        (3, bytearray(_py_image_blob(5))),  # BMP (5 % 3 == 2)
+        (3, bytearray(_py_image_blob(6))),  # BMP (6 % 4 == 2)
         (4, bytearray(b"JUNKJUNKJUNK")),
+        (5, bytearray(jpeg_sof1)),
+        (6, bytearray(jpeg_deep)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {r["doc_id"]: r.asDict() for r in parse_image_headers(df).collect()}
@@ -283,10 +318,13 @@ def test_image_header_parse_from_bytes_alone(spark):
         "png", 70000, 3, 48)  # bit depth 16 x 3 channels (color type 2)
     assert (got[2]["fmt"], got[2]["width"], got[2]["height"], got[2]["bpp"]) == (
         "gif", 4095, 1, 3)  # packed 0xF2 -> GCT size 2 -> 3 bpp
-    w5, h5 = 16 + 5 * 37, 16 + 5 * 53
+    w6, h6 = 16 + 6 * 37, 16 + 6 * 53
     assert (got[3]["fmt"], got[3]["width"], got[3]["height"], got[3]["bpp"]) == (
-        "bmp", w5, h5, 24)
+        "bmp", w6, h6, 24)
     assert got[4]["fmt"] == "unknown" and got[4]["width"] is None
+    assert (got[5]["fmt"], got[5]["width"], got[5]["height"], got[5]["bpp"]) == (
+        "jpeg", 321, 99, 48)  # 12-bit precision x 4 components
+    assert got[6]["fmt"] == "jpeg" and got[6]["width"] is None
     assert got[4]["n_bytes"] == 12
     # top-down DIB: BITMAPINFOHEADER height is SIGNED; -600 means 600 rows
     # stored top-first — dimensions must come back as magnitudes
@@ -295,9 +333,41 @@ def test_image_header_parse_from_bytes_alone(spark):
         + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
         + struct.pack("<HH", 1, 24) + b"\x00" * 24
     )
-    df2 = spark.createDataFrame([(5, bytearray(topdown))], "doc_id long, blob binary")
-    r5 = parse_image_headers(df2).collect()[0]
-    assert (r5["fmt"], r5["width"], r5["height"], r5["bpp"]) == ("bmp", 800, 600, 24)
+    df2 = spark.createDataFrame([(7, bytearray(topdown))], "doc_id long, blob binary")
+    r7 = parse_image_headers(df2).collect()[0]
+    assert (r7["fmt"], r7["width"], r7["height"], r7["bpp"]) == ("bmp", 800, 600, 24)
+
+
+def test_header_parse_bounded_prefix_on_multi_kb_blobs(spark):
+    """The parsers hex only a fixed prefix (IMG/WAV/MP4_SCAN_BYTES), so a
+    production-size blob — real header + multi-KB payload tail — parses
+    identically to the bare header and never amplifies the payload through
+    the projection (verdict r13 task #3's 'done' test)."""
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        parse_image_headers,
+        parse_mp4_headers,
+        parse_wav_headers,
+    )
+
+    tail = bytes(range(256)) * 40  # 10 KiB of junk "payload"
+    img_rows = [(i, bytearray(_py_image_blob(i) + tail)) for i in range(8)]
+    dfi = spark.createDataFrame(img_rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r.asDict() for r in parse_image_headers(dfi).collect()}
+    for i in range(8):
+        w, h = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048
+        assert got[i]["width"] == w and got[i]["height"] == h, f"doc {i}"
+        assert got[i]["n_bytes"] == len(_py_image_blob(i)) + len(tail)
+    wav_rows = [(i, bytearray(_py_wav_blob(i) + tail)) for i in range(4)]
+    dfw = spark.createDataFrame(wav_rows, "doc_id long, blob binary")
+    gotw = {r["doc_id"]: r.asDict() for r in parse_wav_headers(dfw).collect()}
+    for i in range(4):
+        assert gotw[i]["fmt"] == "wav" and gotw[i]["channels"] == 1 + i % 2
+    mp4_rows = [(i, bytearray(_py_mp4_blob(i) + tail)) for i in range(4)]
+    dfm = spark.createDataFrame(mp4_rows, "doc_id long, blob binary")
+    gotm = {r["doc_id"]: r.asDict() for r in parse_mp4_headers(dfm).collect()}
+    for i in range(4):
+        assert gotm[i]["fmt"] == "mp4"
+        assert gotm[i]["timescale"] == [600, 1000, 24000, 90000][i % 4]
 
 
 def test_cosine_topk_np_equals_expression_path(spark, sf_dir):
