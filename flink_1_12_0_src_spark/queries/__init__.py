@@ -447,6 +447,7 @@ _R14_NEW: tuple[str, ...] = (
     "multimodal_resolution_audit",
     "stream_multimodal_audit",
     "multimodal_media_catalog",
+    "avro_nullable_roundtrip",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools

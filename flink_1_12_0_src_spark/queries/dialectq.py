@@ -461,6 +461,92 @@ def avro_record_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_nullable_roundtrip",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_opt,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_opt,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE n_chars * CAST(1.5 AS DOUBLE) END AS score,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS flag,
+         octet_length(encode(lang)) AS lang_bytes,
+         n_chars
+  FROM documents)
+SELECT doc_id, lang_opt, n_opt, score, flag,
+       CAST({_avro_varint_len_sql('2 * doc_id')}
+            + 1 + CASE WHEN doc_id % 7 = 0 THEN 0
+                       ELSE {_avro_varint_len_sql('2 * lang_bytes')} + lang_bytes END
+            + 1 + CASE WHEN doc_id % 13 = 0 THEN 0
+                       ELSE {_avro_varint_len_sql('2 * n_chars')} END
+            + 1 + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 8 END
+            + 1 + CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END
+       AS BIGINT) AS record_bytes
+FROM d ORDER BY doc_id
+""",
+    tags=("dialect", "avro", "format"),
+    doc="Nullable-union Avro round trip (round 14, verdict task #4 — the "
+    "dominant real-world schema shape): four ['null', T] union columns "
+    "(string/long/double/boolean) with id-derived NULL patterns are staged "
+    "through the pure-Python OCF writer (branch-index long before each "
+    "value, per spec), read back via the binaryFile+mapInPandas decoder "
+    "(NULL-capable pandas extension dtypes), and each ROUND-TRIPPED row is "
+    "re-encoded to its wire size. The oracle re-derives both the values "
+    "and the size law arithmetically — one union-index byte per nullable "
+    "field, plus the branch payload only when non-NULL — so a missed "
+    "branch byte, a wrong branch index, or a null-vs-default confusion "
+    "shifts the affected rows. Reference analog: flink-formats/flink-avro "
+    "AvroRowDataDeserializationSchema's nullable-field handling.",
+)
+def avro_nullable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flink_1_12_0_src_spark.sources.avro_py import (
+        encode_record,
+        read_avro_dir,
+        write_avro_dir,
+    )
+
+    fields = [
+        ("doc_id", "long"),
+        ("lang_opt", "?string"),
+        ("n_opt", "?long"),
+        ("score", "?double"),
+        ("flag", "?boolean"),
+    ]
+    path = os.path.join(_CACHE, f"{_tag(sf_dir)}_docs_avro_nullable")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = table(spark, sf_dir, "documents").selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_opt",
+            "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_opt",
+            "CASE WHEN doc_id % 5 = 0 THEN NULL "
+            "ELSE n_chars * CAST(1.5 AS DOUBLE) END AS score",
+            "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id % 3 = 0 END AS flag",
+        )
+        write_avro_dir(src, path, fields)
+
+    back = read_avro_dir(spark, path)
+
+    def _sizes(batches):
+        for pdf in batches:
+            cols = [n for n, _ in fields]
+            sizes = [
+                len(encode_record(fields, t))
+                for t in pdf[cols].itertuples(index=False, name=None)
+            ]
+            out = pdf[cols].copy()
+            out["record_bytes"] = pd.Series(sizes, dtype="int64")
+            yield out
+
+    return back.mapInPandas(
+        _sizes,
+        "doc_id bigint, lang_opt string, n_opt bigint, score double, "
+        "flag boolean, record_bytes bigint",
+    ).orderBy("doc_id")
+
+
+@register(
     "partition_pruned_read",
     oracle=f"""
 SELECT user_id, COUNT(*) AS cnt, {_SQL_TOTAL} AS total

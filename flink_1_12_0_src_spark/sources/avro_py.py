@@ -4,8 +4,9 @@ Spark's ``format("avro")`` needs the external spark-avro package, which is
 not bundled in this environment — previously the one format row documented
 as an unfixable seam. The Avro 1.x BINARY ENCODING and OCF layout are public
 specification, and the subset a filesystem connector actually needs —
-long/double/string/boolean primitives in flat record schemas, ``null``
-codec, sync-marked blocks — fits in a few hundred lines of stdlib Python, so
+long/double/string/boolean primitives and their nullable ``["null", T]``
+unions in flat record schemas, ``null`` codec, sync-marked blocks — fits
+in a few hundred lines of stdlib Python, so
 the seam is now implemented in-env (reference analog:
 flink-formats/flink-avro/src/main/java/org/apache/flink/formats/avro/
 AvroFormatFactory.java — the reference's pluggable avro format; the wire
@@ -53,6 +54,29 @@ AVRO_TO_SPARK = {
     "boolean": "boolean",
 }
 
+# Nullable fields are the spec's two-branch union ["null", T] — the dominant
+# real-world schema shape (every optional column). INTERNALLY a union field
+# is carried as the string "?T": schema_json renders it back to the JSON
+# union form, the wire encoding writes the branch INDEX as an avro long
+# (0 = null, 1 = T) before the value, and read_header maps the JSON list
+# back to "?T". Only the null-first ordering is supported — the form every
+# mainstream writer emits; a [T, "null"] schema raises loudly rather than
+# decoding branches against the wrong index.
+
+
+def _base_type(typ: str) -> str:
+    return typ[1:] if typ.startswith("?") else typ
+
+
+def _is_null_value(v) -> bool:
+    """None, float NaN (pandas' null for float columns), or pandas NA —
+    without importing pandas (the codec half stays stdlib-only)."""
+    if v is None:
+        return True
+    if isinstance(v, float) and v != v:
+        return True
+    return type(v).__name__ == "NAType"
+
 
 # ---------------------------------------------------------------------------
 # encoder
@@ -83,6 +107,13 @@ def _append_string(out: bytearray, s: str) -> None:
 
 
 def _append_value(out: bytearray, typ: str, val) -> None:
+    if typ.startswith("?"):
+        # union ["null", T]: branch index as a long, then the branch value
+        if _is_null_value(val):
+            _append_long(out, 0)
+            return
+        _append_long(out, 1)
+        typ = typ[1:]
     if typ == "long":
         _append_long(out, val)
     elif typ == "string":
@@ -100,7 +131,10 @@ def schema_json(fields: list[tuple[str, str]], name: str = "row") -> str:
         {
             "type": "record",
             "name": name,
-            "fields": [{"name": f, "type": t} for f, t in fields],
+            "fields": [
+                {"name": f, "type": ["null", t[1:]] if t.startswith("?") else t}
+                for f, t in fields
+            ],
         },
         separators=(",", ":"),
     )
@@ -237,10 +271,20 @@ def read_header(blob: bytes) -> tuple[list[tuple[str, str]], bytes, int, str]:
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    fields = [(f["name"], f["type"]) for f in schema["fields"]]
-    for _, t in fields:
-        if t not in AVRO_TO_SPARK:
+    fields: list[tuple[str, str]] = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            if len(t) == 2 and t[0] == "null" and t[1] in AVRO_TO_SPARK:
+                t = "?" + t[1]
+            else:
+                raise NotImplementedError(
+                    f"avro union not in the supported subset (only "
+                    f"['null', T] with T in {sorted(AVRO_TO_SPARK)}): {t}"
+                )
+        elif t not in AVRO_TO_SPARK:
             raise NotImplementedError(f"avro type not in the supported subset: {t}")
+        fields.append((f["name"], t))
     sync = blob[i : i + 16]
     return fields, sync, i + 16, codec
 
@@ -269,7 +313,19 @@ def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
         j = 0
         for _ in range(cnt):
             rec: dict = {}
-            for fname, typ in fields:
+            for fname, ftyp in fields:
+                typ = ftyp
+                if typ.startswith("?"):
+                    idx, j = _read_long(body, j)
+                    if idx == 0:
+                        rec[fname] = None
+                        continue
+                    if idx != 1:
+                        raise ValueError(
+                            f"avro union branch index must be 0 or 1, got "
+                            f"{idx} at body offset {j}"
+                        )
+                    typ = typ[1:]
                 if typ == "long":
                     v, j = _read_long(body, j)
                 elif typ == "string":
@@ -311,7 +367,9 @@ _BINARYFILE_SCHEMA = (
 
 
 def fields_from_spark_schema(schema) -> list[tuple[str, str]]:
-    """Map a Spark StructType onto the supported avro field subset."""
+    """Map a Spark StructType onto the supported avro field subset —
+    faithfully: a nullable Spark column becomes the spec's ["null", T]
+    union (internally "?T"), a NOT NULL column the bare primitive."""
     out: list[tuple[str, str]] = []
     for f in schema.fields:
         s = f.dataType.simpleString()
@@ -320,7 +378,8 @@ def fields_from_spark_schema(schema) -> list[tuple[str, str]]:
                 f"column {f.name!r}: spark type {s} has no mapping in the "
                 f"pure-Python avro subset ({sorted(_SPARK_TO_AVRO)})"
             )
-        out.append((f.name, _SPARK_TO_AVRO[s]))
+        t = _SPARK_TO_AVRO[s]
+        out.append((f.name, ("?" + t) if f.nullable else t))
     return out
 
 
@@ -421,7 +480,13 @@ def _probe_fields(path: str) -> list[tuple[str, str]]:
 def _decode_mapper(fields: list[tuple[str, str]], with_metadata: bool):
     import pandas as pd
 
-    pd_dtype = {"long": "int64", "double": "float64", "boolean": "bool", "string": "object"}
+    # union fields need NULL-capable pandas dtypes: the Int64/Float64/boolean
+    # extension arrays round-trip None through Arrow into Spark NULLs, where
+    # the numpy int64/bool dtypes would reject or coerce them
+    pd_dtype = {
+        "long": "int64", "double": "float64", "boolean": "bool", "string": "object",
+        "?long": "Int64", "?double": "Float64", "?boolean": "boolean", "?string": "object",
+    }
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -463,7 +528,7 @@ def _decode_mapper(fields: list[tuple[str, str]], with_metadata: bool):
 
 
 def _decode_ddl(fields: list[tuple[str, str]], with_metadata: bool) -> str:
-    ddl = ", ".join(f"{n} {AVRO_TO_SPARK[t]}" for n, t in fields)
+    ddl = ", ".join(f"{n} {AVRO_TO_SPARK[_base_type(t)]}" for n, t in fields)
     if with_metadata:
         # mirrors the hidden _metadata struct of Spark's native file
         # sources, so FLIP-107 METADATA columns resolve identically on the

@@ -311,3 +311,113 @@ def test_avro_options_are_accepted_on_fallback(spark, tmp_path):
         r["k"] for r in load_avro(spark, path, options={"ignoreExtension": "true"}).collect()
     )
     assert got == [0, 1, 2, 3]
+
+# ---------------------------------------------------------------------------
+# nullable-union fields: ["null", T] — the dominant real-world schema shape
+# ---------------------------------------------------------------------------
+
+NFIELDS = [("k", "long"), ("s", "?string"), ("x", "?double"), ("b", "?boolean")]
+NROWS = [
+    (1, None, None, None),
+    (2, "ab", 1.5, True),
+    (3, "", 0.0, False),
+    (-4, "héllo", None, True),
+]
+
+
+def _hand_nullable_ocf(rows) -> bytes:
+    """Hand-built OCF for the nullable schema, written independently against
+    the spec: each union value is its branch index as a zigzag-varint long
+    (0 = null, 1 = the typed branch) followed by the branch's encoding."""
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "x", "type": ["null", "double"]},
+                {"name": "b", "type": ["null", "boolean"]},
+            ],
+        },
+        separators=(",", ":"),
+    ).encode()
+    out = b"Obj\x01" + _vl(2)
+    out += _vl(len(b"avro.codec")) + b"avro.codec" + _vl(4) + b"null"
+    out += _vl(len(b"avro.schema")) + b"avro.schema" + _vl(len(schema)) + schema
+    out += b"\x00" + DEFAULT_SYNC
+    body = b""
+    for k, s, x, b in rows:
+        body += _vl(k)
+        body += _vl(0) if s is None else _vl(1) + _vl(len(s.encode())) + s.encode()
+        body += _vl(0) if x is None else _vl(1) + struct.pack("<d", x)
+        body += _vl(0) if b is None else _vl(1) + (b"\x01" if b else b"\x00")
+    out += _vl(len(rows)) + _vl(len(body)) + body + DEFAULT_SYNC
+    return out
+
+
+def test_nullable_union_encoder_matches_hand_built_bytes():
+    assert encode_ocf(NROWS, NFIELDS) == _hand_nullable_ocf(NROWS)
+
+
+def test_nullable_union_decoder_reads_hand_built_bytes():
+    fields, recs = decode_ocf(_hand_nullable_ocf(NROWS))
+    assert fields == NFIELDS
+    assert [(r["k"], r["s"], r["x"], r["b"]) for r in recs] == NROWS
+
+
+def test_nullable_union_bad_branch_index_raises():
+    blob = bytearray(_hand_nullable_ocf([(1, None, None, None)]))
+    # body is [k=1 -> 0x02][s idx 0][x idx 0][b idx 0] then sync; flip the
+    # s branch index to 2 (varint 0x04)
+    assert blob[-20:-16] == b"\x02\x00\x00\x00"
+    blob[-19] = 0x04
+    with pytest.raises(ValueError, match="union branch"):
+        decode_ocf(bytes(blob))
+
+
+def test_nullable_union_only_null_first_supported():
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": "k", "type": ["long", "null"]}],
+        },
+        separators=(",", ":"),
+    ).encode()
+    out = b"Obj\x01" + _vl(2)
+    out += _vl(len(b"avro.codec")) + b"avro.codec" + _vl(4) + b"null"
+    out += _vl(len(b"avro.schema")) + b"avro.schema" + _vl(len(schema)) + schema
+    out += b"\x00" + DEFAULT_SYNC
+    with pytest.raises(NotImplementedError, match="union"):
+        read_header(out)
+
+
+def test_nullable_union_spark_roundtrip_with_nulls(spark, tmp_path):
+    """Full write/read round trip through the fallback with NULLs in every
+    nullable column: fields_from_spark_schema maps nullability to unions,
+    the decoder serves NULL-capable pandas dtypes, and Spark reads the
+    NULLs back as NULLs (not NaN / 0 / False)."""
+    from flink_1_12_0_src_spark.sources.avro_py import fields_from_spark_schema
+
+    df = spark.range(0, 30).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('v', id) END AS s",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id * CAST(1.5 AS DOUBLE) END AS x",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 2 = 0 END AS b",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE id * 10 END AS n",
+    )
+    fields = fields_from_spark_schema(df.schema)
+    assert [t for _, t in fields] == ["long", "?string", "?double", "?boolean", "?long"]
+    path = str(tmp_path / "nullable_rt")
+    n = write_avro_dir(df.repartition(3), path, fields)
+    assert n == 30
+    back = read_avro_dir(spark, path)
+    assert dict(back.dtypes) == {
+        "k": "bigint", "s": "string", "x": "double", "b": "boolean", "n": "bigint"
+    }
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+    nulls = back.filter("s IS NULL OR x IS NULL OR b IS NULL OR n IS NULL").count()
+    assert nulls > 0
