@@ -577,18 +577,27 @@ def sample_frames(
     shuffle; downstream per-frame featurization chains as another mapInPandas.
     """
 
+    import numpy as np
+
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fidx, offs, lens, cksum = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf["blob"]):
-                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
-                for k in range(0, n_frames, stride):
-                    chunk = blob[k * frame_bytes : (k + 1) * frame_bytes]
-                    ids.append(i)
-                    fidx.append(k)
-                    offs.append(k * frame_bytes)
-                    lens.append(len(chunk))
-                    cksum.append(sum(chunk) % 997)
+                n = len(blob)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                ks = np.arange(0, n_frames, stride, dtype=np.int64)
+                starts = ks * frame_bytes
+                ends = np.minimum(starts + frame_bytes, n)
+                # exact int64 prefix sums over the raw bytes: per-frame sums
+                # (and hence checksums) come from two lookups, not a Python
+                # per-byte loop — a real decoder would swap in here
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(np.frombuffer(blob, dtype=np.uint8), dtype=np.int64, out=cs[1:])
+                ids.extend([i] * len(ks))
+                fidx.extend(ks.tolist())
+                offs.extend(starts.tolist())
+                lens.extend((ends - starts).tolist())
+                cksum.extend(((cs[ends] - cs[starts]) % 997).tolist())
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
@@ -647,22 +656,35 @@ def windowed_energy(
     materialize Python-side from the same Arrow batch — the one-row →
     many-windows explode never round-trips through a JVM explode; output is
     linear in blob bytes, no shuffle."""
-    import math
+    import numpy as np
 
     def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widx, offs, lens, rms = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf["blob"]):
                 n = len(blob)
-                w = 0
-                while w * hop < n:
-                    chunk = blob[w * hop : w * hop + win]
-                    ids.append(i)
-                    widx.append(w)
-                    offs.append(w * hop)
-                    lens.append(len(chunk))
-                    rms.append(round(math.sqrt(sum(b * b for b in chunk) / len(chunk)), 6))
-                    w += 1
+                n_win = (n + hop - 1) // hop if n else 0
+                ws = np.arange(n_win, dtype=np.int64)
+                starts = ws * hop
+                ends = np.minimum(starts + win, n)
+                # exact int64 prefix sums of squared samples: each window's
+                # sum(b^2) is two lookups instead of a per-byte Python loop
+                # (squares <= 255^2, so int64 is exact to ~10^14 samples);
+                # sqrt/divide are correctly-rounded IEEE in numpy and libm
+                # alike, and the final 6-dp round stays Python's round()
+                # per window — identical values to the scalar path, only
+                # the per-byte summation is vectorized. A real decoder
+                # would produce int16 frames here instead of raw bytes.
+                samples = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(samples * samples, dtype=np.int64, out=cs[1:])
+                wlens = ends - starts
+                rmsv = np.sqrt((cs[ends] - cs[starts]) / wlens)
+                ids.extend([i] * n_win)
+                widx.extend(ws.tolist())
+                offs.extend(starts.tolist())
+                lens.extend(wlens.tolist())
+                rms.extend(round(v, 6) for v in rmsv.tolist())
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

@@ -448,6 +448,10 @@ _R14_NEW: tuple[str, ...] = (
     "stream_multimodal_audit",
     "multimodal_media_catalog",
     "avro_nullable_roundtrip",
+    # one-time rows-only presentation (r13 verdict task #8): the only
+    # registered name never driver-checked; its hash-verifiable
+    # `knn_ivf_recall` companion is r10-green
+    "knn_ivf_topk",
 )
 
 # Round-agnostic aliases for the current round's tiers: tests and tools
@@ -493,10 +497,15 @@ def _gate_rank(name: str) -> tuple[int, int]:
     """
     if name in CURRENT_FIXED_FIRST:
         return (0, CURRENT_FIXED_FIRST.index(name))
+    if name in CURRENT_NEW:
+        # an EXPLICIT CURRENT_NEW listing outranks the dead-last rule: the
+        # only way a no-oracle row ever spends a window slot is a deliberate
+        # one-time presentation (round-14: `knn_ivf_topk`, the one
+        # registered name with no driver row in any round's artifact —
+        # r13 verdict task #8), after which it returns to tier 4.
+        return (2, CURRENT_NEW.index(name))
     if name in _NO_ORACLE_LAST:
         return (4, _NO_ORACLE_LAST.index(name))
-    if name in CURRENT_NEW:
-        return (2, CURRENT_NEW.index(name))
     if name in _DRIVER_GREEN:
         from flink_1_12_0_src_spark.queries._last_green import LAST_GREEN
 

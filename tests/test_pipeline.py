@@ -1507,3 +1507,47 @@ def test_slm_select_matches_python_twin(spark):
             spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", thr
         ).collect()
     } == again
+
+
+def test_vectorized_media_kernels_match_scalar_reference(spark):
+    """The numpy-vectorized sample_frames / windowed_energy kernels (round
+    14: exact int64 prefix sums replace the per-byte Python loops) produce
+    the same rows as a scalar re-derivation, including partial tail
+    frames/windows and an empty blob."""
+    import math
+
+    from flink_1_12_0_src_spark.pipeline.multimodal import (
+        sample_frames,
+        windowed_energy,
+    )
+
+    blobs = [
+        (1, bytearray(bytes(range(256)) * 3 + b"\x07\x09")),  # partial tail
+        (2, bytearray(b"")),  # no frames, no windows
+        (3, bytearray(b"\xff" * 100)),  # constant, exactly crosses frames
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+
+    got_f = sorted(
+        tuple(r) for r in sample_frames(df, frame_bytes=100, stride=2).collect()
+    )
+    want_f = []
+    for i, blob in blobs:
+        n_frames = (len(blob) + 99) // 100
+        for k in range(0, n_frames, 2):
+            chunk = bytes(blob[k * 100 : (k + 1) * 100])
+            want_f.append((i, k, k * 100, len(chunk), sum(chunk) % 997))
+    assert got_f == sorted(want_f)
+
+    got_e = sorted(
+        tuple(r) for r in windowed_energy(df, win=64, hop=32).collect()
+    )
+    want_e = []
+    for i, blob in blobs:
+        w = 0
+        while w * 32 < len(blob):
+            chunk = bytes(blob[w * 32 : w * 32 + 64])
+            rms = round(math.sqrt(sum(b * b for b in chunk) / len(chunk)), 6)
+            want_e.append((i, w, w * 32, len(chunk), rms, rms >= 64.0))
+            w += 1
+    assert got_e == sorted(want_e)
