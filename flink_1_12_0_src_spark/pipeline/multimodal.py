@@ -72,6 +72,11 @@ PNG_SIG_HEX = "89504E470D0A1A0A"  # \x89 P N G \r \n \x1a \n
 GIF89A_HEX = "474946383961"  # "GIF89a"
 BMP_SIG_HEX = "424D"  # "BM"
 JPEG_SIG_HEX = "FFD8FF"  # SOI marker + the FF of the first segment marker
+RIFF_HEX = "52494646"  # "RIFF" (shared by WAV and WebP containers)
+WEBP_HEX = "57454250"  # "WEBP" at byte 8 of the RIFF payload
+WEBP_VP8_HEX = "56503820"  # "VP8 "  — lossy bitstream chunk
+WEBP_VP8L_HEX = "5650384C"  # "VP8L" — lossless bitstream chunk
+WEBP_VP8X_HEX = "56503858"  # "VP8X" — extended-features chunk
 # IHDR-field consumers don't validate the chunk CRC (and DuckDB, the oracle
 # engine, has no crc32), so the synthesized IHDR carries a fixed placeholder.
 PNG_CRC_HEX = "5AA5C3D2"
@@ -117,21 +122,27 @@ def synth_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fixture: one REAL container header per row as a
     BinaryType blob — byte-for-byte valid PNG signature+IHDR / GIF89a
     logical-screen descriptor / BMP BITMAPFILEHEADER+BITMAPINFOHEADER /
-    JPEG SOI+segment-chain+SOFn layouts (CRC placeholder aside), NOT a toy
-    encoding. Dimensions derive from the id (width = 16 + id·37 mod 2048,
-    height = 16 + id·53 mod 2048, format = id mod 4) so the DuckDB oracle
-    can re-synthesize the identical bytes and the parse step can be
-    verified against ground truth. The JPEG rows carry 1 + (id div 4) mod 4
-    leading APPn/COM segments whose payload lengths vary with the id, so
-    the SOF offset is data-dependent per row — a fixed-offset cheat cannot
-    parse them; only a real marker-segment walk can.
+    JPEG SOI+segment-chain+SOFn / WebP RIFF+VP8|VP8L|VP8X layouts (CRC
+    placeholder aside), NOT a toy encoding. Dimensions derive from the id
+    (width = 16 + id·37 mod 2048, height = 16 + id·53 mod 2048, format =
+    id mod 5) so the DuckDB oracle can re-synthesize the identical bytes
+    and the parse step can be verified against ground truth. The JPEG rows
+    carry 1 + (id div 4) mod 4 leading APPn/COM segments whose payload
+    lengths vary with the id, so the SOF offset is data-dependent per
+    row — a fixed-offset cheat cannot parse them; only a real
+    marker-segment walk can. The WebP rows rotate through all three chunk
+    variants ((id div 5) mod 3): lossy VP8 (14-bit little-endian
+    dimensions behind the 9D012A start code), lossless VP8L (width-1 /
+    height-1 / alpha bit-packed little-endian into 4 bytes after the 2F
+    signature), and extended VP8X (24-bit little-endian canvas minus-one
+    dimensions, alpha from the feature-flags byte).
 
     In production this column comes from ingestion; the parse path
     (:func:`parse_image_headers`) never looks at anything but the bytes."""
     ident = F.col(id_col)
     w = (F.lit(16) + (ident * 37) % 2048).cast("bigint")
     h = (F.lit(16) + (ident * 53) % 2048).cast("bigint")
-    fmtc = ident % 4
+    fmtc = ident % 5
     # PNG: 8-byte signature, IHDR length (13), "IHDR", width/height 4B BE,
     # bit depth 8, color type 6 (RGBA), compression/filter/interlace 0, CRC.
     png_hex = F.concat(
@@ -193,11 +204,51 @@ def synth_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.when(nseg >= 4, _seg_hex(3)).otherwise(F.lit("")),
         sof_hex,
     )
+    # WebP: RIFF wrapper ("RIFF", little-endian file size, "WEBP") then one
+    # of the three first-chunk variants by (id div 5) mod 3. VP8 (lossy):
+    # 3-byte frame tag, 9D012A start code, 14-bit LE width/height (scale
+    # bits 0). VP8L (lossless): 2F signature then width-1 | height-1<<14 |
+    # alpha<<28 packed LE into 4 bytes. VP8X (extended): feature flags
+    # (alpha = 0x10), 3 reserved bytes, 24-bit LE canvas width-1/height-1.
+    variant = F.expr(f"({id_col} DIV 5) % 3")
+    alpha = (ident % 2).cast("bigint")
+    vp8_hex = F.concat(
+        F.lit(RIFF_HEX),
+        _le_hex(F.lit(22).cast("bigint"), 4),
+        F.lit(WEBP_HEX + WEBP_VP8_HEX),
+        _le_hex(F.lit(10).cast("bigint"), 4),
+        F.lit("300100" + "9D012A"),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+    )
+    vp8l_packed = (w - 1) + (h - 1) * 16384 + alpha * F.lit(2**28)
+    vp8l_hex = F.concat(
+        F.lit(RIFF_HEX),
+        _le_hex(F.lit(17).cast("bigint"), 4),
+        F.lit(WEBP_HEX + WEBP_VP8L_HEX),
+        _le_hex(F.lit(5).cast("bigint"), 4),
+        F.lit("2F"),
+        _le_hex(vp8l_packed.cast("bigint"), 4),
+    )
+    vp8x_hex = F.concat(
+        F.lit(RIFF_HEX),
+        _le_hex(F.lit(22).cast("bigint"), 4),
+        F.lit(WEBP_HEX + WEBP_VP8X_HEX),
+        _le_hex(F.lit(10).cast("bigint"), 4),
+        _be_hex(alpha * 16, 1),
+        F.lit("000000"),
+        _le_hex(w - 1, 3),
+        _le_hex(h - 1, 3),
+    )
+    webp_hex = (
+        F.when(variant == 0, vp8_hex).when(variant == 1, vp8l_hex).otherwise(vp8x_hex)
+    )
     blob = F.unhex(
         F.when(fmtc == 0, png_hex)
         .when(fmtc == 1, gif_hex)
         .when(fmtc == 2, bmp_hex)
-        .otherwise(jpeg_hex)
+        .when(fmtc == 3, jpeg_hex)
+        .otherwise(webp_hex)
     )
     return df.select(ident.alias(id_col), blob.alias("blob"))
 
@@ -211,8 +262,12 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     at 18/22, bpp at 28), JPEG SOFn (marker-segment walk from the SOI: skip
     length-prefixed APPn/COM/DQT/... segments until SOF0/SOF1/SOF2, then
     precision at +4, height/width 2-byte big-endian at +5/+7, components at
-    +9; bpp = precision × components). Input: (id, blob BinaryType); the
-    parse uses ONLY the bytes.
+    +9; bpp = precision × components), WebP (RIFF/WEBP wrapper, then the
+    first chunk's variant: VP8 14-bit little-endian dims behind the 9D012A
+    start code, VP8L bit-packed width-1/height-1/alpha after the 2F
+    signature, VP8X 24-bit little-endian canvas minus-one dims + alpha
+    flag; bpp 24, +8 with alpha). Input: (id, blob BinaryType); the parse
+    uses ONLY the bytes.
 
     Implementation: ONE hex() rendering of a bounded IMG_SCAN_BYTES prefix
     (never the whole blob — a production payload would be doubled through
@@ -258,11 +313,15 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is_gif = F.substring(hx, 1, 12) == GIF89A_HEX
     is_bmp = F.substring(hx, 1, 4) == BMP_SIG_HEX
     is_jpeg = F.substring(hx, 1, 6) == JPEG_SIG_HEX
+    is_webp = (F.substring(hx, 1, 8) == RIFF_HEX) & (
+        F.substring(hx, 17, 8) == WEBP_HEX
+    )
     fmt = (
         F.when(is_png, "png")
         .when(is_gif, "gif")
         .when(is_bmp, "bmp")
         .when(is_jpeg, "jpeg")
+        .when(is_webp, "webp")
         .otherwise("unknown")
     )
     def le_i32(byte_off: int):
@@ -281,17 +340,45 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"CAST(conv(substring(hx, 2*{jo} + 9, 2), 16, 10) AS BIGINT) * "
         f"CAST(conv(substring(hx, 2*{jo} + 19, 2), 16, 10) AS BIGINT)"
     )
+    # WebP first-chunk variants: dimensions live in the chunk payload at
+    # byte 20. VP8 lossy stores 14-bit little-endian width/height behind
+    # the 9D012A start code; VP8L packs width-1 | height-1 << 14 |
+    # alpha << 28 little-endian after the 2F signature (bit ops, not a
+    # byte-aligned read); VP8X stores 24-bit little-endian canvas
+    # minus-one dimensions with alpha in the feature-flags byte.
+    cc = F.substring(hx, 25, 8)  # fourcc at byte 12
+    is_vp8 = (cc == WEBP_VP8_HEX) & (F.substring(hx, 47, 6) == "9D012A")
+    is_vp8l = (cc == WEBP_VP8L_HEX) & (be(20, 1) == 0x2F)
+    is_vp8x = cc == WEBP_VP8X_HEX
+    vp8l_v = le(21, 4)
+    webp_width = (
+        F.when(is_vp8, le(26, 2).bitwiseAND(16383))
+        .when(is_vp8l, vp8l_v.bitwiseAND(16383) + 1)
+        .when(is_vp8x, le(24, 3) + 1)
+    )
+    webp_height = (
+        F.when(is_vp8, le(28, 2).bitwiseAND(16383))
+        .when(is_vp8l, F.shiftright(vp8l_v, 14).bitwiseAND(16383) + 1)
+        .when(is_vp8x, le(27, 3) + 1)
+    )
+    webp_bpp = (
+        F.when(is_vp8, F.lit(24))
+        .when(is_vp8l, F.shiftright(vp8l_v, 28).bitwiseAND(1) * 8 + 24)
+        .when(is_vp8x, F.shiftright(be(20, 1), 4).bitwiseAND(1) * 8 + 24)
+    )
     width = (
         F.when(is_png, be(16, 4))
         .when(is_gif, le(6, 2))
         .when(is_bmp, le_i32(18))
         .when(is_jpeg & sof_found, j_width)
+        .when(is_webp, webp_width)
     )
     height = (
         F.when(is_png, be(20, 4))
         .when(is_gif, le(8, 2))
         .when(is_bmp, le_i32(22))
         .when(is_jpeg & sof_found, j_height)
+        .when(is_webp, webp_height)
     )
     # PNG channels per color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
     png_channels = (
@@ -302,6 +389,7 @@ def parse_image_headers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(is_gif, be(10, 1) % 8 + 1)  # packed field: GCT size bits + 1
         .when(is_bmp, le(28, 2))
         .when(is_jpeg & sof_found, j_bpp)
+        .when(is_webp, webp_bpp)
         .cast("bigint")
     )
     return base.select(

@@ -1125,13 +1125,15 @@ params AS (
   SELECT doc_id,
          16 + (doc_id * 37) % 2048 AS w,
          16 + (doc_id * 53) % 2048 AS h,
-         doc_id % 4 AS fmtc,
+         doc_id % 5 AS fmtc,
          1 + (doc_id // 4) % 4 AS nseg,
          CASE WHEN doc_id % 3 = 1 THEN 'FFC2' ELSE 'FFC0' END AS sofmk,
-         CASE WHEN doc_id % 9 < 3 THEN 1 ELSE 3 END AS ncomp
+         CASE WHEN doc_id % 9 < 3 THEN 1 ELSE 3 END AS ncomp,
+         (doc_id // 5) % 3 AS wvar,
+         doc_id % 2 AS walpha
   FROM documents),
 be AS (
-  SELECT doc_id, fmtc, nseg, sofmk, ncomp,
+  SELECT doc_id, fmtc, nseg, sofmk, ncomp, wvar, walpha, w, h,
          lpad(to_hex(w), 8, '0') AS wbe,
          lpad(to_hex(h), 8, '0') AS hbe,
          lpad(to_hex((w*3 + 3 - (w*3 + 3) % 4) * h), 8, '0') AS ibe,
@@ -1146,7 +1148,13 @@ be AS (
                    || repeat('4A', 2 + (doc_id * 13 + 14) % 29) ELSE '' END AS s2,
          CASE WHEN 1 + (doc_id // 4) % 4 >= 4
               THEN 'FFED' || lpad(to_hex(4 + (doc_id * 13 + 21) % 29), 4, '0')
-                   || repeat('4A', 2 + (doc_id * 13 + 21) % 29) ELSE '' END AS s3
+                   || repeat('4A', 2 + (doc_id * 13 + 21) % 29) ELSE '' END AS s3,
+         lpad(to_hex(w), 4, '0') AS w2be,
+         lpad(to_hex(h), 4, '0') AS h2be,
+         lpad(to_hex((w - 1) + (h - 1) * 16384 + walpha * 268435456), 8, '0') AS wlpk,
+         lpad(to_hex(w - 1), 6, '0') AS w3be,
+         lpad(to_hex(h - 1), 6, '0') AS h3be,
+         lpad(to_hex(16 * walpha), 2, '0') AS wflag
   FROM params),
 blobs AS (
   SELECT doc_id, unhex(CASE
@@ -1163,11 +1171,25 @@ blobs AS (
          || '0100' || '1800' || '00000000'
          || substring(ibe, 7, 2) || substring(ibe, 5, 2) || substring(ibe, 3, 2) || substring(ibe, 1, 2)
          || '130B0000' || '130B0000' || '00000000' || '00000000'
-    ELSE 'FFD8' || s0 || s1 || s2 || s3 || sofmk
+    WHEN fmtc = 3 THEN 'FFD8' || s0 || s1 || s2 || s3 || sofmk
          || lpad(to_hex(8 + 3 * ncomp), 4, '0') || '08'
          || substring(hbe, 5, 4) || substring(wbe, 5, 4)
          || lpad(to_hex(ncomp), 2, '0')
          || CASE WHEN ncomp = 1 THEN '011100' ELSE '011100021100031100' END
+    ELSE '52494646'
+         || CASE wvar WHEN 1 THEN '11000000' ELSE '16000000' END
+         || '57454250'
+         || CASE wvar
+            WHEN 0 THEN '56503820' || '0A000000' || '300100' || '9D012A'
+                 || substring(w2be, 3, 2) || substring(w2be, 1, 2)
+                 || substring(h2be, 3, 2) || substring(h2be, 1, 2)
+            WHEN 1 THEN '5650384C' || '05000000' || '2F'
+                 || substring(wlpk, 7, 2) || substring(wlpk, 5, 2)
+                 || substring(wlpk, 3, 2) || substring(wlpk, 1, 2)
+            ELSE '56503858' || '0A000000' || wflag || '000000'
+                 || substring(w3be, 5, 2) || substring(w3be, 3, 2) || substring(w3be, 1, 2)
+                 || substring(h3be, 5, 2) || substring(h3be, 3, 2) || substring(h3be, 1, 2)
+            END
   END) AS blob
   FROM be),
 hx AS (SELECT doc_id, blob, substring(hex(blob), 1, 512) AS hx FROM blobs),
@@ -1178,6 +1200,8 @@ parsed AS (
          WHEN substring(hx, 1, 12) = '474946383961' THEN 'gif'
          WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
          WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         WHEN substring(hx, 1, 8) = '52494646'
+              AND substring(hx, 17, 8) = '57454250' THEN 'webp'
          ELSE 'unknown' END AS fmt,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 33, 8))::BIGINT
@@ -1189,6 +1213,17 @@ parsed AS (
          WHEN substring(hx, 1, 6) = 'FFD8FF'
               AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
            THEN ('0x' || substring(hx, 2*j8 + 15, 4))::BIGINT
+         WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'
+           THEN CASE
+             WHEN substring(hx, 25, 8) = '56503820' AND substring(hx, 47, 6) = '9D012A'
+               THEN ('0x' || substring(hx, 55, 2) || substring(hx, 53, 2))::BIGINT & 16383
+             WHEN substring(hx, 25, 8) = '5650384C' AND substring(hx, 41, 2) = '2F'
+               THEN (('0x' || substring(hx, 49, 2) || substring(hx, 47, 2)
+                      || substring(hx, 45, 2) || substring(hx, 43, 2))::BIGINT & 16383) + 1
+             WHEN substring(hx, 25, 8) = '56503858'
+               THEN ('0x' || substring(hx, 53, 2) || substring(hx, 51, 2)
+                     || substring(hx, 49, 2))::BIGINT + 1
+           END
     END AS width,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 41, 8))::BIGINT
@@ -1200,6 +1235,18 @@ parsed AS (
          WHEN substring(hx, 1, 6) = 'FFD8FF'
               AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
            THEN ('0x' || substring(hx, 2*j8 + 11, 4))::BIGINT
+         WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'
+           THEN CASE
+             WHEN substring(hx, 25, 8) = '56503820' AND substring(hx, 47, 6) = '9D012A'
+               THEN ('0x' || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT & 16383
+             WHEN substring(hx, 25, 8) = '5650384C' AND substring(hx, 41, 2) = '2F'
+               THEN ((('0x' || substring(hx, 49, 2) || substring(hx, 47, 2)
+                       || substring(hx, 45, 2) || substring(hx, 43, 2))::BIGINT >> 14)
+                     & 16383) + 1
+             WHEN substring(hx, 25, 8) = '56503858'
+               THEN ('0x' || substring(hx, 59, 2) || substring(hx, 57, 2)
+                     || substring(hx, 55, 2))::BIGINT + 1
+           END
     END AS height,
     CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
            THEN ('0x' || substring(hx, 49, 2))::BIGINT
@@ -1213,6 +1260,17 @@ parsed AS (
               AND substring(hx, 2*j8 + 1, 4) IN ('FFC0','FFC1','FFC2')
            THEN ('0x' || substring(hx, 2*j8 + 9, 2))::BIGINT
                 * ('0x' || substring(hx, 2*j8 + 19, 2))::BIGINT
+         WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'
+           THEN CASE
+             WHEN substring(hx, 25, 8) = '56503820' AND substring(hx, 47, 6) = '9D012A'
+               THEN 24
+             WHEN substring(hx, 25, 8) = '5650384C' AND substring(hx, 41, 2) = '2F'
+               THEN 24 + 8 * ((('0x' || substring(hx, 49, 2) || substring(hx, 47, 2)
+                                || substring(hx, 45, 2) || substring(hx, 43, 2))::BIGINT >> 28)
+                              & 1)
+             WHEN substring(hx, 25, 8) = '56503858'
+               THEN 24 + 8 * ((('0x' || substring(hx, 41, 2))::BIGINT >> 4) & 1)
+           END
     END AS bpp,
     CAST(octet_length(blob) AS BIGINT) AS n_bytes
   FROM w8)

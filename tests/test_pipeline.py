@@ -114,7 +114,7 @@ def _py_image_blob(i: int) -> bytes:
     oracle CTEs, so a shared layout mistake can't self-verify."""
     import struct
 
-    w, h, f = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048, i % 4
+    w, h, f = 16 + (i * 37) % 2048, 16 + (i * 53) % 2048, i % 5
     if f == 0:  # PNG signature + IHDR (RGBA8), placeholder CRC
         return (
             b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
@@ -136,6 +136,25 @@ def _py_image_blob(i: int) -> bytes:
         for c in range(1, ncomp + 1):
             out += bytes([c, 0x11, 0x00])
         return out
+    if f == 4:  # WebP: RIFF wrapper + VP8 / VP8L / VP8X first chunk
+        variant, alpha = (i // 5) % 3, i % 2
+        if variant == 0:  # lossy VP8: frame tag, start code, 14-bit LE dims
+            data = b"\x30\x01\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+            cc = b"VP8 "
+        elif variant == 1:  # lossless VP8L: 2F + packed w-1/h-1/alpha LE32
+            packed = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+            data = b"\x2f" + struct.pack("<I", packed)
+            cc = b"VP8L"
+        else:  # extended VP8X: flags + reserved + 24-bit LE canvas-1 dims
+            data = (
+                bytes([0x10 * alpha]) + b"\x00\x00\x00"
+                + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+            )
+            cc = b"VP8X"
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(data)) + b"WEBP"
+            + cc + struct.pack("<I", len(data)) + data
+        )
     row = (w * 3 + 3) // 4 * 4  # 24bpp rows padded to 4 bytes
     img = row * h
     return (
@@ -304,13 +323,27 @@ def test_image_header_parse_from_bytes_alone(spark):
         b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 10, 10)
         + bytes([1, 1, 0x11, 0])
     )
+    # WebP off the fixture grid: a VP8L at the 14-bit dimension ceiling with
+    # the alpha bit set (16384x10 ARGB), and a WebP whose first chunk is
+    # ANIM — valid container, but dimensions are not in the first chunk, so
+    # dims must come back NULL rather than misread
+    webp_l = (
+        b"RIFF" + struct.pack("<I", 17) + b"WEBP" + b"VP8L" + struct.pack("<I", 5)
+        + b"\x2f" + struct.pack("<I", 16383 | (9 << 14) | (1 << 28))
+    )
+    webp_anim = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"ANIM"
+        + struct.pack("<I", 4) + b"\x00" * 4
+    )
     rows = [
         (1, bytearray(png_rgb16)),
         (2, bytearray(gif_small)),
-        (3, bytearray(_py_image_blob(6))),  # BMP (6 % 4 == 2)
+        (3, bytearray(_py_image_blob(7))),  # BMP (7 % 5 == 2)
         (4, bytearray(b"JUNKJUNKJUNK")),
         (5, bytearray(jpeg_sof1)),
         (6, bytearray(jpeg_deep)),
+        (7, bytearray(webp_l)),
+        (8, bytearray(webp_anim)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {r["doc_id"]: r.asDict() for r in parse_image_headers(df).collect()}
@@ -318,13 +351,16 @@ def test_image_header_parse_from_bytes_alone(spark):
         "png", 70000, 3, 48)  # bit depth 16 x 3 channels (color type 2)
     assert (got[2]["fmt"], got[2]["width"], got[2]["height"], got[2]["bpp"]) == (
         "gif", 4095, 1, 3)  # packed 0xF2 -> GCT size 2 -> 3 bpp
-    w6, h6 = 16 + 6 * 37, 16 + 6 * 53
+    w7, h7 = 16 + 7 * 37, 16 + 7 * 53
     assert (got[3]["fmt"], got[3]["width"], got[3]["height"], got[3]["bpp"]) == (
-        "bmp", w6, h6, 24)
+        "bmp", w7, h7, 24)
     assert got[4]["fmt"] == "unknown" and got[4]["width"] is None
     assert (got[5]["fmt"], got[5]["width"], got[5]["height"], got[5]["bpp"]) == (
         "jpeg", 321, 99, 48)  # 12-bit precision x 4 components
     assert got[6]["fmt"] == "jpeg" and got[6]["width"] is None
+    assert (got[7]["fmt"], got[7]["width"], got[7]["height"], got[7]["bpp"]) == (
+        "webp", 16384, 10, 32)  # VP8L dimension ceiling + alpha
+    assert got[8]["fmt"] == "webp" and got[8]["width"] is None
     assert got[4]["n_bytes"] == 12
     # top-down DIB: BITMAPINFOHEADER height is SIGNED; -600 means 600 rows
     # stored top-first — dimensions must come back as magnitudes
