@@ -4,9 +4,9 @@ Spark's ``format("avro")`` needs the external spark-avro package, which is
 not bundled in this environment — previously the one format row documented
 as an unfixable seam. The Avro 1.x BINARY ENCODING and OCF layout are public
 specification, and the subset a filesystem connector actually needs —
-long/double/string/boolean primitives and their nullable ``["null", T]``
-unions in flat record schemas, ``null`` codec, sync-marked blocks — fits
-in a few hundred lines of stdlib Python, so
+the long/int/double/float/string/boolean/bytes primitives and their
+nullable ``["null", T]`` unions in flat record schemas, ``null`` codec,
+sync-marked blocks — fits in a few hundred lines of stdlib Python, so
 the seam is now implemented in-env (reference analog:
 flink-formats/flink-avro/src/main/java/org/apache/flink/formats/avro/
 AvroFormatFactory.java — the reference's pluggable avro format; the wire
@@ -49,9 +49,12 @@ DEFAULT_SYNC = bytes(range(16))
 
 AVRO_TO_SPARK = {
     "long": "bigint",
+    "int": "int",
     "string": "string",
     "double": "double",
+    "float": "float",
     "boolean": "boolean",
+    "bytes": "binary",
 }
 
 # Nullable fields are the spec's two-branch union ["null", T] — the dominant
@@ -114,14 +117,20 @@ def _append_value(out: bytearray, typ: str, val) -> None:
             return
         _append_long(out, 1)
         typ = typ[1:]
-    if typ == "long":
+    if typ == "long" or typ == "int":  # int shares the zigzag-varint wire form
         _append_long(out, val)
     elif typ == "string":
         _append_string(out, val)
     elif typ == "double":
         out += struct.pack("<d", float(val))
+    elif typ == "float":
+        out += struct.pack("<f", float(val))
     elif typ == "boolean":
         out.append(1 if val else 0)
+    elif typ == "bytes":
+        b = bytes(val)
+        _append_long(out, len(b))
+        out += b
     else:
         raise NotImplementedError(f"avro type not in the supported subset: {typ}")
 
@@ -326,7 +335,7 @@ def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
                             f"{idx} at body offset {j}"
                         )
                     typ = typ[1:]
-                if typ == "long":
+                if typ == "long" or typ == "int":
                     v, j = _read_long(body, j)
                 elif typ == "string":
                     ln, j = _read_long(body, j)
@@ -335,6 +344,13 @@ def decode_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
                 elif typ == "double":
                     (v,) = struct.unpack_from("<d", body, j)
                     j += 8
+                elif typ == "float":
+                    (v,) = struct.unpack_from("<f", body, j)
+                    j += 4
+                elif typ == "bytes":
+                    ln, j = _read_long(body, j)
+                    v = bytes(body[j : j + ln])
+                    j += ln
                 elif typ == "boolean":
                     bb = body[j]
                     if bb not in (0, 1):
@@ -485,7 +501,9 @@ def _decode_mapper(fields: list[tuple[str, str]], with_metadata: bool):
     # the numpy int64/bool dtypes would reject or coerce them
     pd_dtype = {
         "long": "int64", "double": "float64", "boolean": "bool", "string": "object",
+        "int": "int32", "float": "float32", "bytes": "object",
         "?long": "Int64", "?double": "Float64", "?boolean": "boolean", "?string": "object",
+        "?int": "Int32", "?float": "Float32", "?bytes": "object",
     }
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -421,3 +421,46 @@ def test_nullable_union_spark_roundtrip_with_nulls(spark, tmp_path):
     assert got == want
     nulls = back.filter("s IS NULL OR x IS NULL OR b IS NULL OR n IS NULL").count()
     assert nulls > 0
+
+
+def test_int_float_bytes_primitives_wire_form():
+    """int shares long's zigzag-varint wire form, float is 4-byte LE
+    IEEE-754, bytes is a length-prefixed raw run — each checked against
+    hand-built spec bytes, encoder and decoder independently."""
+    fields = [("i", "int"), ("f", "float"), ("raw", "bytes")]
+    rows = [(-65, 1.5, b"\x00\xff\x10"), (8192, -0.25, b"")]
+    want = (
+        _vl(-65) + struct.pack("<f", 1.5) + _vl(3) + b"\x00\xff\x10"
+        + _vl(8192) + struct.pack("<f", -0.25) + _vl(0)
+    )
+    got = b"".join(encode_record(fields, r) for r in rows)
+    assert got == want
+    ffields, recs = decode_ocf(encode_ocf(rows, fields))
+    assert ffields == fields
+    assert [(r["i"], r["f"], r["raw"]) for r in recs] == rows
+
+
+def test_int_float_bytes_spark_roundtrip(spark, tmp_path):
+    """The widened primitive set (int/float/binary Spark columns, incl.
+    nullable unions) round-trips through the fallback writer + reader with
+    exact float32 values and NULLs preserved."""
+    from flink_1_12_0_src_spark.sources.avro_py import fields_from_spark_schema
+
+    df = spark.range(0, 20).selectExpr(
+        "CAST(id AS INT) AS i",
+        "CAST(id * 0.25 AS FLOAT) AS f",
+        "encode(concat('b', id), 'UTF-8') AS raw",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id + 100 AS INT) END AS iopt",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id * 0.5 AS FLOAT) END AS fopt",
+    )
+    fields = fields_from_spark_schema(df.schema)
+    assert [t for _, t in fields] == ["int", "float", "?bytes", "?int", "?float"]
+    path = str(tmp_path / "widened")
+    assert write_avro_dir(df.repartition(2), path, fields) == 20
+    back = read_avro_dir(spark, path)
+    assert dict(back.dtypes) == {
+        "i": "int", "f": "float", "raw": "binary", "iopt": "int", "fopt": "float"
+    }
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
