@@ -78,6 +78,36 @@ def hashed_tf_matrix(
     )
 
 
+def _wx_sigmoid_sql(nb1: int) -> str:
+    """The round-9 sigmoid of w·x over the broadcast weight array ``warr``
+    and feature array ``x``, as ONE SQL expression string.
+
+    w·x is an UNROLLED decimal-add chain, not F.aggregate/F.zip_with:
+    higher-order functions are interpreted (no whole-stage codegen) and this
+    fold runs once per document — the dominant per-document term (measured
+    3.9 s → 1.2 s for quality_fit's 4-round GD stage at bench SF). ``nb1``
+    is a model constant, so the unrolled tree is fixed-size; each add casts
+    back to (28,9) exactly like the fold did (decimal + widens to (29,9);
+    |terms| ≪ the 19 integer digits, so the narrowing is lossless), and
+    decimal addition is exact and associative — the chain is bit-identical
+    to the fold at codegen speed. Built as a SQL string (one JVM parse), not
+    nested Column ops: every Column op is a py4j round trip and the chain is
+    ~5·nb1 ops — measured ~3.5 s of driver-side construction per
+    quality_fit call at nb1=34, rounds=4, more than the executors spent.
+    1.0D double literals, not 1.0: a bare 1.0 parses as DECIMAL(2,1) in
+    Spark SQL, which would change the arithmetic type chain vs F.lit(1.0).
+    """
+    dec_t = "DECIMAL(28,9)"
+    z_sql = f"CAST(0 AS {dec_t})"
+    for i in range(nb1):
+        t_sql = (
+            f"CAST(ROUND(element_at(warr, {i + 1}) * element_at(x, {i + 1}), 9)"
+            f" AS {dec_t})"
+        )
+        z_sql = f"CAST(({z_sql} + {t_sql}) AS {dec_t})"
+    return f"ROUND(1.0D / (1.0D + EXP(-(CAST({z_sql} AS DOUBLE)))), 9)"
+
+
 def logreg_fit_exact(
     df: DataFrame,
     label_col: str,
@@ -133,60 +163,47 @@ def logreg_fit_exact(
             feats = feats.repartition(
                 spark.sparkContext.defaultParallelism
             ).localCheckpoint(eager=True)
-    weights = spark.range(nb1).select(
-        F.col("id").alias("b"), F.lit(0.0).alias("w")
+    # The model lives as ONE row carrying the weight ARRAY (not nb1 (b, w)
+    # rows): per round the gradient is then nb1 decimal-sum expressions in a
+    # SINGLE global HashAggregate over the feature relation — no posexplode
+    # row multiplication (the old shape pushed docs × nb1 rows through a
+    # (b)-keyed aggregate: ~0.85 s/round at bench SF vs ~0.3 s for this one),
+    # no per-round collect_list re-assembly, and no (b)-keyed exchange. The
+    # per-bucket decimal sums are exact and grouping-invariant, so the
+    # trained weights are bit-identical to the row-carried formulation.
+    weights = spark.range(1).select(F.array_repeat(F.lit(0.0), nb1).alias("warr"))
+    # Loop-invariant expressions, built ONCE as SQL strings (one JVM parse
+    # each), not as nested Column operations — see _wx_sigmoid_sql for the
+    # codegen + py4j rationale and the bit-exactness argument.
+    p_sql = f"{_wx_sigmoid_sql(nb1)} AS p"
+    dec_t = "DECIMAL(28,9)"
+    # the whole gradient vector as ONE parsed aggregate expression:
+    # array(SUM(...), ...) — per-bucket decimal sums are exact and
+    # grouping-invariant, identical to the old (b)-keyed aggregate
+    g_sums = ", ".join(
+        f"SUM(CAST(ROUND((p - y) * element_at(x, {i + 1}), 9) AS {dec_t}))"
+        for i in range(nb1)
     )
-    dec = "decimal(28,9)"
+    upd_sql = (
+        f"zip_with(warr, garr, (w, g) -> "
+        f"ROUND(w - {lr!r}D * (CAST(g AS DOUBLE) / _n), 6)) AS warr"
+    )
     for _ in range(rounds):
-        w_row = (
-            weights.groupBy()
-            .agg(F.array_sort(F.collect_list(F.struct("b", "w"))).alias("ws"))
-            .select(F.transform("ws", lambda s: s["w"]).alias("warr"))
+        j = feats.crossJoin(F.broadcast(weights))
+        scored = j.selectExpr("y", p_sql, "x")
+        g = scored.groupBy().agg(
+            F.expr(f"array({g_sums})").alias("garr"),
+            F.count(F.lit(1)).alias("_n"),
         )
-        j = feats.crossJoin(F.broadcast(w_row))
-        z = F.aggregate(
-            F.zip_with("warr", "x", lambda w, xx: F.round(w * xx, 9).cast(dec)),
-            F.lit(0).cast(dec),
-            # decimal + widens to (29,9); cast back — |terms| ≪ the 19
-            # integer digits, so the narrowing is lossless by construction
-            lambda acc, t: (acc + t).cast(dec),
-        ).cast("double")
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
-        ex = j.select(
-            F.col("y"),
-            p.alias("p"),
-            F.posexplode(
-                F.zip_with(
-                    "warr", "x", lambda w, xx: F.struct(w.alias("w"), xx.alias("xx"))
-                )
-            ).alias("b", "s"),
-        )
-        weights = (
-            ex.select(
-                "b",
-                F.col("s.w").alias("w"),
-                F.round((F.col("p") - F.col("y")) * F.col("s.xx"), 9)
-                .cast(dec)
-                .alias("t"),
-            )
-            .groupBy("b")
-            .agg(F.max("w").alias("w"), F.sum("t").alias("g"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "b",
-                F.round(
-                    F.col("w") - F.lit(lr) * (F.col("g").cast("double") / F.col("n")),
-                    6,
-                ).alias("w"),
-            )
-        )
+        weights = weights.crossJoin(F.broadcast(g)).selectExpr(upd_sql)
         if materialize:
-            # pin the MODEL-SIZED (n_buckets + 2 rows) weight relation per
-            # round: without it the lazy chain re-executes every earlier
-            # round each time a later round broadcasts it — O(rounds²)
-            # gradient jobs (measured 17 s → ~4 s at bench SF for 8 rounds)
+            # pin the ONE-ROW model relation per round: without it the lazy
+            # chain re-executes every earlier round each time a later round
+            # broadcasts it — O(rounds²) gradient jobs (measured 17 s → ~4 s
+            # at bench SF for 8 rounds under the old row-carried shape)
             with stage("gd_rounds"):
                 weights = weights.localCheckpoint(eager=True)
-    return weights.select(
+    return weights.select(F.posexplode("warr").alias("b", "w")).select(
         F.col("b").cast("bigint").alias("bucket"), F.col("w").alias("weight")
     )
 
@@ -214,14 +231,10 @@ def logreg_score(
         )
         .select(F.transform("ws", lambda s: s["w"]).alias("warr"))
     )
-    dec = "decimal(28,9)"
     feats = hashed_tf_matrix(df, id_col, text_col, n_buckets)
-    z = F.aggregate(
-        F.zip_with("warr", "x", lambda w, xx: F.round(w * xx, 9).cast(dec)),
-        F.lit(0).cast(dec),
-        lambda acc, t: (acc + t).cast(dec),
-    ).cast("double")
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    # same unrolled codegen'd w·x + sigmoid as the trainer (bit-identical to
+    # the interpreted F.aggregate fold — see logreg_fit_exact)
+    p = F.expr(_wx_sigmoid_sql(n_buckets + 2))
     return feats.crossJoin(F.broadcast(w_row)).select(
         F.col(id_col), p.alias("p"), (p >= 0.5).alias("predicted")
     )
