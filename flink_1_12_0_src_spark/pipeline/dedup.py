@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from flink_1_12_0_src_spark.pipeline.stageclock import stage
-from flink_1_12_0_src_spark.pipeline.text import shingles, tokens
+from flink_1_12_0_src_spark.pipeline.text import exploded_shingles, shingles, tokens
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -142,7 +142,7 @@ def minhash_signatures(
     per shingle instead of ``n``. 32-bit mins are ample for corpus-scale
     shingle cardinalities; lexicographic min over fixed-width hex == numeric
     min over the implied uint32."""
-    sh = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
+    sh = exploded_shingles(_spread(df), text_col, shingle_k, carry=[id_col])
     return _sigs_from_shingles(sh, id_col, num_hashes)
 
 
@@ -513,8 +513,9 @@ def ngram_jaccard_pairs(
     so true pairs survive; ``None`` disables. One extra window count over
     the exact keys the join partitions on — no extra join, no extra shuffle
     topology."""
-    grams = _spread(df).select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.explode(shingles(text_col, shingle_k)).alias("sh")
+    grams = exploded_shingles(
+        _spread(df), text_col, shingle_k,
+        carry=[id_col, F.col(block_col).alias("blk")],
     ).distinct()
     grams = _cap_hot_buckets(grams, ["blk", "sh"], max_shingle_freq)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -675,10 +676,8 @@ def gram_rows(
     (runs unchanged on a streaming scan; the caller deduplicates, either
     via .distinct() in batch or a grouped-aggregate state in the twin)."""
     src = df if df.isStreaming else _spread(df)
-    return src.select(
-        F.col(id_col),
-        F.col(block_col).alias("blk"),
-        F.explode(shingles(text_col, shingle_k)).alias("sh"),
+    return exploded_shingles(
+        src, text_col, shingle_k, carry=[id_col, F.col(block_col).alias("blk")]
     )
 
 
@@ -774,14 +773,20 @@ def winnow_fingerprint(
     normed = _spread(df).select(
         F.col(id_col), F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("norm")
     )
+    # explode the gram START INDEX first, then cut with an ordinary
+    # codegen'd substring: the transform-then-explode form evaluates the
+    # per-gram lambda interpreted (see text.exploded_shingles)
     grams = normed.select(
         F.col(id_col),
+        "norm",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("norm") - (gram_chars - 1), F.lit(1))),
-                lambda i: F.substring(F.col("norm"), i, F.lit(gram_chars)),
+            F.sequence(
+                F.lit(1), F.greatest(F.length("norm") - (gram_chars - 1), F.lit(1))
             )
-        ).alias("g"),
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring(norm, _i, {gram_chars})").alias("g"),
     )
     mins = grams.groupBy(id_col).agg(
         *[F.min(_h(s, F.col("g"))).alias(f"m{s}") for s in range(num_mins)]
@@ -832,22 +837,25 @@ def duplicated_spans(
     if materialize:
         base_stats = base_stats.localCheckpoint(eager=True)
     m = F.col("n_tokens") - F.lit(window - 1)
-    wins = base.select(
-        id_col,
-        "n_tokens",
-        F.explode(
-            F.when(
-                m >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), m),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.md5(F.array_join(F.slice("w", i, F.lit(window)), " ")).alias("gh"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
-        ).alias("s"),
-    ).select(id_col, "n_tokens", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    # explode the window START first, then hash with ordinary codegen'd
+    # expressions (the transform lambda ran interpreted — see
+    # text.exploded_shingles); docs with no full window vanish in the
+    # where() exactly as the empty-array explode dropped them
+    wins = (
+        base.where(m >= 1)
+        .select(
+            id_col, "n_tokens", "w",
+            F.explode(F.sequence(F.lit(1), m)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("w", F.col("pos"), window), " ")
+            ).alias("gh"),
+        )
+    )
     dup = (
         wins.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -947,23 +955,19 @@ def window_occurrences(
 
 def _occurrences_from_base(base: DataFrame, id_col: str, window: int) -> DataFrame:
     m = F.col("n_tokens") - F.lit(window - 1)
-    return base.select(
-        id_col,
-        F.explode(
-            F.when(
-                m >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), m),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.md5(F.array_join(F.slice("w", i, F.lit(window)), " ")).alias(
-                            "gh"
-                        ),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
-        ).alias("s"),
-    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    # explode-first + codegen'd hash projection — see the wins relation in
+    # exact_substring_report for the interpreted-transform rationale
+    return (
+        base.where(m >= 1)
+        .select(id_col, "w", F.explode(F.sequence(F.lit(1), m)).alias("pos"))
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.array_join(F.slice("w", F.col("pos"), window), " ")
+            ).alias("gh"),
+        )
+    )
 
 
 def removed_positions(wins: DataFrame, id_col: str, window: int) -> DataFrame:
@@ -1151,7 +1155,7 @@ def decontaminate(
     (excluded, mirroring the oracle's len(w) >= k guard).
     """
     bench_grams = (
-        bench.select(F.explode(shingles(text_col, k)).alias("sh"))
+        exploded_shingles(bench, text_col, k)
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -1314,7 +1318,7 @@ def soft_gram_counts(
     plan-golden providers, so the gram-count shape (the shingle expression,
     the decimal cast) can never desynchronize between them."""
     return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        exploded_shingles(df, text_col, k, carry=[id_col])
         .groupBy(id_col, "sh")
         .agg(F.count(F.lit(1)).cast("decimal(15,0)").alias("n"))
     )
@@ -1382,13 +1386,34 @@ def soft_dedup_weights(
     # vocabulary — and exact_substring_rewrite's corpus-sized checkpoint is
     # justified by EXPENSIVE upstream chains (refinedweb feeds in), not by
     # the scan itself.
-    return soft_dedup_weights_from_grams(
-        soft_gram_counts(df, id_col, text_col, k), id_col, materialize
+    # The corpus gram TOTAL is a row-local function of the documents —
+    # Σ_docs max(|tokens| − k + 1, 0) — so compute it with one cheap scan
+    # (no explode, no aggregate) instead of re-executing the corpus-scale
+    # tokenize+explode+count subtree under the total's aggregate.
+    w = tokens(text_col)
+    tot = df.agg(
+        F.sum(
+            F.when(F.size(w) >= k, F.size(w) - k + 1).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("_t")
     )
+    # Feed raw shingle OCCURRENCES (n = 1 each), not the (id, sh)-grouped
+    # counts: the pre-aggregation spent a corpus-scale (id, sh)-keyed
+    # exchange purely to compress within-doc gram repeats, which are rare
+    # for word k-grams. The tail's window then counts occurrences per gram
+    # (the same exact integer as the rollup's sum) and the per-doc DECIMAL
+    # sum adds nll once per occurrence — n identical exact-decimal addends
+    # equal the old n × nll product exactly, so every emitted value is
+    # bit-identical while one full exchange + hash aggregate drop out.
+    occ = exploded_shingles(df, text_col, k, carry=[id_col]).withColumn(
+        "n", F.lit(1).cast("decimal(15,0)")
+    )
+    return soft_dedup_weights_from_grams(occ, id_col, materialize, tot=tot)
 
 
 def soft_dedup_weights_from_grams(
-    gcount: DataFrame, id_col: str, materialize: bool = True
+    gcount: DataFrame, id_col: str, materialize: bool = True, tot: DataFrame | None = None
 ) -> DataFrame:
     """The commonness + reweighting TAIL of :func:`soft_dedup_weights`
     over an explicit (id, sh, n) per-document gram-count relation — shared
@@ -1396,15 +1421,32 @@ def soft_dedup_weights_from_grams(
     relation (the corpus gram frequencies, the total, and every weight
     derive from it by rollup, so the counts are the complete sufficient
     statistic)."""
-    gc = gcount.groupBy("sh").agg(F.sum(F.col("n").cast("bigint")).alias("c"))
-    tot = gc.agg(F.sum("c").cast("double").alias("_t"))
+    # Corpus gram frequency as a WINDOW sum over the (id, sh, n) relation,
+    # not a (sh)-keyed aggregate joined back: the old shape evaluated the
+    # unmaterialized gram subtree three times (once under the frequency
+    # rollup, twice under the join's two sides) and paid a join; the window
+    # needs ONE pass (one exchange + sort by sh) and the total needs one
+    # more — measured 5.2 s → 3.1 s for dedup_soft_weights at bench SF.
+    # sum(n) over (partition by sh) is the same exact integer per gram as
+    # the rollup's c, so every downstream value is bit-identical.
+    from pyspark.sql import Window
+
+    if tot is None:
+        # ``tot`` may be handed in by a caller that can derive the total
+        # more cheaply (soft_dedup_weights computes it row-locally from the
+        # documents); the sum of per-(doc, gram) counts is the same exact
+        # integer either way.
+        tot = gcount.agg(
+            F.sum(F.col("n").cast("bigint")).cast("double").alias("_t")
+        )
+    c_win = F.sum(F.col("n").cast("bigint")).over(Window.partitionBy("sh"))
     # (20,9) × (15,0) stays at precision 36, inside Spark's 38-digit cap
     # with the scale intact (28,9 would overflow and silently truncate)
     nll = F.round(-F.log(F.col("c").cast("double") / F.col("_t")), 9).cast(
         "decimal(20,9)"
     )
     per = (
-        gcount.join(gc, "sh")
+        gcount.withColumn("c", c_win)
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
@@ -1646,7 +1688,7 @@ def cms_state_rows(
     this exact layout; the counting generalization is brief-driven
     pipeline surface."""
     src = corpus if corpus.isStreaming else _spread(corpus)
-    g = src.select(F.explode(shingles(text_col, k)).alias("sh"))
+    g = exploded_shingles(src, text_col, k)
     entries = _cms_slice_entries(F.md5(F.col("sh")), n_slices, hex_chars)
     return g.select(F.explode(entries).alias("e")).select("e.i", "e.v")
 
@@ -1794,14 +1836,22 @@ def _paragraphs(df: DataFrame, id_col: str, text_col: str, block: int) -> DataFr
     # every doc has >= 1 paragraph (greatest guards a pathological empty
     # text from producing a descending sequence)
     n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block)).cast("int"), F.lit(1))
+    # explode the window INDEX first, then cut each window with ordinary
+    # codegen'd slice/array_join projections: the previous
+    # transform-then-posexplode built the window array through an
+    # interpreted higher-order function (no whole-stage codegen — the
+    # measured 12× explode penalty, see text.exploded_shingles); the
+    # exploded index IS the old posexplode position, so (id, pid, ptext)
+    # is bit-identical.
     return df.select(
+        F.col(id_col), toks.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("pid"),
+    ).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_blocks - 1),
-                lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
-            )
-        ).alias("pid", "ptext"),
+        "pid",
+        F.array_join(
+            F.slice("_w", F.col("pid") * block + 1, block), " "
+        ).alias("ptext"),
     )
 
 
@@ -2162,11 +2212,7 @@ def minhash_calibration_report(
     shingle relation is shared between the exact-Jaccard joins and the
     signature derivation (MIN over the set == MIN over the multiset), which
     minhash_lsh_pairs consumes via its ``sigs`` hand-in."""
-    sh = (
-        _spread(df)
-        .select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
-        .distinct()
-    )
+    sh = exploded_shingles(_spread(df), text_col, shingle_k, carry=[id_col]).distinct()
     if materialize:
         # three plan references: signature derivation + both pair endpoints
         sh = sh.persist()
@@ -2240,10 +2286,7 @@ def contamination_matrix(
     k-gram in several splits fans out only on the tiny broadcast side. The
     training-corpus denominator is a one-row broadcast aggregate (no
     driver-side count: the whole matrix stays one lazy plan)."""
-    bench_grams = (
-        bench.select(F.col(bench_col), F.explode(shingles(text_col, k)).alias("sh"))
-        .distinct()
-    )
+    bench_grams = exploded_shingles(bench, text_col, k, carry=[bench_col]).distinct()
     bench_sizes = bench.groupBy(bench_col).agg(
         F.count(F.lit(1)).alias("n_bench_docs")
     )

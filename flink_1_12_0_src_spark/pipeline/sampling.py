@@ -656,19 +656,19 @@ def doremi_weights(
     bg = (
         df.select(F.col(domain_col).alias("domain"), w.alias("_w"))
         .filter(F.size("_w") >= 2)
+        # explode the bigram START first, then read the pair with ordinary
+        # codegen'd element_at projections (the transform lambda ran
+        # interpreted — see text.exploded_shingles)
         .select(
             "domain",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_w"), i).alias("w1"),
-                        F.element_at(F.col("_w"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("p"),
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
         )
-        .select("domain", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            "domain",
+            F.element_at("_w", F.col("_i")).alias("w1"),
+            F.element_at("_w", F.col("_i") + 1).alias("w2"),
+        )
     )
     dbg = bg.groupBy("domain", "w1", "w2").agg(
         F.count(F.lit(1)).cast("decimal(15,0)").alias("n")
@@ -803,14 +803,22 @@ def doremi_weights_from_counts(
     # stronger FIXED model (the paper's reference does not retrain) —
     # counts aggregate before any join (the (domain, bigram) relation is
     # vocab-bounded, far below the token stream)
-    cbg = dbg.groupBy("w1", "w2").agg(F.sum(F.col("n").cast("bigint")).alias("cb"))
     uni = vocab.select(F.col("term").alias("w1"), F.col("c").alias("cu"))
     v = vocab.agg(F.count(F.lit(1)).cast("double").alias("_v"))
     nll_b = F.round(
         -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("_v"))), 6
     ).cast("decimal(20,6)")
+    # global bigram count as a WINDOW sum over the (domain, w1, w2, n)
+    # relation, not a (w1, w2)-keyed aggregate joined back: the join shape
+    # evaluated the bigram subtree twice and paid a (w1, w2) exchange for
+    # each side; the window needs ONE pass (sum over the partition is the
+    # same exact integer as the rollup's cb, so ref_nll is bit-identical)
+    from pyspark.sql import Window
+
     lr_ = (
-        dbg.join(cbg, ["w1", "w2"])
+        dbg.withColumn(
+            "cb", F.sum(F.col("n").cast("bigint")).over(Window.partitionBy("w1", "w2"))
+        )
         .join(uni, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("domain")
@@ -858,17 +866,24 @@ def doremi_weights_from_counts(
     nll_m = F.round(
         -F.log(F.col("pm").cast("double") / F.lit(1e15)), 6
     ).cast("decimal(20,6)")
+    from pyspark.sql import Window
+
+    _term_w = Window.partitionBy("term")
     for _ in range(rounds):
         # proxy re-score under the current mixture: K-row alpha broadcast
-        # onto the (domain, term) relation, one term-keyed aggregate (the
-        # mixture LM), one domain-keyed aggregate (the per-domain loss)
-        pm_rel = (
-            dtn.join(F.broadcast(cur.select("domain", "alpha")), "domain")
-            .groupBy("term")
-            .agg(F.greatest(F.sum(pico), F.lit(1)).alias("pm"))
-        )
+        # onto the (domain, term) relation, the mixture LM as a WINDOW sum
+        # per term (one pass — the old term-keyed aggregate joined back on
+        # term re-read the K×V relation and paid a second exchange; the
+        # window's per-term integer sum is identical, so proxy_nll is
+        # bit-identical), then one domain-keyed aggregate (per-domain loss)
         lpd = (
-            dtn.join(pm_rel.select("term", nll_m.alias("_nll")), "term")
+            dtn.join(F.broadcast(cur.select("domain", "alpha")), "domain")
+            .select(
+                "domain",
+                "n",
+                F.greatest(F.sum(pico).over(_term_w), F.lit(1)).alias("pm"),
+            )
+            .select("domain", "n", nll_m.alias("_nll"))
             .groupBy("domain")
             .agg(
                 (

@@ -38,6 +38,30 @@ def shingles(text_col: str | Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_shingles(
+    df: DataFrame, text_col: str | Column, k: int, carry: list | None = None
+) -> DataFrame:
+    """One row per word-``k``-gram shingle OCCURRENCE — ``carry`` columns
+    (names or aliased Columns) plus ``sh`` — bit-identical in content,
+    order and multiplicity to ``F.explode(shingles(text_col, k))`` but an
+    order of magnitude faster at corpus scale: ``shingles`` builds the
+    array with ``F.transform``, a higher-order function Spark evaluates
+    INTERPRETED (no whole-stage codegen, measured 2.9 s vs 0.23 s for the
+    bench corpus' explode). Here the Generate runs first over a plain
+    ``sequence(0, n-k)`` and the shingle text is an ordinary codegen'd
+    ``slice`` + ``array_join`` projection. Docs with fewer than ``k``
+    tokens are filtered up front (the empty-array explode drop of the
+    array form). Stateless row-local ops only — runs unchanged on a
+    streaming scan."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (carry or [])]
+    base = df.select(*cols, tokens(text_col).alias("_w")).where(F.size("_w") >= k)
+    names = base.columns[:-1]
+    return (
+        base.select(*names, "_w", F.explode(F.sequence(F.lit(0), F.size("_w") - k)).alias("_g"))
+        .select(*names, F.array_join(F.slice("_w", F.col("_g") + 1, k), " ").alias("sh"))
+    )
+
+
 def zipf_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level term-frequency head (Zipf ranking): the k most frequent
     whitespace tokens with their frequency and 1-based rank — the vocabulary
@@ -697,19 +721,19 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bg = (
         df.select(F.col(id_col), w.alias("_w"))
         .filter(F.size("_w") >= 2)
+        # explode the bigram START first, then read the pair with ordinary
+        # codegen'd element_at projections (the transform lambda ran
+        # interpreted — see text.exploded_shingles)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_w"), i).alias("w1"),
-                        F.element_at(F.col("_w"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("p"),
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
         )
-        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            F.col(id_col),
+            F.element_at("_w", F.col("_i")).alias("w1"),
+            F.element_at("_w", F.col("_i") + 1).alias("w2"),
+        )
     )
     uni = (
         df.select(F.explode(w).alias("term"))
@@ -774,19 +798,19 @@ def slm_token_select(
     bg = (
         df.select(F.col(id_col), w.alias("_w"))
         .filter(F.size("_w") >= 2)
+        # explode the bigram START first, then read the pair with ordinary
+        # codegen'd element_at projections (the transform lambda ran
+        # interpreted — see text.exploded_shingles)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_w"), i).alias("w1"),
-                        F.element_at(F.col("_w"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("p"),
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
         )
-        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            F.col(id_col),
+            F.element_at("_w", F.col("_i")).alias("w1"),
+            F.element_at("_w", F.col("_i") + 1).alias("w2"),
+        )
     )
     uni = (
         df.select(F.explode(w).alias("term"))

@@ -2366,7 +2366,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_state_rows,
         cms_topk_contract,
     )
-    from flink_1_12_0_src_spark.pipeline.text import shingles
+    from flink_1_12_0_src_spark.pipeline.text import exploded_shingles
 
     docs = table(spark, sf_dir, "documents")
     state = (
@@ -2374,7 +2374,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    grams = docs.select(F.explode(shingles("text", CMS_K)).alias("sh"))
+    grams = exploded_shingles(docs, "text", CMS_K)
     return cms_topk_contract(
         state, grams, "sh", CMS_TOPK, CMS_SLICES, CMS_HEX
     ).orderBy("rank")
@@ -2589,7 +2589,7 @@ ORDER BY s.doc_id
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+    from flink_1_12_0_src_spark.pipeline.text import exploded_shingles, quality_score, shingles
 
     docs = table(spark, sf_dir, "documents")
     scored = quality_score(
@@ -2605,8 +2605,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_canon"))
     )
     bench_grams = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select(F.explode(shingles("text", 3)).alias("sh"))
+        exploded_shingles(docs.filter(F.col("doc_id") % 41 == 0), "text", 3)
         .distinct()
     )
     hits = (
@@ -3480,7 +3479,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split,
         pack_sequences,
     )
-    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+    from flink_1_12_0_src_spark.pipeline.text import exploded_shingles, quality_score, shingles
 
     docs = table(spark, sf_dir, "documents")
     scored = quality_score(
@@ -3495,8 +3494,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("_canon")
     )
     bench_grams = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select(F.explode(shingles("text", 3)).alias("sh"))
+        exploded_shingles(docs.filter(F.col("doc_id") % 41 == 0), "text", 3)
         .distinct()
     )
     hits = (
@@ -4346,7 +4344,7 @@ ORDER BY stage_idx
 def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from flink_1_12_0_src_spark.pipeline.text import quality_score, shingles
+    from flink_1_12_0_src_spark.pipeline.text import exploded_shingles, quality_score, shingles
 
     docs = table(spark, sf_dir, "documents")
     scored = quality_score(docs, "doc_id", "text", keep=["text", "lang"])
@@ -4365,8 +4363,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s2 & (F.col("doc_id") == canon)).alias("s3"),
     )
     bench_grams = (
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select(F.explode(shingles("text", 3)).alias("sh"))
+        exploded_shingles(docs.filter(F.col("doc_id") % 41 == 0), "text", 3)
         .distinct()
     )
     hits = (
