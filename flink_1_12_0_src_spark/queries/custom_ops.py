@@ -70,7 +70,10 @@ ORDER BY user_id, match_seq
     "non-overlapping 3-step strict patterns).",
 )
 def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # prune to the NFA's columns before the Python boundary
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     pat = (
         Pattern.begin("v")
         .where(lambda pdf: pdf["event_type"] == "view")
@@ -125,7 +128,13 @@ ORDER BY p.user_id, match_seq
     "Pattern.java:378). Oracle: gaps-and-islands SQL.",
 )
 def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # project to the columns the NFA actually touches BEFORE the Python
+    # boundary: applyInPandas ships every input column through Arrow, and
+    # Catalyst cannot see into the kernel to prune (guide: pass only what
+    # the function needs — drops `props`/`value`, ~half the Arrow bytes)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     pat = (
         Pattern.begin("e")
         .where(lambda pdf: pdf["event_type"] == "error")
@@ -478,7 +487,10 @@ FROM pairs ORDER BY user_id, match_seq
     "is uncapped, so any divergence on denser data is loud, not silent.",
 )
 def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # prune to the NFA's columns before the Python boundary
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     pat = (
         Pattern.begin("v")
         .where(lambda pdf: pdf["event_type"] == "view")
