@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _as_double(col) -> F.Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    # native Cast (codegen), identical float->double widening to the old
+    # per-element transform lambda (which ran interpreted)
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
 
 
 def _dot(a, b) -> F.Column:
