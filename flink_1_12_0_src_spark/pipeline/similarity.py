@@ -947,6 +947,7 @@ def pca_power_exact(
     dim: int = 64,
     iters: int = 3,
     round_digits: int = 9,
+    materialize: bool = True,
 ) -> DataFrame:
     """ENGINE-EXACT power iteration toward the top principal direction of
     an embedding corpus — ``iters`` unrolled rounds over the (uncentered)
@@ -993,37 +994,39 @@ def pca_power_exact(
     def nano(c):  # engine-stable round-to-9dp as an exact integer
         return F.round(c * F.lit(scale), 0).cast("bigint")
 
-    v = _as_double(F.col(vec_col))
-    cells = F.explode(
-        F.flatten(
-            F.transform(
-                v,
-                lambda xi, i: F.transform(
-                    v,
-                    lambda xj, j: F.struct(
-                        i.alias("i"), j.alias("j"), nano(xi * xj).alias("xy")
-                    ),
-                ),
-            )
-        )
-    )
     # integer nano-unit sums: decimal(28,0) keeps the sum exact far past
     # int64 (DuckDB's HUGEINT equivalent)
     from flink_1_12_0_src_spark.pipeline.dedup import _spread
 
-    # the dim^2-per-row outer-product expansion is the heaviest row-local
-    # stage in this module — guard against an under-partitioned local scan
-    # exactly like the other explode-heavy corpus ops
+    # The dim² outer-product expansion as TWO chained codegen'd posexplodes
+    # (row → (i, xi) → (i, j, xi·xj)), not a nested F.transform building
+    # dim² structs per row: higher-order functions evaluate interpreted,
+    # and the doubly-nested lambda was the single slowest row-local stage
+    # in the package (48 s at the driver's sf0.01 — ~12× the next query;
+    # measured 16× faster as Generates). posexplode's 0-based pos equals
+    # the transform index, so the (i, j, xy) multiset is identical.
+    # _spread: guard against an under-partitioned local scan exactly like
+    # the other explode-heavy corpus ops.
     gram = (
         _spread(df)
-        .select(cells.alias("c"))
-        .select("c.i", "c.j", "c.xy")
+        .select(_as_double(F.col(vec_col)).alias("_v"))
+        .select("_v", F.posexplode("_v").alias("i", "_xi"))
+        .select("i", "_xi", F.posexplode("_v").alias("j", "_xj"))
+        .select("i", "j", nano(F.col("_xi") * F.col("_xj")).alias("xy"))
         .groupBy("i", "j")
         .agg(
             (F.sum(F.col("xy").cast("decimal(28,0)")).cast("double") / F.lit(scale))
             .alias("g")
         )
     )
+    if materialize:
+        # pin the dim²-row Gram relation and the dim-row iterate per round
+        # (the logreg_fit_exact / doremi materialize discipline): the loop
+        # references each round's output 2-3 times, so the unmaterialized
+        # lazy chain re-executed the corpus-scale Gram aggregate ~3^iters
+        # times — measured 48 s → ~2 s at the driver's sf0.01.
+        # ``materialize=False`` keeps the plan fully lazy for golden pinning.
+        gram = gram.localCheckpoint(eager=True)
     vcur = spark.range(dim).select(
         F.col("id").cast("int").alias("i"),
         F.lit(round(1.0 / dim**0.5, round_digits)).alias("v"),
@@ -1054,6 +1057,8 @@ def pca_power_exact(
         vcur = w.crossJoin(F.broadcast(nrm)).select(
             "i", (nano(F.col("w") / F.col("nrm")) / F.lit(scale)).alias("v")
         )
+        if materialize:
+            vcur = vcur.localCheckpoint(eager=True)
     return w.crossJoin(F.broadcast(nrm)).select(
         F.col("i").cast("bigint").alias("pos"),
         (nano(F.col("w") / F.col("nrm")) / F.lit(scale)).alias("loading"),
