@@ -28,7 +28,8 @@ from flink_1_12_0_src_spark.pipeline.text import tokens
 
 
 def hashed_tf_matrix(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, x): the dense feature vector of every document with ≥ 1 token —
     array<double> of length ``n_buckets + 2``: bucket b holds
@@ -47,15 +48,22 @@ def hashed_tf_matrix(
     token — measured 5× the entire training time at bench SF). At 100 TB
     this is one corpus-keyed shuffle paid ONCE; training never touches the
     corpus again.
+
+    ``carry``: extra columns functionally dependent on ``id_col`` (e.g. the
+    training label) ridden through both aggregates as additional group
+    keys — a few bytes per row through the one shuffle, in exchange for
+    the caller not re-deriving them and re-joining on id (which re-ran
+    the teacher-score expressions over the whole corpus a second time).
     """
     t = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("t"),
     )
     b = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long") % n_buckets
     per = (
-        t.select(F.col(id_col), b.alias("b"))
-        .groupBy(id_col, "b")
+        t.select(F.col(id_col), *[F.col(c) for c in carry], b.alias("b"))
+        .groupBy(id_col, *carry, "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n = F.col("n")
@@ -67,13 +75,15 @@ def hashed_tf_matrix(
     )
     len_feat = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
     return (
-        per.groupBy(id_col)
+        per.groupBy(id_col, *carry)
         .agg(
             F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"),
             F.sum("c").alias("n"),
         )
         .select(
-            F.col(id_col), F.concat(tf, F.array(len_feat, F.lit(1.0))).alias("x")
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.concat(tf, F.array(len_feat, F.lit(1.0))).alias("x"),
         )
     )
 
@@ -152,8 +162,14 @@ def logreg_fit_exact(
         raise ValueError("logreg_fit_exact: rounds must be >= 1")
     spark = df.sparkSession
     nb1 = n_buckets + 2
-    feats = hashed_tf_matrix(df, id_col, text_col, n_buckets).join(
-        df.select(F.col(id_col), F.col(label_col).cast("int").alias("y")), id_col
+    # ride the label through the featurization aggregates (it is
+    # functionally dependent on the doc id) instead of re-deriving it from
+    # df and joining back on id — the join shape re-evaluated the
+    # teacher-score expressions over the whole corpus a second time and
+    # paid an extra exchange
+    feats = hashed_tf_matrix(
+        df.withColumn("y", F.col(label_col).cast("int")),
+        id_col, text_col, n_buckets, carry=("y",),
     )
     if materialize:
         # stage probe: the eager checkpoint IS the featurization barrier —
