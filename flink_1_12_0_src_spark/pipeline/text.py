@@ -636,7 +636,9 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_ensemble(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_ensemble(
+    df: DataFrame, id_col: str, text_col: str, materialize: bool = True
+) -> DataFrame:
     """Multi-signal quality filter (the FineWeb/Dolma ensemble shape):
     z-standardize four independent quality signals over the corpus —
     heuristic quality score (:func:`quality_score`), duplicate-bigram
@@ -666,6 +668,13 @@ def quality_ensemble(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .join(unigram_logprob(df, id_col, text_col).select(id_col, "avg_nll"), id_col)
     )
     rounded = j.select(id_col, *[F.round(F.col(s), 6).alias(s) for s in sigs])
+    if materialize:
+        # the rounded signal relation feeds BOTH the corpus-stats aggregate
+        # and the final z projection: unmaterialized, the four-signal
+        # pipeline (four corpus passes + three joins) executed twice —
+        # checkpoint it once (5 narrow columns per doc). materialize=False
+        # keeps the lazy plan for golden pinning.
+        rounded = rounded.localCheckpoint(eager=True)
     aggs = []
     for s in sigs:
         d = F.col(s).cast("decimal(18,6)")
