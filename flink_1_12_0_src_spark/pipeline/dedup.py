@@ -1367,25 +1367,18 @@ def soft_dedup_weights(
     Determinism: per-gram −ln p rounds to 9 dp and accumulates in
     DECIMAL; the per-doc mean is one exact IEEE divide rounded to 6 dp;
     the corpus mean accumulates those 6-dp values in DECIMAL — order- and
-    partitioning-invariant end to end. Scale: one gram-count aggregate
-    (map-side partials), one equi-join scoring scan, a one-row broadcast
-    total and a one-row broadcast corpus mean — the linear logppl
-    topology, no pair space anywhere.
+    partitioning-invariant end to end. Scale: one row-local total scan,
+    ONE pass over the exploded gram occurrences (a per-gram window sum
+    supplies the corpus frequency — the frequency relation is
+    near-corpus-sized, so unlike DoReMi's vocab-sized rollups there is no
+    broadcastable aggregate to join back), one doc-keyed aggregate, and a
+    one-row broadcast corpus mean — the linear logppl topology, no pair
+    space anywhere.
 
     Reference scope note: the reference engine has no data-reweighting
     operator — brief-driven LLM-pipeline surface; its aggregation shape
     is the reference's two-stage hash aggregate
     (flink-table planner StreamExecGroupAggregate lineage)."""
-    # gcount feeds two consumers in the tail (frequency rollup + scoring
-    # join) and is deliberately NOT checkpointed here: its upstream is one
-    # codegen-fused parquet scan, and re-executing two COMPRESSED scans is
-    # cheaper than writing the uncompressed corpus-sized (doc, gram)
-    # relation to executor storage (A/B-measured a wash-to-worse at sf0.1;
-    # at 100 TB the write dominates). soft_dedup_cms_weights differs — four
-    # consumers tip the trade, and its checkpoint also serves the probe
-    # vocabulary — and exact_substring_rewrite's corpus-sized checkpoint is
-    # justified by EXPENSIVE upstream chains (refinedweb feeds in), not by
-    # the scan itself.
     # The corpus gram TOTAL is a row-local function of the documents —
     # Σ_docs max(|tokens| − k + 1, 0) — so compute it with one cheap scan
     # (no explode, no aggregate) instead of re-executing the corpus-scale
