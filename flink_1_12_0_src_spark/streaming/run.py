@@ -6,10 +6,30 @@ records + watermarks and assert the emitted output
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# RAM-backed scratch root for the EPHEMERAL per-run streaming artifacts
+# (checkpoint/commit logs, feedback + side-output directories): every
+# replay-to-batch harness run completes inside one call and the dirs are
+# never reused, so crash-recovery durability buys nothing while the
+# offset/commit-log fsyncs against a disk-backed /tmp cost ~10% of every
+# streaming query (~70 of them in a driver verify). Overridable via
+# SPARK_GRAFT_SCRATCH; falls back to the tempfile default when no tmpfs
+# exists. The STAGED events-stream cache (streaming/source.py) stays on
+# disk deliberately — it is written once and reused across sessions.
+_SCRATCH_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    "/dev/shm" if os.path.isdir("/dev/shm") else None,
+)
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp under the RAM-backed scratch root (see _SCRATCH_ROOT)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def _touched_buckets(delta: DataFrame) -> list[int]:
@@ -38,7 +58,7 @@ def run_to_batch(
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -77,8 +97,8 @@ def run_split_late(
     spark: SparkSession = stream_df.sparkSession
     from pyspark.sql import functions as F
 
-    side_dir = tempfile.mkdtemp(prefix="late_side_")
-    ontime_dir = tempfile.mkdtemp(prefix="late_ontime_")
+    side_dir = scratch_dir(prefix="late_side_")
+    ontime_dir = scratch_dir(prefix="late_ontime_")
     state: dict = {"wm": None}
 
     def fb(bdf: DataFrame, _epoch: int) -> None:
@@ -93,7 +113,7 @@ def run_split_late(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -141,8 +161,8 @@ def run_stream_iterate(
     import os
 
     spark: SparkSession = seed_df.sparkSession
-    loop_dir = tempfile.mkdtemp(prefix="iter_loop_")
-    out_dir = tempfile.mkdtemp(prefix="iter_out_")
+    loop_dir = scratch_dir(prefix="iter_loop_")
+    out_dir = scratch_dir(prefix="iter_out_")
     seed_df.write.mode("append").parquet(loop_dir)
     schema = spark.read.parquet(loop_dir).schema
 
@@ -158,7 +178,7 @@ def run_stream_iterate(
         spark.readStream.schema(schema)
         .parquet(loop_dir)
         .writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_iter_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_iter_"))
         .start()
     )
     try:
@@ -196,13 +216,11 @@ def run_early_fire_trace(
     interleaves slices. ``tests/test_emission_order.py`` pins equivalence to
     Spark's raw update-mode memory-sink trace under in-order delivery.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     spark: SparkSession = stream_df.sparkSession
-    root = tempfile.mkdtemp(prefix="earlyfire_")
+    root = scratch_dir(prefix="earlyfire_")
 
     def fb(bdf: DataFrame, _eid: int) -> None:
         (
@@ -217,7 +235,7 @@ def run_early_fire_trace(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ef_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_ef_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -284,9 +302,9 @@ def run_incremental_join(
     import glob as globmod
     import os
 
-    l_dir = tempfile.mkdtemp(prefix="ij_left_")
-    r_dir = tempfile.mkdtemp(prefix="ij_right_")
-    out_dir = tempfile.mkdtemp(prefix="ij_out_")
+    l_dir = scratch_dir(prefix="ij_left_")
+    r_dir = scratch_dir(prefix="ij_right_")
+    out_dir = scratch_dir(prefix="ij_out_")
     stats = io_stats if io_stats is not None else {}
     stats.setdefault("files_read", 0)
     stats.setdefault("files_total", 0)
@@ -346,7 +364,7 @@ def run_incremental_join(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -437,9 +455,9 @@ def run_incremental_outer_join_changelog(
     if how not in ("left", "right", "full"):
         raise ValueError(f"how must be left/right/full: {how}")
     spark: SparkSession = stream_df.sparkSession
-    l_dir = tempfile.mkdtemp(prefix="oj_left_")
-    r_dir = tempfile.mkdtemp(prefix="oj_right_")
-    out_dir = tempfile.mkdtemp(prefix="oj_out_")
+    l_dir = scratch_dir(prefix="oj_left_")
+    r_dir = scratch_dir(prefix="oj_right_")
+    out_dir = scratch_dir(prefix="oj_out_")
 
     def bucketed(df: DataFrame, id_col: str, alias: str, e_alias: str) -> DataFrame:
         return df.select(
@@ -497,7 +515,7 @@ def run_incremental_outer_join_changelog(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_oj_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_oj_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -607,8 +625,8 @@ def run_incremental_semi_anti_join(
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be semi/anti: {how}")
     spark: SparkSession = stream_df.sparkSession
-    l_dir = tempfile.mkdtemp(prefix="saj_left_")
-    r_dir = tempfile.mkdtemp(prefix="saj_right_")
+    l_dir = scratch_dir(prefix="saj_left_")
+    r_dir = scratch_dir(prefix="saj_right_")
 
     def fb(bdf: DataFrame, _eid: int) -> None:
         bdf = bdf.persist()
@@ -633,7 +651,7 @@ def run_incremental_semi_anti_join(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_saj_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_saj_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -160,12 +160,12 @@ def run_changelog_upsert(
     """Drive a changelog stream through the foreachBatch MERGE to completion
     and return the final maintained-table snapshot. ``io_stats`` accumulates
     {files_read, files_total} so tests can assert bucket-pruned rewrites."""
-    import tempfile
+    from flink_1_12_0_src_spark.streaming.run import scratch_dir
 
     sink = UpsertSink(base_dir, key_cols, version_col, rowkind_col, n_buckets, io_stats)
     q = (
         stream_df.writeStream.foreachBatch(sink.process_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_upsert_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -210,13 +210,14 @@ def run_changelog_count(
     Returns (key, epoch, kind, cnt) — epoch is the data-borne stage index.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from flink_1_12_0_src_spark.streaming.run import scratch_dir
+
     spark = stream_df.sparkSession
-    root = tempfile.mkdtemp(prefix="chlog_")
+    root = scratch_dir(prefix="chlog_")
     state = {"snap": None, "ver": 0}
 
     def fb(bdf, _eid) -> None:
@@ -235,7 +236,7 @@ def run_changelog_count(
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -311,7 +312,7 @@ def run_changelog_sum_agg(
 
     Returns the final (group, cnt, total) snapshot with total as DOUBLE.
     """
-    import tempfile
+    from flink_1_12_0_src_spark.streaming.run import scratch_dir
 
     spark = stream_df.sparkSession
     sign = F.when(F.col(rowkind_col).isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
@@ -350,13 +351,13 @@ def run_changelog_sum_agg(
             # invariant (the > 0 cut happens once, below)
             .filter(F.col("cnt") != 0)
         )
-        nxt = tempfile.mkdtemp(prefix="aggstate_")
+        nxt = scratch_dir(prefix="aggstate_")
         merged.write.mode("overwrite").parquet(nxt)
         state["snap"] = nxt
 
     q = (
         stream_df.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_agg_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_agg_"))
         .trigger(availableNow=True)
         .start()
     )
