@@ -359,11 +359,45 @@ _R13_DRIVER_GREEN = frozenset(
     }
 )
 
+# Round-14 driver-green rows (CORRECTNESS_r14.json — 49/50 hash-green; the
+# 50th row is `knn_ivf_topk`'s deliberate one-time rows-only presentation,
+# err="no_oracle" by design, NOT a red — it returns to the dead-last
+# no-oracle tier below and never spends another window slot).
+_R14_DRIVER_GREEN = frozenset(
+    {
+        "avro_nullable_roundtrip", "cep_followed_by_any",
+        "datastream_keyby_window_sum", "datastream_maxby_flatmap",
+        "dedup_semantic_prune", "flinkddl_alter",
+        "flinkddl_auto_compaction_sink", "flinkddl_compressed_sink",
+        "flinkddl_computed_col", "flinkddl_create_function",
+        "flinkddl_create_table_like", "flinkddl_metadata_columns",
+        "flinkddl_options_hint", "flinkddl_static_partition_insert",
+        "flinksql_match_prev_vshape", "flinksql_match_skip_to_last",
+        "flinksql_system_time_join", "fn_misc_suite",
+        "multimodal_header_parse", "multimodal_media_catalog",
+        "multimodal_resolution_audit", "stream_broadcast_dim_agg",
+        "stream_count_slide", "stream_count_tumble", "stream_cumulate_agg",
+        "stream_dedup_ttl", "stream_interval_join_full",
+        "stream_interval_join_left", "stream_late_dropped_agg",
+        "stream_late_side_output", "stream_match_recognize",
+        "stream_multimodal_audit", "stream_ooo_count_slide",
+        "stream_ooo_count_tumble", "stream_ooo_over_running_sum",
+        "stream_ooo_over_time_range", "stream_ooo_temporal_join",
+        "stream_ooo_topn", "stream_over_time_range",
+        "stream_session_dynamic_gap", "stream_side_outputs",
+        "stream_temporal_join", "stream_unbounded_join",
+        "stream_windowed_cogroup", "tableapi_over_window",
+        "tableapi_temporal_fn_join", "tableapi_tumble_window",
+        "text_bm25_topk", "text_repetition_signals"
+    }
+)
+
 _DRIVER_GREEN = (
     _R01_DRIVER_GREEN | _R02_DRIVER_GREEN | _R03_DRIVER_GREEN
     | _R05_DRIVER_GREEN | _R06_DRIVER_GREEN | _R07_DRIVER_GREEN
     | _R08_DRIVER_GREEN | _R09_DRIVER_GREEN | _R10_DRIVER_GREEN
     | _R11_DRIVER_GREEN | _R12_DRIVER_GREEN | _R13_DRIVER_GREEN
+    | _R14_DRIVER_GREEN
 )
 
 # Round-10 had zero driver-red rows (fourth zero-red round in a row), so
@@ -454,12 +488,19 @@ _R14_NEW: tuple[str, ...] = (
     "knn_ivf_topk",
 )
 
+# Round-14 had zero genuinely-red rows (the one non-green row was
+# `knn_ivf_topk`'s designed rows-only presentation, now folded back to the
+# dead-last tier), so there is nothing to re-verify at the front, and an
+# optimization round registers no new queries.
+_R15_FIXED_FIRST: tuple[str, ...] = ()
+_R15_NEW: tuple[str, ...] = ()
+
 # Round-agnostic aliases for the current round's tiers: tests and tools
 # import these instead of the round-numbered literals, so the per-round
 # rename (fold greens, start a fresh _NEW tuple) no longer requires editing
 # any test. Update ONLY the two assignments below at each round rollover.
-CURRENT_FIXED_FIRST: tuple[str, ...] = _R14_FIXED_FIRST
-CURRENT_NEW: tuple[str, ...] = _R14_NEW
+CURRENT_FIXED_FIRST: tuple[str, ...] = _R15_FIXED_FIRST
+CURRENT_NEW: tuple[str, ...] = _R15_NEW
 
 # The registry's only rows-only entries: the ANN top-k trio, whose real
 # verification is the recall gates in tests/test_pipeline.py. They can never

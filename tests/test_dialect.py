@@ -290,9 +290,15 @@ def test_gate_window_composition():
     assert set(names[len(front):50]) <= set(_DRIVER_GREEN)
     # dead-last no-oracle tier — minus any member given a deliberate
     # one-time presentation slot via an explicit CURRENT_NEW listing
-    # (round 14: knn_ivf_topk, r13 verdict task #8)
+    # (round 14: knn_ivf_topk, r13 verdict task #8). At most one member may
+    # hold a front slot at a time (presentations are one-time, deliberate,
+    # and individually documented), and the guard on the slice keeps
+    # names[-0:] (the whole list) out of the assertion if ever all three
+    # were presented at once.
+    assert len([n for n in _NO_ORACLE_LAST if n in front]) <= 1
     tail = [n for n in _NO_ORACLE_LAST if n not in front]
-    assert names[-len(tail):] == tail
+    if tail:
+        assert names[-len(tail):] == tail
 
 
 def test_statement_set_multi_sink(spark, tmp_path):
