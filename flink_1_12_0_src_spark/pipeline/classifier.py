@@ -200,9 +200,11 @@ def logreg_fit_exact(
         f"SUM(CAST(ROUND((p - y) * element_at(x, {i + 1}), 9) AS {dec_t}))"
         for i in range(nb1)
     )
+    # float() first: repr of a plain float is a valid SQL double literal,
+    # but a numpy scalar ("np.float64(0.5)" under numpy>=2) or Decimal is not
     upd_sql = (
         f"zip_with(warr, garr, (w, g) -> "
-        f"ROUND(w - {lr!r}D * (CAST(g AS DOUBLE) / _n), 6)) AS warr"
+        f"ROUND(w - {float(lr)!r}D * (CAST(g AS DOUBLE) / _n), 6)) AS warr"
     )
     for _ in range(rounds):
         j = feats.crossJoin(F.broadcast(weights))

@@ -56,6 +56,14 @@ def exploded_shingles(
     cols = [F.col(c) if isinstance(c, str) else c for c in (carry or [])]
     base = df.select(*cols, tokens(text_col).alias("_w")).where(F.size("_w") >= k)
     names = base.columns[:-1]
+    # the internal aliases must not collide with (or duplicate within) the
+    # carry columns: a carry named "_w"/"_g" would be an ambiguous reference
+    # at runtime, and duplicate carry names would silently mis-slice
+    if len(set(names)) != len(names) or {"_w", "_g"} & set(names):
+        raise ValueError(
+            f"exploded_shingles: carry columns must be distinct and not "
+            f"named _w/_g, got {names}"
+        )
     return (
         base.select(*names, "_w", F.explode(F.sequence(F.lit(0), F.size("_w") - k)).alias("_g"))
         .select(*names, F.array_join(F.slice("_w", F.col("_g") + 1, k), " ").alias("sh"))
