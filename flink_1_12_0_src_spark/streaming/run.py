@@ -6,7 +6,9 @@ records + watermarks and assert the emitted output
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -26,10 +28,54 @@ _SCRATCH_ROOT = os.environ.get(
     "/dev/shm" if os.path.isdir("/dev/shm") else None,
 )
 
+# Size bound for the RAM-backed root: some scratch dirs hold REAL row data
+# (late-row side outputs, feedback files), so unbounded allocation against a
+# half-RAM tmpfs is silent memory pressure at replay volumes beyond the
+# harness's. When the root's free space drops under this floor, fall back to
+# the disk-backed tempfile default for NEW dirs (existing ones are
+# unaffected). Default 4 GiB — orders of magnitude above any verify-scale
+# run (a full drive leaves ~100 MB), small next to the tmpfs.
+_MIN_FREE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCRATCH_MIN_FREE", str(4 * 1024**3))
+)
+
+# Every dir this process allocates, removed at interpreter exit: the
+# returned DataFrames read these dirs LAZILY (a caller may collect long
+# after the runner returned), so per-call cleanup would break them — but a
+# process that never cleans up leaks RAM-backed state across harness runs
+# (the pre-r15 behavior: repeated runs accumulated in /dev/shm until the
+# tmpfs filled). atexit is the earliest point guaranteed past the last read.
+_ALLOCATED: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _ALLOCATED:
+        shutil.rmtree(d, ignore_errors=True)
+    _ALLOCATED.clear()
+
+
+atexit.register(_cleanup_scratch)
+
+
+def _root_for_new_dir() -> str | None:
+    """The RAM-backed root, unless its free space is under the bound."""
+    if _SCRATCH_ROOT is None:
+        return None
+    try:
+        st = os.statvfs(_SCRATCH_ROOT)
+        if st.f_bavail * st.f_frsize < _MIN_FREE_BYTES:
+            return None  # tmpfs nearly full — disk-backed default instead
+    except OSError:
+        return None
+    return _SCRATCH_ROOT
+
 
 def scratch_dir(prefix: str) -> str:
-    """mkdtemp under the RAM-backed scratch root (see _SCRATCH_ROOT)."""
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    """mkdtemp under the RAM-backed scratch root (see _SCRATCH_ROOT), with a
+    free-space bound and end-of-process cleanup."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=_root_for_new_dir())
+    _ALLOCATED.append(d)
+    return d
 
 
 def _touched_buckets(delta: DataFrame) -> list[int]:
