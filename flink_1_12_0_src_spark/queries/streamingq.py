@@ -13,6 +13,24 @@ Mode discipline:
 - append mode → exact emission set (stream-stream interval join, watermark-
   evicted session windows, applyInPandasWithState operators).
 
+Trigger discipline (r15, extending the r14 stream_tumble_agg /
+stream_over_running_sum precedent): a twin whose result is provably
+micro-batch-boundary invariant — complete-mode snapshots, watermark-
+finalized emission sets (everything ≤ the final watermark, a pure function
+of the data), and commutative accumulator folds — ingests all replay files
+in ONE trigger (``max_files_per_trigger=4``): the same operator/state path
+runs (state still round-trips the store, the trailing no-data batch still
+flushes watermark-held rows), minus three micro-batch harness overheads,
+which at the verify scale is 2.4-3x per twin (measured, oracle-green).
+Multi-batch delivery stays a first-class exercised surface where it IS the
+semantics: the ooo_*/late_* families (scrambled/late sources), the
+changelog joins (incremental ΔL⋈R ∪ L⋈ΔR legs), stream_session_agg_append
+(watermark eviction across batches), stream_unbounded_join, and the three
+continuous-admission twins (neardedup_keepfirst / incremental_admit /
+url_admit) keep one-file-per-trigger, and the boundary/order-invariance
+property itself is pinned by tests/test_streaming_analytics.py and
+tests/test_emission_order.py over multi-batch and scrambled fixtures.
+
 Reference operators exercised: StreamExecGroupWindowAggregate (tumble/hop/
 session — WindowOperator.java:98 + assigners), StreamExecGroupAggregate
 (GroupAggFunction.java:141), StreamExecIntervalJoin (TimeIntervalJoin.java:49),
@@ -80,7 +98,7 @@ GROUP BY 1
     "per slide offset (the same Expand Spark plans internally).",
 )
 def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 hour")
     agg = s.groupBy(F.window("ts", "1 day", "12 hours")).agg(
         F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
     )
@@ -117,7 +135,7 @@ FROM sid GROUP BY user_id, s
     "SQL. Complete mode = all sessions, including still-open ones.",
 )
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
     agg = s.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
         F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
     )
@@ -169,7 +187,7 @@ FROM events GROUP BY event_type
     "snapshot after the last micro-batch ≡ batch GROUP BY.",
 )
 def stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
     agg = s.groupBy("event_type").agg(
         F.count("*").alias("cnt"), dsum(dec("value")).alias("total")
     )
@@ -189,7 +207,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
     "running aggregate — state is one row per key, same as Flink's ValueState.",
 )
 def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select(
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select(
         "user_id", "event_id", "ts", "event_type", F.col("value").cast("double").alias("value")
     )
     out = deduplicate(s, keys=["user_id"], order_col="ts", keep="first", tiebreak="event_id")
@@ -209,7 +227,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
     "collapse-to-latest): max_by(payload, (ts, event_id)) update-per-key state.",
 )
 def stream_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select(
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select(
         "user_id", "event_id", "ts", "event_type", F.col("value").cast("double").alias("value")
     )
     out = deduplicate(s, keys=["user_id"], order_col="ts", keep="last", tiebreak="event_id")
@@ -234,7 +252,7 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
     "relative-window cleanup does; append mode emits each match once.",
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    ev = lambda: events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 minute")  # noqa: E731
     p = ev().filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
@@ -415,7 +433,7 @@ WHERE rnk <= 3
 )
 def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("event_type", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -447,7 +465,7 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.catalog import table
 
-    s = events_stream(spark, sf_dir).select(
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )
     dim = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
@@ -475,7 +493,7 @@ GROUP BY n.n_name
 def stream_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.catalog import table
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
     cust = F.broadcast(table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
     nat = F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     joined = s.join(cust, s.user_id == cust.c_custkey).join(
@@ -503,7 +521,7 @@ FROM events WHERE event_type = 'purchase' AND value > 100
     "filter pushdown.",
 )
 def stream_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
     errors = s.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.lit("errors").alias("channel"),
         F.col("value").cast("double").alias("value"),
@@ -536,7 +554,7 @@ HAVING COUNT(*) = 5
 )
 def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -566,7 +584,7 @@ GROUP BY 1, 2
     "the micro-batch engine with state across triggers.",
 )
 def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 hour")
     steps = s.select(
         "ts",
         "value",
@@ -601,7 +619,7 @@ def stream_over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_over_time_range
 
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -634,7 +652,7 @@ WHERE p_ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
 def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.catalog import table as _table
 
-    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    ev = lambda: events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 minute")  # noqa: E731
     p = ev().filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
@@ -680,7 +698,7 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_temporal_join
 
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .filter(F.col("event_type").isin("purchase", "click"))
         .select(
             "user_id",
@@ -733,7 +751,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(3600.0)
     )
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .withWatermark("ts", "1 hour")
         .select("user_id", "ts", "event_id", "event_type")
     )
@@ -772,7 +790,7 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_dedup_ttl
 
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .withWatermark("ts", "1 hour")
         .select("user_id", "event_type", "ts", "event_id")
     )
@@ -807,7 +825,7 @@ def stream_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.streaming.stateful import streaming_count_slide
 
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .select("user_id", "ts", "event_id", "value")
         .withWatermark("ts", "0 seconds")
     )
@@ -836,7 +854,7 @@ GROUP BY 1, 2
     "snapshot ≡ batch FILTER-agg SQL.",
 )
 def stream_windowed_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 hour")
     clicks = s.filter(F.col("event_type") == "click")
     purchases = s.filter(F.col("event_type") == "purchase")
     tagged = clicks.unionByName(purchases)  # the two coGroup inputs, tagged by event_type
@@ -1117,7 +1135,7 @@ ORDER BY user_id, session_start
     "islands oracle.",
 )
 def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
     gap = F.when(F.col("event_type") == "error", "30 minutes").otherwise("60 minutes")
     agg = s.groupBy("user_id", F.session_window("ts", gap)).agg(
         F.count("*").alias("cnt"),
@@ -1161,7 +1179,7 @@ WHERE COALESCE(p_ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events), TRUE)
 def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.catalog import table as _table
 
-    ev = lambda: events_stream(spark, sf_dir).withWatermark("ts", "1 minute")  # noqa: E731
+    ev = lambda: events_stream(spark, sf_dir, max_files_per_trigger=4).withWatermark("ts", "1 minute")  # noqa: E731
     p = ev().filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
@@ -1772,7 +1790,7 @@ def stream_match_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     s = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, max_files_per_trigger=4)
         .withWatermark("ts", "1 hour")
         .select(
             "user_id",
@@ -1838,7 +1856,7 @@ def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import quality_score
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     out = quality_score(s, "doc_id", "text")
     return run_to_batch(out, "append").orderBy("doc_id")
 
@@ -1954,7 +1972,7 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     # Whitespace-normalize FIRST (row-local projection): every downstream
     # value — n_words, quality, the 3-gram overlap — is then a pure function
     # of the content hash's preimage, so rows colliding on the hash carry
@@ -1995,7 +2013,7 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.analytics import zscore_report
 
-    s = events_stream(spark, sf_dir).select(
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select(
         "event_type", F.to_date("ts").alias("day")
     )
     daily = s.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
@@ -2022,7 +2040,7 @@ def stream_wordcount_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import tokens, zipf_head_from_counts
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     toks = s.select(F.explode(tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -2053,7 +2071,7 @@ def stream_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.queries.pipelineq import PACK_BUDGET
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     h = _salted_hash("doc_id", 77)
     rows = s.select(
         "lang",
@@ -2089,7 +2107,7 @@ def stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import tokens
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = s.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -2120,7 +2138,7 @@ def stream_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.sampling import source_diversity_from_counts
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = s.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
     # localCheckpoint: the report windows over the snapshot, and Spark
     # cannot deduplicate conflicting attribute references through a
@@ -2156,7 +2174,7 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4).filter(F.col("doc_id") % 2 == 0)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4).filter(F.col("doc_id") % 2 == 0)
     g = bloom_state_rows(s, "text", 4, 2).groupBy("i", "v").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2202,7 +2220,7 @@ def stream_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = doremi_state_rows(s, "text", "source").groupBy(
         "kind", "domain", "k1", "k2"
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -2242,7 +2260,7 @@ def stream_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.queries.pipelineq import SOFT_K
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = (
         s.select(F.col("doc_id"), F.explode(shingles("text", SOFT_K)).alias("sh"))
         .groupBy("doc_id", "sh")
@@ -2292,7 +2310,7 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = cms_state_rows(s, "text", CMS_K, CMS_SLICES, CMS_HEX).groupBy("i", "v").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2334,7 +2352,7 @@ def stream_bloom_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4).filter(F.col("doc_id") % 2 == 0)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4).filter(F.col("doc_id") % 2 == 0)
     g = (
         bloom_state_rows(s, "text", 4, 2)
         .filter(F.col("i") >= 0)
@@ -2378,7 +2396,7 @@ def stream_containment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = (
         gram_rows(s, "doc_id", "text", "lang", NJ_SHINGLE_K)
         .groupBy("doc_id", "blk", "sh")
@@ -2434,7 +2452,7 @@ def stream_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.queries.pipelineq import SPAN_WINDOW
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     occ = window_occurrences(s, "doc_id", "text", SPAN_WINDOW)
     g = occ.groupBy("doc_id", "pos", "gh").agg(F.count(F.lit(1)).alias("n"))
     # localCheckpoint: the rewrite tail joins/aggregates over the snapshot
@@ -2476,7 +2494,7 @@ def stream_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.pipeline.text import language_id
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     pred = language_id(s.select("lang", "text"), "lang", "text")
     g = pred.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
@@ -2518,7 +2536,7 @@ def stream_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.analytics import retention_from_activity
 
-    s = events_stream(spark, sf_dir).select(
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
     )
     act = s.groupBy("user_id", "wk").agg(F.count(F.lit(1)).alias("n"))
@@ -2557,7 +2575,7 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_0_src_spark.operators.analytics import funnel_conversion
 
-    s = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4).select("user_id", "event_type", "ts")
     triples = s.groupBy("user_id", "event_type", "ts").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2674,7 +2692,7 @@ def stream_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bench_docs")
     )
 
-    train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4))
+    train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4))
     hit_set = (
         train_s.select(
             "doc_id",
@@ -2684,7 +2702,7 @@ def stream_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("benchmark", "doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    n_train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4)).agg(
+    n_train_s = contam_train_of(documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)).agg(
         F.count(F.lit(1)).alias("_n_train")
     )
     hits_snap = run_to_batch(hit_set, "complete").localCheckpoint(eager=True)
@@ -2879,7 +2897,7 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = logreg_fit_exact(labeled, "label", "doc_id", "text", QF_NB, QF_ROUNDS, QF_LR)
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     s_labeled = quality_score(s, "doc_id", "text", keep=["text"]).select(
         "doc_id", "text", (F.col("quality") >= QF_LABEL_THR).alias("label")
     )
@@ -2933,7 +2951,7 @@ def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import events_stream
 
-    s = events_stream(spark, sf_dir, n_files=4)
+    s = events_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = percentile_state_rows(s).groupBy("event_type", "cv").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2977,7 +2995,7 @@ def stream_soft_weights_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     g = cms_state_rows(s, "text", SOFT_K, CMS_SLICES, CMS_HEX).groupBy("i", "v").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -3026,7 +3044,7 @@ def stream_multimodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_1_12_0_src_spark.streaming.source import documents_stream
 
-    s = documents_stream(spark, sf_dir, n_files=4)
+    s = documents_stream(spark, sf_dir, n_files=4, max_files_per_trigger=4)
     parsed = parse_image_headers(synth_image_blobs(s.select("doc_id")))
     g = resolution_audit_state(parsed)
     snap = run_to_batch(g, "complete")
