@@ -81,18 +81,35 @@ def normalize(rows, cols):
     return sorted(cols), out
 
 
-def compare_to_oracle(spark, sf_dir: str, spark_fn, oracle: str, float_tol: float = 0.0):
-    """Assert the Spark query and the DuckDB oracle agree. float_tol=0 → exact."""
-    sdf = spark_fn(spark, sf_dir)
-    scols = sdf.columns
-    stypes = dict(sdf.dtypes)
-    srows = [tuple(r) for r in sdf.collect()]
+def _run_oracle(sf_dir: str, oracle: str):
     con = duck_connect(sf_dir)
-    rel = con.sql(oracle)
-    ocols = list(rel.columns)
-    otypes = dict(zip(ocols, (str(t) for t in rel.types)))
-    orows = rel.fetchall()
-    con.close()
+    try:
+        rel = con.sql(oracle)
+        ocols = list(rel.columns)
+        otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+        orows = rel.fetchall()
+    finally:
+        con.close()
+    return ocols, otypes, orows
+
+
+def compare_to_oracle(spark, sf_dir: str, spark_fn, oracle: str, float_tol: float = 0.0):
+    """Assert the Spark query and the DuckDB oracle agree. float_tol=0 → exact.
+
+    The oracle runs in a worker thread WHILE Spark builds and collects its
+    side — both engines release the GIL in their native cores, so the
+    comparison costs max(spark, duckdb) instead of their sum (the heaviest
+    oracles — the unrolled power-iteration and substring-rewrite SQL — are
+    DuckDB-bound at 28-38 s each, fully hidden behind their Spark runs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        ofut = pool.submit(_run_oracle, sf_dir, oracle)
+        sdf = spark_fn(spark, sf_dir)
+        scols = sdf.columns
+        stypes = dict(sdf.dtypes)
+        srows = [tuple(r) for r in sdf.collect()]
+        ocols, otypes, orows = ofut.result()
 
     assert sorted(scols) == sorted(ocols), f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}"
     # The driver hashes *rendered* values, so type families must line up too —
