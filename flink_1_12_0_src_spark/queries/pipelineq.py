@@ -4635,7 +4635,10 @@ def family_agreement_report(
     """dedup_family_agreement's full topology over an explicit docs
     relation — ``materialize=False`` keeps the three pair pipelines lazy
     for the golden plan provider (tests/plan_fp.py)."""
-    from flink_1_12_0_src_spark.pipeline.dedup import simhash_hamming_pairs
+    from flink_1_12_0_src_spark.pipeline.dedup import (
+        _containment_inter,
+        simhash_hamming_pairs,
+    )
 
     mh = minhash_lsh_pairs(
         docs, "doc_id", "text", MH_NUM_HASHES, MH_SHINGLE_K, MH_BAND_ROWS,
@@ -4645,15 +4648,29 @@ def family_agreement_report(
         docs, "doc_id", "text", SH_BANDS, SH_MAX_HAMMING, MH_MAX_BUCKET,
         materialize=materialize,
     ).select("id_a", "id_b", F.lit(2).alias("bit"))
-    nj = ngram_jaccard_pairs(
-        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_THRESHOLD, NJ_MAX_DF
-    ).select("id_a", "id_b", F.lit(4).alias("bit"))
-    from flink_1_12_0_src_spark.pipeline.dedup import ngram_containment_pairs as _ncp
-
-    co = _ncp(
-        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, CONTAIN_NUM, CONTAIN_DEN,
-        NJ_MAX_DF,
-    ).select("id_a", "id_b", F.lit(8).alias("bit"))
+    # The ngram-Jaccard and containment detectors share their entire
+    # corpus-scale front — the same distinct (id, blk, sh) gram space, df
+    # cap, sizes, and block-bounded intersect self-join — and differ only
+    # in the membership predicate over the resulting (id_a, id_b, i, na,
+    # nb) rows (ngram_jaccard_pairs / ngram_containment_pairs both sit on
+    # _containment_inter's relation). Build that relation ONCE and read
+    # both bits off it with the detectors' exact predicates: the flagged
+    # sets are identical to running the two standalone detectors (the
+    # nested oracles pin this), minus one full gram-join execution.
+    pair_stats = _containment_inter(
+        docs, "doc_id", "text", "lang", NJ_SHINGLE_K, NJ_MAX_DF
+    )
+    if materialize:
+        # pair-count-sized relation, two consumers below
+        pair_stats = pair_stats.localCheckpoint(eager=True)
+    nj_keep = (
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) > NJ_THRESHOLD
+    )
+    co_keep = (F.lit(CONTAIN_DEN) * F.col("i") >= F.lit(CONTAIN_NUM) * F.col("na")) | (
+        F.lit(CONTAIN_DEN) * F.col("i") >= F.lit(CONTAIN_NUM) * F.col("nb")
+    )
+    nj = pair_stats.filter(nj_keep).select("id_a", "id_b", F.lit(4).alias("bit"))
+    co = pair_stats.filter(co_keep).select("id_a", "id_b", F.lit(8).alias("bit"))
     masks = (
         mh.unionByName(sh)
         .unionByName(nj)
