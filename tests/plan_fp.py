@@ -632,6 +632,37 @@ def golden_plan_providers() -> dict:
             state, "doc_id", CMS_SLICES, CMS_HEX, materialize=False,
         ).orderBy("doc_id")
 
+    def _lazy_quality_ensemble(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.text import quality_ensemble
+
+        # materialize=False: pins the four signal pipelines, their three
+        # joins and the corpus-stats broadcast — the registered form's
+        # eager localCheckpoint would degenerate the golden to a
+        # Scan ExistingRDD (and execute corpus-scale jobs at DataFrame
+        # construction time in golden regen / explain)
+        return quality_ensemble(
+            table(spark, sf_dir, "documents"), "doc_id", "text",
+            materialize=False,
+        ).orderBy("doc_id")
+
+    def _lazy_pca_power(spark, sf_dir):
+        from flink_1_12_0_src_spark.catalog import table
+        from flink_1_12_0_src_spark.pipeline.similarity import pca_power_exact
+        from flink_1_12_0_src_spark.queries.pipelineq import PCA_DIM
+
+        # 1 round, materialize=False (the _lazy_quality_fit / _lazy_doremi
+        # convention): pins the Gram posexplode expansion and one round's
+        # normalize joins; further rounds repeat the identical shape, and
+        # the full-iteration lazy plan is exactly the 3^iters reference
+        # blowup the runtime checkpoints exist to cut (510 scans)
+        return pca_power_exact(
+            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            PCA_DIM, 1, materialize=False,
+        ).orderBy("pos")
+
+    providers["text_quality_ensemble"] = _lazy_quality_ensemble
+    providers["embedding_pca_power"] = _lazy_pca_power
     providers["dataset_doremi_weights"] = _lazy_doremi
     providers["dataset_doremi_sample"] = _lazy_doremi_sample
     providers["dataset_mix_compare"] = _lazy_mix_compare

@@ -277,9 +277,15 @@ def test_weighted_sample_biases_toward_weight(spark, sf_dir):
     assert sample_mean > corpus_mean
     again = weighted_sample(docs.repartition(7, "doc_id"), k=100).collect()
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    # k = population size yields every row (the full key distribution);
+    # k=10**9 asked Spark's TakeOrdered for a billion-slot bound and cost
+    # ~10 s for 500 rows — same result set, pathological path
+    n_docs = docs.count()
     all_keys = sorted(
-        (r["es_key"] for r in weighted_sample(docs, k=10**9).collect()), reverse=True
+        (r["es_key"] for r in weighted_sample(docs, k=n_docs).collect()),
+        reverse=True,
     )
+    assert len(all_keys) == n_docs
     assert sorted((r["es_key"] for r in got), reverse=True) == all_keys[:100]
 
 
